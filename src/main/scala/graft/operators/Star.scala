@@ -1,0 +1,356 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.util.SqlLit
+
+/** Shared constants for the star-schema operator suite.
+  *
+  * Everything that the reference evaluates against the wall clock
+  * (`date('now', ...)` in src/lib/db/agencies.ts:55, `new Date()` in
+  * src/lib/db/entries.ts:211) takes a fixed `asOf` here instead —
+  * 2001-01-01, inside the testdata's 1995..2001 date range — so Spark
+  * and the DuckDB oracle can never straddle midnight and diverge.
+  */
+object Star {
+  val AsOf = "2001-01-01"
+  val AsOfYear = 2001
+  def asOfCol: Column = to_date(lit(AsOf))
+  val asOfSql = s"DATE '$AsOf'"
+
+  /** Per-id date corrections overlay (shape of the reference's
+    * corrections.json entries map, src/lib/corrections.ts:17-24),
+    * applied to orders by o_orderkey. Single source of truth for the
+    * Spark broadcast table and the oracle VALUES clause. */
+  val dateCorrections: Seq[(Long, String)] = Seq(
+    1L -> "1996-03-15", 7L -> "1996-06-01", 32L -> "1996-09-09",
+    33L -> "1996-01-31", 64L -> "1996-12-24")
+
+  def correctionsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    dateCorrections.toDF("o_orderkey", "fixed_date")
+  }
+  val correctionsSql: String =
+    SqlLit.values(dateCorrections.map(t => Seq(t._1, t._2)), "corr",
+      Seq("o_orderkey", "fixed_date"))
+
+  /** Corrected order date: broadcast-join overlay + coalesce — the Spark
+    * expression of the reference's generated CASE overlay
+    * (src/lib/db/shared.ts:55-66). The overlay is a handful of rows, so
+    * broadcasting is mandatory at scale: a shuffle join against it would
+    * shuffle the full fact table for nothing. */
+  def withCorrectedDate(spark: SparkSession, orders: DataFrame): DataFrame =
+    orders
+      .join(broadcast(correctionsDf(spark)), Seq("o_orderkey"), "left")
+      .withColumn("corrected_date",
+        coalesce(to_date(col("fixed_date")), col("o_orderdate").cast(DateType)))
+      .drop("fixed_date")
+
+  val correctedDateSql: String =
+    s"""coalesce(CAST(corr.fixed_date AS DATE), CAST(o.o_orderdate AS DATE))"""
+}
+
+/** Scans, predicates, joins, and set ops over the testdata star schema —
+  * SURVEY.md §2.1/2.2/2.3/2.6 re-expressed Spark-first. Each QueryDef's
+  * oracle is DuckDB SQL over the same parquet tables.
+  */
+object StarPredicates extends graft.QueryModule {
+  import Star._
+
+  def defs: Seq[graft.QueryDef] = Seq(
+
+    // S4 — table scan with projection + pushed filter. The plan must show
+    // PushedFilters + a 3-column ReadSchema (reference scans are narrow
+    // selects, src/lib/db/agencies.ts:91-95).
+    graft.QueryDef("s4_scan_project", Some(
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity >= 45""".stripMargin))((s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_quantity") >= 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")),
+
+    // S5 — upsert sink: last-writer-wins merge by id, the Spark expression
+    // of `ON CONFLICT(id) DO UPDATE` (reference src/lib/sync.ts:30-48).
+    // row_number over (id, batch desc) is deterministic and shuffle-local
+    // to the id hash partitioning; at scale this is one shuffle, no driver.
+    graft.QueryDef("s5_upsert_lww", Some(
+      """WITH b AS (
+        |  SELECT o_orderkey, o_orderstatus, 0 AS batch FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'X' AS o_orderstatus, 1 AS batch FROM orders
+        |  WHERE o_orderkey % 10 = 0
+        |)
+        |SELECT o_orderkey, o_orderstatus, batch FROM (
+        |  SELECT b.*, row_number() OVER (PARTITION BY o_orderkey ORDER BY batch DESC) AS rn
+        |  FROM b) WHERE rn = 1""".stripMargin))((s, d) => {
+      val o = Tables.orders(s, d)
+      val base = o.select(col("o_orderkey"), col("o_orderstatus"), lit(0).as("batch"))
+      val updates = o.where(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("X").as("o_orderstatus"), lit(1).as("batch"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderkey").orderBy(col("batch").desc)
+      base.unionByName(updates)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("o_orderkey", "o_orderstatus", "batch")
+    }),
+
+    // S8 — export change detection: watermark compare (reference
+    // export-db-sqlite.yml:42-91's bookmark equality) as one agg pass.
+    graft.QueryDef("s8_change_detect", Some(
+      s"""SELECT max(o_orderkey) AS current_wm,
+         |  max(CASE WHEN CAST(o_orderdate AS DATE) < $asOfSql THEN o_orderkey END) AS prev_wm,
+         |  max(o_orderkey) <> max(CASE WHEN CAST(o_orderdate AS DATE) < $asOfSql THEN o_orderkey END) AS changed
+         |FROM orders""".stripMargin))((s, d) =>
+      Tables.orders(s, d).agg(
+        max(col("o_orderkey")).as("current_wm"),
+        max(when(col("o_orderdate").cast(DateType) < asOfCol, col("o_orderkey"))).as("prev_wm"))
+        .select(col("current_wm"), col("prev_wm"),
+          (col("current_wm") =!= col("prev_wm")).as("changed"))),
+
+    // S10 — KV/metadata put-get surface: the meta:last_updated_at row
+    // (reference src/lib/sync.ts:203, src/lib/db/meta.ts:15) as a tiny
+    // key-value DataFrame derived per batch.
+    graft.QueryDef("s10_meta_kv", Some(
+      """SELECT 'order_count' AS key, CAST(count(*) AS VARCHAR) AS value FROM orders
+        |UNION ALL
+        |SELECT 'latest_order_date' AS key, CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS value FROM orders""".stripMargin))((s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.agg(count(lit(1)).cast(StringType).as("value"))
+        .select(lit("order_count").as("key"), col("value"))
+      val b = o.agg(max(col("o_orderdate").cast(DateType)).cast(StringType).as("value"))
+        .select(lit("latest_order_date").as("key"), col("value"))
+      a.unionByName(b)
+    }),
+
+    // P1 — case-insensitive equality over an OR-set of candidates
+    // (reference `agency = ? COLLATE NOCASE` disjunction,
+    // src/lib/db/entries.ts:34-40).
+    graft.QueryDef("p1_ci_equality", Some(
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE lower(c_mktsegment) IN ('building', 'machinery')""".stripMargin))((s, d) =>
+      Tables.customer(s, d)
+        .where(lower(col("c_mktsegment")).isin("building", "machinery"))
+        .select("c_custkey", "c_name", "c_mktsegment")),
+
+    // P2 — IN-list filter (reference resolution IN (...),
+    // src/lib/db/entries.ts:41-43).
+    graft.QueryDef("p2_in_list", Some(
+      """SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""".stripMargin))((s, d) =>
+      Tables.orders(s, d)
+        .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderpriority", "o_orderstatus")),
+
+    // P3 — date-range predicates on the corrected column (reference
+    // src/lib/db/entries.ts:44-59): broadcast overlay join + coalesce,
+    // then range filter. Note the filter on the corrected value cannot
+    // push to the scan — same tradeoff as the reference's CASE overlay
+    // defeating its SQLite date index (SURVEY §4).
+    graft.QueryDef("p3_corrected_range", Some(
+      s"""SELECT o.o_orderkey, CAST($correctedDateSql AS VARCHAR) AS corrected_date
+         |FROM orders o LEFT JOIN $correctionsSql ON o.o_orderkey = corr.o_orderkey
+         |WHERE $correctedDateSql >= DATE '1996-01-01'
+         |  AND $correctedDateSql <= DATE '1996-12-31'""".stripMargin))((s, d) =>
+      withCorrectedDate(s, Tables.orders(s, d))
+        .where(col("corrected_date") >= lit("1996-01-01").cast(DateType) &&
+          col("corrected_date") <= lit("1996-12-31").cast(DateType))
+        // Final date columns are projected as ISO strings on both sides:
+        // identical bytes regardless of how the comparator's dataframe
+        // layer renders date vs timestamp dtypes.
+        .select(col("o_orderkey"), col("corrected_date").cast(StringType).as("corrected_date"))),
+
+    // P4 — the same overlay as a generated per-id CASE expression
+    // (reference src/lib/db/shared.ts:55-66 emits literal CASE SQL).
+    // Pure Catalyst expression tree; constant-folded, no join at all —
+    // the right physical choice when the overlay is a few dozen rows.
+    graft.QueryDef("p4_case_overlay", Some({
+      val whens = dateCorrections
+        .map { case (k, v) => s"WHEN $k THEN DATE '$v'" }.mkString(" ")
+      s"""SELECT o_orderkey,
+         |  CAST(CASE o_orderkey $whens ELSE CAST(o_orderdate AS DATE) END AS VARCHAR) AS corrected_date
+         |FROM orders
+         |WHERE EXTRACT(year FROM CASE o_orderkey $whens ELSE CAST(o_orderdate AS DATE) END) = 1996""".stripMargin
+    }))((s, d) => {
+      val corrected = dateCorrections.foldLeft(null.asInstanceOf[Column]) {
+        case (null, (k, v)) => when(col("o_orderkey") === k, to_date(lit(v)))
+        case (acc, (k, v))  => acc.when(col("o_orderkey") === k, to_date(lit(v)))
+      }.otherwise(col("o_orderdate").cast(DateType))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), corrected.as("cd"))
+        .where(year(col("cd")) === 1996)
+        .select(col("o_orderkey"), col("cd").cast(StringType).as("corrected_date"))
+    }),
+
+    // P5 — NOT NULL / non-empty filters (reference
+    // src/lib/db/entries.ts:161,183,195) over a derived nullable column.
+    graft.QueryDef("p5_nonnull_nonempty", Some(
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE nullif(lang, 'en') IS NOT NULL AND trim(text) <> ''""".stripMargin))((s, d) =>
+      Tables.documents(s, d)
+        .where(nullif(col("lang"), lit("en")).isNotNull && trim(col("text")) =!= "")
+        .select("doc_id", "lang", "source")),
+
+    // P7 — point lookup by id (reference src/lib/db/entries.ts:141-145).
+    graft.QueryDef("p7_point_lookup", Some(
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey = 1"))((s, d) =>
+      Tables.orders(s, d).where(col("o_orderkey") === 1)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")),
+
+    // P8 — substring AND filter: every term must appear in the joined
+    // name+type text (reference agencies search,
+    // src/lib/db/agencies.ts:159-164).
+    graft.QueryDef("p8_substring_and", Some(
+      """SELECT p_partkey, p_name, p_type FROM part
+        |WHERE lower(concat(p_name, ' ', p_type)) LIKE '%an%'
+        |  AND lower(concat(p_name, ' ', p_type)) LIKE '%st%'""".stripMargin))((s, d) => {
+      val text = lower(concat(col("p_name"), lit(" "), col("p_type")))
+      Seq("an", "st").foldLeft(Tables.part(s, d))((df, t) => df.where(text.contains(t)))
+        .select("p_partkey", "p_name", "p_type")
+    }),
+
+    // J1 — semi-join: orders restricted to an id-set (the reference's
+    // `id IN (SELECT rowid FROM entries_fts ...)`,
+    // src/lib/db/entries.ts:22-26). left_semi never widens rows and lets
+    // Spark broadcast the filtered dim side.
+    graft.QueryDef("j1_semi_join", Some(
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin))((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")),
+
+    // J2 — alias-expansion broadcast join (reference
+    // src/lib/db/shared.ts:25-49): raw spellings collapse onto canonical
+    // identities through a tiny alias table, then re-group. The alias
+    // table is broadcast — at 100 TB the fact side never moves.
+    graft.QueryDef("j2_alias_broadcast", Some({
+      val aliases = Seq(
+        ("UNITED STATES", "AMERICAS"), ("CANADA", "AMERICAS"),
+        ("BRAZIL", "AMERICAS"), ("ARGENTINA", "AMERICAS"), ("PERU", "AMERICAS"),
+        ("CHINA", "APAC"), ("JAPAN", "APAC"), ("INDIA", "APAC"))
+      val v = SqlLit.values(aliases.map(t => Seq(t._1, t._2)), "al", Seq("alias", "canonical"))
+      s"""SELECT coalesce(al.canonical, n.n_name) AS canonical, CAST(count(*) AS BIGINT) AS customers
+         |FROM customer c
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |LEFT JOIN $v ON n.n_name = al.alias
+         |GROUP BY 1""".stripMargin
+    }))((s, d) => {
+      import s.implicits._
+      val aliases = Seq(
+        ("UNITED STATES", "AMERICAS"), ("CANADA", "AMERICAS"),
+        ("BRAZIL", "AMERICAS"), ("ARGENTINA", "AMERICAS"), ("PERU", "AMERICAS"),
+        ("CHINA", "APAC"), ("JAPAN", "APAC"), ("INDIA", "APAC"))
+        .toDF("alias", "canonical")
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(aliases), col("n_name") === col("alias"), "left")
+        .groupBy(coalesce(col("canonical"), col("n_name")).as("canonical"))
+        .agg(count(lit(1)).as("customers"))
+    }),
+
+    // J3 — full-outer join of two aggregates (reference merges
+    // metrics-by-agency with resolutionCounts into one bucket map, either
+    // side creating the bucket: src/lib/db/agencies.ts:108-123).
+    graft.QueryDef("j3_fullouter_aggs", Some(
+      """WITH a AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt_f FROM orders
+        |  WHERE o_orderstatus = 'F' AND o_custkey < 100 GROUP BY 1),
+        |b AS (
+        |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_o
+        |  FROM orders WHERE o_orderstatus = 'O' AND o_custkey >= 50 GROUP BY 1)
+        |SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+        |  coalesce(a.cnt_f, 0) AS cnt_f, coalesce(b.sum_o, 0.0) AS sum_o
+        |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey""".stripMargin))((s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.where(col("o_orderstatus") === "F" && col("o_custkey") < 100)
+        .groupBy("o_custkey").agg(count(lit(1)).as("cnt_f"))
+      val b = o.where(col("o_orderstatus") === "O" && col("o_custkey") >= 50)
+        .groupBy("o_custkey").agg(graft.Num.dsum(col("o_totalprice")).as("sum_o"))
+      a.join(b, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("cnt_f"), lit(0L)).as("cnt_f"),
+          coalesce(col("sum_o"), lit(0.0)).as("sum_o"))
+    }),
+
+    // J4 — timeline date-spine gap-fill join (reference densifies the
+    // resolution timeline day by day, src/lib/db/agencies.ts:241-260):
+    // sequence+explode spine, left join sparse counts, zero-fill.
+    graft.QueryDef("j4_date_spine", Some(
+      """WITH spine AS (
+        |  SELECT CAST(unnest(generate_series(DATE '1998-06-01', DATE '1998-06-30', INTERVAL 1 DAY)) AS DATE) AS spine_date),
+        |counts AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS dt, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(spine.spine_date AS VARCHAR) AS spine_date, coalesce(counts.cnt, 0) AS cnt
+        |FROM spine LEFT JOIN counts ON spine.spine_date = counts.dt""".stripMargin))((s, d) => {
+      val spine = s.range(1).select(explode(sequence(
+        to_date(lit("1998-06-01")), to_date(lit("1998-06-30")),
+        expr("interval 1 day"))).as("spine_date"))
+      val counts = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast(DateType).as("dt"))
+        .agg(count(lit(1)).as("cnt"))
+      spine.join(counts, col("spine_date") === col("dt"), "left")
+        .select(col("spine_date").cast(StringType).as("spine_date"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+    }),
+
+    // J5 — per-id corrections left join (reference applyCorrections map
+    // lookup, src/lib/corrections.ts:71-74) — broadcast by construction.
+    graft.QueryDef("j5_corrections_join", Some(
+      s"""SELECT o.o_orderkey, CAST($correctedDateSql AS VARCHAR) AS corrected_date, corr.fixed_date IS NOT NULL AS was_corrected
+         |FROM orders o LEFT JOIN $correctionsSql ON o.o_orderkey = corr.o_orderkey
+         |WHERE o.o_orderkey <= 100""".stripMargin))((s, d) =>
+      withCorrectedDate(s, Tables.orders(s, d).where(col("o_orderkey") <= 100))
+        .join(broadcast(correctionsDf(s).withColumnRenamed("fixed_date", "fd")),
+          Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"), col("corrected_date").cast(StringType).as("corrected_date"),
+          col("fd").isNotNull.as("was_corrected"))),
+
+    // U1 — dedup-union of candidate sets (reference
+    // `new Set([...seed, ...dbRows])`, src/lib/db/shared.ts:32,46).
+    graft.QueryDef("u1_dedup_union", Some(
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 9000""".stripMargin))((s, d) => {
+      val c = Tables.customer(s, d)
+      c.where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        .union(c.where(col("c_acctbal") > 9000).select("c_custkey"))
+        .distinct()
+    }),
+
+    // F19 — trailing-window date arithmetic (reference
+    // `date('now','-N day')`, src/lib/db/agencies.ts:55-66) with the
+    // fixed asOf.
+    graft.QueryDef("f19_date_windows", Some(
+      s"""SELECT count(CASE WHEN CAST(o_orderdate AS DATE) >= ($asOfSql - 30) THEN 1 END) AS c30,
+         |  count(CASE WHEN CAST(o_orderdate AS DATE) >= ($asOfSql - 90) THEN 1 END) AS c90,
+         |  count(CASE WHEN CAST(o_orderdate AS DATE) >= ($asOfSql - 365) THEN 1 END) AS c365
+         |FROM orders
+         |WHERE CAST(o_orderdate AS DATE) <= $asOfSql""".stripMargin))((s, d) => {
+      val dt = col("o_orderdate").cast(DateType)
+      Tables.orders(s, d).where(dt <= asOfCol).agg(
+        count(when(dt >= date_sub(asOfCol, 30), 1)).as("c30"),
+        count(when(dt >= date_sub(asOfCol, 90), 1)).as("c90"),
+        count(when(dt >= date_sub(asOfCol, 365), 1)).as("c365"))
+    }),
+
+    // F20 — julianday difference -> integer datediff (reference
+    // src/lib/db/agencies.ts:58-66; SURVEY F20 notes midnight-aligned ISO
+    // dates make integer datediff exact).
+    graft.QueryDef("f20_datediff", Some(
+      """SELECT l.l_orderkey, l.l_linenumber,
+        |  CAST(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS BIGINT) AS ship_days
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_orderkey <= 200""".stripMargin))((s, d) =>
+      Tables.lineitem(s, d).where(col("l_orderkey") <= 200)
+        .join(Tables.orders(s, d).where(col("o_orderkey") <= 200),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate").cast(DateType), col("o_orderdate").cast(DateType))
+            .cast(LongType).as("ship_days")))
+  )
+}

@@ -1,0 +1,267 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Num, Tables}
+
+/** Aggregations over the star schema — SURVEY.md §2.4 re-expressed as
+  * single-pass conditional `agg()` pipelines (partial+final hash agg,
+  * no driver-side loops). The request/completion date pair the reference
+  * aggregates over (request_date, completion_date) maps to
+  * (o_orderdate, l_shipdate) through the orders⨝lineitem join.
+  */
+object StarAggs extends graft.QueryModule {
+  import Star._
+
+  /** orders⨝lineitem with the reference's (request, completion) shape.
+    * The join key is l_orderkey = o_orderkey — a plain shuffle hash join
+    * whose both sides AQE can re-plan; at warehouse scale these two
+    * tables would be co-bucketed on orderkey so the join is shuffle-free.
+    */
+  private def pairs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast(DateType).as("completion_date"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderdate").cast(DateType).as("request_date"),
+        col("o_orderpriority").as("agency")),
+        col("l_orderkey") === col("o_orderkey"))
+
+  private val pairsSql =
+    """SELECT l.l_orderkey, l.l_linenumber, CAST(l.l_shipdate AS DATE) AS completion_date,
+      |  CAST(o.o_orderdate AS DATE) AS request_date, o.o_orderpriority AS agency
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin
+
+  // Valid response pair — reference src/lib/db/agencies.ts:58:
+  // both dates present and completion >= request.
+  private def valid: Column =
+    col("request_date").isNotNull && col("completion_date").isNotNull &&
+      col("completion_date") >= col("request_date")
+  private val validSql =
+    "request_date IS NOT NULL AND completion_date IS NOT NULL AND completion_date >= request_date"
+
+  private def respDays: Column = datediff(col("completion_date"), col("request_date"))
+  private val respDaysSql = "date_diff('day', request_date, completion_date)"
+
+  private def inWindow(days: Int): Column = col("request_date") >= date_sub(asOfCol, days)
+  private def inWindowSql(days: Int): String = s"request_date >= ($asOfSql - $days)"
+
+  def defs: Seq[graft.QueryDef] = Seq(
+
+    // A1 — filtered COUNT(*) for pagination totals (reference
+    // src/lib/db/entries.ts:102-105).
+    graft.QueryDef("a1_filtered_count", Some(
+      """SELECT count(*) AS total FROM orders
+        |WHERE o_orderstatus = 'O' AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(o_orderdate AS DATE) <= DATE '1997-12-31'""".stripMargin))((s, d) => {
+      val dt = col("o_orderdate").cast(DateType)
+      Tables.orders(s, d)
+        .where(col("o_orderstatus") === "O" &&
+          dt >= to_date(lit("1997-01-01")) && dt <= to_date(lit("1997-12-31")))
+        .agg(count(lit(1)).as("total"))
+    }),
+
+    // A2 — the 12 conditional aggregates per agency (reference
+    // src/lib/db/agencies.ts:54-89): one GROUP BY, twelve CASE-guarded
+    // SUM/COUNTs — a single map-side-combinable hash aggregation. The
+    // reference runs this as one SQL pass too; what it does in a second
+    // JS phase (slug re-agg) is A3.
+    graft.QueryDef("a2_agency_stats", Some {
+      def win(n: Int) = inWindowSql(n)
+      s"""SELECT agency,
+         |  count(*) AS requests,
+         |  CAST(SUM(CASE WHEN ${win(30)} THEN 1 ELSE 0 END) AS BIGINT) AS requests_30d,
+         |  CAST(SUM(CASE WHEN ${win(90)} THEN 1 ELSE 0 END) AS BIGINT) AS requests_90d,
+         |  CAST(SUM(CASE WHEN ${win(365)} THEN 1 ELSE 0 END) AS BIGINT) AS requests_365d,
+         |  CAST(SUM(CASE WHEN $validSql THEN 1 ELSE 0 END) AS BIGINT) AS response_count,
+         |  CAST(SUM(CASE WHEN $validSql THEN $respDaysSql ELSE 0 END) AS BIGINT) AS response_days_sum,
+         |  CAST(SUM(CASE WHEN ${win(30)} AND $validSql THEN 1 ELSE 0 END) AS BIGINT) AS response_count_30d,
+         |  CAST(SUM(CASE WHEN ${win(30)} AND $validSql THEN $respDaysSql ELSE 0 END) AS BIGINT) AS response_days_sum_30d,
+         |  CAST(SUM(CASE WHEN ${win(90)} AND $validSql THEN 1 ELSE 0 END) AS BIGINT) AS response_count_90d,
+         |  CAST(SUM(CASE WHEN ${win(90)} AND $validSql THEN $respDaysSql ELSE 0 END) AS BIGINT) AS response_days_sum_90d,
+         |  CAST(SUM(CASE WHEN ${win(365)} AND $validSql THEN 1 ELSE 0 END) AS BIGINT) AS response_count_365d,
+         |  CAST(SUM(CASE WHEN ${win(365)} AND $validSql THEN $respDaysSql ELSE 0 END) AS BIGINT) AS response_days_sum_365d
+         |FROM ($pairsSql) GROUP BY agency""".stripMargin
+    })((s, d) => {
+      def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+      def dsumIf(c: Column) = sum(when(c, respDays.cast(LongType)).otherwise(0L))
+      pairs(s, d).groupBy("agency").agg(
+        count(lit(1)).as("requests"),
+        cnt(inWindow(30)).as("requests_30d"),
+        cnt(inWindow(90)).as("requests_90d"),
+        cnt(inWindow(365)).as("requests_365d"),
+        cnt(valid).as("response_count"),
+        dsumIf(valid).as("response_days_sum"),
+        cnt(inWindow(30) && valid).as("response_count_30d"),
+        dsumIf(inWindow(30) && valid).as("response_days_sum_30d"),
+        cnt(inWindow(90) && valid).as("response_count_90d"),
+        dsumIf(inWindow(90) && valid).as("response_days_sum_90d"),
+        cnt(inWindow(365) && valid).as("response_count_365d"),
+        dsumIf(inWindow(365) && valid).as("response_days_sum_365d"))
+    }),
+
+    // A3 — second-stage re-aggregation by canonical key (reference
+    // accumulateAgencyMetrics re-sums SQL rows per slug in JS,
+    // src/lib/db/agencies.ts:108-123). Here both phases are Spark hash
+    // aggs; sums ride as DECIMAL between phases so the re-sum is exact
+    // and partition-order-independent.
+    graft.QueryDef("a3_slug_reagg", Some(
+      """WITH raw AS (
+        |  SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT CASE WHEN l_returnflag IN ('A','R') THEN 'returned' ELSE 'kept' END AS slug,
+        |  CAST(SUM(cnt) AS BIGINT) AS cnt, CAST(SUM(qty) AS DOUBLE) AS qty
+        |FROM raw GROUP BY 1""".stripMargin))((s, d) => {
+      val raw = Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
+      raw.groupBy(when(col("l_returnflag").isin("A", "R"), "returned")
+          .otherwise("kept").as("slug"))
+        .agg(sum(col("cnt")).as("cnt"), sum(col("qty")).cast(DoubleType).as("qty"))
+    }),
+
+    // A4 — grouped counts over two columns + exact decimal sums (the
+    // agency×resolution matrix, src/lib/db/agencies.ts:91-106, widened
+    // with the TPC-H Q1 measure set).
+    graft.QueryDef("a4_groupcounts", Some(
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS sum_disc_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin))((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag", "l_linestatus").agg(
+        count(lit(1)).as("cnt"),
+        Num.dsum(col("l_quantity")).as("sum_qty"),
+        Num.dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"))),
+
+    // A5 — grouped counts over one column (resolution facets,
+    // src/lib/db/entries.ts:189-204).
+    graft.QueryDef("a5_group_counts", Some(
+      "SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY o_orderstatus"))((s, d) =>
+      Tables.orders(s, d).groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))),
+
+    // A6 — DISTINCT via GROUP BY (distinctResolutions,
+    // src/lib/db/entries.ts:180-187).
+    graft.QueryDef("a6_distinct", Some(
+      "SELECT DISTINCT c_mktsegment FROM customer WHERE c_mktsegment IS NOT NULL"))((s, d) =>
+      Tables.customer(s, d).where(col("c_mktsegment").isNotNull)
+        .select("c_mktsegment").distinct()),
+
+    // A7 — MAX / MIN / COALESCE(MAX, 0), including over an empty set
+    // (the sync cursor `COALESCE(MAX(id), 0)`,
+    // src/lib/db/entries.ts:147-150).
+    graft.QueryDef("a7_max_min_coalesce", Some(
+      """SELECT coalesce(max(o_orderkey), 0) AS latest_id,
+        |  CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS min_date,
+        |  CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS max_date,
+        |  coalesce(max(CASE WHEN o_orderkey < 0 THEN o_orderkey END), 0) AS empty_max
+        |FROM orders""".stripMargin))((s, d) =>
+      Tables.orders(s, d).agg(
+        coalesce(max(col("o_orderkey")), lit(0L)).as("latest_id"),
+        min(col("o_orderdate").cast(DateType)).cast(StringType).as("min_date"),
+        max(col("o_orderdate").cast(DateType)).cast(StringType).as("max_date"),
+        coalesce(max(when(col("o_orderkey") < 0, col("o_orderkey"))), lit(0L)).as("empty_max"))),
+
+    // A8 — timeline aggregate bucketed into 5 named classes per date
+    // (reference groups by completion_date×resolution then buckets
+    // client-side, src/lib/db/agencies.ts:227-250; here one conditional
+    // pivot pass).
+    graft.QueryDef("a8_timeline_bucket", Some(
+      """SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS completion_date,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS granted,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'N' AND l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS granted_in_part,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'N' AND l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS exempted,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_quantity < 25 THEN 1 ELSE 0 END) AS BIGINT) AS rejected,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS other
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1998-06-01'
+        |  AND CAST(l_shipdate AS DATE) <= DATE '1998-08-31'
+        |GROUP BY 1""".stripMargin))((s, d) => {
+      val dt = col("l_shipdate").cast(DateType)
+      def b(c: Column) = sum(when(c, 1L).otherwise(0L))
+      Tables.lineitem(s, d)
+        .where(dt >= to_date(lit("1998-06-01")) && dt <= to_date(lit("1998-08-31")))
+        .groupBy(dt.cast(StringType).as("completion_date")).agg(
+          b(col("l_returnflag") === "A").as("granted"),
+          b(col("l_returnflag") === "N" && col("l_linestatus") === "F").as("granted_in_part"),
+          b(col("l_returnflag") === "N" && col("l_linestatus") === "O").as("exempted"),
+          b(col("l_returnflag") === "R" && col("l_quantity") < 25).as("rejected"),
+          b(col("l_returnflag") === "R" && col("l_quantity") >= 25).as("other"))
+    }),
+
+    // A9 — homeStats as ONE conditional agg() — the reference scans every
+    // row into JS and loops (src/lib/db/entries.ts:206-251); that pattern
+    // dies at scale, so the engine folds all 8 measures into a single
+    // distributed aggregation with no collect.
+    graft.QueryDef("a9_home_stats", Some {
+      def w(n: Int) = inWindowSql(n)
+      val okDays = s"$validSql AND $respDaysSql >= 0"
+      s"""SELECT count(*) AS total_all,
+         |  count(CASE WHEN ${w(30)} THEN 1 END) AS total_30d,
+         |  count(CASE WHEN ${w(90)} THEN 1 END) AS total_90d,
+         |  count(CASE WHEN ${w(365)} THEN 1 END) AS total_365d,
+         |  coalesce(CAST(SUM(CASE WHEN $okDays THEN $respDaysSql END) AS DOUBLE)
+         |    / nullif(count(CASE WHEN $okDays THEN 1 END), 0), 0.0) AS avg_all,
+         |  coalesce(CAST(SUM(CASE WHEN $okDays AND ${w(30)} THEN $respDaysSql END) AS DOUBLE)
+         |    / nullif(count(CASE WHEN $okDays AND ${w(30)} THEN 1 END), 0), 0.0) AS avg_30d,
+         |  coalesce(CAST(SUM(CASE WHEN $okDays AND ${w(90)} THEN $respDaysSql END) AS DOUBLE)
+         |    / nullif(count(CASE WHEN $okDays AND ${w(90)} THEN 1 END), 0), 0.0) AS avg_90d,
+         |  coalesce(CAST(SUM(CASE WHEN $okDays AND ${w(365)} THEN $respDaysSql END) AS DOUBLE)
+         |    / nullif(count(CASE WHEN $okDays AND ${w(365)} THEN 1 END), 0), 0.0) AS avg_365d
+         |FROM ($pairsSql)""".stripMargin
+    })((s, d) => {
+      val okDays = valid && respDays >= 0
+      def avgOf(cond: Column) =
+        coalesce(
+          sum(when(cond, respDays.cast(LongType))).cast(DoubleType) /
+            nullif(count(when(cond, 1)), lit(0L)),
+          lit(0.0))
+      pairs(s, d).agg(
+        count(lit(1)).as("total_all"),
+        count(when(inWindow(30), 1)).as("total_30d"),
+        count(when(inWindow(90), 1)).as("total_90d"),
+        count(when(inWindow(365), 1)).as("total_365d"),
+        avgOf(okDays).as("avg_all"),
+        avgOf(okDays && inWindow(30)).as("avg_30d"),
+        avgOf(okDays && inWindow(90)).as("avg_90d"),
+        avgOf(okDays && inWindow(365)).as("avg_365d"))
+    }),
+
+    // A10 — avg-from-parts with 0-guard (reference avgFromParts,
+    // src/lib/db/shared.ts:10-12): keep (sum, count) through aggregation,
+    // divide at the end — exactly Spark's partial-avg shape.
+    graft.QueryDef("a10_avg_from_parts", Some(
+      s"""SELECT agency,
+         |  CAST(SUM(CASE WHEN $validSql THEN $respDaysSql ELSE 0 END) AS BIGINT) AS response_days_sum,
+         |  CAST(SUM(CASE WHEN $validSql THEN 1 ELSE 0 END) AS BIGINT) AS response_count,
+         |  coalesce(CAST(SUM(CASE WHEN $validSql THEN $respDaysSql ELSE 0 END) AS DOUBLE)
+         |    / nullif(SUM(CASE WHEN $validSql THEN 1 ELSE 0 END), 0), 0.0) AS avg_response_time
+         |FROM ($pairsSql) GROUP BY agency""".stripMargin))((s, d) =>
+      pairs(s, d).groupBy("agency").agg(
+        sum(when(valid, respDays.cast(LongType)).otherwise(0L)).as("response_days_sum"),
+        sum(when(valid, 1L).otherwise(0L)).as("response_count"))
+        .select(col("agency"), col("response_days_sum"), col("response_count"),
+          coalesce(col("response_days_sum").cast(DoubleType) /
+            nullif(col("response_count"), lit(0L)), lit(0.0)).as("avg_response_time"))),
+
+    // A11 — window-totals reduce + percentage breakdown (reference
+    // computes per-window totals and % in the page,
+    // src/pages/agencies/[slug].astro:43-84) via an unpartitioned
+    // window sum — fine here because the grouped input is tiny; the
+    // heavy reduction already happened in the groupBy.
+    graft.QueryDef("a11_window_totals", Some(
+      """SELECT l_returnflag, cnt, (100.0 * cnt) / total AS pct FROM (
+        |  SELECT l_returnflag, count(*) AS cnt, SUM(count(*)) OVER () AS total
+        |  FROM lineitem GROUP BY l_returnflag)""".stripMargin))((s, d) => {
+      val grouped = Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"))
+      grouped
+        .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+        .select(col("l_returnflag"), col("cnt"),
+          ((lit(100.0) * col("cnt")) / col("total")).as("pct"))
+    })
+  )
+}
