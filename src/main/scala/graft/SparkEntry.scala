@@ -13,6 +13,7 @@ object SparkEntry {
     operators.StarPredicates,
     operators.StarAggs,
     operators.StarSorts,
+    operators.FnQueries,
   )
 
   lazy val allDefs: Seq[QueryDef] = {
