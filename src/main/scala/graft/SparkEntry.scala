@@ -14,6 +14,8 @@ object SparkEntry {
     operators.StarAggs,
     operators.StarSorts,
     operators.FnQueries,
+    operators.FtsQueries,
+    entries.EntryQueries,
   )
 
   lazy val allDefs: Seq[QueryDef] = {

@@ -1,0 +1,448 @@
+package graft.entries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.{Cols, Text}
+import graft.util.SqlLit
+
+/** Reusable entries-domain transforms: the corrections overlay + canonical
+  * agency identity every reference row passes through
+  * (normalizeEntry/applyCorrections, src/lib/db/shared.ts:21-23 +
+  * src/lib/corrections.ts:70-88). */
+object Normalize {
+  import Fixture._
+
+  /** The two domain UDFs, closed over the fixture alias map. Deterministic
+    * string functions -> safe under codegen and retries. */
+  val agencyNameUdf = udf((s: String) =>
+    if (s == null) null else Text.normalizeAgencyName(s, aliasGroups))
+  val agencySlugUdf = udf((s: String) =>
+    if (s == null) null else Text.agencyIdentity(s, aliasGroups)._2)
+  val agencyTitleUdf = udf((s: String) =>
+    if (s == null) null else Text.agencyIdentity(s, aliasGroups)._1)
+
+  def correctionsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    dateCorrections.toDF("id", "req_fix", "comp_fix")
+  }
+
+  def orgCorrectionsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    orgCorrections.toDF("org_from", "org_to")
+  }
+
+  /** P9 — normalizeEntry as one shared view-level transform (broadcast
+    * joins + coalesce; the apostrophe cleanup and canonicalization are
+    * the UDF surface). Applied once in the view, not per query. */
+  def normalizeEntries(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cleaned = regexp_replace(col("agency"), "'{2,}", "'")
+    df
+      .join(broadcast(correctionsDf(spark)), Seq("id"), "left")
+      .withColumn("request_date", coalesce(col("req_fix"), col("request_date")))
+      .withColumn("completion_date", coalesce(col("comp_fix"), col("completion_date")))
+      .drop("req_fix", "comp_fix")
+      .join(broadcast(orgCorrectionsDf(spark)),
+        col("organization") === col("org_from"), "left")
+      .withColumn("organization", coalesce(col("org_to"), col("organization")))
+      .drop("org_from", "org_to")
+      .withColumn("agency", agencyNameUdf(cleaned))
+  }
+
+  /** Canonical (name, slug) identity columns (agencyIdentity,
+    * src/lib/db/shared.ts:14-19), on the apostrophe-cleaned raw agency. */
+  def withIdentity(df: DataFrame): DataFrame = {
+    val cleaned = regexp_replace(col("agency"), "'{2,}", "'")
+    df.withColumn("name", agencyTitleUdf(cleaned))
+      .withColumn("slug", agencySlugUdf(cleaned))
+  }
+
+  /** Alias-candidate spellings for an agency filter (resolveAgencyAliases
+    * seed, src/lib/db/shared.ts:25-49). The DB-confirm step only returns
+    * spellings that already case-insensitively match the seed, so for
+    * filtering the ci-IN(seed) predicate is complete — no driver
+    * round-trip needed. */
+  def aliasCandidates(agency: String): Seq[String] =
+    (Text.agencyNameCandidates(agency, aliasGroups) :+ agency)
+      .map(_.trim).filter(_.nonEmpty).distinct
+}
+
+/** Composite entries-domain pipelines registered for the gate. Oracles
+  * run on the same VALUES-rendered corpus; canonical identity reaches the
+  * oracle through Fixture.identityMap (computed by the same reference-
+  * semantics Scala functions the UDFs use, so the oracle checks the
+  * Spark pipeline end to end; hand-written ScalaTest goldens pin the
+  * functions themselves). */
+object EntryQueries extends graft.QueryModule {
+  import Fixture._
+
+  private val asOfSql = s"DATE '$AsOf'"
+  private def winSql(n: Int) = s"request_date >= CAST(($asOfSql - $n) AS VARCHAR)"
+  private def winCol(n: Int): Column =
+    col("request_date") >= date_sub(to_date(lit(AsOf)), n).cast(StringType)
+
+  private val validSql =
+    "request_date IS NOT NULL AND completion_date IS NOT NULL AND completion_date >= request_date"
+  private def validCol: Column =
+    col("request_date").isNotNull && col("completion_date").isNotNull &&
+      col("completion_date") >= col("request_date")
+  private val ddiffSql =
+    "date_diff('day', try_cast(request_date AS DATE), try_cast(completion_date AS DATE))"
+  private def ddiffCol: Column =
+    datediff(try_to_date(col("completion_date")), try_to_date(col("request_date")))
+
+  private def bucketSqlOf(res: String): String =
+    s"""CASE WHEN lower(trim(coalesce($res, ''))) = 'granted' THEN 'granted'
+       |  WHEN lower(trim(coalesce($res, ''))) = 'granted in part' THEN 'granted_in_part'
+       |  WHEN lower(trim(coalesce($res, ''))) = 'exempted' THEN 'exempted'
+       |  WHEN lower(trim(coalesce($res, ''))) = 'rejected' THEN 'rejected'
+       |  ELSE 'other' END""".stripMargin
+
+  def defs: Seq[graft.QueryDef] = Seq(
+
+    // P9 — normalizeEntry over the corpus. The oracle replays the date
+    // patches + org remap in SQL and takes canonical agency from the
+    // identity map.
+    graft.QueryDef("p9_normalize_entry", Some(
+      s"""SELECT e.id, ident.name AS agency,
+         |  coalesce(oc.org_to, e.organization) AS organization,
+         |  coalesce(corr.req_fix, e.request_date) AS request_date,
+         |  coalesce(corr.comp_fix, e.completion_date) AS completion_date,
+         |  e.resolution
+         |FROM $entriesSql
+         |LEFT JOIN $correctionsSql ON e.id = corr.id
+         |LEFT JOIN ${SqlLit.values(orgCorrections.map(t => Seq[Any](t._1, t._2)), "oc", Seq("org_from", "org_to"))}
+         |  ON e.organization = oc.org_from
+         |JOIN $identitySql ON e.agency = ident.raw_agency""".stripMargin)) { (s, d) =>
+      // The projection reports identity.name as the canonical agency so
+      // the oracle's VALUES identity map applies; normalizeEntries'
+      // normalizeAgencyName output itself is pinned by ScalaTest goldens.
+      val base = Fixture.df(s)
+      Normalize.withIdentity(
+        base.join(broadcast(Normalize.correctionsDf(s)), Seq("id"), "left")
+          .withColumn("request_date", coalesce(col("req_fix"), col("request_date")))
+          .withColumn("completion_date", coalesce(col("comp_fix"), col("completion_date")))
+          .drop("req_fix", "comp_fix")
+          .join(broadcast(Normalize.orgCorrectionsDf(s)),
+            col("organization") === col("org_from"), "left")
+          .withColumn("organization", coalesce(col("org_to"), col("organization")))
+          .drop("org_from", "org_to"))
+        .select(col("id"), col("name").as("agency"), col("organization"),
+          col("request_date"), col("completion_date"), col("resolution"))
+    },
+
+    // listEntries — the flagship composite (reference
+    // src/lib/db/entries.ts:87-139): alias-candidate ci-filter +
+    // resolution IN + corrected-date range + corrected-date sort with a
+    // deterministic tiebreak + count/page in ONE windowed pass.
+    graft.QueryDef("q_list_entries", Some {
+      val cands = Normalize.aliasCandidates("DEP").map(_.toLowerCase)
+      val candsSql = cands.map(c => s"'${c.replace("'", "''")}'").mkString(", ")
+      s"""WITH base AS (
+         |  SELECT e.id, e.agency, coalesce(corr.req_fix, e.request_date) AS corrected_request,
+         |    e.resolution
+         |  FROM $entriesSql LEFT JOIN $correctionsSql ON e.id = corr.id),
+         |f AS (
+         |  SELECT * FROM base
+         |  WHERE lower(agency) IN ($candsSql)
+         |    AND resolution IN ('Granted', 'Granted in part')
+         |    AND corrected_request >= '2024-01-01' AND corrected_request <= '2025-05-31'),
+         |w AS (SELECT f.*, count(*) OVER () AS total,
+         |  row_number() OVER (ORDER BY corrected_request DESC NULLS LAST, id ASC) AS rn FROM f)
+         |SELECT id, agency, corrected_request, resolution, total FROM w WHERE rn <= 3""".stripMargin
+    }) { (s, d) =>
+      val cands = Normalize.aliasCandidates("DEP").map(_.toLowerCase)
+      val base = Fixture.df(s)
+        .join(broadcast(Normalize.correctionsDf(s)), Seq("id"), "left")
+        .withColumn("corrected_request", coalesce(col("req_fix"), col("request_date")))
+      val filtered = base
+        .where(lower(col("agency")).isin(cands: _*) &&
+          col("resolution").isin("Granted", "Granted in part") &&
+          col("corrected_request") >= "2024-01-01" && col("corrected_request") <= "2025-05-31")
+      filtered
+        .withColumn("total", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("corrected_request").desc_nulls_last, col("id").asc)))
+        .where(col("rn") <= 3)
+        .select("id", "agency", "corrected_request", "resolution", "total")
+    },
+
+    // agencyStats — A2 metrics + A4 resolution counts, both re-keyed by
+    // canonical slug (A3) and full-outer merged (J3), finalized with
+    // avg-from-parts (A10): the reference's whole two-phase JS pipeline
+    // (src/lib/db/agencies.ts:54-139) as one distributed plan.
+    graft.QueryDef("q_agency_stats", Some {
+      val b = bucketSqlOf("resolution")
+      s"""WITH base AS (
+         |  SELECT e.*, ident.name, ident.slug
+         |  FROM $entriesSql JOIN $identitySql ON e.agency = ident.raw_agency),
+         |metrics AS (
+         |  SELECT slug, min(name) AS name, count(*) AS requests,
+         |    CAST(SUM(CASE WHEN ${winSql(30)} THEN 1 ELSE 0 END) AS BIGINT) AS requests_30d,
+         |    CAST(SUM(CASE WHEN ${winSql(90)} THEN 1 ELSE 0 END) AS BIGINT) AS requests_90d,
+         |    CAST(SUM(CASE WHEN ${winSql(365)} THEN 1 ELSE 0 END) AS BIGINT) AS requests_365d,
+         |    CAST(SUM(CASE WHEN $validSql THEN 1 ELSE 0 END) AS BIGINT) AS response_count,
+         |    CAST(SUM(CASE WHEN $validSql THEN $ddiffSql ELSE 0 END) AS BIGINT) AS response_days_sum,
+         |    CAST(SUM(CASE WHEN ${winSql(30)} AND $validSql THEN 1 ELSE 0 END) AS BIGINT) AS response_count_30d,
+         |    CAST(SUM(CASE WHEN ${winSql(30)} AND $validSql THEN $ddiffSql ELSE 0 END) AS BIGINT) AS response_days_sum_30d,
+         |    CAST(SUM(CASE WHEN ${winSql(90)} AND $validSql THEN 1 ELSE 0 END) AS BIGINT) AS response_count_90d,
+         |    CAST(SUM(CASE WHEN ${winSql(90)} AND $validSql THEN $ddiffSql ELSE 0 END) AS BIGINT) AS response_days_sum_90d,
+         |    CAST(SUM(CASE WHEN ${winSql(365)} AND $validSql THEN 1 ELSE 0 END) AS BIGINT) AS response_count_365d,
+         |    CAST(SUM(CASE WHEN ${winSql(365)} AND $validSql THEN $ddiffSql ELSE 0 END) AS BIGINT) AS response_days_sum_365d
+         |  FROM base GROUP BY slug),
+         |res AS (
+         |  SELECT slug,
+         |    CAST(SUM(CASE WHEN $b = 'granted' THEN 1 ELSE 0 END) AS BIGINT) AS granted,
+         |    CAST(SUM(CASE WHEN $b = 'granted_in_part' THEN 1 ELSE 0 END) AS BIGINT) AS granted_in_part,
+         |    CAST(SUM(CASE WHEN $b = 'exempted' THEN 1 ELSE 0 END) AS BIGINT) AS exempted,
+         |    CAST(SUM(CASE WHEN $b = 'rejected' THEN 1 ELSE 0 END) AS BIGINT) AS rejected,
+         |    CAST(SUM(CASE WHEN $b = 'other' THEN 1 ELSE 0 END) AS BIGINT) AS other
+         |  FROM base WHERE resolution IS NOT NULL AND resolution <> '' GROUP BY slug)
+         |SELECT m.slug, m.name, m.requests, m.requests_30d, m.requests_90d, m.requests_365d,
+         |  coalesce(CAST(m.response_days_sum AS DOUBLE) / nullif(m.response_count, 0), 0.0) AS avg_response_time,
+         |  coalesce(CAST(m.response_days_sum_30d AS DOUBLE) / nullif(m.response_count_30d, 0), 0.0) AS avg_response_time_30d,
+         |  coalesce(CAST(m.response_days_sum_90d AS DOUBLE) / nullif(m.response_count_90d, 0), 0.0) AS avg_response_time_90d,
+         |  coalesce(CAST(m.response_days_sum_365d AS DOUBLE) / nullif(m.response_count_365d, 0), 0.0) AS avg_response_time_365d,
+         |  coalesce(r.granted, 0) AS granted, coalesce(r.granted_in_part, 0) AS granted_in_part,
+         |  coalesce(r.exempted, 0) AS exempted, coalesce(r.rejected, 0) AS rejected,
+         |  coalesce(r.other, 0) AS other
+         |FROM metrics m FULL OUTER JOIN res r ON m.slug = r.slug""".stripMargin
+    }) { (s, d) =>
+      val base = Normalize.withIdentity(Fixture.df(s))
+      def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+      def dsumIf(c: Column) = sum(when(c, ddiffCol.cast(LongType)).otherwise(0L))
+      // One bucket per slug: the reference keeps the first-encountered
+      // identity name per slug (agencies.ts:111, iteration-order
+      // dependent); min(name) is the deterministic equivalent.
+      val metrics = base.groupBy("slug").agg(
+        min(col("name")).as("name"),
+        count(lit(1)).as("requests"),
+        cnt(winCol(30)).as("requests_30d"),
+        cnt(winCol(90)).as("requests_90d"),
+        cnt(winCol(365)).as("requests_365d"),
+        cnt(validCol).as("response_count"),
+        dsumIf(validCol).as("response_days_sum"),
+        cnt(winCol(30) && validCol).as("response_count_30d"),
+        dsumIf(winCol(30) && validCol).as("response_days_sum_30d"),
+        cnt(winCol(90) && validCol).as("response_count_90d"),
+        dsumIf(winCol(90) && validCol).as("response_days_sum_90d"),
+        cnt(winCol(365) && validCol).as("response_count_365d"),
+        dsumIf(winCol(365) && validCol).as("response_days_sum_365d"))
+      val bucket = Cols.resolutionBucket(col("resolution"))
+      val res = base.where(col("resolution").isNotNull && col("resolution") =!= "")
+        .groupBy("slug").agg(
+          cnt(bucket === "granted").as("granted"),
+          cnt(bucket === "granted_in_part").as("granted_in_part"),
+          cnt(bucket === "exempted").as("exempted"),
+          cnt(bucket === "rejected").as("rejected"),
+          cnt(bucket === "other").as("other"))
+      def avgOf(sumC: String, cntC: String) =
+        coalesce(col(sumC).cast(DoubleType) / nullif(col(cntC), lit(0L)), lit(0.0))
+      metrics.join(res, Seq("slug"), "full_outer")
+        .select(col("slug"), col("name"), col("requests"),
+          col("requests_30d"), col("requests_90d"), col("requests_365d"),
+          avgOf("response_days_sum", "response_count").as("avg_response_time"),
+          avgOf("response_days_sum_30d", "response_count_30d").as("avg_response_time_30d"),
+          avgOf("response_days_sum_90d", "response_count_90d").as("avg_response_time_90d"),
+          avgOf("response_days_sum_365d", "response_count_365d").as("avg_response_time_365d"),
+          coalesce(col("granted"), lit(0L)).as("granted"),
+          coalesce(col("granted_in_part"), lit(0L)).as("granted_in_part"),
+          coalesce(col("exempted"), lit(0L)).as("exempted"),
+          coalesce(col("rejected"), lit(0L)).as("rejected"),
+          coalesce(col("other"), lit(0L)).as("other"))
+    },
+
+    // homeStats — the reference's all-rows-to-JS scan
+    // (src/lib/db/entries.ts:206-251) as ONE conditional agg with the
+    // diffDays -1/future-year rules inline.
+    graft.QueryDef("q_home_stats", Some {
+      val dExpr =
+        s"""CASE WHEN request_date IS NULL OR completion_date IS NULL THEN -1
+           |  WHEN try_cast(request_date AS DATE) IS NULL OR try_cast(completion_date AS DATE) IS NULL THEN -1
+           |  WHEN EXTRACT(year FROM try_cast(completion_date AS DATE)) > $AsOfYear THEN -1
+           |  ELSE $ddiffSql END""".stripMargin
+      def w(n: Int) = winSql(n)
+      s"""WITH x AS (SELECT request_date, ($dExpr) AS d FROM $entriesSql)
+         |SELECT count(*) AS total_all,
+         |  count(CASE WHEN ${w(30)} THEN 1 END) AS total_30d,
+         |  count(CASE WHEN ${w(90)} THEN 1 END) AS total_90d,
+         |  count(CASE WHEN ${w(365)} THEN 1 END) AS total_365d,
+         |  coalesce(CAST(SUM(CASE WHEN d >= 0 THEN d END) AS DOUBLE) / nullif(count(CASE WHEN d >= 0 THEN 1 END), 0), 0.0) AS avg_all,
+         |  coalesce(CAST(SUM(CASE WHEN d >= 0 AND ${w(30)} THEN d END) AS DOUBLE) / nullif(count(CASE WHEN d >= 0 AND ${w(30)} THEN 1 END), 0), 0.0) AS avg_30d,
+         |  coalesce(CAST(SUM(CASE WHEN d >= 0 AND ${w(90)} THEN d END) AS DOUBLE) / nullif(count(CASE WHEN d >= 0 AND ${w(90)} THEN 1 END), 0), 0.0) AS avg_90d,
+         |  coalesce(CAST(SUM(CASE WHEN d >= 0 AND ${w(365)} THEN d END) AS DOUBLE) / nullif(count(CASE WHEN d >= 0 AND ${w(365)} THEN 1 END), 0), 0.0) AS avg_365d
+         |FROM x""".stripMargin
+    }) { (s, d) =>
+      val dd = Cols.diffDays(col("request_date"), col("completion_date"), AsOfYear)
+      val x = Fixture.df(s).select(col("request_date"), dd.as("d"))
+      def avgOf(cond: Column) =
+        coalesce(sum(when(cond, col("d").cast(LongType))).cast(DoubleType) /
+          nullif(count(when(cond, 1)), lit(0L)), lit(0.0))
+      x.agg(
+        count(lit(1)).as("total_all"),
+        count(when(winCol(30), 1)).as("total_30d"),
+        count(when(winCol(90), 1)).as("total_90d"),
+        count(when(winCol(365), 1)).as("total_365d"),
+        avgOf(col("d") >= 0).as("avg_all"),
+        avgOf(col("d") >= 0 && winCol(30)).as("avg_30d"),
+        avgOf(col("d") >= 0 && winCol(90)).as("avg_90d"),
+        avgOf(col("d") >= 0 && winCol(365)).as("avg_365d"))
+    },
+
+    // agencyResolutionTimeline — alias-set scope, min-completion probe
+    // (days=null branch), bucket pivot, dense date spine with zero-fill
+    // (reference src/lib/db/agencies.ts:211-260 + the JS densification).
+    graft.QueryDef("q_timeline", Some {
+      val cands = Normalize.aliasCandidates("DEP").map(_.toLowerCase)
+      val candsSql = cands.map(c => s"'${c.replace("'", "''")}'").mkString(", ")
+      val b = bucketSqlOf("resolution")
+      s"""WITH cand AS (
+         |  SELECT * FROM $entriesSql WHERE lower(agency) IN ($candsSql)),
+         |probe AS (
+         |  SELECT min(completion_date) AS start_date FROM cand
+         |  WHERE completion_date IS NOT NULL AND completion_date <= '$AsOf'),
+         |counts AS (
+         |  SELECT completion_date,
+         |    CAST(SUM(CASE WHEN $b = 'granted' THEN 1 ELSE 0 END) AS BIGINT) AS granted,
+         |    CAST(SUM(CASE WHEN $b = 'granted_in_part' THEN 1 ELSE 0 END) AS BIGINT) AS granted_in_part,
+         |    CAST(SUM(CASE WHEN $b = 'exempted' THEN 1 ELSE 0 END) AS BIGINT) AS exempted,
+         |    CAST(SUM(CASE WHEN $b = 'rejected' THEN 1 ELSE 0 END) AS BIGINT) AS rejected,
+         |    CAST(SUM(CASE WHEN $b = 'other' THEN 1 ELSE 0 END) AS BIGINT) AS other
+         |  FROM cand
+         |  WHERE completion_date IS NOT NULL AND completion_date <= '$AsOf'
+         |    AND completion_date >= (SELECT start_date FROM probe)
+         |  GROUP BY completion_date),
+         |spine AS (
+         |  SELECT CAST(unnest(generate_series(
+         |    CAST((SELECT start_date FROM probe) AS DATE), $asOfSql, INTERVAL 1 DAY)) AS DATE) AS day)
+         |SELECT CAST(spine.day AS VARCHAR) AS date,
+         |  coalesce(c.granted, 0) AS granted, coalesce(c.granted_in_part, 0) AS granted_in_part,
+         |  coalesce(c.exempted, 0) AS exempted, coalesce(c.rejected, 0) AS rejected,
+         |  coalesce(c.other, 0) AS other
+         |FROM spine LEFT JOIN counts c ON CAST(spine.day AS VARCHAR) = c.completion_date""".stripMargin
+    }) { (s, d) =>
+      val cands = Normalize.aliasCandidates("DEP").map(_.toLowerCase)
+      val cand = Fixture.df(s).where(lower(col("agency")).isin(cands: _*))
+      val inRange = col("completion_date").isNotNull && col("completion_date") <= AsOf
+      val probe = cand.where(inRange).agg(min(col("completion_date")).as("start_date"))
+      val bucket = Cols.resolutionBucket(col("resolution"))
+      def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+      val counts = cand.where(inRange)
+        .join(broadcast(probe), col("completion_date") >= col("start_date"))
+        .groupBy("completion_date").agg(
+          cnt(bucket === "granted").as("granted"),
+          cnt(bucket === "granted_in_part").as("granted_in_part"),
+          cnt(bucket === "exempted").as("exempted"),
+          cnt(bucket === "rejected").as("rejected"),
+          cnt(bucket === "other").as("other"))
+      val spine = probe.select(explode(sequence(
+        to_date(col("start_date")), to_date(lit(AsOf)), expr("interval 1 day"))).as("day"))
+      spine.join(counts, spine("day").cast(StringType) === counts("completion_date"), "left")
+        .select(col("day").cast(StringType).as("date"),
+          coalesce(col("granted"), lit(0L)).as("granted"),
+          coalesce(col("granted_in_part"), lit(0L)).as("granted_in_part"),
+          coalesce(col("exempted"), lit(0L)).as("exempted"),
+          coalesce(col("rejected"), lit(0L)).as("rejected"),
+          coalesce(col("other"), lit(0L)).as("other"))
+    },
+
+    // S9 — RSS document sink: top-N slice + 5-entity escape + RFC1123
+    // pubDate at UTC noon (reference src/lib/rss.ts:18-66 +
+    // feed.xml.ts:11).
+    graft.QueryDef("s9_rss_items", Some(
+      s"""SELECT id,
+         |  concat('<item><title>', xtitle, '</title><link>', link,
+         |    '</link><guid isPermaLink="false">', link, '</guid><description>', xdesc,
+         |    '</description><pubDate>', pub, '</pubDate></item>') AS item_xml
+         |FROM (
+         |  SELECT id,
+         |    replace(replace(replace(replace(replace(concat('FOIA Request #', CAST(id AS VARCHAR), ': ', coalesce(subject, '')),
+         |      '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'), '''', '&apos;') AS xtitle,
+         |    concat('https://example.org/entries/', CAST(id AS VARCHAR)) AS link,
+         |    replace(replace(replace(replace(replace(coalesce(details, subject, ''),
+         |      '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'), '''', '&apos;') AS xdesc,
+         |    strftime(CAST(entry_date AS TIMESTAMP) + INTERVAL 12 HOUR, '%a, %d %b %Y %H:%M:%S GMT') AS pub
+         |  FROM (SELECT * FROM $entriesSql ORDER BY id DESC LIMIT 3))""".stripMargin)) { (s, d) =>
+      val top = Fixture.df(s).orderBy(col("id").desc).limit(3)
+      val xtitle = Cols.escapeXml(concat(lit("FOIA Request #"), col("id").cast(StringType),
+        lit(": "), coalesce(col("subject"), lit(""))))
+      val link = concat(lit("https://example.org/entries/"), col("id").cast(StringType))
+      val xdesc = Cols.escapeXml(coalesce(col("details"), col("subject"), lit("")))
+      val pub = concat(date_format(
+        to_timestamp(col("entry_date")) + expr("INTERVAL 12 HOURS"),
+        "EEE, dd MMM yyyy HH:mm:ss"), lit(" GMT"))
+      top.select(col("id"), concat(
+        lit("<item><title>"), xtitle,
+        lit("</title><link>"), link,
+        lit("</link><guid isPermaLink=\"false\">"), link,
+        lit("</guid><description>"), xdesc,
+        lit("</description><pubDate>"), pub,
+        lit("</pubDate></item>")).as("item_xml"))
+    },
+
+    // S7 — export sink round-trip: write the corpus to parquet AND csv,
+    // read both back, emit a manifest (reference export job,
+    // export-db-sqlite.yml:93-113). The oracle states the expected
+    // manifest from the same corpus.
+    graft.QueryDef("s7_export_manifest", Some(
+      s"""SELECT 'parquet' AS format, count(*) AS n_rows, max(id) AS latest_id FROM $entriesSql
+         |UNION ALL
+         |SELECT 'csv' AS format, count(*) AS n_rows, max(id) AS latest_id FROM $entriesSql""".stripMargin)) { (s, d) =>
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_export"
+      val src = Fixture.df(s)
+      src.write.mode("overwrite").parquet(s"$dir/parquet")
+      src.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+      val pq = s.read.parquet(s"$dir/parquet")
+        .agg(count(lit(1)).as("n_rows"), max(col("id")).as("latest_id"))
+        .select(lit("parquet").as("format"), col("n_rows"), col("latest_id"))
+      val csv = s.read.option("header", "true").csv(s"$dir/csv")
+        .agg(count(lit(1)).as("n_rows"), max(col("id").cast(LongType)).as("latest_id"))
+        .select(lit("csv").as("format"), col("n_rows"), col("latest_id"))
+      pq.unionByName(csv)
+    },
+
+    // S1/§2.9 — the drift-tolerance sync loop over the offline transport;
+    // the oracle is the hand-computed stop-condition golden
+    // (27 hit, 28 hit, 29 gap absorbed, 30 hit, 31-33 miss -> stop).
+    graft.QueryDef("s1_sync_drift", Some(
+      """SELECT CAST(3 AS BIGINT) AS added, CAST(7 AS BIGINT) AS checked,
+        |  CAST(27 AS BIGINT) AS start_from, CAST(33 AS BIGINT) AS last_checked_id,
+        |  CAST(3 AS BIGINT) AS drift_tolerance""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      val (result, _) = Sync.runSync(Sync.fixtureTransport.get, latestInDb = 26)
+      Seq(result).toDF()
+        .select(col("added"), col("checked"), col("startFrom").as("start_from"),
+          col("lastCheckedId").as("last_checked_id"),
+          col("driftTolerance").as("drift_tolerance"))
+    },
+
+    // S2/S3 — the HTML parser goldens: the oracle is the hand-written
+    // expected parse of the three fixture pages (M/D/YYYY normalization,
+    // '' -> NULL fields, amended flag, entity decode, 404 page dropped).
+    graft.QueryDef("s2_parse_html", Some(
+      """SELECT * FROM (VALUES
+        |  (CAST(27 AS BIGINT), 'Department of Health', 'Health Watch', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |   '2025-04-02', '2025-04-15', '2025-04-16', '$12.00', 0,
+        |   'inspection schedules', 'All Q2 inspections', 'Granted', CAST(NULL AS VARCHAR)),
+        |  (CAST(28 AS BIGINT), 'Unknown Agency Llc', CAST(NULL AS VARCHAR), 'Pat', 'Lane',
+        |   '2025-13-45', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 1,
+        |   'odd dates', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'see attached'),
+        |  (CAST(30 AS BIGINT), 'City of Morgantown', 'Local News LLC', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |   '2025-05-01', CAST(NULL AS VARCHAR), '2025-05-02', CAST(NULL AS VARCHAR), 0,
+        |   'street repaving', 'Cost & schedule', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
+        |) AS t(id, agency, organization, first_name, last_name, request_date,
+        |       completion_date, entry_date, fee, is_amended, subject, details,
+        |       resolution, response)""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      val parsed = (Sync.fixtureTransport.toSeq.map { case (id, html) => (id, Some(html)) }
+        :+ (29L, Option.empty[String]) :+ (31L, Some(Sync.NotFoundHtml)))
+        .flatMap { case (id, html) => html.flatMap(Sync.parseEntry(_, id)) }
+      s.createDataset(parsed).toDF()
+        .select(col("id"), col("agency"), col("organization"), col("first_name"),
+          col("last_name"), col("request_date"), col("completion_date"),
+          col("entry_date"), col("fee"), col("is_amended"), col("subject"),
+          col("details"), col("resolution"), col("response"))
+    }
+  )
+}

@@ -1,0 +1,171 @@
+package graft.entries
+
+import java.util.regex.Pattern
+
+/** Incremental sync pipeline — SURVEY §2.9 / reference src/lib/sync.ts.
+  *
+  * The reference's "stream" is a contiguous-id poll loop with drift
+  * tolerance 3: start at MAX(id)+1, fetch each detail page, parse, upsert;
+  * stop after 3 consecutive misses (sync.ts:8,177-212). The transport is
+  * pluggable so the loop + parser are pure and fully testable offline
+  * (FIXTURES.md sync-parser family); in production the transport is an
+  * HTTP fetch executed from `ids.toDS.mapPartitions` so the probe scales
+  * horizontally while the drift-stop logic stays on the driver.
+  */
+object Sync {
+
+  val DriftTolerance = 3 // reference src/lib/sync.ts:8
+
+  final case class SyncResult(
+      added: Long, checked: Long, startFrom: Long, lastCheckedId: Long,
+      driftTolerance: Long) // reference src/lib/types.ts:67-73
+
+  /** normalizeKey — reference src/lib/sync.ts:50-57. */
+  def normalizeKey(input: String): String =
+    input.replace(":", "").trim.toLowerCase
+      .replaceAll("[^a-z0-9]+", "_")
+      .replaceAll("^_+|_+$", "")
+
+  /** normalizeDate — reference src/lib/sync.ts:59-76. Pure string
+    * transform, deliberately no calendar validation. */
+  def normalizeDate(value: String): Option[String] = {
+    if (value == null) return None
+    val trimmed = value.trim
+    if (trimmed.isEmpty) return None
+    val mdy = "^(\\d{1,2})/(\\d{1,2})/(\\d{4})$".r
+    trimmed match {
+      case mdy(m, d, y) =>
+        Some(f"$y-${m.toInt}%02d-${d.toInt}%02d")
+      case _ if trimmed.matches("^\\d{4}-\\d{2}-\\d{2}$") => Some(trimmed)
+      case _ => None
+    }
+  }
+
+  /** cleanText — reference src/lib/sync.ts:78-81. */
+  def cleanText(value: String): String =
+    if (value == null) "" else value.replaceAll("\\s+", " ").trim
+
+  /** Minimal entity decode — node-html-parser's `.text` (used by the
+    * reference parser) returns decoded text; the regex extractor sees raw
+    * markup, so decode the five standard entities. */
+  def decodeEntities(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&apos;", "'").replace("&#39;", "'").replace("&amp;", "&")
+
+  private val LabelRe = Pattern.compile(
+    """class="content-col-label".*?<strong>(.*?)</strong>""", Pattern.DOTALL)
+  private val DataRe = Pattern.compile(
+    """class="content-col-data".*?<div class="content-div-var">(.*?)</div>""", Pattern.DOTALL)
+  private val PanelRe = Pattern.compile(
+    """class="panel-body".*?<strong>(.*?)</strong>.*?<p>(.*?)</p>""", Pattern.DOTALL)
+  private val RequestItemsRe = Pattern.compile(
+    """class="container-requestitems"([\s\S]*)""")
+
+  /** S2 — parseEntry: label/value DOM pairs + panel sections -> typed
+    * record (reference src/lib/sync.ts:83-130). Regex-driven over the
+    * same class markers node-html-parser selects on; returns None when no
+    * fields parse (the 404/redirect-shaped page). */
+  def parseEntry(html: String, id: Long): Option[Entry] = {
+    val values = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+    val labels = {
+      val m = LabelRe.matcher(html)
+      val buf = Seq.newBuilder[String]; while (m.find()) buf += m.group(1); buf.result()
+    }
+    val data = {
+      val m = DataRe.matcher(html)
+      val buf = Seq.newBuilder[String]; while (m.find()) buf += m.group(1); buf.result()
+    }
+    labels.zip(data).foreach { case (k, v) =>
+      val key = normalizeKey(cleanText(k))
+      if (key.nonEmpty) values(key) = decodeEntities(cleanText(v))
+    }
+
+    val reqItems = RequestItemsRe.matcher(html)
+    if (reqItems.find()) {
+      val m = PanelRe.matcher(reqItems.group(1))
+      while (m.find()) {
+        val key = normalizeKey(cleanText(m.group(1)))
+        if (key.nonEmpty) values(key) = decodeEntities(cleanText(m.group(2)))
+      }
+    }
+
+    if (values.isEmpty) return None
+    def opt(k: String): Option[String] = values.get(k).filter(_.nonEmpty)
+    Some(Entry(
+      id = id,
+      agency = opt("agency").getOrElse("Unknown"),
+      organization = opt("organization"),
+      first_name = opt("first_name"),
+      middle_name = opt("middle_name"),
+      last_name = opt("last_name"),
+      request_date = opt("request_date").flatMap(normalizeDate),
+      completion_date = opt("completion_date").flatMap(normalizeDate),
+      entry_date = opt("entry_date").flatMap(normalizeDate),
+      fee = opt("fee"),
+      is_amended = if (opt("amended").isDefined) 1 else 0,
+      subject = opt("subject"),
+      details = opt("details"),
+      resolution = opt("resolution"),
+      response = opt("response")))
+  }
+
+  /** S1 — the drift-tolerance probe loop (reference runSync,
+    * src/lib/sync.ts:177-212). `fetch` abstracts the transport: None is
+    * a missing id (404/redirect/unparseable), Some(html) a hit. */
+  def runSync(fetch: Long => Option[String], latestInDb: Long,
+              driftTolerance: Int = DriftTolerance): (SyncResult, Seq[Entry]) = {
+    var currentId = latestInDb + 1
+    val startFrom = currentId
+    var missingInARow = 0
+    var checked = 0L
+    val added = Seq.newBuilder[Entry]
+    var nAdded = 0L
+    while (missingInARow < driftTolerance) {
+      checked += 1
+      fetch(currentId).flatMap(parseEntry(_, currentId)) match {
+        case Some(entry) => added += entry; nAdded += 1; missingInARow = 0
+        case None => missingInARow += 1
+      }
+      currentId += 1
+    }
+    (SyncResult(nAdded, checked, startFrom, currentId - 1, driftTolerance),
+      added.result())
+  }
+
+  /** Fixture detail pages (FIXTURES.md: label/value pairs + panel-body
+    * sections, one M/D/YYYY-dated page, one 404-shaped page). */
+  def fixtureHtml(agency: String, fields: Seq[(String, String)],
+                  panels: Seq[(String, String)]): String = {
+    val rows = (("Agency:" -> agency) +: fields).map { case (k, v) =>
+      s"""<div class="content-col-label"><div class="content-div-var"><strong>$k</strong></div></div>
+         |<div class="content-col-data"><div class="content-div-var">$v</div></div>""".stripMargin
+    }.mkString("\n")
+    val panelHtml = panels.map { case (k, v) =>
+      s"""<div class="panel-body"><strong>$k</strong><p>$v</p></div>"""
+    }.mkString("\n")
+    s"""<html><body><div class="content">$rows</div>
+       |<div class="container-requestitems">$panelHtml</div></body></html>""".stripMargin
+  }
+
+  val NotFoundHtml = "<html><body><h1>Error</h1><p>No entry found.</p></body></html>"
+
+  /** Deterministic in-memory transport for the registered sync queries:
+    * pages 27,28,30 exist (29 is an interior gap the tolerance absorbs),
+    * everything past 30 is missing, so the loop stops at 33. */
+  val fixtureTransport: Map[Long, String] = Map(
+    27L -> fixtureHtml("Department of Health",
+      Seq("Organization:" -> "Health Watch", "Request Date:" -> "4/2/2025",
+        "Completion Date:" -> "04/15/2025", "Entry Date:" -> "2025-04-16",
+        "Fee:" -> "$12.00", "Resolution:" -> "Granted"),
+      Seq("Subject" -> "inspection   schedules", "Details" -> "All Q2 inspections")),
+    28L -> fixtureHtml("Unknown Agency Llc",
+      Seq("First Name:" -> "Pat", "Last Name:" -> "Lane",
+        "Request Date:" -> "13/45/2025", "Amended:" -> "Amended",
+        "Resolution:" -> ""),
+      Seq("Subject" -> "odd dates", "Response" -> "see attached")),
+    30L -> fixtureHtml("City of Morgantown",
+      Seq("Organization:" -> "Local News LLC", "Request Date:" -> "2025-05-01",
+        "Completion Date:" -> "not yet", "Entry Date:" -> "5/2/2025"),
+      Seq("Subject" -> "street  repaving", "Details" -> "Cost &amp; schedule")))
+}

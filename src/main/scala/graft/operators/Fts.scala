@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Cols
+
+/** Full-text search subsystem — SURVEY §2.8.
+  *
+  * The reference uses an FTS5 contentless-delegate table over 8 text
+  * columns with `unicode61 remove_diacritics 1` tokenization and
+  * prefix-AND MATCH queries (migrations/0002_fts.sql:1-13,
+  * src/lib/db/entries.ts:12-26). The Spark-native design is a derived
+  * inverted term index `(id, term)` + semi-join:
+  *
+  *   - Index build: diacritic-fold -> lower -> split on non-alnum ->
+  *     explode -> distinct. Recomputed per batch (replaces FTS5's
+  *     triggers, 0002_fts.sql:17-34); at scale it is written bucketed
+  *     BY (term) so prefix probes touch few buckets.
+  *   - Query: each prefix term becomes a range predicate
+  *     [prefix, prefix + U+10FFFF) against the SORTED term column —
+  *     sargable, so parquet min/max pruning and bucket pruning apply,
+  *     unlike a contains() scan. AND-of-terms = count of distinct
+  *     matched prefixes per id == nTerms, then a left-semi join back.
+  */
+object Fts {
+
+  /** S6 — build the inverted term index over arbitrary text columns. */
+  def termIndex(docs: DataFrame, idCol: String, textCols: Seq[String]): DataFrame = {
+    val joined = concat_ws(" ", textCols.map(col): _*)
+    docs.select(col(idCol).as("id"), explode(Cols.ftsTokens(joined)).as("term"))
+      .distinct()
+  }
+
+  /** Range predicate for one prefix over the term column (sargable). */
+  private def prefixPred(term: Column, prefix: String): Column =
+    term >= prefix && term < (prefix + "􏿿")
+
+  /** P6 — ids whose terms match EVERY prefix (FTS5 `a* AND b*`). */
+  def matchingIds(index: DataFrame, prefixes: Seq[String]): DataFrame = {
+    require(prefixes.nonEmpty)
+    // One pass over the index: tag each row with which prefixes it hits,
+    // count distinct hit prefixes per id. The OR-of-ranges filter is
+    // pushable; no per-prefix rescans.
+    val hit = prefixes.map(p => when(prefixPred(col("term"), p), lit(p)))
+      .reduce((a, b) => coalesce(a, b))
+    index
+      .where(prefixes.map(p => prefixPred(col("term"), p)).reduce(_ || _))
+      .select(col("id"), hit.as("hit_prefix"))
+      .groupBy("id")
+      .agg(countDistinct(col("hit_prefix")).as("n_hit"))
+      .where(col("n_hit") === prefixes.size)
+      .select("id")
+  }
+
+  /** Search pipeline: docs ⋉ prefix-AND matches. */
+  def search(docs: DataFrame, idCol: String, textCols: Seq[String],
+             prefixes: Seq[String]): DataFrame =
+    docs.join(matchingIds(termIndex(docs, idCol, textCols), prefixes)
+      .withColumnRenamed("id", idCol + "__m"),
+      col(idCol) === col(idCol + "__m"), "left_semi")
+}
+
+/** FTS queries registered for the correctness gate, over `documents`. */
+object FtsQueries extends graft.QueryModule {
+
+  def defs: Seq[graft.QueryDef] = Seq(
+
+    // S6 — the term index itself (restricted to a deterministic id slice
+    // to keep the dump bounded).
+    graft.QueryDef("s6_fts_index", Some(
+      """SELECT DISTINCT doc_id AS id, term FROM (
+        |  SELECT doc_id, unnest(string_split_regex(lower(strip_accents(text)), '[^a-z0-9]+')) AS term
+        |  FROM documents WHERE doc_id < 200)
+        |WHERE term <> ''""".stripMargin))((s, d) =>
+      Fts.termIndex(Tables.documents(s, d).where(col("doc_id") < 200), "doc_id", Seq("text"))),
+
+    // P6 — prefix-AND membership: docs where some token starts with
+    // 'spar' AND some token starts with 'wind' (buildFtsQuery of
+    // "spark windows" after truncation — exercises true prefix
+    // semantics, not whole-token equality). The oracle states the same
+    // predicate as word-boundary regexes over the raw text.
+    graft.QueryDef("p6_fts_search", Some(
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE regexp_matches(lower(strip_accents(text)), '(^|[^a-z0-9])spar')
+        |  AND regexp_matches(lower(strip_accents(text)), '(^|[^a-z0-9])wind')""".stripMargin))((s, d) =>
+      Fts.search(Tables.documents(s, d), "doc_id", Seq("text"), Seq("spar", "wind"))
+        .select("doc_id", "lang", "source"))
+  )
+}

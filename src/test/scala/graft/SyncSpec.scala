@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.entries.Sync
+
+/** Sync pipeline goldens — parser (sync.ts:83-130), date normalization
+  * (sync.ts:59-76), and the drift-tolerance loop (sync.ts:177-212)
+  * including stop conditions, interior gaps, and re-run determinism. */
+class SyncSpec extends AnyFunSuite {
+
+  test("normalizeDate: M/D/YYYY pads, ISO passes, junk nulls, no validation") {
+    assert(Sync.normalizeDate("3/5/2024").contains("2024-03-05"))
+    assert(Sync.normalizeDate("12/31/1999").contains("1999-12-31"))
+    assert(Sync.normalizeDate(" 2024-03-05 ").contains("2024-03-05"))
+    assert(Sync.normalizeDate("13/45/2024").contains("2024-13-45")) // faithful: no validation
+    assert(Sync.normalizeDate("not a date").isEmpty)
+    assert(Sync.normalizeDate("").isEmpty)
+    assert(Sync.normalizeDate(null).isEmpty)
+  }
+
+  test("normalizeKey strips colons, lowers, collapses non-alnum (sync.ts:50-57)") {
+    assert(Sync.normalizeKey("Request Date:") == "request_date")
+    assert(Sync.normalizeKey("  Fee ($) ") == "fee")
+    assert(Sync.normalizeKey("::") == "")
+  }
+
+  test("parseEntry: full page with panels") {
+    val entry = Sync.parseEntry(Sync.fixtureTransport(27L), 27L).get
+    assert(entry.agency == "Department of Health")
+    assert(entry.organization.contains("Health Watch"))
+    assert(entry.request_date.contains("2025-04-02")) // 4/2/2025 normalized
+    assert(entry.completion_date.contains("2025-04-15"))
+    assert(entry.subject.contains("inspection schedules")) // whitespace collapsed
+    assert(entry.is_amended == 0)
+  }
+
+  test("parseEntry: amended flag, empty resolution -> None, odd date kept") {
+    val entry = Sync.parseEntry(Sync.fixtureTransport(28L), 28L).get
+    assert(entry.is_amended == 1)
+    assert(entry.resolution.isEmpty)
+    assert(entry.request_date.contains("2025-13-45"))
+    assert(entry.first_name.contains("Pat"))
+  }
+
+  test("parseEntry: entity decode and unparseable completion -> None") {
+    val entry = Sync.parseEntry(Sync.fixtureTransport(30L), 30L).get
+    assert(entry.details.contains("Cost & schedule"))
+    assert(entry.completion_date.isEmpty) // "not yet"
+  }
+
+  test("parseEntry: 404-shaped page has no fields -> None") {
+    assert(Sync.parseEntry(Sync.NotFoundHtml, 31L).isEmpty)
+  }
+
+  test("parseEntry: agency defaults to Unknown when absent") {
+    val html = Sync.fixtureHtml("", Seq("Fee:" -> "$1"), Seq())
+      .replaceFirst("(?s)<div class=\"content-col-label\">.*?</div>\\s*<div class=\"content-col-data\">.*?</div>\\s*</div>", "<div>")
+    val parsed = Sync.parseEntry(Sync.fixtureHtml("x", Seq("Fee:" -> "$1"), Seq()), 1L)
+    assert(parsed.get.agency == "x") // sanity on the helper itself
+    // A page whose agency data cell is empty:
+    val noAgency = Sync.parseEntry(Sync.fixtureHtml("", Seq("Fee:" -> "$1"), Seq()), 2L)
+    assert(noAgency.get.agency == "Unknown")
+  }
+
+  test("runSync: interior gap absorbed, 3-in-a-row stops (drift golden)") {
+    val (res, added) = Sync.runSync(Sync.fixtureTransport.get, latestInDb = 26)
+    assert(res == Sync.SyncResult(3, 7, 27, 33, 3))
+    assert(added.map(_.id) == Seq(27L, 28L, 30L))
+  }
+
+  test("runSync: nothing upstream -> 0 added, 3 checked") {
+    val (res, added) = Sync.runSync(_ => None, latestInDb = 100)
+    assert(res == Sync.SyncResult(0, 3, 101, 103, 3))
+    assert(added.isEmpty)
+  }
+
+  test("runSync: unparseable pages count as misses") {
+    val (res, _) = Sync.runSync(_ => Some(Sync.NotFoundHtml), latestInDb = 0)
+    assert(res == Sync.SyncResult(0, 3, 1, 3, 3))
+  }
+
+  test("runSync is deterministic across re-runs") {
+    val a = Sync.runSync(Sync.fixtureTransport.get, 26)
+    val b = Sync.runSync(Sync.fixtureTransport.get, 26)
+    assert(a == b)
+  }
+
+  test("runSync respects custom drift tolerance") {
+    // tolerance 1: stops at the first miss (id 29), having added 27, 28
+    val (res, added) = Sync.runSync(Sync.fixtureTransport.get, 26, driftTolerance = 1)
+    assert(res == Sync.SyncResult(2, 3, 27, 29, 1))
+    assert(added.map(_.id) == Seq(27L, 28L))
+  }
+}
