@@ -16,6 +16,9 @@ object SparkEntry {
     operators.FnQueries,
     operators.FtsQueries,
     entries.EntryQueries,
+    operators.DedupQueries,
+    operators.SimilarityQueries,
+    operators.TextAnalysisQueries,
   )
 
   lazy val allDefs: Seq[QueryDef] = {

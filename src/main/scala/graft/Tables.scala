@@ -23,8 +23,16 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.ts` is parquet timestamp[ns]; Spark reads it as TimestampNTZ /
-    * errors depending on config, so events access goes through one place.
-    */
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's reader rejects
+    * outright; with spark.sql.legacy.parquet.nanosAsLong=true (set by
+    * every session builder in this engine) it arrives as LongType nanos.
+    * Convert to a microsecond timestamp with exact integer division —
+    * the same truncation DuckDB applies reading the file natively. Never
+    * divide by 1e9 in double: epoch-ns magnitudes exceed the 53-bit
+    * mantissa and the timestamps silently lose precision. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div, not `/` (double)
+  }
 }

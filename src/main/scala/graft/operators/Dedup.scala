@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Deduplication operators for the training-data pipeline — exact,
+  * MinHash-LSH, and SimHash. Every candidate-generation stage is
+  * bucket-local (band equality joins): NO all-pairs crossJoin exists
+  * anywhere in this module, so the designs hold at 100 TB — candidate
+  * volume scales with bucket collision counts, not n².
+  *
+  * The synthetic corpus has no duplicates, so each query plants
+  * deterministic probe rows DERIVED from the corpus itself (clones /
+  * near-clones at doc_id+1000000) — same derivation in the oracle SQL.
+  */
+object Dedup {
+
+  /** Canonical text normalization for dedup keys. */
+  def normText(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
+  val normTextSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** Exact-clone probes: doc_id < 10 duplicated verbatim at +1000000. */
+  def withExactProbes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+
+  val exactProbesSql: String =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 10""".stripMargin
+
+  /** Near-clone probes: doc_id in [10,20) re-emitted with a word appended
+    * (high-but-not-1.0 Jaccard). */
+  def withNearProbes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") >= 10 && col("doc_id") < 20)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" zz0 zz1 zz2")).as("text")))
+
+  /** Word 3-shingles of the normalized text (distinct). Trailing windows
+    * shorter than 3 words keep their short shingle — deterministic and
+    * harmless for similarity. */
+  def shingles(c: Column): Column = {
+    val words = split(normText(c), " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(words) - 2, lit(1))),
+      i => concat_ws(" ", slice(words, i, lit(3)))))
+  }
+
+  /** 32 MinHash signature values via affine rehash of one base 64-bit
+    * hash folded into [0, 2^31): h_i = (a_i*h + b_i) mod p, a_i = 2i+1,
+    * b_i = 12345i + 678, p = 2^31 - 1. All arithmetic stays < 2^63. */
+  def minhashSig(shinglesCol: Column, nHashes: Int = 32): Column = {
+    val base = transform(shinglesCol, s => pmod(xxhash64(s), lit(2147483648L)))
+    transform(sequence(lit(0), lit(nHashes - 1)),
+      i => array_min(transform(base,
+        h => pmod(h * (i * 2 + 1) + i * 12345 + 678, lit(2147483647L)))))
+  }
+
+  /** Banded bucket keys: 8 bands x 4 rows; key embeds the band index so
+    * one equality join covers all bands. */
+  def bandKeys(sig: Column, bands: Int = 8, rows: Int = 4): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => concat_ws("-", b.cast(StringType),
+        concat_ws(":", transform(slice(sig, b * rows + 1, lit(rows)),
+          v => v.cast(StringType)))))
+
+  /** MinHash-LSH candidate pairs + exact Jaccard verification. Candidates
+    * come ONLY from band-bucket collisions (equality self-join); the
+    * verification joins exploded shingle sets for candidate pairs only. */
+  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val banded = sh.select(col("doc_id"),
+      explode(bandKeys(minhashSig(col("sh")))).as("band"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val terms = sh.select(col("doc_id"), explode(col("sh")).as("term"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val inter = cand
+      .join(terms.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(terms.as("tb"),
+        col("doc_b") === col("tb.doc_id") && col("ta.term") === col("tb.term"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), Seq("doc_b"))
+      .withColumn("jaccard",
+        coalesce(col("inter"), lit(0L)).cast(DoubleType) /
+          (col("na") + col("nb") - coalesce(col("inter"), lit(0L))))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // --- SimHash -------------------------------------------------------------
+
+  /** FNV-1a 64-bit — deterministic token hash with no library deps. */
+  def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** 64-bit SimHash over weighted token hashes. */
+  def simhash(tokens: Seq[String]): Long = {
+    val votes = new Array[Long](64)
+    tokens.groupBy(identity).foreach { case (tok, occs) =>
+      val h = fnv64(tok); val w = occs.size.toLong
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += w else votes(bit) -= w
+        bit += 1
+      }
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) { if (votes(bit) >= 0) out |= (1L << bit); bit += 1 }
+    out
+  }
+
+  val simhashUdf = udf((tokens: Seq[String]) =>
+    if (tokens == null) 0L else simhash(tokens))
+
+  /** SimHash near-dup pairs: 4x16-bit band blocking, then Hamming <= k.
+    * Band equality guarantees FULL recall for Hamming <= 3 by pigeonhole
+    * (4 bands, <=3 flipped bits leave one band intact) — the classic
+    * web-dedup configuration (Manku et al., WWW'07, k=3 on 64-bit
+    * fingerprints). Wider k would need narrower bands, whose small key
+    * space collapses to near-all-pairs at scale, so k=3 is the
+    * scale-correct default. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sims = docs.select(col("doc_id"),
+      simhashUdf(split(normText(col("text")), " ")).as("sim"))
+    val bandCols = (0 to 3).map(b => concat_ws("-", lit(b),
+      shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).cast(StringType)))
+    val banded = sims.select(col("doc_id"), col("sim"),
+      explode(array(bandCols: _*)).as("band"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}
+
+/** Registered dedup queries (D-family of the LLM-pipeline extensions). */
+object DedupQueries extends graft.QueryModule {
+  import Dedup._
+
+  def defs: Seq[graft.QueryDef] = Seq(
+
+    // D1 — exact dedup by md5 of normalized text: keep min(doc_id), report
+    // group size; only true duplicate groups surface.
+    graft.QueryDef("d1_exact_dedup", Some(
+      s"""SELECT md5($normTextSql) AS text_hash, min(doc_id) AS keeper,
+         |  count(*) AS n_copies
+         |FROM ($exactProbesSql)
+         |GROUP BY 1 HAVING count(*) > 1""".stripMargin))((s, d) =>
+      withExactProbes(Tables.documents(s, d))
+        .groupBy(md5(normText(col("text")).cast(BinaryType)).as("text_hash"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .where(col("n_copies") > 1)),
+
+    // D2 — MinHash-LSH near-dup candidates, banded and bucket-joined,
+    // verified at Jaccard >= 0.5. Hash functions are engine-side, so the
+    // gate check is rows-only; DedupSpec pins the planted pairs.
+    graft.QueryDef("d2_minhash_lsh", None)((s, d) =>
+      minhashPairs(withNearProbes(Tables.documents(s, d)), threshold = 0.5)),
+
+    // D3 — SimHash banding + Hamming filter (rows-only; DedupSpec).
+    graft.QueryDef("d3_simhash", None)((s, d) =>
+      simhashPairs(withNearProbes(Tables.documents(s, d)))),
+
+    // D4 — n-gram (word-bigram) Jaccard over a fixed deterministic pair
+    // set — the exact-similarity primitive, oracle-checked. Pairs are
+    // (doc_id, doc_id+1) strides; similarity of random word-soup is near
+    // 0 but the arithmetic is fully exercised.
+    graft.QueryDef("d4_ngram_jaccard", Some(
+      s"""WITH grams AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(words) - 1, 1)),
+         |    i -> array_to_string(list_slice(words, i, i + 1), ' '))) AS g
+         |  FROM (SELECT doc_id, string_split($normTextSql, ' ') AS words FROM documents)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.g AS ga, b.g AS gb
+         |  FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+         |  WHERE a.doc_id % 50 = 0)
+         |SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
+         |    (len(ga) + len(gb) - len(list_intersect(ga, gb))) AS jaccard
+         |FROM pairs""".stripMargin))((s, d) => {
+      val words = split(normText(col("text")), " ")
+      val grams = Tables.documents(s, d).select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(words) - 1, lit(1))),
+          i => concat_ws(" ", slice(words, i, lit(2))))).as("g"))
+      val inter = size(array_intersect(col("ga"), col("gb")))
+      grams.as("a").where(col("doc_id") % 50 === 0)
+        .join(grams.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.g").as("ga"), col("b.g").as("gb"))
+        .select(col("doc_a"), col("doc_b"),
+          (inter.cast(DoubleType) / (size(col("ga")) + size(col("gb")) - inter)).as("jaccard"))
+    })
+  )
+}

@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Text-analysis operators (T-family), multimodal plumbing (M), and
+  * incremental/event processing (E) over the documents/events tables.
+  * All scoring is integer counting + fixed-shape double arithmetic, so
+  * values hash-match DuckDB.
+  */
+object TextAnalysisQueries extends graft.QueryModule {
+
+  /** Occurrences of `needle` via the length-difference trick — identical
+    * semantics in both engines, cheap, codegen-friendly. */
+  private def occ(c: Column, needle: String): Column =
+    (length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(needle), ""))) / needle.length
+  private def occSql(expr: String, needle: String): String =
+    s"(len($expr) - len(replace($expr, '$needle', ''))) / ${needle.length}"
+
+  def defs: Seq[graft.QueryDef] = Seq(
+
+    // T1 — language-ID heuristic: stop-word marker hits per language,
+    // argmax with a fixed precedence. (The synthetic corpus is one shared
+    // vocabulary, so the interesting part is the deterministic scoring
+    // machinery, not the linguistics.)
+    graft.QueryDef("t1_langid", Some {
+      val sEn = s"${occSql("t", " the ")} + ${occSql("t", " and ")} + ${occSql("t", " of ")}"
+      val sDe = s"${occSql("t", " der ")} + ${occSql("t", " und ")} + ${occSql("t", " die ")}"
+      val sFr = s"${occSql("t", " le ")} + ${occSql("t", " et ")} + ${occSql("t", " la ")}"
+      s"""SELECT doc_id, lang,
+         |  CAST(score_en AS BIGINT) AS score_en, CAST(score_de AS BIGINT) AS score_de,
+         |  CAST(score_fr AS BIGINT) AS score_fr,
+         |  CASE WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
+         |       WHEN score_de >= score_fr THEN 'de' ELSE 'fr' END AS pred_lang
+         |FROM (SELECT doc_id, lang, ($sEn) AS score_en, ($sDe) AS score_de, ($sFr) AS score_fr
+         |  FROM (SELECT doc_id, lang, concat(' ', lower(text), ' ') AS t FROM documents))""".stripMargin
+    })((s, d) => {
+      val t = concat(lit(" "), lower(col("text")), lit(" "))
+      def sc(ws: Seq[String]) = ws.map(w => occ(t, s" $w ")).reduce(_ + _)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          sc(Seq("the", "and", "of")).cast(LongType).as("score_en"),
+          sc(Seq("der", "und", "die")).cast(LongType).as("score_de"),
+          sc(Seq("le", "et", "la")).cast(LongType).as("score_fr"))
+        .withColumn("pred_lang",
+          when(col("score_en") >= col("score_de") && col("score_en") >= col("score_fr"), "en")
+            .when(col("score_de") >= col("score_fr"), "de").otherwise("fr"))
+    }),
+
+    // T2 — quality scoring: length, token stats, punctuation + stop-word
+    // ratios, mean word length — the standard pre-training filters.
+    graft.QueryDef("t2_quality_score", Some {
+      val nTok = "len(string_split_regex(trim(text), '\\s+'))"
+      val nPunct = "len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))"
+      val nStop = s"${occSql("concat(' ', lower(text), ' ')", " the ")} + ${occSql("concat(' ', lower(text), ' ')", " a ")}"
+      s"""SELECT doc_id, n_chars, n_tokens, punct_ratio, stop_ratio, mean_word_len,
+         |  CASE WHEN n_tokens >= 10 AND punct_ratio < 0.1 AND stop_ratio > 0.0 THEN 1 ELSE 0 END AS quality_pass
+         |FROM (
+         |  SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+         |    CAST($nTok AS BIGINT) AS n_tokens,
+         |    CAST(($nPunct) AS DOUBLE) / len(text) AS punct_ratio,
+         |    CAST(($nStop) AS DOUBLE) / $nTok AS stop_ratio,
+         |    CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / $nTok AS mean_word_len
+         |  FROM documents)""".stripMargin
+    })((s, d) => {
+      val nTok = size(split(trim(col("text")), "\\s+"))
+      val nPunct = length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      val nStop = occ(padded, " the ") + occ(padded, " a ")
+      Tables.documents(s, d).select(col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        nTok.cast(LongType).as("n_tokens"),
+        (nPunct.cast(DoubleType) / length(col("text"))).as("punct_ratio"),
+        (nStop.cast(DoubleType) / nTok).as("stop_ratio"),
+        (length(regexp_replace(col("text"), "\\s+", "")).cast(DoubleType) / nTok).as("mean_word_len"))
+        .withColumn("quality_pass",
+          when(col("n_tokens") >= 10 && col("punct_ratio") < 0.1 && col("stop_ratio") > 0.0, 1)
+            .otherwise(0))
+    }),
+
+    // T3 — token counting: whitespace tokens + a BPE-ish regex lexer
+    // (letter runs / digit runs / single symbols).
+    graft.QueryDef("t3_token_count", Some(
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents""".stripMargin))((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .cast(LongType).as("bpe_tokens"))),
+
+    // T4 — document fingerprint: md5 over the sorted distinct token set
+    // (order-insensitive content identity; the bag-of-words analog of a
+    // rolling-hash fingerprint, exactly reproducible in SQL).
+    graft.QueryDef("t4_fingerprint", Some(
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'))), ' ')) AS fingerprint
+        |FROM documents""".stripMargin))((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        md5(array_join(array_sort(array_distinct(
+          split(lower(col("text")), "[^a-z0-9]+"))), " ").cast(BinaryType)).as("fingerprint"))),
+
+    // M1 — typed metadata over an opaque payload column: JSON props of
+    // events parsed and aggregated per event type.
+    graft.QueryDef("m1_multimodal_meta", Some(
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(SUM(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  max(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+        |FROM events GROUP BY event_type""".stripMargin))((s, d) => {
+      val k = get_json_object(col("props"), "$.k").try_cast("bigint")
+      Tables.events(s, d).groupBy("event_type").agg(
+        count(lit(1)).as("cnt"),
+        sum(k).as("k_sum"),
+        max(k).as("k_max"))
+    }),
+
+    // M2 — multimodal binary plumbing: text payloads treated as opaque
+    // binary blobs with typed metadata; the "decode" stage is a
+    // deterministic stub executed per-partition (the real image/audio
+    // libs are absent — the Spark-side schema, batching, and partition
+    // shape are the point). Rows-only: binary semantics aren't worth a
+    // SQL oracle.
+    graft.QueryDef("m2_multimodal_binary", None)((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"),
+          col("source").as("media_source"))
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaDouble)
+      docs.mapPartitions { rows =>
+        // STUBBED decode: a real pipeline would batch-decode media here
+        // (mapInPandas-equivalent); the stub extracts deterministic
+        // pseudo-features so the distributed plumbing is fully exercised.
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val header = payload.take(8).map("%02x".format(_)).mkString
+          val mean = if (payload.isEmpty) 0.0
+            else payload.map(_.toInt & 0xFF).sum.toDouble / payload.length
+          (id, payload.length.toLong, header, mean)
+        }
+      }(enc).toDF("doc_id", "byte_len", "header_hex", "byte_mean")
+    }),
+
+    // E1 — sessionization: 30-minute-gap sessions per user via lag +
+    // running sum (the batch shape of mapGroupsWithState; the streaming
+    // twin lives in graft.streaming and is covered by StreamingSpec).
+    graft.QueryDef("e1_sessionize", Some(
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        |  CAST(min(epoch_us(ts)) AS BIGINT) AS start_us, CAST(max(epoch_us(ts)) AS BIGINT) AS end_us
+        |FROM sess GROUP BY user_id, session_id""".stripMargin))((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("new_session",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(run))
+        .groupBy("user_id", "session_id").agg(
+          count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("start_us"),
+          max(unix_micros(col("ts"))).as("end_us"))
+        .select("user_id", "session_id", "n_events", "start_us", "end_us")
+    }),
+
+    // E2 — incremental watermark read: only rows past the stored
+    // watermark, aggregated — the batch half of the sync §2.9 pattern
+    // over event streams.
+    graft.QueryDef("e2_incremental_watermark", Some(
+      """SELECT event_type, count(*) AS cnt, max(event_id) AS new_watermark
+        |FROM events
+        |WHERE event_id > (SELECT CAST(floor(max(event_id) * 0.8) AS BIGINT) FROM events)
+        |GROUP BY event_type""".stripMargin))((s, d) => {
+      val e = Tables.events(s, d)
+      val wm = e.agg(floor(max(col("event_id")) * 0.8).cast(LongType).as("wm"))
+      e.join(broadcast(wm), col("event_id") > col("wm"))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("cnt"), max(col("event_id")).as("new_watermark"))
+    })
+  )
+}

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface — SURVEY §2.9.
+  *
+  * The reference's incremental model is a scheduled micro-batch with a
+  * high-watermark (sync.ts:177-212), which maps to Trigger.AvailableNow
+  * over a file source + foreachBatch upsert. Beyond parity, the engine
+  * adds the event-stream operators a training-data pipeline needs:
+  * watermarked windowed aggregation and custom sessionization state via
+  * mapGroupsWithState — both with bounded state at scale (watermark
+  * evicts; session state is per-active-user only).
+  */
+object Streams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double, props: String)
+  final case class SessionOut(user_id: Long, session_start_us: Long,
+                              session_end_us: Long, n_events: Long)
+  private final case class SessionState(startUs: Long, endUs: Long, n: Long)
+
+  /** File-source stream of event parquet (ns timestamps arrive as longs
+    * under nanosAsLong; converted exactly like the batch path). */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling-window counts per event type — the canonical
+    * streaming aggregation (late data beyond 1h dropped, state evicted
+    * past the watermark). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("cnt"))
+
+  /** 30-minute-gap sessionization with explicit state — the streaming
+    * twin of the batch e1_sessionize query. Emits a session when the gap
+    * closes it; processing-time-ordered within a micro-batch. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // Deterministic within-batch order regardless of shuffle arrival.
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Seq.newBuilder[SessionOut]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000L
+            cur match {
+              case Some(st) if us - st.endUs <= gapUs =>
+                cur = Some(st.copy(endUs = us, n = st.n + 1))
+              case Some(st) =>
+                out += SessionOut(userId, st.startUs, st.endUs, st.n)
+                cur = Some(SessionState(us, us, 1))
+              case None =>
+                cur = Some(SessionState(us, us, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Incremental sync as a stream: AvailableNow over the source dir,
+    * foreachBatch last-writer-wins upsert into a parquet target keyed by
+    * event_id — the reference's `ON CONFLICT DO UPDATE` (sync.ts:30-48)
+    * against an append-only lake. Returns rows upserted. */
+  def incrementalUpsert(spark: SparkSession, sourceDir: String,
+                        targetDir: String, checkpointDir: String): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val q = eventStream(spark, sourceDir).writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tagged = batch.withColumn("batch_id", lit(batchId))
+        val merged = try {
+          val existing = batch.sparkSession.read.parquet(targetDir)
+          existing.unionByName(tagged)
+        } catch { case _: Throwable => tagged }
+        val w = Window.partitionBy("event_id")
+          .orderBy(col("batch_id").desc, col("ts").desc)
+        merged
+          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .drop("rn")
+          .write.mode("overwrite").parquet(targetDir + ".tmp")
+        // atomic-ish swap for the local demo; a real lake uses Delta MERGE
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        val tgt = new org.apache.hadoop.fs.Path(targetDir)
+        fs.delete(tgt, true)
+        fs.rename(new org.apache.hadoop.fs.Path(targetDir + ".tmp"), tgt)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(targetDir).count()
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity, Fts}
+
+/** Behavior checks for the rows-only pipeline operators: planted
+  * duplicates must be found, LSH candidates must prune, FTS must honor
+  * diacritic folding. */
+class PipelineSpec extends AnyFunSuite with SparkSuite {
+
+  test("d1: exact dedup finds exactly the planted clone groups") {
+    val docs = Tables.documents(spark, sf)
+    val dups = Dedup.withExactProbes(docs)
+      .groupBy(md5(Dedup.normText(col("text")).cast("binary")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+      .where(col("n") > 1)
+      .collect()
+    assert(dups.length == 10)
+    assert(dups.forall(_.getLong(1) == 2)) // each group: original + clone
+    assert(dups.map(_.getLong(2)).sorted.toSeq == (0L until 10L))
+  }
+
+  test("d2: MinHash-LSH surfaces every planted near-duplicate pair") {
+    val pairs = Dedup.minhashPairs(
+      Dedup.withNearProbes(Tables.documents(spark, sf)), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (10L until 20L).map(i => (i, i + 1000000L)).toSet
+    assert(planted.subsetOf(pairs),
+      s"missing planted pairs: ${planted -- pairs}")
+    // near-clone, not exact: jaccard < 1 for planted pairs
+  }
+
+  test("d3: SimHash bands + hamming finds planted near-duplicates") {
+    val pairs = Dedup.simhashPairs(
+      Dedup.withNearProbes(Tables.documents(spark, sf)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Ground truth from the same pure simhash: banding guarantees FULL
+    // recall for Hamming <= 3, so exactly the planted pairs within that
+    // distance must surface (appending 3 tokens shifts few bits on long
+    // docs, many on short ones — distance varies per doc).
+    val texts = Tables.documents(spark, sf).where(col("doc_id") >= 10 && col("doc_id") < 20)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def sim(t: String) = Dedup.simhash(
+      t.toLowerCase.trim.replaceAll("\\s+", " ").split(" ").toSeq)
+    val expected = texts.collect {
+      case (id, t) if java.lang.Long.bitCount(
+        sim(t) ^ sim(t + " zz0 zz1 zz2")) <= 3 => (id, id + 1000000L)
+    }.toSet
+    assert(expected.nonEmpty, "vacuous: no planted pair within Hamming 3")
+    assert(expected.subsetOf(pairs),
+      s"missing planted pairs within Hamming 3: ${expected -- pairs}")
+  }
+
+  test("n1/n2: LSH ANN prunes candidates and keeps the exact match") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(brute.head == 0L) // self-similarity = 1.0 tops the list
+    val lsh = Similarity.lshTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSeq
+    assert(lsh.head == 0L) // query's own bucket always probed
+    // recall against the exact top-10 — hyperplane LSH with 8 bits +
+    // 1-bit probing: expect meaningful overlap, not perfection
+    val recall = lsh.toSet.intersect(brute.toSet).size
+    assert(recall >= 2, s"recall too low: $recall of 10")
+  }
+
+  test("fts: prefix search folds diacritics (unicode61 remove_diacritics)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the café résumé files"),
+      (2L, "plain cafe text"),
+      (3L, "unrelated words")).toDF("doc_id", "text")
+    val hits = Fts.search(docs, "doc_id", Seq("text"), Seq("cafe"))
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L, 2L)) // café matches the 'cafe' prefix after folding
+  }
+
+  test("fts: AND semantics require every prefix") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark window join"),
+      (2L, "spark only here"),
+      (3L, "window only here")).toDF("doc_id", "text")
+    val hits = Fts.search(docs, "doc_id", Seq("text"), Seq("spar", "wind"))
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L))
+  }
+
+  test("upsert LWW is idempotent across re-runs (S5 determinism)") {
+    val q = SparkEntry.queries("s5_upsert_lww")
+    val a = q(spark, sf).collect().map(_.toString).sorted.toSeq
+    val b = q(spark, sf).collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    // every key appears exactly once after the merge
+    val keys = q(spark, sf).groupBy("o_orderkey").count()
+      .where(col("count") > 1).count()
+    assert(keys == 0)
+  }
+
+  test("timeline densification: |rows| == days+1 and totals preserved (J4/A8)") {
+    val rows = SparkEntry.queries("q_timeline")(spark, sf).collect()
+    val dates = rows.map(_.getString(0))
+    assert(dates.distinct.length == dates.length)
+    val first = java.time.LocalDate.parse(dates.min)
+    val last = java.time.LocalDate.parse(dates.max)
+    assert(rows.length == java.time.temporal.ChronoUnit.DAYS.between(first, last) + 1)
+    // totals preserved vs direct count of in-range candidate rows
+    val total = rows.map(r => (1 to 5).map(r.getLong(_)).sum).sum
+    val cands = entries.Normalize.aliasCandidates("DEP").map(_.toLowerCase)
+    val expect = entries.Fixture.df(spark)
+      .where(lower(col("agency")).isin(cands: _*) &&
+        col("completion_date").isNotNull && col("completion_date") <= entries.Fixture.AsOf)
+      .count()
+    assert(total == expect)
+  }
+}
