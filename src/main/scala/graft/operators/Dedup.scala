@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 import graft.Tables
 
 /** Deduplication operators for the training-data pipeline — exact,
@@ -40,25 +41,35 @@ object Dedup {
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(col("text"), lit(" zz0 zz1 zz2")).as("text")))
 
+  /** Let-binding for array-valued subexpressions. Catalyst's projection
+    * collapse inlines an array-building expression into EVERY per-element
+    * consumer (e.g. each slice() of a split() re-splits the whole string
+    * — quadratic work). Routing the value through a one-element transform
+    * binds it to a lambda variable that is evaluated exactly once per row;
+    * body references are variable lookups, not recomputation. */
+  def bind(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   /** Word 3-shingles of the normalized text (distinct). Trailing windows
     * shorter than 3 words keep their short shingle — deterministic and
     * harmless for similarity. */
-  def shingles(c: Column): Column = {
-    val words = split(normText(c), " ")
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(words) - 2, lit(1))),
-      i => concat_ws(" ", slice(words, i, lit(3)))))
-  }
+  def shingles(c: Column): Column =
+    bind(split(normText(c), " ")) { words =>
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(words) - 2, lit(1))),
+        i => concat_ws(" ", slice(words, i, lit(3)))))
+    }
 
   /** 32 MinHash signature values via affine rehash of one base 64-bit
     * hash folded into [0, 2^31): h_i = (a_i*h + b_i) mod p, a_i = 2i+1,
     * b_i = 12345i + 678, p = 2^31 - 1. All arithmetic stays < 2^63. */
-  def minhashSig(shinglesCol: Column, nHashes: Int = 32): Column = {
-    val base = transform(shinglesCol, s => pmod(xxhash64(s), lit(2147483648L)))
-    transform(sequence(lit(0), lit(nHashes - 1)),
-      i => array_min(transform(base,
-        h => pmod(h * (i * 2 + 1) + i * 12345 + 678, lit(2147483647L)))))
-  }
+  def minhashSig(shinglesCol: Column, nHashes: Int = 32): Column =
+    bind(transform(shinglesCol, s => pmod(xxhash64(s), lit(2147483648L)))) {
+      base =>
+        transform(sequence(lit(0), lit(nHashes - 1)),
+          i => array_min(transform(base,
+            h => pmod(h * (i * 2 + 1) + i * 12345 + 678, lit(2147483647L)))))
+    }
 
   /** Banded bucket keys: 8 bands x 4 rows; key embeds the band index so
     * one equality join covers all bands. */
@@ -72,15 +83,30 @@ object Dedup {
     * come ONLY from band-bucket collisions (equality self-join); the
     * verification joins exploded shingle sets for candidate pairs only. */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    // Persist the shingle set and band index: both feed multiple joins
+    // (self-join sides, intersection, sizes), and at scale the LSH index
+    // IS a materialized artifact — recomputing the shingle pipeline per
+    // join side would multiply the dominant cost 6x.
     val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
-    val banded = sh.select(col("doc_id"),
-      explode(bandKeys(minhashSig(col("sh")))).as("band"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val terms = sh.select(col("doc_id"), explode(col("sh")).as("term"))
+    // Signature via explode + 32-way min() aggregation instead of nested
+    // higher-order functions: every expression here is scalar (xxhash64,
+    // pmod, min) so the whole stage compiles under whole-stage codegen
+    // with map-side partial mins; HOF lambdas are interpreted per element
+    // and were ~10x slower for the same arithmetic.
+    val hashed = terms.withColumn("h", pmod(xxhash64(col("term")), lit(2147483648L)))
+    val minCols = (0 until 32).map(i =>
+      min(pmod(col("h") * (i * 2 + 1) + i * 12345 + 678, lit(2147483647L))).as(s"h$i"))
+    val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val banded = sig.select(col("doc_id"),
+      explode(bandKeys(array((0 until 32).map(i => col(s"h$i")): _*))).as("band"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val terms = sh.select(col("doc_id"), explode(col("sh")).as("term"))
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
     val inter = cand
       .join(terms.as("ta"), col("doc_a") === col("ta.doc_id"))
@@ -137,6 +163,7 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sims = docs.select(col("doc_id"),
       simhashUdf(split(normText(col("text")), " ")).as("sim"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // both self-join sides read it
     val bandCols = (0 to 3).map(b => concat_ws("-", lit(b),
       shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).cast(StringType)))
     val banded = sims.select(col("doc_id"), col("sim"),
@@ -199,11 +226,12 @@ object DedupQueries extends graft.QueryModule {
          |  CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
          |    (len(ga) + len(gb) - len(list_intersect(ga, gb))) AS jaccard
          |FROM pairs""".stripMargin))((s, d) => {
-      val words = split(normText(col("text")), " ")
-      val grams = Tables.documents(s, d).select(col("doc_id"),
+      val bigrams = bind(split(normText(col("text")), " ")) { words =>
         array_distinct(transform(
           sequence(lit(1), greatest(size(words) - 1, lit(1))),
-          i => concat_ws(" ", slice(words, i, lit(2))))).as("g"))
+          i => concat_ws(" ", slice(words, i, lit(2)))))
+      }
+      val grams = Tables.documents(s, d).select(col("doc_id"), bigrams.as("g"))
       val inter = size(array_intersect(col("ga"), col("gb")))
       grams.as("a").where(col("doc_id") % 50 === 0)
         .join(grams.as("b"), col("b.doc_id") === col("a.doc_id") + 1)

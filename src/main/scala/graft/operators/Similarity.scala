@@ -51,24 +51,30 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random hyperplane sign for (plane j, dim d). */
-  private def planeSign(j: Column, dd: Column): Column = {
-    val h = pmod((j * 131 + dd + 7) * 2654435761L, lit(2147483648L))
-    when(pmod(h, lit(2)) === 0, lit(1L)).otherwise(lit(-1L))
-  }
-
-  /** 2^j as a long column (j may be a lambda variable, so shiftleft's
-    * Int-only Scala signature doesn't apply; pow is exact for j < 53). */
-  private def pow2(j: Column): Column = pow(lit(2.0), j).cast(LongType)
+  /** Deterministic pseudo-random hyperplane: sign(plane j, dim d) with
+    * d 1-based, computed DRIVER-side into a literal array so per-row work
+    * is one zip_with multiply-sum per plane (the previous element_at
+    * formulation re-evaluated the whole quantization per element —
+    * quadratic per row). */
+  private def planeRow(j: Int, dim: Int): Seq[Long] =
+    (1 to dim).map { d =>
+      val h = java.lang.Math.floorMod((j * 131L + d + 7L) * 2654435761L, 2147483648L)
+      if (h % 2 == 0) 1L else -1L
+    }
 
   /** Hyperplane-sign signature of a quantized vector: bit j is set when
-    * the projection onto pseudo-random plane j is non-negative. */
-  def signatureCol(v: Column, nBits: Int): Column =
-    aggregate(sequence(lit(0), lit(nBits - 1)), lit(0L), (acc, j) => {
-      val proj = aggregate(sequence(lit(1), size(v)), lit(0L),
-        (pacc, dd) => pacc + planeSign(j, dd) * element_at(v, dd))
-      acc + when(proj >= 0, pow2(j)).otherwise(lit(0L))
-    })
+    * the projection onto pseudo-random plane j is non-negative. The
+    * vector is let-bound (one-element transform) so it is quantized once
+    * per row, not once per plane. */
+  def signatureCol(v: Column, nBits: Int, dim: Int = 64): Column =
+    Dedup.bind(v) { vv =>
+      (0 until nBits).map { j =>
+        val proj = aggregate(
+          zip_with(vv, typedlit(planeRow(j, dim)), (x, p) => x * p),
+          lit(0L), (acc, x) => acc + x)
+        when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
 
   /** N2 — LSH-bucketed ANN: candidates share a signature within Hamming
     * <= 1 of the query's (nBits+1 probe buckets), then exact cosine
@@ -78,12 +84,13 @@ object Similarity {
       .select(quant(col("embedding")).as("qv"))
       .withColumn("qsig", signatureCol(col("qv"), nBits))
     val probes = q.select(col("qv"),
-      explode(concat(
-        array(col("qsig")),
-        transform(sequence(lit(0), lit(nBits - 1)),
-          j => col("qsig").bitwiseXOR(pow2(j))))).as("psig"))
+      explode(array(col("qsig") +:
+        (0 until nBits).map(j => col("qsig").bitwiseXOR(lit(1L << j))): _*)).as("psig"))
+    // The signature index is the materialized artifact at scale — persist
+    // so the quantize+project pipeline runs once, not per consumer.
     val sigs = embeddings.select(col("vec_id"), quant(col("embedding")).as("v"))
       .withColumn("sig", signatureCol(col("v"), nBits))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.join(broadcast(probes), col("sig") === col("psig"))
       .select(col("vec_id"),
         cosine(idot(col("v"), col("qv")), inorm2(col("v")), inorm2(col("qv"))).as("cos"))
