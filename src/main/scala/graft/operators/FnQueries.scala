@@ -42,6 +42,18 @@ object FnQueries extends graft.QueryModule {
     7L -> Some(""),
     8L -> Some("Café Bureau | Unit #9"))
 
+  /** F3 fixtures: typo-fix paths (Departmint/Tcity), alias-map hits,
+    * Mc-names, WV token, whitespace collapse — corrections.ts:44-57. */
+  private val agencyVariants: Seq[(Long, Option[String])] = Seq(
+    1L -> Some("Departmint of Health"),
+    2L -> Some("Tcity of Charleston"),
+    3L -> Some("  wv  state   police "),
+    4L -> Some("McDowell County Sheriff's Office"),
+    5L -> Some("DEPARTMENT OF TRANSPORTATION"),
+    6L -> Some("Departmen of Education"),
+    7L -> Some(""),
+    8L -> None)
+
   private val rawDates: Seq[(Long, Option[String])] = Seq(
     1L -> Some("3/5/2024"),
     2L -> Some("2024-03-05"),
@@ -152,6 +164,12 @@ object FnQueries extends graft.QueryModule {
       df1(s, names, "name").select(col("id"),
         Udfs.titlify(col("name"), lit(false)).as("titled"),
         Udfs.titlify(col("name"), lit(true)).as("titled_noacro"))),
+
+    // F3 — normalizeAgencyName (UDF over typo-fix regexes + alias map,
+    // reference src/lib/corrections.ts:44-57; goldens in TextSpec).
+    graft.QueryDef("f3_normalize_agency", None)((s, d) =>
+      df1(s, agencyVariants, "raw").select(col("id"),
+        graft.entries.Normalize.agencyNameUdf(col("raw")).as("canonical"))),
 
     // S3 — normalizeDate: pure string transform, no calendar validation.
     graft.QueryDef("s3_normalize_date", Some(
