@@ -185,12 +185,15 @@ object StarPredicates extends graft.QueryModule {
     }),
 
     // P5 — NOT NULL / non-empty filters (reference
-    // src/lib/db/entries.ts:161,183,195) over a derived nullable column.
+    // src/lib/db/entries.ts:161,183,195). The null/inequality conjuncts
+    // are written directly on the stored column (not via nullif()) so
+    // they push into the parquet scan; only the trim() conjunct must
+    // evaluate post-scan.
     graft.QueryDef("p5_nonnull_nonempty", Some(
       """SELECT doc_id, lang, source FROM documents
-        |WHERE nullif(lang, 'en') IS NOT NULL AND trim(text) <> ''""".stripMargin))((s, d) =>
+        |WHERE lang IS NOT NULL AND lang <> 'en' AND trim(text) <> ''""".stripMargin))((s, d) =>
       Tables.documents(s, d)
-        .where(nullif(col("lang"), lit("en")).isNotNull && trim(col("text")) =!= "")
+        .where(col("lang").isNotNull && col("lang") =!= "en" && trim(col("text")) =!= "")
         .select("doc_id", "lang", "source")),
 
     // P7 — point lookup by id (reference src/lib/db/entries.ts:141-145).

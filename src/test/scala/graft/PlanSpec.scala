@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the queries must not only return correct rows,
+  * they must compile to the plan shapes that survive a 100x scale-up —
+  * filters pushed into the parquet scan, dimension joins broadcast, no
+  * cartesian products anywhere, hot paths under whole-stage codegen.
+  */
+class PlanSpec extends AnyFunSuite with SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("no registered query compiles to a CartesianProduct") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+  }
+
+  test("filters reach the parquet scan (PushedFilters non-empty)") {
+    for (name <- Seq("p2_in_list", "p5_nonnull_nonempty", "p7_point_lookup")) {
+      val p = plan(name)
+      assert(p.contains("PushedFilters: ["), s"$name: no pushdown section")
+      assert(!p.matches("(?s).*PushedFilters: \\[\\].*"),
+        s"$name: PushedFilters is empty")
+    }
+  }
+
+  test("column pruning: scan-project reads only requested columns") {
+    val p = plan("s4_scan_project")
+    assert(p.contains("ReadSchema"))
+    // o_comment is the widest orders column; a pruned scan must not read it
+    assert(!p.contains("o_comment"), "scan reads unprojected o_comment")
+  }
+
+  test("small-side joins broadcast (corrections overlay, alias expansion)") {
+    for (name <- Seq("j2_alias_broadcast", "j5_corrections_join")) {
+      assert(plan(name).contains("BroadcastHashJoin"), s"$name: no broadcast join")
+    }
+  }
+
+  test("CASE-overlay variant stays join-free (constant-folded expression)") {
+    val p = plan("p4_case_overlay")
+    assert(!p.contains("Join"), "p4 should be a pure expression, no join")
+  }
+
+  test("flagship + hot aggregates run under whole-stage codegen") {
+    // whole-stage codegen shows as a `*(n)` stage prefix in the tree
+    // string; under AQE the codegen'd final plan only exists after an
+    // action, so execute first.
+    for (name <- Seq("p1_ci_equality", "a2_agency_stats", "a9_home_stats")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect() // finalize this plan in place (a write would clone it)
+      assert(df.queryExecution.executedPlan.toString.contains("*("),
+        s"$name: no codegen span")
+    }
+  }
+
+  test("ANN brute-force top-k avoids a global sort (TakeOrderedAndProject)") {
+    assert(plan("n1_ann_bruteforce").contains("TakeOrderedAndProject"))
+  }
+
+  test("LSH candidate joins are equality joins on band keys, not loops") {
+    for (name <- Seq("d2_minhash_lsh", "d3_simhash")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name: nested-loop join")
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian")
+    }
+  }
+}
