@@ -175,10 +175,12 @@ object Cols {
 
   /** FTS terms of one text column: diacritic-fold, lowercase, split on
     * non-alphanumerics — the Spark analog of FTS5 `unicode61
-    * remove_diacritics 1` (reference migrations/0002_fts.sql:12). */
+    * remove_diacritics 1` (reference migrations/0002_fts.sql:12). The
+    * fold is the native codegen expression, not a UDF, so index builds
+    * stay in one whole-stage span. */
   def ftsTokens(c: Column): Column =
-    filter(split(lower(Udfs.stripDiacritics(coalesce(c, lit("")))), "[^a-z0-9]+"),
-      t => t =!= "")
+    filter(split(lower(graft.plans.NativeFunctions.stripDiacritics(coalesce(c, lit("")))),
+      "[^a-z0-9]+"), t => t =!= "")
 }
 
 /** The engine's entire UDF surface: three deterministic string UDFs whose

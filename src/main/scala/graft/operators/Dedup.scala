@@ -153,6 +153,10 @@ object Dedup {
   val simhashUdf = udf((tokens: Seq[String]) =>
     if (tokens == null) 0L else simhash(tokens))
 
+  /** Native codegen variant of [[simhashUdf]] (graft.plans.SimHash64). */
+  def simhashCol(tokens: Column): Column =
+    graft.plans.NativeFunctions.simhash64(tokens)
+
   /** SimHash near-dup pairs: 4x16-bit band blocking, then Hamming <= k.
     * Band equality guarantees FULL recall for Hamming <= 3 by pigeonhole
     * (4 bands, <=3 flipped bits leave one band intact) — the classic
@@ -162,7 +166,7 @@ object Dedup {
     * scale-correct default. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sims = docs.select(col("doc_id"),
-      simhashUdf(split(normText(col("text")), " ")).as("sim"))
+      simhashCol(split(normText(col("text")), " ")).as("sim"))
       .persist(StorageLevel.MEMORY_AND_DISK) // both self-join sides read it
     val bandCols = (0 to 3).map(b => concat_ws("-", lit(b),
       shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).cast(StringType)))
