@@ -63,18 +63,87 @@ object Similarity {
     }
 
   /** Hyperplane-sign signature of a quantized vector: bit j is set when
-    * the projection onto pseudo-random plane j is non-negative. The
-    * vector is let-bound (one-element transform) so it is quantized once
-    * per row, not once per plane. */
-  def signatureCol(v: Column, nBits: Int, dim: Int = 64): Column =
+    * the projection onto pseudo-random plane j+planeOffset is
+    * non-negative. The vector is let-bound (one-element transform) so it
+    * is quantized once per row, not once per plane. planeOffset selects
+    * an independent plane family (multi-table LSH). */
+  def signatureCol(v: Column, nBits: Int, dim: Int = 64, planeOffset: Int = 0): Column =
     Dedup.bind(v) { vv =>
       (0 until nBits).map { j =>
         val proj = aggregate(
-          zip_with(vv, typedlit(planeRow(j, dim)), (x, p) => x * p),
+          zip_with(vv, typedlit(planeRow(planeOffset + j, dim)), (x, p) => x * p),
           lit(0L), (acc, x) => acc + x)
         when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
     }
+
+  /** Near-duplicate probes: vec_id < 10 re-emitted at +1000000 with the
+    * first component nudged by +0.01 — cosine vs the original stays
+    * >0.999 while no natural pair in the corpus exceeds ~0.51. */
+  def withVecProbes(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding"))
+      .unionByName(embeddings.where(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding")))
+
+  /** D5 — embedding-cosine near-dup pairs via multi-table hyperplane LSH:
+    * nTables independent 8-bit signatures; candidates = pairs sharing ANY
+    * table signature (equality self-join on the banded key — never
+    * all-pairs); exact integer cosine >= threshold verifies. Missing a
+    * true near-dup requires a sign flip in EVERY table (~1e-6 here). */
+  def cosineDedupPairs(embeddings: DataFrame, threshold: Double,
+                       nTables: Int = 4, bits: Int = 8): DataFrame = {
+    val q = embeddings.select(col("vec_id"), quant(col("embedding")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = (0 until nTables).map(t =>
+      concat_ws("-", lit(t), signatureCol(col("v"), bits, planeOffset = t * bits)))
+    val banded = q.select(col("vec_id"), explode(array(bands: _*)).as("band"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(q.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+      .join(q.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosine(idot(col("va"), col("vb")), inorm2(col("va")), inorm2(col("vb"))).as("cos"))
+      .where(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+  }
+
+  /** N3 — IVF (inverted-file) ANN: k-means cells over the corpus (the
+    * index artifact; trained once, seeded), query probes only the nProbe
+    * nearest cells, exact cosine rerank inside them. The scan cost is
+    * nProbe/k of the corpus vs brute force; centroid selection is a
+    * driver-side O(k) step on the broadcast-sized model. */
+  def ivfTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = embeddings.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding").cast(ArrayType(DoubleType))).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(feat)
+    val assigned = model.transform(feat)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+    val qVec = embeddings.where(col("vec_id") === queryVecId)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    val probeCells = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.toArray.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum
+        (d, i)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    val qv = embeddings.where(col("vec_id") === queryVecId)
+      .select(quant(col("embedding")).as("qv"))
+    assigned.where(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+      .select(col("vec_id"), quant(col("embedding")).as("v"))
+      .join(broadcast(qv))
+      .select(col("vec_id"),
+        cosine(idot(col("v"), col("qv")), inorm2(col("v")), inorm2(col("qv"))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
 
   /** N2 — LSH-bucketed ANN: candidates share a signature within Hamming
     * <= 1 of the query's (nBits+1 probe buckets), then exact cosine
@@ -127,9 +196,19 @@ object SimilarityQueries extends graft.QueryModule {
         |LIMIT 20""".stripMargin))((s, d) =>
       bruteForceTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 20)),
 
-    // N2 — LSH-bucketed ANN (engine-side hashing: rows-only; SimSpec
+    // N2 — LSH-bucketed ANN (engine-side hashing: rows-only; PipelineSpec
     // checks recall against N1 at sf0.001).
     graft.QueryDef("n2_ann_lsh", None)((s, d) =>
-      lshTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10))
+      lshTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10)),
+
+    // N3 — IVF ANN: seeded k-means cells + nProbe probing + exact rerank
+    // (rows-only; PipelineSpec checks self-hit and recall vs N1).
+    graft.QueryDef("n3_ann_ivf", None)((s, d) =>
+      ivfTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10)),
+
+    // D5 — embedding-cosine near-dup dedup over planted probes
+    // (rows-only; PipelineSpec pins the planted pairs).
+    graft.QueryDef("d5_embed_cosine_dedup", None)((s, d) =>
+      cosineDedupPairs(withVecProbes(Tables.embeddings(s, d)), threshold = 0.9))
   )
 }

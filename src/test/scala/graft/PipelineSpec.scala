@@ -66,6 +66,25 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(recall >= 2, s"recall too low: $recall of 10")
   }
 
+  test("d5: embedding-cosine LSH dedup finds exactly the planted vector pairs") {
+    val pairs = Similarity.cosineDedupPairs(
+      Similarity.withVecProbes(Tables.embeddings(spark, sf)), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 10L).map(i => (i, i + 1000000L)).toSet
+    assert(pairs == planted,
+      s"missing: ${planted -- pairs}; spurious: ${pairs -- planted}")
+  }
+
+  test("n3: IVF probes nearest cells and keeps the exact match") {
+    val emb = Tables.embeddings(spark, sf)
+    val ivf = Similarity.ivfTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSeq
+    assert(ivf.head == 0L) // the query's own cell is always probed
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = ivf.toSet.intersect(brute).size
+    assert(recall >= 2, s"recall too low: $recall of 10")
+  }
+
   test("fts: prefix search folds diacritics (unicode61 remove_diacritics)") {
     import spark.implicits._
     val docs = Seq(
