@@ -26,12 +26,13 @@ object Similarity {
   def quant(c: Column): Column =
     transform(c, x => round(x.cast(DoubleType) * 10000).cast(LongType))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors (native codegen
+    * expression — the interpreted zip_with/aggregate form dominated the
+    * cosine verify stages). */
   def idot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.plans.NativeFunctions.dotLong(a, b)
 
-  def inorm2(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
+  def inorm2(a: Column): Column = idot(a, a)
 
   /** cosine = dot / (sqrt(na) * sqrt(nb)) — written in exactly this shape
     * in the oracle too. */
@@ -56,7 +57,7 @@ object Similarity {
     * is one zip_with multiply-sum per plane (the previous element_at
     * formulation re-evaluated the whole quantization per element —
     * quadratic per row). */
-  private def planeRow(j: Int, dim: Int): Seq[Long] =
+  private[graft] def planeRow(j: Int, dim: Int): Seq[Long] =
     (1 to dim).map { d =>
       val h = java.lang.Math.floorMod((j * 131L + d + 7L) * 2654435761L, 2147483648L)
       if (h % 2 == 0) 1L else -1L
@@ -64,18 +65,12 @@ object Similarity {
 
   /** Hyperplane-sign signature of a quantized vector: bit j is set when
     * the projection onto pseudo-random plane j+planeOffset is
-    * non-negative. The vector is let-bound (one-element transform) so it
-    * is quantized once per row, not once per plane. planeOffset selects
-    * an independent plane family (multi-table LSH). */
+    * non-negative. Delegates to the native codegen expression
+    * (graft.plans.HyperplaneSig — one JVM loop per row; the interpreted
+    * zip_with/aggregate formulation was the n2/d5 bench bottleneck).
+    * planeOffset selects an independent plane family (multi-table LSH). */
   def signatureCol(v: Column, nBits: Int, dim: Int = 64, planeOffset: Int = 0): Column =
-    Dedup.bind(v) { vv =>
-      (0 until nBits).map { j =>
-        val proj = aggregate(
-          zip_with(vv, typedlit(planeRow(planeOffset + j, dim)), (x, p) => x * p),
-          lit(0L), (acc, x) => acc + x)
-        when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
+    graft.plans.NativeFunctions.hyperplaneSig(v, planeOffset, nBits)
 
   /** Near-duplicate probes: vec_id < 10 re-emitted at +1000000 with the
     * first component nudged by +0.01 — cosine vs the original stays

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
@@ -54,6 +54,59 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Hyperplane-sign LSH signature of a quantized (long) vector: bit b is
+  * set when the projection onto deterministic pseudo-random plane
+  * (planeOffset+b) is non-negative. Same plane formula as
+  * operators.Similarity.planeRow; the expression replaces an
+  * interpreted zip_with/aggregate pipeline (~8x512 boxed lambda evals
+  * per row) with one tight JVM loop. */
+case class HyperplaneSig(child: Expression, planeOffset: Int, nBits: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneSig.compute(input.asInstanceOf[ArrayData], planeOffset, nBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.HyperplaneSig.compute($c, $planeOffset, $nBits)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
+object HyperplaneSig {
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Long]]()
+
+  /** ±1 signs of plane j over dims 1..dim (matches Similarity.planeRow). */
+  def plane(j: Int, dim: Int): Array[Long] =
+    planeCache.computeIfAbsent((j, dim), { case (jj, dd) =>
+      Array.tabulate(dd) { i =>
+        val d = i + 1
+        val h = java.lang.Math.floorMod((jj * 131L + d + 7L) * 2654435761L, 2147483648L)
+        if (h % 2 == 0) 1L else -1L
+      }
+    })
+
+  def compute(v: ArrayData, offset: Int, bits: Int): Long = {
+    val n = v.numElements()
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      val p = plane(offset + b, n)
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc += p(i) * v.getLong(i); i += 1 }
+      if (acc >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
 object SimHash64 {
   /** Static helper invoked from generated code; operates directly on the
     * columnar ArrayData, no Seq materialization. */
@@ -79,6 +132,35 @@ object SimHash64 {
   }
 }
 
+/** Exact integer dot product of two long arrays (zip_with+aggregate was
+  * the interpreted hot path of every cosine verify/rerank stage). */
+case class DotProductLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_long"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    DotProductLong.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.plans.DotProductLong.compute($l, $r)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductLong =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProductLong {
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+}
+
 /** Column builders + SQL registration for the native expressions. */
 object NativeFunctions {
 
@@ -87,6 +169,12 @@ object NativeFunctions {
 
   def simhash64(c: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(c)))
+
+  def hyperplaneSig(c: Column, planeOffset: Int, nBits: Int): Column =
+    Bridge.column(HyperplaneSig(Bridge.expression(c), planeOffset, nBits))
+
+  def dotLong(a: Column, b: Column): Column =
+    Bridge.column(DotProductLong(Bridge.expression(a), Bridge.expression(b)))
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[StripDiacritics].getName, null, name, usage, "")

@@ -52,6 +52,35 @@ class NativeExprSpec extends AnyFunSuite with SparkSuite {
     assert(r.getLong(1) == operators.Dedup.simhash(Seq("a", "b")))
   }
 
+  test("hyperplane_sig matches the plane-row formula") {
+    import spark.implicits._
+    // plane parity between the native cache and the driver-side formula
+    for (j <- 0 until 40)
+      assert(plans.HyperplaneSig.plane(j, 64).toSeq == operators.Similarity.planeRow(j, 64))
+    val vecs = Seq(Seq.fill(64)(1L), (1L to 64L).toSeq, Seq.fill(64)(-3L))
+    val got = vecs.toDF("v")
+      .select(NativeFunctions.hyperplaneSig(col("v"), 8, 8)).as[Long].collect()
+    val want = vecs.map { v =>
+      (0 until 8).map { b =>
+        val p = operators.Similarity.planeRow(8 + b, 64)
+        val proj = v.zip(p).map { case (x, s) => x * s }.sum
+        if (proj >= 0) 1L << b else 0L
+      }.sum
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("dot_long matches a plain Scala dot product") {
+    import spark.implicits._
+    val pairs = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      (Seq(-7L, 0L, 9L), Seq(2L, 2L, 2L)),
+      (Seq.empty[Long], Seq.empty[Long]))
+    val got = pairs.toDF("a", "b")
+      .select(NativeFunctions.dotLong(col("a"), col("b"))).as[Long].collect()
+    assert(got.toSeq == pairs.map { case (a, b) => a.zip(b).map(t => t._1 * t._2).sum })
+  }
+
   test("the expressions do not break whole-stage codegen") {
     import spark.implicits._
     val df = samples.toDF("s").repartition(2) // defeat LocalRelation fold
