@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ScaleOps
+
+/** The scale levers must actually change the physical plan, not just
+  * exist: bucketed joins shuffle nothing; salted joins return exactly
+  * the plain-join rows. */
+class ScaleOpsSpec extends AnyFunSuite with SparkSuite {
+
+  test("bucketed tables join with no exchange on either side") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    ScaleOps.writeBucketed(o, "b_orders", 8, "o_orderkey")
+    ScaleOps.writeBucketed(
+      l.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", 8, "o_orderkey")
+    // Disable broadcast conversion (planner + AQE): at test scale the
+    // tables are tiny, but the point is the shuffle-free SMJ shape the
+    // bucketing buys at fact-vs-fact scale.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.sql(
+        """SELECT o.o_orderkey, o.o_totalprice, l.l_quantity
+          |FROM b_orders o JOIN b_lineitem l USING (o_orderkey)""".stripMargin)
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("salted join returns exactly the plain-join rows") {
+    import spark.implicits._
+    // skewed fact: 90% of rows hit one key
+    val fact = (1L to 2000L).map(i => (i, if (i % 10 == 0) i % 7 else 1L))
+      .toDF("row_id", "k")
+    val dim = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "c"),
+      (5L, "d"), (6L, "e"), (0L, "f")).toDF("k", "v")
+    val plain = fact.join(dim, Seq("k"))
+      .select("row_id", "k", "v").collect().map(_.toString).sorted
+    val salted = ScaleOps.saltedJoin(fact, dim, "k", "row_id", salts = 8)
+      .select("row_id", "k", "v").collect().map(_.toString).sorted
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("salted join is deterministic across re-runs (no rand())") {
+    import spark.implicits._
+    val fact = (1L to 500L).map(i => (i, i % 3)).toDF("row_id", "k")
+    val dim = Seq((0L, "x"), (1L, "y"), (2L, "z")).toDF("k", "v")
+    def run() = ScaleOps.saltedJoin(fact, dim, "k", "row_id", salts = 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(run() == run())
+  }
+}

@@ -11,6 +11,8 @@ trait SparkSuite { self: AnyFunSuite =>
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .getOrCreate()
   lazy val sf: String = "/root/testdata/sf0.001"
 }
