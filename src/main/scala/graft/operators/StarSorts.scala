@@ -136,6 +136,25 @@ object StarSorts extends graft.QueryModule {
         .join(broadcast(maxDf), col("order_date") === col("max_date"))
         .select(col("o_orderkey"), col("order_date").cast(StringType).as("order_date"))
         .orderBy(col("o_orderkey").desc)
+    }),
+
+    // O7 — per-group top-k via the typed TopKAggregator (SURVEY §2.10):
+    // bounded partial/merge buffers, shuffle O(groups*k) — vs the window
+    // row_number formulation (the oracle) which sorts every group fully.
+    graft.QueryDef("o7_topk_agg", Some(
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin))((s, d) => {
+      import s.implicits._
+      val ds = Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .as[(String, Long, Double)]
+      ds.groupByKey(_._1)
+        .agg(new graft.functions.TopKAggregator(3).toColumn)
+        .flatMap { case (prio, top) => top.map(t => (prio, t._1, t._2)) }
+        .toDF("o_orderpriority", "o_orderkey", "o_totalprice")
     })
   )
 }

@@ -13,6 +13,22 @@ import graft.Tables
   */
 object TextAnalysisQueries extends graft.QueryModule {
 
+  /** Winnowing fingerprints: rolling k-gram hash minima per w-window
+    * over the normalized text. Output one row per (doc_id, fingerprint).
+    * All array stages are let-bound (Dedup.bind) so the text is
+    * normalized once and the hash array built once per row. */
+  def winnow(docs: DataFrame, k: Int, w: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(Dedup.bind(Dedup.normText(col("text"))) { s =>
+        Dedup.bind(transform(
+          sequence(lit(1), greatest(length(s) - (k - 1), lit(1))),
+          i => xxhash64(s.substr(i, lit(k))))) { hashes =>
+          array_distinct(transform(
+            sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
+            j => array_min(slice(hashes, j, lit(w)))))
+        }
+      }).as("fingerprint"))
+
   /** Occurrences of `needle` via the length-difference trick — identical
     * semantics in both engines, cheap, codegen-friendly. */
   private def occ(c: Column, needle: String): Column =
@@ -104,6 +120,13 @@ object TextAnalysisQueries extends graft.QueryModule {
       Tables.documents(s, d).select(col("doc_id"),
         md5(array_join(array_sort(array_distinct(
           split(lower(col("text")), "[^a-z0-9]+"))), " ").cast(BinaryType)).as("fingerprint"))),
+
+    // T5 — winnowing fingerprint (Schleimer et al., MOSS): k-gram hashes
+    // + per-window minima; two documents sharing a sufficiently long
+    // substring share a fingerprint regardless of position. Rows-only
+    // (xxhash64 has no DuckDB twin); WinnowSpec pins the sharing law.
+    graft.QueryDef("t5_winnowing", None)((s, d) =>
+      winnow(Tables.documents(s, d), k = 8, w = 16)),
 
     // M1 — typed metadata over an opaque payload column: JSON props of
     // events parsed and aggregated per event type.

@@ -107,6 +107,36 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(hits == Set(1L))
   }
 
+  test("t5: winnowing — shared substrings share fingerprints, disjoint texts don't") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, shared + " alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "completely different prefix here and then " + shared),
+      (3L, "unrelated content entirely made of other words nothing in common at all")
+    ).toDF("doc_id", "text")
+    val fp = operators.TextAnalysisQueries.winnow(docs, k = 8, w = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    assert((fp(1L) & fp(2L)).nonEmpty, "shared 60+ char substring must share a fingerprint")
+    assert((fp(1L) & fp(3L)).isEmpty, "disjoint texts must not collide")
+    // determinism: second run produces the identical fingerprint sets
+    val fp2 = operators.TextAnalysisQueries.winnow(docs, k = 8, w = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fp2 == fp.toSeq.flatMap { case (id, s) => s.map(id -> _) }.toSet)
+  }
+
+  test("o7: TopKAggregator agrees with the window top-k on real data") {
+    val rows = SparkEntry.queries("o7_topk_agg")(spark, sf).collect()
+    assert(rows.length > 0)
+    val byGroup = rows.groupBy(_.getString(0))
+    byGroup.foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      val scores = rs.map(_.getDouble(2)).toSeq
+      assert(scores == scores.sorted.reverse, "group rows must be score-desc")
+    }
+  }
+
   test("upsert LWW is idempotent across re-runs (S5 determinism)") {
     val q = SparkEntry.queries("s5_upsert_lww")
     val a = q(spark, sf).collect().map(_.toString).sorted.toSeq
