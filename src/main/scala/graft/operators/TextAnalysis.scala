@@ -13,21 +13,13 @@ import graft.Tables
   */
 object TextAnalysisQueries extends graft.QueryModule {
 
-  /** Winnowing fingerprints: rolling k-gram hash minima per w-window
-    * over the normalized text. Output one row per (doc_id, fingerprint).
-    * All array stages are let-bound (Dedup.bind) so the text is
-    * normalized once and the hash array built once per row. */
+  /** Winnowing fingerprints: Rabin-Karp rolling k-gram hashes + sliding
+    * w-window minima, one linear pass per row via the native Winnow
+    * codegen expression. Output one row per (doc_id, fingerprint). */
   def winnow(docs: DataFrame, k: Int, w: Int): DataFrame =
     docs.select(col("doc_id"),
-      explode(Dedup.bind(Dedup.normText(col("text"))) { s =>
-        Dedup.bind(transform(
-          sequence(lit(1), greatest(length(s) - (k - 1), lit(1))),
-          i => xxhash64(s.substr(i, lit(k))))) { hashes =>
-          array_distinct(transform(
-            sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
-            j => array_min(slice(hashes, j, lit(w)))))
-        }
-      }).as("fingerprint"))
+      explode(graft.plans.NativeFunctions.winnow(
+        Dedup.normText(col("text")), k, w)).as("fingerprint"))
 
   /** Occurrences of `needle` via the length-difference trick — identical
     * semantics in both engines, cheap, codegen-friendly. */

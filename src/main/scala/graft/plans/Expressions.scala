@@ -132,6 +132,79 @@ object SimHash64 {
   }
 }
 
+/** Winnowing fingerprints (Schleimer et al., SIGMOD'03): Rabin-Karp
+  * rolling hash over character k-grams (O(1) per position) + sliding
+  * w-window minima via a monotonic deque (O(n) total), distinct, sorted.
+  * The Column-level formulation (xxhash64 of substr per position +
+  * array_min of slice per window) is O(n*(k+w)) in interpreted lambda
+  * evals; this is one linear JVM pass. */
+case class Winnow(child: Expression, k: Int, w: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow"
+
+  override def nullSafeEval(input: Any): Any =
+    Winnow.compute(input.asInstanceOf[UTF8String].toString, k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Winnow.compute($c.toString(), $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Winnow =
+    copy(child = newChild)
+}
+
+object Winnow {
+  /** murmur3 fmix64 — public-domain avalanche finalizer; spreads the
+    * polynomial hash so window minima are uniform. */
+  private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33; x
+  }
+
+  def compute(s: String, k: Int, w: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = s.length
+    if (n == 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val kk = math.min(k, n)
+    val m = n - kk + 1
+    val B = 1000003L
+    val hashes = new Array[Long](m)
+    var h = 0L
+    var i = 0
+    while (i < kk) { h = h * B + s.charAt(i); i += 1 }
+    var pow = 1L
+    i = 1
+    while (i < kk) { pow *= B; i += 1 }
+    hashes(0) = fmix64(h)
+    var p = 1
+    while (p < m) {
+      h = (h - s.charAt(p - 1) * pow) * B + s.charAt(p + kk - 1)
+      hashes(p) = fmix64(h)
+      p += 1
+    }
+    val ww = math.min(w, m)
+    val out = new java.util.TreeSet[java.lang.Long]()
+    val deque = new Array[Int](m)
+    var head = 0
+    var tail = 0
+    var j = 0
+    while (j < m) {
+      while (tail > head && hashes(deque(tail - 1)) >= hashes(j)) tail -= 1
+      deque(tail) = j
+      tail += 1
+      if (deque(head) <= j - ww) head += 1
+      if (j >= ww - 1) out.add(hashes(deque(head)))
+      j += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var o = 0
+    while (it.hasNext) { arr(o) = it.next(); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+}
+
 /** Exact integer dot product of two long arrays (zip_with+aggregate was
   * the interpreted hot path of every cosine verify/rerank stage). */
 case class DotProductLong(left: Expression, right: Expression)
@@ -175,6 +248,9 @@ object NativeFunctions {
 
   def dotLong(a: Column, b: Column): Column =
     Bridge.column(DotProductLong(Bridge.expression(a), Bridge.expression(b)))
+
+  def winnow(c: Column, k: Int, w: Int): Column =
+    Bridge.column(Winnow(Bridge.expression(c), k, w))
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[StripDiacritics].getName, null, name, usage, "")
