@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition-count invariance: every LIMIT/top-k query must select the
+  * same row SET under different parallelism — i.e. each LIMIT sits on a
+  * total order with a unique tiebreak. A query that passes the oracle
+  * once but samples partition-dependent rows would flake the driver's
+  * gate; this catches it structurally.
+  *
+  * n3_ann_ivf is exercised separately (PipelineSpec): k-means centroid
+  * float sums are partition-order-dependent, so IVF guarantees recall
+  * bounds, not byte-stable output — inherent to the algorithm.
+  */
+class DeterminismSpec extends AnyFunSuite with SparkSuite {
+
+  private val limitQueries = Seq(
+    "o1_sort_dispatch", "o1_fee_sort", "o2_offset_page", "o5_topn",
+    "o6_snapshot_sort", "o7_topk_agg", "q_list_entries", "s9_rss_items",
+    "n1_ann_bruteforce", "n2_ann_lsh")
+
+  test("limit-bearing queries are invariant to shuffle partition count") {
+    val alt = spark.newSession()
+    alt.conf.set("spark.sql.shuffle.partitions", "13")
+    for (name <- limitQueries) {
+      val a = SparkEntry.queries(name)(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      val b = SparkEntry.queries(name)(alt, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"$name: row set depends on partitioning")
+      spark.catalog.clearCache()
+      alt.catalog.clearCache()
+    }
+  }
+}
