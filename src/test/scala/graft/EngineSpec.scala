@@ -1,0 +1,130 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.entries.{Engine, Fixture, Normalize, SearchOptions}
+import graft.functions.Text
+
+/** The parameterized listEntries engine vs an independent in-memory
+  * model of the reference semantics (filters, corrected dates, sort
+  * dispatch incl. SQLite fee CAST, page clamping). The model is written
+  * directly from the reference's code paths, not by reusing engine
+  * transforms — divergence in either fails here. */
+class EngineSpec extends AnyFunSuite with SparkSuite {
+
+  private val corr = Fixture.dateCorrections.map(c => c._1 -> c).toMap
+
+  private case class Row(id: Long, agency: String, resolution: Option[String],
+                         fee: Option[String], req: Option[String], comp: Option[String])
+
+  private val model: Seq[Row] = Fixture.entries.map { e =>
+    val c = corr.get(e.id)
+    Row(e.id, e.agency, e.resolution, e.fee,
+      c.flatMap(_._2).orElse(e.request_date),
+      c.flatMap(_._3).orElse(e.completion_date))
+  }
+
+  private def feeInt(f: Option[String]): Long =
+    f.map(_.trim).flatMap(s => "^-?[0-9]+".r.findFirstIn(s)).map(_.toLong).getOrElse(0L)
+
+  private def expectedIds(opts: SearchOptions): (Seq[Long], Long) = {
+    var rows = model
+    opts.agency.foreach { a =>
+      val cands = Normalize.aliasCandidates(a).map(_.toLowerCase).toSet
+      rows = rows.filter(r => cands.contains(r.agency.toLowerCase))
+    }
+    if (opts.resolutions.nonEmpty)
+      rows = rows.filter(r => r.resolution.exists(opts.resolutions.contains))
+    opts.requestedFrom.foreach(v => rows = rows.filter(_.req.exists(_ >= v)))
+    opts.requestedTo.foreach(v => rows = rows.filter(_.req.exists(_ <= v)))
+    opts.completedFrom.foreach(v => rows = rows.filter(_.comp.exists(_ >= v)))
+    opts.completedTo.foreach(v => rows = rows.filter(_.comp.exists(_ <= v)))
+    val sorted = opts.sort match {
+      // NULL smallest (SQLite): last under DESC, first under ASC
+      case "newest" => rows.sortBy(r => (r.req.isEmpty, r.req.getOrElse(""), r.id))(
+        Ordering.Tuple3(Ordering.Boolean, Ordering.String.reverse, Ordering.Long))
+      case "oldest" => rows.sortBy(r => (r.req.nonEmpty, r.req.getOrElse(""), r.id))
+      case "highest_fee" => rows.sortBy(r => (-feeInt(r.fee), r.id))
+      case _ => rows.sortBy(r => -r.id)
+    }
+    val total = sorted.size.toLong
+    val totalPages = math.max(math.ceil(total / opts.pageSize.toDouble).toInt, 1)
+    val page = math.min(math.max(opts.page, 1), totalPages)
+    (sorted.slice((page - 1) * opts.pageSize, page * opts.pageSize).map(_.id), total)
+  }
+
+  private def run(opts: SearchOptions): (Seq[Long], Long) = {
+    val got = Engine.listEntries(spark, Fixture.df(spark), opts)
+    val ids = got.rows.select("id").collect().map(_.getLong(0)).toSeq
+    spark.catalog.clearCache()
+    (ids, got.total)
+  }
+
+  private def check(opts: SearchOptions): Unit = {
+    val (wantIds, wantTotal) = expectedIds(opts)
+    val (gotIds, gotTotal) = run(opts)
+    assert(gotTotal == wantTotal, s"total mismatch for $opts")
+    assert(gotIds == wantIds, s"page mismatch for $opts")
+  }
+
+  test("default sort: id DESC, first page") {
+    check(SearchOptions(pageSize = 10))
+  }
+
+  test("agency alias expansion is case-insensitive and covers all spellings") {
+    check(SearchOptions(agency = Some("DEP"), pageSize = 10))
+    check(SearchOptions(agency = Some("west virginia state police"), pageSize = 10))
+  }
+
+  test("resolution IN-list + corrected request range, newest sort") {
+    check(SearchOptions(resolutions = Seq("Granted", "Granted in part"),
+      requestedFrom = Some("2025-01-01"), requestedTo = Some("2025-05-31"),
+      sort = "newest", pageSize = 5))
+  }
+
+  test("corrected dates drive the range filter (id 3 patched into Feb)") {
+    // raw request 2025-01-01 but corrected to 2025-02-24: a Feb-only
+    // window must include id 3
+    val (ids, _) = run(SearchOptions(requestedFrom = Some("2025-02-01"),
+      requestedTo = Some("2025-02-28"), pageSize = 50))
+    assert(ids.contains(3L))
+  }
+
+  test("highest_fee uses SQLite CAST-prefix parse ($1,250.00 -> 1)") {
+    check(SearchOptions(sort = "highest_fee", pageSize = 8))
+  }
+
+  test("oldest sort puts NULL request dates first (SQLite NULL ordering)") {
+    val (ids, _) = run(SearchOptions(sort = "oldest", pageSize = 3))
+    assert(ids.head == 16L) // the only NULL request_date in the corpus
+    check(SearchOptions(sort = "oldest", pageSize = 3))
+  }
+
+  test("page clamps into [1, totalPages] both ways") {
+    check(SearchOptions(pageSize = 4, page = 99999))
+    check(SearchOptions(pageSize = 4, page = -3))
+  }
+
+  test("FTS prefix-AND narrows to documents containing every prefix") {
+    val (ids, total) = run(SearchOptions(q = Some("Spark Wind"), pageSize = 50))
+    assert(ids == Seq(14L) && total == 1) // 'spark window' in subject
+    val (ids2, _) = run(SearchOptions(q = Some("spark"), pageSize = 50))
+    assert(ids2.toSet == Set(6L, 14L)) // 'spark' appears in subjects 6 and 14
+  }
+
+  test("distinctResolutions and resolutionCounts match the model") {
+    val want = model.flatMap(_.resolution).filter(_.nonEmpty).distinct.sorted
+    val got = Engine.distinctResolutions(Fixture.df(spark))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == want)
+    val counts = Engine.resolutionCounts(Fixture.df(spark))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wantCounts = model.flatMap(_.resolution).filter(_.nonEmpty)
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(counts == wantCounts)
+  }
+
+  test("latestEntryId is the sync cursor with 0 on empty") {
+    assert(Engine.latestEntryId(Fixture.df(spark)) == 26L)
+    assert(Engine.latestEntryId(Fixture.df(spark).where("id < 0")) == 0L)
+  }
+}
