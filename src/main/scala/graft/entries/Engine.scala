@@ -118,3 +118,141 @@ object Engine {
   def latestEntryId(entries: DataFrame): Long =
     entries.agg(coalesce(max(col("id")), lit(0L))).head().getLong(0)
 }
+
+/** Parameterized agencies API — agencyStats / homeStats / timeline /
+  * listing (src/lib/db/agencies.ts + entries.ts:206-251). The q_* gate
+  * queries delegate here with fixed Fixture parameters, so the driver's
+  * oracle exercises these exact code paths. All trailing windows take an
+  * explicit `asOf` (the reference's hidden `new Date()`).
+  */
+object AgencyEngine {
+
+  private def winCol(asOf: String, n: Int): Column =
+    col("request_date") >= date_sub(to_date(lit(asOf)), n).cast(StringType)
+  private def validCol: Column =
+    col("request_date").isNotNull && col("completion_date").isNotNull &&
+      col("completion_date") >= col("request_date")
+  private def ddiffCol: Column =
+    datediff(try_to_date(col("completion_date")), try_to_date(col("request_date")))
+  private def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+
+  /** A2+A3+J3+A10 as one distributed plan (agencies.ts:54-139): 12
+    * conditional aggregates re-keyed by canonical slug, full-outer
+    * merged with bucketed resolution counts, avg-from-parts finals. */
+  def agencyStats(spark: SparkSession, entries: DataFrame, asOf: String): DataFrame = {
+    val base = Normalize.withIdentity(entries)
+    def w(n: Int) = winCol(asOf, n)
+    def dsumIf(c: Column) = sum(when(c, ddiffCol.cast(LongType)).otherwise(0L))
+    val metrics = base.groupBy("slug").agg(
+      min(col("name")).as("name"),
+      count(lit(1)).as("requests"),
+      cnt(w(30)).as("requests_30d"),
+      cnt(w(90)).as("requests_90d"),
+      cnt(w(365)).as("requests_365d"),
+      cnt(validCol).as("response_count"),
+      dsumIf(validCol).as("response_days_sum"),
+      cnt(w(30) && validCol).as("response_count_30d"),
+      dsumIf(w(30) && validCol).as("response_days_sum_30d"),
+      cnt(w(90) && validCol).as("response_count_90d"),
+      dsumIf(w(90) && validCol).as("response_days_sum_90d"),
+      cnt(w(365) && validCol).as("response_count_365d"),
+      dsumIf(w(365) && validCol).as("response_days_sum_365d"))
+    val bucket = Cols.resolutionBucket(col("resolution"))
+    val res = base.where(col("resolution").isNotNull && col("resolution") =!= "")
+      .groupBy("slug").agg(
+        cnt(bucket === "granted").as("granted"),
+        cnt(bucket === "granted_in_part").as("granted_in_part"),
+        cnt(bucket === "exempted").as("exempted"),
+        cnt(bucket === "rejected").as("rejected"),
+        cnt(bucket === "other").as("other"))
+    def avgOf(sumC: String, cntC: String) =
+      coalesce(col(sumC).cast(DoubleType) / nullif(col(cntC), lit(0L)), lit(0.0))
+    metrics.join(res, Seq("slug"), "full_outer")
+      .select(col("slug"), col("name"), col("requests"),
+        col("requests_30d"), col("requests_90d"), col("requests_365d"),
+        avgOf("response_days_sum", "response_count").as("avg_response_time"),
+        avgOf("response_days_sum_30d", "response_count_30d").as("avg_response_time_30d"),
+        avgOf("response_days_sum_90d", "response_count_90d").as("avg_response_time_90d"),
+        avgOf("response_days_sum_365d", "response_count_365d").as("avg_response_time_365d"),
+        coalesce(col("granted"), lit(0L)).as("granted"),
+        coalesce(col("granted_in_part"), lit(0L)).as("granted_in_part"),
+        coalesce(col("exempted"), lit(0L)).as("exempted"),
+        coalesce(col("rejected"), lit(0L)).as("rejected"),
+        coalesce(col("other"), lit(0L)).as("other"))
+  }
+
+  /** A9 — homeStats as ONE conditional agg, never a scan-to-driver
+    * (the reference's entries.ts:206-251 anti-pattern). */
+  def homeStats(entries: DataFrame, asOf: String, asOfYear: Int): DataFrame = {
+    val dd = Cols.diffDays(col("request_date"), col("completion_date"), asOfYear)
+    val x = entries.select(col("request_date"), dd.as("d"))
+    def w(n: Int) = winCol(asOf, n)
+    def avgOf(cond: Column) =
+      coalesce(sum(when(cond, col("d").cast(LongType))).cast(DoubleType) /
+        nullif(count(when(cond, 1)), lit(0L)), lit(0.0))
+    x.agg(
+      count(lit(1)).as("total_all"),
+      count(when(w(30), 1)).as("total_30d"),
+      count(when(w(90), 1)).as("total_90d"),
+      count(when(w(365), 1)).as("total_365d"),
+      avgOf(col("d") >= 0).as("avg_all"),
+      avgOf(col("d") >= 0 && w(30)).as("avg_30d"),
+      avgOf(col("d") >= 0 && w(90)).as("avg_90d"),
+      avgOf(col("d") >= 0 && w(365)).as("avg_365d"))
+  }
+
+  /** A8+J4 — resolution timeline: alias scope, min-completion probe,
+    * bucket pivot, dense date spine with zero-fill
+    * (agencies.ts:211-260 + the page's JS densification). */
+  def resolutionTimeline(entries: DataFrame, agency: String, asOf: String): DataFrame = {
+    val cands = Normalize.aliasCandidates(agency).map(_.toLowerCase)
+    val cand = entries.where(lower(col("agency")).isin(cands: _*))
+    val inRange = col("completion_date").isNotNull && col("completion_date") <= asOf
+    val probe = cand.where(inRange).agg(min(col("completion_date")).as("start_date"))
+    val bucket = Cols.resolutionBucket(col("resolution"))
+    val counts = cand.where(inRange)
+      .join(broadcast(probe), col("completion_date") >= col("start_date"))
+      .groupBy("completion_date").agg(
+        cnt(bucket === "granted").as("granted"),
+        cnt(bucket === "granted_in_part").as("granted_in_part"),
+        cnt(bucket === "exempted").as("exempted"),
+        cnt(bucket === "rejected").as("rejected"),
+        cnt(bucket === "other").as("other"))
+    val spine = probe.select(explode(sequence(
+      to_date(col("start_date")), to_date(lit(asOf)), expr("interval 1 day"))).as("day"))
+    spine.join(counts, spine("day").cast(StringType) === counts("completion_date"), "left")
+      .select(col("day").cast(StringType).as("date"),
+        coalesce(col("granted"), lit(0L)).as("granted"),
+        coalesce(col("granted_in_part"), lit(0L)).as("granted_in_part"),
+        coalesce(col("exempted"), lit(0L)).as("exempted"),
+        coalesce(col("rejected"), lit(0L)).as("rejected"),
+        coalesce(col("other"), lit(0L)).as("other"))
+  }
+
+  /** Agencies listing (agencies.ts:146-179): substring-AND search over
+    * name+slug, comparator sort dispatch, page slice. */
+  def listAgencies(stats: DataFrame, search: Option[String], sort: String,
+                   page: Int, pageSize: Int): DataFrame = {
+    var df = stats
+    search.map(_.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty))
+      .filter(_.nonEmpty).foreach { terms =>
+        val hay = lower(concat_ws(" ", col("name"), col("slug")))
+        df = df.where(terms.map(t => hay.contains(t)).reduce(_ && _))
+      }
+    val keys = sort match {
+      case "least_requests" => Seq(col("requests").asc, col("slug").asc)
+      case "highest_avg_response_time" => Seq(col("avg_response_time").desc, col("slug").asc)
+      case "lowest_avg_response_time" => Seq(col("avg_response_time").asc, col("slug").asc)
+      case _ => Seq(col("requests").desc, col("slug").asc) // most_requests
+    }
+    val w = Window.orderBy(keys: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") > (page - 1).toLong * pageSize &&
+        col("__rn") <= page.toLong * pageSize)
+      .drop("__rn")
+  }
+
+  /** agencyBySlug (agencies.ts:181-184). */
+  def agencyBySlug(stats: DataFrame, slug: String): DataFrame =
+    stats.where(col("slug") === slug).limit(1)
+}

@@ -209,48 +209,10 @@ object EntryQueries extends graft.QueryModule {
          |  coalesce(r.other, 0) AS other
          |FROM metrics m FULL OUTER JOIN res r ON m.slug = r.slug""".stripMargin
     }) { (s, d) =>
-      val base = Normalize.withIdentity(Fixture.df(s))
-      def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
-      def dsumIf(c: Column) = sum(when(c, ddiffCol.cast(LongType)).otherwise(0L))
-      // One bucket per slug: the reference keeps the first-encountered
-      // identity name per slug (agencies.ts:111, iteration-order
-      // dependent); min(name) is the deterministic equivalent.
-      val metrics = base.groupBy("slug").agg(
-        min(col("name")).as("name"),
-        count(lit(1)).as("requests"),
-        cnt(winCol(30)).as("requests_30d"),
-        cnt(winCol(90)).as("requests_90d"),
-        cnt(winCol(365)).as("requests_365d"),
-        cnt(validCol).as("response_count"),
-        dsumIf(validCol).as("response_days_sum"),
-        cnt(winCol(30) && validCol).as("response_count_30d"),
-        dsumIf(winCol(30) && validCol).as("response_days_sum_30d"),
-        cnt(winCol(90) && validCol).as("response_count_90d"),
-        dsumIf(winCol(90) && validCol).as("response_days_sum_90d"),
-        cnt(winCol(365) && validCol).as("response_count_365d"),
-        dsumIf(winCol(365) && validCol).as("response_days_sum_365d"))
-      val bucket = Cols.resolutionBucket(col("resolution"))
-      val res = base.where(col("resolution").isNotNull && col("resolution") =!= "")
-        .groupBy("slug").agg(
-          cnt(bucket === "granted").as("granted"),
-          cnt(bucket === "granted_in_part").as("granted_in_part"),
-          cnt(bucket === "exempted").as("exempted"),
-          cnt(bucket === "rejected").as("rejected"),
-          cnt(bucket === "other").as("other"))
-      def avgOf(sumC: String, cntC: String) =
-        coalesce(col(sumC).cast(DoubleType) / nullif(col(cntC), lit(0L)), lit(0.0))
-      metrics.join(res, Seq("slug"), "full_outer")
-        .select(col("slug"), col("name"), col("requests"),
-          col("requests_30d"), col("requests_90d"), col("requests_365d"),
-          avgOf("response_days_sum", "response_count").as("avg_response_time"),
-          avgOf("response_days_sum_30d", "response_count_30d").as("avg_response_time_30d"),
-          avgOf("response_days_sum_90d", "response_count_90d").as("avg_response_time_90d"),
-          avgOf("response_days_sum_365d", "response_count_365d").as("avg_response_time_365d"),
-          coalesce(col("granted"), lit(0L)).as("granted"),
-          coalesce(col("granted_in_part"), lit(0L)).as("granted_in_part"),
-          coalesce(col("exempted"), lit(0L)).as("exempted"),
-          coalesce(col("rejected"), lit(0L)).as("rejected"),
-          coalesce(col("other"), lit(0L)).as("other"))
+      // Delegates to the parameterized API; min(name) per slug is the
+      // deterministic equivalent of the reference's first-encountered
+      // identity name (agencies.ts:111, iteration-order dependent).
+      AgencyEngine.agencyStats(s, Fixture.df(s), AsOf)
     },
 
     // homeStats — the reference's all-rows-to-JS scan
@@ -274,20 +236,7 @@ object EntryQueries extends graft.QueryModule {
          |  coalesce(CAST(SUM(CASE WHEN d >= 0 AND ${w(365)} THEN d END) AS DOUBLE) / nullif(count(CASE WHEN d >= 0 AND ${w(365)} THEN 1 END), 0), 0.0) AS avg_365d
          |FROM x""".stripMargin
     }) { (s, d) =>
-      val dd = Cols.diffDays(col("request_date"), col("completion_date"), AsOfYear)
-      val x = Fixture.df(s).select(col("request_date"), dd.as("d"))
-      def avgOf(cond: Column) =
-        coalesce(sum(when(cond, col("d").cast(LongType))).cast(DoubleType) /
-          nullif(count(when(cond, 1)), lit(0L)), lit(0.0))
-      x.agg(
-        count(lit(1)).as("total_all"),
-        count(when(winCol(30), 1)).as("total_30d"),
-        count(when(winCol(90), 1)).as("total_90d"),
-        count(when(winCol(365), 1)).as("total_365d"),
-        avgOf(col("d") >= 0).as("avg_all"),
-        avgOf(col("d") >= 0 && winCol(30)).as("avg_30d"),
-        avgOf(col("d") >= 0 && winCol(90)).as("avg_90d"),
-        avgOf(col("d") >= 0 && winCol(365)).as("avg_365d"))
+      AgencyEngine.homeStats(Fixture.df(s), AsOf, AsOfYear)
     },
 
     // agencyResolutionTimeline — alias-set scope, min-completion probe
@@ -322,29 +271,7 @@ object EntryQueries extends graft.QueryModule {
          |  coalesce(c.other, 0) AS other
          |FROM spine LEFT JOIN counts c ON CAST(spine.day AS VARCHAR) = c.completion_date""".stripMargin
     }) { (s, d) =>
-      val cands = Normalize.aliasCandidates("DEP").map(_.toLowerCase)
-      val cand = Fixture.df(s).where(lower(col("agency")).isin(cands: _*))
-      val inRange = col("completion_date").isNotNull && col("completion_date") <= AsOf
-      val probe = cand.where(inRange).agg(min(col("completion_date")).as("start_date"))
-      val bucket = Cols.resolutionBucket(col("resolution"))
-      def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
-      val counts = cand.where(inRange)
-        .join(broadcast(probe), col("completion_date") >= col("start_date"))
-        .groupBy("completion_date").agg(
-          cnt(bucket === "granted").as("granted"),
-          cnt(bucket === "granted_in_part").as("granted_in_part"),
-          cnt(bucket === "exempted").as("exempted"),
-          cnt(bucket === "rejected").as("rejected"),
-          cnt(bucket === "other").as("other"))
-      val spine = probe.select(explode(sequence(
-        to_date(col("start_date")), to_date(lit(AsOf)), expr("interval 1 day"))).as("day"))
-      spine.join(counts, spine("day").cast(StringType) === counts("completion_date"), "left")
-        .select(col("day").cast(StringType).as("date"),
-          coalesce(col("granted"), lit(0L)).as("granted"),
-          coalesce(col("granted_in_part"), lit(0L)).as("granted_in_part"),
-          coalesce(col("exempted"), lit(0L)).as("exempted"),
-          coalesce(col("rejected"), lit(0L)).as("rejected"),
-          coalesce(col("other"), lit(0L)).as("other"))
+      AgencyEngine.resolutionTimeline(Fixture.df(s), "DEP", AsOf)
     },
 
     // S9 — RSS document sink: top-N slice + 5-entity escape + RFC1123

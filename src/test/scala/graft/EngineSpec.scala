@@ -127,4 +127,30 @@ class EngineSpec extends AnyFunSuite with SparkSuite {
     assert(Engine.latestEntryId(Fixture.df(spark)) == 26L)
     assert(Engine.latestEntryId(Fixture.df(spark).where("id < 0")) == 0L)
   }
+
+  test("listAgencies: substring-AND search, comparator sorts, paging") {
+    import graft.entries.AgencyEngine
+    val stats = AgencyEngine.agencyStats(spark, Fixture.df(spark), Fixture.AsOf)
+      .persist()
+    try {
+      val all = stats.collect().map(r => (r.getString(0), r.getLong(2))).toMap
+      // most_requests (default): descending by requests, slug tiebreak
+      val most = AgencyEngine.listAgencies(stats, None, "most_requests", 1, 100)
+        .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+      assert(most.map(_._1).toSet == all.keySet)
+      assert(most.map(_._2) == most.map(_._2).sortBy(-_))
+      assert(most == most.sortBy(t => (-t._2, t._1)))
+      // substring AND: both terms must hit name+slug
+      val hits = AgencyEngine.listAgencies(stats, Some("department of"), "most_requests", 1, 100)
+        .collect().map(_.getString(0)).toSeq
+      assert(hits.nonEmpty && hits.forall(_.contains("department-of")))
+      // paging: page 2 of size 3 is rows 4-6 of the full ordering
+      val p2 = AgencyEngine.listAgencies(stats, None, "most_requests", 2, 3)
+        .collect().map(_.getString(0)).toSeq
+      assert(p2 == most.map(_._1).slice(3, 6))
+      // agencyBySlug point lookup
+      val one = AgencyEngine.agencyBySlug(stats, most.head._1).collect()
+      assert(one.length == 1 && one.head.getString(0) == most.head._1)
+    } finally { stats.unpersist(); () }
+  }
 }
