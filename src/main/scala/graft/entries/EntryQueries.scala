@@ -77,20 +77,13 @@ object Normalize {
 object EntryQueries extends graft.QueryModule {
   import Fixture._
 
+  // Oracle-side twins of AgencyEngine's Column helpers.
   private val asOfSql = s"DATE '$AsOf'"
   private def winSql(n: Int) = s"request_date >= CAST(($asOfSql - $n) AS VARCHAR)"
-  private def winCol(n: Int): Column =
-    col("request_date") >= date_sub(to_date(lit(AsOf)), n).cast(StringType)
-
   private val validSql =
     "request_date IS NOT NULL AND completion_date IS NOT NULL AND completion_date >= request_date"
-  private def validCol: Column =
-    col("request_date").isNotNull && col("completion_date").isNotNull &&
-      col("completion_date") >= col("request_date")
   private val ddiffSql =
     "date_diff('day', try_cast(request_date AS DATE), try_cast(completion_date AS DATE))"
-  private def ddiffCol: Column =
-    datediff(try_to_date(col("completion_date")), try_to_date(col("request_date")))
 
   private def bucketSqlOf(res: String): String =
     s"""CASE WHEN lower(trim(coalesce($res, ''))) = 'granted' THEN 'granted'
