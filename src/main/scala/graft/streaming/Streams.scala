@@ -21,7 +21,8 @@ object Streams {
                          event_type: String, value: Double, props: String)
   final case class SessionOut(user_id: Long, session_start_us: Long,
                               session_end_us: Long, n_events: Long)
-  private final case class SessionState(startUs: Long, endUs: Long, n: Long)
+  // public: the state encoder's generated code instantiates it reflectively
+  final case class SessionState(startUs: Long, endUs: Long, n: Long)
 
   /** File-source stream of event parquet (ns timestamps arrive as longs
     * under nanosAsLong; converted exactly like the batch path). */
@@ -47,6 +48,12 @@ object Streams {
   /** 30-minute-gap sessionization with explicit state — the streaming
     * twin of the batch e1_sessionize query. Emits a session when the gap
     * closes it; processing-time-ordered within a micro-batch. */
+  /** Exact epoch micros of a Timestamp — getTime alone is millis and
+    * would truncate the microsecond component that the batch twin's
+    * unix_micros keeps. */
+  def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
@@ -55,11 +62,11 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           // Deterministic within-batch order regardless of shuffle arrival.
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
           val out = Seq.newBuilder[SessionOut]
           var cur = state.getOption
           sorted.foreach { e =>
-            val us = e.ts.getTime * 1000L
+            val us = tsMicros(e.ts)
             cur match {
               case Some(st) if us - st.endUs <= gapUs =>
                 cur = Some(st.copy(endUs = us, n = st.n + 1))

@@ -75,6 +75,33 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("flatMapGroupsWithState emits exactly the closed sessions in-stream") {
+    import spark.implicits._
+    val out = "sessions_stream"
+    val q = Streams.sessionize(
+      Streams.eventStream(spark, srcDir).as[Streams.Event])
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", tmp("graft_sess_ckpt"))
+      .format("memory").queryName(out)
+      .outputMode("append")
+      .start()
+    q.awaitTermination()
+    val emitted = spark.table(out)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // Expected: every batch session except each user's final one (still
+    // open in state when the single AvailableNow batch ends).
+    val batch = SparkEntry.queries("e1_sessionize")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(2)))
+    val lastPerUser = batch.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).max }
+    val expected = batch
+      .filter(r => lastPerUser(r._1) != r._2)
+      .map(r => (r._1, r._3, r._4, r._5)).toSet
+    assert(emitted == expected,
+      s"missing: ${expected -- emitted}; spurious: ${emitted -- expected}")
+  }
+
   test("incremental upsert: last write wins and re-runs are stable") {
     val target = tmp("graft_upsert_target") + "/t"
     val n1 = Streams.incrementalUpsert(spark, srcDir, target, tmp("graft_upsert_ckpt1"))
