@@ -272,9 +272,12 @@ object NativeFunctions {
 }
 
 /** SparkSessionExtensions hook: `--conf spark.sql.extensions=
-  * graft.plans.GraftExtensions` injects the native functions into every
-  * session built against the extension point. */
+  * graft.plans.GraftExtensions` injects the native functions and the
+  * fts_match rewrite rule into every session built against the
+  * extension point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     NativeFunctions.registrations.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(session => RewriteFtsMatch(session))
+  }
 }
