@@ -128,6 +128,21 @@ class EngineSpec extends AnyFunSuite with SparkSuite {
     assert(Engine.latestEntryId(Fixture.df(spark).where("id < 0")) == 0L)
   }
 
+  test("option-combination sweep: engine == model across the cross product") {
+    val combos = for {
+      agency <- Seq(None, Some("DEP"), Some("Department of Education"))
+      res <- Seq(Nil, Seq("Granted"), Seq("Granted", "Rejected"))
+      range <- Seq((None, None), (Some("2025-01-01"), Some("2025-05-31")))
+      sort <- Seq("newest", "oldest", "highest_fee", "default")
+      page <- Seq(1, 2)
+    } yield SearchOptions(agency = agency, resolutions = res,
+      requestedFrom = range._1, requestedTo = range._2,
+      sort = sort, page = page, pageSize = 4)
+    // deterministic thinning: every 5th combo (29 of 144) keeps runtime
+    // bounded while walking all option dimensions
+    combos.zipWithIndex.filter(_._2 % 5 == 0).map(_._1).foreach(check)
+  }
+
   test("listAgencies: substring-AND search, comparator sorts, paging") {
     import graft.entries.AgencyEngine
     val stats = AgencyEngine.agencyStats(spark, Fixture.df(spark), Fixture.AsOf)
