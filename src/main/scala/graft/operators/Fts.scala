@@ -85,6 +85,20 @@ object FtsQueries extends graft.QueryModule {
         |WHERE regexp_matches(lower(strip_accents(text)), '(^|[^a-z0-9])spar')
         |  AND regexp_matches(lower(strip_accents(text)), '(^|[^a-z0-9])wind')""".stripMargin))((s, d) =>
       Fts.search(Tables.documents(s, d), "doc_id", Seq("text"), Seq("spar", "wind"))
-        .select("doc_id", "lang", "source"))
+        .select("doc_id", "lang", "source")),
+
+    // P6b — multi-column FTS over the entries fixture: the reference
+    // indexes 8 text columns (0002_fts.sql:2-10); a prefix may match in
+    // ANY of them, AND across prefixes. The oracle states the predicate
+    // as word-boundary regexes over the concatenated columns.
+    graft.QueryDef("p6_fts_multicol", Some {
+      def hit(p: String) =
+        s"regexp_matches(lower(strip_accents(concat_ws(' ', agency, subject, details))), '(^|[^a-z0-9])$p')"
+      s"""SELECT id, agency, subject FROM ${graft.entries.Fixture.entriesSql}
+         |WHERE ${hit("bud")} AND ${hit("spar")}""".stripMargin
+    })((s, d) =>
+      Fts.search(graft.entries.Fixture.df(s), "id",
+        Seq("agency", "subject", "details"), Seq("bud", "spar"))
+        .select("id", "agency", "subject"))
   )
 }
