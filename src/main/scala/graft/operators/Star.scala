@@ -313,6 +313,25 @@ object StarPredicates extends graft.QueryModule {
         .select(col("o_orderkey"), col("corrected_date").cast(StringType).as("corrected_date"),
           col("fd").isNotNull.as("was_corrected"))),
 
+    // J6 — skew-salted equi-join (ScaleOps.saltedJoin): orders is
+    // pathologically skewed on o_orderpriority (5 hot keys over the
+    // whole table); the salted plan spreads each key over 8 reducers
+    // and must return EXACTLY the plain-join rows — which is what the
+    // oracle states.
+    graft.QueryDef("j6_salted_join", Some(
+      """SELECT o.o_orderkey, o.o_orderpriority, r.rank FROM orders o
+        |JOIN (VALUES ('1-URGENT', 0), ('2-HIGH', 1), ('3-MEDIUM', 2),
+        |  ('4-NOT SPECIFIED', 3), ('5-LOW', 4)) AS r(o_orderpriority, rank)
+        |  ON o.o_orderpriority = r.o_orderpriority""".stripMargin))((s, d) => {
+      import s.implicits._
+      val dim = Seq(("1-URGENT", 0), ("2-HIGH", 1), ("3-MEDIUM", 2),
+        ("4-NOT SPECIFIED", 3), ("5-LOW", 4)).toDF("o_orderpriority", "rank")
+      ScaleOps.saltedJoin(
+        Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+        dim, "o_orderpriority", "o_orderkey", salts = 8)
+        .select("o_orderkey", "o_orderpriority", "rank")
+    }),
+
     // U1 — dedup-union of candidate sets (reference
     // `new Set([...seed, ...dbRows])`, src/lib/db/shared.ts:32,46).
     graft.QueryDef("u1_dedup_union", Some(
