@@ -236,6 +236,7 @@ object DedupQueries extends graft.QueryModule {
           i => concat_ws(" ", slice(words, i, lit(2)))))
       }
       val grams = Tables.documents(s, d).select(col("doc_id"), bigrams.as("g"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // both join sides read it
       val inter = size(array_intersect(col("ga"), col("gb")))
       grams.as("a").where(col("doc_id") % 50 === 0)
         .join(grams.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
