@@ -52,13 +52,10 @@ object Dedup {
 
   /** Word 3-shingles of the normalized text (distinct). Trailing windows
     * shorter than 3 words keep their short shingle — deterministic and
-    * harmless for similarity. */
+    * harmless for similarity. Native codegen expression
+    * (plans.WordKGrams): one JVM pass, no interpreted slice-per-window. */
   def shingles(c: Column): Column =
-    bind(split(normText(c), " ")) { words =>
-      array_distinct(transform(
-        sequence(lit(1), greatest(size(words) - 2, lit(1))),
-        i => concat_ws(" ", slice(words, i, lit(3)))))
-    }
+    graft.plans.NativeFunctions.wordKGrams(normText(c), 3)
 
   /** 32 MinHash signature values via affine rehash of one base 64-bit
     * hash folded into [0, 2^31): h_i = (a_i*h + b_i) mod p, a_i = 2i+1,
@@ -230,11 +227,7 @@ object DedupQueries extends graft.QueryModule {
          |  CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
          |    (len(ga) + len(gb) - len(list_intersect(ga, gb))) AS jaccard
          |FROM pairs""".stripMargin))((s, d) => {
-      val bigrams = bind(split(normText(col("text")), " ")) { words =>
-        array_distinct(transform(
-          sequence(lit(1), greatest(size(words) - 1, lit(1))),
-          i => concat_ws(" ", slice(words, i, lit(2)))))
-      }
+      val bigrams = graft.plans.NativeFunctions.wordKGrams(normText(col("text")), 2)
       val grams = Tables.documents(s, d).select(col("doc_id"), bigrams.as("g"))
         .persist(StorageLevel.MEMORY_AND_DISK) // both join sides read it
       val inter = size(array_intersect(col("ga"), col("gb")))

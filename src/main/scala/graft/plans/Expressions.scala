@@ -205,6 +205,45 @@ object Winnow {
   }
 }
 
+/** Distinct word k-grams of a pre-normalized (single-space) string —
+  * the shingle builder of the dedup family. Same semantics as the
+  * sequence+slice+concat_ws Column formulation (windows shorter than k
+  * keep their short gram; first-occurrence order), one JVM pass. */
+case class WordKGrams(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_kgrams"
+
+  override def nullSafeEval(input: Any): Any =
+    WordKGrams.compute(input.asInstanceOf[UTF8String].toString, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.WordKGrams.compute($c.toString(), $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordKGrams =
+    copy(child = newChild)
+}
+
+object WordKGrams {
+  def compute(s: String, k: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val words = s.split(" ", -1)
+    val n = words.length
+    val m = math.max(n - k + 1, 1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < m) {
+      val end = math.min(i + k, n)
+      seen.add(String.join(" ", java.util.Arrays.asList(words.slice(i, end): _*)))
+      i += 1
+    }
+    val arr = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { arr(o) = UTF8String.fromString(it.next()); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+}
+
 /** Exact integer dot product of two long arrays (zip_with+aggregate was
   * the interpreted hot path of every cosine verify/rerank stage). */
 case class DotProductLong(left: Expression, right: Expression)
@@ -251,6 +290,9 @@ object NativeFunctions {
 
   def winnow(c: Column, k: Int, w: Int): Column =
     Bridge.column(Winnow(Bridge.expression(c), k, w))
+
+  def wordKGrams(c: Column, k: Int): Column =
+    Bridge.column(WordKGrams(Bridge.expression(c), k))
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[StripDiacritics].getName, null, name, usage, "")

@@ -81,6 +81,19 @@ class NativeExprSpec extends AnyFunSuite with SparkSuite {
     assert(got.toSeq == pairs.map { case (a, b) => a.zip(b).map(t => t._1 * t._2).sum })
   }
 
+  test("word_kgrams matches the sliding-window reference semantics") {
+    import spark.implicits._
+    val cases = Seq("a b c d e", "one two", "solo", "", "x y x y x")
+    val got = cases.toDF("s")
+      .select(NativeFunctions.wordKGrams(col("s"), 3)).as[Seq[String]].collect()
+    val want = cases.map { s =>
+      val words = s.split(" ", -1)
+      val m = math.max(words.length - 2, 1)
+      (0 until m).map(i => words.slice(i, i + 3).mkString(" ")).distinct
+    }
+    assert(got.toSeq == want)
+  }
+
   test("the expressions do not break whole-stage codegen") {
     import spark.implicits._
     val df = samples.toDF("s").repartition(2) // defeat LocalRelation fold
