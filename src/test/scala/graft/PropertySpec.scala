@@ -79,6 +79,28 @@ object PropertySpec extends Properties("graft.scalars") {
       clamped >= 1 && clamped <= totalPages
     }
 
+  property("TopKAggregator: any split/merge order equals global top-k") =
+    Prop.forAll(Gen.listOf(Gen.zip(Gen.chooseNum(0L, 50L), Gen.chooseNum(-100.0, 100.0))),
+      Gen.chooseNum(1, 300)) { (rows, cut) =>
+      val agg = new graft.functions.TopKAggregator(3)
+      val input = rows.map { case (id, score) => ("g", id, score) }
+      val (a, b) = input.splitAt(cut % (input.size + 1))
+      val merged = agg.finish(agg.merge(
+        a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce)))
+      val expected = rows.map(r => (r._1, r._2))
+        .sortBy(t => (-t._2, t._1)).take(3)
+      merged == expected
+    }
+
+  property("winnowing detects any shared run of >= w+k-1 characters") =
+    Prop.forAll(Gen.alphaLowerStr, Gen.alphaLowerStr) { (p, s) =>
+      // guarantee threshold for k=8, w=16 is 23 chars; use a 40-char chunk
+      val shared = "the winnowing guarantee holds here okay!"
+      val d1 = graft.plans.Winnow.compute(p + shared, 8, 16).toLongArray().toSet
+      val d2 = graft.plans.Winnow.compute(shared + s, 8, 16).toLongArray().toSet
+      (d1 & d2).nonEmpty
+    }
+
   property("slug re-aggregation preserves totals") =
     Prop.forAll(Gen.listOf(Gen.oneOf(
       "Department of Health", "DEPARTMINT OF HEALTH", "dept of health",
