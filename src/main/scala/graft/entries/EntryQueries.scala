@@ -92,6 +92,46 @@ object EntryQueries extends graft.QueryModule {
        |  WHEN lower(trim(coalesce($res, ''))) = 'rejected' THEN 'rejected'
        |  ELSE 'other' END""".stripMargin
 
+  /** Oracle twin of AgencyEngine.agencyStats — shared by q_agency_stats
+    * and the q_agency_list wrapper. */
+  private lazy val agencyStatsSql: String = {
+    val b = bucketSqlOf("resolution")
+    s"""WITH base AS (
+       |  SELECT e.*, ident.name, ident.slug
+       |  FROM $entriesSql JOIN $identitySql ON e.agency = ident.raw_agency),
+       |metrics AS (
+       |  SELECT slug, min(name) AS name, count(*) AS requests,
+       |    CAST(SUM(CASE WHEN ${winSql(30)} THEN 1 ELSE 0 END) AS BIGINT) AS requests_30d,
+       |    CAST(SUM(CASE WHEN ${winSql(90)} THEN 1 ELSE 0 END) AS BIGINT) AS requests_90d,
+       |    CAST(SUM(CASE WHEN ${winSql(365)} THEN 1 ELSE 0 END) AS BIGINT) AS requests_365d,
+       |    CAST(SUM(CASE WHEN $validSql THEN 1 ELSE 0 END) AS BIGINT) AS response_count,
+       |    CAST(SUM(CASE WHEN $validSql THEN $ddiffSql ELSE 0 END) AS BIGINT) AS response_days_sum,
+       |    CAST(SUM(CASE WHEN ${winSql(30)} AND $validSql THEN 1 ELSE 0 END) AS BIGINT) AS response_count_30d,
+       |    CAST(SUM(CASE WHEN ${winSql(30)} AND $validSql THEN $ddiffSql ELSE 0 END) AS BIGINT) AS response_days_sum_30d,
+       |    CAST(SUM(CASE WHEN ${winSql(90)} AND $validSql THEN 1 ELSE 0 END) AS BIGINT) AS response_count_90d,
+       |    CAST(SUM(CASE WHEN ${winSql(90)} AND $validSql THEN $ddiffSql ELSE 0 END) AS BIGINT) AS response_days_sum_90d,
+       |    CAST(SUM(CASE WHEN ${winSql(365)} AND $validSql THEN 1 ELSE 0 END) AS BIGINT) AS response_count_365d,
+       |    CAST(SUM(CASE WHEN ${winSql(365)} AND $validSql THEN $ddiffSql ELSE 0 END) AS BIGINT) AS response_days_sum_365d
+       |  FROM base GROUP BY slug),
+       |res AS (
+       |  SELECT slug,
+       |    CAST(SUM(CASE WHEN $b = 'granted' THEN 1 ELSE 0 END) AS BIGINT) AS granted,
+       |    CAST(SUM(CASE WHEN $b = 'granted_in_part' THEN 1 ELSE 0 END) AS BIGINT) AS granted_in_part,
+       |    CAST(SUM(CASE WHEN $b = 'exempted' THEN 1 ELSE 0 END) AS BIGINT) AS exempted,
+       |    CAST(SUM(CASE WHEN $b = 'rejected' THEN 1 ELSE 0 END) AS BIGINT) AS rejected,
+       |    CAST(SUM(CASE WHEN $b = 'other' THEN 1 ELSE 0 END) AS BIGINT) AS other
+       |  FROM base WHERE resolution IS NOT NULL AND resolution <> '' GROUP BY slug)
+       |SELECT m.slug, m.name, m.requests, m.requests_30d, m.requests_90d, m.requests_365d,
+       |  coalesce(CAST(m.response_days_sum AS DOUBLE) / nullif(m.response_count, 0), 0.0) AS avg_response_time,
+       |  coalesce(CAST(m.response_days_sum_30d AS DOUBLE) / nullif(m.response_count_30d, 0), 0.0) AS avg_response_time_30d,
+       |  coalesce(CAST(m.response_days_sum_90d AS DOUBLE) / nullif(m.response_count_90d, 0), 0.0) AS avg_response_time_90d,
+       |  coalesce(CAST(m.response_days_sum_365d AS DOUBLE) / nullif(m.response_count_365d, 0), 0.0) AS avg_response_time_365d,
+       |  coalesce(r.granted, 0) AS granted, coalesce(r.granted_in_part, 0) AS granted_in_part,
+       |  coalesce(r.exempted, 0) AS exempted, coalesce(r.rejected, 0) AS rejected,
+       |  coalesce(r.other, 0) AS other
+       |FROM metrics m FULL OUTER JOIN res r ON m.slug = r.slug""".stripMargin
+  }
+
   def defs: Seq[graft.QueryDef] = Seq(
 
     // P9 — normalizeEntry over the corpus. The oracle replays the date
@@ -165,47 +205,25 @@ object EntryQueries extends graft.QueryModule {
     // canonical slug (A3) and full-outer merged (J3), finalized with
     // avg-from-parts (A10): the reference's whole two-phase JS pipeline
     // (src/lib/db/agencies.ts:54-139) as one distributed plan.
-    graft.QueryDef("q_agency_stats", Some {
-      val b = bucketSqlOf("resolution")
-      s"""WITH base AS (
-         |  SELECT e.*, ident.name, ident.slug
-         |  FROM $entriesSql JOIN $identitySql ON e.agency = ident.raw_agency),
-         |metrics AS (
-         |  SELECT slug, min(name) AS name, count(*) AS requests,
-         |    CAST(SUM(CASE WHEN ${winSql(30)} THEN 1 ELSE 0 END) AS BIGINT) AS requests_30d,
-         |    CAST(SUM(CASE WHEN ${winSql(90)} THEN 1 ELSE 0 END) AS BIGINT) AS requests_90d,
-         |    CAST(SUM(CASE WHEN ${winSql(365)} THEN 1 ELSE 0 END) AS BIGINT) AS requests_365d,
-         |    CAST(SUM(CASE WHEN $validSql THEN 1 ELSE 0 END) AS BIGINT) AS response_count,
-         |    CAST(SUM(CASE WHEN $validSql THEN $ddiffSql ELSE 0 END) AS BIGINT) AS response_days_sum,
-         |    CAST(SUM(CASE WHEN ${winSql(30)} AND $validSql THEN 1 ELSE 0 END) AS BIGINT) AS response_count_30d,
-         |    CAST(SUM(CASE WHEN ${winSql(30)} AND $validSql THEN $ddiffSql ELSE 0 END) AS BIGINT) AS response_days_sum_30d,
-         |    CAST(SUM(CASE WHEN ${winSql(90)} AND $validSql THEN 1 ELSE 0 END) AS BIGINT) AS response_count_90d,
-         |    CAST(SUM(CASE WHEN ${winSql(90)} AND $validSql THEN $ddiffSql ELSE 0 END) AS BIGINT) AS response_days_sum_90d,
-         |    CAST(SUM(CASE WHEN ${winSql(365)} AND $validSql THEN 1 ELSE 0 END) AS BIGINT) AS response_count_365d,
-         |    CAST(SUM(CASE WHEN ${winSql(365)} AND $validSql THEN $ddiffSql ELSE 0 END) AS BIGINT) AS response_days_sum_365d
-         |  FROM base GROUP BY slug),
-         |res AS (
-         |  SELECT slug,
-         |    CAST(SUM(CASE WHEN $b = 'granted' THEN 1 ELSE 0 END) AS BIGINT) AS granted,
-         |    CAST(SUM(CASE WHEN $b = 'granted_in_part' THEN 1 ELSE 0 END) AS BIGINT) AS granted_in_part,
-         |    CAST(SUM(CASE WHEN $b = 'exempted' THEN 1 ELSE 0 END) AS BIGINT) AS exempted,
-         |    CAST(SUM(CASE WHEN $b = 'rejected' THEN 1 ELSE 0 END) AS BIGINT) AS rejected,
-         |    CAST(SUM(CASE WHEN $b = 'other' THEN 1 ELSE 0 END) AS BIGINT) AS other
-         |  FROM base WHERE resolution IS NOT NULL AND resolution <> '' GROUP BY slug)
-         |SELECT m.slug, m.name, m.requests, m.requests_30d, m.requests_90d, m.requests_365d,
-         |  coalesce(CAST(m.response_days_sum AS DOUBLE) / nullif(m.response_count, 0), 0.0) AS avg_response_time,
-         |  coalesce(CAST(m.response_days_sum_30d AS DOUBLE) / nullif(m.response_count_30d, 0), 0.0) AS avg_response_time_30d,
-         |  coalesce(CAST(m.response_days_sum_90d AS DOUBLE) / nullif(m.response_count_90d, 0), 0.0) AS avg_response_time_90d,
-         |  coalesce(CAST(m.response_days_sum_365d AS DOUBLE) / nullif(m.response_count_365d, 0), 0.0) AS avg_response_time_365d,
-         |  coalesce(r.granted, 0) AS granted, coalesce(r.granted_in_part, 0) AS granted_in_part,
-         |  coalesce(r.exempted, 0) AS exempted, coalesce(r.rejected, 0) AS rejected,
-         |  coalesce(r.other, 0) AS other
-         |FROM metrics m FULL OUTER JOIN res r ON m.slug = r.slug""".stripMargin
-    }) { (s, d) =>
+    graft.QueryDef("q_agency_stats", Some(agencyStatsSql)) { (s, d) =>
       // Delegates to the parameterized API; min(name) per slug is the
       // deterministic equivalent of the reference's first-encountered
       // identity name (agencies.ts:111, iteration-order dependent).
       AgencyEngine.agencyStats(s, Fixture.df(s), AsOf)
+    },
+
+    // agencies listing — the full stats pipeline ordered by the
+    // most_requests comparator and paged (agencies.ts:146-179), checked
+    // end-to-end against the oracle's windowed formulation.
+    graft.QueryDef("q_agency_list", Some(
+      s"""SELECT * FROM (
+         |  SELECT s.*, row_number() OVER (ORDER BY requests DESC, slug ASC) AS rn
+         |  FROM ($agencyStatsSql) s) WHERE rn > 0 AND rn <= 5""".stripMargin)) { (s, d) =>
+      AgencyEngine.listAgencies(
+        AgencyEngine.agencyStats(s, Fixture.df(s), AsOf),
+        search = None, sort = "most_requests", page = 1, pageSize = 5)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("requests").desc, col("slug").asc)))
     },
 
     // homeStats — the reference's all-rows-to-JS scan
