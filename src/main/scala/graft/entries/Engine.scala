@@ -117,6 +117,16 @@ object Engine {
   /** latest sync cursor — COALESCE(MAX(id),0) (entries.ts:147-150). */
   def latestEntryId(entries: DataFrame): Long =
     entries.agg(coalesce(max(col("id")), lit(0L))).head().getLong(0)
+
+  /** latestEntriesByLastReportedDate (entries.ts:152-178): all rows whose
+    * entry_date equals the table max, ORDER BY id DESC — as a broadcast
+    * scalar-subquery join, no driver round-trip for the max. */
+  def latestEntries(entries: DataFrame): DataFrame = {
+    val maxDf = entries.agg(max(col("entry_date")).as("__max_entry"))
+    entries.join(broadcast(maxDf), col("entry_date") === col("__max_entry"))
+      .drop("__max_entry")
+      .orderBy(col("id").desc)
+  }
 }
 
 /** Parameterized agencies API — agencyStats / homeStats / timeline /

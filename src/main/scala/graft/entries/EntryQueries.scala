@@ -226,6 +226,15 @@ object EntryQueries extends graft.QueryModule {
           Window.orderBy(col("requests").desc, col("slug").asc)))
     },
 
+    // latestEntries — snapshot of the max reported entry_date, id DESC
+    // (latestEntriesByLastReportedDate, entries.ts:152-178).
+    graft.QueryDef("q_latest_entries", Some(
+      s"""SELECT id, agency, entry_date FROM $entriesSql
+         |WHERE entry_date = (SELECT max(entry_date) FROM $entriesSql)
+         |ORDER BY id DESC""".stripMargin)) { (s, d) =>
+      Engine.latestEntries(Fixture.df(s)).select("id", "agency", "entry_date")
+    },
+
     // homeStats — the reference's all-rows-to-JS scan
     // (src/lib/db/entries.ts:206-251) as ONE conditional agg with the
     // diffDays -1/future-year rules inline.
