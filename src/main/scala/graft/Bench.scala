@@ -16,22 +16,34 @@ object Bench {
     // query isn't charged session startup.
     Tables.orders(spark, sfDir).limit(1000)
       .write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated filter for local iteration on one query.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(q => f(q._1)))
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop write runs the FULL plan; .count() would let Catalyst prune
       // projections and under-measure map-only queries.
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case t: Throwable =>
+          System.err.println(s"BENCH FAILURE in $name: $t")
+          t.printStackTrace()
+          failed += name
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // LSH queries persist their index frames; drop them so later
       // queries aren't measured under another query's memory pressure.
       spark.catalog.clearCache()
-      name -> dt
+      // A crashed query must never read as a (fast) success: record -1.
+      name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,7 +1,6 @@
 package graft.entries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Cols
@@ -21,7 +20,12 @@ final case class SearchOptions(
     page: Int = 1,
     pageSize: Int = 50)
 
-final case class ListPage(rows: DataFrame, total: Long, page: Int, totalPages: Int)
+final case class ListPage(rows: DataFrame, total: Long, page: Int, totalPages: Int,
+    private val cached: Option[DataFrame] = None) {
+  /** Release the cached filtered frame once the page has been consumed —
+    * repeated Engine calls must not accumulate executor storage. */
+  def unpersist(): Unit = cached.foreach { c => c.unpersist(); () }
+}
 
 /** Parameterized entries API — the engine a reference user calls instead
   * of `listEntries`/`distinctResolutions`/`resolutionCounts`
@@ -34,10 +38,10 @@ object Engine {
 
   /** Query-side FTS tokenizer (buildFtsQuery, entries.ts:12-20):
     * lowercase, split on whitespace, strip non-alnum per term; empty →
-    * no FTS filter. */
+    * no FTS filter. Deduped: FTS5 'new* AND new*' ≡ 'new*'. */
   def ftsPrefixes(q: String): Seq[String] =
     q.toLowerCase.split("\\s+").toSeq
-      .map(_.replaceAll("[^a-z0-9]", "")).filter(_.nonEmpty)
+      .map(_.replaceAll("[^a-z0-9]", "")).filter(_.nonEmpty).distinct
 
   /** Corrected-date columns for filter/sort (correctedDateExpr,
     * src/lib/db/shared.ts:55-66) — broadcast overlay + coalesce. */
@@ -63,8 +67,10 @@ object Engine {
   private val FtsCols = Seq("agency", "organization", "first_name", "last_name",
     "subject", "details", "resolution", "response")
 
-  def listEntries(spark: SparkSession, entries: DataFrame,
-                  opts: SearchOptions): ListPage = {
+  /** The shared filter pipeline of both pagination modes (entries.ts
+    * WHERE assembly, src/lib/db/entries.ts:29-63). */
+  private def listEntriesFiltered(spark: SparkSession, entries: DataFrame,
+                                  opts: SearchOptions): DataFrame = {
     var df = withCorrected(spark, entries)
 
     // P6/J1 — FTS prefix-AND semi-join over the term index
@@ -84,6 +90,12 @@ object Engine {
     opts.requestedTo.foreach(v => df = df.where(col("corrected_request") <= v))
     opts.completedFrom.foreach(v => df = df.where(col("corrected_completion") >= v))
     opts.completedTo.foreach(v => df = df.where(col("corrected_completion") <= v))
+    df
+  }
+
+  def listEntries(spark: SparkSession, entries: DataFrame,
+                  opts: SearchOptions): ListPage = {
+    var df = listEntriesFiltered(spark, entries, opts)
 
     // A1/O2 — count, clamp the requested page, slice (entries.ts:102-116).
     // One cached filtered plan feeds both actions (the reference's two
@@ -92,16 +104,54 @@ object Engine {
     val total = df.count()
     val totalPages = math.max(math.ceil(total / opts.pageSize.toDouble).toInt, 1)
     val page = math.min(math.max(opts.page, 1), totalPages)
-    val w = Window.orderBy(sortKeys(opts.sort): _*)
-    val slice = df
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") > (page - 1) * opts.pageSize &&
-        col("__rn") <= page.toLong * opts.pageSize)
-      .drop("__rn")
+    // Page slice as ORDER BY + OFFSET + LIMIT: plans to ONE
+    // TakeOrderedAndProject (per-partition top-(page·pageSize) heaps, then
+    // a bounded driver merge) — never a global single-partition sort of
+    // the whole filtered set. Arbitrary-depth consumers should use
+    // [[listEntriesAfter]], whose keyed cursor skips the offset scan too.
+    val slice = df.orderBy(sortKeys(opts.sort): _*)
+      .offset((page - 1) * opts.pageSize).limit(opts.pageSize)
     // P9 — row post-processor on the returned page only
     val rows = Normalize.normalizeEntries(spark,
       slice.drop("corrected_request", "corrected_completion"))
-    ListPage(rows, total, page, totalPages)
+    ListPage(rows, total, page, totalPages, cached = Some(df))
+  }
+
+  /** Keyed-cursor pagination — the at-scale replacement for OFFSET depth
+    * (the reference's next/prev links, src/lib/utils.ts:67-72, never need
+    * random page jumps). `last` is the sort-key value of the final row of
+    * the previous page (`None` once the cursor is inside the NULL tail;
+    * for `highest_fee` the decimal string of its parsed fee integer) and
+    * `lastId` its id. The strictly-after predicate composes with the sort
+    * so each page is ORDER BY + LIMIT over a filtered scan — no offset,
+    * no window, page N costs the same as page 1. */
+  def listEntriesAfter(spark: SparkSession, entries: DataFrame,
+                       opts: SearchOptions, last: Option[String],
+                       lastId: Long): DataFrame = {
+    val base = listEntriesFiltered(spark, entries, opts)
+    def descNullsLast(key: Column): Column = last match {
+      case Some(v) => key < v || (key === v && col("id") > lastId) || key.isNull
+      case None    => key.isNull && col("id") > lastId
+    }
+    val after = opts.sort match {
+      case "newest"             => descNullsLast(col("corrected_request"))
+      case "recently_completed" => descNullsLast(col("corrected_completion"))
+      case "oldest" => // ASC NULLS FIRST: the null stripe precedes all values
+        val key = col("corrected_request")
+        last match {
+          case Some(v) => key > v || (key === v && col("id") > lastId)
+          case None    => key.isNotNull || (key.isNull && col("id") > lastId)
+        }
+      case "highest_fee" => // parsed fee int is never null (defaults to 0)
+        val key = Cols.sqliteFeeInt(col("fee"))
+        val v = last.map(_.toLong).getOrElse(0L)
+        key < v || (key === v && col("id") > lastId)
+      case _ => col("id") < lastId
+    }
+    val page = base.where(after)
+      .orderBy(sortKeys(opts.sort): _*).limit(opts.pageSize)
+    Normalize.normalizeEntries(spark,
+      page.drop("corrected_request", "corrected_completion"))
   }
 
   /** distinctResolutions (entries.ts:180-187). */
@@ -255,11 +305,9 @@ object AgencyEngine {
       case "lowest_avg_response_time" => Seq(col("avg_response_time").asc, col("slug").asc)
       case _ => Seq(col("requests").desc, col("slug").asc) // most_requests
     }
-    val w = Window.orderBy(keys: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") > (page - 1).toLong * pageSize &&
-        col("__rn") <= page.toLong * pageSize)
-      .drop("__rn")
+    // TakeOrderedAndProject slice (stats cardinality = #agencies, but the
+    // global row_number window it replaces is a habit worth not having).
+    df.orderBy(keys: _*).offset((page - 1) * pageSize).limit(pageSize)
   }
 
   /** agencyBySlug (agencies.ts:181-184). */

@@ -193,11 +193,13 @@ object EntryQueries extends graft.QueryModule {
         .where(lower(col("agency")).isin(cands: _*) &&
           col("resolution").isin("Granted", "Granted in part") &&
           col("corrected_request") >= "2024-01-01" && col("corrected_request") <= "2025-05-31")
+      // Page slice = TakeOrderedAndProject; the total rides in on a 1-row
+      // broadcast (the oracle's count() OVER () stated without a window).
+      val totalDf = filtered.agg(count(lit(1)).as("total")).withColumn("__k", lit(1))
       filtered
-        .withColumn("total", count(lit(1)).over(Window.partitionBy()))
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("corrected_request").desc_nulls_last, col("id").asc)))
-        .where(col("rn") <= 3)
+        .orderBy(col("corrected_request").desc_nulls_last, col("id").asc).limit(3)
+        .withColumn("__k", lit(1))
+        .join(broadcast(totalDf), Seq("__k")).drop("__k")
         .select("id", "agency", "corrected_request", "resolution", "total")
     },
 
@@ -390,6 +392,86 @@ object EntryQueries extends graft.QueryModule {
           col("last_name"), col("request_date"), col("completion_date"),
           col("entry_date"), col("fee"), col("is_amended"), col("subject"),
           col("details"), col("resolution"), col("response"))
+    },
+
+    // F3b — alias canonicalization over the REAL corrections dataset
+    // (all 17 production alias groups, reference src/data/corrections.json):
+    // raw spellings drawn from the published alias lists, expected
+    // canonicals hand-copied from the JSON spec — so the oracle checks the
+    // resource parse + UDF end to end, independently of the Scala code.
+    graft.QueryDef("f3_real_alias", Some(
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'WV Secretary of State'),
+        |  (CAST(2 AS BIGINT), 'WV Secretary of State'),
+        |  (CAST(3 AS BIGINT), 'WV Division of Highways'),
+        |  (CAST(4 AS BIGINT), 'WV Board of Medicine'),
+        |  (CAST(5 AS BIGINT), 'West Virginia Division of Motor Vehicles'),
+        |  (CAST(6 AS BIGINT), 'Kanawha County Circuit Clerk''s Office'),
+        |  (CAST(7 AS BIGINT), 'West Virginia University Medical Corporation dba University Health Associates'),
+        |  (CAST(8 AS BIGINT), 'Department of Environmental Protection'),
+        |  (CAST(9 AS BIGINT), 'City of Charles Town Police Department'),
+        |  (CAST(10 AS BIGINT), 'Berkeley County Sheriff''s Office'),
+        |  (CAST(11 AS BIGINT), 'WV Department of Revenue'),
+        |  (CAST(12 AS BIGINT), 'Morgan County Commission')
+        |) AS t(id, canonical)""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      Seq(
+        1L -> "WVSOS",
+        2L -> "Secretary of State",
+        3L -> "DOH",
+        4L -> "Medicine, Board of",
+        5L -> "WVDMV",
+        6L -> "Kanawhacounty Circuit Clerk's Office",
+        7L -> "University Health Associates",
+        8L -> "dep",
+        9L -> "Charles Town Police Department",
+        10L -> "Berkeley County Sheriffs Office",
+        11L -> "Departmint of Revenue", // typo fix THEN alias match
+        12L -> "Morgan County Commission" // no group: titlify path
+      ).toDF("id", "raw")
+        .select(col("id"), Corrections.agencyNameUdf(col("raw")).as("canonical"))
+    },
+
+    // J5b — the REAL per-id date patches (24 entries) applied through the
+    // corrections overlay join. The base frame carries sentinel dates for
+    // exactly the patched ids; the oracle VALUES is the expected coalesce
+    // result copied from the JSON spec, so a dropped or garbled patch
+    // breaks the row hash.
+    graft.QueryDef("j5_real_corrections", Some(
+      """SELECT * FROM (VALUES
+        |  (CAST(52803 AS BIGINT), '1900-01-01', '2025-02-24'),
+        |  (CAST(22952 AS BIGINT), '2020-02-27', '1900-01-01'),
+        |  (CAST(16715 AS BIGINT), '2018-11-26', '1900-01-01'),
+        |  (CAST(26775 AS BIGINT), '1900-01-01', '2021-03-30'),
+        |  (CAST(33076 AS BIGINT), '2022-04-19', '1900-01-01'),
+        |  (CAST(20741 AS BIGINT), '2019-08-06', '1900-01-01'),
+        |  (CAST(579 AS BIGINT), '2016-01-20', '1900-01-01'),
+        |  (CAST(752 AS BIGINT), '2016-02-19', '1900-01-01'),
+        |  (CAST(14388 AS BIGINT), '2018-06-19', '2018-06-26'),
+        |  (CAST(5591 AS BIGINT), '2016-12-01', '1900-01-01'),
+        |  (CAST(51804 AS BIGINT), '2024-12-27', '2024-12-31'),
+        |  (CAST(9445 AS BIGINT), '2017-08-31', '1900-01-01'),
+        |  (CAST(14601 AS BIGINT), '2018-07-17', '1900-01-01'),
+        |  (CAST(10501 AS BIGINT), '1900-01-01', '2016-08-14'),
+        |  (CAST(6819 AS BIGINT), '1900-01-01', '2017-04-07'),
+        |  (CAST(14177 AS BIGINT), '1900-01-01', '2018-06-25'),
+        |  (CAST(3099 AS BIGINT), '2015-12-17', '2016-07-28'),
+        |  (CAST(43682 AS BIGINT), '1900-01-01', '2023-10-20'),
+        |  (CAST(34992 AS BIGINT), '1900-01-01', '2022-09-02'),
+        |  (CAST(43317 AS BIGINT), '1900-01-01', '2023-11-29'),
+        |  (CAST(43543 AS BIGINT), '1900-01-01', '2023-04-13'),
+        |  (CAST(51854 AS BIGINT), '1900-01-01', '2025-01-02'),
+        |  (CAST(43226 AS BIGINT), '1900-01-01', '2023-11-30'),
+        |  (CAST(20368 AS BIGINT), '1900-01-01', '2020-07-02')
+        |) AS t(id, request_date, completion_date)""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      val base = Corrections.real.dateCorrections.map(_._1).toDF("id")
+        .withColumn("request_date", lit("1900-01-01"))
+        .withColumn("completion_date", lit("1900-01-01"))
+      base.join(broadcast(Corrections.correctionsDf(s)), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("req_fix"), col("request_date")).as("request_date"),
+          coalesce(col("comp_fix"), col("completion_date")).as("completion_date"))
     }
   )
 }

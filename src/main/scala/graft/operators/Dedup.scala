@@ -59,14 +59,11 @@ object Dedup {
 
   /** 32 MinHash signature values via affine rehash of one base 64-bit
     * hash folded into [0, 2^31): h_i = (a_i*h + b_i) mod p, a_i = 2i+1,
-    * b_i = 12345i + 678, p = 2^31 - 1. All arithmetic stays < 2^63. */
+    * b_i = 12345i + 678, p = 2^31 - 1. Native codegen expression
+    * (plans.MinHashSig): one JVM loop per row — no explode, no shuffle,
+    * no interpreted HOF lambdas. */
   def minhashSig(shinglesCol: Column, nHashes: Int = 32): Column =
-    bind(transform(shinglesCol, s => pmod(xxhash64(s), lit(2147483648L)))) {
-      base =>
-        transform(sequence(lit(0), lit(nHashes - 1)),
-          i => array_min(transform(base,
-            h => pmod(h * (i * 2 + 1) + i * 12345 + 678, lit(2147483647L)))))
-    }
+    graft.plans.NativeFunctions.minhashSig(shinglesCol, nHashes)
 
   /** Banded bucket keys: 8 bands x 4 rows; key embeds the band index so
     * one equality join covers all bands. */
@@ -78,46 +75,34 @@ object Dedup {
 
   /** MinHash-LSH candidate pairs + exact Jaccard verification. Candidates
     * come ONLY from band-bucket collisions (equality self-join); the
-    * verification joins exploded shingle sets for candidate pairs only. */
+    * verification intersects the persisted shingle arrays for candidate
+    * pairs only. The signature is map-side scalar work (one native
+    * MinHashSig call per row): the only shuffles left are the band
+    * self-join and the candidate dedup — nothing scales with n·shingles. */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    // Persist the shingle set and band index: both feed multiple joins
-    // (self-join sides, intersection, sizes), and at scale the LSH index
-    // IS a materialized artifact — recomputing the shingle pipeline per
-    // join side would multiply the dominant cost 6x.
+    // Persist the shingle+signature frame: it is the LSH index — both
+    // band-join sides and both verification lookups read it, and at scale
+    // it IS a materialized artifact (recomputing the shingle pipeline per
+    // consumer would multiply the dominant cost 4x).
     val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+      .withColumn("sig", minhashSig(col("sh")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val terms = sh.select(col("doc_id"), explode(col("sh")).as("term"))
-    // Signature via explode + 32-way min() aggregation instead of nested
-    // higher-order functions: every expression here is scalar (xxhash64,
-    // pmod, min) so the whole stage compiles under whole-stage codegen
-    // with map-side partial mins; HOF lambdas are interpreted per element
-    // and were ~10x slower for the same arithmetic.
-    val hashed = terms.withColumn("h", pmod(xxhash64(col("term")), lit(2147483648L)))
-    val minCols = (0 until 32).map(i =>
-      min(pmod(col("h") * (i * 2 + 1) + i * 12345 + 678, lit(2147483647L))).as(s"h$i"))
-    val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    val banded = sig.select(col("doc_id"),
-      explode(bandKeys(array((0 until 32).map(i => col(s"h$i")): _*))).as("band"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = sh.select(col("doc_id"), explode(bandKeys(col("sig"))).as("band"))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-    val inter = cand
-      .join(terms.as("ta"), col("doc_a") === col("ta.doc_id"))
-      .join(terms.as("tb"),
-        col("doc_b") === col("tb.doc_id") && col("ta.term") === col("tb.term"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    cand.join(inter, Seq("doc_a", "doc_b"), "left")
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), Seq("doc_b"))
-      .withColumn("jaccard",
-        coalesce(col("inter"), lit(0L)).cast(DoubleType) /
-          (col("na") + col("nb") - coalesce(col("inter"), lit(0L))))
+    // Exact verification on candidates only: hash-join the two shingle
+    // arrays back in and intersect natively — no exploded term shuffle.
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast(DoubleType) /
+          (size(col("sha")) + size(col("shb")) - inter)).as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
   }
 
   // --- SimHash -------------------------------------------------------------

@@ -159,15 +159,41 @@ object FnQueries extends graft.QueryModule {
          |FROM ${sql1(names, "name")}""".stripMargin))((s, d) =>
       df1(s, names, "name").select(col("id"), Cols.normalizeToken(col("name")).as("token"))),
 
-    // F2 — titlify (UDF; ScalaTest goldens carry the correctness weight).
-    graft.QueryDef("f2_titlify", None)((s, d) =>
+    // F2 — titlify. The fixture inputs are fixed, so the expected outputs
+    // are closed-form: a hand-checked VALUES golden (same pattern as
+    // s1_sync_drift) — reference behavior src/lib/utils.ts:51-59;
+    // TextSpec goldens pin the Scala function itself.
+    graft.QueryDef("f2_titlify", Some(
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'Department of Health', 'Department of Health'),
+        |  (CAST(2 AS BIGINT), 'A + B/C  Agency', 'A + B/C  Agency'),
+        |  (CAST(3 AS BIGINT), ' WV Sec of State!! ', ' WV Sec of State!! '),
+        |  (CAST(4 AS BIGINT), 'McDowell County Sheriff''s Office', 'McDowell County Sheriff''s Office'),
+        |  (CAST(5 AS BIGINT), 'CITY of CHARLESTON', 'CITY of CHARLESTON'),
+        |  (CAST(6 AS BIGINT), '   ', '   '),
+        |  (CAST(7 AS BIGINT), '', ''),
+        |  (CAST(8 AS BIGINT), 'Café Bureau | Unit #9', 'Café Bureau | Unit #9')
+        |) AS t(id, titled, titled_noacro)""".stripMargin))((s, d) =>
       df1(s, names, "name").select(col("id"),
         Udfs.titlify(col("name"), lit(false)).as("titled"),
         Udfs.titlify(col("name"), lit(true)).as("titled_noacro"))),
 
     // F3 — normalizeAgencyName (UDF over typo-fix regexes + alias map,
-    // reference src/lib/corrections.ts:44-57; goldens in TextSpec).
-    graft.QueryDef("f3_normalize_agency", None)((s, d) =>
+    // reference src/lib/corrections.ts:44-57). Fixed inputs → VALUES
+    // golden: typo fixes (Departmint→Department, Tcity→City; 'Departmen'
+    // has no trailing t so the regex leaves it), WV token and Mc-name
+    // preservation, whitespace collapse, '' and NULL pass-throughs.
+    graft.QueryDef("f3_normalize_agency", Some(
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'Department of Health'),
+        |  (CAST(2 AS BIGINT), 'City of Charleston'),
+        |  (CAST(3 AS BIGINT), 'WV State Police'),
+        |  (CAST(4 AS BIGINT), 'McDowell County Sheriff''s Office'),
+        |  (CAST(5 AS BIGINT), 'Department of Transportation'),
+        |  (CAST(6 AS BIGINT), 'Departmen of Education'),
+        |  (CAST(7 AS BIGINT), ''),
+        |  (CAST(8 AS BIGINT), CAST(NULL AS VARCHAR))
+        |) AS t(id, canonical)""".stripMargin))((s, d) =>
       df1(s, agencyVariants, "raw").select(col("id"),
         graft.entries.Normalize.agencyNameUdf(col("raw")).as("canonical"))),
 
@@ -325,9 +351,18 @@ object FnQueries extends graft.QueryModule {
          |  FROM ${sql1(searches, "q")})""".stripMargin))((s, d) =>
       df1(s, searches, "q").select(col("id"), Cols.buildFtsQuery(col("q")).as("fts_query"))),
 
-    // F18 — buildPageNumbers (driver-side pagination helper; UDF-backed,
-    // ScalaTest carries correctness — rows-only here).
-    graft.QueryDef("f18_page_numbers", None)((s, d) => {
+    // F18 — buildPageNumbers (reference src/lib/utils.ts:160-172). Fixed
+    // (page, total) inputs → VALUES golden; PropertySpec pins the
+    // window-shape laws of the function itself.
+    graft.QueryDef("f18_page_numbers", Some(
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), '1'),
+        |  (CAST(2 AS BIGINT), '1|2|3|4|5'),
+        |  (CAST(3 AS BIGINT), '1|2|3|4|5|6|...|10'),
+        |  (CAST(4 AS BIGINT), '1|2|3|4|5|6|...|10'),
+        |  (CAST(5 AS BIGINT), '1|...|5|6|7|8|9|10'),
+        |  (CAST(6 AS BIGINT), '1|...|48|49|50|51|52|...|100')
+        |) AS t(id, pages)""".stripMargin))((s, d) => {
       import s.implicits._
       Seq((1L, 1, 1), (2L, 1, 5), (3L, 4, 10), (4L, 1, 10), (5L, 10, 10), (6L, 50, 100))
         .toDF("id", "page", "total")

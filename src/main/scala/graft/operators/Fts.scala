@@ -37,16 +37,20 @@ object Fts {
     term >= prefix && term < (prefix + "􏿿")
 
   /** P6 — ids whose terms match EVERY prefix (FTS5 `a* AND b*`). */
-  def matchingIds(index: DataFrame, prefixes: Seq[String]): DataFrame = {
+  def matchingIds(index: DataFrame, prefixes0: Seq[String]): DataFrame = {
+    // Dedupe first: 'new new' must need only one hit. And a term can hit
+    // SEVERAL prefixes at once ('news' hits both 'new' and 'news'), so
+    // each row emits the array of ALL prefixes it matches — crediting
+    // only the first match would make n_hit unable to ever reach
+    // prefixes.size when one query prefix is a prefix of another.
+    val prefixes = prefixes0.distinct
     require(prefixes.nonEmpty)
-    // One pass over the index: tag each row with which prefixes it hits,
-    // count distinct hit prefixes per id. The OR-of-ranges filter is
-    // pushable; no per-prefix rescans.
-    val hit = prefixes.map(p => when(prefixPred(col("term"), p), lit(p)))
-      .reduce((a, b) => coalesce(a, b))
+    val hits = filter(
+      array(prefixes.map(p => when(prefixPred(col("term"), p), lit(p))): _*),
+      _.isNotNull)
     index
       .where(prefixes.map(p => prefixPred(col("term"), p)).reduce(_ || _))
-      .select(col("id"), hit.as("hit_prefix"))
+      .select(col("id"), explode(hits).as("hit_prefix"))
       .groupBy("id")
       .agg(countDistinct(col("hit_prefix")).as("n_hit"))
       .where(col("n_hit") === prefixes.size)
@@ -86,6 +90,18 @@ object FtsQueries extends graft.QueryModule {
         |  AND regexp_matches(lower(strip_accents(text)), '(^|[^a-z0-9])wind')""".stripMargin))((s, d) =>
       Fts.search(Tables.documents(s, d), "doc_id", Seq("text"), Seq("spar", "wind"))
         .select("doc_id", "lang", "source")),
+
+    // P6c — overlapping prefixes ('wind' is a prefix of 'window'): a term
+    // matching several query prefixes must credit ALL of them, or the
+    // AND-count can never be satisfied (FTS5 'wind* AND window*' matches
+    // any doc with a window-token). Regression oracle for the
+    // first-match-only bug.
+    graft.QueryDef("p6_fts_overlap", Some(
+      """SELECT doc_id FROM documents
+        |WHERE regexp_matches(lower(strip_accents(text)), '(^|[^a-z0-9])wind')
+        |  AND regexp_matches(lower(strip_accents(text)), '(^|[^a-z0-9])window')""".stripMargin))((s, d) =>
+      Fts.search(Tables.documents(s, d), "doc_id", Seq("text"), Seq("wind", "window"))
+        .select("doc_id")),
 
     // P6b — multi-column FTS over the entries fixture: the reference
     // indexes 8 text columns (0002_fts.sql:2-10); a prefix may match in

@@ -51,11 +51,13 @@ object StarSorts extends graft.QueryModule {
 
     // O2 — LIMIT/OFFSET pagination with page clamping (reference counts,
     // clamps page into [1,totalPages], then offsets:
-    // src/lib/db/entries.ts:102-116). Expressed as one pass: row_number +
-    // count share a single scan, and the requested page (99999) clamps to
-    // the last page. NOTE the global row_number is the honest cost of
-    // arbitrary OFFSET pagination; at 100 TB a cursor (`WHERE key > last`)
-    // replaces it — see o5_topn for the keyed pattern.
+    // src/lib/db/entries.ts:102-116). Two actions like the reference's two
+    // SQLite round-trips: a count to clamp the requested page (99999 →
+    // last page), then ORDER BY + OFFSET + LIMIT — which plans to ONE
+    // TakeOrderedAndProject (per-partition heaps of offset+limit rows,
+    // bounded driver merge), never a global single-partition row_number
+    // sort. Arbitrary depth at 100 TB uses the keyed cursor instead
+    // (`WHERE key > last` — Engine.listEntriesAfter / o5_topn pattern).
     graft.QueryDef("o2_offset_page", Some(
       """WITH w AS (
         |  SELECT o_orderkey, o_custkey,
@@ -65,13 +67,10 @@ object StarSorts extends graft.QueryModule {
         |SELECT o_orderkey, o_custkey FROM w
         |WHERE rn > (LEAST(GREATEST(CAST(ceil(total / 50.0) AS BIGINT), 1), 99999) - 1) * 50
         |  AND rn <= LEAST(GREATEST(CAST(ceil(total / 50.0) AS BIGINT), 1), 99999) * 50""".stripMargin))((s, d) => {
-      val w = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey"))
-        .withColumn("rn", row_number().over(Window.orderBy("o_orderkey")))
-        .withColumn("total", count(lit(1)).over(Window.partitionBy()))
-      val clamped = least(greatest(ceil(col("total") / 50.0).cast(LongType), lit(1L)), lit(99999L))
-      w.where(col("rn") > (clamped - 1) * 50 && col("rn") <= clamped * 50)
-        .select("o_orderkey", "o_custkey")
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val totalPages = math.max(math.ceil(o.count() / 50.0).toLong, 1L)
+      val page = math.min(math.max(99999L, 1L), totalPages).toInt
+      o.orderBy(col("o_orderkey").asc).offset((page - 1) * 50).limit(50)
     }),
 
     // O3 — comparator sorts over aggregated stats (agencies page

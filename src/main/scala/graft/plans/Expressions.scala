@@ -244,6 +244,61 @@ object WordKGrams {
   }
 }
 
+/** 32-slot MinHash signature of a shingle array in ONE JVM loop:
+  * h_i = (a_i*h + b_i) mod p with a_i = 2i+1, b_i = 12345i + 678,
+  * p = 2^31 - 1, over base h = xxhash64(shingle) mod 2^31 — byte-for-byte
+  * the formula of operators.Dedup.minhashSig. Replaces the
+  * explode + 32-way min() aggregation signature stage (a full shuffle of
+  * n·shingles rows) with a map-side scalar: the dominant cost of
+  * MinHash-LSH disappears from the shuffle plan entirely. */
+case class MinHashSig(child: Expression, nHashes: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[ArrayData], nHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.MinHashSig.compute($c, $nHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  private final val P = 2147483647L // 2^31 - 1
+
+  def compute(shingles: ArrayData, nHashes: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val mins = new Array[Long](nHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = shingles.numElements()
+    var s = 0
+    while (s < n) {
+      if (!shingles.isNullAt(s)) {
+        val u = shingles.getUTF8String(s)
+        // Same base as Spark's xxhash64(col) (seed 42) folded into [0, 2^31).
+        val h0 = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+        val base = java.lang.Math.floorMod(h0, 2147483648L)
+        var i = 0
+        while (i < nHashes) {
+          // base < 2^31, multiplier <= 2*nHashes-1: no 64-bit overflow.
+          val hi = java.lang.Math.floorMod(base * (2L * i + 1L) + 12345L * i + 678L, P)
+          if (hi < mins(i)) mins(i) = hi
+          i += 1
+        }
+      }
+      s += 1
+    }
+    // Empty set: the old min() aggregation produced NULLs; collapse to 0s
+    // so the band key is still a valid (degenerate) bucket.
+    var i = 0
+    while (i < nHashes) { if (mins(i) == Long.MaxValue) mins(i) = 0L; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+}
+
 /** Exact integer dot product of two long arrays (zip_with+aggregate was
   * the interpreted hot path of every cosine verify/rerank stage). */
 case class DotProductLong(left: Expression, right: Expression)
@@ -293,6 +348,9 @@ object NativeFunctions {
 
   def wordKGrams(c: Column, k: Int): Column =
     Bridge.column(WordKGrams(Bridge.expression(c), k))
+
+  def minhashSig(c: Column, nHashes: Int): Column =
+    Bridge.column(MinHashSig(Bridge.expression(c), nHashes))
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[StripDiacritics].getName, null, name, usage, "")

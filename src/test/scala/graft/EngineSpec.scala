@@ -111,6 +111,59 @@ class EngineSpec extends AnyFunSuite with SparkSuite {
     assert(ids2.toSet == Set(6L, 14L)) // 'spark' appears in subjects 6 and 14
   }
 
+  test("FTS: overlapping prefixes ('wind window') — one term credits both") {
+    // 'window' matches BOTH prefixes; FTS5 'wind* AND window*' returns
+    // every window-doc. First-match-only crediting would return zero rows.
+    val (ids, _) = run(SearchOptions(q = Some("wind window"), pageSize = 50))
+    assert(ids.toSet == Set(14L, 25L))
+  }
+
+  test("FTS: repeated term ('spark spark') dedupes, not an unsatisfiable AND") {
+    val (ids, _) = run(SearchOptions(q = Some("spark spark"), pageSize = 50))
+    assert(ids.toSet == Set(6L, 14L))
+  }
+
+  test("cursor pagination replays the exact OFFSET page sequence") {
+    for (sort <- Seq("newest", "oldest", "highest_fee", "default")) {
+      val opts = SearchOptions(sort = sort, pageSize = 7)
+      val (fullOrder, _) = expectedIds(opts.copy(pageSize = 100))
+      val byId = model.map(r => r.id -> r).toMap
+      def cursorOf(id: Long): (Option[String], Long) = {
+        val r = byId(id)
+        sort match {
+          case "newest" | "oldest" => (r.req, id)
+          case "highest_fee"       => (Some(feeInt(r.fee).toString), id)
+          case _                   => (None, id)
+        }
+      }
+      var walked = fullOrder.take(7)
+      assert(walked == expectedIds(opts)._1, s"first page differs for $sort")
+      while (walked.size < fullOrder.size) {
+        val (last, lastId) = cursorOf(walked.last)
+        val page = Engine.listEntriesAfter(spark, Fixture.df(spark), opts, last, lastId)
+          .select("id").collect().map(_.getLong(0)).toSeq
+        assert(page == fullOrder.slice(walked.size, walked.size + 7),
+          s"cursor page after id=$lastId differs for $sort")
+        walked ++= page
+      }
+      // stepping past the final row yields an empty page
+      val (lastV, lastI) = cursorOf(walked.last)
+      assert(Engine.listEntriesAfter(spark, Fixture.df(spark), opts, lastV, lastI).count() == 0)
+    }
+  }
+
+  test("cursor handles the NULL-tail transition under 'oldest' (nulls first)") {
+    val opts = SearchOptions(sort = "oldest", pageSize = 1)
+    // id 16 is the single NULL request_date: first row under oldest.
+    val first = Engine.listEntries(spark, Fixture.df(spark), opts)
+    assert(first.rows.select("id").collect().map(_.getLong(0)).toSeq == Seq(16L))
+    first.unpersist()
+    // cursor from inside the null stripe: last = None
+    val next = Engine.listEntriesAfter(spark, Fixture.df(spark), opts, None, 16L)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(next == expectedIds(opts.copy(pageSize = 100))._1.slice(1, 2))
+  }
+
   test("distinctResolutions and resolutionCounts match the model") {
     val want = model.flatMap(_.resolution).filter(_.nonEmpty).distinct.sorted
     val got = Engine.distinctResolutions(Fixture.df(spark))

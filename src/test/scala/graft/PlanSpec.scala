@@ -62,6 +62,25 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(plan("n1_ann_bruteforce").contains("TakeOrderedAndProject"))
   }
 
+  test("pagination plans to TakeOrderedAndProject, never a global window sort") {
+    import graft.entries.{Engine, Fixture, SearchOptions}
+    // OFFSET mode: per-partition top-(page·pageSize) heaps + bounded merge
+    val got = Engine.listEntries(spark, Fixture.df(spark),
+      SearchOptions(sort = "newest", page = 2, pageSize = 5))
+    val p = got.rows.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), "listEntries page: no TakeOrderedAndProject")
+    assert(!p.contains("Window"), "listEntries page: global window sort")
+    got.unpersist()
+    // keyed-cursor mode: filtered scan + top-pageSize, no offset at all
+    val cur = Engine.listEntriesAfter(spark, Fixture.df(spark),
+      SearchOptions(sort = "newest", pageSize = 5), Some("2025-05-01"), 2L)
+    val pc = cur.queryExecution.executedPlan.toString
+    assert(pc.contains("TakeOrderedAndProject") && !pc.contains("Window"))
+    // the registered OFFSET gate query shares the shape
+    val o2 = plan("o2_offset_page")
+    assert(o2.contains("TakeOrderedAndProject") && !o2.contains("Window"))
+  }
+
   test("LSH candidate joins are equality joins on band keys, not loops") {
     for (name <- Seq("d2_minhash_lsh", "d3_simhash")) {
       val p = plan(name)
