@@ -36,13 +36,15 @@ object Bench {
       // LSH queries persist their index frames; drop them so later
       // queries aren't measured under another query's memory pressure.
       spark.catalog.clearCache()
-      // A crashed query must never read as a (fast) success: record -1.
-      name -> (if (ok) dt else -1.0)
+      name -> (if (ok) Some(dt) else None)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // A crashed query must never read as a (fast) success, and the timings
+    // map must hold ONLY real durations (no sentinel a consumer could sum):
+    // failures appear solely in the `failed` list.
+    val qs = results.collect { case (k, Some(v)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.values.flatten.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -20,12 +20,7 @@ final case class SearchOptions(
     page: Int = 1,
     pageSize: Int = 50)
 
-final case class ListPage(rows: DataFrame, total: Long, page: Int, totalPages: Int,
-    private val cached: Option[DataFrame] = None) {
-  /** Release the cached filtered frame once the page has been consumed —
-    * repeated Engine calls must not accumulate executor storage. */
-  def unpersist(): Unit = cached.foreach { c => c.unpersist(); () }
-}
+final case class ListPage(rows: DataFrame, total: Long, page: Int, totalPages: Int)
 
 /** Parameterized entries API — the engine a reference user calls instead
   * of `listEntries`/`distinctResolutions`/`resolutionCounts`
@@ -69,8 +64,8 @@ object Engine {
 
   /** The shared filter pipeline of both pagination modes (entries.ts
     * WHERE assembly, src/lib/db/entries.ts:29-63). */
-  private def listEntriesFiltered(spark: SparkSession, entries: DataFrame,
-                                  opts: SearchOptions): DataFrame = {
+  def listEntriesFiltered(spark: SparkSession, entries: DataFrame,
+                          opts: SearchOptions): DataFrame = {
     var df = withCorrected(spark, entries)
 
     // P6/J1 — FTS prefix-AND semi-join over the term index
@@ -93,28 +88,40 @@ object Engine {
     df
   }
 
+  /** The page-slice plan: ORDER BY + OFFSET + LIMIT plans to ONE
+    * TakeOrderedAndProject (per-partition top-(page·pageSize) heaps, then
+    * a bounded driver merge) — never a global single-partition sort of the
+    * whole filtered set. Exposed so plan audits (PlanSpec) can assert the
+    * shape; [[listEntries]] materializes it. Arbitrary-depth consumers
+    * should use [[listEntriesAfter]], whose keyed cursor skips the offset
+    * scan too. */
+  def pageSlice(spark: SparkSession, filtered: DataFrame,
+                opts: SearchOptions, page: Int): DataFrame = {
+    val slice = filtered.orderBy(sortKeys(opts.sort): _*)
+      .offset((page - 1) * opts.pageSize).limit(opts.pageSize)
+    // P9 — row post-processor on the returned page only
+    Normalize.normalizeEntries(spark,
+      slice.drop("corrected_request", "corrected_completion"))
+  }
+
   def listEntries(spark: SparkSession, entries: DataFrame,
                   opts: SearchOptions): ListPage = {
-    var df = listEntriesFiltered(spark, entries, opts)
-
     // A1/O2 — count, clamp the requested page, slice (entries.ts:102-116).
     // One cached filtered plan feeds both actions (the reference's two
     // SQLite round-trips share nothing).
-    df = df.persist()
-    val total = df.count()
-    val totalPages = math.max(math.ceil(total / opts.pageSize.toDouble).toInt, 1)
-    val page = math.min(math.max(opts.page, 1), totalPages)
-    // Page slice as ORDER BY + OFFSET + LIMIT: plans to ONE
-    // TakeOrderedAndProject (per-partition top-(page·pageSize) heaps, then
-    // a bounded driver merge) — never a global single-partition sort of
-    // the whole filtered set. Arbitrary-depth consumers should use
-    // [[listEntriesAfter]], whose keyed cursor skips the offset scan too.
-    val slice = df.orderBy(sortKeys(opts.sort): _*)
-      .offset((page - 1) * opts.pageSize).limit(opts.pageSize)
-    // P9 — row post-processor on the returned page only
-    val rows = Normalize.normalizeEntries(spark,
-      slice.drop("corrected_request", "corrected_completion"))
-    ListPage(rows, total, page, totalPages, cached = Some(df))
+    val df = listEntriesFiltered(spark, entries, opts).persist()
+    try {
+      val total = df.count()
+      val totalPages = math.max(math.ceil(total / opts.pageSize.toDouble).toInt, 1)
+      val page = math.min(math.max(opts.page, 1), totalPages)
+      val rows = pageSlice(spark, df, opts, page)
+      // Materialize the bounded page (<= pageSize rows) so the cached
+      // filtered frame is released before returning — every ListPage field
+      // is already eager (count), and callers that only consume `rows`
+      // must not accumulate executor storage across repeated Engine calls.
+      ListPage(spark.createDataFrame(rows.collectAsList(), rows.schema),
+        total, page, totalPages)
+    } finally { df.unpersist(); () }
   }
 
   /** Keyed-cursor pagination — the at-scale replacement for OFFSET depth
@@ -142,10 +149,16 @@ object Engine {
           case Some(v) => key > v || (key === v && col("id") > lastId)
           case None    => key.isNotNull || (key.isNull && col("id") > lastId)
         }
-      case "highest_fee" => // parsed fee int is never null (defaults to 0)
+      case "highest_fee" =>
+        // The parsed fee int is never null (defaults to 0), so a None
+        // cursor is always a caller bug — resuming from fee=0 would
+        // silently skip every positive-fee row. Fail fast on both that
+        // and a non-numeric cursor string.
+        val v = last.flatMap(_.toLongOption)
+        require(v.isDefined,
+          s"highest_fee cursor must be the decimal fee of the last row, got $last")
         val key = Cols.sqliteFeeInt(col("fee"))
-        val v = last.map(_.toLong).getOrElse(0L)
-        key < v || (key === v && col("id") > lastId)
+        key < v.get || (key === v.get && col("id") > lastId)
       case _ => col("id") < lastId
     }
     val page = base.where(after)

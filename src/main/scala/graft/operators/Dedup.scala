@@ -87,7 +87,15 @@ object Dedup {
     val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
       .withColumn("sig", minhashSig(col("sh")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = sh.select(col("doc_id"), explode(bandKeys(col("sig"))).as("band"))
+    // Degenerate docs (empty/whitespace text shingles to [""]; a null-ish
+    // input to []) all share one signature, so banding them collapses every
+    // such doc into the same 8 buckets — O(n_empty^2) candidate pairs at
+    // scale for rows that are exact-dedup's (d1) job, not near-dup's.
+    // Exclude them from candidate generation entirely.
+    val degenerate = size(col("sh")) === 0 ||
+      (size(col("sh")) === 1 && element_at(col("sh"), 1) === "")
+    val banded = sh.where(!degenerate)
+      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("band"))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
@@ -147,8 +155,13 @@ object Dedup {
     * space collapses to near-all-pairs at scale, so k=3 is the
     * scale-correct default. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sims = docs.select(col("doc_id"),
-      simhashCol(split(normText(col("text")), " ")).as("sim"))
+    // Same degenerate-doc guard as minhashPairs: every empty/whitespace doc
+    // has the identical fingerprint, so one bucket would hold them all and
+    // hamming=0 would "verify" O(n_empty^2) pairs that belong to exact
+    // dedup (d1), not near-dup blocking.
+    val sims = docs.where(length(normText(col("text"))) > 0)
+      .select(col("doc_id"),
+        simhashCol(split(normText(col("text")), " ")).as("sim"))
       .persist(StorageLevel.MEMORY_AND_DISK) // both self-join sides read it
     val bandCols = (0 to 3).map(b => concat_ws("-", lit(b),
       shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).cast(StringType)))

@@ -152,12 +152,23 @@ class EngineSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("highest_fee cursor rejects a missing or malformed value (fail fast)") {
+    val opts = SearchOptions(sort = "highest_fee", pageSize = 5)
+    // fee is never null, so None can only be a caller bug — resuming from
+    // fee=0 would silently skip every positive-fee row.
+    intercept[IllegalArgumentException] {
+      Engine.listEntriesAfter(spark, Fixture.df(spark), opts, None, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Engine.listEntriesAfter(spark, Fixture.df(spark), opts, Some("12.5x"), 1L)
+    }
+  }
+
   test("cursor handles the NULL-tail transition under 'oldest' (nulls first)") {
     val opts = SearchOptions(sort = "oldest", pageSize = 1)
     // id 16 is the single NULL request_date: first row under oldest.
     val first = Engine.listEntries(spark, Fixture.df(spark), opts)
     assert(first.rows.select("id").collect().map(_.getLong(0)).toSeq == Seq(16L))
-    first.unpersist()
     // cursor from inside the null stripe: last = None
     val next = Engine.listEntriesAfter(spark, Fixture.df(spark), opts, None, 16L)
       .select("id").collect().map(_.getLong(0)).toSeq

@@ -53,6 +53,25 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       s"missing planted pairs within Hamming 3: ${expected -- pairs}")
   }
 
+  test("d2/d3: empty and whitespace-only docs never become near-dup candidates") {
+    import spark.implicits._
+    // Degenerate docs all share one signature; without the banding guard
+    // they'd collapse into a single bucket and emit O(n^2) "pairs".
+    val docs = Seq(
+      (1L, ""), (2L, "   "), (3L, "\t\n"), (4L, ""),
+      (5L, "a real document with several words inside it"),
+      (6L, "a real document with several words inside it too")
+    ).toDF("doc_id", "text")
+    val mh = Dedup.minhashPairs(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.forall { case (a, b) => a >= 5L && b >= 5L },
+      s"degenerate docs surfaced as minhash candidates: $mh")
+    val sh = Dedup.simhashPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh.forall { case (a, b) => a >= 5L && b >= 5L },
+      s"degenerate docs surfaced as simhash candidates: $sh")
+  }
+
   test("n1/n2: LSH ANN prunes candidates and keeps the exact match") {
     val emb = Tables.embeddings(spark, sf)
     val brute = Similarity.bruteForceTopK(emb, 0L, 10)

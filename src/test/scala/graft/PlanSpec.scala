@@ -64,13 +64,15 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
 
   test("pagination plans to TakeOrderedAndProject, never a global window sort") {
     import graft.entries.{Engine, Fixture, SearchOptions}
-    // OFFSET mode: per-partition top-(page·pageSize) heaps + bounded merge
-    val got = Engine.listEntries(spark, Fixture.df(spark),
-      SearchOptions(sort = "newest", page = 2, pageSize = 5))
-    val p = got.rows.queryExecution.executedPlan.toString
+    // OFFSET mode: per-partition top-(page·pageSize) heaps + bounded merge.
+    // listEntries itself returns a materialized page (so it can release its
+    // cache eagerly); audit the lazy slice plan it materializes.
+    val opts = SearchOptions(sort = "newest", page = 2, pageSize = 5)
+    val slice = Engine.pageSlice(spark,
+      Engine.listEntriesFiltered(spark, Fixture.df(spark), opts), opts, 2)
+    val p = slice.queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), "listEntries page: no TakeOrderedAndProject")
     assert(!p.contains("Window"), "listEntries page: global window sort")
-    got.unpersist()
     // keyed-cursor mode: filtered scan + top-pageSize, no offset at all
     val cur = Engine.listEntriesAfter(spark, Fixture.df(spark),
       SearchOptions(sort = "newest", pageSize = 5), Some("2025-05-01"), 2L)
