@@ -21,22 +21,31 @@ object Bench {
     val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(q => f(q._1)))
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop write runs the FULL plan; .count() would let Catalyst prune
-      // projections and under-measure map-only queries.
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case t: Throwable =>
-          System.err.println(s"BENCH FAILURE in $name: $t")
-          t.printStackTrace()
-          failed += name
-          false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // LSH queries persist their index frames; drop them so later
-      // queries aren't measured under another query's memory pressure.
-      spark.catalog.clearCache()
-      name -> (if (ok) Some(dt) else None)
+      // Two timed runs, report the min: the first run of a query pays its
+      // whole-stage-codegen compile + JIT warm-up (observed 3-4x on some
+      // queries), which is session noise, not plan cost — steady-state
+      // per-query time is what scales to a long-lived cluster.
+      val times = (1 to 2).flatMap { _ =>
+        val t0 = System.nanoTime()
+        // noop write runs the FULL plan; .count() would let Catalyst prune
+        // projections and under-measure map-only queries.
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case t: Throwable =>
+            System.err.println(s"BENCH FAILURE in $name: $t")
+            t.printStackTrace()
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // LSH queries persist their index frames; drop them so later
+        // runs aren't measured under another run's memory pressure.
+        spark.catalog.clearCache()
+        if (ok) Some(dt) else None
+      }
+      // Any crashed run disqualifies the query — a flaky query must not
+      // report the timing of its lucky run.
+      if (times.length < 2) failed += name
+      name -> (if (times.length == 2) times.minOption else None)
     }
     // A crashed query must never read as a (fast) success, and the timings
     // map must hold ONLY real durations (no sentinel a consumer could sum):

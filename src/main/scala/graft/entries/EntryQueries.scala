@@ -330,6 +330,138 @@ object EntryQueries extends graft.QueryModule {
         lit("</pubDate></item>")).as("item_xml"))
     },
 
+    // S9b — the full RSS DOCUMENT (reference buildRssDocument,
+    // src/lib/rss.ts:46-66, fed by the latest-entries feed route
+    // src/pages/entries/feed.xml.ts:17-38): items are the
+    // latest-entry-date snapshot (id DESC, FEED_LIMIT 200), title
+    // "agency | subject (#id)", guid "entry-<id>", description from the
+    // short-format dates, pubDate/lastBuildDate at UTC noon RFC1123
+    // (parseFeedDate, rss.ts:32-44); channel header + items concatenated
+    // into ONE XML string. The ordered concatenation is an aggregation
+    // (sorted collect_list), so assembly distributes: per-item XML is
+    // map-side, only the bounded top-200 strings reach the final row.
+    graft.QueryDef("s9b_rss_document", Some {
+      def esc(e: String) =
+        s"""replace(replace(replace(replace(replace($e, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'), '''', '&apos;')"""
+      def fd(c: String) =
+        s"""CASE WHEN $c IS NULL OR $c = '' THEN '--'
+           |  WHEN regexp_matches($c, '^\\d{4}-\\d{2}-\\d{2}$$')
+           |  THEN strftime(CAST($c AS DATE), '%b %-d, %Y') ELSE '--' END""".stripMargin
+      val title = s"""concat(agency, ' | ', CASE WHEN subject IS NULL OR subject = '' THEN 'No subject' ELSE subject END, ' (#', CAST(id AS VARCHAR), ')')"""
+      val desc = s"""concat('Request: ', ${fd("request_date")}, '. Completed: ', ${fd("completion_date")}, '. Resolution: ', CASE WHEN resolution IS NULL OR resolution = '' THEN '--' ELSE resolution END, '.')"""
+      val pubsrc = "coalesce(entry_date, completion_date, request_date)"
+      s"""WITH snap AS (
+         |  SELECT * FROM $entriesSql
+         |  WHERE entry_date = (SELECT max(entry_date) FROM $entriesSql)
+         |  ORDER BY id DESC LIMIT 200),
+         |items AS (
+         |  SELECT id, entry_date, concat('<item><title>', ${esc(title)},
+         |    '</title><link>https://example.org/entries/', CAST(id AS VARCHAR),
+         |    '</link><guid isPermaLink="false">entry-', CAST(id AS VARCHAR),
+         |    '</guid><description>', ${esc(desc)}, '</description>',
+         |    CASE WHEN $pubsrc IS NOT NULL AND regexp_matches($pubsrc, '^\\d{4}-\\d{2}-\\d{2}$$')
+         |      THEN concat('<pubDate>', strftime(CAST($pubsrc AS TIMESTAMP) + INTERVAL 12 HOUR, '%a, %d %b %Y %H:%M:%S GMT'), '</pubDate>')
+         |      ELSE '' END,
+         |    '</item>') AS item_xml
+         |  FROM snap),
+         |agg AS (SELECT max(entry_date) AS snap_date,
+         |  coalesce(string_agg(item_xml, '' ORDER BY id DESC), '') AS items_xml FROM items)
+         |SELECT concat('<?xml version="1.0" encoding="UTF-8"?><rss version="2.0"><channel><title>wvfoia latest entries</title><link>https://example.org/</link><description>',
+         |  ${esc("concat('Latest WVFOIA entries from the most recently reported date (', CASE WHEN snap_date IS NULL THEN 'none' ELSE strftime(CAST(snap_date AS DATE), '%B %-d, %Y') END, ').')")},
+         |  '</description><language>en-us</language>',
+         |  CASE WHEN snap_date IS NOT NULL
+         |    THEN concat('<lastBuildDate>', strftime(CAST(snap_date AS TIMESTAMP) + INTERVAL 12 HOUR, '%a, %d %b %Y %H:%M:%S GMT'), '</lastBuildDate>')
+         |    ELSE '' END,
+         |  items_xml, '</channel></rss>') AS rss_xml
+         |FROM agg""".stripMargin
+    }) { (s, d) =>
+      val iso = (c: Column) => c.rlike("^\\d{4}-\\d{2}-\\d{2}$")
+      def fdShort(c: Column) =
+        when(c.isNotNull && c =!= "" && iso(c), date_format(to_date(c), "MMM d, yyyy"))
+          .otherwise("--")
+      def rfc(c: Column) = concat(date_format(
+        to_timestamp(c) + expr("INTERVAL 12 HOURS"), "EEE, dd MMM yyyy HH:mm:ss"),
+        lit(" GMT"))
+      val src = Fixture.df(s)
+      val maxEnt = src.agg(max(col("entry_date")).as("__max_entry"))
+      val snap = src.join(broadcast(maxEnt), col("entry_date") === col("__max_entry"))
+        .orderBy(col("id").desc).limit(200)
+      val subj = when(col("subject").isNull || col("subject") === "", "No subject")
+        .otherwise(col("subject"))
+      val resol = when(col("resolution").isNull || col("resolution") === "", "--")
+        .otherwise(col("resolution"))
+      val pubsrc = coalesce(col("entry_date"), col("completion_date"), col("request_date"))
+      val itemXml = concat(
+        lit("<item><title>"),
+        Cols.escapeXml(concat(col("agency"), lit(" | "), subj,
+          lit(" (#"), col("id").cast(StringType), lit(")"))),
+        lit("</title><link>https://example.org/entries/"), col("id").cast(StringType),
+        lit("</link><guid isPermaLink=\"false\">entry-"), col("id").cast(StringType),
+        lit("</guid><description>"),
+        Cols.escapeXml(concat(lit("Request: "), fdShort(col("request_date")),
+          lit(". Completed: "), fdShort(col("completion_date")),
+          lit(". Resolution: "), resol, lit("."))),
+        lit("</description>"),
+        when(pubsrc.isNotNull && iso(pubsrc),
+          concat(lit("<pubDate>"), rfc(pubsrc), lit("</pubDate>"))).otherwise(""),
+        lit("</item>"))
+      val agg = snap.select(col("id"), col("entry_date"), itemXml.as("item_xml"))
+        .agg(max(col("entry_date")).as("snap_date"),
+          array_join(transform(
+            reverse(array_sort(collect_list(struct(col("id"), col("item_xml"))))),
+            x => x.getField("item_xml")), "").as("items_xml"))
+      val label = when(col("snap_date").isNull, "none")
+        .otherwise(date_format(to_date(col("snap_date")), "MMMM d, yyyy"))
+      agg.select(concat(
+        lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?><rss version=\"2.0\"><channel><title>wvfoia latest entries</title><link>https://example.org/</link><description>"),
+        Cols.escapeXml(concat(
+          lit("Latest WVFOIA entries from the most recently reported date ("), label, lit(")."))),
+        lit("</description><language>en-us</language>"),
+        when(col("snap_date").isNotNull && iso(col("snap_date")),
+          concat(lit("<lastBuildDate>"), rfc(col("snap_date")), lit("</lastBuildDate>")))
+          .otherwise(""),
+        coalesce(col("items_xml"), lit("")),
+        lit("</channel></rss>")).as("rss_xml"))
+    },
+
+    // S7b — SQLite-dump export artifact (reference export job,
+    // .github/workflows/export-db-sqlite.yml:93-113: `wrangler d1 export
+    // --no-schema` emits INSERT statements that are concatenated after the
+    // migrations and fed to sqlite3). One INSERT per entry with SQLite
+    // literal quoting ('' doubling, bare NULL, bare integers) — a pure
+    // per-row transform, so the dump generation is embarrassingly
+    // parallel and any text sink can write the statement column.
+    graft.QueryDef("s7b_sqlite_dump", Some {
+      def q(c: String) =
+        s"""CASE WHEN $c IS NULL THEN 'NULL' ELSE concat('''', replace($c, '''', ''''''), '''') END"""
+      val cols = Seq("agency", "organization", "first_name", "middle_name",
+        "last_name", "request_date", "completion_date", "entry_date", "fee")
+      val tail = Seq("subject", "details", "resolution", "response")
+      s"""SELECT id, concat(
+         |  'INSERT INTO entries (id, agency, organization, first_name, middle_name, last_name, request_date, completion_date, entry_date, fee, is_amended, subject, details, resolution, response) VALUES (',
+         |  CAST(id AS VARCHAR), ', ',
+         |  ${cols.map(q).mkString(", ', ', ")}, ', ',
+         |  CAST(is_amended AS VARCHAR), ', ',
+         |  ${tail.map(q).mkString(", ', ', ")}, ');') AS stmt
+         |FROM $entriesSql""".stripMargin
+    }) { (s, d) =>
+      def q(c: Column) = when(c.isNull, "NULL")
+        .otherwise(concat(lit("'"), regexp_replace(c, "'", "''"), lit("'")))
+      val cols = Seq("agency", "organization", "first_name", "middle_name",
+        "last_name", "request_date", "completion_date", "entry_date", "fee")
+        .map(n => q(col(n)))
+      val tail = Seq("subject", "details", "resolution", "response").map(n => q(col(n)))
+      val sep = lit(", ")
+      val pieces: Seq[Column] =
+        Seq(lit("INSERT INTO entries (id, agency, organization, first_name, middle_name, last_name, request_date, completion_date, entry_date, fee, is_amended, subject, details, resolution, response) VALUES ("),
+          col("id").cast(StringType), sep) ++
+        cols.flatMap(c => Seq(c, sep)) ++
+        Seq(col("is_amended").cast(StringType), sep) ++
+        tail.init.flatMap(c => Seq(c, sep)) ++
+        Seq(tail.last, lit(");"))
+      Fixture.df(s).select(col("id"), concat(pieces: _*).as("stmt"))
+    },
+
     // S7 — export sink round-trip: write the corpus to parquet AND csv,
     // read both back, emit a manifest (reference export job,
     // export-db-sqlite.yml:93-113). The oracle states the expected
@@ -360,6 +492,25 @@ object EntryQueries extends graft.QueryModule {
         |  CAST(3 AS BIGINT) AS drift_tolerance""".stripMargin)) { (s, d) =>
       import s.implicits._
       val (result, _) = Sync.runSync(Sync.fixtureTransport.get, latestInDb = 26)
+      Seq(result).toDF()
+        .select(col("added"), col("checked"), col("startFrom").as("start_from"),
+          col("lastCheckedId").as("last_checked_id"),
+          col("driftTolerance").as("drift_tolerance"))
+    },
+
+    // S1b — the distributed batch twin of the drift loop (runSyncBatch):
+    // same stop-condition golden as s1_sync_drift, driven with batch=4 so
+    // the fixture exercises the cross-batch stop path (round 1 probes
+    // 27-30 with the 29 gap absorbed, round 2 probes 31-34 and stops at
+    // 33). The fetch+parse fans out via mapPartitions; only the <=batch
+    // parsed rows reach the driver.
+    graft.QueryDef("s1b_sync_batch", Some(
+      """SELECT CAST(3 AS BIGINT) AS added, CAST(7 AS BIGINT) AS checked,
+        |  CAST(27 AS BIGINT) AS start_from, CAST(33 AS BIGINT) AS last_checked_id,
+        |  CAST(3 AS BIGINT) AS drift_tolerance""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      val (result, _) = Sync.runSyncBatch(s, Sync.fixtureTransport.get,
+        latestInDb = 26, batch = 4)
       Seq(result).toDF()
         .select(col("added"), col("checked"), col("startFrom").as("start_from"),
           col("lastCheckedId").as("last_checked_id"),

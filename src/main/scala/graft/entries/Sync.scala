@@ -133,6 +133,59 @@ object Sync {
       added.result())
   }
 
+  /** S1 at scale — the distributed twin of [[runSync]]. The reference's
+    * serial fetch loop (one page per round-trip, sync.ts:177-212) can't
+    * saturate a cluster; here each round probes a WINDOW of `batch`
+    * candidate ids from `ids.toDS.mapPartitions(transport+parse)` so the
+    * fetch+parse fan out across executors, and only the drift-stop
+    * decision runs on the driver over the parsed batch — bounded by the
+    * `batch` tunable (256 rows), NOT by corpus size, so the driver never
+    * becomes the funnel. Exactly replays [[runSync]]'s stop semantics:
+    * the loop ends at the id that completes `driftTolerance` consecutive
+    * misses, entries past the stop id are discarded, and each id's page
+    * is fetched exactly once (`maxBatches` bounds a runaway upstream).
+    *
+    * Returns the same (result, added-entries) pair; `added` is handed
+    * back as a Dataset so the upsert sink composes unchanged.
+    */
+  def runSyncBatch(spark: org.apache.spark.sql.SparkSession,
+                   transport: Long => Option[String], latestInDb: Long,
+                   driftTolerance: Int = DriftTolerance, batch: Int = 256,
+                   maxBatches: Int = 64): (SyncResult, org.apache.spark.sql.Dataset[Entry]) = {
+    import spark.implicits._
+    val startFrom = latestInDb + 1
+    var batchStart = startFrom
+    var missingInARow = 0
+    var stopId = -1L
+    val kept = Seq.newBuilder[Entry]
+    var nAdded = 0L
+    var rounds = 0
+    while (stopId < 0 && rounds < maxBatches) {
+      rounds += 1
+      val ids: Seq[Long] = batchStart until (batchStart + batch)
+      // Fan the fetch+parse out across executors; the collected batch is
+      // <= `batch` rows — bounded driver data by construction.
+      val parsed = spark.createDataset(ids).repartition(math.min(batch, 32))
+        .mapPartitions(_.flatMap(id => transport(id).flatMap(parseEntry(_, id))))
+        .collect()
+      val byId = parsed.map(e => e.id -> e).toMap
+      var id = batchStart
+      while (stopId < 0 && id < batchStart + batch) {
+        byId.get(id) match {
+          case Some(e) => missingInARow = 0; nAdded += 1; kept += e
+          case None =>
+            missingInARow += 1
+            if (missingInARow >= driftTolerance) stopId = id
+        }
+        id += 1
+      }
+      batchStart += batch
+    }
+    val lastChecked = if (stopId >= 0) stopId else batchStart - 1
+    (SyncResult(nAdded, lastChecked - startFrom + 1, startFrom, lastChecked,
+      driftTolerance), spark.createDataset(kept.result()))
+  }
+
   /** Fixture detail pages (FIXTURES.md: label/value pairs + panel-body
     * sections, one M/D/YYYY-dated page, one 404-shaped page). */
   def fixtureHtml(agency: String, fields: Seq[(String, String)],

@@ -113,6 +113,49 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  // --- Cluster resolution --------------------------------------------------
+
+  /** Connected components over near-dup pairs — the step that turns a
+    * pair list (d1-d5) into droppable duplicate CLUSTERS (keep the min
+    * doc_id of each component, drop the rest). Iterative min-label
+    * propagation: each round every node adopts the smallest label among
+    * itself and its neighbors, one shuffle join per round, converging in
+    * O(component diameter) rounds — dedup components are near-cliques
+    * (diameter 2-3), so 3-4 rounds in practice; `maxIter` bounds
+    * adversarial chains. The per-round driver work is ONE isEmpty
+    * convergence probe, never node data; each round's cache is released
+    * as soon as the next round's labels materialize. The FINAL labels
+    * frame stays cached — it is the cluster-map artifact (at scale you
+    * write it out); release it once consumed, as with the LSH index
+    * frames.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      iter += 1
+      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (coalesce(col("nbr_label"), col("label")) < col("label")).as("changed"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      converged = next.where(col("changed")).isEmpty
+      labels.unpersist()
+      labels = next.drop("changed")
+    }
+    val out = labels.select(col("node").as("doc_id"), col("label").as("cluster"))
+    edges.unpersist()
+    out
+  }
+
   // --- SimHash -------------------------------------------------------------
 
   /** FNV-1a 64-bit — deterministic token hash with no library deps. */

@@ -6,7 +6,7 @@ import graft.entries.Sync
 /** Sync pipeline goldens — parser (sync.ts:83-130), date normalization
   * (sync.ts:59-76), and the drift-tolerance loop (sync.ts:177-212)
   * including stop conditions, interior gaps, and re-run determinism. */
-class SyncSpec extends AnyFunSuite {
+class SyncSpec extends AnyFunSuite with SparkSuite {
 
   test("normalizeDate: M/D/YYYY pads, ISO passes, junk nulls, no validation") {
     assert(Sync.normalizeDate("3/5/2024").contains("2024-03-05"))
@@ -90,5 +90,23 @@ class SyncSpec extends AnyFunSuite {
     val (res, added) = Sync.runSync(Sync.fixtureTransport.get, 26, driftTolerance = 1)
     assert(res == Sync.SyncResult(2, 3, 27, 29, 1))
     assert(added.map(_.id) == Seq(27L, 28L))
+  }
+
+  test("runSyncBatch replays runSync exactly across batch sizes and transports") {
+    // batch=1 degenerates to the serial loop; batch=4 crosses a batch
+    // boundary mid-drift; batch=256 stops inside the first batch.
+    val cases = Seq[(Long => Option[String], Long, Int)](
+      (Sync.fixtureTransport.get, 26L, 3),
+      (Sync.fixtureTransport.get, 26L, 1),
+      ((_: Long) => None, 100L, 3),
+      ((_: Long) => Some(Sync.NotFoundHtml), 0L, 3))
+    for ((transport, latest, tol) <- cases; batch <- Seq(1, 2, 4, 256)) {
+      val (serialRes, serialAdded) = Sync.runSync(transport, latest, tol)
+      val (batchRes, batchAdded) =
+        Sync.runSyncBatch(spark, transport, latest, tol, batch = batch)
+      assert(batchRes == serialRes, s"result mismatch at batch=$batch tol=$tol")
+      assert(batchAdded.collect().toSeq.sortBy(_.id) == serialAdded.sortBy(_.id),
+        s"added mismatch at batch=$batch tol=$tol")
+    }
   }
 }
