@@ -250,6 +250,41 @@ object DedupQueries extends graft.QueryModule {
     graft.QueryDef("d3_simhash", None)((s, d) =>
       simhashPairs(withNearProbes(Tables.documents(s, d)))),
 
+    // D6 — dedup cluster resolution: connected components over a
+    // deterministic pair graph (chains of 3 at doc_id % 50, cross-links
+    // at % 200 merging two chains — so labels must propagate 3 hops).
+    // The oracle recomputes components INDEPENDENTLY via a recursive CTE
+    // (min reachable id per node), so the iterative label-propagation
+    // join loop is genuinely checked, not mirrored.
+    graft.QueryDef("d6_dedup_clusters", Some(
+      """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+        |chain AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 50 IN (0, 1)
+        |  UNION ALL
+        |  SELECT a.doc_id, b.doc_id
+        |  FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 100
+        |  WHERE a.doc_id % 200 = 0),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM chain
+        |  UNION ALL SELECT doc_b, doc_a FROM chain),
+        |r(node, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.label FROM edges e JOIN r ON r.node = e.dst)
+        |SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster
+        |FROM r GROUP BY node""".stripMargin))((s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      def pairsAt(offset: Int, cond: Column) =
+        ids.where(cond).select(col("doc_id").as("doc_a"))
+          .join(ids.select(col("doc_id").as("doc_b")),
+            col("doc_b") === col("doc_a") + offset)
+      val pairs = pairsAt(1, col("doc_id") % 50 === 0 || col("doc_id") % 50 === 1)
+        .unionByName(pairsAt(100, col("doc_id") % 200 === 0))
+      connectedComponents(pairs)
+    }),
+
     // D4 — n-gram (word-bigram) Jaccard over a fixed deterministic pair
     // set — the exact-similarity primitive, oracle-checked. Pairs are
     // (doc_id, doc_id+1) strides; similarity of random word-soup is near

@@ -120,6 +120,66 @@ object TextAnalysisQueries extends graft.QueryModule {
     graft.QueryDef("t5_winnowing", None)((s, d) =>
       winnow(Tables.documents(s, d), k = 8, w = 16)),
 
+    // T6 — sequence packing for training batches: docs are packed into
+    // fixed token-budget (2048) bins per language stratum by running
+    // prior-token offset — pack_id = floor(prior_cumsum / budget), the
+    // streaming-boundary packing used when documents are concatenated
+    // into training sequences (each pack's sum <= budget + one straddling
+    // doc). The window partitions by lang, so packing parallelizes across
+    // strata; a single dominant stratum would be range-split into
+    // (lang, doc_id-bucket) sub-windows with per-bucket offsets merged.
+    graft.QueryDef("t6_pack_sequences", Some(
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |packed AS (
+        |  SELECT lang, tokens,
+        |    coalesce(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM toks)
+        |SELECT lang, CAST(floor(prior / 2048) AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS token_sum
+        |FROM packed GROUP BY lang, pack_id""".stripMargin))((s, d) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast(LongType).as("tokens"))
+        .withColumn("prior", coalesce(sum(col("tokens")).over(w), lit(0L)))
+        .groupBy(col("lang"),
+          floor(col("prior") / 2048).cast(LongType).as("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("token_sum"))
+    }),
+
+    // T7 — deterministic stratified sampling: per-language rates via
+    // pure-integer hash arithmetic ((id * knuth) mod 2^31 mod 100 <
+    // rate), so the SAME rows are selected on any engine, any partition
+    // count, any retry — the property rand()-based sampleBy can't give a
+    // reproducible training pipeline.
+    graft.QueryDef("t7_stratified_sample", Some(
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    ((doc_id * 2654435761) % 2147483648) % 100 AS bucket,
+        |    CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 25 ELSE 50 END AS rate
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_total,
+        |  CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  min(CASE WHEN bucket < rate THEN doc_id END) AS first_sampled,
+        |  max(CASE WHEN bucket < rate THEN doc_id END) AS last_sampled
+        |FROM h GROUP BY lang""".stripMargin))((s, d) => {
+      val bucket = ((col("doc_id") * 2654435761L) % 2147483648L) % 100
+      val rate = when(col("lang") === "en", 10)
+        .when(col("lang") === "de", 25).otherwise(50)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"), rate.as("rate"))
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("bucket") < col("rate"), 1L).otherwise(0L)).as("n_sampled"),
+          min(when(col("bucket") < col("rate"), col("doc_id"))).as("first_sampled"),
+          max(when(col("bucket") < col("rate"), col("doc_id"))).as("last_sampled"))
+    }),
+
     // M1 — typed metadata over an opaque payload column: JSON props of
     // events parsed and aggregated per event type.
     graft.QueryDef("m1_multimodal_meta", Some(

@@ -72,6 +72,20 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       s"degenerate docs surfaced as simhash candidates: $sh")
   }
 
+  test("d6: connected components propagate the min label across multi-hop chains") {
+    import spark.implicits._
+    // 1-2-3-20-21 is one path component of diameter 4 (several propagation
+    // rounds required); 10-11 is separate; the rep is always the min id.
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (3L, 20L), (21L, 20L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 20L -> 1L, 21L -> 1L,
+      10L -> 10L, 11L -> 10L)
+    assert(got == want)
+    spark.catalog.clearCache()
+  }
+
   test("n1/n2: LSH ANN prunes candidates and keeps the exact match") {
     val emb = Tables.embeddings(spark, sf)
     val brute = Similarity.bruteForceTopK(emb, 0L, 10)
