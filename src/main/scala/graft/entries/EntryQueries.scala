@@ -375,53 +375,75 @@ object EntryQueries extends graft.QueryModule {
          |  items_xml, '</channel></rss>') AS rss_xml
          |FROM agg""".stripMargin
     }) { (s, d) =>
-      val iso = (c: Column) => c.rlike("^\\d{4}-\\d{2}-\\d{2}$")
-      def fdShort(c: Column) =
-        when(c.isNotNull && c =!= "" && iso(c), date_format(to_date(c), "MMM d, yyyy"))
-          .otherwise("--")
-      def rfc(c: Column) = concat(date_format(
-        to_timestamp(c) + expr("INTERVAL 12 HOURS"), "EEE, dd MMM yyyy HH:mm:ss"),
-        lit(" GMT"))
       val src = Fixture.df(s)
       val maxEnt = src.agg(max(col("entry_date")).as("__max_entry"))
       val snap = src.join(broadcast(maxEnt), col("entry_date") === col("__max_entry"))
         .orderBy(col("id").desc).limit(200)
-      val subj = when(col("subject").isNull || col("subject") === "", "No subject")
-        .otherwise(col("subject"))
-      val resol = when(col("resolution").isNull || col("resolution") === "", "--")
-        .otherwise(col("resolution"))
-      val pubsrc = coalesce(col("entry_date"), col("completion_date"), col("request_date"))
-      val itemXml = concat(
-        lit("<item><title>"),
-        Cols.escapeXml(concat(col("agency"), lit(" | "), subj,
-          lit(" (#"), col("id").cast(StringType), lit(")"))),
-        lit("</title><link>https://example.org/entries/"), col("id").cast(StringType),
-        lit("</link><guid isPermaLink=\"false\">entry-"), col("id").cast(StringType),
-        lit("</guid><description>"),
-        Cols.escapeXml(concat(lit("Request: "), fdShort(col("request_date")),
-          lit(". Completed: "), fdShort(col("completion_date")),
-          lit(". Resolution: "), resol, lit("."))),
-        lit("</description>"),
-        when(pubsrc.isNotNull && iso(pubsrc),
-          concat(lit("<pubDate>"), rfc(pubsrc), lit("</pubDate>"))).otherwise(""),
-        lit("</item>"))
-      val agg = snap.select(col("id"), col("entry_date"), itemXml.as("item_xml"))
-        .agg(max(col("entry_date")).as("snap_date"),
-          array_join(transform(
-            reverse(array_sort(collect_list(struct(col("id"), col("item_xml"))))),
-            x => x.getField("item_xml")), "").as("items_xml"))
-      val label = when(col("snap_date").isNull, "none")
-        .otherwise(date_format(to_date(col("snap_date")), "MMMM d, yyyy"))
-      agg.select(concat(
-        lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?><rss version=\"2.0\"><channel><title>wvfoia latest entries</title><link>https://example.org/</link><description>"),
-        Cols.escapeXml(concat(
-          lit("Latest WVFOIA entries from the most recently reported date ("), label, lit(")."))),
-        lit("</description><language>en-us</language>"),
-        when(col("snap_date").isNotNull && iso(col("snap_date")),
-          concat(lit("<lastBuildDate>"), rfc(col("snap_date")), lit("</lastBuildDate>")))
-          .otherwise(""),
-        coalesce(col("items_xml"), lit("")),
-        lit("</channel></rss>")).as("rss_xml"))
+      val item = Rss.itemXml(
+        title = concat(col("agency"), lit(" | "), Rss.subjectOrDefault,
+          lit(" (#"), col("id").cast(StringType), lit(")")),
+        guid = concat(lit("entry-"), col("id").cast(StringType)))
+      val agg = snap.select(col("id"), col("entry_date"), item.as("item_xml"))
+        .agg(max(col("entry_date")).as("build_src"), Rss.itemsConcat.as("items_xml"))
+      val label = when(col("build_src").isNull, "none")
+        .otherwise(date_format(to_date(col("build_src")), "MMMM d, yyyy"))
+      agg.select(Rss.document(
+        channelTitle = lit("wvfoia latest entries"),
+        channelLink = "https://example.org/",
+        channelDescription = concat(
+          lit("Latest WVFOIA entries from the most recently reported date ("),
+          label, lit(")."))).as("rss_xml"))
+    },
+
+    // S9c — the per-agency feed (reference
+    // src/pages/agencies/[slug]/feed.xml.ts): slug-resolved canonical
+    // agency, alias-scoped newest-entry slice (FEED_LIMIT 100), title
+    // without the agency prefix, slug-qualified guids, lastBuildDate from
+    // the slice's FIRST entry (max id, via max_by).
+    graft.QueryDef("s9c_agency_feed", Some {
+      def esc(e: String) =
+        s"""replace(replace(replace(replace(replace($e, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'), '''', '&apos;')"""
+      def fd(c: String) =
+        s"""CASE WHEN $c IS NULL OR $c = '' THEN '--'
+           |  WHEN regexp_matches($c, '^\\d{4}-\\d{2}-\\d{2}$$')
+           |  THEN strftime(CAST($c AS DATE), '%b %-d, %Y') ELSE '--' END""".stripMargin
+      val canonical = "Department of Environmental Protection"
+      val slug = "department-of-environmental-protection"
+      val cands = Normalize.aliasCandidates(canonical).map(_.toLowerCase)
+      val candsSql = cands.map(c => s"'${c.replace("'", "''")}'").mkString(", ")
+      val title = s"""concat(CASE WHEN subject IS NULL OR subject = '' THEN 'No subject' ELSE subject END, ' (#', CAST(id AS VARCHAR), ')')"""
+      val desc = s"""concat('Request: ', ${fd("request_date")}, '. Completed: ', ${fd("completion_date")}, '. Resolution: ', CASE WHEN resolution IS NULL OR resolution = '' THEN '--' ELSE resolution END, '.')"""
+      val pubsrc = "coalesce(entry_date, completion_date, request_date)"
+      s"""WITH scoped AS (
+         |  SELECT * FROM $entriesSql WHERE lower(agency) IN ($candsSql)
+         |  ORDER BY id DESC LIMIT 100),
+         |items AS (
+         |  SELECT id, $pubsrc AS pub_src, concat('<item><title>', ${esc(title)},
+         |    '</title><link>https://example.org/entries/', CAST(id AS VARCHAR),
+         |    '</link><guid isPermaLink="false">agency-$slug-entry-', CAST(id AS VARCHAR),
+         |    '</guid><description>', ${esc(desc)}, '</description>',
+         |    CASE WHEN $pubsrc IS NOT NULL AND regexp_matches($pubsrc, '^\\d{4}-\\d{2}-\\d{2}$$')
+         |      THEN concat('<pubDate>', strftime(CAST($pubsrc AS TIMESTAMP) + INTERVAL 12 HOUR, '%a, %d %b %Y %H:%M:%S GMT'), '</pubDate>')
+         |      ELSE '' END,
+         |    '</item>') AS item_xml
+         |  FROM scoped),
+         |agg AS (SELECT max_by(pub_src, id) AS build_src,
+         |  coalesce(string_agg(item_xml, '' ORDER BY id DESC), '') AS items_xml FROM items)
+         |SELECT concat('<?xml version="1.0" encoding="UTF-8"?><rss version="2.0"><channel><title>',
+         |  ${esc(s"'$canonical - wvfoia entries'")},
+         |  '</title><link>https://example.org/agencies/$slug</link><description>',
+         |  ${esc(s"'Newest WVFOIA entries for $canonical.'")},
+         |  '</description><language>en-us</language>',
+         |  CASE WHEN build_src IS NOT NULL AND regexp_matches(build_src, '^\\d{4}-\\d{2}-\\d{2}$$')
+         |    THEN concat('<lastBuildDate>', strftime(CAST(build_src AS TIMESTAMP) + INTERVAL 12 HOUR, '%a, %d %b %Y %H:%M:%S GMT'), '</lastBuildDate>')
+         |    ELSE '' END,
+         |  items_xml, '</channel></rss>') AS rss_xml
+         |FROM agg""".stripMargin
+    }) { (s, d) =>
+      val canonical = "Department of Environmental Protection"
+      Rss.agencyFeed(Fixture.df(s), canonical,
+        "department-of-environmental-protection",
+        Normalize.aliasCandidates(canonical))
     },
 
     // S7b — SQLite-dump export artifact (reference export job,

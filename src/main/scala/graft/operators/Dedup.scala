@@ -285,6 +285,32 @@ object DedupQueries extends graft.QueryModule {
       connectedComponents(pairs)
     }),
 
+    // D7 — the dedup pipeline APPLIED end-to-end: exact-hash pairs →
+    // connected components → drop non-representative members → the kept
+    // corpus, as an anti-join (what a training pipeline actually ships).
+    // The oracle computes the kept set directly (min doc_id per hash
+    // group), so the pairs→clusters→anti-join composition is checked
+    // against an independent formulation.
+    graft.QueryDef("d7_dedup_apply", Some(
+      s"""SELECT doc_id FROM (
+         |  SELECT doc_id, row_number() OVER (
+         |    PARTITION BY md5($normTextSql) ORDER BY doc_id) AS rn
+         |  FROM ($exactProbesSql))
+         |WHERE rn = 1""".stripMargin))((s, d) => {
+      val docs = withExactProbes(Tables.documents(s, d))
+      val hashed = docs.select(col("doc_id"),
+        md5(normText(col("text")).cast(BinaryType)).as("h"))
+      val groups = hashed.groupBy("h")
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+        .where(col("n") > 1)
+      val pairs = hashed.join(groups, Seq("h"))
+        .where(col("doc_id") =!= col("keeper"))
+        .select(col("keeper").as("doc_a"), col("doc_id").as("doc_b"))
+      val drop = connectedComponents(pairs)
+        .where(col("doc_id") =!= col("cluster")).select("doc_id")
+      docs.join(drop, Seq("doc_id"), "left_anti").select("doc_id")
+    }),
+
     // D4 — n-gram (word-bigram) Jaccard over a fixed deterministic pair
     // set — the exact-similarity primitive, oracle-checked. Pairs are
     // (doc_id, doc_id+1) strides; similarity of random word-soup is near

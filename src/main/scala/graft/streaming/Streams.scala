@@ -82,6 +82,16 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup — the streaming twin of d1 for an
+    * at-least-once source: re-deliveries of the same event_id within the
+    * watermark horizon are dropped, and the dedup state is EVICTED past
+    * the watermark, so state size is bounded by the horizon's key
+    * arrival rate, never by stream history (plain dropDuplicates on an
+    * unbounded stream grows state forever — the scale bug this avoids). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Incremental sync as a stream: AvailableNow over the source dir,
     * foreachBatch last-writer-wins upsert into a parquet target keyed by
     * event_id — the reference's `ON CONFLICT DO UPDATE` (sync.ts:30-48)

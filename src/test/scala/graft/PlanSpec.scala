@@ -83,6 +83,21 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(o2.contains("TakeOrderedAndProject") && !o2.contains("Window"))
   }
 
+  test("pipeline windows are always partitioned (no global-sort Window)") {
+    // A WindowExec with an empty partitionSpec funnels every row through
+    // one task — the classic scale-killer. t6/e1 windows must partition
+    // by their stratum key. (a11's window is exempt by design: it runs
+    // over a post-aggregation frame of O(distinct keys) rows.)
+    for (name <- Seq("t6_pack_sequences", "e1_sessionize")) {
+      val exec = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      val global = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(global.isEmpty, s"$name: unpartitioned Window in plan")
+    }
+  }
+
   test("LSH candidate joins are equality joins on band keys, not loops") {
     for (name <- Seq("d2_minhash_lsh", "d3_simhash")) {
       val p = plan(name)

@@ -102,6 +102,46 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       s"missing: ${expected -- emitted}; spurious: ${emitted -- expected}")
   }
 
+  test("streaming dedup drops watermark-horizon re-deliveries (d1 twin)") {
+    // Source with planted duplicate deliveries: every event_id < 50 is
+    // delivered twice (identical payload — an at-least-once redelivery).
+    val dupDir = tmp("graft_dedup_src")
+    val base = Tables.events(spark, sf)
+    base.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .unionByName(base.where(col("event_id") < 50)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"), col("props")))
+      .write.mode("overwrite").parquet(dupDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_us",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dupDir)
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val q = Streams.dedupStream(stream).writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", tmp("graft_dedup_ckpt"))
+      .format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .start()
+    q.awaitTermination()
+    val out = spark.table("dedup_out")
+    assert(out.groupBy("event_id").count().where(col("count") > 1).isEmpty,
+      "duplicate event_ids survived the streaming dedup")
+    assert(out.count() == base.count(),
+      "dedup dropped non-duplicate rows")
+  }
+
   test("incremental upsert: last write wins and re-runs are stable") {
     val target = tmp("graft_upsert_target") + "/t"
     val n1 = Streams.incrementalUpsert(spark, srcDir, target, tmp("graft_upsert_ckpt1"))
