@@ -140,6 +140,29 @@ object Similarity {
       .limit(k)
   }
 
+  /** N4 — BATCHED exact top-k: many query vectors against the corpus in
+    * ONE pass (the realistic retrieval shape — per-query jobs would scan
+    * the corpus m times). The query set broadcasts (it is small by
+    * definition); every corpus row scores against all m queries map-side
+    * (a broadcast fan-out join — cost n·m with NO shuffle of the fact
+    * side); per-query top-k goes through the bounded TopKAggregator, so
+    * shuffle volume is O(m·k) — a row_number window here would funnel
+    * each query's n scores through one task. */
+  def batchTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val q = embeddings.where(col("vec_id").isin(queryIds.map(Long.box): _*))
+      .select(col("vec_id").as("query_id"), quant(col("embedding")).as("qv"))
+    val corpus = embeddings.select(col("vec_id"), quant(col("embedding")).as("v"))
+    corpus.join(broadcast(q))
+      .select(col("query_id").cast(StringType), col("vec_id"),
+        cosine(idot(col("v"), col("qv")), inorm2(col("v")), inorm2(col("qv"))).as("cos"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.TopKAggregator(k).toColumn)
+      .flatMap { case (qid, top) => top.map(t => (qid.toLong, t._1, t._2)) }
+      .toDF("query_id", "vec_id", "cos")
+  }
+
   /** N2 — LSH-bucketed ANN: candidates share a signature within Hamming
     * <= 1 of the query's (nBits+1 probe buckets), then exact cosine
     * rerank. */
@@ -200,6 +223,35 @@ object SimilarityQueries extends graft.QueryModule {
     // (rows-only; PipelineSpec checks self-hit and recall vs N1).
     graft.QueryDef("n3_ann_ivf", None)((s, d) =>
       ivfTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10)),
+
+    // N4 — batched exact top-10 for query vectors 0-4 in one pass,
+    // oracle-checked value for value (the oracle replays the arithmetic
+    // per query with a window top-k — formulation-independent check of
+    // the TopKAggregator path).
+    graft.QueryDef("n4_ann_batch", Some(
+      """WITH qe AS (
+        |  SELECT vec_id AS query_id,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+        |ve AS (
+        |  SELECT vec_id, CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT qe.query_id, ve.vec_id, SUM(ve.x * qe.q) AS dot, SUM(ve.x * ve.x) AS nv
+        |  FROM ve JOIN qe ON ve.i = qe.i GROUP BY qe.query_id, ve.vec_id),
+        |nq AS (SELECT query_id, SUM(q * q) AS n2 FROM qe GROUP BY query_id),
+        |scored AS (
+        |  SELECT d.query_id, d.vec_id,
+        |    CAST(dot AS DOUBLE) / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
+        |  FROM dots d JOIN nq ON nq.query_id = d.query_id)
+        |SELECT query_id, vec_id, cos FROM (
+        |  SELECT query_id, vec_id, cos, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+        |  FROM scored)
+        |WHERE rn <= 10""".stripMargin))((s, d) =>
+      batchTopK(Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
 
     // D5 — embedding-cosine near-dup dedup over planted probes
     // (rows-only; PipelineSpec pins the planted pairs).

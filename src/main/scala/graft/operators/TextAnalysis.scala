@@ -120,6 +120,50 @@ object TextAnalysisQueries extends graft.QueryModule {
     graft.QueryDef("t5_winnowing", None)((s, d) =>
       winnow(Tables.documents(s, d), k = 8, w = 16)),
 
+    // T8 — benchmark contamination detection: a training doc is flagged
+    // when it shares any word 8-gram with an eval-set doc (other than
+    // itself). The eval set (doc_id % 100 = 7) is small by definition, so
+    // its exploded gram index BROADCASTS and the probe is a map-side hash
+    // join — the corpus side never shuffles. Planted leaks (eval docs
+    // re-emitted verbatim at +2000000) must surface; id-inequality
+    // excludes the eval docs' own training copies.
+    graft.QueryDef("t8_contamination", Some {
+      val grams =
+        """list_distinct(list_transform(
+          |    generate_series(1, greatest(len(words) - 7, 1)),
+          |    i -> array_to_string(list_slice(words, i, i + 7), ' ')))""".stripMargin
+      s"""WITH train AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 100 = 7),
+         |tg AS (
+         |  SELECT doc_id, unnest($grams) AS g
+         |  FROM (SELECT doc_id, string_split(${Dedup.normTextSql}, ' ') AS words FROM train)),
+         |bg AS (
+         |  SELECT doc_id AS bench_id, unnest($grams) AS g
+         |  FROM (SELECT doc_id, string_split(${Dedup.normTextSql}, ' ') AS words
+         |        FROM documents WHERE doc_id % 100 = 7))
+         |SELECT tg.doc_id, count(DISTINCT tg.g) AS n_shared_grams,
+         |  count(DISTINCT bg.bench_id) AS n_bench_docs
+         |FROM tg JOIN bg ON tg.g = bg.g AND tg.doc_id <> bg.bench_id
+         |GROUP BY tg.doc_id""".stripMargin
+    })((s, d) => {
+      val grams8 = (t: Column) =>
+        graft.plans.NativeFunctions.wordKGrams(Dedup.normText(t), 8)
+      val docs = Tables.documents(s, d)
+      val train = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") % 100 === 7)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      val bench = docs.where(col("doc_id") % 100 === 7)
+        .select(col("doc_id").as("bench_id"), explode(grams8(col("text"))).as("g"))
+      train.select(col("doc_id"), explode(grams8(col("text"))).as("g"))
+        .join(broadcast(bench), Seq("g"))
+        .where(col("doc_id") =!= col("bench_id"))
+        .groupBy("doc_id").agg(
+          countDistinct(col("g")).as("n_shared_grams"),
+          countDistinct(col("bench_id")).as("n_bench_docs"))
+    }),
+
     // T6 — sequence packing for training batches: docs are packed into
     // fixed token-budget (2048) bins per language stratum by running
     // prior-token offset — pack_id = floor(prior_cumsum / budget), the
