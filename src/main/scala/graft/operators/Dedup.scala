@@ -133,8 +133,13 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // Seeded init: label(v) = min(v, 1-hop neighbor min) in ONE
+    // aggregation — the same shuffle the plain distinct() would pay, but
+    // it replaces the entire first propagation round. Every node appears
+    // as src (edges are bidirectional), so coverage is complete.
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("node"), least(col("node"), col("m")).as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var iter = 0
