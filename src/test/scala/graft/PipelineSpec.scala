@@ -159,6 +159,45 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(fp2 == fp.toSeq.flatMap { case (id, s) => s.map(id -> _) }.toSet)
   }
 
+  test("t6: packing conserves docs and tokens, bins are bounded and contiguous") {
+    val rows = SparkEntry.queries("t6_pack_sequences")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val toks = Tables.documents(spark, sf)
+      .select(col("lang"), size(split(trim(col("text")), "\\s+")).cast("long").as("t"))
+      .groupBy("lang").agg(count(lit(1)).as("n"), sum(col("t")).as("tot"),
+        max(col("t")).as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    rows.groupBy(_._1).foreach { case (lang, packs) =>
+      val (n, tot, mx) = toks(lang)
+      assert(packs.map(_._3).sum == n, s"$lang: docs not conserved")
+      assert(packs.map(_._4).sum == tot, s"$lang: tokens not conserved")
+      // streaming-boundary packing: every bin holds <= budget + one
+      // straddling doc's tokens
+      assert(packs.forall(_._4 <= 2048 + mx), s"$lang: oversized pack")
+      val ids = packs.map(_._2).sorted.toSeq
+      assert(ids == (0L until ids.length.toLong).toList,
+        s"$lang: pack ids not contiguous")
+    }
+  }
+
+  test("t7: stratified sample selects only in-stratum rows at the stratum's rate") {
+    val rows = SparkEntry.queries("t7_stratified_sample")(spark, sf).collect()
+    rows.foreach { r =>
+      val (lang, total, sampled) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val rate = lang match { case "en" => 10 case "de" => 25 case _ => 50 }
+      assert(sampled <= total)
+      // deterministic hash: the selected count is FIXED, re-runs identical
+      val again = SparkEntry.queries("t7_stratified_sample")(spark, sf)
+        .where(col("lang") === lang).collect()(0).getLong(2)
+      assert(again == sampled, s"$lang: sample not deterministic")
+      // loose binomial sanity: within 4 sigma of the target rate
+      val p = rate / 100.0
+      val sigma = math.sqrt(total * p * (1 - p))
+      assert(math.abs(sampled - total * p) <= 4 * sigma + 1,
+        s"$lang: $sampled of $total far from rate $rate%")
+    }
+  }
+
   test("o7: TopKAggregator agrees with the window top-k on real data") {
     val rows = SparkEntry.queries("o7_topk_agg")(spark, sf).collect()
     assert(rows.length > 0)
