@@ -104,8 +104,14 @@ object Engine {
       slice.drop("corrected_request", "corrected_completion"))
   }
 
+  /** The page materializes on the driver, so pageSize is a driver-memory
+    * bound, not a free parameter (the reference UI pins 50). */
+  val MaxPageSize = 1000
+
   def listEntries(spark: SparkSession, entries: DataFrame,
                   opts: SearchOptions): ListPage = {
+    require(opts.pageSize >= 1 && opts.pageSize <= MaxPageSize,
+      s"pageSize must be in [1, $MaxPageSize], got ${opts.pageSize}")
     // A1/O2 — count, clamp the requested page, slice (entries.ts:102-116).
     // One cached filtered plan feeds both actions (the reference's two
     // SQLite round-trips share nothing).

@@ -367,7 +367,7 @@ object EntryQueries extends graft.QueryModule {
          |agg AS (SELECT max(entry_date) AS snap_date,
          |  coalesce(string_agg(item_xml, '' ORDER BY id DESC), '') AS items_xml FROM items)
          |SELECT concat('<?xml version="1.0" encoding="UTF-8"?><rss version="2.0"><channel><title>wvfoia latest entries</title><link>https://example.org/</link><description>',
-         |  ${esc("concat('Latest WVFOIA entries from the most recently reported date (', CASE WHEN snap_date IS NULL THEN 'none' ELSE strftime(CAST(snap_date AS DATE), '%B %-d, %Y') END, ').')")},
+         |  ${esc("concat('Latest WVFOIA entries from the most recently reported date (', CASE WHEN snap_date IS NULL THEN 'none' WHEN regexp_matches(snap_date, '^\\d{4}-\\d{2}-\\d{2}$') THEN strftime(CAST(snap_date AS DATE), '%B %-d, %Y') ELSE '--' END, ').')")},
          |  '</description><language>en-us</language>',
          |  CASE WHEN snap_date IS NOT NULL
          |    THEN concat('<lastBuildDate>', strftime(CAST(snap_date AS TIMESTAMP) + INTERVAL 12 HOUR, '%a, %d %b %Y %H:%M:%S GMT'), '</lastBuildDate>')
@@ -385,8 +385,13 @@ object EntryQueries extends graft.QueryModule {
         guid = concat(lit("entry-"), col("id").cast(StringType)))
       val agg = snap.select(col("id"), col("entry_date"), item.as("item_xml"))
         .agg(max(col("entry_date")).as("build_src"), Rss.itemsConcat.as("items_xml"))
+      // formatDate semantics for the channel label: null -> 'none'
+      // (feed.xml.ts:32), non-ISO -> '--' (formatDate's parse-fail
+      // branch); a junk max entry_date must not null-poison the concat.
       val label = when(col("build_src").isNull, "none")
-        .otherwise(date_format(to_date(col("build_src")), "MMMM d, yyyy"))
+        .when(Rss.isIso(col("build_src")),
+          date_format(to_date(col("build_src")), "MMMM d, yyyy"))
+        .otherwise("--")
       agg.select(Rss.document(
         channelTitle = lit("wvfoia latest entries"),
         channelLink = "https://example.org/",
@@ -427,7 +432,8 @@ object EntryQueries extends graft.QueryModule {
          |      ELSE '' END,
          |    '</item>') AS item_xml
          |  FROM scoped),
-         |agg AS (SELECT max_by(pub_src, id) AS build_src,
+         |agg AS (SELECT
+         |  (SELECT pub_src FROM items ORDER BY id DESC LIMIT 1) AS build_src,
          |  coalesce(string_agg(item_xml, '' ORDER BY id DESC), '') AS items_xml FROM items)
          |SELECT concat('<?xml version="1.0" encoding="UTF-8"?><rss version="2.0"><channel><title>',
          |  ${esc(s"'$canonical - wvfoia entries'")},

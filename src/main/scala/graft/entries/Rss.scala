@@ -104,9 +104,13 @@ object Rss {
     val item = itemXml(
       title = concat(subjectOrDefault, lit(" (#"), col("id").cast("string"), lit(")")),
       guid = concat(lit(s"agency-$slug-entry-"), col("id").cast("string")))
+    // The reference reads the FIRST entry's date even when it is null
+    // (feed route line 59's ?? chain on entries[0]); max_by would skip a
+    // null at the max id and fall back to an older row — struct-max
+    // carries the max-id row's value verbatim, null included.
     val agg = scoped
       .select(col("id"), pubDateSource.as("pub_src"), item.as("item_xml"))
-      .agg(max_by(col("pub_src"), col("id")).as("build_src"),
+      .agg(max(struct(col("id"), col("pub_src"))).getField("pub_src").as("build_src"),
         itemsConcat.as("items_xml"))
     agg.select(document(
       channelTitle = lit(s"$canonicalName - wvfoia entries"),

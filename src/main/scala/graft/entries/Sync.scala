@@ -153,6 +153,10 @@ object Sync {
                    driftTolerance: Int = DriftTolerance, batch: Int = 256,
                    maxBatches: Int = 64): (SyncResult, org.apache.spark.sql.Dataset[Entry]) = {
     import spark.implicits._
+    // tolerance 0 would make the serial loop a no-op while this one still
+    // probes a whole batch — reject the divergence instead of guessing.
+    require(driftTolerance > 0, s"driftTolerance must be positive, got $driftTolerance")
+    require(batch > 0, s"batch must be positive, got $batch")
     val startFrom = latestInDb + 1
     var batchStart = startFrom
     var missingInARow = 0

@@ -152,10 +152,21 @@ object Dedup {
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
           (coalesce(col("nbr_label"), col("label")) < col("label")).as("changed"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      converged = next.where(col("changed")).isEmpty
+      // count(), not isEmpty: isEmpty stops at the first changed row,
+      // leaving most of `next`'s cache unpopulated right before the
+      // previous round's cache is dropped — every later consumer would
+      // recompute from lineage. The count fully materializes the round.
+      converged = next.where(col("changed")).count() == 0L
       labels.unpersist()
       labels = next.drop("changed")
     }
+    // Fail fast rather than return split clusters: a non-converged exit
+    // means some component's diameter exceeded maxIter and its members
+    // still carry different labels — silently treating those as distinct
+    // representatives would leave duplicates in a deduped corpus.
+    require(converged,
+      s"connectedComponents did not converge within $maxIter rounds " +
+        "(component diameter too large — raise maxIter)")
     val out = labels.select(col("node").as("doc_id"), col("label").as("cluster"))
     edges.unpersist()
     out

@@ -33,12 +33,15 @@ object ResultCache {
     digest.map("%02x".format(_)).mkString
   }
 
-  private def fs(spark: SparkSession) =
-    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  // Always resolve through the PATH's filesystem, never the configured
+  // default one — a cache on s3a:// with an hdfs:// defaultFS would
+  // otherwise throw "Wrong FS" on every bookmark probe.
+  private def fsOf(spark: SparkSession, path: org.apache.hadoop.fs.Path) =
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def readBookmark(spark: SparkSession,
                            path: org.apache.hadoop.fs.Path): Option[String] = {
-    val f = fs(spark)
+    val f = fsOf(spark, path)
     if (!f.exists(path)) None
     else {
       val in = f.open(path)
@@ -49,25 +52,32 @@ object ResultCache {
 
   /** Returns (result, hit): `hit` is true when a fresh materialization
     * was replayed without invoking `compute`. A stale or missing entry
-    * computes, writes the parquet + bookmark, and reads the
-    * materialization back (so consumers always read the same artifact
-    * the next caller will). */
+    * computes into a temp directory, renames it over the entry, then
+    * advances the bookmark — so a concurrent reader sees either the old
+    * complete artifact or the new one, never a half-written directory.
+    * (Writer-vs-writer races assume the scheduler runs one refresher per
+    * key, as the reference's cron does; a lake table format is the
+    * answer when that doesn't hold.) */
   def withCache(spark: SparkSession, cacheDir: String, scope: String,
                 params: Seq[(String, String)], bookmark: String)
                (compute: => DataFrame): (DataFrame, Boolean) = {
     val key = stableKey(scope, params)
-    val dataPath = s"$cacheDir/$key/data"
+    val dataPath = new org.apache.hadoop.fs.Path(s"$cacheDir/$key/data")
     val bookmarkPath = new org.apache.hadoop.fs.Path(s"$cacheDir/$key/_bookmark")
     val fresh = readBookmark(spark, bookmarkPath).contains(bookmark)
     if (fresh) {
-      (spark.read.parquet(dataPath), true)
+      (spark.read.parquet(dataPath.toString), true)
     } else {
-      compute.write.mode("overwrite").parquet(dataPath)
-      val f = fs(spark)
+      val tmpPath = new org.apache.hadoop.fs.Path(s"$cacheDir/$key/.data.tmp")
+      val f = fsOf(spark, dataPath)
+      f.delete(tmpPath, true)
+      compute.write.mode("overwrite").parquet(tmpPath.toString)
+      f.delete(dataPath, true)
+      f.rename(tmpPath, dataPath)
       val out = f.create(bookmarkPath, true)
       try out.write(bookmark.getBytes(StandardCharsets.UTF_8))
       finally out.close()
-      (spark.read.parquet(dataPath), false)
+      (spark.read.parquet(dataPath.toString), false)
     }
   }
 }

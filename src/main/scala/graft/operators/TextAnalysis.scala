@@ -137,12 +137,16 @@ object TextAnalysisQueries extends graft.QueryModule {
          |  UNION ALL
          |  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 100 = 7),
          |tg AS (
-         |  SELECT doc_id, unnest($grams) AS g
-         |  FROM (SELECT doc_id, string_split(${Dedup.normTextSql}, ' ') AS words FROM train)),
+         |  SELECT * FROM (
+         |    SELECT doc_id, unnest($grams) AS g
+         |    FROM (SELECT doc_id, string_split(${Dedup.normTextSql}, ' ') AS words FROM train))
+         |  WHERE g <> ''),
          |bg AS (
-         |  SELECT doc_id AS bench_id, unnest($grams) AS g
-         |  FROM (SELECT doc_id, string_split(${Dedup.normTextSql}, ' ') AS words
-         |        FROM documents WHERE doc_id % 100 = 7))
+         |  SELECT * FROM (
+         |    SELECT doc_id AS bench_id, unnest($grams) AS g
+         |    FROM (SELECT doc_id, string_split(${Dedup.normTextSql}, ' ') AS words
+         |          FROM documents WHERE doc_id % 100 = 7))
+         |  WHERE g <> '')
          |SELECT tg.doc_id, count(DISTINCT tg.g) AS n_shared_grams,
          |  count(DISTINCT bg.bench_id) AS n_bench_docs
          |FROM tg JOIN bg ON tg.g = bg.g AND tg.doc_id <> bg.bench_id
@@ -154,9 +158,15 @@ object TextAnalysisQueries extends graft.QueryModule {
       val train = docs.select(col("doc_id"), col("text"))
         .unionByName(docs.where(col("doc_id") % 100 === 7)
           .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      // The empty gram "" (empty/whitespace doc) would bucket every
+      // degenerate train doc against every degenerate eval doc — the
+      // same blowup the d2/d3 banding guard removes. No content, no
+      // contamination.
       val bench = docs.where(col("doc_id") % 100 === 7)
         .select(col("doc_id").as("bench_id"), explode(grams8(col("text"))).as("g"))
+        .where(col("g") =!= "")
       train.select(col("doc_id"), explode(grams8(col("text"))).as("g"))
+        .where(col("g") =!= "")
         .join(broadcast(bench), Seq("g"))
         .where(col("doc_id") =!= col("bench_id"))
         .groupBy("doc_id").agg(

@@ -86,15 +86,31 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
   test("pipeline windows are always partitioned (no global-sort Window)") {
     // A WindowExec with an empty partitionSpec funnels every row through
     // one task — the classic scale-killer. t6/e1 windows must partition
-    // by their stratum key. (a11's window is exempt by design: it runs
-    // over a post-aggregation frame of O(distinct keys) rows.)
-    for (name <- Seq("t6_pack_sequences", "e1_sessionize")) {
-      val exec = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
-      val global = exec.collect {
-        case w: org.apache.spark.sql.execution.window.WindowExec
-          if w.partitionSpec.isEmpty => w
+    // by their stratum key. plan.collect alone would be VACUOUS here:
+    // under AQE the executed plan is an AdaptiveSparkPlanExec leaf, so
+    // the walk must descend through adaptive wrappers and query stages.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Nil
       }
-      assert(global.isEmpty, s"$name: unpartitioned Window in plan")
+      p +: (p.children ++ nested).flatMap(flatten)
+    }
+    def globalWindows(name: String) = flatten(
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    // Positive control: a11's window IS unpartitioned (by design — it
+    // runs post-aggregation over O(distinct keys) rows). If the walker
+    // stops seeing it, the walker is broken, not the plans.
+    assert(globalWindows("a11_window_totals").nonEmpty,
+      "plan walker no longer sees known global windows — vacuous test")
+    for (name <- Seq("t6_pack_sequences", "e1_sessionize")) {
+      assert(globalWindows(name).isEmpty, s"$name: unpartitioned Window in plan")
     }
   }
 
