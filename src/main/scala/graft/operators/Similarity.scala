@@ -253,6 +253,31 @@ object SimilarityQueries extends graft.QueryModule {
         |WHERE rn <= 10""".stripMargin))((s, d) =>
       batchTopK(Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
 
+    // N5 — per-bucket centroids (the IVF/k-means TRAINING primitive as a
+    // standalone distributed op): explode to (bucket, dim, component),
+    // one hash aggregation over quantized integer sums (exact,
+    // order-independent — double accumulation would be partition-order
+    // dependent and could never hash-match). One row per (bucket, dim)
+    // component; vector re-assembly is a sorted collect_list away.
+    // Shuffle volume is O(buckets·dims), not O(rows).
+    graft.QueryDef("n5_group_centroids", Some(
+      """WITH comp AS (
+        |  SELECT vec_id % 8 AS bucket,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS x
+        |  FROM embeddings)
+        |SELECT bucket, i, count(*) AS n_vectors,
+        |  CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) / (10000.0 * count(*)) AS c
+        |FROM comp GROUP BY bucket, i""".stripMargin))((s, d) =>
+      Tables.embeddings(s, d)
+        .select((col("vec_id") % 8).as("bucket"),
+          posexplode(quant(col("embedding"))).as(Seq("i0", "x")))
+        .select(col("bucket"), (col("i0") + 1).as("i"), col("x"))
+        .groupBy("bucket", "i")
+        .agg(count(lit(1)).as("n_vectors"),
+          (sum(col("x")).cast(DoubleType) /
+            (lit(10000.0) * count(lit(1)))).as("c"))),
+
     // D5 — embedding-cosine near-dup dedup over planted probes
     // (rows-only; PipelineSpec pins the planted pairs).
     graft.QueryDef("d5_embed_cosine_dedup", None)((s, d) =>
