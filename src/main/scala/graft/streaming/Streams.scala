@@ -92,6 +92,66 @@ object Streams {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Incremental MinHash-LSH index maintenance — the dedup analog of the
+    * FTS index upkeep (S6): documents arrive in micro-batches, each batch
+    * computes its shingle+signature rows ONCE, candidate pairs are only
+    * NEW-vs-(old ∪ new) band collisions (never a full-corpus self-join per
+    * batch), verified pairs append to `pairsDir`, and the batch's
+    * signature rows append to `indexDir` — the index parquet IS the
+    * persisted LSH artifact, so per-batch cost scales with batch size ×
+    * bucket occupancy, not corpus size. Pairs found by earlier batches
+    * cannot re-emit: a candidate requires one side from the current batch.
+    */
+  def incrementalMinhashIndex(spark: SparkSession, sourceDir: String,
+                              indexDir: String, pairsDir: String,
+                              checkpointDir: String,
+                              threshold: Double = 0.5): Unit = {
+    import graft.operators.Dedup
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val newSh = batch
+          .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+          .withColumn("sig", Dedup.minhashSig(col("sh")))
+          .persist()
+        val oldSh = try s.read.parquet(indexDir)
+          catch { case _: Throwable => s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], newSh.schema) }
+        val degenerate = size(col("sh")) === 0 ||
+          (size(col("sh")) === 1 && element_at(col("sh"), 1) === "")
+        def banded(sh: DataFrame) = sh.where(!degenerate)
+          .select(col("doc_id"), explode(Dedup.bandKeys(col("sig"))).as("band"))
+        val newBand = banded(newSh)
+        val allBand = banded(oldSh).unionByName(newBand)
+        val cand = newBand.as("a")
+          .join(allBand.as("b"),
+            col("a.band") === col("b.band") && col("a.doc_id") =!= col("b.doc_id"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+          .distinct()
+        val allSh = oldSh.unionByName(newSh)
+        val inter = size(array_intersect(col("sha"), col("shb")))
+        cand
+          .join(allSh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+          .join(allSh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            (inter.cast(DoubleType) /
+              (size(col("sha")) + size(col("shb")) - inter)).as("jaccard"))
+          .where(col("jaccard") >= threshold)
+          .write.mode("append").parquet(pairsDir)
+        newSh.write.mode("append").parquet(indexDir)
+        newSh.unpersist()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Incremental sync as a stream: AvailableNow over the source dir,
     * foreachBatch last-writer-wins upsert into a parquet target keyed by
     * event_id — the reference's `ON CONFLICT DO UPDATE` (sync.ts:30-48)

@@ -142,6 +142,47 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       "dedup dropped non-duplicate rows")
   }
 
+  test("incremental LSH index maintenance converges to the batch pair set (d2 twin)") {
+    import graft.operators.Dedup
+    def addChunk(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp("graft_lsh_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$dir/$name"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val src = tmp("graft_lsh_src")
+    val index = tmp("graft_lsh_root") + "/idx"
+    val pairsDir = tmp("graft_lsh_root2") + "/pairs"
+    val ckpt = tmp("graft_lsh_ckpt")
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // chunk 1: the base corpus; chunk 2: near-probes of docs 10-19 arrive
+    // later — the cross-batch duplicates only an incremental index can
+    // find without rescanning the corpus.
+    addChunk(src, docs, "chunk1.parquet")
+    Streams.incrementalMinhashIndex(spark, src, index, pairsDir, ckpt)
+    val probes = docs.where(col("doc_id") >= 10 && col("doc_id") < 20)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" zz0 zz1 zz2")).as("text"))
+    addChunk(src, probes, "chunk2.parquet")
+    Streams.incrementalMinhashIndex(spark, src, index, pairsDir, ckpt)
+    val incremental = spark.read.parquet(pairsDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.minhashPairs(Dedup.withNearProbes(docs), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    val planted = (10L until 20L).map(i => (i, i + 1000000L)).toSet
+    assert(planted.subsetOf(incremental),
+      s"missing planted cross-batch pairs: ${planted -- incremental}")
+    // every pair the batch algorithm finds, exactly once, no spurious
+    assert(incremental == batch,
+      s"incremental != batch: extra=${incremental -- batch} missing=${batch -- incremental}")
+    assert(spark.read.parquet(pairsDir).count() == incremental.size,
+      "pairs emitted more than once across batches")
+  }
+
   test("incremental upsert: last write wins and re-runs are stable") {
     val target = tmp("graft_upsert_target") + "/t"
     val n1 = Streams.incrementalUpsert(spark, srcDir, target, tmp("graft_upsert_ckpt1"))
