@@ -73,6 +73,42 @@ object Dedup {
         concat_ws(":", transform(slice(sig, b * rows + 1, lit(rows)),
           v => v.cast(StringType)))))
 
+  /** The (doc_id, sh, sig) signature frame — the LSH index rows. */
+  def signatureFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+      .withColumn("sig", minhashSig(col("sh")))
+
+  /** Degenerate docs (empty/whitespace text shingles to [""]; a null-ish
+    * input to []) all share one signature, so banding them collapses
+    * every such doc into the same 8 buckets — O(n_empty^2) candidate
+    * pairs at scale for rows that are exact-dedup's (d1) job, not
+    * near-dup's. Both the batch and incremental paths exclude them with
+    * THIS predicate — keep it single-sourced. */
+  def degenerateSh: Column = size(col("sh")) === 0 ||
+    (size(col("sh")) === 1 && element_at(col("sh"), 1) === "")
+
+  /** Exploded (doc_id, band) rows of a signature frame, degenerate docs
+    * excluded. */
+  def bandedOf(sigFrame: DataFrame): DataFrame =
+    sigFrame.where(!degenerateSh)
+      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("band"))
+
+  /** Exact-Jaccard verification of (doc_a, doc_b) candidates against a
+    * signature frame: hash-join the two shingle arrays back in and
+    * intersect natively — no exploded term shuffle. Single-sourced so
+    * the batch and incremental paths can never drift. */
+  def verifyJaccard(cand: DataFrame, sigFrame: DataFrame,
+                    threshold: Double): DataFrame = {
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    cand
+      .join(sigFrame.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(sigFrame.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast(DoubleType) /
+          (size(col("sha")) + size(col("shb")) - inter)).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** MinHash-LSH candidate pairs + exact Jaccard verification. Candidates
     * come ONLY from band-bucket collisions (equality self-join); the
     * verification intersects the persisted shingle arrays for candidate
@@ -84,33 +120,14 @@ object Dedup {
     // band-join sides and both verification lookups read it, and at scale
     // it IS a materialized artifact (recomputing the shingle pipeline per
     // consumer would multiply the dominant cost 4x).
-    val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
-      .withColumn("sig", minhashSig(col("sh")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // Degenerate docs (empty/whitespace text shingles to [""]; a null-ish
-    // input to []) all share one signature, so banding them collapses every
-    // such doc into the same 8 buckets — O(n_empty^2) candidate pairs at
-    // scale for rows that are exact-dedup's (d1) job, not near-dup's.
-    // Exclude them from candidate generation entirely.
-    val degenerate = size(col("sh")) === 0 ||
-      (size(col("sh")) === 1 && element_at(col("sh"), 1) === "")
-    val banded = sh.where(!degenerate)
-      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("band"))
+    val sh = signatureFrame(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = bandedOf(sh)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // Exact verification on candidates only: hash-join the two shingle
-    // arrays back in and intersect natively — no exploded term shuffle.
-    val inter = size(array_intersect(col("sha"), col("shb")))
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (inter.cast(DoubleType) /
-          (size(col("sha")) + size(col("shb")) - inter)).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+    verifyJaccard(cand, sh, threshold)
   }
 
   // --- Cluster resolution --------------------------------------------------

@@ -94,13 +94,23 @@ object Streams {
 
   /** Incremental MinHash-LSH index maintenance — the dedup analog of the
     * FTS index upkeep (S6): documents arrive in micro-batches, each batch
-    * computes its shingle+signature rows ONCE, candidate pairs are only
-    * NEW-vs-(old ∪ new) band collisions (never a full-corpus self-join per
-    * batch), verified pairs append to `pairsDir`, and the batch's
-    * signature rows append to `indexDir` — the index parquet IS the
-    * persisted LSH artifact, so per-batch cost scales with batch size ×
-    * bucket occupancy, not corpus size. Pairs found by earlier batches
-    * cannot re-emit: a candidate requires one side from the current batch.
+    * computes its shingle+signature rows ONCE (via the same
+    * Dedup.signatureFrame/bandedOf/verifyJaccard the batch algorithm
+    * uses, so the two paths cannot drift), candidate pairs are only
+    * NEW-vs-(old ∪ new) band collisions, and the historical band scan is
+    * semi-join-pruned to the bands the new batch actually touches.
+    * Verified pairs and the batch's signature rows land in
+    * batchId-scoped subdirectories written with overwrite — a retried
+    * micro-batch REPLACES its own output instead of appending a second
+    * copy, so the sink is idempotent under failure/retry.
+    *
+    * Cost shape: candidate generation scales with batch size × occupancy
+    * of the touched bands (after pruning), not corpus size; the
+    * verification joins hash-shuffle the index's signature frame — at
+    * real scale store the index bucketed by doc_id (ScaleOps
+    * writeBucketed) to make those joins shuffle-free. Pairs found by
+    * earlier batches cannot re-emit: a candidate requires one side from
+    * the current batch.
     */
   def incrementalMinhashIndex(spark: SparkSession, sourceDir: String,
                               indexDir: String, pairsDir: String,
@@ -113,21 +123,26 @@ object Streams {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val newSh = batch
-          .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
-          .withColumn("sig", Dedup.minhashSig(col("sh")))
-          .persist()
-        val oldSh = try s.read.parquet(indexDir)
-          catch { case _: Throwable => s.createDataFrame(
-            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], newSh.schema) }
-        val degenerate = size(col("sh")) === 0 ||
-          (size(col("sh")) === 1 && element_at(col("sh"), 1) === "")
-        def banded(sh: DataFrame) = sh.where(!degenerate)
-          .select(col("doc_id"), explode(Dedup.bandKeys(col("sig"))).as("band"))
-        val newBand = banded(newSh)
-        val allBand = banded(oldSh).unionByName(newBand)
+        val newSh = Dedup.signatureFrame(batch).persist()
+        // Existence probe, not a broad catch: a transient read failure
+        // must fail the batch (checkpoint retries it) — treating it as
+        // "empty index" would silently and PERMANENTLY lose every
+        // new-vs-old pair of this batch.
+        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+        val idxExists = idxPath
+          .getFileSystem(s.sparkContext.hadoopConfiguration).exists(idxPath)
+        val oldSh =
+          if (idxExists) s.read.parquet(indexDir).select("doc_id", "sh", "sig")
+          else s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], newSh.schema)
+        val newBand = Dedup.bandedOf(newSh)
+        // Prune the historical scan to bands the new batch touches — the
+        // per-batch cost driver is touched-band occupancy, not history.
+        val oldBandPruned = Dedup.bandedOf(oldSh)
+          .join(newBand.select("band").distinct(), Seq("band"), "left_semi")
+        val allBand = oldBandPruned.unionByName(newBand)
         val cand = newBand.as("a")
           .join(allBand.as("b"),
             col("a.band") === col("b.band") && col("a.doc_id") =!= col("b.doc_id"))
@@ -135,16 +150,9 @@ object Streams {
             greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
           .distinct()
         val allSh = oldSh.unionByName(newSh)
-        val inter = size(array_intersect(col("sha"), col("shb")))
-        cand
-          .join(allSh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
-          .join(allSh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            (inter.cast(DoubleType) /
-              (size(col("sha")) + size(col("shb")) - inter)).as("jaccard"))
-          .where(col("jaccard") >= threshold)
-          .write.mode("append").parquet(pairsDir)
-        newSh.write.mode("append").parquet(indexDir)
+        Dedup.verifyJaccard(cand, allSh, threshold)
+          .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
+        newSh.write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
         newSh.unpersist()
         ()
       }
