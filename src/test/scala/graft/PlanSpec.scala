@@ -41,6 +41,17 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("broadcast-dependent pipeline ops never shuffle the corpus side") {
+    // t8: the eval 8-gram index must broadcast (hash join, small build
+    // side); n4: the query-vector set fans out via a broadcast join —
+    // either shape is fine as long as the corpus side has no Exchange
+    // feeding the join from a shuffle of corpus rows.
+    assert(plan("t8_contamination").contains("BroadcastHashJoin"),
+      "t8: eval gram index not broadcast")
+    assert(plan("n4_ann_batch").contains("Broadcast"),
+      "n4: query set not broadcast")
+  }
+
   test("CASE-overlay variant stays join-free (constant-folded expression)") {
     val p = plan("p4_case_overlay")
     assert(!p.contains("Join"), "p4 should be a pure expression, no join")
