@@ -152,6 +152,16 @@ class EngineSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("listEntries rejects out-of-bound pageSize (driver-memory guard)") {
+    intercept[IllegalArgumentException] {
+      Engine.listEntries(spark, Fixture.df(spark), SearchOptions(pageSize = 0))
+    }
+    intercept[IllegalArgumentException] {
+      Engine.listEntries(spark, Fixture.df(spark),
+        SearchOptions(pageSize = Engine.MaxPageSize + 1))
+    }
+  }
+
   test("highest_fee cursor rejects a missing or malformed value (fail fast)") {
     val opts = SearchOptions(sort = "highest_fee", pageSize = 5)
     // fee is never null, so None can only be a caller bug — resuming from
