@@ -57,6 +57,52 @@ object Fts {
       .select("id")
   }
 
+  /** BM25 ranking over the documents corpus — beyond the reference's
+    * membership-only MATCH (entries.ts:25 never ORDER BY rank), the
+    * standard relevance scorer a search surface at scale needs.
+    * Distributed shape: token counts are computed ONLY for the query's
+    * terms (the filter precedes the groupBy, so the explode output
+    * shrinks to hits), document frequencies and the average length are
+    * O(terms) / O(1) broadcast scalars, and the score is a FIXED-SHAPE
+    * double expression per term summed in query order — no float
+    * aggregation order-dependence, so results hash-match any engine.
+    * k1 = 1.2, b = 0.75 (the Robertson defaults). */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && terms == terms.distinct)
+    val spark = docs.sparkSession
+    val toks = docs.select(col(idCol).as("id"),
+      Cols.ftsTokens(col(textCol)).as("toks"))
+    val base = toks.select(col("id"), size(col("toks")).as("dl"),
+      explode(col("toks")).as("term"))
+      .where(col("term").isin(terms: _*))
+    // per-doc tf of each query term as fixed columns (one hash agg)
+    val tf = base.groupBy("id", "dl").pivot("term", terms)
+      .agg(count(lit(1)))
+      .na.fill(0L, terms)
+    // corpus stats: N + avgdl (one tiny agg) and df per term (broadcast)
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      (sum(size(col("toks"))).cast("double") / count(lit(1))).as("avgdl"))
+    val dfs = base.groupBy("term")
+      .agg(countDistinct(col("id")).as("df"))
+    val dfMap = dfs.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val withStats = tf.join(broadcast(stats))
+    def idf(t: String): Column = {
+      val dfv = lit(dfMap.getOrElse(t, 0L).toDouble)
+      log(lit(1.0) + (col("n_docs").cast("double") - dfv + 0.5) / (dfv + 0.5))
+    }
+    def termScore(t: String): Column = {
+      val tfv = col(s"`$t`").cast("double")
+      idf(t) * (tfv * 2.2) /
+        (tfv + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    }
+    val score = terms.map(termScore).reduce(_ + _)
+    withStats.select(col("id"), score.as("score"))
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Search pipeline: docs ⋉ prefix-AND matches. */
   def search(docs: DataFrame, idCol: String, textCols: Seq[String],
              prefixes: Seq[String]): DataFrame =
@@ -115,6 +161,39 @@ object FtsQueries extends graft.QueryModule {
     })((s, d) =>
       Fts.search(graft.entries.Fixture.df(s), "id",
         Seq("agency", "subject", "details"), Seq("bud", "spar"))
-        .select("id", "agency", "subject"))
+        .select("id", "agency", "subject")),
+
+    // P6c — BM25 relevance ranking over the documents corpus (beyond the
+    // reference's membership-only MATCH). The oracle replays the exact
+    // fixed-shape arithmetic, so the distributed tf/df/avgdl plumbing is
+    // value-checked, not just row-checked.
+    graft.QueryDef("p6c_fts_bm25", Some {
+      val toks = "list_filter(string_split_regex(lower(strip_accents(text)), '[^a-z0-9]+'), x -> x <> '')"
+      def ts(t: String) =
+        s"""ln(1.0 + (CAST(n_docs AS DOUBLE) - df_$t + 0.5) / (df_$t + 0.5)) * (CAST(tf_$t AS DOUBLE) * 2.2) /
+           |      (CAST(tf_$t AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))""".stripMargin
+      s"""WITH toks AS (SELECT doc_id AS id, $toks AS t FROM documents),
+         |base AS (SELECT id, len(t) AS dl, unnest(t) AS term FROM toks),
+         |hits AS (SELECT id, dl, term FROM base WHERE term IN ('the', 'and')),
+         |tf AS (
+         |  SELECT id, dl,
+         |    CAST(SUM(CASE WHEN term = 'the' THEN 1 ELSE 0 END) AS BIGINT) AS tf_the,
+         |    CAST(SUM(CASE WHEN term = 'and' THEN 1 ELSE 0 END) AS BIGINT) AS tf_and
+         |  FROM hits GROUP BY id, dl),
+         |stats AS (SELECT count(*) AS n_docs, CAST(SUM(len(t)) AS DOUBLE) / count(*) AS avgdl FROM toks),
+         |dfs AS (
+         |  SELECT
+         |    CAST(count(DISTINCT CASE WHEN term = 'the' THEN id END) AS DOUBLE) AS df_the,
+         |    CAST(count(DISTINCT CASE WHEN term = 'and' THEN id END) AS DOUBLE) AS df_and
+         |  FROM hits)
+         |SELECT id, score FROM (
+         |  SELECT id, ${ts("the")}
+         |    + ${ts("and")} AS score
+         |  FROM tf, stats, dfs)
+         |WHERE score > 0
+         |ORDER BY score DESC, id ASC LIMIT 20""".stripMargin
+    })((s, d) =>
+      Fts.bm25(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("the", "and"), k = 20))
   )
 }
