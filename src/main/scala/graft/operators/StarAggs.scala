@@ -262,6 +262,51 @@ object StarAggs extends graft.QueryModule {
         .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
         .select(col("l_returnflag"), col("cnt"),
           ((lit(100.0) * col("cnt")) / col("total")).as("pct"))
+    }),
+
+    // A12 — response-time percentiles per agency: the robust version of
+    // the reference's averages (a mean hides the p99 a FOIA requester
+    // actually experiences). Exact interpolated percentiles (Spark
+    // `percentile` == DuckDB `quantile_cont`) over integer day counts —
+    // deterministic. One hash-agg shuffle keyed by agency; at 100 TB the
+    // drop-in is approx_percentile (t-digest, mergeable partials) when
+    // exact ranks stop being worth a per-group sort.
+    graft.QueryDef("a12_response_percentiles", Some(
+      s"""SELECT agency,
+         |  quantile_cont($respDaysSql, 0.5) AS p50,
+         |  quantile_cont($respDaysSql, 0.9) AS p90,
+         |  quantile_cont($respDaysSql, 0.99) AS p99
+         |FROM ($pairsSql)
+         |WHERE $validSql
+         |GROUP BY agency""".stripMargin))((s, d) =>
+      pairs(s, d).where(valid)
+        .groupBy("agency").agg(
+          percentile(respDays, lit(0.5)).as("p50"),
+          percentile(respDays, lit(0.9)).as("p90"),
+          percentile(respDays, lit(0.99)).as("p99"))),
+
+    // A13 — 7-day moving average of daily request volume per agency:
+    // the trailing-window smoother a timeline chart needs. The window
+    // partitions by agency (parallel across groups) over the PRE-REDUCED
+    // daily counts — O(agencies × days) rows, not O(rows). The division
+    // is explicit sum/count so both engines share the exact double shape.
+    graft.QueryDef("a13_moving_avg", Some(
+      s"""SELECT agency, CAST(request_date AS VARCHAR) AS day, cnt,
+         |  CAST(CAST(SUM(cnt) OVER w AS BIGINT) AS DOUBLE) / COUNT(cnt) OVER w AS avg7
+         |FROM (
+         |  SELECT agency, request_date, count(*) AS cnt
+         |  FROM ($pairsSql) WHERE request_date IS NOT NULL
+         |  GROUP BY agency, request_date)
+         |WINDOW w AS (PARTITION BY agency ORDER BY request_date
+         |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin))((s, d) => {
+      val daily = pairs(s, d).where(col("request_date").isNotNull)
+        .groupBy("agency", "request_date").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("agency").orderBy("request_date")
+        .rowsBetween(-6, Window.currentRow)
+      daily.select(col("agency"),
+        col("request_date").cast(StringType).as("day"), col("cnt"),
+        (sum(col("cnt")).over(w).cast(DoubleType) /
+          count(col("cnt")).over(w)).as("avg7"))
     })
   )
 }
