@@ -307,6 +307,45 @@ object StarAggs extends graft.QueryModule {
         col("request_date").cast(StringType).as("day"), col("cnt"),
         (sum(col("cnt")).over(w).cast(DoubleType) /
           count(col("cnt")).over(w)).as("avg7"))
-    })
+    }),
+
+    // A14 — multi-granularity rollup: (agency, year) counts WITH the
+    // per-agency subtotals and the grand total in ONE pass (Catalyst
+    // expands the grouping sets into a single shuffle; the reference
+    // would need three queries). NULL group markers are made explicit
+    // strings so the rollup levels are unambiguous in the output.
+    graft.QueryDef("a14_rollup", Some(
+      s"""SELECT coalesce(agency, '<all>') AS agency,
+         |  coalesce(CAST(yr AS VARCHAR), '<all>') AS yr,
+         |  count(*) AS cnt
+         |FROM (SELECT agency, EXTRACT(year FROM request_date) AS yr
+         |      FROM ($pairsSql) WHERE request_date IS NOT NULL)
+         |GROUP BY ROLLUP (agency, yr)""".stripMargin))((s, d) =>
+      {
+        // SQL form: the DSL rollup's Expand reuses the input attribute
+        // ids, so any post-agg reference to the grouping columns trips
+        // the ambiguous-self-join check; name resolution through a view
+        // binds cleanly to the rollup output.
+        pairs(s, d).where(col("request_date").isNotNull)
+          .select(col("agency"), year(col("request_date")).as("yr"))
+          .createOrReplaceTempView("a14_base")
+        s.sql(
+          """SELECT coalesce(agency, '<all>') AS agency,
+            |  coalesce(CAST(yr AS STRING), '<all>') AS yr, count(*) AS cnt
+            |FROM a14_base GROUP BY ROLLUP (agency, yr)""".stripMargin)
+      }),
+
+    // U2 — anti-join set difference: customers with no URGENT orders
+    // (the reference's only set op is union-dedup; except/anti is the
+    // other half). LeftAnti is the shuffle-safe plan — a NOT IN subquery
+    // with nullable keys would degenerate to a nested loop.
+    graft.QueryDef("u2_anti_except", Some(
+      """SELECT c.c_custkey, c.c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin))((s, d) =>
+      Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+        .join(Tables.orders(s, d)
+          .where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti"))
   )
 }

@@ -198,6 +198,28 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("a12: approx_percentile (the 100 TB drop-in) tracks the exact percentiles") {
+    // The registered a12 uses exact interpolated percentiles (oracle-able);
+    // at real scale the mergeable-sketch approx_percentile replaces it.
+    // Pin the swap's error bound so the claim isn't hand-waving.
+    val vals = Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("double").as("v"))
+      .where(col("v").isNotNull)
+    val exact = vals.agg(
+      percentile(col("v"), lit(0.5)), percentile(col("v"), lit(0.9)))
+      .head()
+    val approx = vals.agg(
+      percentile_approx(col("v"), lit(0.5), lit(10000)),
+      percentile_approx(col("v"), lit(0.9), lit(10000)))
+      .head()
+    for (i <- 0 until 2) {
+      val e = exact.getDouble(i)
+      val a = approx.getDouble(i)
+      assert(math.abs(e - a) <= 1.0 + e * 0.01,
+        s"p${if (i == 0) 50 else 90}: approx $a vs exact $e")
+    }
+  }
+
   test("o7: TopKAggregator agrees with the window top-k on real data") {
     val rows = SparkEntry.queries("o7_topk_agg")(spark, sf).collect()
     assert(rows.length > 0)
