@@ -234,6 +234,81 @@ object TextAnalysisQueries extends graft.QueryModule {
           max(when(col("bucket") < col("rate"), col("doc_id"))).as("last_sampled"))
     }),
 
+    // T10 — PII detection (the pre-training redaction scan): email and
+    // phone hits per document over a corpus with planted PII (doc_id %
+    // 97 = 3 rows get a deterministic address + number appended —
+    // engine and oracle derive the SAME corpus). Pure map-side
+    // regexp_extract_all counting; only flagged docs surface.
+    graft.QueryDef("t10_pii_scan", Some(
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 97 = 3
+        |      THEN concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+        |        '@example.com or call 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+        |      ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '555-[0-9]{4}')) AS BIGINT) AS n_phones
+        |FROM corpus
+        |WHERE len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) > 0
+        |   OR len(regexp_extract_all(text, '555-[0-9]{4}')) > 0""".stripMargin))((s, d) => {
+      val planted = when(col("doc_id") % 97 === 3,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast(StringType),
+          lit("@example.com or call 555-"),
+          lpad((col("doc_id") % 10000).cast(StringType), 4, "0")))
+        .otherwise(col("text"))
+      val emails = size(regexp_extract_all(col("t"),
+        lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"), lit(0))).cast(LongType)
+      val phones = size(regexp_extract_all(col("t"),
+        lit("555-[0-9]{4}"), lit(0))).cast(LongType)
+      Tables.documents(s, d).select(col("doc_id"), planted.as("t"))
+        .select(col("doc_id"), emails.as("n_emails"), phones.as("n_phones"))
+        .where(col("n_emails") > 0 || col("n_phones") > 0)
+    }),
+
+    // T11 — repetition scoring (the Gopher-style repetitive-doc filter):
+    // fraction of all word bigrams taken by the single most frequent
+    // bigram. Planted repetitive docs (doc_id % 101 = 5 append one
+    // phrase 30 times) must cross the 0.2 threshold; random word soup
+    // never does. The (doc_id, bigram) count is one hash-agg shuffle of
+    // the exploded bigrams — at warehouse scale the per-doc top-fraction
+    // collapses into a native one-pass expression like WordKGrams.
+    graft.QueryDef("t11_repetition", Some {
+      val corpus =
+        """SELECT doc_id,
+          |  CASE WHEN doc_id % 101 = 5
+          |    THEN concat(text, repeat(' buy gold now', 60)) ELSE text END AS text
+          |FROM documents""".stripMargin
+      s"""WITH grams AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, greatest(len(words) - 1, 1)),
+         |    i -> array_to_string(list_slice(words, i, i + 1), ' '))) AS g
+         |  FROM (SELECT doc_id, string_split(${Dedup.normTextSql}, ' ') AS words
+         |        FROM ($corpus))),
+         |counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+         |fracs AS (
+         |  SELECT doc_id, CAST(CAST(max(c) AS BIGINT) AS DOUBLE) /
+         |    CAST(SUM(c) AS BIGINT) AS top_frac
+         |  FROM counts GROUP BY doc_id)
+         |SELECT doc_id, top_frac FROM fracs WHERE top_frac >= 0.2""".stripMargin
+    })((s, d) => {
+      val planted = when(col("doc_id") % 101 === 5,
+        concat(col("text"), expr("repeat(' buy gold now', 60)")))
+        .otherwise(col("text"))
+      val bigrams = graft.operators.Dedup.bind(
+        split(Dedup.normText(col("t")), " ")) { ws =>
+        transform(sequence(lit(1), greatest(size(ws) - 1, lit(1))),
+          i => concat_ws(" ", slice(ws, i, lit(2))))
+      }
+      Tables.documents(s, d).select(col("doc_id"), planted.as("t"))
+        .select(col("doc_id"), explode(bigrams).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          (max(col("c")).cast(DoubleType) / sum(col("c"))).as("top_frac"))
+        .where(col("top_frac") >= 0.2)
+    }),
+
     // M1 — typed metadata over an opaque payload column: JSON props of
     // events parsed and aggregated per event type.
     graft.QueryDef("m1_multimodal_meta", Some(
