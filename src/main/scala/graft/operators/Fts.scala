@@ -69,35 +69,46 @@ object Fts {
     * k1 = 1.2, b = 0.75 (the Robertson defaults). */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            terms: Seq[String], k: Int): DataFrame = {
-    require(terms.nonEmpty && terms == terms.distinct)
-    val spark = docs.sparkSession
-    val toks = docs.select(col(idCol).as("id"),
+    // Query terms must already be normalized tokens: the index side is
+    // lower/diacritic-folded and split on non-alnum, so a raw "The" or an
+    // accented term would silently score zero. Fail fast instead.
+    // (This also makes collisions with the internal __id/__dl columns
+    // impossible — tokens never contain underscores.)
+    require(terms.nonEmpty && terms == terms.distinct &&
+      terms.forall(_.matches("[a-z0-9]+")),
+      s"query terms must be distinct normalized tokens [a-z0-9]+, got $terms")
+    // ONE tokenization scan feeds tf and the corpus stats; it is the
+    // ephemeral index frame of this query (the persistent variant is
+    // termIndex written bucketed by term).
+    val toks = docs.select(col(idCol).as("__id"),
       Cols.ftsTokens(col(textCol)).as("toks"))
-    val base = toks.select(col("id"), size(col("toks")).as("dl"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = toks.select(col("__id"), size(col("toks")).as("__dl"),
       explode(col("toks")).as("term"))
       .where(col("term").isin(terms: _*))
     // per-doc tf of each query term as fixed columns (one hash agg)
-    val tf = base.groupBy("id", "dl").pivot("term", terms)
+    val tf = base.groupBy("__id", "__dl").pivot("term", terms)
       .agg(count(lit(1)))
       .na.fill(0L, terms)
-    // corpus stats: N + avgdl (one tiny agg) and df per term (broadcast)
+    // corpus stats (N + avgdl) and per-term df, each a 1-row broadcast —
+    // df comes from the tf frame (docs with tf_t > 0), not a third scan,
+    // and nothing collects to the driver.
     val stats = toks.agg(count(lit(1)).as("n_docs"),
       (sum(size(col("toks"))).cast("double") / count(lit(1))).as("avgdl"))
-    val dfs = base.groupBy("term")
-      .agg(countDistinct(col("id")).as("df"))
-    val dfMap = dfs.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val withStats = tf.join(broadcast(stats))
+    val dfCols = terms.map(t => count(when(col(s"`$t`") > 0, 1)).as(s"__df_$t"))
+    val dfs = tf.agg(dfCols.head, dfCols.tail: _*)
+    val withStats = tf.join(broadcast(stats)).join(broadcast(dfs))
     def idf(t: String): Column = {
-      val dfv = lit(dfMap.getOrElse(t, 0L).toDouble)
+      val dfv = col(s"__df_$t").cast("double")
       log(lit(1.0) + (col("n_docs").cast("double") - dfv + 0.5) / (dfv + 0.5))
     }
     def termScore(t: String): Column = {
       val tfv = col(s"`$t`").cast("double")
       idf(t) * (tfv * 2.2) /
-        (tfv + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+        (tfv + lit(1.2) * (lit(0.25) + lit(0.75) * col("__dl") / col("avgdl")))
     }
     val score = terms.map(termScore).reduce(_ + _)
-    withStats.select(col("id"), score.as("score"))
+    withStats.select(col("__id").as("id"), score.as("score"))
       .where(col("score") > 0)
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)

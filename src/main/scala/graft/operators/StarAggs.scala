@@ -285,24 +285,30 @@ object StarAggs extends graft.QueryModule {
           percentile(respDays, lit(0.9)).as("p90"),
           percentile(respDays, lit(0.99)).as("p99"))),
 
-    // A13 — 7-day moving average of daily request volume per agency:
-    // the trailing-window smoother a timeline chart needs. The window
-    // partitions by agency (parallel across groups) over the PRE-REDUCED
-    // daily counts — O(agencies × days) rows, not O(rows). The division
-    // is explicit sum/count so both engines share the exact double shape.
+    // A13 — 7-CALENDAR-day moving average of daily request volume per
+    // agency: a RANGE frame over epoch-day numbers, so the window is the
+    // trailing week of real time — a ROWS frame over sparse daily rows
+    // would silently average the last 7 ACTIVE days, spanning arbitrary
+    // calendar gaps. Partitions by agency (parallel across groups) over
+    // the PRE-REDUCED daily counts — O(agencies × days) rows, not
+    // O(rows); the division is explicit sum/count (active days in the
+    // window) so both engines share the exact double shape.
     graft.QueryDef("a13_moving_avg", Some(
       s"""SELECT agency, CAST(request_date AS VARCHAR) AS day, cnt,
          |  CAST(CAST(SUM(cnt) OVER w AS BIGINT) AS DOUBLE) / COUNT(cnt) OVER w AS avg7
          |FROM (
-         |  SELECT agency, request_date, count(*) AS cnt
+         |  SELECT agency, request_date, date_diff('day', DATE '1970-01-01', request_date) AS day_num,
+         |    count(*) AS cnt
          |  FROM ($pairsSql) WHERE request_date IS NOT NULL
-         |  GROUP BY agency, request_date)
-         |WINDOW w AS (PARTITION BY agency ORDER BY request_date
-         |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin))((s, d) => {
+         |  GROUP BY agency, request_date, day_num)
+         |WINDOW w AS (PARTITION BY agency ORDER BY day_num
+         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin))((s, d) => {
       val daily = pairs(s, d).where(col("request_date").isNotNull)
-        .groupBy("agency", "request_date").agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy("agency").orderBy("request_date")
-        .rowsBetween(-6, Window.currentRow)
+        .groupBy(col("agency"), col("request_date"),
+          datediff(col("request_date"), lit("1970-01-01")).as("day_num"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("agency").orderBy("day_num")
+        .rangeBetween(-6, Window.currentRow)
       daily.select(col("agency"),
         col("request_date").cast(StringType).as("day"), col("cnt"),
         (sum(col("cnt")).over(w).cast(DoubleType) /
@@ -325,14 +331,20 @@ object StarAggs extends graft.QueryModule {
         // SQL form: the DSL rollup's Expand reuses the input attribute
         // ids, so any post-agg reference to the grouping columns trips
         // the ambiguous-self-join check; name resolution through a view
-        // binds cleanly to the rollup output.
+        // binds cleanly to the rollup output. The view name is unique
+        // per call and dropped once the plan is resolved — a fixed
+        // session-global name would race under concurrent plan builds
+        // and leak into the catalog.
+        val view = s"a14_base_${java.util.UUID.randomUUID().toString.replace("-", "")}"
         pairs(s, d).where(col("request_date").isNotNull)
           .select(col("agency"), year(col("request_date")).as("yr"))
-          .createOrReplaceTempView("a14_base")
-        s.sql(
-          """SELECT coalesce(agency, '<all>') AS agency,
-            |  coalesce(CAST(yr AS STRING), '<all>') AS yr, count(*) AS cnt
-            |FROM a14_base GROUP BY ROLLUP (agency, yr)""".stripMargin)
+          .createOrReplaceTempView(view)
+        val out = s.sql(
+          s"""SELECT coalesce(agency, '<all>') AS agency,
+             |  coalesce(CAST(yr AS STRING), '<all>') AS yr, count(*) AS cnt
+             |FROM $view GROUP BY ROLLUP (agency, yr)""".stripMargin)
+        s.catalog.dropTempView(view)
+        out
       }),
 
     // U2 — anti-join set difference: customers with no URGENT orders

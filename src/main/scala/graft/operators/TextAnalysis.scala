@@ -253,8 +253,12 @@ object TextAnalysisQueries extends graft.QueryModule {
         |FROM corpus
         |WHERE len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) > 0
         |   OR len(regexp_extract_all(text, '555-[0-9]{4}')) > 0""".stripMargin))((s, d) => {
+      // coalesce pins NULL-text semantics: DuckDB's concat treats NULL
+      // as '' while Spark's null-propagates — without it a NULL planted
+      // row would be a guaranteed engine/oracle divergence.
       val planted = when(col("doc_id") % 97 === 3,
-        concat(col("text"), lit(" contact user"), col("doc_id").cast(StringType),
+        concat(coalesce(col("text"), lit("")),
+          lit(" contact user"), col("doc_id").cast(StringType),
           lit("@example.com or call 555-"),
           lpad((col("doc_id") % 10000).cast(StringType), 4, "0")))
         .otherwise(col("text"))
@@ -269,11 +273,14 @@ object TextAnalysisQueries extends graft.QueryModule {
 
     // T11 — repetition scoring (the Gopher-style repetitive-doc filter):
     // fraction of all word bigrams taken by the single most frequent
-    // bigram. Planted repetitive docs (doc_id % 101 = 5 append one
-    // phrase 30 times) must cross the 0.2 threshold; random word soup
-    // never does. The (doc_id, bigram) count is one hash-agg shuffle of
-    // the exploded bigrams — at warehouse scale the per-doc top-fraction
-    // collapses into a native one-pass expression like WordKGrams.
+    // bigram, over docs with >= 2 words (a 0/1-word doc has no bigram
+    // and must not be auto-flagged at fraction 1.0). Planted repetitive
+    // docs (doc_id % 101 = 5 append one phrase 60 times — 60 of n+179
+    // bigrams stays over the threshold through n = 121 words vs the
+    // fixture max of 100). The (doc_id, bigram) count is one hash-agg
+    // shuffle of the exploded bigrams — at warehouse scale the per-doc
+    // top-fraction collapses into a native one-pass expression like
+    // WordKGrams.
     graft.QueryDef("t11_repetition", Some {
       val corpus =
         """SELECT doc_id,
@@ -282,10 +289,11 @@ object TextAnalysisQueries extends graft.QueryModule {
           |FROM documents""".stripMargin
       s"""WITH grams AS (
          |  SELECT doc_id, unnest(list_transform(
-         |    generate_series(1, greatest(len(words) - 1, 1)),
+         |    generate_series(1, len(words) - 1),
          |    i -> array_to_string(list_slice(words, i, i + 1), ' '))) AS g
          |  FROM (SELECT doc_id, string_split(${Dedup.normTextSql}, ' ') AS words
-         |        FROM ($corpus))),
+         |        FROM ($corpus))
+         |  WHERE len(words) >= 2),
          |counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
          |fracs AS (
          |  SELECT doc_id, CAST(CAST(max(c) AS BIGINT) AS DOUBLE) /
@@ -294,14 +302,15 @@ object TextAnalysisQueries extends graft.QueryModule {
          |SELECT doc_id, top_frac FROM fracs WHERE top_frac >= 0.2""".stripMargin
     })((s, d) => {
       val planted = when(col("doc_id") % 101 === 5,
-        concat(col("text"), expr("repeat(' buy gold now', 60)")))
+        concat(coalesce(col("text"), lit("")), expr("repeat(' buy gold now', 60)")))
         .otherwise(col("text"))
       val bigrams = graft.operators.Dedup.bind(
         split(Dedup.normText(col("t")), " ")) { ws =>
-        transform(sequence(lit(1), greatest(size(ws) - 1, lit(1))),
+        transform(sequence(lit(1), size(ws) - 1),
           i => concat_ws(" ", slice(ws, i, lit(2))))
       }
       Tables.documents(s, d).select(col("doc_id"), planted.as("t"))
+        .where(size(split(Dedup.normText(col("t")), " ")) >= 2)
         .select(col("doc_id"), explode(bigrams).as("g"))
         .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(
