@@ -332,6 +332,81 @@ object StarPredicates extends graft.QueryModule {
         .select("o_orderkey", "o_orderpriority", "rank")
     }),
 
+    // J7 — AS-OF join: each click event matched to the SAME user's most
+    // recent login at-or-before its timestamp (the classic
+    // dimension-as-of-time lookup Spark lacks as a native operator).
+    // Composed Spark-first: union both sides, one window pass per user
+    // carrying the last login forward (last_value ignoreNulls over an
+    // unbounded-preceding frame) — partitioned by user, so it scales
+    // with per-user history, never a global sort, and no inequality
+    // join exists anywhere. The oracle is DuckDB's NATIVE ASOF JOIN, so
+    // the window formulation is checked against an independent
+    // first-class implementation. event_id tiebreaks equal timestamps.
+    graft.QueryDef("j7_asof_join", Some(
+      """SELECT c.event_id, c.user_id,
+        |  CAST(epoch_us(c.ts) AS BIGINT) AS click_us,
+        |  CAST(epoch_us(l.ts) AS BIGINT) AS login_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'login') l
+        |  ON c.user_id = l.user_id AND c.ts >= l.ts""".stripMargin))((s, d) => {
+      val ev = Tables.events(s, d)
+      // ASOF's c.ts >= l.ts is INCLUSIVE: a login at the click's exact
+      // instant matches. The frame ends at the current row, and equal
+      // timestamps order logins FIRST (typeRank) so the same-instant
+      // login is inside the click's frame regardless of event_id order.
+      val typeRank = when(col("event_type") === "login", 0).otherwise(1)
+      val wEq = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("us"), typeRank, col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val tagged = ev.where(col("event_type").isin("click", "login"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val loginUs = when(col("event_type") === "login", col("us"))
+      tagged
+        .withColumn("login_us", last(loginUs, ignoreNulls = true).over(wEq))
+        .where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("us").as("click_us"),
+          col("login_us"))
+      // (wEq orders logins before clicks at EQUAL timestamps — see its
+      // definition — so a same-instant login is visible to the click,
+      // matching ASOF's c.ts >= l.ts inclusivity.)
+    }),
+
+    // J8 — RANGE join: events falling inside overlapping tiered promo
+    // windows ([day0+r, day0+r+3) days off the events calendar start —
+    // overlap means fan-out, the general case). The interval side is
+    // tiny by construction → broadcast, so the containment predicate is
+    // a map-side filter fan-out, not an inequality shuffle join; big-big
+    // range joins bucketize the time axis first (both sides keyed by
+    // floor(ts/bucket), equality join on bucket, residual range filter —
+    // same pattern as the LSH bands).
+    graft.QueryDef("j8_range_join", Some(
+      """WITH day0 AS (SELECT date_trunc('day', min(ts)) AS d0 FROM events),
+        |windows AS (
+        |  SELECT tier, d0 + INTERVAL (r) DAY AS win_start,
+        |    d0 + INTERVAL (r + 3) DAY AS win_end
+        |  FROM (VALUES ('1-URGENT', 0), ('2-HIGH', 1), ('3-MEDIUM', 2),
+        |    ('4-NOT SPECIFIED', 3), ('5-LOW', 4)) AS t(tier, r), day0)
+        |SELECT w.tier, count(*) AS n_events,
+        |  CAST(min(e.event_id) AS BIGINT) AS first_event
+        |FROM events e JOIN windows w
+        |  ON e.ts >= w.win_start AND e.ts < w.win_end
+        |GROUP BY w.tier""".stripMargin))((s, d) => {
+      import s.implicits._
+      val day0 = Tables.events(s, d)
+        .agg(date_trunc("DAY", min(col("ts"))).as("d0"))
+      val tiers = Seq(("1-URGENT", 0), ("2-HIGH", 1), ("3-MEDIUM", 2),
+        ("4-NOT SPECIFIED", 3), ("5-LOW", 4)).toDF("tier", "r")
+      val windows = tiers.join(broadcast(day0))
+        .select(col("tier"),
+          (col("d0") + expr("make_dt_interval(r)")).as("win_start"),
+          (col("d0") + expr("make_dt_interval(r + 3)")).as("win_end"))
+      Tables.events(s, d).join(broadcast(windows),
+        col("ts") >= col("win_start") && col("ts") < col("win_end"))
+        .groupBy("tier").agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"))
+    }),
+
     // U1 — dedup-union of candidate sets (reference
     // `new Set([...seed, ...dbRows])`, src/lib/db/shared.ts:32,46).
     graft.QueryDef("u1_dedup_union", Some(
