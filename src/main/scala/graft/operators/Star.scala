@@ -333,43 +333,41 @@ object StarPredicates extends graft.QueryModule {
     }),
 
     // J7 — AS-OF join: each click event matched to the SAME user's most
-    // recent login at-or-before its timestamp (the classic
+    // recent view at-or-before its timestamp (the classic
     // dimension-as-of-time lookup Spark lacks as a native operator).
     // Composed Spark-first: union both sides, one window pass per user
-    // carrying the last login forward (last_value ignoreNulls over an
+    // carrying the last view forward (last_value ignoreNulls over an
     // unbounded-preceding frame) — partitioned by user, so it scales
     // with per-user history, never a global sort, and no inequality
     // join exists anywhere. The oracle is DuckDB's NATIVE ASOF JOIN, so
     // the window formulation is checked against an independent
-    // first-class implementation. event_id tiebreaks equal timestamps.
+    // first-class implementation (1855 real matches at sf0.01 — not a
+    // vacuous NULL-side pass). event_id tiebreaks equal timestamps.
     graft.QueryDef("j7_asof_join", Some(
       """SELECT c.event_id, c.user_id,
         |  CAST(epoch_us(c.ts) AS BIGINT) AS click_us,
-        |  CAST(epoch_us(l.ts) AS BIGINT) AS login_us
+        |  CAST(epoch_us(l.ts) AS BIGINT) AS view_us
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'login') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') l
         |  ON c.user_id = l.user_id AND c.ts >= l.ts""".stripMargin))((s, d) => {
       val ev = Tables.events(s, d)
-      // ASOF's c.ts >= l.ts is INCLUSIVE: a login at the click's exact
+      // ASOF's c.ts >= l.ts is INCLUSIVE: a view at the click's exact
       // instant matches. The frame ends at the current row, and equal
-      // timestamps order logins FIRST (typeRank) so the same-instant
-      // login is inside the click's frame regardless of event_id order.
-      val typeRank = when(col("event_type") === "login", 0).otherwise(1)
+      // timestamps order views FIRST (typeRank) so the same-instant
+      // view is inside the click's frame regardless of event_id order.
+      val typeRank = when(col("event_type") === "view", 0).otherwise(1)
       val wEq = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(col("us"), typeRank, col("event_id"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val tagged = ev.where(col("event_type").isin("click", "login"))
+      val tagged = ev.where(col("event_type").isin("click", "view"))
         .select(col("event_id"), col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("us"))
-      val loginUs = when(col("event_type") === "login", col("us"))
+      val viewUs = when(col("event_type") === "view", col("us"))
       tagged
-        .withColumn("login_us", last(loginUs, ignoreNulls = true).over(wEq))
+        .withColumn("view_us", last(viewUs, ignoreNulls = true).over(wEq))
         .where(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("us").as("click_us"),
-          col("login_us"))
-      // (wEq orders logins before clicks at EQUAL timestamps — see its
-      // definition — so a same-instant login is visible to the click,
-      // matching ASOF's c.ts >= l.ts inclusivity.)
+          col("view_us"))
     }),
 
     // J8 — RANGE join: events falling inside overlapping tiered promo

@@ -82,6 +82,29 @@ object Streams {
       }
   }
 
+  /** Stream-stream event-time interval join: clicks matched to the SAME
+    * user's views within the preceding hour. Both sides carry
+    * watermarks and the join predicate bounds event time in BOTH
+    * directions, so each side's buffered state is evicted once the
+    * watermark passes the interval — state ∝ one hour of arrivals, never
+    * stream history (an unbounded-state stream join is the scale bug
+    * this shape avoids). */
+  def clickViewJoin(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val views = events.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    clicks.join(views,
+      col("user_id") === col("view_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") < col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("user_id"), col("view_id"))
+  }
+
   /** Streaming exact dedup — the streaming twin of d1 for an
     * at-least-once source: re-deliveries of the same event_id within the
     * watermark horizon are dropped, and the dedup state is EVICTED past

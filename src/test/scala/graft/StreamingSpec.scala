@@ -142,6 +142,38 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       "dedup dropped non-duplicate rows")
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val q = Streams.clickViewJoin(Streams.eventStream(spark, srcDir))
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", tmp("graft_ssj_ckpt"))
+      .format("memory").queryName("ssj_out")
+      .outputMode("append")
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("ssj_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = Tables.events(spark, sf)
+    val batch = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .join(ev.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+          col("ts").as("view_ts")),
+        col("user_id") === col("view_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") < col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select("click_id", "user_id", "view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty, "vacuous: no click-view pairs within the hour")
+    // watermarks can hold back only pairs near the final watermark; with
+    // AvailableNow over a static dir the joined set must match the batch
+    // join exactly for all emitted rows, and cover (nearly) all of it
+    assert(streamed.subsetOf(batch),
+      s"spurious streamed pairs: ${streamed -- batch}")
+    assert(streamed.size >= batch.size * 9 / 10,
+      s"stream join emitted ${streamed.size} of ${batch.size} pairs")
+  }
+
   test("incremental LSH index maintenance converges to the batch pair set (d2 twin)") {
     import graft.operators.Dedup
     def addChunk(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
