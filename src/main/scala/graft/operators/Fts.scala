@@ -79,39 +79,48 @@ object Fts {
       s"query terms must be distinct normalized tokens [a-z0-9]+, got $terms")
     // ONE tokenization scan feeds tf and the corpus stats; it is the
     // ephemeral index frame of this query (the persistent variant is
-    // termIndex written bucketed by term).
+    // termIndex written bucketed by term). Every internal column carries
+    // a "__" prefix — tokens cannot contain underscores, so a query term
+    // can never collide with them (pivot names its output columns after
+    // the raw term values).
     val toks = docs.select(col(idCol).as("__id"),
-      Cols.ftsTokens(col(textCol)).as("toks"))
+      Cols.ftsTokens(col(textCol)).as("__toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val base = toks.select(col("__id"), size(col("toks")).as("__dl"),
-      explode(col("toks")).as("term"))
-      .where(col("term").isin(terms: _*))
+    val base = toks.select(col("__id"), size(col("__toks")).as("__dl"),
+      explode(col("__toks")).as("__term"))
+      .where(col("__term").isin(terms: _*))
     // per-doc tf of each query term as fixed columns (one hash agg)
-    val tf = base.groupBy("__id", "__dl").pivot("term", terms)
+    val tf = base.groupBy("__id", "__dl").pivot("__term", terms)
       .agg(count(lit(1)))
       .na.fill(0L, terms)
     // corpus stats (N + avgdl) and per-term df, each a 1-row broadcast —
     // df comes from the tf frame (docs with tf_t > 0), not a third scan,
-    // and nothing collects to the driver.
-    val stats = toks.agg(count(lit(1)).as("n_docs"),
-      (sum(size(col("toks"))).cast("double") / count(lit(1))).as("avgdl"))
+    // and nothing unbounded collects to the driver.
+    val stats = toks.agg(count(lit(1)).as("__n_docs"),
+      (sum(size(col("__toks"))).cast("double") / count(lit(1))).as("__avgdl"))
     val dfCols = terms.map(t => count(when(col(s"`$t`") > 0, 1)).as(s"__df_$t"))
     val dfs = tf.agg(dfCols.head, dfCols.tail: _*)
     val withStats = tf.join(broadcast(stats)).join(broadcast(dfs))
     def idf(t: String): Column = {
       val dfv = col(s"__df_$t").cast("double")
-      log(lit(1.0) + (col("n_docs").cast("double") - dfv + 0.5) / (dfv + 0.5))
+      log(lit(1.0) + (col("__n_docs").cast("double") - dfv + 0.5) / (dfv + 0.5))
     }
     def termScore(t: String): Column = {
       val tfv = col(s"`$t`").cast("double")
       idf(t) * (tfv * 2.2) /
-        (tfv + lit(1.2) * (lit(0.25) + lit(0.75) * col("__dl") / col("avgdl")))
+        (tfv + lit(1.2) * (lit(0.25) + lit(0.75) * col("__dl") / col("__avgdl")))
     }
     val score = terms.map(termScore).reduce(_ + _)
-    withStats.select(col("__id").as("id"), score.as("score"))
+    val ranked = withStats.select(col("__id").as("id"), score.as("score"))
       .where(col("score") > 0)
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
+    // Materialize the bounded top-k (<= k rows) so the cached token frame
+    // is released HERE — a lazily-returned frame would leak the persist
+    // for the session lifetime (no call site could unpersist it).
+    val local = ranked.collectAsList()
+    toks.unpersist()
+    docs.sparkSession.createDataFrame(local, ranked.schema)
   }
 
   /** Search pipeline: docs ⋉ prefix-AND matches. */

@@ -339,12 +339,14 @@ object StarAggs extends graft.QueryModule {
         pairs(s, d).where(col("request_date").isNotNull)
           .select(col("agency"), year(col("request_date")).as("yr"))
           .createOrReplaceTempView(view)
-        val out = s.sql(
+        // Analysis inlines the view into the plan eagerly, so the view
+        // can be dropped as soon as s.sql returns; the finally keeps a
+        // failing analysis from leaking the UUID view into the catalog.
+        try s.sql(
           s"""SELECT coalesce(agency, '<all>') AS agency,
              |  coalesce(CAST(yr AS STRING), '<all>') AS yr, count(*) AS cnt
              |FROM $view GROUP BY ROLLUP (agency, yr)""".stripMargin)
-        s.catalog.dropTempView(view)
-        out
+        finally { s.catalog.dropTempView(view); () }
       }),
 
     // U2 — anti-join set difference: customers with no URGENT orders

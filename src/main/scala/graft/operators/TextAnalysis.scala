@@ -304,14 +304,20 @@ object TextAnalysisQueries extends graft.QueryModule {
       val planted = when(col("doc_id") % 101 === 5,
         concat(coalesce(col("text"), lit("")), expr("repeat(' buy gold now', 60)")))
         .otherwise(col("text"))
+      // ONE normalization pass: the >= 2-word guard and the bigram build
+      // both live inside the same let-bound expression (null marks a
+      // degenerate doc), so the regex normalization isn't evaluated once
+      // for the filter and again for the builder.
       val bigrams = graft.operators.Dedup.bind(
         split(Dedup.normText(col("t")), " ")) { ws =>
-        transform(sequence(lit(1), size(ws) - 1),
-          i => concat_ws(" ", slice(ws, i, lit(2))))
+        when(size(ws) >= 2,
+          transform(sequence(lit(1), size(ws) - 1),
+            i => concat_ws(" ", slice(ws, i, lit(2)))))
       }
       Tables.documents(s, d).select(col("doc_id"), planted.as("t"))
-        .where(size(split(Dedup.normText(col("t")), " ")) >= 2)
-        .select(col("doc_id"), explode(bigrams).as("g"))
+        .select(col("doc_id"), bigrams.as("bg"))
+        .where(col("bg").isNotNull)
+        .select(col("doc_id"), explode(col("bg")).as("g"))
         .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(
           (max(col("c")).cast(DoubleType) / sum(col("c"))).as("top_frac"))
