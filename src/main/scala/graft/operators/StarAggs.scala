@@ -360,6 +360,20 @@ object StarAggs extends graft.QueryModule {
       Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
         .join(Tables.orders(s, d)
           .where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")),
-          col("c_custkey") === col("o_custkey"), "left_anti"))
+          col("c_custkey") === col("o_custkey"), "left_anti")),
+
+    // U3 — INTERSECT (distinct) completes the set-op family: customers
+    // that are BOTH in the BUILDING segment AND hold urgent orders.
+    // Spark plans INTERSECT as a left-semi + aggregate — dedup + shuffle
+    // on the key, no row explosion.
+    graft.QueryDef("u3_intersect", Some(
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin))((s, d) =>
+      Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+        .intersect(Tables.orders(s, d)
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("c_custkey"))))
   )
 }
