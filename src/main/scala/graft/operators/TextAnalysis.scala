@@ -304,19 +304,16 @@ object TextAnalysisQueries extends graft.QueryModule {
       val planted = when(col("doc_id") % 101 === 5,
         concat(coalesce(col("text"), lit("")), expr("repeat(' buy gold now', 60)")))
         .otherwise(col("text"))
-      // ONE normalization pass: the >= 2-word guard and the bigram build
-      // both live inside the same let-bound expression (null marks a
-      // degenerate doc), so the regex normalization isn't evaluated once
-      // for the filter and again for the builder.
-      val bigrams = graft.operators.Dedup.bind(
-        split(Dedup.normText(col("t")), " ")) { ws =>
-        when(size(ws) >= 2,
-          transform(sequence(lit(1), size(ws) - 1),
-            i => concat_ws(" ", slice(ws, i, lit(2)))))
-      }
+      // Native WordKGramsAll: one JVM pass builds ALL bigrams with
+      // duplicates preserved (an interpreted sequence+slice HOF chain
+      // here was the same per-row cost WordKGrams removed from the
+      // shingle path); an empty result marks the < 2-word docs that must
+      // not be scored.
+      val bigrams = graft.plans.NativeFunctions.wordKGramsAll(
+        Dedup.normText(col("t")), 2)
       Tables.documents(s, d).select(col("doc_id"), planted.as("t"))
         .select(col("doc_id"), bigrams.as("bg"))
-        .where(col("bg").isNotNull)
+        .where(size(col("bg")) > 0)
         .select(col("doc_id"), explode(col("bg")).as("g"))
         .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(

@@ -244,6 +244,46 @@ object WordKGrams {
   }
 }
 
+/** ALL word k-grams (duplicates preserved) of a pre-normalized string —
+  * the frequency-analysis sibling of [[WordKGrams]] (whose distinct set
+  * serves similarity). Returns EMPTY for texts shorter than k words:
+  * a repetition/frequency consumer must not see a degenerate pseudo-gram.
+  * Replaces the interpreted sequence+slice+concat_ws HOF chain with one
+  * JVM pass under codegen. */
+case class WordKGramsAll(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_kgrams_all"
+
+  override def nullSafeEval(input: Any): Any =
+    WordKGramsAll.compute(input.asInstanceOf[UTF8String].toString, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.WordKGramsAll.compute($c.toString(), $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordKGramsAll =
+    copy(child = newChild)
+}
+
+object WordKGramsAll {
+  def compute(s: String, k: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val words = s.split(" ", -1)
+    val n = words.length
+    val m = n - k + 1
+    if (m <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[AnyRef](0))
+    val arr = new Array[AnyRef](m)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(words(i + j)); j += 1 }
+      arr(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+}
+
 /** 32-slot MinHash signature of a shingle array in ONE JVM loop:
   * h_i = (a_i*h + b_i) mod p with a_i = 2i+1, b_i = 12345i + 678,
   * p = 2^31 - 1, over base h = xxhash64(shingle) mod 2^31 — byte-for-byte
@@ -348,6 +388,9 @@ object NativeFunctions {
 
   def wordKGrams(c: Column, k: Int): Column =
     Bridge.column(WordKGrams(Bridge.expression(c), k))
+
+  def wordKGramsAll(c: Column, k: Int): Column =
+    Bridge.column(WordKGramsAll(Bridge.expression(c), k))
 
   def minhashSig(c: Column, nHashes: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(c), nHashes))

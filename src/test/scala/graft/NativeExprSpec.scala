@@ -94,6 +94,21 @@ class NativeExprSpec extends AnyFunSuite with SparkSuite {
     assert(got.toSeq == want)
   }
 
+  test("word_kgrams_all preserves duplicates and returns empty below k words") {
+    import spark.implicits._
+    val cases = Seq("a b a b a", "one two", "solo", "", "x y z")
+    val got = cases.toDF("s")
+      .select(NativeFunctions.wordKGramsAll(col("s"), 2)).as[Seq[String]].collect()
+    val want = cases.map { s =>
+      val words = s.split(" ", -1)
+      if (words.length < 2) Seq.empty[String]
+      else (0 until words.length - 1).map(i => s"${words(i)} ${words(i + 1)}")
+    }
+    assert(got.toSeq == want)
+    // duplicates preserved: "a b" appears twice in the first case
+    assert(got(0).count(_ == "a b") == 2)
+  }
+
   test("the expressions do not break whole-stage codegen") {
     import spark.implicits._
     val df = samples.toDF("s").repartition(2) // defeat LocalRelation fold
