@@ -41,6 +41,20 @@ object Dedup {
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(col("text"), lit(" zz0 zz1 zz2")).as("text")))
 
+  val nearProbesSql: String =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, text || ' zz0 zz1 zz2' AS text
+      |FROM documents WHERE doc_id >= 10 AND doc_id < 20""".stripMargin
+
+  /** DuckDB twin of [[shingles]] over column `text` of relation scope:
+    * distinct word 3-grams with WordKGrams' short-tail semantics
+    * (max(n-2, 1) windows, final windows clamped to the word list). */
+  val shingles3Sql: String =
+    s"""list_distinct(list_transform(
+       |    generate_series(1, greatest(len(words) - 2, 1)),
+       |    i -> array_to_string(list_slice(words, i, i + 2), ' ')))""".stripMargin
+
   /** Let-binding for array-valued subexpressions. Catalyst's projection
     * collapse inlines an array-building expression into EVERY per-element
     * consumer (e.g. each slice() of a split() re-splits the whole string
@@ -278,6 +292,32 @@ object DedupQueries extends graft.QueryModule {
     // gate check is rows-only; DedupSpec pins the planted pairs.
     graft.QueryDef("d2_minhash_lsh", None)((s, d) =>
       minhashPairs(withNearProbes(Tables.documents(s, d)), threshold = 0.5)),
+
+    // D2b — the LSH path, oracle-HARD: restrict minhashPairs output to
+    // the planted-probe slice (every emitted pair then involves a probe
+    // id >= 1000000 — a bounded 10-row set, since doc_a < doc_b and
+    // probes carry the largest ids), and brute-force Jaccard over that
+    // same slice in DuckDB: ALL (doc, probe) pairs, no banding, no LSH.
+    // The row sets agree iff LSH recall on the slice is total, so the
+    // flagship near-dup path gets a rows+schema+hash gate row — the
+    // planted-pair spec alone can't catch a silently-lossy band join.
+    graft.QueryDef("d2b_minhash_probes", Some(
+      s"""WITH docs AS ($nearProbesSql),
+         |grams AS (
+         |  SELECT doc_id, $shingles3Sql AS g
+         |  FROM (SELECT doc_id, string_split($normTextSql, ' ') AS words FROM docs)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.g AS ga, b.g AS gb
+         |  FROM grams a JOIN grams b
+         |    ON a.doc_id < b.doc_id AND b.doc_id >= 1000000)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
+         |      (len(ga) + len(gb) - len(list_intersect(ga, gb))) AS jaccard
+         |  FROM pairs)
+         |WHERE jaccard >= 0.5""".stripMargin))((s, d) =>
+      minhashPairs(withNearProbes(Tables.documents(s, d)), threshold = 0.5)
+        .where(col("doc_b") >= 1000000L)),
 
     // D3 — SimHash banding + Hamming filter (rows-only; DedupSpec).
     graft.QueryDef("d3_simhash", None)((s, d) =>

@@ -53,15 +53,11 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane: sign(plane j, dim d) with
-    * d 1-based, computed DRIVER-side into a literal array so per-row work
-    * is one zip_with multiply-sum per plane (the previous element_at
-    * formulation re-evaluated the whole quantization per element —
-    * quadratic per row). */
+    * d 1-based. Single-sourced from plans.HyperplaneSig.planeSign (the
+    * avalanched murmur3-fmix32 hash — see the parity-trap note there);
+    * this Seq view exists for specs that replicate signatures. */
   private[graft] def planeRow(j: Int, dim: Int): Seq[Long] =
-    (1 to dim).map { d =>
-      val h = java.lang.Math.floorMod((j * 131L + d + 7L) * 2654435761L, 2147483648L)
-      if (h % 2 == 0) 1L else -1L
-    }
+    (1 to dim).map(d => if (graft.plans.HyperplaneSig.planeSign(j, d)) 1L else -1L)
 
   /** Hyperplane-sign signature of a quantized vector: bit j is set when
     * the projection onto pseudo-random plane j+planeOffset is
@@ -281,6 +277,40 @@ object SimilarityQueries extends graft.QueryModule {
     // D5 — embedding-cosine near-dup dedup over planted probes
     // (rows-only; PipelineSpec pins the planted pairs).
     graft.QueryDef("d5_embed_cosine_dedup", None)((s, d) =>
-      cosineDedupPairs(withVecProbes(Tables.embeddings(s, d)), threshold = 0.9))
+      cosineDedupPairs(withVecProbes(Tables.embeddings(s, d)), threshold = 0.9)),
+
+    // D5b — the hyperplane-LSH path, oracle-HARD: restrict the pair
+    // output to the planted-probe slice (probes carry the largest ids,
+    // so vec_b >= 1000000 captures exactly pairs-involving-probes) and
+    // brute-force the exact integer cosine over every (vec, probe) pair
+    // in DuckDB — no banding. Row sets agree iff multi-table LSH recall
+    // on the slice is total; probe construction replays the float nudge
+    // (+0.01f on component 1) in FLOAT arithmetic before quantizing.
+    graft.QueryDef("d5b_cosine_probes", Some(
+      """WITH vecs AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_prepend(embedding[1] + CAST(0.01 AS FLOAT), embedding[2:]) AS embedding
+        |  FROM embeddings WHERE vec_id < 10),
+        |comp AS (
+        |  SELECT vec_id,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM vecs),
+        |norms AS (SELECT vec_id, SUM(x * x) AS n2 FROM comp GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dot
+        |  FROM comp a JOIN comp b ON a.i = b.i
+        |    AND a.vec_id < b.vec_id AND b.vec_id >= 1000000
+        |  GROUP BY 1, 2)
+        |SELECT vec_a, vec_b, cos FROM (
+        |  SELECT vec_a, vec_b, CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+        |  FROM dots JOIN norms na ON na.vec_id = dots.vec_a
+        |            JOIN norms nb ON nb.vec_id = dots.vec_b)
+        |WHERE cos >= 0.9""".stripMargin))((s, d) =>
+      cosineDedupPairs(withVecProbes(Tables.embeddings(s, d)), threshold = 0.9)
+        .where(col("vec_b") >= 1000000L))
   )
 }

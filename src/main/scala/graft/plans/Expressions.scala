@@ -81,13 +81,26 @@ object HyperplaneSig {
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Long]]()
 
+  /** Well-mixed deterministic sign for (plane j, dim d) — murmur3 fmix32
+    * finalizer over the packed key, so every bit of (j, d) avalanches
+    * into the output bit. A multiplicative-parity hash here is a
+    * correctness trap: (k * odd) mod 2^31 PRESERVES the parity of k, so
+    * taking its low bit made the sign depend only on (j + d) % 2 —
+    * every "plane" was ±one plane, every signature one of 2 values, and
+    * the LSH band join silently degenerated to all-pairs. */
+  def planeSign(j: Int, d: Int): Boolean = {
+    var x = j * 0x9E3779B9 + d
+    x ^= x >>> 16; x *= 0x85ebca6b
+    x ^= x >>> 13; x *= 0xc2b2ae35
+    x ^= x >>> 16
+    (x & 1) == 0
+  }
+
   /** ±1 signs of plane j over dims 1..dim (matches Similarity.planeRow). */
   def plane(j: Int, dim: Int): Array[Long] =
     planeCache.computeIfAbsent((j, dim), { case (jj, dd) =>
       Array.tabulate(dd) { i =>
-        val d = i + 1
-        val h = java.lang.Math.floorMod((jj * 131L + d + 7L) * 2654435761L, 2147483648L)
-        if (h % 2 == 0) 1L else -1L
+        if (planeSign(jj, i + 1)) 1L else -1L
       }
     })
 
