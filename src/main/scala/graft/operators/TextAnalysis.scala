@@ -335,35 +335,32 @@ object TextAnalysisQueries extends graft.QueryModule {
         max(k).as("k_max"))
     }),
 
-    // M2 — multimodal binary plumbing: text payloads treated as opaque
-    // binary blobs with typed metadata; the "decode" stage is a
-    // deterministic stub executed per-partition (the real image/audio
-    // libs are absent — the Spark-side schema, batching, and partition
-    // shape are the point). Rows-only: binary semantics aren't worth a
-    // SQL oracle.
-    graft.QueryDef("m2_multimodal_binary", None)((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"),
-          col("source").as("media_source"))
-      val enc = org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.STRING,
-        org.apache.spark.sql.Encoders.scalaDouble)
-      docs.mapPartitions { rows =>
-        // STUBBED decode: a real pipeline would batch-decode media here
-        // (mapInPandas-equivalent); the stub extracts deterministic
-        // pseudo-features so the distributed plumbing is fully exercised.
-        rows.map { r =>
-          val id = r.getLong(0)
-          val payload = r.getAs[Array[Byte]](1)
-          val header = payload.take(8).map("%02x".format(_)).mkString
-          val mean = if (payload.isEmpty) 0.0
-            else payload.map(_.toInt & 0xFF).sum.toDouble / payload.length
-          (id, payload.length.toLong, header, mean)
-        }
-      }(enc).toDF("doc_id", "byte_len", "header_hex", "byte_mean")
-    }),
+    // M2 — multimodal binary decode, REAL: the fixture synthesizes valid
+    // BMP/WAV payloads deterministically from doc_id (standing in for
+    // the binary parquet column a media corpus carries), and
+    // Multimodal.decode parses the actual bytes back per-partition —
+    // magic dispatch, little-endian header reads, declared-vs-actual
+    // length checks. The oracle recomputes every feature in CLOSED FORM
+    // from doc_id, so a header written or parsed at the wrong offset
+    // fails rows+schema+hash. (duration check relies on
+    // floor((n·c·2·1000)/(rate·c·2)) = floor(n·1000/rate) — exact.)
+    graft.QueryDef("m2_multimodal_binary", Some(
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS media_type,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |    THEN 54 + ((16 + doc_id % 64) * 3 + 3) // 4 * 4 * (8 + doc_id % 32)
+        |    ELSE 44 + (100 + doc_id % 400) * (1 + (doc_id // 2) % 2) * 2
+        |  END AS BIGINT) AS byte_len,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 64 ELSE 0 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 32 ELSE 0 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 + 100 * (doc_id % 8) ELSE 0 END AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 1 + (doc_id // 2) % 2 ELSE 0 END AS BIGINT) AS channels,
+        |  CAST(CASE WHEN doc_id % 2 = 1
+        |    THEN (100 + doc_id % 400) * 1000 // (8000 + 100 * (doc_id % 8))
+        |    ELSE 0 END AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin))((s, d) =>
+      Multimodal.decodeFeatures(
+        Multimodal.fixturePayloads(Tables.documents(s, d))).toDF()),
 
     // E1 — sessionization: 30-minute-gap sessions per user via lag +
     // running sum (the batch shape of mapGroupsWithState; the streaming

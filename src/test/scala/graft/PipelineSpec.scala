@@ -110,12 +110,34 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
 
   test("n3: IVF probes nearest cells and keeps the exact match") {
     val emb = Tables.embeddings(spark, sf)
-    val ivf = Similarity.ivfTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSeq
+    val index = Similarity.buildIvfIndex(emb)
+    val ivf = Similarity.ivfTopK(index, 0L, 10).collect().map(_.getLong(0)).toSeq
     assert(ivf.head == 0L) // the query's own cell is always probed
     val brute = Similarity.bruteForceTopK(emb, 0L, 10)
       .collect().map(_.getLong(0)).toSet
     val recall = ivf.toSet.intersect(brute).size
     assert(recall >= 2, s"recall too low: $recall of 10")
+    // One index, many queries: the query path takes the prebuilt artifact
+    // (no KMeans fit in its signature), so a second query against the
+    // same IvfIndex must cost no training and still self-hit.
+    val ivf2 = Similarity.ivfTopK(index, 1L, 10).collect().map(_.getLong(0)).toSeq
+    assert(ivf2.head == 1L)
+    index.unpersist()
+  }
+
+  test("m2: media decode round-trips real BMP/WAV headers and rejects corrupt bytes") {
+    import graft.operators.Multimodal
+    // doc 4 → BMP: width 20, height 12, rows padded to 4 bytes
+    val bmp = Multimodal.decode(4L, Multimodal.encode(4L))
+    assert(bmp == Multimodal.MediaFeatures(4L, "bmp", 54 + 60 * 12, 20, 12, 0, 0, 0))
+    // doc 7 → WAV: 2 ch (7/2=3 odd), 8700 Hz, 107 samples → 12 ms
+    val wav = Multimodal.decode(7L, Multimodal.encode(7L))
+    assert(wav == Multimodal.MediaFeatures(7L, "wav", 44 + 107 * 2 * 2, 0, 0, 8700, 2, 12))
+    // a truncated payload must fail loudly, not ship fake features
+    intercept[Exception] { Multimodal.decode(4L, Multimodal.encode(4L).take(20)) }
+    // a corrupted declared length must fail the validation read
+    val broken = Multimodal.encode(4L); broken(2) = (broken(2) + 1).toByte
+    intercept[Exception] { Multimodal.decode(4L, broken) }
   }
 
   test("fts: prefix search folds diacritics (unicode61 remove_diacritics)") {
