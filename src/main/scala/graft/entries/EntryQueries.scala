@@ -132,6 +132,38 @@ object EntryQueries extends graft.QueryModule {
        |FROM metrics m FULL OUTER JOIN res r ON m.slug = r.slug""".stripMargin
   }
 
+  /** SQLite CAST-prefix fee parse, oracle side (twin of
+    * Cols.sqliteFeeInt — same expression f9_fee_parse pins). */
+  private val feeIntSql =
+    "coalesce(try_cast(nullif(regexp_extract(trim(fee), '^-?[0-9]+', 0), '') AS BIGINT), 0)"
+
+  /** OFFSET formulation of page 2 (rows 6-10) under the given ORDER BY
+    * over the corrected view — what the cursor walk must reproduce. */
+  private def cursorOracle(orderBy: String): String =
+    s"""SELECT id FROM (
+       |  SELECT e.id, e.fee,
+       |    coalesce(corr.req_fix, e.request_date) AS cr,
+       |    coalesce(corr.comp_fix, e.completion_date) AS cc
+       |  FROM $entriesSql LEFT JOIN $correctionsSql ON e.id = corr.id)
+       |ORDER BY $orderBy LIMIT 5 OFFSET 5""".stripMargin
+
+  /** Page 2 fetched through the keyed-cursor API: run page 1, read the
+    * cursor off its tail row (sort-key value + id — the contract of
+    * Engine.listEntriesAfter), resume. `key` builds the cursor column
+    * from the filtered frame; None for the id-only default order. */
+  private def cursorPage2(s: SparkSession, sort: String,
+                          key: (String => Column) => Option[Column]): DataFrame = {
+    val opts = SearchOptions(sort = sort, pageSize = 5)
+    val filtered = Engine.listEntriesFiltered(s, Fixture.df(s), opts)
+    val keyCol = key(col).getOrElse(lit(null).cast(StringType))
+    val tail = filtered.withColumn("__key", keyCol.cast(StringType))
+      .orderBy(Engine.sortKeys(sort): _*).limit(opts.pageSize)
+      .select(col("__key"), col("id")).collect().last
+    val cursor = Option(tail.getString(0))
+    Engine.listEntriesAfter(s, Fixture.df(s), opts, cursor, tail.getLong(1))
+      .select("id")
+  }
+
   def defs: Seq[graft.QueryDef] = Seq(
 
     // P9 — normalizeEntry over the corpus. The oracle replays the date
@@ -295,6 +327,64 @@ object EntryQueries extends graft.QueryModule {
     }) { (s, d) =>
       AgencyEngine.resolutionTimeline(Fixture.df(s), "DEP", AsOf)
     },
+
+    // P3b — the P3 date range routed through the PARTITIONED store
+    // (Warehouse): the corrected view is written partitioned by
+    // request_year and the range read prunes to the matching year
+    // directories (PartitionFilters — asserted in PlanSpec). The oracle
+    // replays the overlay+range over the raw VALUES corpus, proving the
+    // write→partition→prune→read composition loses no rows.
+    graft.QueryDef("p3b_warehouse_range", Some(
+      s"""SELECT e.id, e.agency,
+         |  coalesce(corr.req_fix, e.request_date) AS corrected_request,
+         |  e.resolution
+         |FROM $entriesSql LEFT JOIN $correctionsSql ON e.id = corr.id
+         |WHERE coalesce(corr.req_fix, e.request_date) >= '2025-01-01'
+         |  AND coalesce(corr.req_fix, e.request_date) <= '2025-03-31'""".stripMargin)) { (s, d) =>
+      Warehouse.requestedInRange(s, Warehouse.fixtureStore(s),
+          "2025-01-01", "2025-03-31")
+        .select("id", "agency", "corrected_request", "resolution")
+    },
+
+    // A8b — timeline bucketing over the partitioned store: one year's
+    // directory feeds a per-month aggregate (the partition filter cuts
+    // the scan BEFORE the shuffle).
+    graft.QueryDef("a8b_warehouse_timeline", Some(
+      s"""SELECT substring(coalesce(corr.req_fix, e.request_date), 1, 7) AS month,
+         |  count(*) AS cnt
+         |FROM $entriesSql LEFT JOIN $correctionsSql ON e.id = corr.id
+         |WHERE substring(coalesce(corr.req_fix, e.request_date), 1, 4) = '2025'
+         |GROUP BY 1""".stripMargin)) { (s, d) =>
+      Warehouse.monthlyRequestCounts(s, Warehouse.fixtureStore(s), 2025)
+    },
+
+    // O2b-O2f — keyed-cursor pagination, oracle-proven for EVERY sort
+    // order: the engine fetches page 2 VIA THE CURSOR (taken from the
+    // real page-1 tail, exactly as a next-link consumer would), the
+    // oracle states page 2 via OFFSET — so cursor-walk ≡ offset-walk is
+    // a rows+schema+hash gate fact per order, not an API promise. The
+    // at-scale point: page N via cursor costs one filtered ORDER BY +
+    // LIMIT, never an offset scan.
+    graft.QueryDef("o2b_cursor_newest", Some(cursorOracle(
+      "cr DESC NULLS LAST, id ASC")))((s, d) =>
+      cursorPage2(s, "newest", f => Some(f("corrected_request")))),
+
+    graft.QueryDef("o2c_cursor_oldest", Some(cursorOracle(
+      "cr ASC NULLS FIRST, id ASC")))((s, d) =>
+      cursorPage2(s, "oldest", f => Some(f("corrected_request")))),
+
+    graft.QueryDef("o2d_cursor_completed", Some(cursorOracle(
+      "cc DESC NULLS LAST, id ASC")))((s, d) =>
+      cursorPage2(s, "recently_completed", f => Some(f("corrected_completion")))),
+
+    graft.QueryDef("o2e_cursor_fee", Some(cursorOracle(
+      s"$feeIntSql DESC, id ASC")))((s, d) =>
+      cursorPage2(s, "highest_fee",
+        f => Some(graft.functions.Cols.sqliteFeeInt(f("fee"))))),
+
+    graft.QueryDef("o2f_cursor_default", Some(cursorOracle(
+      "id DESC")))((s, d) =>
+      cursorPage2(s, "newest_added", _ => None)),
 
     // S9 — RSS document sink: top-N slice + 5-entity escape + RFC1123
     // pubDate at UTC noon (reference src/lib/rss.ts:18-66 +

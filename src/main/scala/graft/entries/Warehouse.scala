@@ -1,0 +1,68 @@
+package graft.entries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+import graft.operators.ScaleOps
+
+/** The partitioned entries store — the at-scale analog of the
+  * reference's date B-tree indexes (migrations/0001_init.sql:19-23).
+  *
+  * The corrected view (corrections overlay applied ONCE, at write time)
+  * is laid out partitioned by `request_year`, so every date-ranged
+  * product read — P3 range filters, A8 timeline buckets — scans only
+  * the matching year directories: `PartitionFilters` in the plan, with
+  * the residual `corrected_request` range pushed to the parquet scan.
+  * At 100 TB this is the difference between a full-corpus scan and
+  * touching one year of files; the gate queries route through this
+  * store so the pruning shape is oracle-checked, not just spec'd.
+  */
+object Warehouse {
+
+  /** Write the corrected entries view partitioned by request year.
+    * Rows with no request date land in the null partition — they are
+    * still present for non-date reads (nothing is dropped at write). */
+  def writeCorrected(spark: SparkSession, entries: DataFrame, path: String): Unit = {
+    val corrected = entries
+      .join(broadcast(Normalize.correctionsDf(spark)), Seq("id"), "left")
+      .withColumn("corrected_request", coalesce(col("req_fix"), col("request_date")))
+      .withColumn("corrected_completion", coalesce(col("comp_fix"), col("completion_date")))
+      .drop("req_fix", "comp_fix")
+      .withColumn("request_year",
+        substring(col("corrected_request"), 1, 4).cast(IntegerType))
+    ScaleOps.writePartitioned(corrected, path, "request_year")
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** P3 over the store: an ISO date range on the corrected column with
+    * the year bounds lifted onto the partition key — year directories
+    * outside [from.year, to.year] are never opened. */
+  def requestedInRange(spark: SparkSession, path: String,
+                       from: String, to: String): DataFrame =
+    read(spark, path)
+      .where(col("request_year") >= from.take(4).toInt &&
+        col("request_year") <= to.take(4).toInt &&
+        col("corrected_request") >= from && col("corrected_request") <= to)
+
+  /** A8 over the store: per-month request counts for one year — the
+    * partition filter reduces the scan to that year's directory before
+    * the aggregate runs. */
+  def monthlyRequestCounts(spark: SparkSession, path: String, year: Int): DataFrame =
+    read(spark, path)
+      .where(col("request_year") === year)
+      .groupBy(substring(col("corrected_request"), 1, 7).as("month"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Fixture store location for the registered gate queries — rewritten
+    * idempotently per invocation (the corrected view is tiny; at scale
+    * the write is the nightly sync's output, not per-query work). */
+  val FixturePath = s"${System.getProperty("java.io.tmpdir")}/graft-warehouse/entries"
+
+  /** Write-then-read composition the p3b/a8b gate queries share. */
+  def fixtureStore(spark: SparkSession): String = {
+    writeCorrected(spark, Fixture.df(spark), FixturePath)
+    FixturePath
+  }
+}

@@ -168,10 +168,18 @@ object Dedup {
     // aggregation — the same shuffle the plain distinct() would pay, but
     // it replaces the entire first propagation round. Every node appears
     // as src (edges are bidirectional), so coverage is complete.
+    //
+    // Each round is localCheckpoint(eager), NOT persist: a round's plan
+    // references the previous round's plan TWICE (labels + the nbrMin
+    // derived from labels), so without lineage truncation the logical
+    // plan tree DOUBLES per round — plan rendering/analysis goes
+    // exponential and OOMs long before the data does. The eager
+    // checkpoint cuts each round to a materialized leaf (and is what an
+    // iterative job does on a cluster, with a reliable checkpoint dir).
     var labels = edges.groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("m"))
       .select(col("node"), least(col("node"), col("m")).as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -182,13 +190,8 @@ object Dedup {
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
           (coalesce(col("nbr_label"), col("label")) < col("label")).as("changed"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // count(), not isEmpty: isEmpty stops at the first changed row,
-      // leaving most of `next`'s cache unpopulated right before the
-      // previous round's cache is dropped — every later consumer would
-      // recompute from lineage. The count fully materializes the round.
+        .localCheckpoint(true)
       converged = next.where(col("changed")).count() == 0L
-      labels.unpersist()
       labels = next.drop("changed")
     }
     // Fail fast rather than return split clusters: a non-converged exit
@@ -201,6 +204,64 @@ object Dedup {
     val out = labels.select(col("node").as("doc_id"), col("label").as("cluster"))
     edges.unpersist()
     out
+  }
+
+  /** Pointer-jumping variant of [[connectedComponents]]: each round does
+    * the 1-hop neighbor-min propagation AND a label-of-label jump
+    * (path doubling), so reachable-label distance grows ~2x per round
+    * and convergence takes O(log diameter) rounds instead of
+    * O(diameter). Same per-round shuffle structure (two equality joins
+    * rather than one) — the right trade on long chains, where the
+    * propagation-only loop pays diameter × full-shuffle latency and
+    * [[connectedComponents]]' maxIter fail-fast trips. Every label value
+    * is itself a node id present in the labels frame (labels start as
+    * node ids and only ever adopt other nodes' labels), so the jump join
+    * is total. */
+  def connectedComponentsFast(pairs: DataFrame, maxIter: Int = 12): DataFrame =
+    ccFastWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponentsFast]] plus the round count, so specs can pin
+    * the O(log d) bound rather than trust the doc comment. */
+  private[graft] def ccFastWithRounds(pairs: DataFrame,
+                                      maxIter: Int): (DataFrame, Int) = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Same eager-localCheckpoint discipline as connectedComponents, and
+    // doubly needed here: the jump join references `hop` twice, so an
+    // uncheckpointed round would TRIPLE the plan tree.
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("node"), least(col("node"), col("m")).as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      iter += 1
+      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      // Checkpoint hop too: both the jump join's sides read it.
+      val hop = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
+        .select(col("node"), col("label").as("orig"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      // Path doubling: adopt the label OF my label. hop carries every
+      // node, and label values are node ids, so a left join is total
+      // wherever the label names a live node.
+      val jumpTo = hop.select(col("node").as("jn"), col("label").as("jl"))
+      val next = hop.join(jumpTo, hop("label") === jumpTo("jn"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("jl"), col("label"))).as("label"),
+          (least(col("label"), coalesce(col("jl"), col("label"))) < col("orig")).as("changed"))
+        .localCheckpoint(true)
+      converged = next.where(col("changed")).count() == 0L
+      labels = next.drop("changed")
+    }
+    require(converged,
+      s"connectedComponentsFast did not converge within $maxIter rounds")
+    val out = labels.select(col("node").as("doc_id"), col("label").as("cluster"))
+    edges.unpersist()
+    (out, iter)
   }
 
   // --- SimHash -------------------------------------------------------------
@@ -273,6 +334,41 @@ object Dedup {
 object DedupQueries extends graft.QueryModule {
   import Dedup._
 
+  /** The deterministic d6 pair graph: chains of 3 at doc_id % 50 plus
+    * cross-links at % 200 merging two chains (labels must travel 3
+    * hops). Shared by d6 (propagation) and d6b (pointer jumping). */
+  private def d6PairGraph(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val ids = Tables.documents(s, d).select(col("doc_id"))
+    def pairsAt(offset: Int, cond: Column) =
+      ids.where(cond).select(col("doc_id").as("doc_a"))
+        .join(ids.select(col("doc_id").as("doc_b")),
+          col("doc_b") === col("doc_a") + offset)
+    pairsAt(1, col("doc_id") % 50 === 0 || col("doc_id") % 50 === 1)
+      .unionByName(pairsAt(100, col("doc_id") % 200 === 0))
+  }
+
+  /** Independent recursive-CTE component oracle (min reachable id per
+    * node) over the same planted graph. */
+  private val d6OracleSql: String =
+    """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+      |chain AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1
+      |  WHERE a.doc_id % 50 IN (0, 1)
+      |  UNION ALL
+      |  SELECT a.doc_id, b.doc_id
+      |  FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 100
+      |  WHERE a.doc_id % 200 = 0),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM chain
+      |  UNION ALL SELECT doc_b, doc_a FROM chain),
+      |r(node, label) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.label FROM edges e JOIN r ON r.node = e.dst)
+      |SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster
+      |FROM r GROUP BY node""".stripMargin
+
   def defs: Seq[graft.QueryDef] = Seq(
 
     // D1 — exact dedup by md5 of normalized text: keep min(doc_id), report
@@ -329,34 +425,17 @@ object DedupQueries extends graft.QueryModule {
     // The oracle recomputes components INDEPENDENTLY via a recursive CTE
     // (min reachable id per node), so the iterative label-propagation
     // join loop is genuinely checked, not mirrored.
-    graft.QueryDef("d6_dedup_clusters", Some(
-      """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
-        |chain AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1
-        |  WHERE a.doc_id % 50 IN (0, 1)
-        |  UNION ALL
-        |  SELECT a.doc_id, b.doc_id
-        |  FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 100
-        |  WHERE a.doc_id % 200 = 0),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM chain
-        |  UNION ALL SELECT doc_b, doc_a FROM chain),
-        |r(node, label) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, r.label FROM edges e JOIN r ON r.node = e.dst)
-        |SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster
-        |FROM r GROUP BY node""".stripMargin))((s, d) => {
-      val ids = Tables.documents(s, d).select(col("doc_id"))
-      def pairsAt(offset: Int, cond: Column) =
-        ids.where(cond).select(col("doc_id").as("doc_a"))
-          .join(ids.select(col("doc_id").as("doc_b")),
-            col("doc_b") === col("doc_a") + offset)
-      val pairs = pairsAt(1, col("doc_id") % 50 === 0 || col("doc_id") % 50 === 1)
-        .unionByName(pairsAt(100, col("doc_id") % 200 === 0))
-      connectedComponents(pairs)
-    }),
+    graft.QueryDef("d6_dedup_clusters", Some(d6OracleSql))((s, d) =>
+      connectedComponents(d6PairGraph(s, d))),
+
+    // D6b — the SAME component problem solved by the pointer-jumping
+    // variant (O(log d) rounds), against the SAME independent CTE
+    // oracle: both algorithms must land on identical cluster labels.
+    // PipelineSpec additionally pins the log-round bound on a 50-hop
+    // chain that the propagation-only loop cannot finish in its default
+    // budget.
+    graft.QueryDef("d6b_clusters_fast", Some(d6OracleSql))((s, d) =>
+      connectedComponentsFast(d6PairGraph(s, d))),
 
     // D7 — the dedup pipeline APPLIED end-to-end: exact-hash pairs →
     // connected components → drop non-representative members → the kept

@@ -183,6 +183,25 @@ object FtsQueries extends graft.QueryModule {
         Seq("agency", "subject", "details"), Seq("bud", "spar"))
         .select("id", "agency", "subject")),
 
+    // P6d — the FULL 8-column registration the reference's FTS5 table
+    // declares (migrations/0002_fts.sql:2-10: agency, organization,
+    // first_name, last_name, subject, details, resolution, response).
+    // The prefixes deliberately hit DIFFERENT columns — 'doe' only a
+    // last_name, 'gran' only a resolution — so the oracle proves the
+    // index actually folds all 8 columns, not just the 3 of p6b.
+    graft.QueryDef("p6_fts_allcols", Some {
+      val cols8 = "agency, organization, first_name, last_name, subject, details, resolution, response"
+      def hit(p: String) =
+        s"regexp_matches(lower(strip_accents(concat_ws(' ', $cols8))), '(^|[^a-z0-9])$p')"
+      s"""SELECT id, last_name, resolution FROM ${graft.entries.Fixture.entriesSql}
+         |WHERE ${hit("doe")} AND ${hit("gran")}""".stripMargin
+    })((s, d) =>
+      Fts.search(graft.entries.Fixture.df(s), "id",
+        Seq("agency", "organization", "first_name", "last_name",
+          "subject", "details", "resolution", "response"),
+        Seq("doe", "gran"))
+        .select("id", "last_name", "resolution")),
+
     // P6c — BM25 relevance ranking over the documents corpus (beyond the
     // reference's membership-only MATCH). The oracle replays the exact
     // fixed-shape arithmetic, so the distributed tf/df/avgdl plumbing is

@@ -125,6 +125,24 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     index.unpersist()
   }
 
+  test("d6b: pointer jumping resolves a 50-hop chain in O(log d) rounds") {
+    import spark.implicits._
+    // A single path 0-1-2-...-50: diameter 50. Propagation-only needs
+    // ~50 rounds (connectedComponents' default maxIter=20 fails fast);
+    // doubling must finish within ceil(log2(50)) + 2 = 8 rounds.
+    val chain = (0L until 50L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // propagation-only moves labels 1 hop/round: a 6-round budget on a
+    // 50-hop chain must trip the non-convergence fail-fast
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIter = 6).collect()
+    }
+    val (labels, rounds) = Dedup.ccFastWithRounds(chain, maxIter = 12)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 50L).map(_ -> 0L).toMap)
+    assert(rounds <= 8, s"pointer jumping took $rounds rounds on diameter 50")
+    spark.catalog.clearCache()
+  }
+
   test("m2: media decode round-trips real BMP/WAV headers and rejects corrupt bytes") {
     import graft.operators.Multimodal
     // doc 4 → BMP: width 20, height 12, rows padded to 4 bytes

@@ -132,4 +132,19 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       assert(!p.contains("CartesianProduct"), s"$name: cartesian")
     }
   }
+
+  test("warehouse product reads prune partitions AND push the residual range") {
+    // The registered product queries themselves (not a synthetic read):
+    // the P3b range and A8b timeline must carry a request_year partition
+    // filter — the date-B-tree analog — plus the pushed residual range.
+    for (name <- Seq("p3b_warehouse_range", "a8b_warehouse_timeline")) {
+      val p = plan(name)
+      assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*request_year[^\\]]*\\].*"),
+        s"$name: no request_year partition filter:\n$p")
+    }
+    // No closing-bracket anchor: plan toString truncates long filter lists.
+    val p3 = plan("p3b_warehouse_range")
+    assert(p3.matches("(?s).*PushedFilters: \\[[^\\]]*corrected_request.*"),
+      s"p3b: corrected_request range not pushed to the scan:\n$p3")
+  }
 }
