@@ -234,9 +234,18 @@ object SimilarityQueries extends graft.QueryModule {
 
     // N3 — IVF ANN: seeded k-means cells + nProbe probing + exact rerank
     // (rows-only; PipelineSpec checks self-hit, recall vs N1, and that
-    // one built index serves many queries without re-training).
-    graft.QueryDef("n3_ann_ivf", None)((s, d) =>
-      ivfTopK(buildIvfIndex(Tables.embeddings(s, d)), queryVecId = 0L, k = 10)),
+    // one built index serves many queries without re-training). The gate
+    // query owns its index's lifecycle: materialize the bounded top-k
+    // (<= k rows), release the persisted assignment frame, return a
+    // local frame — a lazily-returned result would leak the persist
+    // (no caller could unpersist it).
+    graft.QueryDef("n3_ann_ivf", None)((s, d) => {
+      val index = buildIvfIndex(Tables.embeddings(s, d))
+      val ranked = ivfTopK(index, queryVecId = 0L, k = 10)
+      val local = ranked.collectAsList()
+      index.unpersist()
+      s.createDataFrame(local, ranked.schema)
+    }),
 
     // N4 — batched exact top-10 for query vectors 0-4 in one pass,
     // oracle-checked value for value (the oracle replays the arithmetic

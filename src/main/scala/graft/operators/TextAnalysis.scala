@@ -321,6 +321,121 @@ object TextAnalysisQueries extends graft.QueryModule {
         .where(col("top_frac") >= 0.2)
     }),
 
+    // T12 — PII REDACTION (the apply side of t10's scan): emails and
+    // phone patterns replaced with typed tags, map-side regexp_replace
+    // over the whole corpus — what a pipeline ships after the scan
+    // reports. Same planted rows as t10, value-exact oracle.
+    graft.QueryDef("t12_redact_pii", Some(
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 97 = 3
+        |      THEN concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+        |        '@example.com or call 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+        |      ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM corpus""".stripMargin))((s, d) => {
+      val planted = when(col("doc_id") % 97 === 3,
+        concat(coalesce(col("text"), lit("")),
+          lit(" contact user"), col("doc_id").cast(StringType),
+          lit("@example.com or call 555-"),
+          lpad((col("doc_id") % 10000).cast(StringType), 4, "0")))
+        .otherwise(col("text"))
+      Tables.documents(s, d).select(col("doc_id"), planted.as("t"))
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(col("t"),
+            "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+            "555-[0-9]{4}", "<PHONE>").as("redacted"))
+    }),
+
+    // T13 — boilerplate detection (the C4/RefinedWeb "line appears in
+    // >= N documents" filter, word-5-gram granularity): per-doc DISTINCT
+    // grams (native WordKGrams), then a corpus-frequency count — grams
+    // in >= 3 docs are boilerplate candidates. Planted: docs % 7 == 3
+    // carry a shared appended sentence. Shuffle is O(distinct grams),
+    // never O(docs^2).
+    graft.QueryDef("t13_boilerplate", Some(
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 3
+        |      THEN concat(coalesce(text, ''), ' join our newsletter today please')
+        |      ELSE text END AS text
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(words) - 4, 1)),
+        |    i -> array_to_string(list_slice(words, i, i + 4), ' ')))) AS g
+        |  FROM (SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+        |    FROM corpus))
+        |SELECT g AS gram, count(*) AS n_docs
+        |FROM grams GROUP BY g HAVING count(*) >= 3""".stripMargin))((s, d) => {
+      val planted = when(col("doc_id") % 7 === 3,
+        concat(coalesce(col("text"), lit("")), lit(" join our newsletter today please")))
+        .otherwise(col("text"))
+      Tables.documents(s, d).select(col("doc_id"), planted.as("t"))
+        .select(col("doc_id"),
+          explode(graft.plans.NativeFunctions.wordKGrams(
+            Dedup.normText(col("t")), 5)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+        .where(col("n_docs") >= 3)
+    }),
+
+    // T14 — per-source document cap (the "max N pages per domain"
+    // diversity rule): keep the 10 lowest doc_ids per source via a
+    // PARTITIONED row_number — each source's rows sort within their own
+    // partition, no global funnel.
+    graft.QueryDef("t14_source_cap", Some(
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10""".stripMargin))((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy("doc_id")))
+        .where(col("rn") <= 10)
+        .select("doc_id", "source")),
+
+    // T15 — the curation FUNNEL report: one conditional aggregation pass
+    // emitting cumulative survivor counts per stage (non-degenerate →
+    // language → quality), the per-run summary every curation pipeline
+    // publishes. No per-stage scans: ONE pass, four counters.
+    graft.QueryDef("t15_curation_funnel", Some {
+      val nTok = "len(string_split_regex(trim(text), '\\s+'))"
+      val nPunct = "len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))"
+      val nStop = s"${occSql("concat(' ', lower(text), ' ')", " the ")} + ${occSql("concat(' ', lower(text), ' ')", " a ")}"
+      s"""SELECT count(*) AS n_total,
+         |  CAST(SUM(CASE WHEN ok_text THEN 1 ELSE 0 END) AS BIGINT) AS n_nondegenerate,
+         |  CAST(SUM(CASE WHEN ok_text AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+         |  CAST(SUM(CASE WHEN ok_text AND lang = 'en' AND ok_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+         |FROM (
+         |  SELECT lang,
+         |    len(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) > 0 AS ok_text,
+         |    $nTok >= 10 AND CAST(($nPunct) AS DOUBLE) / len(text) < 0.1
+         |      AND CAST(($nStop) AS DOUBLE) / $nTok > 0.0 AS ok_quality
+         |  FROM documents)""".stripMargin
+    })((s, d) => {
+      val nTok = size(split(trim(col("text")), "\\s+"))
+      val nPunct = length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      val nStop = occ(padded, " the ") + occ(padded, " a ")
+      val okText = length(Dedup.normText(coalesce(col("text"), lit("")))) > 0
+      val okQuality = nTok >= 10 &&
+        (nPunct.cast(DoubleType) / length(col("text"))) < 0.1 &&
+        (nStop.cast(DoubleType) / nTok) > 0.0
+      Tables.documents(s, d)
+        .select(col("lang"), okText.as("ok_text"), okQuality.as("ok_quality"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("ok_text"), 1L).otherwise(0L)).as("n_nondegenerate"),
+          sum(when(col("ok_text") && col("lang") === "en", 1L).otherwise(0L)).as("n_lang"),
+          sum(when(col("ok_text") && col("lang") === "en" && col("ok_quality"), 1L)
+            .otherwise(0L)).as("n_keep"))
+    }),
+
     // M1 — typed metadata over an opaque payload column: JSON props of
     // events parsed and aggregated per event type.
     graft.QueryDef("m1_multimodal_meta", Some(
