@@ -38,14 +38,10 @@ object Engine {
     q.toLowerCase.split("\\s+").toSeq
       .map(_.replaceAll("[^a-z0-9]", "")).filter(_.nonEmpty).distinct
 
-  /** Corrected-date columns for filter/sort (correctedDateExpr,
-    * src/lib/db/shared.ts:55-66) — broadcast overlay + coalesce. */
+  /** Corrected-date columns — single-sourced in Normalize (the
+    * Warehouse writes the same view). */
   private def withCorrected(spark: SparkSession, entries: DataFrame): DataFrame =
-    entries
-      .join(broadcast(Normalize.correctionsDf(spark)), Seq("id"), "left")
-      .withColumn("corrected_request", coalesce(col("req_fix"), col("request_date")))
-      .withColumn("corrected_completion", coalesce(col("comp_fix"), col("completion_date")))
-      .drop("req_fix", "comp_fix")
+    Normalize.withCorrectedDates(spark, entries)
 
   /** Sort dispatch (utils.ts:3-9, entries.ts:65-85). SQLite treats NULL
     * as smallest (first under ASC, last under DESC); id is the unique

@@ -50,6 +50,18 @@ object Normalize {
       .withColumn("agency", agencyNameUdf(cleaned))
   }
 
+  /** Corrected-date columns for filter/sort (correctedDateExpr,
+    * src/lib/db/shared.ts:55-66) — broadcast overlay + coalesce. The
+    * single source of the corrected view: the Engine filter pipeline
+    * and the partitioned Warehouse both read THIS, so the overlay
+    * semantics cannot drift between the two paths. */
+  def withCorrectedDates(spark: SparkSession, entries: DataFrame): DataFrame =
+    entries
+      .join(broadcast(correctionsDf(spark)), Seq("id"), "left")
+      .withColumn("corrected_request", coalesce(col("req_fix"), col("request_date")))
+      .withColumn("corrected_completion", coalesce(col("comp_fix"), col("completion_date")))
+      .drop("req_fix", "comp_fix")
+
   /** Canonical (name, slug) identity columns (agencyIdentity,
     * src/lib/db/shared.ts:14-19), on the apostrophe-cleaned raw agency. */
   def withIdentity(df: DataFrame): DataFrame = {

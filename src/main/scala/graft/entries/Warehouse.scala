@@ -23,11 +23,7 @@ object Warehouse {
     * Rows with no request date land in the null partition — they are
     * still present for non-date reads (nothing is dropped at write). */
   def writeCorrected(spark: SparkSession, entries: DataFrame, path: String): Unit = {
-    val corrected = entries
-      .join(broadcast(Normalize.correctionsDf(spark)), Seq("id"), "left")
-      .withColumn("corrected_request", coalesce(col("req_fix"), col("request_date")))
-      .withColumn("corrected_completion", coalesce(col("comp_fix"), col("completion_date")))
-      .drop("req_fix", "comp_fix")
+    val corrected = Normalize.withCorrectedDates(spark, entries)
       .withColumn("request_year",
         substring(col("corrected_request"), 1, 4).cast(IntegerType))
     ScaleOps.writePartitioned(corrected, path, "request_year")
@@ -57,8 +53,12 @@ object Warehouse {
 
   /** Fixture store location for the registered gate queries — rewritten
     * idempotently per invocation (the corrected view is tiny; at scale
-    * the write is the nightly sync's output, not per-query work). */
-  val FixturePath = s"${System.getProperty("java.io.tmpdir")}/graft-warehouse/entries"
+    * the write is the nightly sync's output, not per-query work).
+    * Per-JVM path: a shared location would let one JVM's Overwrite
+    * delete parquet files another JVM's in-flight scan already listed
+    * (sbt test and Verify can run concurrently). */
+  val FixturePath =
+    s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}/entries"
 
   /** Write-then-read composition the p3b/a8b gate queries share. */
   def fixtureStore(spark: SparkSession): String = {

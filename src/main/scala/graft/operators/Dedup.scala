@@ -160,50 +160,67 @@ object Dedup {
     * write it out); release it once consumed, as with the LSH index
     * frames.
     */
+  /** Persist-and-truncate for one round of an iterative loop: cache the
+    * frame, fully materialize it (count), and return a LINEAGE-CUT view
+    * (LogicalRDD over the cached plan's RDD) plus a release handle.
+    * Iterative self-joins reference the previous round's plan TWICE, so
+    * without truncation the logical plan tree DOUBLES per round — plan
+    * rendering/analysis goes exponential and OOMs long before the data
+    * does. Unlike localCheckpoint, the backing storage stays an ordinary
+    * persist: the previous round can be released deterministically the
+    * moment the next round materializes, and `catalog.clearCache()` /
+    * the returned release handle free the final artifact. */
+  private def roundCheckpoint(df: DataFrame): (DataFrame, () => Unit) = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    // No eager count here: every consumer of the cut view is a full
+    // scan (the convergence count never short-circuits), so the cache
+    // populates completely on first use — an extra action per round
+    // would only re-pay the round's shuffle.
+    val cut = p.sparkSession.createDataFrame(p.rdd, p.schema)
+    (cut, () => { p.unpersist(); () })
+  }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Seeded init: label(v) = min(v, 1-hop neighbor min) in ONE
-    // aggregation — the same shuffle the plain distinct() would pay, but
-    // it replaces the entire first propagation round. Every node appears
-    // as src (edges are bidirectional), so coverage is complete.
-    //
-    // Each round is localCheckpoint(eager), NOT persist: a round's plan
-    // references the previous round's plan TWICE (labels + the nbrMin
-    // derived from labels), so without lineage truncation the logical
-    // plan tree DOUBLES per round — plan rendering/analysis goes
-    // exponential and OOMs long before the data does. The eager
-    // checkpoint cuts each round to a materialized leaf (and is what an
-    // iterative job does on a cluster, with a reliable checkpoint dir).
-    var labels = edges.groupBy(col("src").as("node"))
-      .agg(min(col("dst")).as("m"))
-      .select(col("node"), least(col("node"), col("m")).as("label"))
-      .localCheckpoint(true)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      iter += 1
-      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          (coalesce(col("nbr_label"), col("label")) < col("label")).as("changed"))
-        .localCheckpoint(true)
-      converged = next.where(col("changed")).count() == 0L
-      labels = next.drop("changed")
-    }
-    // Fail fast rather than return split clusters: a non-converged exit
-    // means some component's diameter exceeded maxIter and its members
-    // still carry different labels — silently treating those as distinct
-    // representatives would leave duplicates in a deduped corpus.
-    require(converged,
-      s"connectedComponents did not converge within $maxIter rounds " +
-        "(component diameter too large — raise maxIter)")
-    val out = labels.select(col("node").as("doc_id"), col("label").as("cluster"))
-    edges.unpersist()
-    out
+    try {
+      // Seeded init: label(v) = min(v, 1-hop neighbor min) in ONE
+      // aggregation — the same shuffle the plain distinct() would pay,
+      // but it replaces the entire first propagation round. Every node
+      // appears as src (edges are bidirectional), so coverage is
+      // complete.
+      var (labels, release) = roundCheckpoint(
+        edges.groupBy(col("src").as("node"))
+          .agg(min(col("dst")).as("m"))
+          .select(col("node"), least(col("node"), col("m")).as("label")))
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        iter += 1
+        val nbrMin = edges.join(labels, edges("dst") === labels("node"))
+          .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+        val (next, nextRelease) = roundCheckpoint(
+          labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
+            .select(col("node"),
+              least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+              (coalesce(col("nbr_label"), col("label")) < col("label")).as("changed")))
+        converged = next.where(col("changed")).count() == 0L
+        release()
+        labels = next.drop("changed")
+        release = nextRelease
+      }
+      // Fail fast rather than return split clusters: a non-converged exit
+      // means some component's diameter exceeded maxIter and its members
+      // still carry different labels — silently treating those as
+      // distinct representatives would leave duplicates in a deduped
+      // corpus. (The finally releases edges; the last round's cache backs
+      // the returned cluster-map artifact — clearCache() frees it.)
+      require(converged,
+        s"connectedComponents did not converge within $maxIter rounds " +
+          "(component diameter too large — raise maxIter)")
+      labels.select(col("node").as("doc_id"), col("label").as("cluster"))
+    } finally { edges.unpersist(); () }
   }
 
   /** Pointer-jumping variant of [[connectedComponents]]: each round does
@@ -227,41 +244,44 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Same eager-localCheckpoint discipline as connectedComponents, and
-    // doubly needed here: the jump join references `hop` twice, so an
-    // uncheckpointed round would TRIPLE the plan tree.
-    var labels = edges.groupBy(col("src").as("node"))
-      .agg(min(col("dst")).as("m"))
-      .select(col("node"), least(col("node"), col("m")).as("label"))
-      .localCheckpoint(true)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      iter += 1
-      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      // Checkpoint hop too: both the jump join's sides read it.
-      val hop = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
-        .select(col("node"), col("label").as("orig"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      // Path doubling: adopt the label OF my label. hop carries every
-      // node, and label values are node ids, so a left join is total
-      // wherever the label names a live node.
-      val jumpTo = hop.select(col("node").as("jn"), col("label").as("jl"))
-      val next = hop.join(jumpTo, hop("label") === jumpTo("jn"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("jl"), col("label"))).as("label"),
-          (least(col("label"), coalesce(col("jl"), col("label"))) < col("orig")).as("changed"))
-        .localCheckpoint(true)
-      converged = next.where(col("changed")).count() == 0L
-      labels = next.drop("changed")
-    }
-    require(converged,
-      s"connectedComponentsFast did not converge within $maxIter rounds")
-    val out = labels.select(col("node").as("doc_id"), col("label").as("cluster"))
-    edges.unpersist()
-    (out, iter)
+    try {
+      // Same roundCheckpoint discipline as connectedComponents, and
+      // doubly needed here: the jump join references `hop` twice, so an
+      // untruncated round would TRIPLE the plan tree.
+      var (labels, release) = roundCheckpoint(
+        edges.groupBy(col("src").as("node"))
+          .agg(min(col("dst")).as("m"))
+          .select(col("node"), least(col("node"), col("m")).as("label")))
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        iter += 1
+        val nbrMin = edges.join(labels, edges("dst") === labels("node"))
+          .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+        // Checkpoint hop too: both the jump join's sides read it.
+        val (hop, hopRelease) = roundCheckpoint(
+          labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
+            .select(col("node"), col("label").as("orig"),
+              least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
+        // Path doubling: adopt the label OF my label. hop carries every
+        // node, and label values are node ids, so a left join is total
+        // wherever the label names a live node.
+        val jumpTo = hop.select(col("node").as("jn"), col("label").as("jl"))
+        val (next, nextRelease) = roundCheckpoint(
+          hop.join(jumpTo, hop("label") === jumpTo("jn"), "left")
+            .select(col("node"),
+              least(col("label"), coalesce(col("jl"), col("label"))).as("label"),
+              (least(col("label"), coalesce(col("jl"), col("label"))) < col("orig")).as("changed")))
+        converged = next.where(col("changed")).count() == 0L
+        hopRelease()
+        release()
+        labels = next.drop("changed")
+        release = nextRelease
+      }
+      require(converged,
+        s"connectedComponentsFast did not converge within $maxIter rounds")
+      (labels.select(col("node").as("doc_id"), col("label").as("cluster")), iter)
+    } finally { edges.unpersist(); () }
   }
 
   // --- SimHash -------------------------------------------------------------
