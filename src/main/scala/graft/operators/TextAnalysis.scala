@@ -436,6 +436,68 @@ object TextAnalysisQueries extends graft.QueryModule {
             .otherwise(0L)).as("n_keep"))
     }),
 
+    // T16 — token-budget corpus MIXING (the pretraining data-mixture
+    // op): each source gets a token budget (deterministic tiering here;
+    // weights in production) and contributes documents in id order until
+    // its budget fills — a per-source cumulative-sum window, partitioned
+    // so every source fills independently, no global funnel.
+    graft.QueryDef("t16_token_budget_mix", Some(
+      """SELECT doc_id, source, n_tok, cum_tok FROM (
+        |  SELECT doc_id, source, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+        |  FROM (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |    FROM documents))
+        |WHERE cum_tok <= CASE WHEN CAST(substr(source, 4) AS INT) < 10
+        |  THEN 3000 ELSE 1000 END""".stripMargin))((s, d) => {
+      val nTok = size(split(trim(col("text")), "\\s+")).cast(LongType)
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val budget = when(substring(col("source"), 4, 10).cast(IntegerType) < 10, 3000L)
+        .otherwise(1000L)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), nTok.as("n_tok"))
+        .withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .where(col("cum_tok") <= budget)
+    }),
+
+    // T17 — self-trained unigram log-prob scoring (the perplexity-filter
+    // shape): token counts over the corpus are the model, each doc
+    // scores avg ln(p(token)). Two aggregations + one token-keyed join —
+    // the model is a distributed frame, never a driver-side dictionary.
+    // Determinism: each ln is quantized to an exact integer BEFORE the
+    // per-doc sum (double accumulation across partitions is fold-order
+    // dependent and could never hash-match), so the only double ops are
+    // one fixed-shape division at the end.
+    graft.QueryDef("t17_unigram_logprob", Some(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |total AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(SUM(CAST(round(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)) AS DOUBLE)
+        |    / 1000000.0 / count(*) AS avg_logprob
+        |FROM toks JOIN counts USING (tok), total
+        |GROUP BY doc_id""".stripMargin))((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+        .where(col("tok") =!= "")
+      val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val total = counts.agg(sum(col("c")).as("n"))
+      val q = round(log(col("c").cast(DoubleType) / col("n").cast(DoubleType))
+        * 1000000).cast(LongType)
+      toks.join(counts, Seq("tok")).join(broadcast(total))
+        .select(col("doc_id"), q.as("q"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_tok"),
+          (sum(col("q")).cast(DoubleType) / 1000000.0 / count(lit(1))).as("avg_logprob"))
+    }),
+
     // M1 — typed metadata over an opaque payload column: JSON props of
     // events parsed and aggregated per event type.
     graft.QueryDef("m1_multimodal_meta", Some(
