@@ -183,6 +183,37 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming feed of the partitioned entries warehouse: each
+    * micro-batch applies the shared corrections overlay
+    * (Normalize.withCorrectedDates — the same single source the batch
+    * Warehouse writes) and lands partitioned by (batch_id,
+    * request_year) with DYNAMIC partition overwrite: a retried batch
+    * replaces exactly its own (batch, year) partitions — idempotent —
+    * while other batches' data is untouched — append-safe. Readers
+    * prune on request_year exactly as with the batch-written store
+    * (partition columns prune wherever they sit in the directory
+    * tree). */
+  def warehouseAppendStream(entries: DataFrame, path: String,
+                            checkpointDir: String): Unit = {
+    val q = entries.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.entries.Normalize.withCorrectedDates(batch.sparkSession, batch)
+          .withColumn("request_year",
+            substring(col("corrected_request"), 1, 4).cast(IntegerType))
+          .withColumn("batch_id", lit(batchId))
+          .write
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .partitionBy("batch_id", "request_year")
+          .parquet(path)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Incremental sync as a stream: AvailableNow over the source dir,
     * foreachBatch last-writer-wins upsert into a parquet target keyed by
     * event_id — the reference's `ON CONFLICT DO UPDATE` (sync.ts:30-48)

@@ -70,6 +70,24 @@ class NativeExprSpec extends AnyFunSuite with SparkSuite {
     assert(got.toSeq == want)
   }
 
+  test("hyperplane family: planes are balanced and mutually distinct") {
+    // Regression for the parity-hash bug: the old sign hash took the low
+    // bit of (k * odd) mod 2^31, which preserves the parity of k, so
+    // every plane was ±plane(0) — signatures took 2 values and the LSH
+    // band join silently ran all-pairs. Real planes must (a) carry a
+    // near-balanced sign mix and (b) be pairwise non-identical AND
+    // non-opposite.
+    val planes = (0 until 64).map(j => plans.HyperplaneSig.plane(j, 64).toSeq)
+    for ((p, j) <- planes.zipWithIndex) {
+      val pos = p.count(_ == 1L)
+      assert(pos >= 16 && pos <= 48, s"plane $j badly unbalanced: $pos/64 positive")
+    }
+    for (a <- planes.indices; b <- a + 1 until planes.size) {
+      assert(planes(a) != planes(b), s"planes $a and $b identical")
+      assert(planes(a) != planes(b).map(-_), s"planes $a and $b are negations")
+    }
+  }
+
   test("dot_long matches a plain Scala dot product") {
     import spark.implicits._
     val pairs = Seq(

@@ -215,6 +215,34 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       "pairs emitted more than once across batches")
   }
 
+  test("streaming warehouse append: corrected, partitioned, idempotent, prunable") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val target = tmp("graft_wh_stream") + "/entries"
+    val all = graft.entries.Fixture.entries
+    val stream = MemoryStream[graft.entries.Entry]
+    stream.addData(all.take(10))
+    stream.addData(all.drop(10))
+    Streams.warehouseAppendStream(stream.toDF(), target, tmp("graft_wh_ckpt"))
+    val got = spark.read.parquet(target)
+    // every fixture row lands exactly once, with the overlay applied
+    assert(got.count() == all.size.toLong)
+    val batchExpect = graft.entries.Normalize.withCorrectedDates(
+      spark, graft.entries.Fixture.df(spark))
+    val gotCorr = got.select("id", "corrected_request").as[(Long, Option[String])]
+      .collect().toMap
+    val wantCorr = batchExpect.select("id", "corrected_request")
+      .as[(Long, Option[String])].collect().toMap
+    assert(gotCorr == wantCorr)
+    // a year-filtered read prunes on the partition column
+    val q = got.where(col("request_year") === 2025)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*request_year.*"),
+      s"no request_year partition pruning:\n$plan")
+  }
+
   test("incremental upsert: last write wins and re-runs are stable") {
     val target = tmp("graft_upsert_target") + "/t"
     val n1 = Streams.incrementalUpsert(spark, srcDir, target, tmp("graft_upsert_ckpt1"))
