@@ -22,12 +22,17 @@ object Warehouse {
   /** Write the corrected entries view partitioned by request year.
     * Rows with no request date land in the null partition — they are
     * still present for non-date reads (nothing is dropped at write). */
-  def writeCorrected(spark: SparkSession, entries: DataFrame, path: String): Unit = {
-    val corrected = Normalize.withCorrectedDates(spark, entries)
+  /** The corrected view plus the request_year partition key — the ONE
+    * derivation every warehouse writer uses (batch here, streaming in
+    * Streams.warehouseAppendStream). A second copy of the year parse
+    * would let the two stores partition differently and mis-prune. */
+  def correctedPartitioned(spark: SparkSession, entries: DataFrame): DataFrame =
+    Normalize.withCorrectedDates(spark, entries)
       .withColumn("request_year",
         substring(col("corrected_request"), 1, 4).cast(IntegerType))
-    ScaleOps.writePartitioned(corrected, path, "request_year")
-  }
+
+  def writeCorrected(spark: SparkSession, entries: DataFrame, path: String): Unit =
+    ScaleOps.writePartitioned(correctedPartitioned(spark, entries), path, "request_year")
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
@@ -56,9 +61,20 @@ object Warehouse {
     * the write is the nightly sync's output, not per-query work).
     * Per-JVM path: a shared location would let one JVM's Overwrite
     * delete parquet files another JVM's in-flight scan already listed
-    * (sbt test and Verify can run concurrently). */
-  val FixturePath =
-    s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}/entries"
+    * (sbt test and Verify can run concurrently). The per-PID root is
+    * removed on JVM exit so repeated runs don't accumulate in tmp. */
+  val FixturePath: String = {
+    val root = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(root)
+    }))
+    s"${root.getAbsolutePath}/entries"
+  }
 
   /** Write-then-read composition the p3b/a8b gate queries share. */
   def fixtureStore(spark: SparkSession): String = {

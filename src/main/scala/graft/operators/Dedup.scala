@@ -146,23 +146,13 @@ object Dedup {
 
   // --- Cluster resolution --------------------------------------------------
 
-  /** Connected components over near-dup pairs — the step that turns a
-    * pair list (d1-d5) into droppable duplicate CLUSTERS (keep the min
-    * doc_id of each component, drop the rest). Iterative min-label
-    * propagation: each round every node adopts the smallest label among
-    * itself and its neighbors, one shuffle join per round, converging in
-    * O(component diameter) rounds — dedup components are near-cliques
-    * (diameter 2-3), so 3-4 rounds in practice; `maxIter` bounds
-    * adversarial chains. The per-round driver work is ONE isEmpty
-    * convergence probe, never node data; each round's cache is released
-    * as soon as the next round's labels materialize. The FINAL labels
-    * frame stays cached — it is the cluster-map artifact (at scale you
-    * write it out); release it once consumed, as with the LSH index
-    * frames.
-    */
   /** Persist-and-truncate for one round of an iterative loop: cache the
-    * frame, fully materialize it (count), and return a LINEAGE-CUT view
-    * (LogicalRDD over the cached plan's RDD) plus a release handle.
+    * frame LAZILY and return a LINEAGE-CUT view (LogicalRDD over the
+    * cached plan's RDD) plus a release handle. The cache populates on
+    * the cut view's first FULL-scan action — each loop's convergence
+    * count is exactly that, so no extra materializing action is paid;
+    * a caller whose first action short-circuits (isEmpty, limit) must
+    * count first or it re-pays the round's shuffle per consumer.
     * Iterative self-joins reference the previous round's plan TWICE, so
     * without truncation the logical plan tree DOUBLES per round — plan
     * rendering/analysis goes exponential and OOMs long before the data
@@ -172,14 +162,23 @@ object Dedup {
     * the returned release handle free the final artifact. */
   private def roundCheckpoint(df: DataFrame): (DataFrame, () => Unit) = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    // No eager count here: every consumer of the cut view is a full
-    // scan (the convergence count never short-circuits), so the cache
-    // populates completely on first use — an extra action per round
-    // would only re-pay the round's shuffle.
     val cut = p.sparkSession.createDataFrame(p.rdd, p.schema)
     (cut, () => { p.unpersist(); () })
   }
 
+  /** Connected components over near-dup pairs — the step that turns a
+    * pair list (d1-d5) into droppable duplicate CLUSTERS (keep the min
+    * doc_id of each component, drop the rest). Iterative min-label
+    * propagation: each round every node adopts the smallest label among
+    * itself and its neighbors, one shuffle join per round, converging in
+    * O(component diameter) rounds — dedup components are near-cliques
+    * (diameter 2-3), so 3-4 rounds in practice; `maxIter` bounds
+    * adversarial chains (see [[connectedComponentsFast]] for the
+    * O(log d) variant). Per-round driver work is ONE convergence count,
+    * never node data; each round's cache is released as soon as the
+    * next round materializes. The FINAL labels frame stays cached — it
+    * is the cluster-map artifact (at scale you write it out); release
+    * it once consumed, as with the LSH index frames. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -214,11 +213,17 @@ object Dedup {
       // means some component's diameter exceeded maxIter and its members
       // still carry different labels — silently treating those as
       // distinct representatives would leave duplicates in a deduped
-      // corpus. (The finally releases edges; the last round's cache backs
-      // the returned cluster-map artifact — clearCache() frees it.)
-      require(converged,
-        s"connectedComponents did not converge within $maxIter rounds " +
-          "(component diameter too large — raise maxIter)")
+      // corpus. Release the last round's cache FIRST: a caller that
+      // catches this and retries with a higher maxIter must not inherit
+      // the failed run's resident storage. (The finally releases edges;
+      // on the success path the last round's cache backs the returned
+      // cluster-map artifact — clearCache() frees it.)
+      if (!converged) {
+        release()
+        throw new IllegalArgumentException(
+          s"requirement failed: connectedComponents did not converge within " +
+            s"$maxIter rounds (component diameter too large — raise maxIter)")
+      }
       labels.select(col("node").as("doc_id"), col("label").as("cluster"))
     } finally { edges.unpersist(); () }
   }
@@ -278,8 +283,12 @@ object Dedup {
         labels = next.drop("changed")
         release = nextRelease
       }
-      require(converged,
-        s"connectedComponentsFast did not converge within $maxIter rounds")
+      if (!converged) {
+        release()
+        throw new IllegalArgumentException(
+          s"requirement failed: connectedComponentsFast did not converge " +
+            s"within $maxIter rounds")
+      }
       (labels.select(col("node").as("doc_id"), col("label").as("cluster")), iter)
     } finally { edges.unpersist(); () }
   }

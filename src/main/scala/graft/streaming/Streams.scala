@@ -199,9 +199,7 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.entries.Normalize.withCorrectedDates(batch.sparkSession, batch)
-          .withColumn("request_year",
-            substring(col("corrected_request"), 1, 4).cast(IntegerType))
+        graft.entries.Warehouse.correctedPartitioned(batch.sparkSession, batch)
           .withColumn("batch_id", lit(batchId))
           .write
           .option("partitionOverwriteMode", "dynamic")

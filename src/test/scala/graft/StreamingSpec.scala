@@ -221,10 +221,15 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val target = tmp("graft_wh_stream") + "/entries"
     val all = graft.entries.Fixture.entries
+    // Two REAL micro-batches: AvailableNow + a shared checkpoint makes
+    // the second call resume at batch 1 (both addData calls before one
+    // start would coalesce into a single batch 0).
+    val ckpt = tmp("graft_wh_ckpt")
     val stream = MemoryStream[graft.entries.Entry]
     stream.addData(all.take(10))
+    Streams.warehouseAppendStream(stream.toDF(), target, ckpt)
     stream.addData(all.drop(10))
-    Streams.warehouseAppendStream(stream.toDF(), target, tmp("graft_wh_ckpt"))
+    Streams.warehouseAppendStream(stream.toDF(), target, ckpt)
     val got = spark.read.parquet(target)
     // every fixture row lands exactly once, with the overlay applied
     assert(got.count() == all.size.toLong)
@@ -241,6 +246,17 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*request_year.*"),
       s"no request_year partition pruning:\n$plan")
+    // RETRY idempotency: re-feed batch 0's exact data with a fresh
+    // checkpoint (same batchId 0). Dynamic partition overwrite must
+    // replace only the (batch 0, year) partitions with identical
+    // content — static overwrite would wipe batch 1, append would
+    // duplicate batch 0.
+    val replay = MemoryStream[graft.entries.Entry]
+    replay.addData(all.take(10))
+    Streams.warehouseAppendStream(replay.toDF(), target, tmp("graft_wh_ckpt2"))
+    val after = spark.read.parquet(target)
+    assert(after.count() == all.size.toLong)
+    assert(after.select("id").distinct().count() == all.size.toLong)
   }
 
   test("incremental upsert: last write wins and re-runs are stable") {
