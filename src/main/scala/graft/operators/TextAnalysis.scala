@@ -498,6 +498,52 @@ object TextAnalysisQueries extends graft.QueryModule {
           (sum(col("q")).cast(DoubleType) / 1000000.0 / count(lit(1))).as("avg_logprob"))
     }),
 
+    // T18 — document CHUNKING (RAG/window prep): fixed 50-word chunks at
+    // stride 40 (10-word overlap), emitted as (doc_id, chunk_id, text,
+    // n_words). Offsets come from a per-row sequence + explode — all
+    // map-side, no shuffle; chunk count scales with document length,
+    // short docs yield their single short chunk.
+    graft.QueryDef("t18_chunking", Some(
+      s"""WITH words AS (
+         |  SELECT doc_id, string_split(${Dedup.normTextSql}, ' ') AS w
+         |  FROM documents),
+         |starts AS (
+         |  SELECT doc_id, w, unnest(list_filter(
+         |    generate_series(0, len(w), 40), s -> s = 0 OR s < len(w))) AS s
+         |  FROM words)
+         |SELECT doc_id, CAST(s / 40 AS BIGINT) AS chunk_id,
+         |  array_to_string(list_slice(w, s + 1, s + 50), ' ') AS chunk,
+         |  CAST(len(list_slice(w, s + 1, s + 50)) AS BIGINT) AS n_words
+         |FROM starts""".stripMargin))((s, d) => {
+      val words = split(Dedup.normText(col("text")), " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"), words.as("w"))
+        .select(col("doc_id"), col("w"), explode(filter(
+          sequence(lit(0), size(col("w")), lit(40)),
+          x => x === 0 || x < size(col("w")))).as("s"))
+        .select(col("doc_id"), (col("s") / 40).cast(LongType).as("chunk_id"),
+          array_join(slice(col("w"), col("s") + 1, lit(50)), " ").as("chunk"),
+          size(slice(col("w"), col("s") + 1, lit(50))).cast(LongType).as("n_words"))
+    }),
+
+    // X1 — JSONL export (the training-data interchange format): one
+    // compact JSON object per row via to_json over a struct — map-side,
+    // splittable output. Strings are coalesced on both sides because
+    // Spark's to_json DROPS null keys while DuckDB emits them.
+    graft.QueryDef("x1_jsonl_export", Some(
+      """SELECT doc_id, CAST(to_json(struct_pack(
+        |  doc_id := doc_id,
+        |  lang := coalesce(lang, ''),
+        |  source := coalesce(source, ''),
+        |  n_chars := n_chars)) AS VARCHAR) AS jsonl
+        |FROM documents""".stripMargin))((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        to_json(struct(
+          col("doc_id"),
+          coalesce(col("lang"), lit("")).as("lang"),
+          coalesce(col("source"), lit("")).as("source"),
+          col("n_chars"))).as("jsonl"))),
+
     // M1 — typed metadata over an opaque payload column: JSON props of
     // events parsed and aggregated per event type.
     graft.QueryDef("m1_multimodal_meta", Some(
