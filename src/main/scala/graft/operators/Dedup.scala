@@ -444,6 +444,52 @@ object DedupQueries extends graft.QueryModule {
       minhashPairs(withNearProbes(Tables.documents(s, d)), threshold = 0.5)
         .where(col("doc_b") >= 1000000L)),
 
+    // D8 — SUB-DOCUMENT dedup: the chunking op (t18: 50-word windows,
+    // stride 40) composed with MinHash-LSH at chunk granularity — how a
+    // pipeline finds boilerplate/copied PASSAGES that whole-doc
+    // similarity dilutes below threshold. Chunk uid = doc_id·100000 +
+    // chunk index; output restricted to the planted-probe slice and
+    // brute-forced in DuckDB like d2b (threshold 0.9 — near-exact
+    // passage copies, where banding recall is certain). Chunk text is
+    // built from normalized words, so chunk == normText(chunk) and the
+    // gram twins stay aligned.
+    graft.QueryDef("d8_chunk_dedup", Some(
+      s"""WITH docs AS ($nearProbesSql),
+         |wrds AS (
+         |  SELECT doc_id, string_split($normTextSql, ' ') AS w FROM docs),
+         |chunks AS (
+         |  SELECT doc_id * 100000 + s // 40 AS cid,
+         |    array_to_string(list_slice(w, s + 1, s + 50), ' ') AS ctext
+         |  FROM (SELECT doc_id, w, unnest(list_filter(
+         |    generate_series(0, len(w), 40), s -> s = 0 OR s < len(w))) AS s
+         |    FROM wrds)),
+         |grams AS (
+         |  SELECT cid, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(w2) - 2, 1)),
+         |    i -> array_to_string(list_slice(w2, i, i + 2), ' '))) AS g
+         |  FROM (SELECT cid, string_split(ctext, ' ') AS w2 FROM chunks)),
+         |pairs AS (
+         |  SELECT a.cid AS doc_a, b.cid AS doc_b, a.g AS ga, b.g AS gb
+         |  FROM grams a JOIN grams b
+         |    ON a.cid < b.cid AND b.cid >= 100000000000)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
+         |      (len(ga) + len(gb) - len(list_intersect(ga, gb))) AS jaccard
+         |  FROM pairs)
+         |WHERE jaccard >= 0.9""".stripMargin))((s, d) => {
+      val docs = withNearProbes(Tables.documents(s, d))
+      val w = split(normText(col("text")), " ")
+      val chunks = docs.select(col("doc_id"), w.as("w"))
+        .select(col("doc_id"), col("w"), explode(filter(
+          sequence(lit(0), size(col("w")), lit(40)),
+          x => x === 0 || x < size(col("w")))).as("s"))
+        .select((col("doc_id") * 100000 + (col("s") / 40).cast(LongType)).as("doc_id"),
+          array_join(slice(col("w"), col("s") + 1, lit(50)), " ").as("text"))
+      minhashPairs(chunks, threshold = 0.9)
+        .where(col("doc_b") >= 100000000000L)
+    }),
+
     // D3 — SimHash banding + Hamming filter (rows-only; DedupSpec).
     graft.QueryDef("d3_simhash", None)((s, d) =>
       simhashPairs(withNearProbes(Tables.documents(s, d)))),
