@@ -260,6 +260,19 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("a6: approx_count_distinct (the 100 TB drop-in) tracks the exact distinct") {
+    // The registered a6 uses exact GROUP BY distinct (oracle-able); at
+    // real scale the mergeable HLL++ sketch replaces COUNT(DISTINCT) in
+    // one pass without the expand+double-shuffle. Pin the swap's error
+    // bound so the claim isn't hand-waving.
+    val keys = Tables.orders(spark, sf).select(col("o_custkey"))
+    val exact = keys.distinct().count().toDouble
+    val approx = keys.agg(approx_count_distinct(col("o_custkey"), rsd = 0.02))
+      .head().getLong(0).toDouble
+    assert(math.abs(approx - exact) <= exact * 0.06,
+      s"approx $approx vs exact $exact")
+  }
+
   test("o7: TopKAggregator agrees with the window top-k on real data") {
     val rows = SparkEntry.queries("o7_topk_agg")(spark, sf).collect()
     assert(rows.length > 0)
