@@ -19,13 +19,25 @@ object Bench {
     // Optional comma-separated filter for local iteration on one query.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(q => f(q._1)))
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(3)
     val failed = scala.collection.mutable.ArrayBuffer[String]()
+    var idx = 0
     val results = selected.map { case (name, fn) =>
-      // Two timed runs, report the min: the first run of a query pays its
+      idx += 1
+      // Quiesce the JVM before timing: a 130+ query run in one JVM
+      // accumulates garbage (codegen classes, broadcast blocks, shuffle
+      // state) whose collection otherwise lands as multi-hundred-ms pauses
+      // INSIDE whichever query happens to run next — observed in round 6 as
+      // a contiguous cluster of trivial queries all reading ~0.5 s. The GC
+      // also drives the ContextCleaner's async unpersist backlog to drain
+      // now rather than mid-measurement.
+      System.gc()
+      // Three timed runs, report the min: the first run of a query pays its
       // whole-stage-codegen compile + JIT warm-up (observed 3-4x on some
       // queries), which is session noise, not plan cost — steady-state
-      // per-query time is what scales to a long-lived cluster.
-      val times = (1 to 2).flatMap { _ =>
+      // per-query time is what scales to a long-lived cluster. min-of-3
+      // (vs min-of-2) survives one GC pause landing in each of two runs.
+      val times = (1 to runs).flatMap { r =>
         val t0 = System.nanoTime()
         // noop write runs the FULL plan; .count() would let Catalyst prune
         // projections and under-measure map-only queries.
@@ -40,12 +52,16 @@ object Bench {
         // LSH queries persist their index frames; drop them so later
         // runs aren't measured under another run's memory pressure.
         spark.catalog.clearCache()
+        // Per-run trace on stderr (stdout stays the one-line JSON contract):
+        // lets a regression be localized to a run ORDER position, not just a
+        // query name.
+        System.err.println(f"BENCHLOG idx=$idx%3d run=$r $name dt=$dt%.3f")
         if (ok) Some(dt) else None
       }
       // Any crashed run disqualifies the query — a flaky query must not
       // report the timing of its lucky run.
-      if (times.length < 2) failed += name
-      name -> (if (times.length == 2) times.minOption else None)
+      if (times.length < runs) failed += name
+      name -> (if (times.length == runs) times.minOption else None)
     }
     // A crashed query must never read as a (fast) success, and the timings
     // map must hold ONLY real durations (no sentinel a consumer could sum):
