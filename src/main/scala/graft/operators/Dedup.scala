@@ -123,25 +123,38 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** MinHash-LSH candidate pairs + exact Jaccard verification. Candidates
-    * come ONLY from band-bucket collisions (equality self-join); the
-    * verification intersects the persisted shingle arrays for candidate
-    * pairs only. The signature is map-side scalar work (one native
-    * MinHashSig call per row): the only shuffles left are the band
-    * self-join and the candidate dedup — nothing scales with n·shingles. */
-  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    // Persist the shingle+signature frame: it is the LSH index — both
-    // band-join sides and both verification lookups read it, and at scale
-    // it IS a materialized artifact (recomputing the shingle pipeline per
-    // consumer would multiply the dominant cost 4x).
-    val sh = signatureFrame(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = bandedOf(sh)
+  /** The MinHash-LSH index artifact: the persisted (doc_id, sh, sig)
+    * signature frame. Both band-join sides and both verification lookups
+    * of [[minhashPairs]] read it, and at scale it IS a materialized
+    * artifact (recomputing the shingle pipeline per consumer would
+    * multiply the dominant cost 4x). Built as a HANDLE so the caller
+    * controls the executor-storage lifecycle — the Similarity.IvfIndex
+    * pattern; a function that persisted internally and returned a lazy
+    * frame would leak the cache with no call site able to release it. */
+  final case class MinhashIndex(sigs: DataFrame) {
+    def unpersist(): Unit = { sigs.unpersist(); () }
+  }
+
+  def buildMinhashIndex(docs: DataFrame): MinhashIndex =
+    MinhashIndex(signatureFrame(docs).persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** MinHash-LSH candidate pairs + exact Jaccard verification over a
+    * prebuilt [[MinhashIndex]]. Candidates come ONLY from band-bucket
+    * collisions (equality self-join); the verification intersects the
+    * index's shingle arrays for candidate pairs only. The signature is
+    * map-side scalar work (one native MinHashSig call per row): the only
+    * shuffles left are the band self-join and the candidate dedup —
+    * nothing scales with n·shingles. The result is lazy and reads the
+    * index's cache: consume it, then release via
+    * [[MinhashIndex.unpersist]]. */
+  def minhashPairs(index: MinhashIndex, threshold: Double): DataFrame = {
+    val banded = bandedOf(index.sigs)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, sh, threshold)
+    verifyJaccard(cand, index.sigs, threshold)
   }
 
   // --- Cluster resolution --------------------------------------------------
@@ -327,6 +340,23 @@ object Dedup {
   def simhashCol(tokens: Column): Column =
     graft.plans.NativeFunctions.simhash64(tokens)
 
+  /** The SimHash index artifact: the persisted (doc_id, sim) fingerprint
+    * frame both self-join sides of [[simhashPairs]] read. Same handle
+    * pattern as [[MinhashIndex]] — the caller releases. Degenerate docs
+    * are excluded at build time: every empty/whitespace doc has the
+    * identical fingerprint, so one bucket would hold them all and
+    * hamming=0 would "verify" O(n_empty^2) pairs that belong to exact
+    * dedup (d1), not near-dup blocking. */
+  final case class SimhashIndex(sims: DataFrame) {
+    def unpersist(): Unit = { sims.unpersist(); () }
+  }
+
+  def buildSimhashIndex(docs: DataFrame): SimhashIndex =
+    SimhashIndex(docs.where(length(normText(col("text"))) > 0)
+      .select(col("doc_id"),
+        simhashCol(split(normText(col("text")), " ")).as("sim"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+
   /** SimHash near-dup pairs: 4x16-bit band blocking, then Hamming <= k.
     * Band equality guarantees FULL recall for Hamming <= 3 by pigeonhole
     * (4 bands, <=3 flipped bits leave one band intact) — the classic
@@ -334,18 +364,10 @@ object Dedup {
     * fingerprints). Wider k would need narrower bands, whose small key
     * space collapses to near-all-pairs at scale, so k=3 is the
     * scale-correct default. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // Same degenerate-doc guard as minhashPairs: every empty/whitespace doc
-    // has the identical fingerprint, so one bucket would hold them all and
-    // hamming=0 would "verify" O(n_empty^2) pairs that belong to exact
-    // dedup (d1), not near-dup blocking.
-    val sims = docs.where(length(normText(col("text"))) > 0)
-      .select(col("doc_id"),
-        simhashCol(split(normText(col("text")), " ")).as("sim"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // both self-join sides read it
+  def simhashPairs(index: SimhashIndex, maxHamming: Int = 3): DataFrame = {
     val bandCols = (0 to 3).map(b => concat_ws("-", lit(b),
       shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).cast(StringType)))
-    val banded = sims.select(col("doc_id"), col("sim"),
+    val banded = index.sims.select(col("doc_id"), col("sim"),
       explode(array(bandCols: _*)).as("band"))
     banded.as("a")
       .join(banded.as("b"),
@@ -415,8 +437,13 @@ object DedupQueries extends graft.QueryModule {
     // D2 — MinHash-LSH near-dup candidates, banded and bucket-joined,
     // verified at Jaccard >= 0.5. Hash functions are engine-side, so the
     // gate check is rows-only; DedupSpec pins the planted pairs.
+    // (Gate queries build an index per invocation and return the lazy
+    // pair frame; the Verify/Bench harness materializes the result and
+    // clears the cache per query. Library callers hold the index handle
+    // and release it themselves.)
     graft.QueryDef("d2_minhash_lsh", None)((s, d) =>
-      minhashPairs(withNearProbes(Tables.documents(s, d)), threshold = 0.5)),
+      minhashPairs(buildMinhashIndex(withNearProbes(Tables.documents(s, d))),
+        threshold = 0.5)),
 
     // D2b — the LSH path, oracle-HARD: restrict minhashPairs output to
     // the planted-probe slice (every emitted pair then involves a probe
@@ -441,7 +468,8 @@ object DedupQueries extends graft.QueryModule {
          |      (len(ga) + len(gb) - len(list_intersect(ga, gb))) AS jaccard
          |  FROM pairs)
          |WHERE jaccard >= 0.5""".stripMargin))((s, d) =>
-      minhashPairs(withNearProbes(Tables.documents(s, d)), threshold = 0.5)
+      minhashPairs(buildMinhashIndex(withNearProbes(Tables.documents(s, d))),
+        threshold = 0.5)
         .where(col("doc_b") >= 1000000L)),
 
     // D8 — SUB-DOCUMENT dedup: the chunking op (t18: 50-word windows,
@@ -486,13 +514,34 @@ object DedupQueries extends graft.QueryModule {
           x => x === 0 || x < size(col("w")))).as("s"))
         .select((col("doc_id") * 100000 + (col("s") / 40).cast(LongType)).as("doc_id"),
           array_join(slice(col("w"), col("s") + 1, lit(50)), " ").as("text"))
-      minhashPairs(chunks, threshold = 0.9)
+      minhashPairs(buildMinhashIndex(chunks), threshold = 0.9)
         .where(col("doc_b") >= 100000000000L)
     }),
 
     // D3 — SimHash banding + Hamming filter (rows-only; DedupSpec).
     graft.QueryDef("d3_simhash", None)((s, d) =>
-      simhashPairs(withNearProbes(Tables.documents(s, d)))),
+      simhashPairs(buildSimhashIndex(withNearProbes(Tables.documents(s, d))))),
+
+    // D3b — the SimHash path, oracle-HARD via the d2b probe-slice
+    // pattern: over EXACT clones (doc_id < 10 duplicated verbatim at
+    // +1000000), identical normalized text ⇒ identical weighted token
+    // votes ⇒ identical 64-bit fingerprint ⇒ Hamming 0 in every band —
+    // so the hamming=0 pairs touching the probe slice must equal
+    // DuckDB's md5-equality pairs over the same slice, computed with no
+    // banding and no SimHash at all. Row sets agree iff the banding +
+    // XOR/bit_count Hamming pipeline is end-to-end lossless on the
+    // slice; the engine-side fingerprint function itself stays
+    // rows-only (d3), which is exactly what this twin compensates for.
+    graft.QueryDef("d3b_simhash_probes", Some(
+      s"""WITH hashed AS (
+         |  SELECT doc_id, md5($normTextSql) AS h FROM ($exactProbesSql)
+         |  WHERE len($normTextSql) > 0)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(0 AS INTEGER) AS hamming
+         |FROM hashed a JOIN hashed b
+         |  ON a.h = b.h AND a.doc_id < b.doc_id AND b.doc_id >= 1000000""".stripMargin))((s, d) =>
+      simhashPairs(buildSimhashIndex(withExactProbes(Tables.documents(s, d))))
+        .where(col("hamming") === 0 && col("doc_b") >= 1000000L)),
 
     // D6 — dedup cluster resolution: connected components over a
     // deterministic pair graph (chains of 3 at doc_id % 50, cross-links

@@ -22,9 +22,11 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("d2: MinHash-LSH surfaces every planted near-duplicate pair") {
-    val pairs = Dedup.minhashPairs(
-      Dedup.withNearProbes(Tables.documents(spark, sf)), threshold = 0.5)
+    val index = Dedup.buildMinhashIndex(
+      Dedup.withNearProbes(Tables.documents(spark, sf)))
+    val pairs = Dedup.minhashPairs(index, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    index.unpersist()
     val planted = (10L until 20L).map(i => (i, i + 1000000L)).toSet
     assert(planted.subsetOf(pairs),
       s"missing planted pairs: ${planted -- pairs}")
@@ -32,9 +34,11 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("d3: SimHash bands + hamming finds planted near-duplicates") {
-    val pairs = Dedup.simhashPairs(
+    val index = Dedup.buildSimhashIndex(
       Dedup.withNearProbes(Tables.documents(spark, sf)))
+    val pairs = Dedup.simhashPairs(index)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    index.unpersist()
     // Ground truth from the same pure simhash: banding guarantees FULL
     // recall for Hamming <= 3, so exactly the planted pairs within that
     // distance must surface (appending 3 tokens shifts few bits on long
@@ -62,12 +66,16 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       (5L, "a real document with several words inside it"),
       (6L, "a real document with several words inside it too")
     ).toDF("doc_id", "text")
-    val mh = Dedup.minhashPairs(docs, threshold = 0.5)
+    val mhIndex = Dedup.buildMinhashIndex(docs)
+    val mh = Dedup.minhashPairs(mhIndex, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    mhIndex.unpersist()
     assert(mh.forall { case (a, b) => a >= 5L && b >= 5L },
       s"degenerate docs surfaced as minhash candidates: $mh")
-    val sh = Dedup.simhashPairs(docs)
+    val shIndex = Dedup.buildSimhashIndex(docs)
+    val sh = Dedup.simhashPairs(shIndex)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    shIndex.unpersist()
     assert(sh.forall { case (a, b) => a >= 5L && b >= 5L },
       s"degenerate docs surfaced as simhash candidates: $sh")
   }
@@ -91,7 +99,9 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     val brute = Similarity.bruteForceTopK(emb, 0L, 10)
       .collect().map(_.getLong(0)).toSeq
     assert(brute.head == 0L) // self-similarity = 1.0 tops the list
-    val lsh = Similarity.lshTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSeq
+    val lshIndex = Similarity.buildLshIndex(emb)
+    val lsh = Similarity.lshTopK(lshIndex, 0L, 10).collect().map(_.getLong(0)).toSeq
+    lshIndex.unpersist()
     assert(lsh.head == 0L) // query's own bucket always probed
     // recall against the exact top-10 — hyperplane LSH with 8 bits +
     // 1-bit probing: expect meaningful overlap, not perfection
@@ -100,12 +110,56 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("d5: embedding-cosine LSH dedup finds exactly the planted vector pairs") {
-    val pairs = Similarity.cosineDedupPairs(
-      Similarity.withVecProbes(Tables.embeddings(spark, sf)), threshold = 0.9)
+    val index = Similarity.buildCosineIndex(
+      Similarity.withVecProbes(Tables.embeddings(spark, sf)))
+    val pairs = Similarity.cosineDedupPairs(index, threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    index.unpersist()
     val planted = (0L until 10L).map(i => (i, i + 1000000L)).toSet
     assert(pairs == planted,
       s"missing: ${planted -- pairs}; spurious: ${pairs -- planted}")
+  }
+
+  test("index artifacts release executor storage via their unpersist handles") {
+    // Every build*Index returns a handle (the IvfIndex pattern) so LIBRARY
+    // callers — not just the Verify/Bench harness with its per-query
+    // clearCache — can free the persisted index frame. Materialize each
+    // query against its index, release, and require that NOTHING remains
+    // persisted (suites run sequentially in the forked test JVM, so the
+    // global check cannot race another suite's caches).
+    spark.catalog.clearCache()
+    val docs = Dedup.withNearProbes(Tables.documents(spark, sf))
+    val emb = Tables.embeddings(spark, sf)
+    def assertReleased(label: String)(use: => Unit): Unit = {
+      use
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        s"$label left persisted storage behind after unpersist()")
+    }
+    assertReleased("MinhashIndex") {
+      val ix = Dedup.buildMinhashIndex(docs)
+      Dedup.minhashPairs(ix, threshold = 0.5).count()
+      ix.unpersist()
+    }
+    assertReleased("SimhashIndex") {
+      val ix = Dedup.buildSimhashIndex(docs)
+      Dedup.simhashPairs(ix).count()
+      ix.unpersist()
+    }
+    assertReleased("CosineIndex") {
+      val ix = Similarity.buildCosineIndex(Similarity.withVecProbes(emb))
+      Similarity.cosineDedupPairs(ix, threshold = 0.9).count()
+      ix.unpersist()
+    }
+    assertReleased("LshIndex") {
+      val ix = Similarity.buildLshIndex(emb)
+      assert(Similarity.lshTopK(ix, 0L, 10).count() == 10L)
+      ix.unpersist()
+    }
+    assertReleased("IvfIndex") {
+      val ix = Similarity.buildIvfIndex(emb)
+      assert(Similarity.ivfTopK(ix, 0L, 10).count() == 10L)
+      ix.unpersist()
+    }
   }
 
   test("n3: IVF probes nearest cells and keeps the exact match") {

@@ -202,9 +202,10 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     val incremental = spark.read.parquet(pairsDir)
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val batch = Dedup.minhashPairs(Dedup.withNearProbes(docs), threshold = 0.5)
+    val batchIndex = Dedup.buildMinhashIndex(Dedup.withNearProbes(docs))
+    val batch = Dedup.minhashPairs(batchIndex, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    spark.catalog.clearCache()
+    batchIndex.unpersist()
     val planted = (10L until 20L).map(i => (i, i + 1000000L)).toSet
     assert(planted.subsetOf(incremental),
       s"missing planted cross-batch pairs: ${planted -- incremental}")
