@@ -129,33 +129,171 @@ object Fts {
     docs.join(matchingIds(termIndex(docs, idCol, textCols), prefixes)
       .withColumnRenamed("id", idCol + "__m"),
       col(idCol) === col(idCol + "__m"), "left_semi")
+
+  // --- Persistent index -----------------------------------------------------
+
+  /** Write the term index as the PERSISTENT search artifact the header
+    * promises: laid out partitioned by the term's first character and
+    * sorted by term within files, so a prefix probe [p, p + U+10FFFF)
+    * prunes to the matching first-char directory (`PartitionFilters` in
+    * the plan) and the sorted term column gives parquet min/max
+    * row-group pruning for the pushed range. (Hash BUCKETING would not
+    * prune here — bucket pruning needs equality on the bucket column
+    * and FTS probes are ranges — which is why the layout key is a
+    * partition prefix, not a bucket.) One directory per first char
+    * keeps directory counts bounded: terms are lower/alnum-folded, so
+    * there are at most 36 partitions regardless of corpus size. */
+  def writeTermIndex(index: DataFrame, path: String): Unit =
+    index.withColumn("term_pfx", substring(col("term"), 1, 1))
+      .repartition(col("term_pfx"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").partitionBy("term_pfx").parquet(path)
+
+  def readTermIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** [[matchingIds]] against a written [[writeTermIndex]] store, with
+    * the probes lifted onto the partition key: only the first-char
+    * directories of the query's prefixes are ever opened, exactly like
+    * the warehouse's request_year pruning. */
+  def matchingIdsPersistent(index: DataFrame, prefixes: Seq[String]): DataFrame =
+    matchingIds(index.where(
+      col("term_pfx").isin(prefixes.map(_.take(1)).distinct: _*)), prefixes)
+
+  // --- Incrementally maintained index --------------------------------------
+
+  /** Resolve an incrementally maintained term index
+    * (streaming.Streams.incrementalFtsIndex) to its current state: each
+    * batch_id directory holds the (id, term) rows of the documents
+    * delivered in that micro-batch, and a document UPDATED later arrives
+    * again in a newer batch whose terms must SHADOW the old revision's —
+    * the reference's FTS5 UPDATE trigger pair (DELETE + INSERT,
+    * migrations/0002_fts.sql:24-34) expressed as last-writer-wins on
+    * batch_id. The latest-batch resolution is a semi-join against an
+    * O(distinct ids) aggregate, never a window over the term rows. */
+  def readIncrementalIndex(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String): DataFrame = {
+    val idx = spark.read.parquet(indexDir) // (id, term) + batch_id partition
+    val latest = idx.groupBy("id").agg(max("batch_id").as("batch_id"))
+    idx.join(latest, Seq("id", "batch_id")).select("id", "term")
+  }
 }
 
 /** FTS queries registered for the correctness gate, over `documents`. */
 object FtsQueries extends graft.QueryModule {
+  import org.apache.spark.sql.SparkSession
+
+  /** Word-boundary-regex statement of the p6 prefix-AND predicate — the
+    * oracle for every formulation of the 'spar* AND wind*' search
+    * (in-memory index, persistent partitioned index). */
+  private val sparWindOracle: String =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE regexp_matches(lower(strip_accents(text)), '(^|[^a-z0-9])spar')
+      |  AND regexp_matches(lower(strip_accents(text)), '(^|[^a-z0-9])wind')""".stripMargin
+
+  /** Shared oracle for s6 and its incremental twin s6b: the rebuilt
+    * term index of the CURRENT corpus, ids < 200. */
+  private val termIndex200Oracle: String =
+    """SELECT DISTINCT doc_id AS id, term FROM (
+      |  SELECT doc_id, unnest(string_split_regex(lower(strip_accents(text)), '[^a-z0-9]+')) AS term
+      |  FROM documents WHERE doc_id < 200)
+      |WHERE term <> ''""".stripMargin
+
+  private lazy val pidxRoot: String = graft.util.TmpRoot("fts-pidx")
+  private lazy val incrRoot: String = graft.util.TmpRoot("fts-incr")
+  private val pidxWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Scratch subdir per SF data dir: one JVM driving two data dirs
+    * (e.g. a spec at sf0.001 after Verify at sf0.01) must not share
+    * checkpoints or index state between them. */
+  private def dirTag(d: String): String =
+    d.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Land one micro-batch's worth of rows as a single parquet file in
+    * the streaming source directory (file sources list plain files, not
+    * nested non-partition dirs). REPLACE_EXISTING keeps re-invocations
+    * idempotent: the file-source checkpoint tracks paths already
+    * processed, so a re-copied identical chunk is not re-read. */
+  private def addChunk(df: DataFrame, dir: String, name: String): Unit = {
+    new java.io.File(dir).mkdirs()
+    val stage = java.nio.file.Files.createTempDirectory("graft_fts_chunk")
+    stage.toFile.deleteOnExit()
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = stage.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$dir/$name"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
 
   def defs: Seq[graft.QueryDef] = Seq(
 
     // S6 — the term index itself (restricted to a deterministic id slice
     // to keep the dump bounded).
-    graft.QueryDef("s6_fts_index", Some(
-      """SELECT DISTINCT doc_id AS id, term FROM (
-        |  SELECT doc_id, unnest(string_split_regex(lower(strip_accents(text)), '[^a-z0-9]+')) AS term
-        |  FROM documents WHERE doc_id < 200)
-        |WHERE term <> ''""".stripMargin))((s, d) =>
+    graft.QueryDef("s6_fts_index", Some(termIndex200Oracle))((s, d) =>
       Fts.termIndex(Tables.documents(s, d).where(col("doc_id") < 200), "doc_id", Seq("text"))),
+
+    // S6b — the index MAINTAINED INCREMENTALLY instead of rebuilt: two
+    // micro-batches feed Streams.incrementalFtsIndex — batch 0 delivers
+    // ids [0,100) with ids [50,100) carrying a STALE text revision (a
+    // planted ' qqstale' token), batch 1 re-delivers [50,200) current —
+    // and the resolved read must equal the full batch rebuild of the
+    // CURRENT corpus, i.e. s6's own oracle: the stale token must be
+    // shadowed (UPDATE semantics), batch-0-only ids [0,50) must survive
+    // (no rewrite), and batch-1 additions must appear. Re-invocations
+    // are cheap no-ops: the file-source checkpoint has both chunks, so
+    // the two stream runs process nothing and the reader serves the
+    // already-maintained index; a partially-complete earlier run
+    // self-heals because unprocessed chunks simply become the next
+    // batch and last-writer-wins converges to the same state.
+    graft.QueryDef("s6b_fts_incremental", Some(termIndex200Oracle))((s, d) => {
+      val root = s"$incrRoot/${dirTag(d)}"
+      val src = s"$root/src"; val idx = s"$root/idx"; val ckpt = s"$root/ckpt"
+      val docs = Tables.documents(s, d).where(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      addChunk(docs.where(col("doc_id") < 100)
+        .withColumn("text", when(col("doc_id") >= 50,
+          concat(col("text"), lit(" qqstale"))).otherwise(col("text"))),
+        src, "c1.parquet")
+      graft.streaming.Streams.incrementalFtsIndex(s, src, idx, ckpt)
+      addChunk(docs.where(col("doc_id") >= 50), src, "c2.parquet")
+      graft.streaming.Streams.incrementalFtsIndex(s, src, idx, ckpt)
+      Fts.readIncrementalIndex(s, idx)
+    }),
 
     // P6 — prefix-AND membership: docs where some token starts with
     // 'spar' AND some token starts with 'wind' (buildFtsQuery of
     // "spark windows" after truncation — exercises true prefix
     // semantics, not whole-token equality). The oracle states the same
     // predicate as word-boundary regexes over the raw text.
-    graft.QueryDef("p6_fts_search", Some(
-      """SELECT doc_id, lang, source FROM documents
-        |WHERE regexp_matches(lower(strip_accents(text)), '(^|[^a-z0-9])spar')
-        |  AND regexp_matches(lower(strip_accents(text)), '(^|[^a-z0-9])wind')""".stripMargin))((s, d) =>
+    graft.QueryDef("p6_fts_search", Some(sparWindOracle))((s, d) =>
       Fts.search(Tables.documents(s, d), "doc_id", Seq("text"), Seq("spar", "wind"))
         .select("doc_id", "lang", "source")),
+
+    // P6f — the SAME search routed through the PERSISTENT index: the
+    // term index is written partitioned by first char + sorted by term
+    // (Fts.writeTermIndex), read back, and probed with the prefixes
+    // lifted onto the partition key — so the gate row proves the
+    // written layout round-trips losslessly (PlanSpec separately pins
+    // that the probe actually prunes partitions and pushes the range).
+    graft.QueryDef("p6f_fts_persistent", Some(sparWindOracle))((s, d) => {
+      // Written ONCE per (JVM, data dir) — the index is the amortized
+      // artifact (the nightly build's output), not per-query work;
+      // repeat invocations (Bench min-of-N) go straight to the probe.
+      val path = pidxWritten.computeIfAbsent(d, dd => {
+        val p = s"$pidxRoot/${dirTag(dd)}/terms"
+        Fts.writeTermIndex(
+          Fts.termIndex(Tables.documents(s, dd), "doc_id", Seq("text")), p)
+        p
+      })
+      val ids = Fts.matchingIdsPersistent(
+        Fts.readTermIndex(s, path), Seq("spar", "wind"))
+      Tables.documents(s, d)
+        .join(ids.withColumnRenamed("id", "doc_id__m"),
+          col("doc_id") === col("doc_id__m"), "left_semi")
+        .select("doc_id", "lang", "source")
+    }),
 
     // P6c — overlapping prefixes ('wind' is a prefix of 'window'): a term
     // matching several query prefixes must credit ALL of them, or the

@@ -183,6 +183,36 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Incremental FTS term-index maintenance — the streaming analog of
+    * the reference's FTS5 triggers (migrations/0002_fts.sql:17-34: every
+    * INSERT/UPDATE delta-maintains the inverted index), mirroring
+    * [[incrementalMinhashIndex]]. Each micro-batch tokenizes ONLY its own
+    * rows through the same Fts.termIndex the batch build (S6) uses — the
+    * two paths cannot drift — and lands them in a batchId-scoped
+    * subdirectory written with overwrite, so a retried micro-batch
+    * REPLACES its own output and the sink is idempotent under
+    * failure/retry. An updated document simply arrives again in a later
+    * batch; readers resolve the latest revision per id
+    * (Fts.readIncrementalIndex), which is the trigger world's
+    * DELETE+INSERT expressed as last-writer-wins — per-batch work is
+    * O(batch), never a historical rewrite. */
+  def incrementalFtsIndex(spark: SparkSession, sourceDir: String,
+                          indexDir: String, checkpointDir: String): Unit = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Fts.termIndex(batch, "doc_id", Seq("text"))
+          .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming feed of the partitioned entries warehouse: each
     * micro-batch applies the shared corrections overlay
     * (Normalize.withCorrectedDates — the same single source the batch

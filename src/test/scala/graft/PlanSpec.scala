@@ -133,6 +133,24 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("persistent FTS index probes prune partitions AND push the term range") {
+    import graft.operators.Fts
+    val path = java.nio.file.Files.createTempDirectory("graft_fts_plan").toString + "/terms"
+    Fts.writeTermIndex(
+      Fts.termIndex(Tables.documents(spark, sf), "doc_id", Seq("text")), path)
+    val q = Fts.matchingIdsPersistent(
+      Fts.readTermIndex(spark, path), Seq("spar", "wind"))
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    // the first-char probe keys reach the directory layout…
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*term_pfx[^\\]]*\\].*"),
+      s"p6f: no term_pfx partition filter:\n$p")
+    // …and the sargable prefix range reaches the parquet scan (no
+    // closing-bracket anchor: plan toString truncates long lists).
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(term.*"),
+      s"p6f: term prefix range not pushed to the scan:\n$p")
+  }
+
   test("warehouse product reads prune partitions AND push the residual range") {
     // The registered product queries themselves (not a synthetic read):
     // the P3b range and A8b timeline must carry a request_year partition

@@ -216,6 +216,44 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       "pairs emitted more than once across batches")
   }
 
+  test("incremental FTS term index equals the batch rebuild, with LWW shadowing (s6 twin)") {
+    import graft.operators.Fts
+    def addChunk(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp("graft_fts_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$dir/$name"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val src = tmp("graft_ftsincr_src")
+    val idx = tmp("graft_ftsincr_root") + "/idx"
+    val ckpt = tmp("graft_ftsincr_ckpt")
+    val docs = Tables.documents(spark, sf).where(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"))
+    // batch 0: ids [0,50), with [40,50) carrying a stale revision that a
+    // later re-delivery must shadow (the FTS5 UPDATE trigger pair)
+    addChunk(src, docs.where(col("doc_id") < 50)
+      .withColumn("text", when(col("doc_id") >= 40,
+        concat(col("text"), lit(" qqstale"))).otherwise(col("text"))),
+      "c1.parquet")
+    Streams.incrementalFtsIndex(spark, src, idx, ckpt)
+    // batch 1: re-deliver [40,50) current + add [50,100)
+    addChunk(src, docs.where(col("doc_id") >= 40), "c2.parquet")
+    Streams.incrementalFtsIndex(spark, src, idx, ckpt)
+    val got = Fts.readIncrementalIndex(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = Fts.termIndex(docs, "doc_id", Seq("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(!got.exists(_._2 == "qqstale"),
+      "stale-revision terms leaked past the last-writer-wins read")
+    assert(got == want,
+      s"incremental != rebuild: extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+    // a run with nothing new must leave the resolved state unchanged
+    Streams.incrementalFtsIndex(spark, src, idx, ckpt)
+    assert(Fts.readIncrementalIndex(spark, idx).count() == want.size.toLong)
+  }
+
   test("streaming warehouse append: corrected, partitioned, idempotent, prunable") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
