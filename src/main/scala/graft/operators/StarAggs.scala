@@ -349,6 +349,34 @@ object StarAggs extends graft.QueryModule {
         finally { s.catalog.dropTempView(view); () }
       }),
 
+    // A15 — approx-percentile, the 100 TB drop-in for a12: a mergeable
+    // quantile sketch (partial+final agg, no per-group sort) replaces
+    // exact `percentile` when full-rank materialization stops being worth
+    // it. Approximate values can't hash-match an exact oracle, so this
+    // gate row pins the sketch's rank-error CONTRACT instead: with
+    // accuracy 10000 the returned value's rank is within 1e-4·n of the
+    // target, hence it must lie between the exact interpolated quantiles
+    // at q∓0.01 (two orders of magnitude of slack). Spark evaluates the
+    // bound; the oracle asserts the invariant holds for every group — a
+    // sketch drifting out of contract flips a boolean and fails the hash.
+    graft.QueryDef("a15_approx_percentiles", Some(
+      s"""SELECT agency, TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+         |FROM ($pairsSql) WHERE $validSql GROUP BY agency""".stripMargin))((s, d) =>
+      pairs(s, d).where(valid)
+        .groupBy("agency").agg(
+          percentile_approx(respDays,
+            array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ap"),
+          percentile(respDays, lit(0.49)).as("lo50"),
+          percentile(respDays, lit(0.51)).as("hi50"),
+          percentile(respDays, lit(0.89)).as("lo90"),
+          percentile(respDays, lit(0.91)).as("hi90"),
+          percentile(respDays, lit(0.98)).as("lo99"),
+          percentile(respDays, lit(1.0)).as("hi99"))
+        .select(col("agency"),
+          (col("ap")(0) >= col("lo50") && col("ap")(0) <= col("hi50")).as("p50_ok"),
+          (col("ap")(1) >= col("lo90") && col("ap")(1) <= col("hi90")).as("p90_ok"),
+          (col("ap")(2) >= col("lo99") && col("ap")(2) <= col("hi99")).as("p99_ok"))),
+
     // U2 — anti-join set difference: customers with no URGENT orders
     // (the reference's only set op is union-dedup; except/anti is the
     // other half). LeftAnti is the shuffle-safe plan — a NOT IN subquery

@@ -21,6 +21,64 @@ object TextAnalysisQueries extends graft.QueryModule {
       explode(graft.plans.NativeFunctions.winnow(
         Dedup.normText(col("text")), k, w)).as("fingerprint"))
 
+  /** DuckDB twin of [[winnow]] (k=8, w=16): value-exact re-derivation of
+    * the native Winnow expression's fingerprints. The engine's arithmetic
+    * is JVM 64-bit wrap-around (rolling polynomial hash base 1000003 over
+    * char k-grams, then the murmur3 fmix64 avalanche, then sliding-window
+    * minima); DuckDB integers trap on overflow instead of wrapping, so
+    * the twin computes in HUGEINT and reduces mod 2^64 explicitly.
+    * Per-position k-gram hashes are derived directly (sum of char*B^j,
+    * j<8 powers pre-reduced mod 2^64 — each term < 2^81 fits HUGEINT)
+    * rather than by rolling, which needs no sequential recursion in SQL.
+    * fmix64's two 64×64-bit multiplies would overflow HUGEINT, so each
+    * constant is split hi32/lo32: a*c mod 2^64 =
+    * (a*lo mod 2^64) + ((a mod 2^32)*hi mod 2^32)·2^32 (mod 2^64).
+    * `x ^ (x >>> 33)` maps through UBIGINT (values < 2^64) for xor.
+    * Let-bindings use the one-element list_transform trick (see
+    * [[Dedup.bind]]) so each fmix stage is evaluated once. Crucially the
+    * window minima run over SIGNED longs — the JVM deque compares Long
+    * values natively — so each hash maps to its signed representation
+    * BEFORE list_min, not after (unsigned minima pick different
+    * fingerprints and share zero values with the engine). */
+  private val winnowSql: String = {
+    val M = "CAST('18446744073709551616' AS HUGEINT)" // 2^64
+    def mulmod(a: String, hi: Long, lo: Long): String =
+      s"((($a) * $lo) % $M + (((($a) % 4294967296) * $hi) % 4294967296) * 4294967296) % $M"
+    def xor64(p: String, q: String): String =
+      s"CAST(xor(CAST(($p) AS UBIGINT), CAST(($q) AS UBIGINT)) AS HUGEINT)"
+    def xsh(x: String): String = xor64(x, s"($x) // 8589934592") // x ^ (x >>> 33)
+    // murmur3 fmix64: C1 = 0xff51afd7ed558ccd, C2 = 0xc4ceb9fe1a85ec53
+    val fmix =
+      s"""list_transform([${xsh("x0")}], a ->
+         |      list_transform([${mulmod("a", 4283543511L, 3981806797L)}], b ->
+         |      list_transform([${xsh("b")}], c ->
+         |      list_transform([${mulmod("c", 3301882366L, 444984403L)}], d ->
+         |        ${xsh("d")})[1])[1])[1])[1]""".stripMargin
+    // B^j mod 2^64, j = 0..7, B = 1000003 (1-indexed: pows[j+1] = B^j)
+    val pows = Seq("1", "1000003", "1000006000009", "1000009000027000027",
+      "14003818205314896721", "14453212906556403763", "10923514805226455897",
+      "12924618581234127435").map(p => s"CAST('$p' AS HUGEINT)").mkString("[", ",", "]")
+    s"""WITH src AS (
+       |  SELECT doc_id, ${Dedup.normTextSql} AS t FROM documents
+       |), ch AS (
+       |  SELECT doc_id, len(t) AS n, least(8, len(t)) AS kk,
+       |    list_transform(generate_series(1, len(t)),
+       |      i -> CAST(unicode(substr(t, i, 1)) AS HUGEINT)) AS cs
+       |  FROM src WHERE len(t) > 0
+       |), hs AS (
+       |  SELECT doc_id, n - kk + 1 AS m, least(16, n - kk + 1) AS ww,
+       |    list_transform(generate_series(1, n - kk + 1), p ->
+       |      list_transform([list_transform([list_sum(list_transform(generate_series(0, kk - 1),
+       |        i -> cs[p + i] * ($pows)[kk - i])) % $M], x0 -> $fmix)[1]],
+       |        u -> CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+       |          THEN u - $M ELSE u END AS BIGINT))[1]) AS hl
+       |  FROM ch
+       |)
+       |SELECT doc_id, unnest(list_distinct(list_transform(generate_series(ww, m),
+       |  j -> list_min(list_slice(hl, j - ww + 1, j))))) AS fingerprint
+       |FROM hs""".stripMargin
+  }
+
   /** Occurrences of `needle` via the length-difference trick — identical
     * semantics in both engines, cheap, codegen-friendly. */
   private def occ(c: Column, needle: String): Column =
@@ -115,9 +173,13 @@ object TextAnalysisQueries extends graft.QueryModule {
 
     // T5 — winnowing fingerprint (Schleimer et al., MOSS): k-gram hashes
     // + per-window minima; two documents sharing a sufficiently long
-    // substring share a fingerprint regardless of position. Rows-only
-    // (xxhash64 has no DuckDB twin); WinnowSpec pins the sharing law.
-    graft.QueryDef("t5_winnowing", None)((s, d) =>
+    // substring share a fingerprint regardless of position. Full oracle:
+    // the twin re-derives the engine's exact values in DuckDB — the JVM's
+    // wrap-around 64-bit arithmetic (rolling polynomial hash + murmur3
+    // fmix64 finalizer) is emulated in HUGEINT mod 2^64, with the two
+    // fmix multiplies split hi32/lo32 so no intermediate exceeds the
+    // signed-128 range. WinnowSpec additionally pins the sharing law.
+    graft.QueryDef("t5_winnowing", Some(winnowSql))((s, d) =>
       winnow(Tables.documents(s, d), k = 8, w = 16)),
 
     // T8 — benchmark contamination detection: a training doc is flagged
