@@ -224,6 +224,87 @@ object Similarity {
       .limit(k)
   }
 
+  /** The product-quantization index artifact: M per-subspace codebooks
+    * (driver-held, M × K × dsub doubles — broadcast-sized) plus the
+    * persisted (vec_id, embedding, codes) frame. PQ is the memory-bound
+    * ANN path at 100 TB: codes compress a 64-dim float vector (256 B) to
+    * M bytes (16× here), so the scan side of a query reads code arrays,
+    * not vectors, and the raw embedding is touched only for the bounded
+    * rerank pool. Same ownership rule as [[IvfIndex]]: caller releases. */
+  final case class PqIndex(codebooks: Array[Array[Array[Double]]],
+                           coded: DataFrame) {
+    val nSub: Int = codebooks.length
+    val nCentroids: Int = codebooks.head.length
+    def unpersist(): Unit = { coded.unpersist(); () }
+  }
+
+  /** N6 index build — per-subspace seeded k-means codebooks (the only
+    * training pass in the PQ family), then one map-side encode: subspace
+    * m's code is the nearest-centroid id of components [m·dsub, (m+1)·dsub).
+    * Encoding goes through KMeansModel.transform per subspace — broadcast
+    * centroids, no shuffle — and the M prediction columns fold into one
+    * code array. Deterministic: fixed seeds, fixed subspace order. */
+  def buildPqIndex(embeddings: DataFrame, nSub: Int = 8,
+                   nCentroids: Int = 16): PqIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dsub = 64 / nSub
+    val withFeat = (0 until nSub).foldLeft(
+      embeddings.select(col("vec_id"), col("embedding"))) { (df, m) =>
+      df.withColumn(s"f$m", array_to_vector(
+        slice(col("embedding"), m * dsub + 1, dsub).cast(ArrayType(DoubleType))))
+    }
+    var coded = withFeat
+    val books = (0 until nSub).map { m =>
+      val model = new KMeans().setK(nCentroids).setSeed(42L + m).setMaxIter(10)
+        .setFeaturesCol(s"f$m").setPredictionCol(s"c$m").fit(withFeat)
+      coded = model.setFeaturesCol(s"f$m").setPredictionCol(s"c$m").transform(coded)
+      model.clusterCenters.map(_.toArray)
+    }.toArray
+    PqIndex(books, coded
+      .select(col("vec_id"), col("embedding"),
+        array((0 until nSub).map(m => col(s"c$m")): _*).as("codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** N6 query — asymmetric-distance (ADC) top-k over a prebuilt
+    * [[PqIndex]]: the query's per-subspace dot products against every
+    * codebook centroid form an M×K lookup table (driver-computed, O(M·K·
+    * dsub), shipped as one literal array), so each corpus row scores as M
+    * array lookups + adds over its CODES — the embedding column is never
+    * read in the scan. The top `rerank` candidates by ADC score (a total
+    * order with vec_id tiebreaker — deterministic pool) are then reranked
+    * with the exact integer cosine. Scan cost per row is O(M) regardless
+    * of dimension; only `rerank` rows touch raw vectors. */
+  def pqTopK(index: PqIndex, queryVecId: Long, k: Int,
+             rerank: Int = 50): DataFrame = {
+    val dsub = 64 / index.nSub
+    val qVec = index.coded.where(col("vec_id") === queryVecId)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    val lut = Array.tabulate(index.nSub * index.nCentroids) { i =>
+      val m = i / index.nCentroids; val j = i % index.nCentroids
+      val c = index.codebooks(m)(j)
+      var s = 0.0; var t = 0; while (t < dsub) { s += qVec(m * dsub + t) * c(t); t += 1 }
+      s
+    }
+    val lutCol = typedLit(lut.toSeq)
+    val adc = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(index.nSub - 1)),
+        (c, m) => element_at(lutCol, (m * index.nCentroids + c + 1).cast(IntegerType))),
+      lit(0.0), (acc, x) => acc + x)
+    val qv = index.coded.where(col("vec_id") === queryVecId)
+      .select(quant(col("embedding")).as("qv"))
+    index.coded
+      .select(col("vec_id"), col("embedding"), adc.as("adc"))
+      .orderBy(col("adc").desc, col("vec_id").asc).limit(rerank)
+      .select(col("vec_id"), quant(col("embedding")).as("v"))
+      .join(broadcast(qv))
+      .select(col("vec_id"),
+        cosine(idot(col("v"), col("qv")), inorm2(col("v")), inorm2(col("qv"))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Exact-clone probes for the ANN oracles (n2b/n3b): `n` verbatim
     * copies of the query vector planted at vec_id 1000000+i. Identical
     * integer vectors ⇒ identical hyperplane signature in EVERY plane
@@ -339,6 +420,37 @@ object SimilarityQueries extends graft.QueryModule {
     graft.QueryDef("n3_ann_ivf", None)((s, d) => {
       val index = buildIvfIndex(Tables.embeddings(s, d))
       val ranked = ivfTopK(index, queryVecId = 0L, k = 10)
+      val local = ranked.collectAsList()
+      index.unpersist()
+      s.createDataFrame(local, ranked.schema)
+    }),
+
+    // N6 — product-quantization ANN: ADC scoring over M-byte codes +
+    // exact rerank of a bounded pool (rows-only; PipelineSpec checks
+    // recall vs N1, self-hit, and that clones encode to identical codes).
+    // Same index-lifecycle shape as n2/n3: materialize <= k rows, release
+    // the persisted code frame, return a local frame.
+    graft.QueryDef("n6_ann_pq", None)((s, d) => {
+      val index = buildPqIndex(Tables.embeddings(s, d))
+      val ranked = pqTopK(index, queryVecId = 0L, k = 10)
+      val local = ranked.collectAsList()
+      index.unpersist()
+      s.createDataFrame(local, ranked.schema)
+    }),
+
+    // N6b — the PQ path, oracle-HARD with the planted clones: identical
+    // vectors produce identical subspace features, hence identical codes
+    // and an ADC score equal to the query row's own — the rerank pool
+    // contains {query} ∪ clones whenever the query itself ranks (it
+    // does: its ADC score approximates |q|², far above the ~0.51-cosine
+    // natural ceiling), so the exact rerank must surface the true top-11.
+    // Same brute-force oracle as n2b/n3b: codebook training, encoding,
+    // ADC lookup, pool selection, and rerank all have to be right.
+    graft.QueryDef("n6b_ann_pq_probes", Some(
+      bruteForceSql(cloneCorpusSql, 11)))((s, d) => {
+      val index = buildPqIndex(
+        withQueryClones(Tables.embeddings(s, d), queryVecId = 0L, n = 10))
+      val ranked = pqTopK(index, queryVecId = 0L, k = 11)
       val local = ranked.collectAsList()
       index.unpersist()
       s.createDataFrame(local, ranked.schema)

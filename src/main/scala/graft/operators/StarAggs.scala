@@ -377,6 +377,23 @@ object StarAggs extends graft.QueryModule {
           (col("ap")(1) >= col("lo90") && col("ap")(1) <= col("hi90")).as("p90_ok"),
           (col("ap")(2) >= col("lo99") && col("ap")(2) <= col("hi99")).as("p99_ok"))),
 
+    // A16 — approx-distinct per group, the 100 TB drop-in for a6's exact
+    // GROUP BY distinct: HLL++ merges partial sketches map-side in ONE
+    // pass where COUNT(DISTINCT) expands then shuffles twice. Same
+    // bounded-error gate shape as a15: HLL++ at rsd 0.02 stays within
+    // ~3σ = 6% of the exact count with overwhelming probability, and the
+    // sketch is deterministic for fixed input, so the bound is a stable
+    // gate row, not a flaky statistical test.
+    graft.QueryDef("a16_approx_distinct", Some(
+      """SELECT o_orderpriority AS agency, TRUE AS distinct_ok
+        |FROM orders GROUP BY o_orderpriority""".stripMargin))((s, d) =>
+      Tables.orders(s, d).groupBy(col("o_orderpriority").as("agency")).agg(
+        countDistinct(col("o_custkey")).as("exact"),
+        approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx"))
+        .select(col("agency"),
+          (abs(col("approx") - col("exact")).cast(DoubleType) <=
+            col("exact").cast(DoubleType) * 0.06).as("distinct_ok"))),
+
     // U2 — anti-join set difference: customers with no URGENT orders
     // (the reference's only set op is union-dedup; except/anti is the
     // other half). LeftAnti is the shuffle-safe plan — a NOT IN subquery

@@ -588,6 +588,81 @@ object TextAnalysisQueries extends graft.QueryModule {
           size(slice(col("w"), col("s") + 1, lit(50))).cast(LongType).as("n_words"))
     }),
 
+    // T19 — TF-IDF document retrieval: top-10 most similar docs for each
+    // of 5 query docs via an inverted-index posting join — the sparse
+    // text-side analog of the dense n4 batched ANN. Shaped for scale:
+    // cost is (query postings × df), never corpus², and the df cap
+    // (tokens in > 90% of docs are dropped) is the lever that bounds
+    // posting-list fan-out at 100 TB — stop-terms carry no signal AND
+    // dominate join volume, so the cap is both a quality and a cost
+    // control. Determinism: idf is integer-quantized (round(ln·1e6), the
+    // t17 pattern) so weights, dots and norms are exact integer sums;
+    // cosine is one fixed-shape double expression; top-k goes through
+    // the bounded TopKAggregator (shuffle O(queries·k)), oracle-checked
+    // against a window formulation.
+    graft.QueryDef("t19_tfidf_similar", Some(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |w AS (
+        |  SELECT doc_id, tok, tf * CAST(round(
+        |    ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) * 1000000) AS BIGINT) AS w
+        |  FROM tf JOIN df USING (tok), nd
+        |  WHERE CAST(df AS DOUBLE) <= 0.9 * CAST(n AS DOUBLE)),
+        |norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM w GROUP BY doc_id),
+        |dots AS (
+        |  SELECT q.doc_id AS query_id, c.doc_id, CAST(SUM(q.w * c.w) AS BIGINT) AS dot
+        |  FROM w q JOIN w c ON q.tok = c.tok
+        |  WHERE q.doc_id IN (0, 1, 2, 3, 4) AND c.doc_id <> q.doc_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT query_id, dots.doc_id,
+        |    CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cos
+        |  FROM dots JOIN norms nq ON nq.doc_id = dots.query_id
+        |            JOIN norms nc ON nc.doc_id = dots.doc_id)
+        |SELECT query_id, doc_id, cos FROM (
+        |  SELECT query_id, doc_id, cos, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS rn
+        |  FROM scored)
+        |WHERE rn <= 10""".stripMargin))((s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+        .where(col("tok") =!= "")
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val nd = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = tf.join(df, Seq("tok")).join(broadcast(nd))
+        .where(col("df").cast(DoubleType) <= lit(0.9) * col("n").cast(DoubleType))
+        .select(col("doc_id"), col("tok"),
+          (col("tf") * round(log(col("n").cast(DoubleType) / col("df").cast(DoubleType))
+            * 1000000).cast(LongType)).as("w"))
+      val norms = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+      val qw = w.where(col("doc_id").isin(0L, 1L, 2L, 3L, 4L))
+        .select(col("doc_id").as("query_id"), col("tok"), col("w").as("wq"))
+      val dots = w.join(broadcast(qw), Seq("tok"))
+        .where(col("doc_id") =!= col("query_id"))
+        .groupBy("query_id", "doc_id").agg(sum(col("w") * col("wq")).as("dot"))
+      dots
+        .join(broadcast(norms.where(col("doc_id").isin(0L, 1L, 2L, 3L, 4L))
+          .select(col("doc_id").as("query_id"), col("n2").as("nq"))),
+          Seq("query_id"))
+        .join(norms.select(col("doc_id"), col("n2").as("nc")), Seq("doc_id"))
+        .select(col("query_id").cast(StringType),
+          col("doc_id"),
+          (col("dot").cast(DoubleType) /
+            (sqrt(col("nq").cast(DoubleType)) * sqrt(col("nc").cast(DoubleType)))).as("cos"))
+        .as[(String, Long, Double)]
+        .groupByKey(_._1)
+        .agg(new graft.functions.TopKAggregator(10).toColumn)
+        .flatMap { case (qid, top) => top.map(t => (qid.toLong, t._1, t._2)) }
+        .toDF("query_id", "doc_id", "cos")
+    }),
+
     // X1 — JSONL export (the training-data interchange format): one
     // compact JSON object per row via to_json over a struct — map-side,
     // splittable output. Strings are coalesced on both sides because

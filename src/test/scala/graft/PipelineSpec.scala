@@ -160,6 +160,11 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       assert(Similarity.ivfTopK(ix, 0L, 10).count() == 10L)
       ix.unpersist()
     }
+    assertReleased("PqIndex") {
+      val ix = Similarity.buildPqIndex(emb)
+      assert(Similarity.pqTopK(ix, 0L, 10).count() == 10L)
+      ix.unpersist()
+    }
   }
 
   test("n3: IVF probes nearest cells and keeps the exact match") {
@@ -177,6 +182,35 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     val ivf2 = Similarity.ivfTopK(index, 1L, 10).collect().map(_.getLong(0)).toSeq
     assert(ivf2.head == 1L)
     index.unpersist()
+  }
+
+  test("n6: PQ encodes clones identically, ranks by ADC, and self-hits") {
+    val emb = Tables.embeddings(spark, sf)
+    val index = Similarity.buildPqIndex(
+      Similarity.withQueryClones(emb, queryVecId = 0L, n = 3))
+    // Identical vectors must encode to identical code arrays — the
+    // property n6b's reachability argument rests on.
+    val codes = index.coded
+      .where(col("vec_id") === 0L || col("vec_id") >= 1000000L)
+      .select(col("codes")).collect().map(_.getSeq[Int](0)).toSeq
+    assert(codes.size == 4 && codes.distinct.size == 1,
+      s"clones encoded differently: $codes")
+    val pq = Similarity.pqTopK(index, 0L, 10).collect().map(_.getLong(0)).toSeq
+    assert(pq.head == 0L) // exact rerank puts the self-hit first
+    assert((1000000L until 1000003L).forall(pq.contains), s"clones missing: $pq")
+    // One index, many queries — no training in the query path.
+    val pq2 = Similarity.pqTopK(index, 1L, 10).collect().map(_.getLong(0)).toSeq
+    assert(pq2.head == 1L)
+    index.unpersist()
+    // Recall vs exact on the unplanted corpus: ADC over 16x-compressed
+    // codes + rerank-50 keeps meaningful overlap with the true top-10.
+    val index2 = Similarity.buildPqIndex(emb)
+    val pq3 = Similarity.pqTopK(index2, 0L, 10).collect().map(_.getLong(0)).toSet
+    index2.unpersist()
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = pq3.intersect(brute).size
+    assert(recall >= 2, s"recall too low: $recall of 10")
   }
 
   test("d6b: pointer jumping resolves a 50-hop chain in O(log d) rounds") {
