@@ -99,6 +99,92 @@ object Multimodal {
     } else sys.error(s"doc $docId: unrecognized payload magic")
   }
 
+  /** Output row of the m3 resize: dimensions and length come from the
+    * RE-ENCODED payload; pix_sum is the sum of the sampled pixel bytes —
+    * a value the oracle recomputes in closed form, so sampling the wrong
+    * source offsets (row padding, channel order, truncated reads) fails
+    * the gate even though the output dims would still look right. */
+  final case class ResizedImage(
+      doc_id: Long, out_w: Long, out_h: Long, out_len: Long, pix_sum: Long)
+
+  /** Nearest-neighbor BMP resize — REAL pixel work on the decoded grid:
+    * parse the source header, map each output pixel (px, py) to source
+    * pixel (px·w/outW, py·h/outH), copy its 3 channel bytes into a fresh
+    * valid 24bpp BMP (4-byte row padding, zeroed pad bytes). Map-side
+    * per row; the resized blob is a decodable BMP ([[decode]] accepts
+    * it), not just a feature vector. */
+  def resizeBmp(docId: Long, payload: Array[Byte],
+                outW: Int = 8, outH: Int = 8): (Array[Byte], ResizedImage) = {
+    val b = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M',
+      s"doc $docId: not a BMP")
+    val width = b.getInt(18)
+    val height = b.getInt(22)
+    require(b.getShort(28) == 24, s"BMP $docId: unsupported bpp")
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val outRow = ((outW * 3 + 3) / 4) * 4
+    val outSize = 54 + outRow * outH
+    val out = java.nio.ByteBuffer.allocate(outSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte)
+    u32(out, outSize); u32(out, 0); u32(out, 54)
+    u32(out, 40); u32(out, outW); u32(out, outH)
+    u16(out, 1); u16(out, 24); u32(out, 0); u32(out, outRow.toLong * outH)
+    u32(out, 2835); u32(out, 2835); u32(out, 0); u32(out, 0)
+    var sum = 0L
+    var py = 0
+    while (py < outH) {
+      var px = 0
+      while (px < outW) {
+        val srcX = px * width / outW
+        val srcY = py * height / outH
+        var c = 0
+        while (c < 3) {
+          val v = payload(54 + srcY * rowSize + srcX * 3 + c) & 0xFF
+          out.put(54 + py * outRow + px * 3 + c, v.toByte)
+          sum += v
+          c += 1
+        }
+        px += 1
+      }
+      py += 1
+    }
+    (out.array(), ResizedImage(docId, outW.toLong, outH.toLong, outSize.toLong, sum))
+  }
+
+  /** Output row of the m4 frame-sampler: header-derived sample counts
+    * plus the signed-int16 sum of each frame's first sample — recomputed
+    * closed-form by the oracle, so a wrong stride, wrong channel layout,
+    * or wrong endianness shifts the sum and fails the gate. */
+  final case class FrameSamples(
+      doc_id: Long, n_samples: Long, n_frames: Long, frame_sum: Long)
+
+  /** WAV frame-sampling — the audio analog of frame extraction: parse
+    * the PCM header, step through the interleaved int16 stream at
+    * `stride` samples per frame, and read channel 0's little-endian
+    * sample at each frame start. Real byte-level reads on the data
+    * section, map-side. */
+  def frameSampleWav(docId: Long, payload: Array[Byte],
+                     stride: Int = 160): FrameSamples = {
+    val b = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(payload.length >= 44 &&
+      new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(payload, 8, 4, "US-ASCII") == "WAVE", s"doc $docId: not a WAV")
+    val channels = b.getShort(22).toInt
+    val dataSize = b.getInt(40)
+    val nSamples = dataSize / (channels * 2)
+    val nFrames = (nSamples + stride - 1) / stride
+    var sum = 0L
+    var f = 0
+    while (f < nFrames) {
+      sum += b.getShort(44 + f * stride * channels * 2).toLong // signed int16
+      f += 1
+    }
+    FrameSamples(docId, nSamples.toLong, nFrames.toLong, sum)
+  }
+
   /** The m2 pipeline over a (doc_id, payload) frame: per-partition
     * decode, features out. Column pruning keeps the scan at exactly the
     * two columns; no shuffle — decode is embarrassingly parallel. */

@@ -238,33 +238,81 @@ object Similarity {
     def unpersist(): Unit = { coded.unpersist(); () }
   }
 
-  /** N6 index build — per-subspace seeded k-means codebooks (the only
-    * training pass in the PQ family), then one map-side encode: subspace
-    * m's code is the nearest-centroid id of components [m·dsub, (m+1)·dsub).
-    * Encoding goes through KMeansModel.transform per subspace — broadcast
-    * centroids, no shuffle — and the M prediction columns fold into one
-    * code array. Deterministic: fixed seeds, fixed subspace order. */
-  def buildPqIndex(embeddings: DataFrame, nSub: Int = 8,
-                   nCentroids: Int = 16): PqIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val dsub = 64 / nSub
-    val withFeat = (0 until nSub).foldLeft(
-      embeddings.select(col("vec_id"), col("embedding"))) { (df, m) =>
-      df.withColumn(s"f$m", array_to_vector(
-        slice(col("embedding"), m * dsub + 1, dsub).cast(ArrayType(DoubleType))))
+  /** Nearest codebook entry for the subvector at `off` — squared-L2
+    * argmin, lowest id on ties (deterministic). */
+  private def nearestCell(book: Array[Array[Double]], v: Array[Double],
+                          off: Int, dsub: Int): Int = {
+    var best = 0; var bd = Double.MaxValue; var j = 0
+    while (j < book.length) {
+      var s = 0.0; var t = 0
+      while (t < dsub) { val d = v(off + t) - book(j)(t); s += d * d; t += 1 }
+      if (s < bd) { bd = s; best = j }
+      j += 1
     }
-    var coded = withFeat
-    val books = (0 until nSub).map { m =>
-      val model = new KMeans().setK(nCentroids).setSeed(42L + m).setMaxIter(10)
-        .setFeaturesCol(s"f$m").setPredictionCol(s"c$m").fit(withFeat)
-      coded = model.setFeaturesCol(s"f$m").setPredictionCol(s"c$m").transform(coded)
-      model.clusterCenters.map(_.toArray)
-    }.toArray
-    PqIndex(books, coded
-      .select(col("vec_id"), col("embedding"),
-        array((0 until nSub).map(m => col(s"c$m")): _*).as("codes"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    best
+  }
+
+  /** N6 index build — ALL subspace codebooks trained in one distributed
+    * Lloyd loop (not per-subspace driver-sequential fits, which cost
+    * nSub× the job-scheduling latency): seeds are the subvectors of the
+    * nCentroids vec_ids with smallest xxhash64 (deterministic
+    * pseudo-random spread, one bounded collect); each round assigns
+    * map-side against the broadcast codebooks and recenters with ONE
+    * aggregation whose output is nSub·nCentroids·dsub rows — O(model),
+    * not O(corpus). `trainEvery` > 1 hash-samples the training set (the
+    * at-scale lever: codebooks train on a sliver, encoding still covers
+    * every vector). The final encode is a single shuffle-free map pass
+    * emitting the M-byte code array per vector. */
+  def buildPqIndex(embeddings: DataFrame, nSub: Int = 8, nCentroids: Int = 16,
+                   iters: Int = 5, trainEvery: Int = 1): PqIndex = {
+    import embeddings.sparkSession.implicits._
+    val dsub = 64 / nSub
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+    val train = if (trainEvery <= 1) vecs
+      else vecs.where(pmod(xxhash64(col("vec_id")), lit(trainEvery)) === 0)
+    val seedRows = train
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc).limit(nCentroids)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(seedRows.length == nCentroids,
+      s"corpus smaller than $nCentroids codebook entries")
+    var books: Array[Array[Array[Double]]] = Array.tabulate(nSub)(m =>
+      seedRows.map(v => v.slice(m * dsub, (m + 1) * dsub)))
+    for (_ <- 0 until iters) {
+      val bks = books
+      val sums = train.as[(Long, Seq[Float])].mapPartitions { it =>
+        it.flatMap { case (_, emb) =>
+          val v = emb.iterator.map(_.toDouble).toArray
+          (0 until nSub).iterator.map { m =>
+            (m, nearestCell(bks(m), v, m * dsub, dsub), v.slice(m * dsub, (m + 1) * dsub))
+          }
+        }
+      }.toDF("m", "cell", "sv")
+        .select(col("m"), col("cell"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy("m", "cell", "d")
+        // quantized-integer sums (the n5 pattern): the recentred mean is
+        // identical under any partitioning, so codebooks — and therefore
+        // codes and ADC scores — are deterministic end to end.
+        .agg(sum(round(col("x") * 10000).cast(LongType)).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = books.map(_.map(_.clone)) // empty cells keep their centroid
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          r.getLong(3).toDouble / 10000.0 / r.getLong(4)
+      }
+      books = next
+    }
+    val bks = books
+    val coded = vecs.as[(Long, Seq[Float])].mapPartitions { it =>
+      it.map { case (id, emb) =>
+        val v = emb.iterator.map(_.toDouble).toArray
+        val codes: Seq[Int] = (0 until nSub).map(m => nearestCell(bks(m), v, m * dsub, dsub))
+        (id, emb, codes)
+      }
+    }.toDF("vec_id", "embedding", "codes")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    PqIndex(books, coded)
   }
 
   /** N6 query — asymmetric-distance (ADC) top-k over a prebuilt

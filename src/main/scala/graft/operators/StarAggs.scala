@@ -269,8 +269,10 @@ object StarAggs extends graft.QueryModule {
     // actually experiences). Exact interpolated percentiles (Spark
     // `percentile` == DuckDB `quantile_cont`) over integer day counts —
     // deterministic. One hash-agg shuffle keyed by agency; at 100 TB the
-    // drop-in is approx_percentile (t-digest, mergeable partials) when
-    // exact ranks stop being worth a per-group sort.
+    // drop-in is approx_percentile (t-digest, mergeable partials; the
+    // a15 contract row) when exact ranks stop being worth a per-group
+    // sort. The three quantiles go through ONE array-percentile call —
+    // one value buffer and one per-group sort instead of three.
     graft.QueryDef("a12_response_percentiles", Some(
       s"""SELECT agency,
          |  quantile_cont($respDaysSql, 0.5) AS p50,
@@ -281,9 +283,9 @@ object StarAggs extends graft.QueryModule {
          |GROUP BY agency""".stripMargin))((s, d) =>
       pairs(s, d).where(valid)
         .groupBy("agency").agg(
-          percentile(respDays, lit(0.5)).as("p50"),
-          percentile(respDays, lit(0.9)).as("p90"),
-          percentile(respDays, lit(0.99)).as("p99"))),
+          percentile(respDays, array(lit(0.5), lit(0.9), lit(0.99))).as("ps"))
+        .select(col("agency"), col("ps")(0).as("p50"),
+          col("ps")(1).as("p90"), col("ps")(2).as("p99"))),
 
     // A13 — 7-CALENDAR-day moving average of daily request volume per
     // agency: a RANGE frame over epoch-day numbers, so the window is the
@@ -366,16 +368,12 @@ object StarAggs extends graft.QueryModule {
         .groupBy("agency").agg(
           percentile_approx(respDays,
             array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ap"),
-          percentile(respDays, lit(0.49)).as("lo50"),
-          percentile(respDays, lit(0.51)).as("hi50"),
-          percentile(respDays, lit(0.89)).as("lo90"),
-          percentile(respDays, lit(0.91)).as("hi90"),
-          percentile(respDays, lit(0.98)).as("lo99"),
-          percentile(respDays, lit(1.0)).as("hi99"))
+          percentile(respDays, array(lit(0.49), lit(0.51), lit(0.89),
+            lit(0.91), lit(0.98), lit(1.0))).as("bounds"))
         .select(col("agency"),
-          (col("ap")(0) >= col("lo50") && col("ap")(0) <= col("hi50")).as("p50_ok"),
-          (col("ap")(1) >= col("lo90") && col("ap")(1) <= col("hi90")).as("p90_ok"),
-          (col("ap")(2) >= col("lo99") && col("ap")(2) <= col("hi99")).as("p99_ok"))),
+          (col("ap")(0) >= col("bounds")(0) && col("ap")(0) <= col("bounds")(1)).as("p50_ok"),
+          (col("ap")(1) >= col("bounds")(2) && col("ap")(1) <= col("bounds")(3)).as("p90_ok"),
+          (col("ap")(2) >= col("bounds")(4) && col("ap")(2) <= col("bounds")(5)).as("p99_ok"))),
 
     // A16 — approx-distinct per group, the 100 TB drop-in for a6's exact
     // GROUP BY distinct: HLL++ merges partial sketches map-side in ONE

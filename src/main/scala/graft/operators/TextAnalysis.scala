@@ -722,6 +722,61 @@ object TextAnalysisQueries extends graft.QueryModule {
       Multimodal.decodeFeatures(
         Multimodal.fixturePayloads(Tables.documents(s, d))).toDF()),
 
+    // M3 — image resize: nearest-neighbor 8×8 thumbnails over the REAL
+    // BMP payloads (parse header → sample source pixels → re-encode a
+    // valid BMP). The oracle re-derives pix_sum in closed form from the
+    // fixture's LCG pixel bytes — 192 sampled offsets per doc — so wrong
+    // row padding, channel order, or sampling math fails value-for-value.
+    // Map-side; at scale this is the thumbnail/feature-extract stage that
+    // runs next to decode, never shuffling pixel data.
+    graft.QueryDef("m3_image_resize", Some(
+      """WITH b AS (
+        |  SELECT doc_id, 16 + doc_id % 64 AS w, 8 + doc_id % 32 AS h,
+        |    ((16 + doc_id % 64) * 3 + 3) // 4 * 4 AS row_size
+        |  FROM documents WHERE doc_id % 2 = 0)
+        |SELECT doc_id, CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
+        |  CAST(246 AS BIGINT) AS out_len,
+        |  CAST(list_sum(list_transform(generate_series(0, 191), p ->
+        |    (doc_id * 31 + ((p // 24) * h // 8 * row_size
+        |      + (p % 24 // 3) * w // 8 * 3 + p % 3) * 7) % 256)) AS BIGINT) AS pix_sum
+        |FROM b""".stripMargin))((s, d) => {
+      import s.implicits._
+      Multimodal.fixturePayloads(
+        Tables.documents(s, d).where(col("doc_id") % 2 === 0))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, p) => Multimodal.resizeBmp(id, p)._2 })
+        .toDF()
+    }),
+
+    // M4 — audio frame-sampling: step the REAL PCM stream at 160-sample
+    // frames and read each frame's first channel-0 int16 (the audio
+    // analog of video frame extraction). The oracle re-derives the
+    // signed-sample sum closed-form from the fixture LCG — a wrong
+    // stride, channel interleave, or endianness shifts it.
+    graft.QueryDef("m4_audio_frames", Some(
+      """WITH w AS (
+        |  SELECT doc_id, 100 + doc_id % 400 AS n_samples,
+        |    1 + (doc_id // 2) % 2 AS channels
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT doc_id, CAST(n_samples AS BIGINT) AS n_samples,
+        |  CAST((n_samples + 159) // 160 AS BIGINT) AS n_frames,
+        |  CAST(list_sum(list_transform(generate_series(0, (n_samples + 159) // 160 - 1), f ->
+        |    CASE WHEN ((doc_id * 17 + (f * 160 * channels * 2 + 1) * 13) % 256) * 256
+        |            + (doc_id * 17 + f * 160 * channels * 2 * 13) % 256 >= 32768
+        |    THEN ((doc_id * 17 + (f * 160 * channels * 2 + 1) * 13) % 256) * 256
+        |            + (doc_id * 17 + f * 160 * channels * 2 * 13) % 256 - 65536
+        |    ELSE ((doc_id * 17 + (f * 160 * channels * 2 + 1) * 13) % 256) * 256
+        |            + (doc_id * 17 + f * 160 * channels * 2 * 13) % 256
+        |    END)) AS BIGINT) AS frame_sum
+        |FROM w""".stripMargin))((s, d) => {
+      import s.implicits._
+      Multimodal.fixturePayloads(
+        Tables.documents(s, d).where(col("doc_id") % 2 === 1))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, p) => Multimodal.frameSampleWav(id, p) })
+        .toDF()
+    }),
+
     // E1 — sessionization: 30-minute-gap sessions per user via lag +
     // running sum (the batch shape of mapGroupsWithState; the streaming
     // twin lives in graft.streaming and is covered by StreamingSpec).

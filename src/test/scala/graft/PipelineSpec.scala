@@ -246,6 +246,30 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     intercept[Exception] { Multimodal.decode(4L, broken) }
   }
 
+  test("m3/m4: resize re-encodes a decodable BMP; frame stride covers the stream") {
+    import graft.operators.Multimodal
+    // The resized blob is a REAL BMP: decode() must accept it and read
+    // back the thumbnail geometry (so header offsets + row padding are
+    // right), and identity-resize must preserve every pixel byte.
+    val (blob, feat) = Multimodal.resizeBmp(4L, Multimodal.encode(4L))
+    assert(feat.out_len == blob.length.toLong && feat.out_w == 8 && feat.out_h == 8)
+    val rt = Multimodal.decode(4L, blob)
+    assert(rt.width == 8 && rt.height == 8 && rt.media_type == "bmp")
+    // identity resize (same dims as source: doc 4 → 20×12) is lossless
+    val src = Multimodal.encode(4L)
+    val (same, _) = Multimodal.resizeBmp(4L, src, outW = 20, outH = 12)
+    assert(same.toSeq == src.toSeq)
+    // WAV frame sampling: doc 7 → 107 samples → ceil(107/160) = 1 frame;
+    // doc 401 → 501 % 400 = 101... use doc 345: 100+345%400=445 → 3 frames
+    val f7 = Multimodal.frameSampleWav(7L, Multimodal.encode(7L))
+    assert(f7.n_samples == 107 && f7.n_frames == 1)
+    val f345 = Multimodal.frameSampleWav(345L, Multimodal.encode(345L))
+    assert(f345.n_samples == 445 && f345.n_frames == 3)
+    // not-a-BMP / not-a-WAV must fail loudly
+    intercept[Exception] { Multimodal.resizeBmp(7L, Multimodal.encode(7L)) }
+    intercept[Exception] { Multimodal.frameSampleWav(4L, Multimodal.encode(4L)) }
+  }
+
   test("fts: prefix search folds diacritics (unicode61 remove_diacritics)") {
     import spark.implicits._
     val docs = Seq(
