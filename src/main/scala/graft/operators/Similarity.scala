@@ -94,6 +94,28 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       nTables, bits)
 
+  /** Multi-table band keys of a quantized-vector frame (vec_id, v): one
+    * row per (vec_id, table), key = table id + that table's hyperplane
+    * signature. Shared by the batch dedup pairs and the streaming
+    * incremental vector index — the two paths cannot drift. */
+  def bandFrame(q: DataFrame, nTables: Int = 4, bits: Int = 8): DataFrame = {
+    val bands = (0 until nTables).map(t =>
+      concat_ws("-", lit(t), signatureCol(col("v"), bits, planeOffset = t * bits)))
+    q.select(col("vec_id"), explode(array(bands: _*)).as("band"))
+  }
+
+  /** Exact integer-cosine verification of candidate pairs against the
+    * quantized-vector frame — the rerank stage both the batch and
+    * streaming cosine-dedup paths share. */
+  def verifyCosine(cand: DataFrame, q: DataFrame, threshold: Double): DataFrame =
+    cand
+      .join(q.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+      .join(q.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosine(idot(col("va"), col("vb")), inorm2(col("va")), inorm2(col("vb"))).as("cos"))
+      .where(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+
   /** D5 — embedding-cosine near-dup pairs via multi-table hyperplane LSH:
     * nTables independent 8-bit signatures; candidates = pairs sharing ANY
     * table signature (equality self-join on the banded key — never
@@ -102,22 +124,13 @@ object Similarity {
     * Lazy over the caller's [[CosineIndex]]; release when consumed. */
   def cosineDedupPairs(index: CosineIndex, threshold: Double): DataFrame = {
     val q = index.q
-    val bands = (0 until index.nTables).map(t =>
-      concat_ws("-", lit(t),
-        signatureCol(col("v"), index.bits, planeOffset = t * index.bits)))
-    val banded = q.select(col("vec_id"), explode(array(bands: _*)).as("band"))
+    val banded = bandFrame(q, index.nTables, index.bits)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
-    cand
-      .join(q.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
-      .join(q.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        cosine(idot(col("va"), col("vb")), inorm2(col("va")), inorm2(col("vb"))).as("cos"))
-      .where(col("cos") >= threshold)
-      .select("vec_a", "vec_b", "cos")
+    verifyCosine(cand, q, threshold)
   }
 
   /** The IVF index artifact: driver-held centroids (broadcast-sized —

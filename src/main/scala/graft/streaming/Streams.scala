@@ -213,6 +213,64 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming ANN/near-dup ingest — the vector analog of
+    * [[incrementalMinhashIndex]], completing the incremental-maintenance
+    * trio (MinHash, FTS term, vector LSH). Each micro-batch quantizes
+    * ONLY its own embeddings through the same quant + multi-table
+    * hyperplane banding the batch path uses (Similarity.bandFrame — the
+    * two cannot drift), generates candidates from new-vs-all band
+    * collisions with the historical scan semi-join-pruned to the bands
+    * the batch touches, verifies with the shared exact integer-cosine
+    * rerank, and appends its signatures to a batchId-scoped index
+    * partition written with overwrite — a retried micro-batch REPLACES
+    * its own output, so both sinks are idempotent under failure/retry.
+    * Per-batch cost follows touched-band occupancy, never history size. */
+  def incrementalVectorIndex(spark: SparkSession, sourceDir: String,
+                             indexDir: String, pairsDir: String,
+                             checkpointDir: String,
+                             threshold: Double = 0.9): Unit = {
+    import graft.operators.Similarity
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val q = spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val newQ = batch
+          .select(col("vec_id"), Similarity.quant(col("embedding")).as("v"))
+          .persist()
+        // Existence probe, not a broad catch (see incrementalMinhashIndex):
+        // a transient read failure must fail the batch, not silently drop
+        // every new-vs-old pair.
+        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+        val idxExists = idxPath
+          .getFileSystem(s.sparkContext.hadoopConfiguration).exists(idxPath)
+        val oldQ =
+          if (idxExists) s.read.parquet(indexDir).select("vec_id", "v")
+          else s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], newQ.schema)
+        val newBand = Similarity.bandFrame(newQ)
+        val oldBandPruned = Similarity.bandFrame(oldQ)
+          .join(newBand.select("band").distinct(), Seq("band"), "left_semi")
+        val cand = newBand.as("a")
+          .join(oldBandPruned.unionByName(newBand).as("b"),
+            col("a.band") === col("b.band") && col("a.vec_id") =!= col("b.vec_id"))
+          .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+            greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"))
+          .distinct()
+        Similarity.verifyCosine(cand, oldQ.unionByName(newQ), threshold)
+          .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
+        newQ.write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+        newQ.unpersist()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming feed of the partitioned entries warehouse: each
     * micro-batch applies the shared corrections overlay
     * (Normalize.withCorrectedDates — the same single source the batch

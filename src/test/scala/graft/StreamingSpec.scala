@@ -216,6 +216,45 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       "pairs emitted more than once across batches")
   }
 
+  test("incremental vector LSH index converges to the batch pair set (d5 twin)") {
+    import graft.operators.Similarity
+    def addChunk(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp("graft_vec_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$dir/$name"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val src = tmp("graft_vec_src")
+    val index = tmp("graft_vec_root") + "/idx"
+    val pairsDir = tmp("graft_vec_root2") + "/pairs"
+    val ckpt = tmp("graft_vec_ckpt")
+    val vecs = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    // chunk 1: the base corpus; chunk 2: the nudged near-probes of
+    // vec_ids 0-9 arrive later — cross-batch near-duplicates only an
+    // incremental index finds without rescanning the corpus.
+    addChunk(src, vecs, "chunk1.parquet")
+    Streams.incrementalVectorIndex(spark, src, index, pairsDir, ckpt)
+    addChunk(src, Similarity.withVecProbes(vecs)
+      .where(col("vec_id") >= 1000000L), "chunk2.parquet")
+    Streams.incrementalVectorIndex(spark, src, index, pairsDir, ckpt)
+    val incremental = spark.read.parquet(pairsDir)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchIndex = Similarity.buildCosineIndex(Similarity.withVecProbes(vecs))
+    val batch = Similarity.cosineDedupPairs(batchIndex, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    batchIndex.unpersist()
+    val planted = (0L until 10L).map(i => (i, i + 1000000L)).toSet
+    assert(planted.subsetOf(incremental),
+      s"missing planted cross-batch pairs: ${planted -- incremental}")
+    assert(incremental == batch,
+      s"incremental != batch: extra=${incremental -- batch} missing=${batch -- incremental}")
+    assert(spark.read.parquet(pairsDir).count() == incremental.size,
+      "pairs emitted more than once across batches")
+  }
+
   test("incremental FTS term index equals the batch rebuild, with LWW shadowing (s6 twin)") {
     import graft.operators.Fts
     def addChunk(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
