@@ -517,6 +517,81 @@ object SimilarityQueries extends graft.QueryModule {
       s.createDataFrame(local, ranked.schema)
     }),
 
+    // N7 — hybrid retrieval via reciprocal-rank fusion: the BM25 text
+    // ranker (p6c's machinery) and the exact cosine vector ranker (n1's)
+    // each produce a top-20, and RRF fuses them — score = Σ 1/(60+rank),
+    // absent ranker contributes 0 — the standard way to combine lexical
+    // and dense retrieval without score-scale calibration. Each ranker's
+    // rank is deterministic (score desc, id asc); the rank windows run
+    // over ≤20-row bounded frames, so the unpartitioned window is O(k),
+    // not O(corpus). The oracle replays BOTH rankers and the fusion
+    // arithmetic value for value.
+    graft.QueryDef("n7_hybrid_rrf", Some {
+      val toks = "list_filter(string_split_regex(lower(strip_accents(text)), '[^a-z0-9]+'), x -> x <> '')"
+      def ts(t: String) =
+        s"""ln(1.0 + (CAST(n_docs AS DOUBLE) - df_$t + 0.5) / (df_$t + 0.5)) * (CAST(tf_$t AS DOUBLE) * 2.2) /
+           |      (CAST(tf_$t AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))""".stripMargin
+      s"""WITH toks AS (SELECT doc_id AS id, $toks AS t FROM documents),
+         |base AS (SELECT id, len(t) AS dl, unnest(t) AS term FROM toks),
+         |hits AS (SELECT id, dl, term FROM base WHERE term IN ('spark', 'window')),
+         |tf AS (
+         |  SELECT id, dl,
+         |    CAST(SUM(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS BIGINT) AS tf_spark,
+         |    CAST(SUM(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS tf_window
+         |  FROM hits GROUP BY id, dl),
+         |stats AS (SELECT count(*) AS n_docs, CAST(SUM(len(t)) AS DOUBLE) / count(*) AS avgdl FROM toks),
+         |dfs AS (
+         |  SELECT
+         |    CAST(count(DISTINCT CASE WHEN term = 'spark' THEN id END) AS DOUBLE) AS df_spark,
+         |    CAST(count(DISTINCT CASE WHEN term = 'window' THEN id END) AS DOUBLE) AS df_window
+         |  FROM hits),
+         |bm AS (
+         |  SELECT id, score FROM (
+         |    SELECT id, ${ts("spark")}
+         |      + ${ts("window")} AS score
+         |    FROM tf, stats, dfs)
+         |  WHERE score > 0 ORDER BY score DESC, id ASC LIMIT 20),
+         |bmr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rt FROM bm),
+         |qe AS (
+         |  SELECT CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q,
+         |    generate_subscripts(embedding, 1) AS i
+         |  FROM embeddings WHERE vec_id = 0),
+         |ve AS (
+         |  SELECT vec_id, CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS x,
+         |    generate_subscripts(embedding, 1) AS i
+         |  FROM embeddings),
+         |dots AS (
+         |  SELECT ve.vec_id, SUM(ve.x * qe.q) AS dot, SUM(ve.x * ve.x) AS nv
+         |  FROM ve JOIN qe ON ve.i = qe.i GROUP BY ve.vec_id),
+         |nq AS (SELECT SUM(q * q) AS n2 FROM qe),
+         |vec AS (
+         |  SELECT vec_id,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST((SELECT n2 FROM nq) AS DOUBLE))) AS cos
+         |  FROM dots ORDER BY cos DESC, vec_id ASC LIMIT 20),
+         |vr AS (SELECT vec_id AS id, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rv FROM vec),
+         |fused AS (
+         |  SELECT coalesce(bmr.id, vr.id) AS doc_id,
+         |    coalesce(1.0 / (60.0 + rt), 0.0) + coalesce(1.0 / (60.0 + rv), 0.0) AS rrf
+         |  FROM bmr FULL OUTER JOIN vr ON bmr.id = vr.id)
+         |SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin
+    })((s, d) => {
+      val w20 = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("id").asc)
+      val bmr = Fts.bm25(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("spark", "window"), k = 20)
+        .select(col("id"), row_number().over(w20).as("rt"))
+      val wv = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val vr = bruteForceTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 20)
+        .select(col("vec_id").as("id"), row_number().over(wv).as("rv"))
+      bmr.join(vr, Seq("id"), "full_outer")
+        .select(col("id").as("doc_id"),
+          (coalesce(lit(1.0) / (lit(60.0) + col("rt")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("rv")), lit(0.0))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
     // N4 — batched exact top-10 for query vectors 0-4 in one pass,
     // oracle-checked value for value (the oracle replays the arithmetic
     // per query with a window top-k — formulation-independent check of

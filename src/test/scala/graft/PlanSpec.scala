@@ -52,6 +52,27 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       "n4: query set not broadcast")
   }
 
+  test("t19: the TF-IDF posting join broadcasts the query side") {
+    // The corpus posting list must never shuffle against the query docs:
+    // query postings (5 docs) broadcast, and per-query top-k goes through
+    // the bounded ObjectHashAggregate (TopKAggregator), not a window sort
+    // of every candidate.
+    val p = plan("t19_tfidf_similar")
+    assert(p.contains("BroadcastHashJoin"), "t19: posting join not broadcast")
+    assert(p.contains("ObjectHashAggregate"), "t19: top-k not via Aggregator")
+    assert(!p.contains("Window"), "t19: window sort crept into the top-k path")
+  }
+
+  test("n6: the ADC candidate pool is a bounded TakeOrdered, not a full sort") {
+    // PQ's pool selection must compile to TakeOrderedAndProject (top-R
+    // without a global sort); the exact rerank then touches <= R rows.
+    val index = operators.Similarity.buildPqIndex(Tables.embeddings(spark, sf))
+    val p = operators.Similarity.pqTopK(index, 0L, 10)
+      .queryExecution.executedPlan.toString
+    index.unpersist()
+    assert(p.contains("TakeOrderedAndProject"), "n6: pool selection sorts globally")
+  }
+
   test("CASE-overlay variant stays join-free (constant-folded expression)") {
     val p = plan("p4_case_overlay")
     assert(!p.contains("Join"), "p4 should be a pure expression, no join")
