@@ -385,9 +385,15 @@ object StarAggs extends graft.QueryModule {
     graft.QueryDef("a16_approx_distinct", Some(
       """SELECT o_orderpriority AS agency, TRUE AS distinct_ok
         |FROM orders GROUP BY o_orderpriority""".stripMargin))((s, d) =>
-      Tables.orders(s, d).groupBy(col("o_orderpriority").as("agency")).agg(
-        countDistinct(col("o_custkey")).as("exact"),
-        approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx"))
+      // Both sides run over the pre-deduplicated (agency, custkey) frame:
+      // HLL++ is duplicate-insensitive, so the estimate is identical, and
+      // the mixed distinct/non-distinct agg's Expand (which doubles every
+      // input row) never materializes — one distinct shuffle + one agg.
+      Tables.orders(s, d)
+        .select(col("o_orderpriority").as("agency"), col("o_custkey")).distinct()
+        .groupBy("agency").agg(
+          count(lit(1)).as("exact"),
+          approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx"))
         .select(col("agency"),
           (abs(col("approx") - col("exact")).cast(DoubleType) <=
             col("exact").cast(DoubleType) * 0.06).as("distinct_ok"))),
