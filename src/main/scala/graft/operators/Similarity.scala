@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -366,6 +366,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist a [[PqIndex]] as a stored artifact: the codebooks flatten
+    * to a tiny (m, cell, d, v) parquet — O(model) rows — and the code
+    * table lands beside them. At 100 TB the code table IS the queryable
+    * index (16× smaller than the vectors it summarizes, written
+    * partitioned/bucketed as the deployment dictates); a nightly build
+    * writes it once and every query reads it back. */
+  def writePqIndex(index: PqIndex, path: String): Unit = {
+    val s = index.coded.sparkSession
+    import s.implicits._
+    val dsub = 64 / index.nSub
+    val rows = for {
+      m <- 0 until index.nSub; j <- 0 until index.nCentroids; t <- 0 until dsub
+    } yield (m, j, t, index.codebooks(m)(j)(t))
+    rows.toDF("m", "cell", "d", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    index.coded.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Reload a stored PQ index: the codebook read is a bounded O(model)
+    * collect; the code table persists behind the returned release
+    * handle, exactly like a freshly built index. */
+  def readPqIndex(spark: SparkSession, path: String,
+                  nSub: Int = 8, nCentroids: Int = 16): PqIndex = {
+    val dsub = 64 / nSub
+    val books = Array.fill(nSub, nCentroids, dsub)(0.0)
+    spark.read.parquet(s"$path/codebooks").collect().foreach { r =>
+      books(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+    }
+    PqIndex(books, spark.read.parquet(s"$path/codes")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** Exact-clone probes for the ANN oracles (n2b/n3b): `n` verbatim
     * copies of the query vector planted at vec_id 1000000+i. Identical
     * integer vectors ⇒ identical hyperplane signature in EVERY plane
@@ -386,6 +418,11 @@ object Similarity {
 /** Registered similarity queries (N-family). */
 object SimilarityQueries extends graft.QueryModule {
   import Similarity._
+
+  private lazy val pqRoot: String = graft.util.TmpRoot("pq-idx")
+  private val pqWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dirTag(d: String): String = d.replaceAll("[^a-zA-Z0-9]", "_")
 
   /** The brute-force cosine top-k oracle over an arbitrary corpus CTE —
     * n1's exact arithmetic, shared by the probe-anchored ANN twins
@@ -590,6 +627,28 @@ object SimilarityQueries extends graft.QueryModule {
             coalesce(lit(1.0) / (lit(60.0) + col("rv")), lit(0.0))).as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id").asc)
         .limit(10)
+    }),
+
+    // N6c — the SAME planted-clone query routed through the PERSISTENT
+    // PQ index (p6f's pattern for vectors): codebooks + code table are
+    // written once per (JVM, data dir) — the nightly artifact, not
+    // per-query work — read back, and queried; the identical brute-force
+    // oracle proves the storage round-trip is lossless end to end.
+    graft.QueryDef("n6c_ann_pq_persistent", Some(
+      bruteForceSql(cloneCorpusSql, 11)))((s, d) => {
+      val path = pqWritten.computeIfAbsent(d, dd => {
+        val built = buildPqIndex(
+          withQueryClones(Tables.embeddings(s, dd), queryVecId = 0L, n = 10))
+        val p = s"$pqRoot/${dirTag(dd)}/pq"
+        writePqIndex(built, p)
+        built.unpersist()
+        p
+      })
+      val index = readPqIndex(s, path)
+      val ranked = pqTopK(index, queryVecId = 0L, k = 11)
+      val local = ranked.collectAsList()
+      index.unpersist()
+      s.createDataFrame(local, ranked.schema)
     }),
 
     // N4 — batched exact top-10 for query vectors 0-4 in one pass,

@@ -39,7 +39,11 @@ object TextAnalysisQueries extends graft.QueryModule {
     * window minima run over SIGNED longs — the JVM deque compares Long
     * values natively — so each hash maps to its signed representation
     * BEFORE list_min, not after (unsigned minima pick different
-    * fingerprints and share zero values with the engine). */
+    * fingerprints and share zero values with the engine). Caveat: the
+    * engine hashes UTF-16 code units (charAt) while the twin hashes code
+    * points (unicode()) — identical on this ASCII corpus, divergent on
+    * supplementary-plane text; a non-ASCII corpus would need the twin to
+    * expand surrogate pairs. */
   private val winnowSql: String = {
     val M = "CAST('18446744073709551616' AS HUGEINT)" // 2^64
     def mulmod(a: String, hi: Long, lo: Long): String =
@@ -661,6 +665,53 @@ object TextAnalysisQueries extends graft.QueryModule {
         .agg(new graft.functions.TopKAggregator(10).toColumn)
         .flatMap { case (qid, top) => top.map(t => (qid.toLong, t._1, t._2)) }
         .toDF("query_id", "doc_id", "cos")
+    }),
+
+    // T20 — deterministic global shuffle + sharded export (the training-
+    // order randomization step): a Knuth multiplicative hash (doc_id ·
+    // 2654435761, SQL-replicable exact integer arithmetic — never rand(),
+    // so the assignment is identical across engines, partitionings, and
+    // retries) assigns each doc a shard and a pseudo-random position
+    // within it. Shards are the parallel unit: the position window
+    // partitions BY shard, so at 100 TB this is "write partitioned by
+    // shard, sortWithinPartitions(h)" — no global sort anywhere. The
+    // per-shard manifest (doc count + token sum) rides the same pass
+    // shape the x1/s7 exports use.
+    graft.QueryDef("t20_shuffle_shard", Some(
+      """WITH hashed AS (
+        |  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tok
+        |  FROM documents)
+        |SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos,
+        |  CAST(n_tok AS BIGINT) AS n_tok
+        |FROM hashed""".stripMargin))((s, d) => {
+      val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+      Tables.documents(s, d)
+        .select(col("doc_id"), h.as("h"),
+          size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tok"))
+        .select(col("doc_id"), (col("h") % 8).as("shard"),
+          row_number().over(Window.partitionBy(col("h") % 8)
+            .orderBy(col("h"), col("doc_id"))).cast(LongType).as("pos"),
+          col("n_tok"))
+    }),
+
+    // T20b — the shard manifest: per-shard doc and token totals, the
+    // export-side bookkeeping a downstream trainer reads to plan epochs.
+    graft.QueryDef("t20b_shard_manifest", Some(
+      """WITH hashed AS (
+        |  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tok
+        |  FROM documents)
+        |SELECT CAST(h % 8 AS BIGINT) AS shard, count(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+        |FROM hashed GROUP BY 1""".stripMargin))((s, d) => {
+      val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+      Tables.documents(s, d)
+        .select((h % 8).as("shard"),
+          size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tok"))
+        .groupBy("shard").agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"))
     }),
 
     // X1 — JSONL export (the training-data interchange format): one

@@ -206,7 +206,17 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     // codes + rerank-50 keeps meaningful overlap with the true top-10.
     val index2 = Similarity.buildPqIndex(emb)
     val pq3 = Similarity.pqTopK(index2, 0L, 10).collect().map(_.getLong(0)).toSet
+    // The written index round-trips losslessly: same query, same result.
+    val path = graft.util.TmpRoot("pqspec") + "/pq"
+    Similarity.writePqIndex(index2, path)
+    val mem = Similarity.pqTopK(index2, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     index2.unpersist()
+    val reloaded = Similarity.readPqIndex(spark, path)
+    val disk = Similarity.pqTopK(reloaded, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    reloaded.unpersist()
+    assert(mem == disk, s"written PQ index diverged: $mem vs $disk")
     val brute = Similarity.bruteForceTopK(emb, 0L, 10)
       .collect().map(_.getLong(0)).toSet
     val recall = pq3.intersect(brute).size
