@@ -56,6 +56,32 @@ object Warehouse {
       .groupBy(substring(col("corrected_request"), 1, 7).as("month"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Compact the streaming-append store into the serving layout — the
+    * small-file maintenance pass every streaming-ingested warehouse
+    * needs at scale: N micro-batches × Y years of tiny files become one
+    * request_year-partitioned store. Re-delivered ids (a later batch
+    * carrying a newer revision of an entry) resolve LAST-WRITER-WINS by
+    * batch_id — one row_number window keyed by id, i.e. one shuffle of
+    * the staged store, the same upsert semantics s5 pins. The write
+    * repartitions by the partition key so each year emits its files
+    * from one task group (`maxRecordsPerFile` caps them at scale), and
+    * readers keep the exact same request_year pruning they had against
+    * the staged store. */
+  def compactAppendStore(spark: SparkSession, stagedPath: String,
+                         compactedPath: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val staged = spark.read.parquet(stagedPath)
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("batch_id").desc)
+    staged.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn", "batch_id")
+      .repartition(col("request_year"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 5000000)
+      .partitionBy("request_year")
+      .parquet(compactedPath)
+  }
+
   /** Fixture store location for the registered gate queries — rewritten
     * idempotently per invocation (the corrected view is tiny; at scale
     * the write is the nightly sync's output, not per-query work).

@@ -337,6 +337,47 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(after.select("id").distinct().count() == all.size.toLong)
   }
 
+  test("warehouse compaction: cross-batch LWW, fewer files, pruning kept") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val staged = tmp("graft_whc_staged") + "/entries"
+    val compacted = tmp("graft_whc_out") + "/entries"
+    val ckpt = tmp("graft_whc_ckpt")
+    val all = graft.entries.Fixture.entries
+    // batch 0: the full corpus; batch 1: a NEWER revision of the first
+    // entry (mutated agency) — the re-delivery compaction must keep.
+    val stream = MemoryStream[graft.entries.Entry]
+    stream.addData(all)
+    Streams.warehouseAppendStream(stream.toDF(), staged, ckpt)
+    val revised = all.head.copy(agency = "Revised Agency Name")
+    stream.addData(Seq(revised))
+    Streams.warehouseAppendStream(stream.toDF(), staged, ckpt)
+    assert(spark.read.parquet(staged).count() == all.size + 1L) // staged keeps both
+    graft.entries.Warehouse.compactAppendStore(spark, staged, compacted)
+    val got = spark.read.parquet(compacted)
+    // one row per id, and the LATER batch's revision won
+    assert(got.count() == all.size.toLong)
+    assert(got.where(col("id") === all.head.id).select("agency")
+      .head().getString(0) == "Revised Agency Name")
+    // batch_id is gone from the serving layout; request_year remains
+    assert(!got.columns.contains("batch_id"))
+    // the compacted store has at most one data file per year partition
+    val years = new java.io.File(compacted).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("request_year="))
+    assert(years.nonEmpty)
+    years.foreach { dir =>
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length <= 1, s"${dir.getName} not compacted: ${files.length} files")
+    }
+    // the serving read still prunes on request_year
+    val q = got.where(col("request_year") === 2025)
+    q.collect()
+    assert(q.queryExecution.executedPlan.toString
+      .matches("(?s).*PartitionFilters: \\[[^\\]]*request_year.*"),
+      "compacted store lost partition pruning")
+  }
+
   test("incremental upsert: last write wins and re-runs are stable") {
     val target = tmp("graft_upsert_target") + "/t"
     val n1 = Streams.incrementalUpsert(spark, srcDir, target, tmp("graft_upsert_ckpt1"))
