@@ -82,6 +82,25 @@ object Warehouse {
       .parquet(compactedPath)
   }
 
+  /** Snapshot (time-travel) read of the staged append store: the state
+    * as of batch watermark `asOfBatch` — batches beyond it are never
+    * scanned (batch_id is a partition column, so the bound prunes at
+    * the file index), and re-delivered ids within the horizon resolve
+    * last-writer-wins exactly as compaction would. This is the engine's
+    * analog of the reference's D1 time-travel bookmark (s8's input):
+    * the staged store doubles as a replayable log, so "what did the
+    * export see at bookmark B" is a filter, not a restore. */
+  def snapshotAt(spark: SparkSession, stagedPath: String,
+                 asOfBatch: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("batch_id").desc)
+    spark.read.parquet(stagedPath)
+      .where(col("batch_id") <= asOfBatch)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
   /** Fixture store location for the registered gate queries — rewritten
     * idempotently per invocation (the corrected view is tiny; at scale
     * the write is the nightly sync's output, not per-query work).

@@ -376,6 +376,19 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(q.queryExecution.executedPlan.toString
       .matches("(?s).*PartitionFilters: \\[[^\\]]*request_year.*"),
       "compacted store lost partition pruning")
+    // time travel: the batch-0 snapshot predates the revision; the
+    // batch-1 snapshot equals the compacted (current) state — and the
+    // batch bound prunes on the batch_id partition column.
+    val snap0 = graft.entries.Warehouse.snapshotAt(spark, staged, 0L)
+    assert(snap0.count() == all.size.toLong)
+    assert(snap0.where(col("id") === all.head.id).select("agency")
+      .head().getString(0) == all.head.agency)
+    val snap1 = graft.entries.Warehouse.snapshotAt(spark, staged, 1L)
+    assert(snap1.where(col("id") === all.head.id).select("agency")
+      .head().getString(0) == "Revised Agency Name")
+    val sp = snap0.queryExecution.executedPlan.toString
+    assert(sp.matches("(?s).*PartitionFilters: \\[[^\\]]*batch_id.*"),
+      s"snapshot bound not pruning on batch_id:\n$sp")
   }
 
   test("incremental upsert: last write wins and re-runs are stable") {
