@@ -647,6 +647,27 @@ object EntryQueries extends graft.QueryModule {
           col("driftTolerance").as("drift_tolerance"))
     },
 
+    // S2b — the parse QUARANTINE split: every fetched page classified
+    // (parsed vs quarantined + reason) instead of silently dropped — the
+    // production ingest needs the reject side-output for alerting and
+    // post-fix replay. The oracle is the hand-written classification of
+    // the fixture transport: 3 parseable pages, the 404 shape, and a
+    // garbage-bytes page.
+    graft.QueryDef("s2b_parse_quarantine", Some(
+      """SELECT * FROM (VALUES
+        |  (CAST(27 AS BIGINT), 'parsed', CAST(NULL AS VARCHAR)),
+        |  (CAST(28 AS BIGINT), 'parsed', CAST(NULL AS VARCHAR)),
+        |  (CAST(30 AS BIGINT), 'parsed', CAST(NULL AS VARCHAR)),
+        |  (CAST(31 AS BIGINT), 'quarantined', 'no_fields'),
+        |  (CAST(32 AS BIGINT), 'quarantined', 'no_fields')
+        |) AS t(id, status, reason)""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      val pages = Sync.fixtureTransport.toSeq ++
+        Seq((31L, Sync.NotFoundHtml), (32L, "%%% not even html %%%"))
+      Sync.classifyPages(s.createDataset(pages)).toDF()
+        .select(col("id"), col("status"), col("reason"))
+    },
+
     // S2/S3 — the HTML parser goldens: the oracle is the hand-written
     // expected parse of the three fixture pages (M/D/YYYY normalization,
     // '' -> NULL fields, amended flag, entity decode, 404 page dropped).

@@ -110,6 +110,35 @@ object Sync {
       response = opt("response")))
   }
 
+  /** One classified page: parsed entry OR a quarantine reason, plus the
+    * raw payload's size and md5 fingerprint so a reject is triagable and
+    * replayable without re-fetching. */
+  final case class PageOutcome(id: Long, status: String,
+                               reason: Option[String], n_bytes: Long,
+                               fingerprint: String, entry: Option[Entry])
+
+  /** S2 hardened for production ingest: classify every fetched page
+    * instead of silently dropping unparseable ones. A page with zero
+    * recognizable fields (the 404/redirect shape, or garbage bytes) is
+    * QUARANTINED with a reason and its payload fingerprint — at scale
+    * the rejects frame is the side output you alert on and replay after
+    * a parser fix, while the good split feeds the upsert unchanged. One
+    * map-side pass; both splits are filters over its output. */
+  def classifyPages(pages: org.apache.spark.sql.Dataset[(Long, String)]):
+      org.apache.spark.sql.Dataset[PageOutcome] = {
+    import pages.sparkSession.implicits._
+    pages.mapPartitions(_.map { case (id, html) =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(html.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      parseEntry(html, id) match {
+        case Some(e) => PageOutcome(id, "parsed", None,
+          html.length.toLong, md5, Some(e))
+        case None => PageOutcome(id, "quarantined", Some("no_fields"),
+          html.length.toLong, md5, None)
+      }
+    })
+  }
+
   /** S1 — the drift-tolerance probe loop (reference runSync,
     * src/lib/sync.ts:177-212). `fetch` abstracts the transport: None is
     * a missing id (404/redirect/unparseable), Some(html) a hit. */

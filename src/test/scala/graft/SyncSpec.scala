@@ -62,6 +62,27 @@ class SyncSpec extends AnyFunSuite with SparkSuite {
     assert(noAgency.get.agency == "Unknown")
   }
 
+  test("classifyPages: quarantine split partitions the input, rejects are replayable") {
+    import spark.implicits._
+    import graft.entries.Sync
+    val pages = Sync.fixtureTransport.toSeq ++
+      Seq((31L, Sync.NotFoundHtml), (32L, "%%% garbage %%%"))
+    val out = Sync.classifyPages(spark.createDataset(pages)).collect()
+    // every input id appears exactly once, as parsed XOR quarantined
+    assert(out.map(_.id).sorted.toSeq == pages.map(_._1).sorted)
+    assert(out.forall(o => (o.status == "parsed") == o.entry.isDefined))
+    assert(out.forall(o => (o.status == "quarantined") == o.reason.isDefined))
+    // the good split equals parseEntry's direct output (no drift)
+    val good = out.flatMap(_.entry).sortBy(_.id).toSeq
+    val direct = pages.flatMap { case (id, h) => Sync.parseEntry(h, id) }.sortBy(_.id)
+    assert(good == direct)
+    // a reject carries the raw payload's md5 — the replay key
+    val rej = out.find(_.id == 32L).get
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("%%% garbage %%%".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rej.fingerprint == md5 && rej.n_bytes == "%%% garbage %%%".length.toLong)
+  }
+
   test("runSync: interior gap absorbed, 3-in-a-row stops (drift golden)") {
     val (res, added) = Sync.runSync(Sync.fixtureTransport.get, latestInDb = 26)
     assert(res == Sync.SyncResult(3, 7, 27, 33, 3))
