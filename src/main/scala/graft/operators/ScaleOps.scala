@@ -50,4 +50,64 @@ object ScaleOps {
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** The k bit positions of a key under double hashing: h1 + i·h2 mod m,
+    * with h1/h2 both Column xxhash64 (different tuple shapes give
+    * independent hashes). Build and probe share THIS function, so the
+    * two sides cannot drift — the classic Bloom bug is hashing with two
+    * slightly different implementations. */
+  private def bloomBits(key: Column, nBits: Int, nHashes: Int): Seq[Column] = {
+    // both hashes pre-reduced mod m so h1 + i·h2 stays far from Long
+    // overflow (ANSI mode makes wrap-around a hard error, not silence)
+    val h1 = pmod(xxhash64(key), lit(nBits.toLong))
+    val h2 = pmod(xxhash64(key, lit(0x9e3779b97f4a7c15L)), lit(nBits.toLong))
+    (0 until nHashes).map(i => pmod(h1 + lit(i.toLong) * h2, lit(nBits.toLong)))
+  }
+
+  /** Distributively build a Bloom filter over a key column: explode each
+    * key to its k bit positions, then a typed Aggregator whose buffer is
+    * the bitset itself — partials OR-merge, so the driver receives one
+    * nBits/8-byte array no matter how many keys (never a collect of the
+    * key set). */
+  def buildBloom(keys: DataFrame, keyCol: String,
+                 nBits: Int = 1 << 20, nHashes: Int = 3): Array[Long] = {
+    import keys.sparkSession.implicits._
+    keys.select(explode(array(
+      bloomBits(col(keyCol), nBits, nHashes): _*)).as("bit"))
+      .as[Long]
+      .select(new graft.functions.BitsetAggregator(nBits).toColumn)
+      .head()
+  }
+
+  /** Pure-Column Bloom membership test against the built bit array —
+    * codegen-friendly (literal arrays + bitwiseAND; no UDF), so the
+    * predicate evaluates inside the probe side's scan stage. */
+  def mightContain(key: Column, bits: Array[Long], nHashes: Int = 3): Column = {
+    val nBits = bits.length * 64
+    val words = typedLit(bits.toSeq)
+    val masks = typedLit((0 until 64).map(b => 1L << b))
+    bloomBits(key, nBits, nHashes).map { h =>
+      element_at(words, (h / 64 + 1).cast("int"))
+        .bitwiseAND(element_at(masks, (h % 64 + 1).cast("int"))) =!= 0L
+    }.reduce(_ && _)
+  }
+
+  /** Bloom-pruned semi-join — the pre-shuffle filter for selective
+    * joins: when the build side is too big to broadcast but its KEY SET
+    * fits a few hundred KB of bitset, filter the fact side map-side
+    * BEFORE its shuffle, then run the exact semi-join over the
+    * survivors to kill false positives. Fact rows that would die in the
+    * join never pay the exchange — at 100 TB that is the difference
+    * between shuffling the corpus and shuffling the ~selectivity
+    * fraction that can match. Result set provably equals the plain
+    * semi-join (false positives are filtered by the exact join; false
+    * negatives are impossible). */
+  def bloomSemiJoin(fact: DataFrame, keys: DataFrame, factKey: String,
+                    keysKey: String, nBits: Int = 1 << 20,
+                    nHashes: Int = 3): DataFrame = {
+    val bits = buildBloom(keys, keysKey, nBits, nHashes)
+    fact.where(mightContain(col(factKey), bits, nHashes))
+      .join(keys.select(col(keysKey).as(factKey + "__k")),
+        col(factKey) === col(factKey + "__k"), "left_semi")
+  }
 }

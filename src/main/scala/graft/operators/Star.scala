@@ -332,6 +332,23 @@ object StarPredicates extends graft.QueryModule {
         .select("o_orderkey", "o_orderpriority", "rank")
     }),
 
+    // J9 — Bloom-pruned semi-join (ScaleOps.bloomSemiJoin): the BUILDING
+    // customers' key set compresses to a 128 KB bitset that filters
+    // orders MAP-SIDE before their shuffle — rows that would die in the
+    // join never pay the exchange; the exact semi-join over survivors
+    // kills false positives, so the result provably equals the plain
+    // semi-join the oracle states.
+    graft.QueryDef("j9_bloom_semijoin", Some(
+      """SELECT o.o_orderkey, o.o_custkey FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM customer c
+        |  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')""".stripMargin))((s, d) =>
+      ScaleOps.bloomSemiJoin(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey"),
+        factKey = "o_custkey", keysKey = "c_custkey")
+        .select("o_orderkey", "o_custkey")),
+
     // J7 — AS-OF join: each click event matched to the SAME user's most
     // recent view at-or-before its timestamp (the classic
     // dimension-as-of-time lookup Spark lacks as a native operator).

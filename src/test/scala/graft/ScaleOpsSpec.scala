@@ -76,4 +76,25 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(run() == run())
   }
+
+  test("bloom semi-join: no false negatives, real pre-join pruning, exact result") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // fact keys 1..10000; build side = multiples of 100 (1% selectivity)
+    val fact = (1L to 10000L).map(i => (i, i)).toDF("row_id", "k")
+    val keys = (1L to 10000L).filter(_ % 100 == 0).map(Tuple1(_)).toDF("bk")
+    val bits = ScaleOps.buildBloom(keys, "bk", nBits = 1 << 16)
+    // no false negatives: EVERY build key passes the filter
+    val passed = fact.where(ScaleOps.mightContain(col("k"), bits))
+      .select("k").as[Long].collect().toSet
+    assert((100L to 10000L by 100).forall(passed.contains),
+      "bloom dropped a true key (false negative)")
+    // the filter actually prunes: survivors are far below the full fact
+    // side (FP rate at 2^16 bits / 100 keys is tiny)
+    assert(passed.size < 1000, s"bloom barely pruned: ${passed.size} of 10000")
+    // end-to-end equality with the plain semi-join
+    val got = ScaleOps.bloomSemiJoin(fact, keys, "k", "bk", nBits = 1 << 16)
+      .select("row_id").as[Long].collect().sorted.toSeq
+    assert(got == (100L to 10000L by 100).toSeq)
+  }
 }
