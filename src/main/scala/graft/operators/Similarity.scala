@@ -714,6 +714,54 @@ object SimilarityQueries extends graft.QueryModule {
       cosineDedupPairs(buildCosineIndex(withVecProbes(Tables.embeddings(s, d))),
         threshold = 0.9)),
 
+    // D9 — SEMANTIC dedup applied end-to-end: embedding-LSH pairs →
+    // connected components → anti-join kept corpus (d7's pipeline shape
+    // at the embedding level — what a curation pipeline actually ships
+    // when near-duplicate MEANING, not text, is the dedup key). The
+    // oracle brute-forces every pair's exact cosine (no banding, no
+    // clustering) and keeps a vector iff no smaller-id vector reaches
+    // the threshold — on this corpus that direct-partner rule IS the
+    // component rule, because pairs are the disjoint planted clones
+    // (natural cosine ceiling ~0.51 < 0.9), so the full LSH→CC→anti-join
+    // composition is checked against an independent formulation.
+    graft.QueryDef("d9_semantic_dedup_apply", Some(
+      """WITH vecs AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_prepend(embedding[1] + CAST(0.01 AS FLOAT), embedding[2:]) AS embedding
+        |  FROM embeddings WHERE vec_id < 10),
+        |comp AS (
+        |  SELECT vec_id,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM vecs),
+        |norms AS (SELECT vec_id, SUM(x * x) AS n2 FROM comp GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.x * b.x) AS dot
+        |  FROM comp a JOIN comp b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        |dups AS (
+        |  SELECT vb FROM dots
+        |  JOIN norms na ON na.vec_id = dots.va
+        |  JOIN norms nb ON nb.vec_id = dots.vb
+        |  WHERE CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.9)
+        |SELECT vec_id FROM vecs
+        |WHERE NOT EXISTS (SELECT 1 FROM dups WHERE dups.vb = vecs.vec_id)""".stripMargin))((s, d) => {
+      val emb = withVecProbes(Tables.embeddings(s, d))
+      val index = buildCosineIndex(emb)
+      val pairs = cosineDedupPairs(index, threshold = 0.9)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      val drop = Dedup.connectedComponents(pairs)
+        .where(col("doc_id") =!= col("cluster"))
+        .select(col("doc_id").as("vec_id"))
+      val kept = emb.join(drop, Seq("vec_id"), "left_anti").select("vec_id")
+      val local = kept.collectAsList()
+      index.unpersist()
+      s.createDataFrame(local, kept.schema)
+    }),
+
     // D5b — the hyperplane-LSH path, oracle-HARD: restrict the pair
     // output to the planted-probe slice (probes carry the largest ids,
     // so vec_b >= 1000000 captures exactly pairs-involving-probes) and

@@ -240,6 +240,55 @@ object TextAnalysisQueries extends graft.QueryModule {
           countDistinct(col("bench_id")).as("n_bench_docs"))
     }),
 
+    // T8b — decontamination APPLIED: the training corpus with every
+    // flagged doc removed (t8 detects; this ships the clean corpus — the
+    // d7/d9 apply shape for contamination). Left-anti against the
+    // flagged set, which is map-side cheap because the flag join itself
+    // broadcast the eval-gram index; the planted +2000000 leaks MUST all
+    // be gone and every untouched doc MUST survive, which the oracle
+    // states as NOT EXISTS over the same gram-overlap predicate.
+    graft.QueryDef("t8b_decontaminate", Some {
+      val grams =
+        """list_distinct(list_transform(
+          |    generate_series(1, greatest(len(words) - 7, 1)),
+          |    i -> array_to_string(list_slice(words, i, i + 7), ' ')))""".stripMargin
+      s"""WITH train AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 100 = 7),
+         |tg AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, unnest($grams) AS g
+         |    FROM (SELECT doc_id, string_split(${Dedup.normTextSql}, ' ') AS words FROM train))
+         |  WHERE g <> ''),
+         |bg AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id AS bench_id, unnest($grams) AS g
+         |    FROM (SELECT doc_id, string_split(${Dedup.normTextSql}, ' ') AS words
+         |          FROM documents WHERE doc_id % 100 = 7))
+         |  WHERE g <> '')
+         |SELECT doc_id FROM train t
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM tg JOIN bg ON tg.g = bg.g AND tg.doc_id <> bg.bench_id
+         |  WHERE tg.doc_id = t.doc_id)""".stripMargin
+    })((s, d) => {
+      val grams8 = (t: Column) =>
+        graft.plans.NativeFunctions.wordKGrams(Dedup.normText(t), 8)
+      val docs = Tables.documents(s, d)
+      val train = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") % 100 === 7)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      val bench = docs.where(col("doc_id") % 100 === 7)
+        .select(col("doc_id").as("bench_id"), explode(grams8(col("text"))).as("g"))
+        .where(col("g") =!= "")
+      val flagged = train.select(col("doc_id"), explode(grams8(col("text"))).as("g"))
+        .where(col("g") =!= "")
+        .join(broadcast(bench), Seq("g"))
+        .where(col("doc_id") =!= col("bench_id"))
+        .select("doc_id").distinct()
+      train.join(flagged, Seq("doc_id"), "left_anti").select("doc_id")
+    }),
+
     // T6 — sequence packing for training batches: docs are packed into
     // fixed token-budget (2048) bins per language stratum by running
     // prior-token offset — pack_id = floor(prior_cumsum / budget), the
