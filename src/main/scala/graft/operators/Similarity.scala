@@ -158,6 +158,39 @@ object Similarity {
     IvfIndex(model.clusterCenters.map(_.toArray), assigned)
   }
 
+  /** Persist an [[IvfIndex]]: centroids flatten to an O(model) parquet;
+    * the assignment frame is written PARTITIONED BY CELL — which turns
+    * the query path's nProbe cell probe into directory pruning
+    * (PartitionFilters at the file index; non-probed cells are never
+    * opened). The at-scale layout: one nightly k-means, every query
+    * reads nProbe/nCells of the files. */
+  def writeIvfIndex(index: IvfIndex, path: String): Unit = {
+    val s = index.assigned.sparkSession
+    import s.implicits._
+    val cents = for {
+      (c, i) <- index.centroids.zipWithIndex.toSeq; (v, dd) <- c.zipWithIndex
+    } yield (i, dd, v)
+    cents.toDF("cell", "d", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    index.assigned.write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$path/assigned")
+  }
+
+  /** Reload a stored IVF index: bounded O(model) centroid collect. The
+    * assignment frame is deliberately NOT cached — caching would
+    * materialize every cell on first use and defeat the layout's whole
+    * point, that a probe's cell filter prunes to nProbe/nCells of the
+    * files at the directory index (unpersist() on the handle is then a
+    * no-op, kept for interface uniformity). */
+  def readIvfIndex(spark: SparkSession, path: String,
+                   nCells: Int = 16, dim: Int = 64): IvfIndex = {
+    val cents = Array.fill(nCells, dim)(0.0)
+    spark.read.parquet(s"$path/centroids").collect().foreach { r =>
+      cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+    }
+    IvfIndex(cents, spark.read.parquet(s"$path/assigned"))
+  }
+
   /** N3 query — probe the nProbe nearest cells of a prebuilt [[IvfIndex]],
     * exact integer-cosine rerank inside them. Scan cost is nProbe/nCells
     * of the corpus vs brute force; centroid selection is a driver-side
@@ -422,6 +455,8 @@ object SimilarityQueries extends graft.QueryModule {
   private lazy val pqRoot: String = graft.util.TmpRoot("pq-idx")
   private val pqWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ivfWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def dirTag(d: String): String = d.replaceAll("[^a-zA-Z0-9]", "_")
 
   /** The brute-force cosine top-k oracle over an arbitrary corpus CTE —
@@ -646,6 +681,27 @@ object SimilarityQueries extends graft.QueryModule {
       })
       val index = readPqIndex(s, path)
       val ranked = pqTopK(index, queryVecId = 0L, k = 11)
+      val local = ranked.collectAsList()
+      index.unpersist()
+      s.createDataFrame(local, ranked.schema)
+    }),
+
+    // N3c — the planted-clone IVF query routed through the WRITTEN
+    // index: centroids + cell-partitioned assignments round-trip from
+    // disk, and the probe becomes directory pruning (PlanSpec asserts
+    // cell PartitionFilters). Same brute-force oracle as n3b.
+    graft.QueryDef("n3c_ann_ivf_persistent", Some(
+      bruteForceSql(cloneCorpusSql, 11)))((s, d) => {
+      val path = ivfWritten.computeIfAbsent(d, dd => {
+        val built = buildIvfIndex(
+          withQueryClones(Tables.embeddings(s, dd), queryVecId = 0L, n = 10))
+        val p = s"$pqRoot/${dirTag(dd)}/ivf"
+        writeIvfIndex(built, p)
+        built.unpersist()
+        p
+      })
+      val index = readIvfIndex(s, path)
+      val ranked = ivfTopK(index, queryVecId = 0L, k = 11)
       val local = ranked.collectAsList()
       index.unpersist()
       s.createDataFrame(local, ranked.schema)

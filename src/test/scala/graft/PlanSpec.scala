@@ -73,6 +73,18 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), "n6: pool selection sorts globally")
   }
 
+  test("n3c: the persistent IVF probe prunes cell partitions at the file index") {
+    val built = operators.Similarity.buildIvfIndex(Tables.embeddings(spark, sf))
+    val path = util.TmpRoot("ivfplan") + "/ivf"
+    operators.Similarity.writeIvfIndex(built, path)
+    built.unpersist()
+    val reloaded = operators.Similarity.readIvfIndex(spark, path)
+    val p = operators.Similarity.ivfTopK(reloaded, 0L, 10)
+      .queryExecution.executedPlan.toString
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*cell.*"),
+      s"n3c: cell probe not pruning partitions:\n$p")
+  }
+
   test("CASE-overlay variant stays join-free (constant-folded expression)") {
     val p = plan("p4_case_overlay")
     assert(!p.contains("Join"), "p4 should be a pure expression, no join")
