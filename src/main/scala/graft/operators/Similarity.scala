@@ -215,6 +215,60 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched IVF retrieval — m queries against one prebuilt index in a
+    * single pass (the production retrieval shape: per-query jobs would
+    * pay m × the scheduling and scan cost). Probe-cell selection is a
+    * driver-side O(m·nCells) loop over the in-memory centroid table; the
+    * (query, cell) probe list and the quantized query vectors broadcast,
+    * so every corpus row scores map-side against exactly the queries
+    * probing its cell — fan-out cost is Σ_q |probed cells|, never m ×
+    * corpus — and per-query top-k rides the bounded TopKAggregator. */
+  def ivfBatchTopK(index: IvfIndex, queryIds: Seq[Long], k: Int,
+                   nProbe: Int = 4): DataFrame = {
+    val s = index.assigned.sparkSession
+    import s.implicits._
+    val qRows = index.assigned
+      .where(col("vec_id").isin(queryIds.map(Long.box): _*))
+      .select(col("vec_id"), col("embedding")).collect() // bounded: m rows
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val probes = queryIds.flatMap { q =>
+      val qv = qRows(q)
+      index.centroids.zipWithIndex.map { case (c, i) =>
+        var dsq = 0.0; var t = 0
+        while (t < c.length) { val d = c(t) - qv(t); dsq += d * d; t += 1 }
+        (dsq, i)
+      }.sortBy(_._1).take(nProbe).map(p => (q, p._2))
+    }.toDF("query_id", "cell")
+    val qv = index.assigned
+      .where(col("vec_id").isin(queryIds.map(Long.box): _*))
+      .select(col("vec_id").as("query_id"), quant(col("embedding")).as("qv"))
+    index.assigned
+      .select(col("vec_id"), col("cell"), quant(col("embedding")).as("v"))
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id").cast(StringType), col("vec_id"),
+        cosine(idot(col("v"), col("qv")), inorm2(col("v")), inorm2(col("qv"))).as("cos"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.TopKAggregator(k).toColumn)
+      .flatMap { case (qid, top) => top.map(t => (qid.toLong, t._1, t._2)) }
+      .toDF("query_id", "vec_id", "cos")
+  }
+
+  /** Batch-clone probes for the n4b oracle: 2 verbatim clones of EACH
+    * query vector q planted at 1000000 + q·100 + j — each query's true
+    * top-3 is {q, its 2 clones} (cosine 1.0 ≫ the ~0.51 natural
+    * ceiling), all inside q's own k-means cell, hence provably
+    * IVF-reachable for every query in the batch. */
+  def withBatchClones(embeddings: DataFrame, maxQueryId: Long): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding"))
+      .unionByName(embeddings.where(col("vec_id") <= maxQueryId)
+        .select(explode(sequence(lit(0), lit(1))).as("i"),
+          col("vec_id"), col("embedding"))
+        .select((lit(1000000L) + col("vec_id") * 100 + col("i")).as("vec_id"),
+          col("embedding")))
+
   /** N4 — BATCHED exact top-k: many query vectors against the corpus in
     * ONE pass (the realistic retrieval shape — per-query jobs would scan
     * the corpus m times). The query set broadcasts (it is small by
@@ -735,6 +789,48 @@ object SimilarityQueries extends graft.QueryModule {
         |  FROM scored)
         |WHERE rn <= 10""".stripMargin))((s, d) =>
       batchTopK(Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+
+    // N4b — BATCHED IVF retrieval, oracle-HARD: 2 clones of EACH of the
+    // 5 query vectors planted, so every query's true top-3 ({query, its
+    // clones}, cosine 1.0) sits in its own probed cell and the
+    // brute-force window twin must match value for value — probe-list
+    // construction, the double broadcast fan-out, per-cell scoring, and
+    // the TopKAggregator all have to be right for all m queries at once.
+    graft.QueryDef("n4b_ann_ivf_batch", Some(
+      """WITH vecs AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT CAST(1000000 + vec_id * 100 + s.i AS BIGINT) AS vec_id, embedding
+        |  FROM embeddings, generate_series(0, 1) AS s(i) WHERE vec_id <= 4),
+        |qe AS (
+        |  SELECT vec_id AS query_id,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM vecs WHERE vec_id IN (0, 1, 2, 3, 4)),
+        |ve AS (
+        |  SELECT vec_id, CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM vecs),
+        |dots AS (
+        |  SELECT qe.query_id, ve.vec_id, SUM(ve.x * qe.q) AS dot, SUM(ve.x * ve.x) AS nv
+        |  FROM ve JOIN qe ON ve.i = qe.i GROUP BY qe.query_id, ve.vec_id),
+        |nq AS (SELECT query_id, SUM(q * q) AS n2 FROM qe GROUP BY query_id),
+        |scored AS (
+        |  SELECT d.query_id, d.vec_id,
+        |    CAST(dot AS DOUBLE) / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
+        |  FROM dots d JOIN nq ON nq.query_id = d.query_id)
+        |SELECT query_id, vec_id, cos FROM (
+        |  SELECT query_id, vec_id, cos, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3""".stripMargin))((s, d) => {
+      val index = buildIvfIndex(
+        withBatchClones(Tables.embeddings(s, d), maxQueryId = 4L))
+      val ranked = ivfBatchTopK(index, queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 3)
+      val local = ranked.collectAsList()
+      index.unpersist()
+      s.createDataFrame(local, ranked.schema)
+    }),
 
     // N5 — per-bucket centroids (the IVF/k-means TRAINING primitive as a
     // standalone distributed op): explode to (bucket, dim, component),
