@@ -365,6 +365,17 @@ object Similarity {
     * emitting the M-byte code array per vector. */
   def buildPqIndex(embeddings: DataFrame, nSub: Int = 8, nCentroids: Int = 16,
                    iters: Int = 5, trainEvery: Int = 1): PqIndex = {
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+    val books = trainPqCodebooks(vecs, nSub, nCentroids, iters, trainEvery)
+    PqIndex(books, pqEncode(books, vecs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** The PQ training pass alone — the distributed all-subspace Lloyd
+    * loop of [[buildPqIndex]], reusable by composites (IVF-PQ). */
+  def trainPqCodebooks(embeddings: DataFrame, nSub: Int = 8,
+                       nCentroids: Int = 16, iters: Int = 5,
+                       trainEvery: Int = 1): Array[Array[Array[Double]]] = {
     import embeddings.sparkSession.implicits._
     val dsub = 64 / nSub
     val vecs = embeddings.select(col("vec_id"), col("embedding"))
@@ -403,16 +414,24 @@ object Similarity {
       }
       books = next
     }
-    val bks = books
-    val coded = vecs.as[(Long, Seq[Float])].mapPartitions { it =>
-      it.map { case (id, emb) =>
-        val v = emb.iterator.map(_.toDouble).toArray
-        val codes: Seq[Int] = (0 until nSub).map(m => nearestCell(bks(m), v, m * dsub, dsub))
-        (id, emb, codes)
-      }
-    }.toDF("vec_id", "embedding", "codes")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    PqIndex(books, coded)
+    books
+  }
+
+  /** Append the PQ code array to ANY frame carrying (vec_id, embedding)
+    * — one shuffle-free map pass; extra columns (e.g. IVF `cell`) ride
+    * along untouched, which is what lets IVF-PQ encode the assigned
+    * frame directly. */
+  def pqEncode(books: Array[Array[Array[Double]]], df: DataFrame): DataFrame = {
+    val schema = df.schema.add("codes",
+      ArrayType(IntegerType, containsNull = false))
+    val embIdx = df.schema.fieldIndex("embedding")
+    val nSub = books.length
+    val dsub = 64 / nSub
+    df.map { row =>
+      val v = row.getSeq[Float](embIdx).iterator.map(_.toDouble).toArray
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+
+        (0 until nSub).map(m => nearestCell(books(m), v, m * dsub, dsub)))
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 
   /** N6 query — asymmetric-distance (ADC) top-k over a prebuilt
@@ -425,24 +444,39 @@ object Similarity {
     * with the exact integer cosine. Scan cost per row is O(M) regardless
     * of dimension; only `rerank` rows touch raw vectors. */
   def pqTopK(index: PqIndex, queryVecId: Long, k: Int,
-             rerank: Int = 50): DataFrame = {
-    val dsub = 64 / index.nSub
-    val qVec = index.coded.where(col("vec_id") === queryVecId)
+             rerank: Int = 50): DataFrame =
+    adcRerank(index.coded, index.codebooks, queryVecId, k, rerank)
+
+  /** The shared ADC scoring + exact-rerank tail of the PQ family: score
+    * `cands` (any frame carrying vec_id, embedding, codes — the full
+    * code table for plain PQ, the probed cells for IVF-PQ) against the
+    * query's lookup table, take the bounded TakeOrdered pool, rerank
+    * with exact integer cosine. The query row is looked up in `cands`'s
+    * ancestor via the caller-provided frame — here by re-filtering
+    * cands' session-visible source on vec_id. */
+  private def adcRerank(cands: DataFrame, books: Array[Array[Array[Double]]],
+                        queryVecId: Long, k: Int, rerank: Int,
+                        queryFrame: Option[DataFrame] = None): DataFrame = {
+    val nSub = books.length
+    val nCentroids = books.head.length
+    val dsub = 64 / nSub
+    val qSrc = queryFrame.getOrElse(cands)
+    val qVec = qSrc.where(col("vec_id") === queryVecId)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
-    val lut = Array.tabulate(index.nSub * index.nCentroids) { i =>
-      val m = i / index.nCentroids; val j = i % index.nCentroids
-      val c = index.codebooks(m)(j)
+    val lut = Array.tabulate(nSub * nCentroids) { i =>
+      val m = i / nCentroids; val j = i % nCentroids
+      val c = books(m)(j)
       var s = 0.0; var t = 0; while (t < dsub) { s += qVec(m * dsub + t) * c(t); t += 1 }
       s
     }
     val lutCol = typedLit(lut.toSeq)
     val adc = aggregate(
-      zip_with(col("codes"), sequence(lit(0), lit(index.nSub - 1)),
-        (c, m) => element_at(lutCol, (m * index.nCentroids + c + 1).cast(IntegerType))),
+      zip_with(col("codes"), sequence(lit(0), lit(nSub - 1)),
+        (c, m) => element_at(lutCol, (m * nCentroids + c + 1).cast(IntegerType))),
       lit(0.0), (acc, x) => acc + x)
-    val qv = index.coded.where(col("vec_id") === queryVecId)
+    val qv = qSrc.where(col("vec_id") === queryVecId)
       .select(quant(col("embedding")).as("qv"))
-    index.coded
+    cands
       .select(col("vec_id"), col("embedding"), adc.as("adc"))
       .orderBy(col("adc").desc, col("vec_id").asc).limit(rerank)
       .select(col("vec_id"), quant(col("embedding")).as("v"))
@@ -451,6 +485,47 @@ object Similarity {
         cosine(idot(col("v"), col("qv")), inorm2(col("v")), inorm2(col("qv"))).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** The IVF-PQ composite index — the standard billion-scale layout:
+    * coarse k-means cells bound WHICH rows a query touches (directory/
+    * partition pruning), PQ codes bound WHAT the touched rows cost to
+    * score (M lookup-adds over 16×-compressed codes), and the exact
+    * rerank touches only the bounded pool. One frame carries
+    * (vec_id, embedding, cell, codes). */
+  final case class IvfPqIndex(centroids: Array[Array[Double]],
+                              books: Array[Array[Array[Double]]],
+                              frame: DataFrame) {
+    def unpersist(): Unit = { frame.unpersist(); () }
+  }
+
+  def buildIvfPqIndex(embeddings: DataFrame, nCells: Int = 16,
+                      nSub: Int = 8, nCentroids: Int = 16): IvfPqIndex = {
+    val books = trainPqCodebooks(
+      embeddings.select(col("vec_id"), col("embedding")), nSub, nCentroids)
+    val ivf = buildIvfIndex(embeddings, nCells)
+    val frame = pqEncode(books, ivf.assigned)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    frame.count() // materialize before releasing the IVF cache it reads
+    ivf.unpersist()
+    IvfPqIndex(ivf.centroids, books, frame)
+  }
+
+  /** IVF-PQ query: probe the nProbe nearest cells (as ivfTopK), ADC-
+    * score ONLY those cells' codes, exact-rerank the bounded pool. */
+  def ivfPqTopK(index: IvfPqIndex, queryVecId: Long, k: Int,
+                nProbe: Int = 4, rerank: Int = 50): DataFrame = {
+    val qVec = index.frame.where(col("vec_id") === queryVecId)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    val probeCells = index.centroids.zipWithIndex
+      .map { case (c, i) =>
+        var s = 0.0; var t = 0
+        while (t < c.length) { val d = c(t) - qVec(t); s += d * d; t += 1 }
+        (s, i)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    adcRerank(
+      index.frame.where(col("cell").isin(probeCells.map(Integer.valueOf): _*)),
+      index.books, queryVecId, k, rerank, queryFrame = Some(index.frame))
   }
 
   /** Persist a [[PqIndex]] as a stored artifact: the codebooks flatten
@@ -756,6 +831,22 @@ object SimilarityQueries extends graft.QueryModule {
       })
       val index = readIvfIndex(s, path)
       val ranked = ivfTopK(index, queryVecId = 0L, k = 11)
+      val local = ranked.collectAsList()
+      index.unpersist()
+      s.createDataFrame(local, ranked.schema)
+    }),
+
+    // N8 — the IVF-PQ composite, oracle-HARD with the n2b/n3b/n6b
+    // planted clones: identical vectors share the query's k-means cell
+    // (probe-reachable) AND its PQ codes (maximal shared ADC score), so
+    // the true top-11 survives the cell probe, the code-level pool cut,
+    // and the exact rerank — the brute-force oracle checks the full
+    // coarse+fine composition value for value.
+    graft.QueryDef("n8_ann_ivfpq_probes", Some(
+      bruteForceSql(cloneCorpusSql, 11)))((s, d) => {
+      val index = buildIvfPqIndex(
+        withQueryClones(Tables.embeddings(s, d), queryVecId = 0L, n = 10))
+      val ranked = ivfPqTopK(index, queryVecId = 0L, k = 11)
       val local = ranked.collectAsList()
       index.unpersist()
       s.createDataFrame(local, ranked.schema)

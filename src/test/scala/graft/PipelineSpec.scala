@@ -165,6 +165,11 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       assert(Similarity.pqTopK(ix, 0L, 10).count() == 10L)
       ix.unpersist()
     }
+    assertReleased("IvfPqIndex") {
+      val ix = Similarity.buildIvfPqIndex(emb)
+      assert(Similarity.ivfPqTopK(ix, 0L, 10).count() == 10L)
+      ix.unpersist()
+    }
   }
 
   test("n3: IVF probes nearest cells and keeps the exact match") {
