@@ -357,6 +357,82 @@ object Dedup {
         simhashCol(split(normText(col("text")), " ")).as("sim"))
       .persist(StorageLevel.MEMORY_AND_DISK))
 
+  // --- Persistent MinHash band index + batch-incremental dedup ------------
+
+  /** A [[MinhashIndex]] written to storage — the "dedup today's crawl
+    * against the historical corpus" artifact. Two tables: the exploded
+    * (doc_id, band) rows PARTITIONED BY a stable band-hash bucket, and
+    * the (doc_id, sh) shingle frame for exact-Jaccard verification.
+    * The bucket column is the pruning unit: an incoming batch touches at
+    * most `nBuckets` distinct buckets (collected driver-side — bounded
+    * by construction, never by data), so [[dedupAgainstIndex]] reads
+    * only the matching directories of a 100 TB index, not all of it.
+    * Bucketing by hash rather than partitioning by raw band keeps the
+    * directory count fixed (bands are high-cardinality strings). */
+  final case class StoredMinhashIndex(banded: DataFrame, sigs: DataFrame)
+
+  /** Stable bucket of a band key — hash chosen once and shared by the
+    * write and probe paths so they can never drift. */
+  private def bandBucket(band: Column, nBuckets: Int): Column =
+    pmod(xxhash64(band), lit(nBuckets)).cast(IntegerType)
+
+  def writeMinhashIndex(index: MinhashIndex, path: String,
+                        nBuckets: Int = 64): Unit = {
+    bandedOf(index.sigs)
+      .withColumn("bucket", bandBucket(col("band"), nBuckets))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/banded")
+    index.sigs.select(col("doc_id"), col("sh"))
+      .write.mode("overwrite").parquet(s"$path/sigs")
+  }
+
+  def readMinhashIndex(spark: SparkSession, path: String): StoredMinhashIndex =
+    StoredMinhashIndex(spark.read.parquet(s"$path/banded"),
+      spark.read.parquet(s"$path/sigs"))
+
+  /** Batch-incremental near-dup detection: (corpus doc_a, batch doc_b)
+    * pairs at jaccard >= threshold, computed WITHOUT re-banding or
+    * re-shingling the corpus — the stored index carries both. The
+    * corpus side of the band join is pruned twice: directory pruning on
+    * the batch's bucket set (<= nBuckets ints, driver-bounded), then the
+    * band equality join itself. Verification reads corpus shingles only
+    * for candidate doc_ids. Within-batch duplicates are d2's job
+    * ([[minhashPairs]] on the batch index); batch doc_ids must be
+    * disjoint from corpus ids. The batch index is a caller-held handle,
+    * released after the result is consumed — same lifecycle as d2. */
+  def dedupAgainstIndex(stored: StoredMinhashIndex, batch: MinhashIndex,
+                        threshold: Double, nBuckets: Int = 64): DataFrame = {
+    val newBand = bandedOf(batch.sigs)
+      .withColumn("bucket", bandBucket(col("band"), nBuckets))
+    val buckets = newBand.select("bucket").distinct()
+      .collect().map(_.getInt(0))
+    val oldBand = stored.banded
+      .where(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+    val cand = oldBand.as("a")
+      .join(newBand.as("b"), col("a.band") === col("b.band"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val allSh = stored.sigs.select(col("doc_id"), col("sh"))
+      .unionByName(batch.sigs.select(col("doc_id"), col("sh")))
+    verifyJaccard(cand, allSh, threshold)
+  }
+
+  /** The d10 batch fixture: exact clones of docs 0-9 plus near-clones of
+    * 10-19, at +1000000 ids — an incoming "crawl" whose every row has a
+    * provable corpus match, so the brute-force oracle pins both recall
+    * and the jaccard values end-to-end through the WRITTEN index. */
+  def newBatchOf(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") < 10)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") >= 10 && col("doc_id") < 20)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" zz0 zz1 zz2")).as("text")))
+
+  val newBatchSql: String =
+    """SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 10
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, text || ' zz0 zz1 zz2' AS text
+      |FROM documents WHERE doc_id >= 10 AND doc_id < 20""".stripMargin
+
   /** SimHash near-dup pairs: 4x16-bit band blocking, then Hamming <= k.
     * Band equality guarantees FULL recall for Hamming <= 3 by pigeonhole
     * (4 bands, <=3 flipped bits leave one band intact) — the classic
@@ -384,6 +460,11 @@ object Dedup {
 /** Registered dedup queries (D-family of the LLM-pipeline extensions). */
 object DedupQueries extends graft.QueryModule {
   import Dedup._
+
+  private lazy val idxRoot: String = graft.util.TmpRoot("mh-idx")
+  private val mhWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dirTag(d: String): String = d.replaceAll("[^a-zA-Z0-9]", "_")
 
   /** The deterministic d6 pair graph: chains of 3 at doc_id % 50 plus
     * cross-links at % 200 merging two chains (labels must travel 3
@@ -516,6 +597,46 @@ object DedupQueries extends graft.QueryModule {
           array_join(slice(col("w"), col("s") + 1, lit(50)), " ").as("text"))
       minhashPairs(buildMinhashIndex(chunks), threshold = 0.9)
         .where(col("doc_b") >= 100000000000L)
+    }),
+
+    // D10 — batch-incremental dedup through the PERSISTENT index: the
+    // corpus is banded+shingled ONCE, written partitioned by band-hash
+    // bucket, and the incoming batch (exact clones of docs 0-9 + near
+    // clones of 10-19) is deduped against the WRITTEN artifact — no
+    // corpus re-banding, directory pruning on the batch's bucket set
+    // (PlanSpec asserts PartitionFilters). The brute-force oracle
+    // computes ALL corpus x batch Jaccards with no banding at all, so
+    // rows+hash agreement proves storage round-trip, bucket pruning,
+    // band recall, and the verification values end-to-end.
+    graft.QueryDef("d10_index_dedup", Some(
+      s"""WITH batch AS ($newBatchSql),
+         |gc AS (
+         |  SELECT doc_id, $shingles3Sql AS g
+         |  FROM (SELECT doc_id, string_split($normTextSql, ' ') AS words
+         |        FROM documents)),
+         |gb AS (
+         |  SELECT doc_id, $shingles3Sql AS g
+         |  FROM (SELECT doc_id, string_split($normTextSql, ' ') AS words
+         |        FROM batch))
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+         |      (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+         |  FROM gc a JOIN gb b ON TRUE)
+         |WHERE jaccard >= 0.5""".stripMargin))((s, d) => {
+      val path = mhWritten.computeIfAbsent(d, dd => {
+        val ix = buildMinhashIndex(Tables.documents(s, dd))
+        val p = s"$idxRoot/${dirTag(dd)}/minhash"
+        writeMinhashIndex(ix, p)
+        ix.unpersist()
+        p
+      })
+      val stored = readMinhashIndex(s, path)
+      val batch = buildMinhashIndex(newBatchOf(Tables.documents(s, d)))
+      val out = dedupAgainstIndex(stored, batch, threshold = 0.5)
+      val local = out.collectAsList()
+      batch.unpersist()
+      s.createDataFrame(local, out.schema)
     }),
 
     // D3 — SimHash banding + Hamming filter (rows-only; DedupSpec).

@@ -33,6 +33,25 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     // near-clone, not exact: jaccard < 1 for planted pairs
   }
 
+  test("d10: batch dedup through the written index finds every planted match") {
+    val docs = Tables.documents(spark, sf)
+    val ix = Dedup.buildMinhashIndex(docs)
+    val path = util.TmpRoot("mh-spec") + "/minhash"
+    Dedup.writeMinhashIndex(ix, path)
+    ix.unpersist()
+    val stored = Dedup.readMinhashIndex(spark, path)
+    val batch = Dedup.buildMinhashIndex(Dedup.newBatchOf(docs))
+    val rows = Dedup.dedupAgainstIndex(stored, batch, threshold = 0.5).collect()
+    batch.unpersist()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 20L).map(i => (i, i + 1000000L)).toSet
+    assert(planted.subsetOf(pairs), s"missing planted: ${planted -- pairs}")
+    // exact clones (0-9) verify at jaccard exactly 1.0; near clones don't
+    val j = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (i <- 0L until 10L) assert(j((i, i + 1000000L)) == 1.0)
+    for (i <- 10L until 20L) assert(j((i, i + 1000000L)) < 1.0)
+  }
+
   test("d3: SimHash bands + hamming finds planted near-duplicates") {
     val index = Dedup.buildSimhashIndex(
       Dedup.withNearProbes(Tables.documents(spark, sf)))

@@ -85,6 +85,21 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"n3c: cell probe not pruning partitions:\n$p")
   }
 
+  test("d10: the batch probe prunes bucket partitions of the stored index") {
+    val docs = Tables.documents(spark, sf)
+    val built = operators.Dedup.buildMinhashIndex(docs)
+    val path = util.TmpRoot("mhplan") + "/minhash"
+    operators.Dedup.writeMinhashIndex(built, path)
+    built.unpersist()
+    val stored = operators.Dedup.readMinhashIndex(spark, path)
+    val batch = operators.Dedup.buildMinhashIndex(operators.Dedup.newBatchOf(docs))
+    val p = operators.Dedup.dedupAgainstIndex(stored, batch, threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    batch.unpersist()
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*bucket.*"),
+      s"d10: bucket probe not pruning partitions:\n$p")
+  }
+
   test("CASE-overlay variant stays join-free (constant-folded expression)") {
     val p = plan("p4_case_overlay")
     assert(!p.contains("Join"), "p4 should be a pure expression, no join")
