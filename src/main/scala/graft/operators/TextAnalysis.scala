@@ -90,6 +90,19 @@ object TextAnalysisQueries extends graft.QueryModule {
   private def occSql(expr: String, needle: String): String =
     s"(len($expr) - len(replace($expr, '$needle', ''))) / ${needle.length}"
 
+  /** T21 probe corpus: five planted heavy tokens, each repeated
+    * ndocs*(4+i) times — counts stay PROPORTIONAL to corpus size, so the
+    * heavy set has the same shape at every scale factor (both the corpus
+    * token total and the probe masses scale with ndocs). */
+  private def withHeavyProbes(docs: DataFrame): DataFrame = {
+    val probes = docs.agg(count(lit(1)).cast(IntegerType).as("c"))
+      .select(explode(sequence(lit(4), lit(8))).as("m"), col("c"))
+      .select((lit(2000000) + col("m")).cast(LongType).as("doc_id"),
+        expr("trim(repeat(concat('zzh', cast(m - 4 as string), ' '), m * c))")
+          .as("text"))
+    docs.select(col("doc_id"), col("text")).unionByName(probes)
+  }
+
   def defs: Seq[graft.QueryDef] = Seq(
 
     // T1 — language-ID heuristic: stop-word marker hits per language,
@@ -763,6 +776,48 @@ object TextAnalysisQueries extends graft.QueryModule {
           sum(col("n_tok")).as("total_tokens"))
     }),
 
+    // T21 — Misra-Gries heavy-hitters contract row (the a15/a16 pattern
+    // for sketches whose internals are partition-dependent): five heavy
+    // probe tokens are planted at scale-PROPORTIONAL counts (zzh{i}
+    // repeated ndocs*(4+i) times — same relative structure at every sf),
+    // k=24 counters < the 36-token vocabulary, so the sketch RUNS IN THE
+    // DECREMENT REGIME, and the output lists the exact-heavy tokens
+    // (> n/20 > the n/(k+1) retention guarantee) with mg_ok asserting
+    // the sketch's three guarantees: present, no overcount, undercount
+    // <= n/(k+1). Those hold for ANY merge order (mergeable-summaries
+    // bound), so the row set AND values are deterministic across
+    // partitionings even though the sketch content is not.
+    graft.QueryDef("t21_heavy_hitters", Some(
+      s"""WITH nd AS (SELECT count(*) AS c FROM documents),
+         |probes AS (
+         |  SELECT CAST(2000000 + m AS BIGINT) AS doc_id,
+         |    trim(repeat('zzh' || CAST(m - 4 AS VARCHAR) || ' ', m * c)) AS text
+         |  FROM nd, generate_series(4, 8) AS g(m)),
+         |docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id, text FROM probes),
+         |words AS (
+         |  SELECT unnest(string_split(${Dedup.normTextSql}, ' ')) AS t FROM docs),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM words)
+         |SELECT t AS token, CAST(count(*) AS BIGINT) AS exact_cnt, TRUE AS mg_ok
+         |FROM words, tot GROUP BY t, n HAVING count(*) > n / 20.0""".stripMargin))((s, d) => {
+      import s.implicits._
+      val k = 24
+      val docs = withHeavyProbes(Tables.documents(s, d))
+      val words = docs.select(
+        explode(split(Dedup.normText(col("text")), " ")).as("token"))
+      val mg = words.select(col("token")).as[String]
+        .select(new graft.functions.MisraGriesAggregator(k).toColumn).head()
+      val n = words.count()
+      val cand = mg.toSeq.toDF("token", "est")
+      words.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+        .where(col("exact_cnt") > lit(n) / 20.0)
+        .join(broadcast(cand), Seq("token"), "left")
+        .select(col("token"), col("exact_cnt"),
+          (col("est").isNotNull && col("est") <= col("exact_cnt") &&
+            (col("exact_cnt") - col("est")) <= lit(n) / (k + 1.0)).as("mg_ok"))
+    }),
+
     // X1 — JSONL export (the training-data interchange format): one
     // compact JSON object per row via to_json over a struct — map-side,
     // splittable output. Strings are coalesced on both sides because
@@ -923,6 +978,60 @@ object TextAnalysisQueries extends graft.QueryModule {
       e.join(broadcast(wm), col("event_id") > col("wm"))
         .groupBy("event_type").agg(
           count(lit(1)).as("cnt"), max(col("event_id")).as("new_watermark"))
+    }),
+
+    // E3 — drift/anomaly detection on the event stream: per-type daily
+    // counts z-scored against the trailing 7-day window (frame ends at
+    // the PREVIOUS day, so a drifting day can't mask itself). All window
+    // statistics are EXACT BIGINT sums (cnt, cnt^2); the mean/variance/z
+    // doubles derive from those ints through the identical formula on
+    // both sides, so the floats are bit-identical — the Num.dsum
+    // discipline applied to second moments. At scale this is one
+    // daily-rollup shuffle plus a per-type window, both tiny next to the
+    // raw stream; the rollup is the same shape AQE handles at 100 TB.
+    graft.QueryDef("e3_drift_zscore", Some(
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |win AS (
+        |  SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+        |    count(cnt) OVER w AS wn,
+        |    CAST(SUM(cnt) OVER w AS BIGINT) AS wsum,
+        |    CAST(SUM(cnt * cnt) OVER w AS BIGINT) AS wsumsq
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |scored AS (
+        |  SELECT event_type, day, cnt, wn,
+        |    CAST(wsum AS DOUBLE) / wn AS m,
+        |    (CAST(wsumsq AS DOUBLE) - CAST(wsum AS DOUBLE) * (CAST(wsum AS DOUBLE) / wn))
+        |      / (wn - 1) AS v
+        |  FROM win WHERE wn >= 4)
+        |SELECT event_type, CAST(day AS VARCHAR) AS day, cnt,
+        |  CASE WHEN v > 0 THEN (CAST(cnt AS DOUBLE) - m) / sqrt(v)
+        |       ELSE CAST(0 AS DOUBLE) END AS z,
+        |  abs(CASE WHEN v > 0 THEN (CAST(cnt AS DOUBLE) - m) / sqrt(v)
+        |       ELSE CAST(0 AS DOUBLE) END) > 2 AS drift
+        |FROM scored""".stripMargin))((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+      val m = col("wsum").cast(DoubleType) / col("wn")
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("wn", count(col("cnt")).over(w))
+        .withColumn("wsum", sum(col("cnt")).over(w))
+        .withColumn("wsumsq", sum(col("cnt") * col("cnt")).over(w))
+        .where(col("wn") >= 4)
+        .withColumn("m", m)
+        .withColumn("v",
+          (col("wsumsq").cast(DoubleType) - col("wsum").cast(DoubleType) * m) /
+            (col("wn") - 1))
+        .withColumn("z",
+          when(col("v") > 0,
+            (col("cnt").cast(DoubleType) - col("m")) / sqrt(col("v")))
+            .otherwise(lit(0.0)))
+        .select(col("event_type"), col("day").cast(StringType).as("day"),
+          col("cnt"), col("z"), (abs(col("z")) > 2).as("drift"))
     })
   )
 }

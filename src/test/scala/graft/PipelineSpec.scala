@@ -384,6 +384,27 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("t21: Misra-Gries guarantees hold in the decrement regime, any partitioning") {
+    import spark.implicits._
+    // Zipf-ish synthetic stream: token i appears i*i times, i = 1..40;
+    // k=8 counters vs 40 distinct keys forces constant decrements.
+    val k = 8
+    val toks = (1 to 40).flatMap(i => Seq.fill(i * i)(s"tok$i"))
+    val n = toks.size.toLong
+    val truth = toks.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    for (parts <- Seq(3, 13)) {
+      val ds = spark.createDataset(toks).repartition(parts)
+      val mg = ds.select(new functions.MisraGriesAggregator(k).toColumn).head()
+      assert(mg.size <= k, s"summary exceeds k: ${mg.size}")
+      for ((t, est) <- mg) {
+        assert(est <= truth(t), s"$t overcounted: $est > ${truth(t)}")
+        assert(truth(t) - est <= n / (k + 1.0), s"$t undercount bound broken")
+      }
+      for ((t, c) <- truth if c > n / (k + 1.0))
+        assert(mg.contains(t), s"guaranteed-heavy $t missing at parts=$parts")
+    }
+  }
+
   test("a12: approx_percentile (the 100 TB drop-in) tracks the exact percentiles") {
     // The registered a12 uses exact interpolated percentiles (oracle-able);
     // at real scale the mergeable-sketch approx_percentile replaces it.
