@@ -528,6 +528,60 @@ object Similarity {
       index.books, queryVecId, k, rerank, queryFrame = Some(index.frame))
   }
 
+  /** N9 — Maximal Marginal Relevance diversified re-ranking: greedily
+    * select k results balancing relevance to the query against
+    * redundancy with what's already selected
+    * (score = lambda*rel - mu*max_sim_to_selected). The pool is a
+    * DISTRIBUTED top-poolN retrieval (here brute-force cosine; any ANN
+    * path composes); the greedy loop runs on the DRIVER over the
+    * collected pool — O(poolN^2 * dim) on <= poolN vectors, bounded by
+    * CONSTRUCTION, the same driver-side-bounded shape as ivfTopK's
+    * probe-cell selection. `mu` is passed explicitly rather than
+    * computed as 1-lambda: 1.0 - 0.7 != 0.3 in binary floating point,
+    * and the oracle writes the literal — all similarity arithmetic here
+    * is the quantized integer cosine, so engine and oracle produce
+    * bit-identical doubles. Ties break on vec_id. */
+  def mmrRerank(embeddings: DataFrame, queryVecId: Long, k: Int,
+                poolN: Int = 30, lambda: Double = 0.7,
+                mu: Double = 0.3): DataFrame = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    val q = embeddings.where(col("vec_id") === queryVecId)
+      .select(quant(col("embedding")).as("qv"))
+    val pool = embeddings.where(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), quant(col("embedding")).as("v"))
+      .join(broadcast(q))
+      .select(col("vec_id"),
+        cosine(idot(col("v"), col("qv")), inorm2(col("v")), inorm2(col("qv"))).as("rel"),
+        col("v"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(poolN)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Long](2).toArray))
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer[(Long, Array[Long])]()
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)]()
+    for (rank <- 1 to k) {
+      val scored = pool.iterator
+        .filterNot { case (id, _, _) => chosen.exists(_._1 == id) }
+        .map { case (id, rel, v) =>
+          val maxSim = if (chosen.isEmpty) 0.0
+                       else chosen.iterator.map(c => cos(v, c._2)).max
+          (id, v, lambda * rel - mu * maxSim)
+        }.toSeq
+      val best = scored.minBy { case (id, _, sc) => (-sc, id) }
+      chosen += ((best._1, best._2))
+      out += ((rank, best._1, best._3))
+    }
+    out.toSeq.toDF("rank", "vec_id", "score")
+  }
+
   /** Persist a [[PqIndex]] as a stored artifact: the codebooks flatten
     * to a tiny (m, cell, d, v) parquet — O(model) rows — and the code
     * table lands beside them. At 100 TB the code table IS the queryable
@@ -851,6 +905,82 @@ object SimilarityQueries extends graft.QueryModule {
       index.unpersist()
       s.createDataFrame(local, ranked.schema)
     }),
+
+    // N9 — MMR diversified re-ranking, value-exact: the oracle UNROLLS
+    // the greedy selection (k=5 chained CTEs, each picking the argmax of
+    // lambda*rel - mu*max_sim_to_selected over the remaining pool) with
+    // the same quantized integer cosine and the same 0.7/0.3 literals,
+    // so every score double must match bit for bit — selection order,
+    // tie-breaks, pairwise sims, and the pool boundary all verified.
+    graft.QueryDef("n9_mmr_rerank", Some(
+      """WITH qe AS (
+        |  SELECT CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings WHERE vec_id = 0),
+        |ve AS (
+        |  SELECT vec_id, CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT ve.vec_id, SUM(ve.x * qe.q) AS dot, SUM(ve.x * ve.x) AS nv
+        |  FROM ve JOIN qe ON ve.i = qe.i GROUP BY ve.vec_id),
+        |nq AS (SELECT SUM(q * q) AS n2 FROM qe),
+        |pool AS (
+        |  SELECT vec_id, cos FROM (
+        |    SELECT vec_id,
+        |      CAST(dot AS DOUBLE) / (sqrt(CAST(nv AS DOUBLE)) *
+        |        sqrt(CAST((SELECT n2 FROM nq) AS DOUBLE))) AS cos
+        |    FROM dots WHERE vec_id <> 0)
+        |  ORDER BY cos DESC, vec_id ASC LIMIT 30),
+        |pv AS (SELECT ve.vec_id, ve.i, ve.x FROM ve JOIN pool ON pool.vec_id = ve.vec_id),
+        |pn AS (SELECT vec_id, SUM(x * x) AS n2 FROM pv GROUP BY vec_id),
+        |psim AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    CAST(SUM(a.x * b.x) AS DOUBLE) /
+        |      (sqrt(CAST(min(pa.n2) AS DOUBLE)) * sqrt(CAST(min(pb.n2) AS DOUBLE))) AS sim
+        |  FROM pv a JOIN pv b ON a.i = b.i
+        |  JOIN pn pa ON pa.vec_id = a.vec_id
+        |  JOIN pn pb ON pb.vec_id = b.vec_id
+        |  GROUP BY a.vec_id, b.vec_id),
+        |s1 AS (SELECT vec_id, 0.7 * cos AS score FROM pool
+        |  ORDER BY cos DESC, vec_id ASC LIMIT 1),
+        |s2 AS (SELECT p.vec_id, 0.7 * p.cos - 0.3 * sa.sim AS score
+        |  FROM pool p
+        |  JOIN psim sa ON sa.ia = p.vec_id AND sa.ib = (SELECT vec_id FROM s1)
+        |  WHERE p.vec_id <> (SELECT vec_id FROM s1)
+        |  ORDER BY score DESC, p.vec_id ASC LIMIT 1),
+        |s3 AS (SELECT p.vec_id, 0.7 * p.cos - 0.3 * greatest(sa.sim, sb.sim) AS score
+        |  FROM pool p
+        |  JOIN psim sa ON sa.ia = p.vec_id AND sa.ib = (SELECT vec_id FROM s1)
+        |  JOIN psim sb ON sb.ia = p.vec_id AND sb.ib = (SELECT vec_id FROM s2)
+        |  WHERE p.vec_id NOT IN ((SELECT vec_id FROM s1), (SELECT vec_id FROM s2))
+        |  ORDER BY score DESC, p.vec_id ASC LIMIT 1),
+        |s4 AS (SELECT p.vec_id,
+        |    0.7 * p.cos - 0.3 * greatest(sa.sim, sb.sim, sc.sim) AS score
+        |  FROM pool p
+        |  JOIN psim sa ON sa.ia = p.vec_id AND sa.ib = (SELECT vec_id FROM s1)
+        |  JOIN psim sb ON sb.ia = p.vec_id AND sb.ib = (SELECT vec_id FROM s2)
+        |  JOIN psim sc ON sc.ia = p.vec_id AND sc.ib = (SELECT vec_id FROM s3)
+        |  WHERE p.vec_id NOT IN ((SELECT vec_id FROM s1), (SELECT vec_id FROM s2),
+        |    (SELECT vec_id FROM s3))
+        |  ORDER BY score DESC, p.vec_id ASC LIMIT 1),
+        |s5 AS (SELECT p.vec_id,
+        |    0.7 * p.cos - 0.3 * greatest(sa.sim, sb.sim, sc.sim, sd.sim) AS score
+        |  FROM pool p
+        |  JOIN psim sa ON sa.ia = p.vec_id AND sa.ib = (SELECT vec_id FROM s1)
+        |  JOIN psim sb ON sb.ia = p.vec_id AND sb.ib = (SELECT vec_id FROM s2)
+        |  JOIN psim sc ON sc.ia = p.vec_id AND sc.ib = (SELECT vec_id FROM s3)
+        |  JOIN psim sd ON sd.ia = p.vec_id AND sd.ib = (SELECT vec_id FROM s4)
+        |  WHERE p.vec_id NOT IN ((SELECT vec_id FROM s1), (SELECT vec_id FROM s2),
+        |    (SELECT vec_id FROM s3), (SELECT vec_id FROM s4))
+        |  ORDER BY score DESC, p.vec_id ASC LIMIT 1)
+        |SELECT CAST(rank AS INTEGER) AS rank, vec_id, score FROM (
+        |  SELECT 1 AS rank, vec_id, score FROM s1
+        |  UNION ALL SELECT 2, vec_id, score FROM s2
+        |  UNION ALL SELECT 3, vec_id, score FROM s3
+        |  UNION ALL SELECT 4, vec_id, score FROM s4
+        |  UNION ALL SELECT 5, vec_id, score FROM s5)""".stripMargin))((s, d) =>
+      mmrRerank(Tables.embeddings(s, d), queryVecId = 0L, k = 5)),
 
     // N4 — batched exact top-10 for query vectors 0-4 in one pass,
     // oracle-checked value for value (the oracle replays the arithmetic

@@ -191,6 +191,28 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("n9: MMR demotes the redundant near-clone that relevance-only keeps") {
+    import spark.implicits._
+    def v(xs: (Int, Double)*): Seq[Float] = {
+      val a = Array.fill(64)(0f); xs.foreach { case (i, x) => a(i) = x.toFloat }
+      a.toSeq
+    }
+    val emb = Seq(
+      (0L, v(0 -> 1.0)),             // query
+      (1L, v(0 -> 0.9, 1 -> 0.1)),   // most relevant
+      (2L, v(0 -> 0.89, 1 -> 0.11)), // near-clone of 1 (sim ~0.99996)
+      (3L, v(0 -> 0.6, 1 -> 0.8))    // diverse, less relevant
+    ).toDF("vec_id", "embedding")
+    // relevance-only ordering (mu=0 degenerates MMR to top-k by rel)
+    val plain = Similarity.mmrRerank(emb, 0L, k = 2, poolN = 10,
+      lambda = 1.0, mu = 0.0).collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(plain.toSeq == Seq((1, 1L), (2, 2L)))
+    // diversity-weighted: the near-clone's redundancy penalty flips rank 2
+    val mmr = Similarity.mmrRerank(emb, 0L, k = 2, poolN = 10,
+      lambda = 0.3, mu = 0.7).collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(mmr.toSeq == Seq((1, 1L), (2, 3L)))
+  }
+
   test("n3: IVF probes nearest cells and keeps the exact match") {
     val emb = Tables.embeddings(spark, sf)
     val index = Similarity.buildIvfIndex(emb)
