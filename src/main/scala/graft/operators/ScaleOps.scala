@@ -110,4 +110,40 @@ object ScaleOps {
       .join(keys.select(col(keysKey).as(factKey + "__k")),
         col(factKey) === col(factKey + "__k"), "left_semi")
   }
+
+  /** Spread the low 16 bits of a long so each lands at an even bit
+    * position — the classic Morton magic-mask chain, pure codegen'd
+    * Column arithmetic (no UDF). */
+  private def spread16(c: Column): Column = {
+    val x0 = c.bitwiseAND(lit(0xFFFFL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(0x33333333L))
+    x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-order (Morton) key of two 16-bit coordinates: bit-interleaved so
+    * rows close in BOTH dimensions are close on the one sort key. This
+    * is the multi-dimensional clustering lever a single-column sort
+    * can't give: sort files by z and a range predicate on EITHER
+    * dimension (or both) overlaps only the files whose z-run crosses
+    * the query box, so parquet min/max stats skip the rest. A layout
+    * sorted by x alone answers y-range queries by reading everything.
+    * ScaleOpsSpec measures exactly that file-skipping difference; the
+    * zo1 gate row pins the bit arithmetic value-for-value. */
+  def zValue(a: Column, b: Column): Column =
+    spread16(a.cast(org.apache.spark.sql.types.LongType))
+      .bitwiseOR(shiftleft(spread16(b.cast(org.apache.spark.sql.types.LongType)), 1))
+
+  /** The DuckDB twin of [[zValue]] — same mask chain, same literals. */
+  def zValueSql(a: String, b: String): String = {
+    def spread(e: String): String = {
+      val s1 = s"(($e) & 65535)"
+      val s2 = s"(($s1 | ($s1 << 8)) & 16711935)"
+      val s3 = s"(($s2 | ($s2 << 4)) & 252645135)"
+      val s4 = s"(($s3 | ($s3 << 2)) & 858993459)"
+      s"(($s4 | ($s4 << 1)) & 1431655765)"
+    }
+    s"(${spread(a)} | (${spread(b)} << 1))"
+  }
 }

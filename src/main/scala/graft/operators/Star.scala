@@ -349,6 +349,20 @@ object StarPredicates extends graft.QueryModule {
         factKey = "o_custkey", keysKey = "c_custkey")
         .select("o_orderkey", "o_custkey")),
 
+    // ZO1 — Z-order clustering key (ScaleOps.zValue): the Morton
+    // interleave of (custkey, order-day) that multi-dimensionally
+    // clusters the write layout — file skipping for range predicates on
+    // EITHER dimension (ScaleOpsSpec measures the effect; this row pins
+    // the bit arithmetic, mask for mask, against the SQL twin).
+    graft.QueryDef("zo1_zorder_key", Some(
+      s"""SELECT o_orderkey,
+         |  CAST(${ScaleOps.zValueSql("o_custkey % 65536",
+              "datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 65536")} AS BIGINT) AS z
+         |FROM orders""".stripMargin))((s, d) =>
+      Tables.orders(s, d).select(col("o_orderkey"),
+        ScaleOps.zValue(col("o_custkey") % 65536,
+          datediff(col("o_orderdate"), lit("1992-01-01")) % 65536).as("z"))),
+
     // J7 — AS-OF join: each click event matched to the SAME user's most
     // recent view at-or-before its timestamp (the classic
     // dimension-as-of-time lookup Spark lacks as a native operator).

@@ -97,4 +97,36 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSuite {
       .select("row_id").as[Long].collect().sorted.toSeq
     assert(got == (100L to 10000L by 100).toSeq)
   }
+
+  test("z-order layout: a y-range query overlaps fewer files than an x-sorted layout") {
+    // orders keyed by (custkey, order-day); the query filters on day
+    // only. In a custkey-sorted layout every file spans all days; in a
+    // z-sorted layout files are z-runs, so a day range touches a strict
+    // subset. Measured via per-file min/max of the day column — exactly
+    // the statistics parquet row-group/file skipping uses.
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), (col("o_custkey") % 65536).as("x"),
+        (datediff(col("o_orderdate"), lit("1992-01-01")) % 65536).as("y"))
+      .withColumn("z", ScaleOps.zValue(col("x"), col("y")))
+    val root = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    o.repartitionByRange(16, col("x"), col("o_orderkey"))
+      .sortWithinPartitions("x").write.parquet(s"$root/by_x")
+    o.repartitionByRange(16, col("z"), col("o_orderkey"))
+      .sortWithinPartitions("z").write.parquet(s"$root/by_z")
+    def filesOverlapping(path: String, lo: Int, hi: Int): Long =
+      spark.read.parquet(path)
+        .groupBy(input_file_name()).agg(min("y").as("ymin"), max("y").as("ymax"))
+        .where(col("ymin") <= hi && col("ymax") >= lo)
+        .count()
+    // a ~100-day window in the middle of the observed date range
+    val (lo, hi) = (2250, 2349)
+    val xFiles = filesOverlapping(s"$root/by_x", lo, hi)
+    val zFiles = filesOverlapping(s"$root/by_z", lo, hi)
+    assert(xFiles >= 12, s"x-sorted layout should overlap nearly every file, got $xFiles")
+    assert(zFiles * 2 <= xFiles, s"z-sorted should skip at least half of x-sorted's $xFiles, got $zFiles")
+    // same rows either way — layout changes cost, never the answer
+    val expected = o.where(col("y").between(lo, hi)).count()
+    assert(spark.read.parquet(s"$root/by_z")
+      .where(col("y").between(lo, hi)).count() == expected)
+  }
 }
