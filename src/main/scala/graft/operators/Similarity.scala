@@ -582,6 +582,51 @@ object Similarity {
     out.toSeq.toDF("rank", "vec_id", "score")
   }
 
+  /** Persist an [[IvfPqIndex]]: centroids and codebooks land as tiny
+    * O(model) parquets; the coded frame lands PARTITIONED BY CELL — at
+    * query time the nProbe cell filter prunes at the directory index
+    * AND every touched row is scored from its M-byte codes, so the
+    * embedding column is read only for the bounded rerank pool. This is
+    * the full billion-scale serving layout: coarse pruning at the FILE
+    * level, fine scoring at the CODE level. */
+  def writeIvfPqIndex(index: IvfPqIndex, path: String): Unit = {
+    val s = index.frame.sparkSession
+    import s.implicits._
+    val cents = for {
+      (c, i) <- index.centroids.zipWithIndex.toSeq; (v, dd) <- c.zipWithIndex
+    } yield (i, dd, v)
+    cents.toDF("cell", "d", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val nSub = index.books.length
+    val dsub = 64 / nSub
+    val books = for {
+      m <- 0 until nSub; j <- index.books(m).indices; t <- 0 until dsub
+    } yield (m, j, t, index.books(m)(j)(t))
+    books.toDF("m", "cell", "d", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    index.frame.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/coded")
+  }
+
+  /** Reload a stored IVF-PQ index: bounded O(model) collects for the
+    * centroid/codebook tables; the coded frame is deliberately NOT
+    * cached, as in [[readIvfIndex]] — the cell partitioning IS the
+    * point, and caching would materialize every cell on first use. */
+  def readIvfPqIndex(spark: SparkSession, path: String, nCells: Int = 16,
+                     nSub: Int = 8, nCentroids: Int = 16,
+                     dim: Int = 64): IvfPqIndex = {
+    val cents = Array.fill(nCells, dim)(0.0)
+    spark.read.parquet(s"$path/centroids").collect().foreach { r =>
+      cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+    }
+    val dsub = dim / nSub
+    val books = Array.fill(nSub, nCentroids, dsub)(0.0)
+    spark.read.parquet(s"$path/codebooks").collect().foreach { r =>
+      books(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+    }
+    IvfPqIndex(cents, books, spark.read.parquet(s"$path/coded"))
+  }
+
   /** Persist a [[PqIndex]] as a stored artifact: the codebooks flatten
     * to a tiny (m, cell, d, v) parquet — O(model) rows — and the code
     * table lands beside them. At 100 TB the code table IS the queryable
@@ -639,6 +684,8 @@ object SimilarityQueries extends graft.QueryModule {
   private val pqWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val ivfWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ivfPqWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def dirTag(d: String): String = d.replaceAll("[^a-zA-Z0-9]", "_")
 
@@ -900,6 +947,29 @@ object SimilarityQueries extends graft.QueryModule {
       bruteForceSql(cloneCorpusSql, 11)))((s, d) => {
       val index = buildIvfPqIndex(
         withQueryClones(Tables.embeddings(s, d), queryVecId = 0L, n = 10))
+      val ranked = ivfPqTopK(index, queryVecId = 0L, k = 11)
+      val local = ranked.collectAsList()
+      index.unpersist()
+      s.createDataFrame(local, ranked.schema)
+    }),
+
+    // N8b — IVF-PQ through the WRITTEN serving layout: cell-partitioned
+    // coded frame + O(model) centroid/codebook tables, so the probe
+    // prunes at the directory index (PlanSpec asserts PartitionFilters)
+    // and scoring reads codes, not embeddings, outside the rerank pool.
+    // Same planted-clone brute-force oracle as n8 — storage round-trip,
+    // directory pruning, ADC scoring, and rerank all on the hook.
+    graft.QueryDef("n8b_ann_ivfpq_persistent", Some(
+      bruteForceSql(cloneCorpusSql, 11)))((s, d) => {
+      val path = ivfPqWritten.computeIfAbsent(d, dd => {
+        val built = buildIvfPqIndex(
+          withQueryClones(Tables.embeddings(s, dd), queryVecId = 0L, n = 10))
+        val p = s"$pqRoot/${dirTag(dd)}/ivfpq"
+        writeIvfPqIndex(built, p)
+        built.unpersist()
+        p
+      })
+      val index = readIvfPqIndex(s, path)
       val ranked = ivfPqTopK(index, queryVecId = 0L, k = 11)
       val local = ranked.collectAsList()
       index.unpersist()

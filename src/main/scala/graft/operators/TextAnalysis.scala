@@ -362,6 +362,50 @@ object TextAnalysisQueries extends graft.QueryModule {
           max(when(col("bucket") < col("rate"), col("doc_id"))).as("last_sampled"))
     }),
 
+    // T22 — WEIGHTED (importance) sampling: each doc keeps with
+    // probability proportional to a quality weight (length capped at
+    // 500), decided by the same engine-neutral multiplicative hash as
+    // t7 — deterministic across engines, partitionings, and retries,
+    // never rand(). Selected rows carry the inverse-probability weight
+    // downstream estimators need for unbiasedness. The acceptance test
+    // is pure integer arithmetic (bucket*500 < w*2^31 — no float
+    // boundary ambiguity); map-side, pushes to the scan.
+    graft.QueryDef("t22_weighted_sample", Some(
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    (doc_id * 2654435761) % 2147483648 AS bucket,
+        |    least(n_chars, 500) AS w
+        |  FROM documents)
+        |SELECT doc_id, n_chars, CAST(500 AS DOUBLE) / w AS inv_prob
+        |FROM h WHERE bucket * 500 < w * 2147483648""".stripMargin))((s, d) => {
+      val bucket = (col("doc_id") * 2654435761L) % 2147483648L
+      val w = least(col("n_chars"), lit(500L))
+      Tables.documents(s, d)
+        .where(bucket * 500L < w * 2147483648L)
+        .select(col("doc_id"), col("n_chars"), (lit(500.0) / w).as("inv_prob"))
+    }),
+
+    // T23 — deterministic reservoir-k per stratum: exactly k=10 docs per
+    // language, selected by hash order (the t7 hash ranks, doc_id breaks
+    // ties) — the fixed-budget-per-group sample where t7's fixed-RATE
+    // leaves group sizes data-dependent. One partitioned window, no
+    // global sort, no rand().
+    graft.QueryDef("t23_reservoir_per_lang", Some(
+      """WITH h AS (
+        |  SELECT doc_id, lang, (doc_id * 2654435761) % 2147483648 AS rk
+        |  FROM documents)
+        |SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY rk, doc_id) AS rn
+        |  FROM h)
+        |WHERE rn <= 10""".stripMargin))((s, d) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(((col("doc_id") * 2654435761L) % 2147483648L).asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), row_number().over(w).cast(LongType).as("rn"))
+        .where(col("rn") <= 10)
+    }),
+
     // T10 — PII detection (the pre-training redaction scan): email and
     // phone hits per document over a corpus with planted PII (doc_id %
     // 97 = 3 rows get a deterministic address + number appended —

@@ -85,6 +85,18 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"n3c: cell probe not pruning partitions:\n$p")
   }
 
+  test("n8b: the persistent IVF-PQ probe prunes cell partitions at the file index") {
+    val built = operators.Similarity.buildIvfPqIndex(Tables.embeddings(spark, sf))
+    val path = util.TmpRoot("ivfpqplan") + "/ivfpq"
+    operators.Similarity.writeIvfPqIndex(built, path)
+    built.unpersist()
+    val reloaded = operators.Similarity.readIvfPqIndex(spark, path)
+    val p = operators.Similarity.ivfPqTopK(reloaded, 0L, 10)
+      .queryExecution.executedPlan.toString
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*cell.*"),
+      s"n8b: cell probe not pruning partitions:\n$p")
+  }
+
   test("d10: the batch probe prunes bucket partitions of the stored index") {
     val docs = Tables.documents(spark, sf)
     val built = operators.Dedup.buildMinhashIndex(docs)
