@@ -19,6 +19,7 @@ object SparkEntry {
     operators.DedupQueries,
     operators.SimilarityQueries,
     operators.TextAnalysisQueries,
+    operators.GovernanceQueries,
   )
 
   lazy val allDefs: Seq[QueryDef] = {

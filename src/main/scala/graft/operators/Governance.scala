@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Retraction propagation — takedown / right-to-be-forgotten for a
+  * training-data store. Deleting a document from the corpus table is
+  * the EASY part; the erased text also lives on in every derived
+  * artifact — chunk stores, shingle/signature frames, band tables of
+  * persisted dedup indexes — and a purge that misses one of them keeps
+  * serving the retracted content (a re-submitted copy would even be
+  * flagged as a "duplicate" of a document that officially no longer
+  * exists). Every purge here is an anti-join against the takedown set:
+  * one broadcast of the (small) id set, map-side elimination, no
+  * full-table shuffle at any scale.
+  */
+object Governance {
+
+  /** Anti-join a takedown set out of any doc_id-keyed frame. */
+  def purgeFrame(frame: DataFrame, ids: DataFrame,
+                 idCol: String = "doc_id"): DataFrame =
+    frame.join(broadcast(ids.select(col("purge_id"))),
+      col(idCol) === col("purge_id"), "left_anti")
+
+  /** Chunk stores key rows by cid = base_doc_id * 100000 + index (the
+    * t18/d8 convention) — purge resolves the BASE id. */
+  def purgeChunks(chunks: DataFrame, ids: DataFrame,
+                  idCol: String = "doc_id"): DataFrame =
+    chunks.join(broadcast(ids.select(col("purge_id"))),
+      (col(idCol) / 100000).cast(LongType) === col("purge_id"), "left_anti")
+
+  /** Rewrite a stored MinHash index (Dedup.writeMinhashIndex layout)
+    * minus the takedown set: both the banded table (bucket partitioning
+    * preserved) and the signature frame. Writes a purged COPY — the
+    * atomic swap to the serving path is the deployment's move, and a
+    * failed rewrite must never have half-destroyed the live index. */
+  def purgeStoredMinhashIndex(spark: SparkSession, inPath: String,
+                              outPath: String, ids: DataFrame): Unit = {
+    purgeFrame(spark.read.parquet(s"$inPath/banded"), ids)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$outPath/banded")
+    purgeFrame(spark.read.parquet(s"$inPath/sigs"), ids)
+      .write.mode("overwrite").parquet(s"$outPath/sigs")
+  }
+}
+
+/** Registered governance queries (G-family extension). */
+object GovernanceQueries extends graft.QueryModule {
+
+  def defs: Seq[graft.QueryDef] = Seq(
+
+    // G1 — takedown purge across the corpus AND its chunk store, audited
+    // as before/after row counts per artifact (the compliance evidence a
+    // retraction produces). The chunk counts replay the t18 chunker's
+    // window arithmetic on both sides, so the oracle independently
+    // derives how many chunk rows each purged doc must take with it.
+    graft.QueryDef("g1_takedown_purge", Some(
+      s"""WITH wrds AS (
+         |  SELECT doc_id, string_split(${Dedup.normTextSql}, ' ') AS w
+         |  FROM documents),
+         |nch AS (
+         |  SELECT doc_id, len(list_filter(generate_series(0, len(w), 40),
+         |    s -> s = 0 OR s < len(w))) AS n_chunks
+         |  FROM wrds)
+         |SELECT 'corpus' AS artifact,
+         |  (SELECT count(*) FROM documents) AS n_before,
+         |  (SELECT count(*) FROM documents WHERE doc_id % 50 <> 0) AS n_after
+         |UNION ALL
+         |SELECT 'chunks',
+         |  (SELECT CAST(SUM(n_chunks) AS BIGINT) FROM nch),
+         |  (SELECT CAST(SUM(n_chunks) AS BIGINT) FROM nch WHERE doc_id % 50 <> 0)""".stripMargin))((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ids = docs.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("purge_id"))
+      val w = split(Dedup.normText(col("text")), " ")
+      val chunks = docs.select(col("doc_id"), w.as("w"))
+        .select(col("doc_id"), explode(filter(
+          sequence(lit(0), size(col("w")), lit(40)),
+          x => x === 0 || x < size(col("w")))).as("s"))
+        .select((col("doc_id") * 100000 + (col("s") / 40).cast(LongType)).as("doc_id"))
+      val purgedDocs = Governance.purgeFrame(docs, ids)
+      val purgedChunks = Governance.purgeChunks(chunks, ids)
+      val corpus = docs.agg(count(lit(1)).as("n_before"))
+        .crossJoin(purgedDocs.agg(count(lit(1)).as("n_after")))
+        .select(lit("corpus").as("artifact"), col("n_before"), col("n_after"))
+      val chunkRow = chunks.agg(count(lit(1)).as("n_before"))
+        .crossJoin(purgedChunks.agg(count(lit(1)).as("n_after")))
+        .select(lit("chunks").as("artifact"), col("n_before"), col("n_after"))
+      corpus.unionByName(chunkRow)
+    })
+  )
+}

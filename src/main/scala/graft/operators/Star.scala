@@ -97,6 +97,49 @@ object StarPredicates extends graft.QueryModule {
         .select("o_orderkey", "o_orderstatus", "batch")
     }),
 
+    // S11 — CDC changelog apply: s5's last-writer-wins upsert COMPLETED
+    // with deletes — the changelog a training-data store must honor for
+    // retractions (takedowns, GDPR/right-to-be-forgotten): a sequenced
+    // stream of I/U/D ops folds onto the base table; the LAST op per key
+    // wins and a final D tombstone erases the row entirely. One id-hash
+    // window shuffle, no driver loop; same plan shape as s5 at 100 TB.
+    graft.QueryDef("s11_changelog_apply", Some(
+      """WITH log AS (
+        |  SELECT o_orderkey, o_orderstatus, 0 AS seq, 'I' AS op FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, 1 AS seq, 'U' AS op
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, NULL AS o_orderstatus, 2 AS seq, 'D' AS op
+        |  FROM orders WHERE o_orderkey % 20 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, 'N' AS o_orderstatus,
+        |    1 AS seq, 'I' AS op
+        |  FROM orders WHERE o_orderkey % 25 = 0)
+        |SELECT o_orderkey, o_orderstatus, CAST(seq AS INTEGER) AS seq FROM (
+        |  SELECT log.*, row_number() OVER (
+        |    PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |  FROM log) WHERE rn = 1 AND op <> 'D'""".stripMargin))((s, d) => {
+      val o = Tables.orders(s, d)
+      val base = o.select(col("o_orderkey"), col("o_orderstatus"),
+        lit(0).as("seq"), lit("I").as("op"))
+      val updates = o.where(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          lit(1).as("seq"), lit("U").as("op"))
+      val deletes = o.where(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey"), lit(null).cast(StringType).as("o_orderstatus"),
+          lit(2).as("seq"), lit("D").as("op"))
+      val inserts = o.where(col("o_orderkey") % 25 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), lit(1).as("seq"), lit("I").as("op"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderkey").orderBy(col("seq").desc)
+      base.unionByName(updates).unionByName(deletes).unionByName(inserts)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1 && col("op") =!= "D")
+        .select("o_orderkey", "o_orderstatus", "seq")
+    }),
+
     // S8 — export change detection: watermark compare (reference
     // export-db-sqlite.yml:42-91's bookmark equality) as one agg pass.
     graft.QueryDef("s8_change_detect", Some(
