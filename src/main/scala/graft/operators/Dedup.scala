@@ -416,6 +416,29 @@ object Dedup {
     verifyJaccard(cand, allSh, threshold)
   }
 
+  /** Compact the STREAMING incremental index (batchId-scoped signature
+    * partitions written by streaming.Streams.incrementalMinhashIndex)
+    * into the bucket-partitioned serving layout of
+    * [[writeMinhashIndex]] — the lifecycle step between "maintained per
+    * micro-batch" and "served to d10 batch dedup". Each doc's LATEST
+    * revision wins (row_number by batch_id desc — the trigger world's
+    * DELETE+INSERT resolved at compaction, same LWW the warehouse
+    * compactor uses), then the banded + signature tables are written.
+    * Cost is one window shuffle over the INDEX (signatures are never
+    * recomputed from text) plus the banding projection — O(index
+    * rows), independent of corpus text size. */
+  def compactMinhashIndex(spark: SparkSession, incrementalDir: String,
+                          outPath: String, nBuckets: Int = 64): Unit = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("batch_id").desc)
+    val latest = spark.read.parquet(incrementalDir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).select("doc_id", "sh", "sig")
+    val ix = MinhashIndex(latest.persist(StorageLevel.MEMORY_AND_DISK))
+    try writeMinhashIndex(ix, outPath, nBuckets)
+    finally ix.unpersist()
+  }
+
   /** The d10 batch fixture: exact clones of docs 0-9 plus near-clones of
     * 10-19, at +1000000 ids — an incoming "crawl" whose every row has a
     * provable corpus match, so the brute-force oracle pins both recall

@@ -1052,6 +1052,40 @@ object SimilarityQueries extends graft.QueryModule {
         |  UNION ALL SELECT 5, vec_id, score FROM s5)""".stripMargin))((s, d) =>
       mmrRerank(Tables.embeddings(s, d), queryVecId = 0L, k = 5)),
 
+    // N10 — mean-pooled group embeddings (doc embedding from chunk
+    // embeddings, the standard long-document representation): vectors
+    // group by vec_id/10, per-dimension sums accumulate as EXACT
+    // quantized integers (map-side partial sums; the explode is O(n·d)
+    // — the data's own size), and the pooled vector is emitted as the
+    // comma-joined integer sums — exact, format-stable across engines,
+    // with the mean a trivial client division by n_vecs·10000.
+    graft.QueryDef("n10_mean_pool", Some(
+      """WITH q AS (
+        |  SELECT vec_id // 10 AS group_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS x
+        |  FROM embeddings),
+        |s AS (SELECT group_id, i, SUM(x) AS sx FROM q GROUP BY group_id, i),
+        |c AS (SELECT vec_id // 10 AS group_id, count(*) AS n_vecs
+        |      FROM embeddings GROUP BY 1)
+        |SELECT s.group_id, CAST(min(c.n_vecs) AS BIGINT) AS n_vecs,
+        |  string_agg(CAST(sx AS VARCHAR), ',' ORDER BY i) AS pooled
+        |FROM s JOIN c ON c.group_id = s.group_id
+        |GROUP BY s.group_id""".stripMargin))((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val sums = e.select((col("vec_id") / 10).cast(LongType).as("group_id"),
+          posexplode(quant(col("embedding"))))
+        .groupBy(col("group_id"), (col("pos") + 1).as("i"))
+        .agg(sum(col("col")).as("sx"))
+      val counts = e.groupBy((col("vec_id") / 10).cast(LongType).as("group_id"))
+        .agg(count(lit(1)).as("n_vecs"))
+      sums.groupBy("group_id")
+        .agg(concat_ws(",", transform(
+          array_sort(collect_list(struct(col("i"), col("sx")))),
+          p => p.getField("sx").cast(StringType))).as("pooled"))
+        .join(counts, Seq("group_id"))
+        .select(col("group_id"), col("n_vecs"), col("pooled"))
+    }),
+
     // N4 — batched exact top-10 for query vectors 0-4 in one pass,
     // oracle-checked value for value (the oracle replays the arithmetic
     // per query with a window top-k — formulation-independent check of

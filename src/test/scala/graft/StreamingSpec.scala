@@ -174,6 +174,49 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       s"stream join emitted ${streamed.size} of ${batch.size} pairs")
   }
 
+  test("index compaction: incremental batches collapse to the direct serving index") {
+    import graft.operators.Dedup
+    def addChunk(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp("graft_cmp_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$dir/$name"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val src = tmp("graft_cmp_src")
+    val index = tmp("graft_cmp_root") + "/idx"
+    val pairsDir = tmp("graft_cmp_root2") + "/pairs"
+    val ckpt = tmp("graft_cmp_ckpt")
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // batch 1: base corpus; batch 2: docs 0-4 re-arrive REVISED — the
+    // compactor must keep only the latest revision per doc (LWW).
+    val revised = docs.where(col("doc_id") < 5)
+      .select(col("doc_id"), concat(col("text"), lit(" updated rev2")).as("text"))
+    addChunk(src, docs, "chunk1.parquet")
+    Streams.incrementalMinhashIndex(spark, src, index, pairsDir, ckpt)
+    addChunk(src, revised, "chunk2.parquet")
+    Streams.incrementalMinhashIndex(spark, src, index, pairsDir, ckpt)
+    val out = tmp("graft_cmp_out") + "/serving"
+    Dedup.compactMinhashIndex(spark, index, out)
+    // reference: the serving index built DIRECTLY from the final corpus
+    val finalCorpus = docs.where(col("doc_id") >= 5).unionByName(revised)
+    val direct = Dedup.buildMinhashIndex(finalCorpus)
+    val out2 = tmp("graft_cmp_out2") + "/serving"
+    Dedup.writeMinhashIndex(direct, out2)
+    direct.unpersist()
+    def sigSet(path: String) = spark.read.parquet(s"$path/sigs")
+      .select(col("doc_id"), col("sh")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).mkString("|"))).toSet
+    def bandSet(path: String) = spark.read.parquet(s"$path/banded")
+      .select(col("doc_id"), col("band"), col("bucket")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(sigSet(out) == sigSet(out2),
+      "compacted signature table differs from the direct build")
+    assert(bandSet(out) == bandSet(out2),
+      "compacted banded table differs from the direct build")
+  }
+
   test("incremental LSH index maintenance converges to the batch pair set (d2 twin)") {
     import graft.operators.Dedup
     def addChunk(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
