@@ -670,6 +670,95 @@ object TextAnalysisQueries extends graft.QueryModule {
           (sum(col("q")).cast(DoubleType) / 1000000.0 / count(lit(1))).as("avg_logprob"))
     }),
 
+    // T24 — bigram LM scoring: t17's unigram log-prob upgraded to
+    // P(w_i | w_{i-1}) with add-1 smoothing over the vocabulary — the
+    // n-gram perplexity filter quality pipelines actually run. Tokens
+    // are FILTERED before positions are assigned (both sides), bigrams
+    // come from a (doc, pos)=(doc, pos+1) self-join, each ln is
+    // quantized to an exact integer BEFORE the per-doc sum (the t17
+    // determinism rule), and docs with < 2 tokens drop out on both
+    // sides. Model frames (c1/c2) stay distributed — never a driver
+    // dictionary.
+    graft.QueryDef("t24_bigram_logprob", Some(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS tok,
+        |    generate_subscripts(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''), 1) AS pos
+        |  FROM documents),
+        |big AS (
+        |  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+        |  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        |c1 AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |c2 AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS vs FROM c1)
+        |SELECT big.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(CAST(round(ln((CAST(c2.c AS DOUBLE) + 1.0) /
+        |      (CAST(c1.c AS DOUBLE) + CAST(vs AS DOUBLE))) * 1000000) AS BIGINT)) AS DOUBLE)
+        |    / 1000000.0 / count(*) AS avg_logprob
+        |FROM big JOIN c2 USING (w1, w2) JOIN c1 ON c1.tok = big.w1, v
+        |GROUP BY big.doc_id""".stripMargin))((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(filter(
+          split(lower(col("text")), "[^a-z0-9]+"), x => x =!= "")))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+      val big = toks.as("a").join(toks.as("b"),
+          col("b.doc_id") === col("a.doc_id") && col("b.pos") === col("a.pos") + 1)
+        .select(col("a.doc_id").as("doc_id"),
+          col("a.tok").as("w1"), col("b.tok").as("w2"))
+      val c1 = toks.groupBy(col("tok").as("w1")).agg(count(lit(1)).as("c1"))
+      val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val v = c1.agg(count(lit(1)).as("vs"))
+      val q = round(log((col("c2").cast(DoubleType) + 1.0) /
+        (col("c1").cast(DoubleType) + col("vs").cast(DoubleType))) * 1000000)
+        .cast(LongType)
+      big.join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).join(broadcast(v))
+        .select(col("doc_id"), q.as("q"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_bigrams"),
+          (sum(col("q")).cast(DoubleType) / 1000000.0 / count(lit(1))).as("avg_logprob"))
+    }),
+
+    // X2 — range-sharded export planner: exact quantile boundaries of
+    // the sort key (ONE percentile aggregation, broadcast back) assign
+    // each row a shard map-side, and the manifest reports per-shard
+    // count/min/max — the globally-ORDERED export layout (trainers that
+    // need key order) where t20's hash shards give order-free balance.
+    // No global sort and no single-reducer window anywhere: boundary
+    // computation is an agg, assignment is an expression, the manifest
+    // is one groupBy. quantile_cont is Spark percentile's exact pair
+    // (the a12 precedent).
+    graft.QueryDef("x2_range_shard", Some(
+      """WITH b AS (
+        |  SELECT quantile_cont(o_orderkey,
+        |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs
+        |  FROM orders)
+        |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_rows,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM (
+        |  SELECT o_orderkey,
+        |    (CASE WHEN CAST(o_orderkey AS DOUBLE) > bs[1] THEN 1 ELSE 0 END +
+        |     CASE WHEN CAST(o_orderkey AS DOUBLE) > bs[2] THEN 1 ELSE 0 END +
+        |     CASE WHEN CAST(o_orderkey AS DOUBLE) > bs[3] THEN 1 ELSE 0 END +
+        |     CASE WHEN CAST(o_orderkey AS DOUBLE) > bs[4] THEN 1 ELSE 0 END +
+        |     CASE WHEN CAST(o_orderkey AS DOUBLE) > bs[5] THEN 1 ELSE 0 END +
+        |     CASE WHEN CAST(o_orderkey AS DOUBLE) > bs[6] THEN 1 ELSE 0 END +
+        |     CASE WHEN CAST(o_orderkey AS DOUBLE) > bs[7] THEN 1 ELSE 0 END) AS shard
+        |  FROM orders, b)
+        |GROUP BY shard""".stripMargin))((s, d) => {
+      val o = Tables.orders(s, d)
+      val b = o.agg(percentile(col("o_orderkey"),
+        array((1 to 7).map(k => lit(k / 8.0)): _*)).as("bs"))
+      val shard = (0 until 7).map(k =>
+        when(col("o_orderkey").cast(DoubleType) > col("bs")(k), 1L).otherwise(0L))
+        .reduce(_ + _)
+      o.join(broadcast(b))
+        .select(col("o_orderkey"), shard.as("shard"))
+        .groupBy("shard").agg(count(lit(1)).as("n_rows"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+    }),
+
     // T18 — document CHUNKING (RAG/window prep): fixed 50-word chunks at
     // stride 40 (10-word overlap), emitted as (doc_id, chunk_id, text,
     // n_words). Offsets come from a per-row sequence + explode — all
