@@ -90,6 +90,32 @@ object TextAnalysisQueries extends graft.QueryModule {
   private def occSql(expr: String, needle: String): String =
     s"(len($expr) - len(replace($expr, '$needle', ''))) / ${needle.length}"
 
+  /** The e3 z-scoring stage over a (event_type, day, cnt) daily rollup
+    * — single-sourced so the BATCH gate row and the STREAMING
+    * incremental rollup (streaming.Streams.incrementalDailyCounts)
+    * score through the same code and can never drift. Exact BIGINT
+    * first+second moments inside the trailing window; the doubles
+    * derive through one fixed formula shape. */
+  def driftZscores(daily: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    val m = col("wsum").cast(DoubleType) / col("wn")
+    daily
+      .withColumn("wn", count(col("cnt")).over(w))
+      .withColumn("wsum", sum(col("cnt")).over(w))
+      .withColumn("wsumsq", sum(col("cnt") * col("cnt")).over(w))
+      .where(col("wn") >= 4)
+      .withColumn("m", m)
+      .withColumn("v",
+        (col("wsumsq").cast(DoubleType) - col("wsum").cast(DoubleType) * m) /
+          (col("wn") - 1))
+      .withColumn("z",
+        when(col("v") > 0,
+          (col("cnt").cast(DoubleType) - col("m")) / sqrt(col("v")))
+          .otherwise(lit(0.0)))
+      .select(col("event_type"), col("day").cast(StringType).as("day"),
+        col("cnt"), col("z"), (abs(col("z")) > 2).as("drift"))
+  }
+
   /** T21 probe corpus: five planted heavy tokens, each repeated
     * ndocs*(4+i) times — counts stay PROPORTIONAL to corpus size, so the
     * heavy set has the same shape at every scale factor (both the corpus
@@ -670,6 +696,44 @@ object TextAnalysisQueries extends graft.QueryModule {
           (sum(col("q")).cast(DoubleType) / 1000000.0 / count(lit(1))).as("avg_logprob"))
     }),
 
+    // T25 — model-based quality scoring: the t2 heuristics composed
+    // into a fixed-weight logistic model (the shape a trained
+    // fastText/regression quality filter serves at scale — weights here
+    // are literals, so the full score pipeline is oracle-checkable).
+    // The linear score z is pure IEEE arithmetic on ratio features
+    // derived from exact ints — bit-identical with NO quantization; the
+    // sigmoid quantizes to 1e-6 after evaluation (the t17 ln rule,
+    // same ulp-tolerance class) and the keep decision tests z > 0
+    // exactly. Map-side, codegen-friendly, no joins.
+    graft.QueryDef("t25_quality_model", Some {
+      val nTok = "len(string_split_regex(trim(text), '\\s+'))"
+      val nStop = s"${occSql("concat(' ', lower(text), ' ')", " the ")} + ${occSql("concat(' ', lower(text), ' ')", " a ")}"
+      s"""SELECT doc_id,
+         |  z,
+         |  round(1.0 / (1.0 + exp(-z)) * 1000000) / 1000000.0 AS score,
+         |  z > 0 AS keep
+         |FROM (
+         |  SELECT doc_id,
+         |    -2.0 + 8.0 * (CAST(($nStop) AS DOUBLE) / $nTok)
+         |      + 0.5 * (CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / $nTok)
+         |      - 0.01 * CAST($nTok AS DOUBLE) AS z
+         |  FROM documents)""".stripMargin
+    })((s, d) => {
+      val nTok = size(split(trim(col("text")), "\\s+"))
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      val nStop = occ(padded, " the ") + occ(padded, " a ")
+      val z = lit(-2.0) + lit(8.0) * (nStop.cast(DoubleType) / nTok) +
+        lit(0.5) * (length(regexp_replace(col("text"), "\\s+", ""))
+          .cast(DoubleType) / nTok) -
+        lit(0.01) * nTok.cast(DoubleType)
+      Tables.documents(s, d)
+        .select(col("doc_id"), z.as("z"))
+        .select(col("doc_id"), col("z"),
+          (round(lit(1.0) / (lit(1.0) + exp(-col("z"))) * 1000000) / 1000000.0)
+            .as("score"),
+          (col("z") > 0).as("keep"))
+    }),
+
     // T24 — bigram LM scoring: t17's unigram log-prob upgraded to
     // P(w_i | w_{i-1}) with add-1 smoothing over the vocabulary — the
     // n-gram perplexity filter quality pipelines actually run. Tokens
@@ -1145,26 +1209,10 @@ object TextAnalysisQueries extends graft.QueryModule {
         |       ELSE CAST(0 AS DOUBLE) END AS z,
         |  abs(CASE WHEN v > 0 THEN (CAST(cnt AS DOUBLE) - m) / sqrt(v)
         |       ELSE CAST(0 AS DOUBLE) END) > 2 AS drift
-        |FROM scored""".stripMargin))((s, d) => {
-      val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
-      val m = col("wsum").cast(DoubleType) / col("wn")
-      Tables.events(s, d)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("wn", count(col("cnt")).over(w))
-        .withColumn("wsum", sum(col("cnt")).over(w))
-        .withColumn("wsumsq", sum(col("cnt") * col("cnt")).over(w))
-        .where(col("wn") >= 4)
-        .withColumn("m", m)
-        .withColumn("v",
-          (col("wsumsq").cast(DoubleType) - col("wsum").cast(DoubleType) * m) /
-            (col("wn") - 1))
-        .withColumn("z",
-          when(col("v") > 0,
-            (col("cnt").cast(DoubleType) - col("m")) / sqrt(col("v")))
-            .otherwise(lit(0.0)))
-        .select(col("event_type"), col("day").cast(StringType).as("day"),
-          col("cnt"), col("z"), (abs(col("z")) > 2).as("drift"))
-    })
+        |FROM scored""".stripMargin))((s, d) =>
+      TextAnalysisQueries.driftZscores(
+        Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))))
   )
 }

@@ -334,4 +334,36 @@ object Streams {
     q.awaitTermination()
     spark.read.parquet(targetDir).count()
   }
+
+  /** Streaming drift detection — the e3 batch z-score maintained
+    * incrementally: each micro-batch writes ITS OWN daily-count deltas
+    * to a batchId-scoped partition (overwrite — idempotent under
+    * micro-batch retry, like every incremental index here); per-batch
+    * work is O(batch events), never a historical rescan. Readers merge
+    * the partials per (type, day) with one sum and score through the
+    * SAME TextAnalysisQueries.driftZscores stage the e3 gate row uses —
+    * batch and stream cannot drift. A day whose events span batches is
+    * simply the sum of its deltas. */
+  def incrementalDailyCounts(spark: SparkSession, sourceDir: String,
+                             rollupDir: String, checkpointDir: String): Unit = {
+    val q = eventStream(spark, sourceDir).writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+          .write.mode("overwrite").parquet(s"$rollupDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Merge the incremental rollup and z-score it — the streaming read
+    * path of e3. */
+  def readDriftScores(spark: SparkSession, rollupDir: String): DataFrame =
+    graft.operators.TextAnalysisQueries.driftZscores(
+      spark.read.parquet(rollupDir)
+        .groupBy("event_type", "day").agg(sum(col("cnt")).as("cnt")))
 }

@@ -174,6 +174,37 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       s"stream join emitted ${streamed.size} of ${batch.size} pairs")
   }
 
+  test("incremental daily rollup z-scores equal the batch e3 drift path") {
+    // two chunks split mid-stream: the split day's count spans batches,
+    // so the reader MUST merge per-(type, day) deltas to agree with the
+    // batch path.
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val cut = raw.agg(max(col("event_id"))).head().getLong(0) / 2
+    val src = tmp("graft_drift_src")
+    val rollup = tmp("graft_drift_roll") + "/rollup"
+    val ckpt = tmp("graft_drift_ckpt")
+    def addChunk(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp("graft_drift_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/$name"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    addChunk(raw.where(col("event_id") <= cut), "chunk1.parquet")
+    Streams.incrementalDailyCounts(spark, src, rollup, ckpt)
+    addChunk(raw.where(col("event_id") > cut), "chunk2.parquet")
+    Streams.incrementalDailyCounts(spark, src, rollup, ckpt)
+    val streamed = Streams.readDriftScores(spark, rollup)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = graft.operators.TextAnalysisQueries.driftZscores(
+      Tables.events(spark, sf)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch, "incremental drift scores != batch e3 path")
+  }
+
   test("index compaction: incremental batches collapse to the direct serving index") {
     import graft.operators.Dedup
     def addChunk(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
