@@ -784,6 +784,53 @@ object TextAnalysisQueries extends graft.QueryModule {
           (sum(col("q")).cast(DoubleType) / 1000000.0 / count(lit(1))).as("avg_logprob"))
     }),
 
+    // T26 — pretraining concat-and-split: documents concatenate in a
+    // deterministic shuffled order and split into fixed L=512-token
+    // training sequences that CROSS doc boundaries — each doc's global
+    // start offset decides which sequences it lands in. The global
+    // running sum is computed as a DISTRIBUTED PREFIX SUM: per-shard
+    // exclusive cumsums (partitioned window) + shard base offsets (a
+    // window over the 32-row shard-total frame — the a11 class: global
+    // but post-aggregation, O(shards) rows). The export order is
+    // shard-major (shard, hash, id), so shard prefix + local prefix IS
+    // the global prefix; the oracle replays the same order with one
+    // flat window cumsum.
+    graft.QueryDef("t26_concat_split", Some(
+      """WITH h AS (
+        |  SELECT doc_id, (doc_id * 2654435761) % 2147483648 AS hk,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT doc_id, CAST(start AS BIGINT) AS start_offset,
+        |  CAST(start // 512 AS BIGINT) AS first_seq,
+        |  CAST((start + n_tok - 1) // 512 AS BIGINT) AS last_seq
+        |FROM (
+        |  SELECT doc_id, n_tok, COALESCE(SUM(n_tok) OVER (
+        |    ORDER BY hk % 32, hk, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |  FROM h)""".stripMargin))((s, d) => {
+      val hk = (col("doc_id") * 2654435761L) % 2147483648L
+      val base = Tables.documents(s, d).select(col("doc_id"), hk.as("hk"),
+        (hk % 32).as("shard"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tok"))
+      val wLocal = Window.partitionBy("shard").orderBy("hk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wShard = Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bases = base.groupBy("shard").agg(sum(col("n_tok")).as("tot"))
+        .withColumn("shard_base", coalesce(sum(col("tot")).over(wShard), lit(0L)))
+        .select("shard", "shard_base")
+      base
+        .withColumn("local_cum",
+          coalesce(sum(col("n_tok")).over(wLocal), lit(0L)))
+        .join(broadcast(bases), Seq("shard"))
+        .select(col("doc_id"),
+          (col("shard_base") + col("local_cum")).as("start_offset"),
+          col("n_tok"))
+        .select(col("doc_id"), col("start_offset"),
+          floor(col("start_offset") / 512).as("first_seq"),
+          floor((col("start_offset") + col("n_tok") - 1) / 512).as("last_seq"))
+    }),
+
     // X2 — range-sharded export planner: exact quantile boundaries of
     // the sort key (ONE percentile aggregation, broadcast back) assign
     // each row a shard map-side, and the manifest reports per-shard
