@@ -153,6 +153,53 @@ object Multimodal {
     (out.array(), ResizedImage(docId, outW.toLong, outH.toLong, outSize.toLong, sum))
   }
 
+  /** 64-bit average hash (aHash) of a BMP — the perceptual fingerprint
+    * image pipelines block near-dups on: nearest-neighbor 8x8 grayscale
+    * downsample (same sampling as [[resizeBmp]]), bit (py*8+px) set iff
+    * that cell's gray exceeds the 64-cell mean. Identical payloads hash
+    * identically; uniform brightness shifts cancel (gray and mean move
+    * together); banding + Hamming blocking then rides the SAME SimHash
+    * pair machinery text near-dup uses (Dedup.simhashPairs over a
+    * constructed SimhashIndex). Map-side, no library dependency. */
+  def aHashBmp(docId: Long, payload: Array[Byte]): Long = {
+    val b = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M',
+      s"doc $docId: not a BMP")
+    val width = b.getInt(18)
+    val height = b.getInt(22)
+    require(b.getShort(28) == 24, s"BMP $docId: unsupported bpp")
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val gray = new Array[Long](64)
+    var total = 0L
+    var py = 0
+    while (py < 8) {
+      var px = 0
+      while (px < 8) {
+        val srcX = px * width / 8
+        val srcY = py * height / 8
+        var g = 0L
+        var c = 0
+        while (c < 3) {
+          g += payload(54 + srcY * rowSize + srcX * 3 + c) & 0xFF
+          c += 1
+        }
+        gray(py * 8 + px) = g
+        total += g
+        px += 1
+      }
+      py += 1
+    }
+    // bit set iff gray*64 > total — integer compare, no float mean
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (gray(i) * 64 > total) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
   /** Output row of the m4 frame-sampler: header-derived sample counts
     * plus the signed-int16 sum of each frame's first sample — recomputed
     * closed-form by the oracle, so a wrong stride, wrong channel layout,

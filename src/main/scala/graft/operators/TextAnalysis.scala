@@ -1176,6 +1176,38 @@ object TextAnalysisQueries extends graft.QueryModule {
         .toDF()
     }),
 
+    // M5 — image near-dup via perceptual average-hash, oracle-HARD in
+    // the d3b probe style: planted byte-identical payload clones (even
+    // docs < 20 at +1000000 — parity preserved) MUST surface as exactly
+    // the hamming-0 pairs the oracle derives from ids alone; any aHash
+    // instability, banding bug, or 64-bit collision among the distinct
+    // LCG images breaks row equality. The corpus restricts to ONE
+    // fixture period (doc_id < 256): the payload generator repeats
+    // mod 256, so beyond it the corpus contains true byte-identical
+    // duplicates of the clone sources (found by this very query — see
+    // git history) that the id-derived oracle can't enumerate compactly.
+    // Blocking reuses the SimHash band machinery — one pair path for
+    // text and image fingerprints.
+    graft.QueryDef("m5_image_neardup", Some(
+      """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,
+        |  CAST(0 AS INTEGER) AS hamming
+        |FROM documents WHERE doc_id % 2 = 0 AND doc_id < 20""".stripMargin))((s, d) => {
+      import s.implicits._
+      val payloads = Multimodal.fixturePayloads(
+        Tables.documents(s, d)
+          .where(col("doc_id") % 2 === 0 && col("doc_id") < 256))
+      val withClones = payloads.unionByName(
+        payloads.where(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("payload")))
+      val hashed = withClones.as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, p) => (id, Multimodal.aHashBmp(id, p)) })
+        .toDF("doc_id", "sim")
+      val index = Dedup.SimhashIndex(hashed.persist())
+      index.sims.count() // materialize before the banded self-join reads it twice
+      Dedup.simhashPairs(index, maxHamming = 0)
+        .where(col("doc_b") >= 1000000L)
+    }),
+
     // E1 — sessionization: 30-minute-gap sessions per user via lag +
     // running sum (the batch shape of mapGroupsWithState; the streaming
     // twin lives in graft.streaming and is covered by StreamingSpec).

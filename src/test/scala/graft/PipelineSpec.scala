@@ -191,6 +191,36 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("m5: aHash sets exactly the bright half's bits and shrugs off brightness shifts") {
+    // hand-built 16x8 24bpp BMP: left half dark (10), right half bright
+    // (200) — expected hash has bit (py*8+px) set iff px >= 4.
+    def bmp(shift: Int): Array[Byte] = {
+      val (w, h) = (16, 8)
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val b = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte)
+      b.putInt(54 + rowSize * h); b.putInt(0); b.putInt(54)
+      b.putInt(40); b.putInt(w); b.putInt(h)
+      b.putShort(1); b.putShort(24); b.putInt(0); b.putInt(rowSize * h)
+      b.putInt(2835); b.putInt(2835); b.putInt(0); b.putInt(0)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        b.put(54 + y * rowSize + x * 3 + c,
+          ((if (x < 8) 10 else 200) + shift).toByte)
+      b.array()
+    }
+    val expected = (0 until 64).filter(i => i % 8 >= 4)
+      .foldLeft(0L)((acc, i) => acc | (1L << i))
+    val h0 = operators.Multimodal.aHashBmp(0L, bmp(0))
+    assert(h0 == expected, f"aHash $h0%016x != expected $expected%016x")
+    // uniform brightness shift: gray and mean move together — hash fixed
+    assert(operators.Multimodal.aHashBmp(0L, bmp(20)) == h0)
+    // corrupt payload rejected, not mis-hashed
+    intercept[IllegalArgumentException] {
+      operators.Multimodal.aHashBmp(0L, Array[Byte](1, 2, 3))
+    }
+  }
+
   test("n9: MMR demotes the redundant near-clone that relevance-only keeps") {
     import spark.implicits._
     def v(xs: (Int, Double)*): Seq[Float] = {
