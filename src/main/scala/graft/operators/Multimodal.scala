@@ -232,6 +232,41 @@ object Multimodal {
     FrameSamples(docId, nSamples.toLong, nFrames.toLong, sum)
   }
 
+  /** 64-bit energy fingerprint of a WAV — the audio analog of
+    * [[aHashBmp]]: sample channel-0 at 64 evenly-spaced positions
+    * (nearest-neighbor, like the image downsample), bit w set iff that
+    * position's |amplitude| exceeds the 64-position mean (integer
+    * compare — |a|*64 > total). Identical payloads fingerprint
+    * identically; uniform gain shifts largely cancel; blocking rides
+    * the shared SimHash band/Hamming pair path. */
+  def aHashWav(docId: Long, payload: Array[Byte]): Long = {
+    val b = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(payload.length >= 44 &&
+      new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(payload, 8, 4, "US-ASCII") == "WAVE", s"doc $docId: not a WAV")
+    val channels = b.getShort(22).toInt
+    val dataSize = b.getInt(40)
+    val nSamples = dataSize / (channels * 2)
+    val amp = new Array[Long](64)
+    var total = 0L
+    var w = 0
+    while (w < 64) {
+      val s = (w.toLong * nSamples / 64).toInt
+      val v = math.abs(b.getShort(44 + s * channels * 2).toLong)
+      amp(w) = v
+      total += v
+      w += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (amp(i) * 64 > total) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
   /** The m2 pipeline over a (doc_id, payload) frame: per-partition
     * decode, features out. Column pruning keeps the scan at exactly the
     * two columns; no shuffle — decode is embarrassingly parallel. */

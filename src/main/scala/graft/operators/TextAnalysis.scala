@@ -1208,6 +1208,31 @@ object TextAnalysisQueries extends graft.QueryModule {
         .where(col("doc_b") >= 1000000L)
     }),
 
+    // M6 — audio near-dup via the WAV energy fingerprint: the m5
+    // pattern at the audio modality (planted byte-identical PCM clones,
+    // odd parity preserved; corpus bounded under the generator's
+    // repeat period), hashing map-side and blocking through the same
+    // SimHash band machinery — three modalities, one pair path.
+    graft.QueryDef("m6_audio_neardup", Some(
+      """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,
+        |  CAST(0 AS INTEGER) AS hamming
+        |FROM documents WHERE doc_id % 2 = 1 AND doc_id < 20""".stripMargin))((s, d) => {
+      import s.implicits._
+      val payloads = Multimodal.fixturePayloads(
+        Tables.documents(s, d)
+          .where(col("doc_id") % 2 === 1 && col("doc_id") < 400))
+      val withClones = payloads.unionByName(
+        payloads.where(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("payload")))
+      val hashed = withClones.as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, p) => (id, Multimodal.aHashWav(id, p)) })
+        .toDF("doc_id", "sim")
+      val index = Dedup.SimhashIndex(hashed.persist())
+      index.sims.count()
+      Dedup.simhashPairs(index, maxHamming = 0)
+        .where(col("doc_b") >= 1000000L)
+    }),
+
     // E1 — sessionization: 30-minute-gap sessions per user via lag +
     // running sum (the batch shape of mapGroupsWithState; the streaming
     // twin lives in graft.streaming and is covered by StreamingSpec).

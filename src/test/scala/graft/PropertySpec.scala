@@ -101,6 +101,25 @@ object PropertySpec extends Properties("graft.scalars") {
       (d1 & d2).nonEmpty
     }
 
+  property("Misra-Gries guarantees hold for any stream, k, and merge split") =
+    Prop.forAll(
+      Gen.listOf(Gen.frequency(
+        5 -> Gen.const("hot"),
+        3 -> Gen.oneOf("a", "b", "c", "d", "e"),
+        2 -> Gen.alphaLowerChar.map(_.toString))),
+      Gen.choose(2, 12), Gen.choose(1, 8)) { (toks, k, nSplits) =>
+      val agg = new graft.functions.MisraGriesAggregator(k)
+      val chunks = toks.grouped(math.max(1, toks.size / nSplits max 1)).toList
+      val partials = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = agg.finish(partials.foldLeft(agg.zero)(agg.merge))
+      val truth = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = toks.size.toDouble / (k + 1)
+      merged.size <= k &&
+        merged.forall { case (t, est) =>
+          est <= truth(t) && truth(t) - est <= bound } &&
+        truth.forall { case (t, c) => c <= bound || merged.contains(t) }
+    }
+
   property("slug re-aggregation preserves totals") =
     Prop.forAll(Gen.listOf(Gen.oneOf(
       "Department of Health", "DEPARTMINT OF HEALTH", "dept of health",
