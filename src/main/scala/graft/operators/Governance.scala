@@ -88,6 +88,63 @@ object GovernanceQueries extends graft.QueryModule {
         .crossJoin(purgedChunks.agg(count(lit(1)).as("n_after")))
         .select(lit("chunks").as("artifact"), col("n_before"), col("n_after"))
       corpus.unionByName(chunkRow)
+    }),
+
+    // DQ1 — the data-quality assertion suite (run before any export):
+    // referential integrity, key uniqueness, domain membership, and
+    // non-emptiness, each as one distributed check emitting a violation
+    // count. A synthetic orphan row is PLANTED (custkey -999) so the RI
+    // check is provably live — a suite that can only ever return zero
+    // proves nothing about itself. Anti-joins broadcast the small side;
+    // uniqueness is one hash agg; all checks union into one report.
+    graft.QueryDef("dq1_quality_checks", Some(
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey FROM orders
+        |  UNION ALL SELECT 900000001, -999),
+        |checks AS (
+        |  SELECT 'orders_custkey_ri' AS check_name,
+        |    (SELECT count(*) FROM o WHERE NOT EXISTS (
+        |      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_violations
+        |  UNION ALL
+        |  SELECT 'orderkey_unique',
+        |    (SELECT count(*) FROM (
+        |      SELECT o_orderkey FROM o GROUP BY o_orderkey HAVING count(*) > 1))
+        |  UNION ALL
+        |  SELECT 'lineitem_orderkey_ri',
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS (
+        |      SELECT 1 FROM orders x WHERE x.o_orderkey = l.l_orderkey))
+        |  UNION ALL
+        |  SELECT 'event_type_domain',
+        |    (SELECT count(*) FROM events WHERE event_type NOT IN
+        |      ('click', 'view', 'purchase', 'error', 'signup'))
+        |  UNION ALL
+        |  SELECT 'docs_nonempty',
+        |    (SELECT count(*) FROM documents WHERE len(trim(text)) = 0))
+        |SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations
+        |FROM checks""".stripMargin))((s, d) => {
+      import s.implicits._
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .unionByName(Seq((900000001L, -999L)).toDF("o_orderkey", "o_custkey"))
+      def row(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_violations"))
+          .select(lit(name).as("check_name"), col("n_violations"))
+      val ri = orders.join(
+        Tables.customer(s, d).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      val dupKeys = orders.groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n")).where(col("n") > 1)
+      val liRi = Tables.lineitem(s, d).select(col("l_orderkey")).join(
+        Tables.orders(s, d).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      val badType = Tables.events(s, d).where(!col("event_type")
+        .isin("click", "view", "purchase", "error", "signup"))
+      val emptyDocs = Tables.documents(s, d)
+        .where(length(trim(col("text"))) === 0)
+      row("orders_custkey_ri", ri)
+        .unionByName(row("orderkey_unique", dupKeys))
+        .unionByName(row("lineitem_orderkey_ri", liRi))
+        .unionByName(row("event_type_domain", badType))
+        .unionByName(row("docs_nonempty", emptyDocs))
     })
   )
 }
