@@ -277,6 +277,29 @@ object Similarity {
     * side); per-query top-k goes through the bounded TopKAggregator, so
     * shuffle volume is O(m·k) — a row_number window here would funnel
     * each query's n scores through one task. */
+  /** Hard-negative mining for contrastive training: per query, the
+    * top-k most-similar vectors BELOW a similarity ceiling — similar
+    * enough to be informative negatives, dissimilar enough to exclude
+    * the positives/near-dups the ceiling cuts. Same broadcast fan-out +
+    * bounded TopKAggregator as [[batchTopK]]; the ceiling filter runs
+    * map-side before the aggregation, so shuffle stays O(m·k). */
+  def hardNegatives(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+                    ceil: Double = 0.98): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val q = embeddings.where(col("vec_id").isin(queryIds.map(Long.box): _*))
+      .select(col("vec_id").as("query_id"), quant(col("embedding")).as("qv"))
+    val corpus = embeddings.select(col("vec_id"), quant(col("embedding")).as("v"))
+    corpus.join(broadcast(q))
+      .select(col("query_id").cast(StringType), col("vec_id"),
+        cosine(idot(col("v"), col("qv")), inorm2(col("v")), inorm2(col("qv"))).as("cos"))
+      .where(col("cos") < ceil)
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.TopKAggregator(k).toColumn)
+      .flatMap { case (qid, top) => top.map(t => (qid.toLong, t._1, t._2)) }
+      .toDF("query_id", "vec_id", "cos")
+  }
+
   def batchTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     import embeddings.sparkSession.implicits._
     val q = embeddings.where(col("vec_id").isin(queryIds.map(Long.box): _*))
@@ -1114,6 +1137,36 @@ object SimilarityQueries extends graft.QueryModule {
         |  FROM scored)
         |WHERE rn <= 10""".stripMargin))((s, d) =>
       batchTopK(Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+
+    // N11 — hard-negative mining, oracle-checked value for value with
+    // the n4 window twin plus the ceiling filter: per query 0-4, the 10
+    // most-similar vectors with cos < 0.98 (self at cos 1.0 is cut by
+    // the ceiling; no near-dup leaks into the negative set).
+    graft.QueryDef("n11_hard_negatives", Some(
+      """WITH qe AS (
+        |  SELECT vec_id AS query_id,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+        |ve AS (
+        |  SELECT vec_id, CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT qe.query_id, ve.vec_id, SUM(ve.x * qe.q) AS dot, SUM(ve.x * ve.x) AS nv
+        |  FROM ve JOIN qe ON ve.i = qe.i GROUP BY qe.query_id, ve.vec_id),
+        |nq AS (SELECT query_id, SUM(q * q) AS n2 FROM qe GROUP BY query_id),
+        |scored AS (
+        |  SELECT d.query_id, d.vec_id,
+        |    CAST(dot AS DOUBLE) / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
+        |  FROM dots d JOIN nq ON nq.query_id = d.query_id)
+        |SELECT query_id, vec_id, cos FROM (
+        |  SELECT query_id, vec_id, cos, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+        |  FROM scored WHERE cos < 0.98)
+        |WHERE rn <= 10""".stripMargin))((s, d) =>
+      hardNegatives(Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L, 3L, 4L),
+        k = 10)),
 
     // N4b — BATCHED IVF retrieval, oracle-HARD: 2 clones of EACH of the
     // 5 query vectors planted, so every query's true top-3 ({query, its

@@ -97,6 +97,19 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"n8b: cell probe not pruning partitions:\n$p")
   }
 
+  test("dq1: referential-integrity checks anti-join with a broadcast build side") {
+    val p = plan("dq1_quality_checks")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"dq1: RI checks should be broadcast anti-joins:\n$p")
+  }
+
+  test("n11: hard-negative mining rides the bounded aggregator, no window sort") {
+    val p = plan("n11_hard_negatives")
+    assert(!p.contains("Window"), s"n11: unexpected window sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"n11: query side should broadcast:\n$p")
+  }
+
   test("d10: the batch probe prunes bucket partitions of the stored index") {
     val docs = Tables.documents(spark, sf)
     val built = operators.Dedup.buildMinhashIndex(docs)
