@@ -145,6 +145,47 @@ object GovernanceQueries extends graft.QueryModule {
         .unionByName(row("lineitem_orderkey_ri", liRi))
         .unionByName(row("event_type_domain", badType))
         .unionByName(row("docs_nonempty", emptyDocs))
+    }),
+
+    // DQ2 — column profiling (the ANALYZE-style statistics pass a
+    // pipeline runs before schema decisions and skew diagnosis): per
+    // column, row/null/distinct counts and min/max rendered as strings
+    // so heterogeneous columns union into one report. Each column's
+    // profile is ONE aggregation over the table; distinct counts are
+    // exact here for oracle determinism — at 100 TB the
+    // approx_count_distinct drop-in holds (the a16 contract row pins
+    // that sketch's error bound separately).
+    graft.QueryDef("dq2_profile", Some(
+      """SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(o_orderkey) AS n_null,
+        |  count(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_v,
+        |  CAST(max(o_orderkey) AS VARCHAR) AS max_v
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |  count(DISTINCT o_orderpriority),
+        |  CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+        |  count(DISTINCT CAST(o_orderdate AS DATE)),
+        |  CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR),
+        |  CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR)
+        |FROM orders""".stripMargin))((s, d) => {
+      val o = Tables.orders(s, d)
+      def profile(name: String, c: org.apache.spark.sql.Column): DataFrame =
+        o.agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(c)).as("n_null"),
+          countDistinct(c).as("n_distinct"),
+          min(c).cast(StringType).as("min_v"),
+          max(c).cast(StringType).as("max_v"))
+          .select(lit(name).as("col_name"), col("n_rows"), col("n_null"),
+            col("n_distinct"), col("min_v"), col("max_v"))
+      profile("o_orderkey", col("o_orderkey"))
+        .unionByName(profile("o_orderpriority", col("o_orderpriority")))
+        .unionByName(profile("o_orderdate", col("o_orderdate").cast(DateType)))
     })
   )
 }
