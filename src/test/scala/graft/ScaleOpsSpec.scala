@@ -98,6 +98,33 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSuite {
     assert(got == (100L to 10000L by 100).toSeq)
   }
 
+  test("schema evolution: old partitions read under the widened schema, pruning intact") {
+    import spark.implicits._
+    // year-partitioned store: 2023 written BEFORE the quality column
+    // existed, 2024 after — exactly what a years-old 100 TB warehouse
+    // looks like. mergeSchema must widen, old rows must surface null
+    // (never a default that forges data), and partition pruning must
+    // survive the merged read.
+    val root = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "payload")
+      .write.parquet(s"$root/year=2023")
+    Seq((3L, "c", 0.9), (4L, "d", 0.2)).toDF("id", "payload", "quality")
+      .write.parquet(s"$root/year=2024")
+    val merged = spark.read.option("mergeSchema", "true").parquet(root)
+    assert(merged.columns.toSet == Set("id", "payload", "quality", "year"))
+    val old = merged.where(col("year") === 2023)
+    assert(old.where(col("quality").isNull).count() == 2,
+      "pre-evolution rows must carry null quality, not an invented default")
+    // quality filters silently drop old rows — the classic evolution
+    // trap; the explicit backfill predicate keeps them visible
+    assert(merged.where(col("quality") > 0.5).count() == 1)
+    assert(merged.where(col("quality") > 0.5 || col("quality").isNull).count() == 3)
+    // partition pruning survives the merged read
+    val p = old.queryExecution.executedPlan.toString
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*year[^\\]]*\\].*"),
+      s"pruning lost under mergeSchema:\n$p")
+  }
+
   test("z-order layout: a y-range query overlaps fewer files than an x-sorted layout") {
     // orders keyed by (custkey, order-day); the query filters on day
     // only. In a custkey-sorted layout every file spans all days; in a
