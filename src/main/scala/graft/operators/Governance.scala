@@ -43,6 +43,22 @@ object Governance {
     purgeFrame(spark.read.parquet(s"$inPath/sigs"), ids)
       .write.mode("overwrite").parquet(s"$outPath/sigs")
   }
+
+  /** Vector-side takedown: a removed document's EMBEDDING is still its
+    * content (retrievable, invertible enough to matter), so the purge
+    * must also rewrite the ANN serving artifacts. The assignment/code
+    * frames are filtered (cell partitioning preserved — probes prune as
+    * before); the tiny centroid/codebook model tables are copied as-is.
+    * Centroids trained on since-purged vectors are aggregate statistics
+    * over many rows, not recoverable content — retraining cadence is a
+    * policy knob, the ROW removal is the compliance requirement. */
+  def purgeStoredIvfIndex(spark: SparkSession, inPath: String,
+                          outPath: String, ids: DataFrame): Unit = {
+    purgeFrame(spark.read.parquet(s"$inPath/assigned"), ids, idCol = "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$outPath/assigned")
+    spark.read.parquet(s"$inPath/centroids")
+      .write.mode("overwrite").parquet(s"$outPath/centroids")
+  }
 }
 
 /** Registered governance queries (G-family extension). */

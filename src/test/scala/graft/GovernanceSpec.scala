@@ -49,4 +49,32 @@ class GovernanceSpec extends AnyFunSuite with SparkSuite {
         "purged index still links re-submitted copies to erased docs")
     } finally resubmit.unpersist()
   }
+
+  test("takedown purge removes vectors from the stored ANN index") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val ids = emb.where(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("purge_id"))
+    val purgedIds = ids.as[Long].collect().toSet
+    assert(purgedIds.nonEmpty && !purgedIds.contains(1L))
+
+    val root = util.TmpRoot("gov-vec")
+    val built = Similarity.buildIvfIndex(emb)
+    Similarity.writeIvfIndex(built, s"$root/live")
+    built.unpersist()
+    Governance.purgeStoredIvfIndex(spark, s"$root/live", s"$root/purged", ids)
+
+    val purged = Similarity.readIvfIndex(spark, s"$root/purged")
+    // no purged vector survives in the assignment frame
+    assert(purged.assigned.where(col("vec_id").isin(purgedIds.toSeq: _*)).count() == 0)
+    // non-purged rows intact, and the query path still serves
+    val live = Similarity.readIvfIndex(spark, s"$root/live")
+    assert(purged.assigned.count() ==
+      live.assigned.where(!col("vec_id").isin(purgedIds.toSeq: _*)).count())
+    val got = Similarity.ivfTopK(purged, queryVecId = 1L, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.size == 10 && got.intersect(purgedIds).isEmpty,
+      "purged vectors still retrievable from the ANN index")
+  }
 }
