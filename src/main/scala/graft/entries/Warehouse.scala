@@ -67,12 +67,25 @@ object Warehouse {
     * from one task group (`maxRecordsPerFile` caps them at scale), and
     * readers keep the exact same request_year pruning they had against
     * the staged store. */
+  /** LWW ordering for the staged store: batch_id desc picks the newest
+    * batch; within ONE batch (a micro-batch that carried two revisions
+    * of the same id) the winner must still be deterministic across
+    * retries, so ties break on a stable content hash — the same
+    * revision wins on every replan, where a bare batch_id sort would
+    * resolve by shuffle arrival order. (The events upsert path breaks
+    * this tie on ts desc; entries carry no event-time column, so the
+    * content hash is the stable stand-in.) */
+  private def lwwOrder(staged: DataFrame) = {
+    val contentKey = xxhash64(to_json(struct(staged.columns.map(col): _*)))
+    Seq(col("batch_id").desc, contentKey.desc)
+  }
+
   def compactAppendStore(spark: SparkSession, stagedPath: String,
                          compactedPath: String): Unit = {
     import org.apache.spark.sql.expressions.Window
     val staged = spark.read.parquet(stagedPath)
     val w = Window.partitionBy(col("id"))
-      .orderBy(col("batch_id").desc)
+      .orderBy(lwwOrder(staged): _*)
     staged.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn", "batch_id")
       .repartition(col("request_year"))
@@ -93,9 +106,10 @@ object Warehouse {
   def snapshotAt(spark: SparkSession, stagedPath: String,
                  asOfBatch: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val staged = spark.read.parquet(stagedPath)
     val w = Window.partitionBy(col("id"))
-      .orderBy(col("batch_id").desc)
-    spark.read.parquet(stagedPath)
+      .orderBy(lwwOrder(staged): _*)
+    staged
       .where(col("batch_id") <= asOfBatch)
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")

@@ -25,11 +25,14 @@ object Governance {
       col(idCol) === col("purge_id"), "left_anti")
 
   /** Chunk stores key rows by cid = base_doc_id * 100000 + index (the
-    * t18/d8 convention) — purge resolves the BASE id. */
+    * t18/d8 convention) — purge resolves the BASE id. Integer division
+    * (`div`), not float: `/` goes through Double, which is exact only
+    * below 2^53 — with hash-derived 64-bit ids a retracted doc's chunks
+    * could silently survive a compliance purge. */
   def purgeChunks(chunks: DataFrame, ids: DataFrame,
                   idCol: String = "doc_id"): DataFrame =
     chunks.join(broadcast(ids.select(col("purge_id"))),
-      (col(idCol) / 100000).cast(LongType) === col("purge_id"), "left_anti")
+      expr(s"$idCol div 100000") === col("purge_id"), "left_anti")
 
   /** Rewrite a stored MinHash index (Dedup.writeMinhashIndex layout)
     * minus the takedown set: both the banded table (bucket partitioning

@@ -58,9 +58,11 @@ object ScaleOps {
     * slightly different implementations. */
   private def bloomBits(key: Column, nBits: Int, nHashes: Int): Seq[Column] = {
     // both hashes pre-reduced mod m so h1 + i·h2 stays far from Long
-    // overflow (ANSI mode makes wrap-around a hard error, not silence)
+    // overflow (ANSI mode makes wrap-around a hard error, not silence);
+    // h2 is forced into [1, m) — an h2 of 0 would collapse all k probes
+    // onto h1, degrading that key's false-positive rate k-fold
     val h1 = pmod(xxhash64(key), lit(nBits.toLong))
-    val h2 = pmod(xxhash64(key, lit(0x9e3779b97f4a7c15L)), lit(nBits.toLong))
+    val h2 = pmod(xxhash64(key, lit(0x9e3779b97f4a7c15L)), lit(nBits.toLong - 1)) + lit(1L)
     (0 until nHashes).map(i => pmod(h1 + lit(i.toLong) * h2, lit(nBits.toLong)))
   }
 

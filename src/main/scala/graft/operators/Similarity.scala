@@ -94,6 +94,27 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       nTables, bits)
 
+  /** Compact the batchId-partitioned incremental vector index (written
+    * by streaming.Streams.incrementalVectorIndex) into one
+    * quantized-vector frame: each vec_id's LATEST revision wins
+    * (row_number by batch_id desc) — the same LWW resolution the
+    * MinHash compactor (Dedup.compactMinhashIndex) applies, mirrored on
+    * the vector side. A vec_id re-delivered in a later micro-batch
+    * leaves its stale vector in the historical partitions; this pass is
+    * where it dies. Output is the (vec_id, v) [[CosineIndex]] frame
+    * layout, so batch dedup serves from it directly. Cost: one window
+    * shuffle over the index (vectors are never re-quantized from
+    * embeddings), O(index rows). */
+  def compactVectorIndex(spark: SparkSession, incrementalDir: String,
+                         outPath: String): Unit = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("batch_id").desc)
+    spark.read.parquet(incrementalDir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).select("vec_id", "v")
+      .write.mode("overwrite").parquet(outPath)
+  }
+
   /** Multi-table band keys of a quantized-vector frame (vec_id, v): one
     * row per (vec_id, table), key = table id + that table's hyperplane
     * signature. Shared by the batch dedup pairs and the streaming
@@ -182,13 +203,45 @@ object Similarity {
     * point, that a probe's cell filter prunes to nProbe/nCells of the
     * files at the directory index (unpersist() on the handle is then a
     * no-op, kept for interface uniformity). */
-  def readIvfIndex(spark: SparkSession, path: String,
-                   nCells: Int = 16, dim: Int = 64): IvfIndex = {
+  def readIvfIndex(spark: SparkSession, path: String): IvfIndex = {
+    IvfIndex(readCentroidTable(spark, s"$path/centroids"),
+      spark.read.parquet(s"$path/assigned"))
+  }
+
+  /** Materialize a flattened (cell, d, v) centroid parquet as a dense
+    * array, with the MODEL SHAPE INFERRED from the rows themselves
+    * (nCells = max cell + 1, dim = max d + 1) rather than assumed: a
+    * hardcoded shape silently zero-pads an index written with fewer
+    * cells (phantom all-zero centroids get probed, degrading recall
+    * with no error) and crashes on one written with more. Density is
+    * validated — a sparse/corrupt table fails loudly at read, not as
+    * bad query results later. */
+  private def readCentroidTable(spark: SparkSession, path: String): Array[Array[Double]] = {
+    val rows = spark.read.parquet(path).collect() // bounded: O(model) rows
+    require(rows.nonEmpty, s"empty centroid table at $path")
+    val nCells = rows.iterator.map(_.getInt(0)).max + 1
+    val dim = rows.iterator.map(_.getInt(1)).max + 1
+    require(rows.length == nCells * dim,
+      s"centroid table $path is not dense: ${rows.length} rows for shape ${nCells}x$dim")
     val cents = Array.fill(nCells, dim)(0.0)
-    spark.read.parquet(s"$path/centroids").collect().foreach { r =>
-      cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
-    }
-    IvfIndex(cents, spark.read.parquet(s"$path/assigned"))
+    rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    cents
+  }
+
+  /** Materialize a flattened (m, cell, d, v) codebook parquet as a dense
+    * nSub × nCentroids × dsub array — shape inferred and validated
+    * exactly as in [[readCentroidTable]]. */
+  private def readCodebookTable(spark: SparkSession, path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(path).collect() // bounded: O(model) rows
+    require(rows.nonEmpty, s"empty codebook table at $path")
+    val nSub = rows.iterator.map(_.getInt(0)).max + 1
+    val nCentroids = rows.iterator.map(_.getInt(1)).max + 1
+    val dsub = rows.iterator.map(_.getInt(2)).max + 1
+    require(rows.length == nSub * nCentroids * dsub,
+      s"codebook table $path is not dense: ${rows.length} rows for shape ${nSub}x${nCentroids}x$dsub")
+    val books = Array.fill(nSub, nCentroids, dsub)(0.0)
+    rows.foreach(r => books(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+    books
   }
 
   /** N3 query — probe the nProbe nearest cells of a prebuilt [[IvfIndex]],
@@ -635,19 +688,10 @@ object Similarity {
     * centroid/codebook tables; the coded frame is deliberately NOT
     * cached, as in [[readIvfIndex]] — the cell partitioning IS the
     * point, and caching would materialize every cell on first use. */
-  def readIvfPqIndex(spark: SparkSession, path: String, nCells: Int = 16,
-                     nSub: Int = 8, nCentroids: Int = 16,
-                     dim: Int = 64): IvfPqIndex = {
-    val cents = Array.fill(nCells, dim)(0.0)
-    spark.read.parquet(s"$path/centroids").collect().foreach { r =>
-      cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
-    }
-    val dsub = dim / nSub
-    val books = Array.fill(nSub, nCentroids, dsub)(0.0)
-    spark.read.parquet(s"$path/codebooks").collect().foreach { r =>
-      books(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
-    }
-    IvfPqIndex(cents, books, spark.read.parquet(s"$path/coded"))
+  def readIvfPqIndex(spark: SparkSession, path: String): IvfPqIndex = {
+    IvfPqIndex(readCentroidTable(spark, s"$path/centroids"),
+      readCodebookTable(spark, s"$path/codebooks"),
+      spark.read.parquet(s"$path/coded"))
   }
 
   /** Persist a [[PqIndex]] as a stored artifact: the codebooks flatten
@@ -671,15 +715,10 @@ object Similarity {
   /** Reload a stored PQ index: the codebook read is a bounded O(model)
     * collect; the code table persists behind the returned release
     * handle, exactly like a freshly built index. */
-  def readPqIndex(spark: SparkSession, path: String,
-                  nSub: Int = 8, nCentroids: Int = 16): PqIndex = {
-    val dsub = 64 / nSub
-    val books = Array.fill(nSub, nCentroids, dsub)(0.0)
-    spark.read.parquet(s"$path/codebooks").collect().foreach { r =>
-      books(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
-    }
-    PqIndex(books, spark.read.parquet(s"$path/codes")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  def readPqIndex(spark: SparkSession, path: String): PqIndex = {
+    PqIndex(readCodebookTable(spark, s"$path/codebooks"),
+      spark.read.parquet(s"$path/codes")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   /** Exact-clone probes for the ANN oracles (n2b/n3b): `n` verbatim

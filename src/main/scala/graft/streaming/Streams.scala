@@ -224,7 +224,14 @@ object Streams {
     * rerank, and appends its signatures to a batchId-scoped index
     * partition written with overwrite — a retried micro-batch REPLACES
     * its own output, so both sinks are idempotent under failure/retry.
-    * Per-batch cost follows touched-band occupancy, never history size. */
+    * Per-batch cost follows touched-band occupancy, never history size.
+    *
+    * ID contract: batches are assumed DISJOINT in vec_id (same as
+    * [[incrementalMinhashIndex]]). A vec_id re-delivered in a later
+    * micro-batch leaves the stale vector in the historical partitions
+    * (and duplicates verifyCosine rows for pairs involving it) until
+    * `Similarity.compactVectorIndex` resolves last-writer-wins by
+    * batch_id — run it on the same cadence as `compactMinhashIndex`. */
   def incrementalVectorIndex(spark: SparkSession, sourceDir: String,
                              indexDir: String, pairsDir: String,
                              checkpointDir: String,

@@ -329,6 +329,45 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       "pairs emitted more than once across batches")
   }
 
+  test("vector index compaction: re-delivered vec_ids resolve LWW to the latest revision") {
+    import graft.operators.Similarity
+    def addChunk(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp("graft_vcp_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$dir/$name"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val src = tmp("graft_vcp_src")
+    val index = tmp("graft_vcp_root") + "/idx"
+    val pairsDir = tmp("graft_vcp_root2") + "/pairs"
+    val ckpt = tmp("graft_vcp_ckpt")
+    val vecs = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    // batch 1: base corpus; batch 2: vec_ids 0-4 re-arrive REVISED (first
+    // component nudged) — the compactor must keep only the latest vector.
+    val revised = vecs.where(col("vec_id") < 5)
+      .select(col("vec_id"), transform(col("embedding"),
+        (x, i) => when(i === 0, x + lit(0.5f)).otherwise(x)).as("embedding"))
+    addChunk(src, vecs, "chunk1.parquet")
+    Streams.incrementalVectorIndex(spark, src, index, pairsDir, ckpt)
+    addChunk(src, revised, "chunk2.parquet")
+    Streams.incrementalVectorIndex(spark, src, index, pairsDir, ckpt)
+    val out = tmp("graft_vcp_out") + "/serving"
+    Similarity.compactVectorIndex(spark, index, out)
+    // reference: the quantized frame built DIRECTLY from the final corpus
+    val finalCorpus = vecs.where(col("vec_id") >= 5).unionByName(revised)
+    val direct = Similarity.buildCosineIndex(finalCorpus)
+    def vSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).mkString("|"))).toSet
+    val compacted = vSet(spark.read.parquet(out))
+    val expected = vSet(direct.q)
+    direct.unpersist()
+    assert(compacted == expected,
+      "compacted vector index differs from the direct quantized frame")
+  }
+
   test("incremental FTS term index equals the batch rebuild, with LWW shadowing (s6 twin)") {
     import graft.operators.Fts
     def addChunk(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
