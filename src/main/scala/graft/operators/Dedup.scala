@@ -484,6 +484,78 @@ object Dedup {
 object DedupQueries extends graft.QueryModule {
   import Dedup._
 
+  /** d2's full-corpus oracle: replay MinHash end to end in DuckDB —
+    * shingles → xxhash64(seed 42) base → 32 affine-rehash minima →
+    * 8-band keys → band-collision candidates → exact Jaccard ≥ 0.5.
+    * Degenerate docs (empty normalized text) are excluded exactly as
+    * [[Dedup.bandedOf]] excludes them. */
+  private lazy val d2OracleSql: String = {
+    val hashRel = OracleHash.xxh64Rel("SELECT DISTINCT unnest(g) AS tok FROM grams")
+    s"""WITH docs AS ($nearProbesSql),
+       |grams AS (
+       |  SELECT doc_id, $shingles3Sql AS g
+       |  FROM (SELECT doc_id, string_split($normTextSql, ' ') AS words FROM docs
+       |        WHERE len($normTextSql) > 0)),
+       |hashed AS ($hashRel),
+       |docsh AS (SELECT doc_id, unnest(g) AS tok FROM grams),
+       |sigv AS (
+       |  SELECT d.doc_id, i.i,
+       |    MIN((h.base * (2 * i.i + 1) + 12345 * i.i + 678) % 2147483647) AS sv
+       |  FROM docsh d JOIN hashed h ON h.tok = d.tok, generate_series(0, 31) i(i)
+       |  GROUP BY 1, 2),
+       |sigarr AS (SELECT doc_id, list(sv ORDER BY i) AS sig FROM sigv GROUP BY 1),
+       |bands AS (
+       |  SELECT doc_id, b || '-' || array_to_string(
+       |    list_transform(list_slice(sig, b*4+1, b*4+4), v -> CAST(v AS VARCHAR)), ':') AS band
+       |  FROM sigarr, generate_series(0, 7) _(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) /
+       |    (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))) AS jaccard
+       |FROM cand c
+       |JOIN grams ga ON ga.doc_id = c.doc_a
+       |JOIN grams gb ON gb.doc_id = c.doc_b
+       |WHERE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) /
+       |    (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))) >= 0.5""".stripMargin
+  }
+
+  /** d3's full-corpus oracle: recompute every SimHash fingerprint —
+    * FNV-1a token hashes, occurrence-weighted votes, 4×16-bit bands,
+    * Hamming ≤ 3 over band collisions. */
+  private lazy val d3OracleSql: String = {
+    val one = "CAST(1 AS HUGEINT)"
+    s"""WITH docs AS ($nearProbesSql),
+       |toks AS (
+       |  SELECT doc_id, tok, count(*) AS cnt FROM (
+       |    SELECT doc_id, unnest(string_split($normTextSql, ' ')) AS tok
+       |    FROM docs WHERE len($normTextSql) > 0)
+       |  GROUP BY 1, 2),
+       |th AS (
+       |  SELECT tok, ${OracleHash.fnvFoldExpr("tok")} AS h
+       |  FROM (SELECT DISTINCT tok FROM toks) _),
+       |votes AS (
+       |  SELECT t.doc_id, b.bit,
+       |    SUM(t.cnt * (CASE WHEN (th.h // ($one << b.bit)) % 2 = 1 THEN 1 ELSE -1 END)) AS v
+       |  FROM toks t JOIN th ON th.tok = t.tok, generate_series(0, 63) b(bit)
+       |  GROUP BY 1, 2),
+       |sims AS (
+       |  SELECT doc_id,
+       |    SUM(CASE WHEN v >= 0 THEN ($one << bit) ELSE CAST(0 AS HUGEINT) END) AS u
+       |  FROM votes GROUP BY 1),
+       |bands AS (
+       |  SELECT doc_id, u, b || '-' || CAST((u // ($one << (b * 16))) % 65536 AS VARCHAR) AS band
+       |  FROM sims, generate_series(0, 3) _(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.u AS ua, b.u AS ub
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(xor(CAST(ua AS UBIGINT), CAST(ub AS UBIGINT))) AS INTEGER) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(CAST(ua AS UBIGINT), CAST(ub AS UBIGINT))) <= 3""".stripMargin
+  }
+
   private lazy val idxRoot: String = graft.util.TmpRoot("mh-idx")
   private val mhWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -539,13 +611,18 @@ object DedupQueries extends graft.QueryModule {
         .where(col("n_copies") > 1)),
 
     // D2 — MinHash-LSH near-dup candidates, banded and bucket-joined,
-    // verified at Jaccard >= 0.5. Hash functions are engine-side, so the
-    // gate check is rows-only; DedupSpec pins the planted pairs.
+    // verified at Jaccard >= 0.5. FULL oracle: the DuckDB twin replays
+    // the engine's hash arithmetic end to end — xxhash64(seed 42) over
+    // each shingle (OracleHash.xxh64Rel, the complete stripe/tail/
+    // avalanche emulation), the 32-slot affine rehash + min of
+    // plans.MinHashSig, the 8x4 band keys, the band-equality candidate
+    // join, and the exact-Jaccard verification — so the banding output
+    // itself is value-checked, not just the planted-probe slice (d2b).
     // (Gate queries build an index per invocation and return the lazy
     // pair frame; the Verify/Bench harness materializes the result and
     // clears the cache per query. Library callers hold the index handle
     // and release it themselves.)
-    graft.QueryDef("d2_minhash_lsh", None)((s, d) =>
+    graft.QueryDef("d2_minhash_lsh", Some(d2OracleSql))((s, d) =>
       minhashPairs(buildMinhashIndex(withNearProbes(Tables.documents(s, d))),
         threshold = 0.5)),
 
@@ -662,8 +739,14 @@ object DedupQueries extends graft.QueryModule {
       s.createDataFrame(local, out.schema)
     }),
 
-    // D3 — SimHash banding + Hamming filter (rows-only; DedupSpec).
-    graft.QueryDef("d3_simhash", None)((s, d) =>
+    // D3 — SimHash banding + Hamming filter. FULL oracle: the twin
+    // recomputes every fingerprint from scratch — FNV-1a per token
+    // (OracleHash.fnvFoldExpr), occurrence-weighted ±1 votes per bit,
+    // the 4x16-bit band keys, band-equality candidates, and the
+    // XOR/bit_count Hamming filter — so d3's full-corpus pair set is
+    // value-checked (d3b's exact-clone slice remains as the
+    // independent no-hash formulation).
+    graft.QueryDef("d3_simhash", Some(d3OracleSql))((s, d) =>
       simhashPairs(buildSimhashIndex(withNearProbes(Tables.documents(s, d))))),
 
     // D3b — the SimHash path, oracle-HARD via the d2b probe-slice

@@ -163,20 +163,28 @@ object Similarity {
     def unpersist(): Unit = { assigned.unpersist(); () }
   }
 
-  /** N3 index build — k-means cells over the corpus (seeded,
-    * deterministic). The ONLY KMeans fit in the IVF family lives here:
-    * the query path ([[ivfTopK]]) consumes the returned artifact and
-    * never trains, so an index amortizes over any number of queries. */
-  def buildIvfIndex(embeddings: DataFrame, nCells: Int = 16): IvfIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feat = embeddings.select(col("vec_id"), col("embedding"),
-      array_to_vector(col("embedding").cast(ArrayType(DoubleType))).as("features"))
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(feat)
-    val assigned = model.transform(feat)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+  /** N3 index build — k-means cells over the corpus via the engine's own
+    * distributed Lloyd loop: [[trainPqCodebooks]] with ONE subspace
+    * spanning all 64 dims IS plain k-means (hash-smallest seed rows,
+    * map-side assignment, O(model) integer-quantized recentring per
+    * round). Replacing the earlier library KMeans fit buys two things:
+    * the cell assignment is deterministic under ANY partitioning (a
+    * randomized k-means|| init is only as reproducible as its RNG
+    * stream), and the whole build is replayable arithmetic — the n3
+    * DuckDB oracle re-runs the training round for round and matches the
+    * top-k value for value, which no library fit would permit. The ONLY
+    * k-means fit in the IVF family lives here: the query path
+    * ([[ivfTopK]]) consumes the returned artifact and never trains, so
+    * an index amortizes over any number of queries. */
+  def buildIvfIndex(embeddings: DataFrame, nCells: Int = 16,
+                    iters: Int = 5): IvfIndex = {
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+    val books = trainPqCodebooks(vecs, nSub = 1, nCentroids = nCells, iters = iters)
+    val assigned = pqEncode(books, vecs)
+      .select(col("vec_id"), col("embedding"),
+        element_at(col("codes"), 1).as("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    IvfIndex(model.clusterCenters.map(_.toArray), assigned)
+    IvfIndex(books(0), assigned)
   }
 
   /** Persist an [[IvfIndex]]: centroids flatten to an O(model) parquet;
@@ -751,6 +759,128 @@ object SimilarityQueries extends graft.QueryModule {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def dirTag(d: String): String = d.replaceAll("[^a-zA-Z0-9]", "_")
 
+  /** Exploded quantized view + norms shared by the hash-replay oracles:
+    * `ve(vec_id, d, x)` with x = round(emb·10⁴) and `norms(vec_id, n2)`
+    * — the exact integer arithmetic of [[Similarity.quant]]. Expects a
+    * `vecs(vec_id, embedding)` CTE in scope. */
+  private val quantVeCtes: String =
+    """ve AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS x
+      |  FROM vecs),
+      |norms AS (SELECT vec_id, SUM(x*x) AS n2 FROM ve GROUP BY 1)""".stripMargin
+
+  /** d5's full-corpus oracle: replay the multi-table hyperplane LSH in
+    * DuckDB — fmix32 plane signs (OracleHash.planesCte), 4 8-bit table
+    * signatures per vector, band-collision candidates, exact integer
+    * cosine ≥ 0.9 — value-checking the banding output itself (d5b's
+    * probe slice remains as the independent no-hash formulation). */
+  private lazy val d5OracleSql: String =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |    list_prepend(embedding[1] + CAST(0.01 AS FLOAT), embedding[2:]) AS embedding
+       |  FROM embeddings WHERE vec_id < 10),
+       |${OracleHash.planesCte(32)},
+       |$quantVeCtes,
+       |acc AS (
+       |  SELECT vec_id, p.j, SUM(p.s * ve.x) AS a
+       |  FROM ve JOIN planes p ON p.d = ve.d GROUP BY 1, 2),
+       |sigs AS (
+       |  SELECT vec_id, j // 8 AS t,
+       |    SUM(CASE WHEN a >= 0 THEN (1 << (j % 8)) ELSE 0 END) AS sig
+       |  FROM acc GROUP BY 1, 2),
+       |bands AS (SELECT vec_id, t || '-' || sig AS band FROM sigs),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.vec_id < b.vec_id),
+       |dots AS (
+       |  SELECT c.vec_a, c.vec_b, SUM(va.x * vb.x) AS dot
+       |  FROM cand c
+       |  JOIN ve va ON va.vec_id = c.vec_a
+       |  JOIN ve vb ON vb.vec_id = c.vec_b AND vb.d = va.d
+       |  GROUP BY 1, 2)
+       |SELECT vec_a, vec_b,
+       |  CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+       |FROM dots JOIN norms na ON na.vec_id = dots.vec_a
+       |JOIN norms nb ON nb.vec_id = dots.vec_b
+       |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.9""".stripMargin
+
+  /** Shared exact-cosine top-k tail over a `cand(vec_id)` CTE: the
+    * integer-cosine rerank against query vec 0, ordered (cos desc,
+    * vec_id asc), LIMIT k. */
+  private def cosTopKSql(k: Int): String =
+    s"""SELECT c.vec_id,
+       |  CAST(SUM(ve.x * qe.x) AS DOUBLE) /
+       |    (sqrt(CAST(nv.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE))) AS cos
+       |FROM cand c
+       |JOIN ve ON ve.vec_id = c.vec_id
+       |JOIN ve qe ON qe.vec_id = 0 AND qe.d = ve.d
+       |JOIN norms nv ON nv.vec_id = c.vec_id
+       |JOIN norms nq ON nq.vec_id = 0
+       |GROUP BY c.vec_id, nv.n2, nq.n2
+       |ORDER BY cos DESC, c.vec_id ASC
+       |LIMIT $k""".stripMargin
+
+  /** n2's full-corpus oracle: the single-table 8-bit hyperplane
+    * signature, the query's Hamming ≤ 1 probe buckets (sig XOR each
+    * 1-bit mask), exact cosine rerank — the complete lshTopK replay. */
+  private lazy val n2OracleSql: String =
+    s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+       |${OracleHash.planesCte(8)},
+       |$quantVeCtes,
+       |acc AS (
+       |  SELECT vec_id, p.j, SUM(p.s * ve.x) AS a
+       |  FROM ve JOIN planes p ON p.d = ve.d GROUP BY 1, 2),
+       |sigs AS (
+       |  SELECT vec_id, SUM(CASE WHEN a >= 0 THEN (1 << j) ELSE 0 END) AS sig
+       |  FROM acc GROUP BY 1),
+       |probes AS (
+       |  SELECT xor((SELECT sig FROM sigs WHERE vec_id = 0), b) AS psig
+       |  FROM (SELECT 0 AS b UNION ALL SELECT (1 << j) FROM generate_series(0, 7) _(j))),
+       |cand AS (SELECT s.vec_id FROM sigs s JOIN probes p ON s.sig = p.psig)
+       |${cosTopKSql(10)}""".stripMargin
+
+  /** n3's full-corpus oracle: replay [[Similarity.buildIvfIndex]]'s
+    * deterministic Lloyd k-means (OracleHash.lloydCtes with one
+    * 64-dim subspace), the nProbe=4 nearest-centroid probe selection
+    * (stable (dist, cell) order — the driver's stable sortBy), and the
+    * exact cosine rerank over the probed cells. */
+  private lazy val n3OracleSql: String =
+    s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+       |${OracleHash.lloydCtes(1, 16, 5)},
+       |qd AS (
+       |  SELECT b.j, ${OracleHash.lfold("list((q.x - b.c) * (q.x - b.c) ORDER BY b.t)")} AS dist
+       |  FROM b5 b JOIN vect q ON q.vec_id = 0 AND q.i = b.t + 1
+       |  GROUP BY b.j),
+       |probes AS (SELECT j FROM qd ORDER BY dist ASC, j ASC LIMIT 4),
+       |cand AS (SELECT c.vec_id FROM codes c JOIN probes p ON c.j = p.j),
+       |ve AS (SELECT vec_id, i AS d, CAST(round(x * 10000) AS BIGINT) AS x FROM vect),
+       |norms AS (SELECT vec_id, SUM(x*x) AS n2 FROM ve GROUP BY 1)
+       |${cosTopKSql(10)}""".stripMargin
+
+  /** n6's full-corpus oracle: replay the whole PQ path — hash-smallest
+    * seed selection, 5 Lloyd rounds over 8 subspaces, the final code
+    * assignment, the query's ADC lookup table (strict left-fold float
+    * sums, as the engine accumulates), the top-50 ADC pool, and the
+    * exact-cosine rerank. */
+  private lazy val n6OracleSql: String =
+    s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+       |${OracleHash.lloydCtes(8, 16, 5)},
+       |lut AS (
+       |  SELECT b.m, b.j, ${OracleHash.lfold("list(q.x * b.c ORDER BY b.t)")} AS v
+       |  FROM b5 b JOIN vect q ON q.vec_id = 0 AND q.i = b.m * 8 + b.t + 1
+       |  GROUP BY b.m, b.j),
+       |adc AS (
+       |  SELECT c.vec_id, ${OracleHash.lfold("list(l.v ORDER BY c.m)")} AS adc
+       |  FROM codes c JOIN lut l ON l.m = c.m AND l.j = c.j
+       |  GROUP BY c.vec_id),
+       |cand AS (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id ASC LIMIT 50),
+       |ve AS (SELECT vec_id, i AS d, CAST(round(x * 10000) AS BIGINT) AS x FROM vect),
+       |norms AS (SELECT vec_id, SUM(x*x) AS n2 FROM ve GROUP BY 1)
+       |${cosTopKSql(10)}""".stripMargin
+
   /** The brute-force cosine top-k oracle over an arbitrary corpus CTE —
     * n1's exact arithmetic, shared by the probe-anchored ANN twins
     * (n2b/n3b run it over the clone-planted corpus). */
@@ -789,11 +919,13 @@ object SimilarityQueries extends graft.QueryModule {
       bruteForceSql("SELECT vec_id, embedding FROM embeddings", 20)))((s, d) =>
       bruteForceTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 20)),
 
-    // N2 — LSH-bucketed ANN (engine-side hashing: rows-only; PipelineSpec
-    // checks recall against N1 at sf0.001). The gate query owns its
+    // N2 — LSH-bucketed ANN, FULL oracle: the DuckDB twin replays the
+    // fmix32 hyperplane signature, the Hamming<=1 probe-bucket set, and
+    // the exact-cosine rerank value for value (n2OracleSql); PipelineSpec
+    // additionally checks recall against N1. The gate query owns its
     // index's lifecycle: materialize the bounded top-k (<= k rows),
     // release the persisted signature frame, return a local frame.
-    graft.QueryDef("n2_ann_lsh", None)((s, d) => {
+    graft.QueryDef("n2_ann_lsh", Some(n2OracleSql))((s, d) => {
       val index = buildLshIndex(Tables.embeddings(s, d))
       val ranked = lshTopK(index, queryVecId = 0L, k = 10)
       val local = ranked.collectAsList()
@@ -835,14 +967,17 @@ object SimilarityQueries extends graft.QueryModule {
       s.createDataFrame(local, ranked.schema)
     }),
 
-    // N3 — IVF ANN: seeded k-means cells + nProbe probing + exact rerank
-    // (rows-only; PipelineSpec checks self-hit, recall vs N1, and that
-    // one built index serves many queries without re-training). The gate
-    // query owns its index's lifecycle: materialize the bounded top-k
-    // (<= k rows), release the persisted assignment frame, return a
-    // local frame — a lazily-returned result would leak the persist
+    // N3 — IVF ANN: deterministic Lloyd k-means cells + nProbe probing
+    // + exact rerank, FULL oracle: the engine's own quantized-integer
+    // training loop is replayable arithmetic, so the DuckDB twin re-runs
+    // it round for round (n3OracleSql) and matches the top-k value for
+    // value; PipelineSpec additionally checks self-hit, recall vs N1,
+    // and that one built index serves many queries without re-training.
+    // The gate query owns its index's lifecycle: materialize the bounded
+    // top-k (<= k rows), release the persisted assignment frame, return
+    // a local frame — a lazily-returned result would leak the persist
     // (no caller could unpersist it).
-    graft.QueryDef("n3_ann_ivf", None)((s, d) => {
+    graft.QueryDef("n3_ann_ivf", Some(n3OracleSql))((s, d) => {
       val index = buildIvfIndex(Tables.embeddings(s, d))
       val ranked = ivfTopK(index, queryVecId = 0L, k = 10)
       val local = ranked.collectAsList()
@@ -851,11 +986,13 @@ object SimilarityQueries extends graft.QueryModule {
     }),
 
     // N6 — product-quantization ANN: ADC scoring over M-byte codes +
-    // exact rerank of a bounded pool (rows-only; PipelineSpec checks
-    // recall vs N1, self-hit, and that clones encode to identical codes).
-    // Same index-lifecycle shape as n2/n3: materialize <= k rows, release
-    // the persisted code frame, return a local frame.
-    graft.QueryDef("n6_ann_pq", None)((s, d) => {
+    // exact rerank of a bounded pool, FULL oracle: the DuckDB twin
+    // replays seed selection, all 5 Lloyd rounds, encoding, the ADC
+    // table, and the rerank (n6OracleSql); PipelineSpec additionally
+    // checks recall vs N1, self-hit, and that clones encode to identical
+    // codes. Same index-lifecycle shape as n2/n3: materialize <= k rows,
+    // release the persisted code frame, return a local frame.
+    graft.QueryDef("n6_ann_pq", Some(n6OracleSql))((s, d) => {
       val index = buildPqIndex(Tables.embeddings(s, d))
       val ranked = pqTopK(index, queryVecId = 0L, k = 10)
       val local = ranked.collectAsList()
@@ -1274,12 +1411,15 @@ object SimilarityQueries extends graft.QueryModule {
           (sum(col("x")).cast(DoubleType) /
             (lit(10000.0) * count(lit(1)))).as("c"))),
 
-    // D5 — embedding-cosine near-dup dedup over planted probes
-    // (rows-only; PipelineSpec pins the planted pairs). Gate queries
-    // build an index per invocation and return the lazy pair frame; the
-    // Verify/Bench harness materializes and clears the cache per query.
-    // Library callers hold the CosineIndex handle instead.
-    graft.QueryDef("d5_embed_cosine_dedup", None)((s, d) =>
+    // D5 — embedding-cosine near-dup dedup over planted probes, FULL
+    // oracle: the DuckDB twin recomputes all 4 table signatures from the
+    // fmix32 plane signs and value-checks the banded pair set end to end
+    // (d5OracleSql); PipelineSpec additionally pins the planted pairs.
+    // Gate queries build an index per invocation and return the lazy
+    // pair frame; the Verify/Bench harness materializes and clears the
+    // cache per query. Library callers hold the CosineIndex handle
+    // instead.
+    graft.QueryDef("d5_embed_cosine_dedup", Some(d5OracleSql))((s, d) =>
       cosineDedupPairs(buildCosineIndex(withVecProbes(Tables.embeddings(s, d))),
         threshold = 0.9)),
 
