@@ -62,12 +62,92 @@ object Governance {
     spark.read.parquet(s"$inPath/centroids")
       .write.mode("overwrite").parquet(s"$outPath/centroids")
   }
+
+  /** Rewrite a stored FTS term index (Fts.writeTermIndex layout) minus
+    * the takedown set. The terms ARE the document text — an index that
+    * keeps them serves retracted content to every prefix probe (and
+    * leaks it verbatim to anyone who can read the store). The rewrite
+    * goes back through writeTermIndex, so the purged copy keeps the
+    * exact serving layout: term_pfx directory pruning and the
+    * within-file term sort. */
+  def purgeStoredFtsIndex(spark: SparkSession, inPath: String,
+                          outPath: String, ids: DataFrame): Unit =
+    Fts.writeTermIndex(
+      purgeFrame(spark.read.parquet(inPath).select("id", "term"), ids, idCol = "id"),
+      outPath)
+
+  /** Rewrite a stored PQ index (Similarity.writePqIndex layout) minus
+    * the takedown set. PQ codes are quantized CONTENT — each M-byte
+    * code decodes to an approximation of the vector it summarizes — so
+    * the code table is purged like the raw embedding store would be.
+    * The codebook model table is aggregate statistics over many
+    * vectors (copied as-is, same policy as the IVF centroids). */
+  def purgeStoredPqIndex(spark: SparkSession, inPath: String,
+                         outPath: String, ids: DataFrame): Unit = {
+    spark.read.parquet(s"$inPath/codebooks")
+      .write.mode("overwrite").parquet(s"$outPath/codebooks")
+    purgeFrame(spark.read.parquet(s"$inPath/codes"), ids, idCol = "vec_id")
+      .write.mode("overwrite").parquet(s"$outPath/codes")
+  }
+
+  /** Rewrite a stored IVF-PQ index (Similarity.writeIvfPqIndex layout)
+    * minus the takedown set: the cell-partitioned coded frame is
+    * filtered (partitioning preserved — probes prune exactly as
+    * before); the centroid and codebook model tables are copied. */
+  def purgeStoredIvfPqIndex(spark: SparkSession, inPath: String,
+                            outPath: String, ids: DataFrame): Unit = {
+    spark.read.parquet(s"$inPath/centroids")
+      .write.mode("overwrite").parquet(s"$outPath/centroids")
+    spark.read.parquet(s"$inPath/codebooks")
+      .write.mode("overwrite").parquet(s"$outPath/codebooks")
+    purgeFrame(spark.read.parquet(s"$inPath/coded"), ids, idCol = "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$outPath/coded")
+  }
 }
 
 /** Registered governance queries (G-family extension). */
 object GovernanceQueries extends graft.QueryModule {
 
+  private lazy val g2Root: String = graft.util.TmpRoot("g2-fts")
+  private val g2Written =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dirTag(d: String): String = d.replaceAll("[^a-zA-Z0-9]", "_")
+
   def defs: Seq[graft.QueryDef] = Seq(
+
+    // G2 — takedown purge THROUGH a stored serving artifact: the
+    // persistent FTS term index is written, purged
+    // (Governance.purgeStoredFtsIndex), and the 'spar* AND wind*'
+    // search is answered from the PURGED store. The oracle states the
+    // expected result independently: every matching doc EXCEPT the
+    // takedown set (doc_id % 50 = 0 — which provably intersects the
+    // match set on this corpus, so a purge that silently kept serving
+    // retracted ids would fail the row, not vacuously pass it).
+    graft.QueryDef("g2_takedown_fts_purge", Some(
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id % 50 <> 0
+        |  AND regexp_matches(lower(strip_accents(text)), '(^|[^a-z0-9])spar')
+        |  AND regexp_matches(lower(strip_accents(text)), '(^|[^a-z0-9])wind')""".stripMargin))((s, d) => {
+      // Written + purged ONCE per (JVM, data dir) — the purge is the
+      // retraction job's output, not per-query work; repeat invocations
+      // (Bench min-of-N) go straight to the probe.
+      val path = g2Written.computeIfAbsent(d, dd => {
+        val root = s"$g2Root/${dirTag(dd)}"
+        val docs = Tables.documents(s, dd)
+        Fts.writeTermIndex(
+          Fts.termIndex(docs, "doc_id", Seq("text")), s"$root/live")
+        Governance.purgeStoredFtsIndex(s, s"$root/live", s"$root/purged",
+          docs.where(col("doc_id") % 50 === 0)
+            .select(col("doc_id").as("purge_id")))
+        s"$root/purged"
+      })
+      val ids = Fts.matchingIdsPersistent(
+        Fts.readTermIndex(s, path), Seq("spar", "wind"))
+      Tables.documents(s, d)
+        .join(ids.withColumnRenamed("id", "doc_id__m"),
+          col("doc_id") === col("doc_id__m"), "left_semi")
+        .select("doc_id", "lang", "source")
+    }),
 
     // G1 — takedown purge across the corpus AND its chunk store, audited
     // as before/after row counts per artifact (the compliance evidence a

@@ -77,4 +77,130 @@ class GovernanceSpec extends AnyFunSuite with SparkSuite {
     assert(got.size == 10 && got.intersect(purgedIds).isEmpty,
       "purged vectors still retrievable from the ANN index")
   }
+
+  test("takedown purge removes terms from the stored FTS index") {
+    import spark.implicits._
+    import graft.operators.Fts
+    val docs = Tables.documents(spark, sf)
+    val ids = docs.where(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("purge_id"))
+    val purgedIds = ids.as[Long].collect().toSet
+    assert(purgedIds.nonEmpty)
+
+    val root = util.TmpRoot("gov-fts")
+    Fts.writeTermIndex(Fts.termIndex(docs, "doc_id", Seq("text")), s"$root/live")
+    Governance.purgeStoredFtsIndex(spark, s"$root/live", s"$root/purged", ids)
+
+    val purged = Fts.readTermIndex(spark, s"$root/purged")
+    // 1. not one term row of a purged doc survives — terms ARE the text
+    assert(purged.where(col("id").isin(purgedIds.toSeq: _*)).count() == 0)
+    // 2. non-purged rows intact, layout columns present (term_pfx kept)
+    val live = Fts.readTermIndex(spark, s"$root/live")
+    assert(purged.count() ==
+      live.where(!col("id").isin(purgedIds.toSeq: _*)).count())
+    assert(purged.columns.contains("term_pfx"))
+    // 3. unfindability through the serving path: the probe answered from
+    // the purged store returns the live result minus exactly the purge set
+    def hits(ix: org.apache.spark.sql.DataFrame): Set[Long] =
+      Fts.matchingIdsPersistent(ix, Seq("spar", "wind"))
+        .select("id").as[Long].collect().toSet
+    val liveHits = hits(live)
+    assert(liveHits.intersect(purgedIds).nonEmpty,
+      "probe must cover purged ids or the check is vacuous")
+    assert(hits(purged) == liveHits -- purgedIds,
+      "purged ids still findable through the stored FTS index")
+  }
+
+  test("takedown purge removes codes from the stored PQ and IVF-PQ indexes") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val ids = emb.where(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("purge_id"))
+    val purgedIds = ids.as[Long].collect().toSet
+    assert(purgedIds.nonEmpty && !purgedIds.contains(1L))
+
+    val root = util.TmpRoot("gov-pq")
+    val pq = Similarity.buildPqIndex(emb)
+    Similarity.writePqIndex(pq, s"$root/pq-live")
+    pq.unpersist()
+    Governance.purgeStoredPqIndex(spark, s"$root/pq-live", s"$root/pq-purged", ids)
+    val pqPurged = Similarity.readPqIndex(spark, s"$root/pq-purged")
+    try {
+      // codes are content — none survive; model tables round-trip
+      assert(pqPurged.coded.where(col("vec_id").isin(purgedIds.toSeq: _*)).count() == 0)
+      assert(pqPurged.nSub == pq.nSub && pqPurged.nCentroids == pq.nCentroids)
+      val got = Similarity.pqTopK(pqPurged, queryVecId = 1L, k = 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(got.size == 10 && got.intersect(purgedIds).isEmpty,
+        "purged vectors still retrievable from the stored PQ index")
+    } finally pqPurged.unpersist()
+
+    val ivfpq = Similarity.buildIvfPqIndex(emb)
+    Similarity.writeIvfPqIndex(ivfpq, s"$root/ivfpq-live")
+    ivfpq.unpersist()
+    Governance.purgeStoredIvfPqIndex(
+      spark, s"$root/ivfpq-live", s"$root/ivfpq-purged", ids)
+    val ipPurged = Similarity.readIvfPqIndex(spark, s"$root/ivfpq-purged")
+    assert(ipPurged.frame.where(col("vec_id").isin(purgedIds.toSeq: _*)).count() == 0)
+    // cell partitioning preserved: probes prune as before and the query
+    // path serves clean results
+    assert(ipPurged.frame.columns.contains("cell"))
+    val got2 = Similarity.ivfPqTopK(ipPurged, queryVecId = 1L, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got2.size == 10 && got2.intersect(purgedIds).isEmpty,
+      "purged vectors still retrievable from the stored IVF-PQ index")
+  }
+
+  test("purge survives compaction: takedown ids stay gone across index maintenance") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val purgedIds = docs.where(col("doc_id") % 50 === 0)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val ids = docs.where(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("purge_id"))
+
+    def addChunk(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = util.TmpRoot("gov-cmp-stage") + s"/$name"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.createDirectories(Paths.get(dir))
+      Files.copy(part.toPath, Paths.get(s"$dir/$name"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val root = util.TmpRoot("gov-cmp")
+    val src = s"$root/src"; val index = s"$root/idx"
+    val pairsDir = s"$root/pairs"; val ckpt = s"$root/ckpt"
+    addChunk(src, docs.where(col("doc_id") < 250), "c1.parquet")
+    streaming.Streams.incrementalMinhashIndex(spark, src, index, pairsDir, ckpt)
+    addChunk(src, docs.where(col("doc_id") >= 250), "c2.parquet")
+    streaming.Streams.incrementalMinhashIndex(spark, src, index, pairsDir, ckpt)
+
+    // takedown: rewrite the incremental store minus the purge set (the
+    // batch_id partition column rides along so LWW survives the rewrite)
+    val purgedStore = s"$root/idx-purged"
+    Governance.purgeFrame(
+      spark.read.option("basePath", index).parquet(index), ids)
+      .write.mode("overwrite").partitionBy("batch_id").parquet(purgedStore)
+
+    // maintenance AFTER the takedown: compaction must not resurrect ids
+    val serving = s"$root/serving"
+    Dedup.compactMinhashIndex(spark, purgedStore, serving)
+    val stored = Dedup.readMinhashIndex(spark, serving)
+    assert(stored.sigs.where(col("doc_id").isin(purgedIds.toSeq: _*)).count() == 0,
+      "compaction resurrected purged ids in the signature table")
+    assert(stored.banded.where(col("doc_id").isin(purgedIds.toSeq: _*)).count() == 0,
+      "compaction resurrected purged ids in the banded table")
+    // and the re-submission probe stays clean through the compacted store
+    val resubmit = Dedup.buildMinhashIndex(
+      docs.where(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    try {
+      val after = Dedup.dedupAgainstIndex(stored, resubmit, threshold = 0.9)
+      assert(after.where(col("doc_a").isin(purgedIds.toSeq: _*)).count() == 0,
+        "compacted index still links re-submitted copies to erased docs")
+    } finally resubmit.unpersist()
+  }
 }
