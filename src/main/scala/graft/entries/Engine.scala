@@ -58,15 +58,43 @@ object Engine {
   private val FtsCols = Seq("agency", "organization", "first_name", "last_name",
     "subject", "details", "resolution", "response")
 
+  /** Write the maintained FTS artifact for an entries store — the
+    * reference's trigger-kept FTS5 table (migrations/0002_fts.sql:17-34)
+    * as a stored index in the Fts.writeTermIndex layout (term_pfx
+    * partitioning + within-file term sort). The sync job that writes the
+    * entries store writes this beside it; [[listEntriesFiltered]] then
+    * probes the index instead of re-tokenizing the corpus per query.
+    * Corrections only overlay DATE columns, so the index over the raw
+    * store and over the corrected view are identical — built once here,
+    * never per-call. */
+  def writeFtsIndex(spark: SparkSession, entries: DataFrame, path: String): Unit =
+    Fts.writeTermIndex(Fts.termIndex(entries, "id", FtsCols), path)
+
   /** The shared filter pipeline of both pagination modes (entries.ts
-    * WHERE assembly, src/lib/db/entries.ts:29-63). */
+    * WHERE assembly, src/lib/db/entries.ts:29-63). With `ftsIndexPath`
+    * set (a [[writeFtsIndex]] store over the SAME entries corpus), the
+    * FTS predicate is answered from the maintained index — prefix
+    * probes prune on the term_pfx partition key (PlanSpec pins the
+    * PartitionFilters), and the per-query cost is the probe, not a
+    * corpus re-tokenization. The reference never recomputes its FTS
+    * table per query (triggers keep it current); at scale neither can
+    * this engine — the rebuild path (None) remains for ad-hoc frames
+    * that have no maintained store. */
   def listEntriesFiltered(spark: SparkSession, entries: DataFrame,
-                          opts: SearchOptions): DataFrame = {
+                          opts: SearchOptions,
+                          ftsIndexPath: Option[String] = None): DataFrame = {
     var df = withCorrected(spark, entries)
 
-    // P6/J1 — FTS prefix-AND semi-join over the term index
+    // P6/J1 — FTS prefix-AND semi-join: maintained index when wired,
+    // per-call rebuild otherwise
     opts.q.map(ftsPrefixes).filter(_.nonEmpty).foreach { prefixes =>
-      df = Fts.search(df, "id", FtsCols, prefixes)
+      df = ftsIndexPath match {
+        case Some(p) =>
+          val ids = Fts.matchingIdsPersistent(Fts.readTermIndex(spark, p), prefixes)
+          df.join(ids.withColumnRenamed("id", "id__m"),
+            col("id") === col("id__m"), "left_semi")
+        case None => Fts.search(df, "id", FtsCols, prefixes)
+      }
     }
     // P1/J2 — alias-candidate case-insensitive equality disjunction
     opts.agency.foreach { a =>
@@ -105,13 +133,14 @@ object Engine {
   val MaxPageSize = 1000
 
   def listEntries(spark: SparkSession, entries: DataFrame,
-                  opts: SearchOptions): ListPage = {
+                  opts: SearchOptions,
+                  ftsIndexPath: Option[String] = None): ListPage = {
     require(opts.pageSize >= 1 && opts.pageSize <= MaxPageSize,
       s"pageSize must be in [1, $MaxPageSize], got ${opts.pageSize}")
     // A1/O2 — count, clamp the requested page, slice (entries.ts:102-116).
     // One cached filtered plan feeds both actions (the reference's two
     // SQLite round-trips share nothing).
-    val df = listEntriesFiltered(spark, entries, opts).persist()
+    val df = listEntriesFiltered(spark, entries, opts, ftsIndexPath).persist()
     try {
       val total = df.count()
       val totalPages = math.max(math.ceil(total / opts.pageSize.toDouble).toInt, 1)
@@ -136,8 +165,9 @@ object Engine {
     * no window, page N costs the same as page 1. */
   def listEntriesAfter(spark: SparkSession, entries: DataFrame,
                        opts: SearchOptions, last: Option[String],
-                       lastId: Long): DataFrame = {
-    val base = listEntriesFiltered(spark, entries, opts)
+                       lastId: Long,
+                       ftsIndexPath: Option[String] = None): DataFrame = {
+    val base = listEntriesFiltered(spark, entries, opts, ftsIndexPath)
     def descNullsLast(key: Column): Column = last match {
       case Some(v) => key < v || (key === v && col("id") > lastId) || key.isNull
       case None    => key.isNull && col("id") > lastId

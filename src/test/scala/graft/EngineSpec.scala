@@ -123,6 +123,23 @@ class EngineSpec extends AnyFunSuite with SparkSuite {
     assert(ids.toSet == Set(6L, 14L))
   }
 
+  test("FTS through the maintained index equals the per-call rebuild") {
+    // The reference's trigger-kept FTS5 table never recomputes per query
+    // (migrations/0002_fts.sql:17-34); the maintained-index route must be
+    // a drop-in for the rebuild route on every FTS shape the spec pins.
+    val path = util.TmpRoot("engine-fts") + "/terms"
+    Engine.writeFtsIndex(spark, Fixture.df(spark), path)
+    for (q <- Seq("Spark Wind", "spark", "wind window", "spark spark", "zzz-none")) {
+      val opts = SearchOptions(q = Some(q), pageSize = 50)
+      val direct = Engine.listEntries(spark, Fixture.df(spark), opts)
+      val indexed = Engine.listEntries(spark, Fixture.df(spark), opts, Some(path))
+      assert(indexed.total == direct.total, s"total drift for '$q'")
+      assert(indexed.rows.select("id").collect().map(_.getLong(0)).toSeq ==
+        direct.rows.select("id").collect().map(_.getLong(0)).toSeq,
+        s"page drift for '$q'")
+    }
+  }
+
   test("cursor pagination replays the exact OFFSET page sequence") {
     for (sort <- Seq("newest", "oldest", "highest_fee", "default")) {
       val opts = SearchOptions(sort = sort, pageSize = 7)

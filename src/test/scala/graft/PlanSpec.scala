@@ -224,6 +224,20 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"p6f: term prefix range not pushed to the scan:\n$p")
   }
 
+  test("engine maintained-FTS route prunes the index on term_pfx") {
+    import graft.entries.{Engine, Fixture, SearchOptions}
+    val path = java.nio.file.Files.createTempDirectory("graft_engfts_plan").toString + "/terms"
+    Engine.writeFtsIndex(spark, Fixture.df(spark), path)
+    val q = Engine.listEntriesFiltered(spark, Fixture.df(spark),
+      SearchOptions(q = Some("spark wind")), Some(path))
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*term_pfx[^\\]]*\\].*"),
+      s"engine FTS route: no term_pfx partition filter:\n$p")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(term.*"),
+      s"engine FTS route: term prefix range not pushed to the scan:\n$p")
+  }
+
   test("warehouse product reads prune partitions AND push the residual range") {
     // The registered product queries themselves (not a synthetic read):
     // the P3b range and A8b timeline must carry a request_year partition
