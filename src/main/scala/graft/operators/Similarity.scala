@@ -178,13 +178,48 @@ object Similarity {
     * an index amortizes over any number of queries. */
   def buildIvfIndex(embeddings: DataFrame, nCells: Int = 16,
                     iters: Int = 5): IvfIndex = {
-    val vecs = embeddings.select(col("vec_id"), col("embedding"))
-    val books = trainPqCodebooks(vecs, nSub = 1, nCentroids = nCells, iters = iters)
-    val assigned = pqEncode(books, vecs)
-      .select(col("vec_id"), col("embedding"),
-        element_at(col("codes"), 1).as("cell"))
+    val books = trainPqCodebooks(embeddings, nSub = 1, nCentroids = nCells, iters = iters)
+    // Metadata columns (label, source, …) RIDE ALONG into the assigned
+    // frame — and therefore into the written cell-partitioned store —
+    // so filtered retrieval ([[ivfTopKFiltered]]) can push its
+    // predicate into the probed cells' scan instead of joining a
+    // second table per query.
+    val assigned = pqEncode(books, embeddings)
+      .withColumn("cell", element_at(col("codes"), 1)).drop("codes")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     IvfIndex(books(0), assigned)
+  }
+
+  /** Filtered ANN — metadata-constrained retrieval (the "WHERE lang =
+    * 'en'" on top of vector search every serving stack needs). The
+    * predicate composes INTO the probe scan: the nProbe cell filter
+    * prunes first (directory pruning on a written index), then `pred`
+    * evaluates inside the scan of the probed cells — pre-filtering,
+    * never a post-filter of a finished top-k, which silently returns
+    * fewer than k rows under selective predicates. nProbe is the recall
+    * lever: with predicate selectivity s, probe ~nProbe/s cells to keep
+    * the candidate mass of the unfiltered search (the n12 gate row pins
+    * 8 of 16 cells at ~1/10 selectivity). The query row is looked up
+    * unfiltered — the query need not satisfy its own predicate. */
+  def ivfTopKFiltered(index: IvfIndex, queryVecId: Long, k: Int,
+                      pred: Column, nProbe: Int = 4): DataFrame = {
+    val qVec = index.assigned.where(col("vec_id") === queryVecId)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    val probeCells = index.centroids.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum
+        (d, i)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    val qv = index.assigned.where(col("vec_id") === queryVecId)
+      .select(quant(col("embedding")).as("qv"))
+    index.assigned
+      .where(col("cell").isin(probeCells.map(Integer.valueOf): _*) && pred)
+      .select(col("vec_id"), quant(col("embedding")).as("v"))
+      .join(broadcast(qv))
+      .select(col("vec_id"),
+        cosine(idot(col("v"), col("qv")), inorm2(col("v")), inorm2(col("qv"))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
   }
 
   /** Persist an [[IvfIndex]]: centroids flatten to an O(model) parquet;
@@ -755,6 +790,8 @@ object SimilarityQueries extends graft.QueryModule {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val ivfWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ivfLblWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val ivfPqWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def dirTag(d: String): String = d.replaceAll("[^a-zA-Z0-9]", "_")
@@ -856,6 +893,25 @@ object SimilarityQueries extends graft.QueryModule {
        |  GROUP BY b.j),
        |probes AS (SELECT j FROM qd ORDER BY dist ASC, j ASC LIMIT 4),
        |cand AS (SELECT c.vec_id FROM codes c JOIN probes p ON c.j = p.j),
+       |ve AS (SELECT vec_id, i AS d, CAST(round(x * 10000) AS BIGINT) AS x FROM vect),
+       |norms AS (SELECT vec_id, SUM(x*x) AS n2 FROM ve GROUP BY 1)
+       |${cosTopKSql(10)}""".stripMargin
+
+  /** n12's oracle: the n3 training/probe replay with the label
+    * predicate applied INSIDE the candidate set (pre-filtering), 8
+    * probed cells — value-checks the filtered retrieval end to end. */
+  private lazy val n12OracleSql: String =
+    s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+       |${OracleHash.lloydCtes(1, 16, 5)},
+       |qd AS (
+       |  SELECT b.j, ${OracleHash.lfold("list((q.x - b.c) * (q.x - b.c) ORDER BY b.t)")} AS dist
+       |  FROM b5 b JOIN vect q ON q.vec_id = 0 AND q.i = b.t + 1
+       |  GROUP BY b.j),
+       |probes AS (SELECT j FROM qd ORDER BY dist ASC, j ASC LIMIT 8),
+       |cand AS (
+       |  SELECT c.vec_id FROM codes c
+       |  JOIN probes p ON c.j = p.j
+       |  JOIN embeddings e ON e.vec_id = c.vec_id AND e.label = 2),
        |ve AS (SELECT vec_id, i AS d, CAST(round(x * 10000) AS BIGINT) AS x FROM vect),
        |norms AS (SELECT vec_id, SUM(x*x) AS n2 FROM ve GROUP BY 1)
        |${cosTopKSql(10)}""".stripMargin
@@ -1131,6 +1187,29 @@ object SimilarityQueries extends graft.QueryModule {
       })
       val index = readIvfIndex(s, path)
       val ranked = ivfTopK(index, queryVecId = 0L, k = 11)
+      val local = ranked.collectAsList()
+      index.unpersist()
+      s.createDataFrame(local, ranked.schema)
+    }),
+
+    // N12 — FILTERED ANN: top-k cosine restricted to label = 2 (~1/10
+    // selectivity), answered from the WRITTEN metadata-carrying IVF
+    // store — the label predicate is pushed into the parquet scan of
+    // ONLY the probed cell directories (PlanSpec pins PushedFilters +
+    // cell PartitionFilters on one plan), nProbe doubled to 8 for the
+    // filtered recall mass. FULL oracle: the n3 Lloyd replay with the
+    // predicate applied pre-top-k.
+    graft.QueryDef("n12_ann_filtered", Some(n12OracleSql))((s, d) => {
+      val path = ivfLblWritten.computeIfAbsent(d, dd => {
+        val built = buildIvfIndex(Tables.embeddings(s, dd))
+        val p = s"$pqRoot/${dirTag(dd)}/ivf-lbl"
+        writeIvfIndex(built, p)
+        built.unpersist()
+        p
+      })
+      val index = readIvfIndex(s, path)
+      val ranked = ivfTopKFiltered(index, queryVecId = 0L, k = 10,
+        pred = col("label") === 2, nProbe = 8)
       val local = ranked.collectAsList()
       index.unpersist()
       s.createDataFrame(local, ranked.schema)

@@ -224,6 +224,25 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"p6f: term prefix range not pushed to the scan:\n$p")
   }
 
+  test("filtered ANN: label predicate pushed into the probed cells' scan") {
+    import graft.operators.Similarity
+    val path = java.nio.file.Files.createTempDirectory("graft_fann_plan").toString + "/ivf"
+    val built = Similarity.buildIvfIndex(Tables.embeddings(spark, sf))
+    Similarity.writeIvfIndex(built, path)
+    built.unpersist()
+    val index = Similarity.readIvfIndex(spark, path)
+    val q = Similarity.ivfTopKFiltered(index, queryVecId = 0L, k = 10,
+      pred = org.apache.spark.sql.functions.col("label") === 2, nProbe = 8)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    // ONE plan must show both pruning levels: the probe set at the
+    // directory index AND the metadata predicate at the parquet scan
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*cell.*"),
+      s"filtered ANN: no cell partition filter:\n$p")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(label,2\\).*"),
+      s"filtered ANN: label predicate not pushed to the scan:\n$p")
+  }
+
   test("engine maintained-FTS route prunes the index on term_pfx") {
     import graft.entries.{Engine, Fixture, SearchOptions}
     val path = java.nio.file.Files.createTempDirectory("graft_engfts_plan").toString + "/terms"
