@@ -184,8 +184,7 @@ object Similarity {
     // so filtered retrieval ([[ivfTopKFiltered]]) can push its
     // predicate into the probed cells' scan instead of joining a
     // second table per query.
-    val assigned = pqEncode(books, embeddings)
-      .withColumn("cell", element_at(col("codes"), 1)).drop("codes")
+    val assigned = assignCells(books(0), embeddings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     IvfIndex(books(0), assigned)
   }
@@ -250,6 +249,21 @@ object Similarity {
     IvfIndex(readCentroidTable(spark, s"$path/centroids"),
       spark.read.parquet(s"$path/assigned"))
   }
+
+  /** Just the centroid model of a stored IVF index — what a streaming
+    * assigner (Streams.incrementalIvfAssign) needs: O(model) collect,
+    * no touch of the assignment frame. */
+  def readIvfCentroids(spark: SparkSession, path: String): Array[Array[Double]] =
+    readCentroidTable(spark, s"$path/centroids")
+
+  /** Frozen-model cell assignment of ANY (vec_id, embedding, …) frame:
+    * the nearest-centroid map pass of [[buildIvfIndex]] WITHOUT the
+    * training — one shuffle-free pass, metadata columns ride along.
+    * Single-sourced between the batch build and the streaming assigner
+    * so the two can never drift. */
+  def assignCells(centroids: Array[Array[Double]], vecs: DataFrame): DataFrame =
+    pqEncode(Array(centroids), vecs)
+      .withColumn("cell", element_at(col("codes"), 1)).drop("codes")
 
   /** Materialize a flattened (cell, d, v) centroid parquet as a dense
     * array, with the MODEL SHAPE INFERRED from the rows themselves

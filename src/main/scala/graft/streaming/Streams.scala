@@ -278,6 +278,45 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming IVF index freshness — assign NEWLY ARRIVING vectors to
+    * the cells of a FROZEN, nightly-trained model. Retraining cadence
+    * is a policy knob, but between retrains every arriving vector must
+    * be retrievable NOW, and frozen-model assignment gives exactly
+    * that at map-side cost: the O(model) centroid table loads once on
+    * the driver, each micro-batch is one shuffle-free pass through the
+    * shared `Similarity.assignCells` (the identical code path the
+    * batch build uses — the two cannot drift), and the output lands
+    * batch_id-scoped (a retried micro-batch REPLACES its own
+    * directory — idempotent) and cell-partitioned beneath it, so probe
+    * queries prune cells across the whole append store exactly as
+    * against the base index. Serving = IvfIndex(frozen centroids,
+    * base assigned ∪ this store); StreamingSpec pins that the combined
+    * store answers identically to a batch frozen-model assignment of
+    * the full corpus. ID contract: batches disjoint in vec_id (the
+    * incrementalVectorIndex contract); re-deliveries resolve at
+    * compaction by batch_id LWW. */
+  def incrementalIvfAssign(spark: SparkSession, sourceDir: String,
+                           ivfIndexPath: String, outDir: String,
+                           checkpointDir: String): Unit = {
+    import graft.operators.Similarity
+    val cents = Similarity.readIvfCentroids(spark, ivfIndexPath)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val q = spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Similarity.assignCells(cents, batch.select(col("vec_id"), col("embedding")))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming feed of the partitioned entries warehouse: each
     * micro-batch applies the shared corrections overlay
     * (Normalize.withCorrectedDates — the same single source the batch

@@ -329,6 +329,52 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       "pairs emitted more than once across batches")
   }
 
+  test("streaming IVF assignment: frozen-model appends serve like the batch assignment") {
+    import graft.operators.Similarity
+    def addChunk(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp("graft_ivfs_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$dir/$name"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val vecs = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val base = vecs.where(col("vec_id") < 400)
+    val root = tmp("graft_ivfs_root")
+    val idxPath = s"$root/ivf"; val src = tmp("graft_ivfs_src")
+    val appends = s"$root/appends"; val ckpt = tmp("graft_ivfs_ckpt")
+    // nightly build on the base corpus, model frozen on disk
+    val built = Similarity.buildIvfIndex(base)
+    Similarity.writeIvfIndex(built, idxPath)
+    built.unpersist()
+    // two later micro-batches of new vectors stream through the assigner
+    addChunk(src, vecs.where(col("vec_id") >= 400 && col("vec_id") < 450), "c1.parquet")
+    Streams.incrementalIvfAssign(spark, src, idxPath, appends, ckpt)
+    addChunk(src, vecs.where(col("vec_id") >= 450), "c2.parquet")
+    Streams.incrementalIvfAssign(spark, src, idxPath, appends, ckpt)
+    // 1. streamed assignments equal the batch frozen-model assignment
+    val cents = Similarity.readIvfCentroids(spark, idxPath)
+    def cellSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cell")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val streamed = cellSet(spark.read.parquet(appends))
+    val direct = cellSet(Similarity.assignCells(cents, vecs.where(col("vec_id") >= 400)))
+    assert(streamed == direct, "streamed cell assignment != batch frozen-model assignment")
+    // 2. the combined store (base ∪ appends) serves identically to a
+    // frozen-model assignment of the FULL corpus
+    val stored = Similarity.readIvfIndex(spark, idxPath)
+    val combined = Similarity.IvfIndex(cents,
+      stored.assigned.select("vec_id", "embedding", "cell")
+        .unionByName(spark.read.parquet(appends).select("vec_id", "embedding", "cell")))
+    val full = Similarity.IvfIndex(cents, Similarity.assignCells(cents, vecs))
+    def top(ix: Similarity.IvfIndex) =
+      Similarity.ivfTopK(ix, queryVecId = 0L, k = 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(combined) == top(full),
+      "combined base+append store answers differently from the full assignment")
+  }
+
   test("vector index compaction: re-delivered vec_ids resolve LWW to the latest revision") {
     import graft.operators.Similarity
     def addChunk(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
