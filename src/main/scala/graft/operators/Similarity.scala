@@ -425,6 +425,55 @@ object Similarity {
       .toDF("query_id", "vec_id", "cos")
   }
 
+  /** Margin-based pair mining between two vector sets (the
+    * bitext-mining score of Artetxe & Schwenk, "Margin-based Parallel
+    * Corpus Mining", ACL'19): a candidate pair scores by its cosine
+    * RELATIVE to each side's neighborhood —
+    * margin(x,y) = cos(x,y) / ((avgTopK(x→T) + avgTopK(y→S)) / 2) —
+    * which suppresses hub vectors that are "close to everything".
+    * Candidates are x's forward top-k (each source contributes k
+    * pairs, never |S|·|T| output). Scoring arithmetic is the exact
+    * integer cosine; the top-k means fold in (cos desc, id) order on
+    * both engine and oracle, so margins are bit-identical doubles.
+    * Scale: the S×T score matrix is the brute-force baseline (one
+    * broadcast of the smaller side, map-side scoring, two windowed
+    * top-k shuffles); at corpus scale candidate generation swaps to
+    * the banded-LSH path ([[bandFrame]]) with identical scoring. */
+  def marginMinePairs(embeddings: DataFrame, srcPred: Column, tgtPred: Column,
+                      k: Int = 4, threshold: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = embeddings.where(srcPred)
+      .select(col("vec_id").as("vec_a"), quant(col("embedding")).as("va"))
+    val t = embeddings.where(tgtPred)
+      .select(col("vec_id").as("vec_b"), quant(col("embedding")).as("vb"))
+    val scored = s.join(broadcast(t))
+      .select(col("vec_a"), col("vec_b"),
+        cosine(idot(col("va"), col("vb")), inorm2(col("va")), inorm2(col("vb"))).as("cos"))
+    val wA = Window.partitionBy("vec_a").orderBy(col("cos").desc, col("vec_b").asc)
+    val wB = Window.partitionBy("vec_b").orderBy(col("cos").desc, col("vec_a").asc)
+    val fwd = scored.withColumn("rnA", row_number().over(wA)).where(col("rnA") <= k)
+    val bwd = scored.withColumn("rnB", row_number().over(wB)).where(col("rnB") <= k)
+    // Each side's neighborhood mean: strict fold over the top-k list in
+    // rank order (IEEE addition is order-sensitive; the oracle folds
+    // the identical order), divided by the ACTUAL neighbor count so
+    // sets smaller than k stay well-defined.
+    def foldMean(df: DataFrame, key: String, rn: String): DataFrame =
+      df.groupBy(key)
+        .agg(sort_array(collect_list(struct(col(rn), col("cos")))).as("tk"))
+        .select(col(key),
+          (aggregate(col("tk"), lit(0.0), (acc, x) => acc + x.getField("cos")) /
+            size(col("tk"))).as(s"avg_$key"))
+    val avgA = foldMean(fwd, "vec_a", "rnA")
+    val avgB = foldMean(bwd, "vec_b", "rnB")
+    fwd.select(col("vec_a"), col("vec_b"), col("cos"))
+      .join(avgA, Seq("vec_a"))
+      .join(avgB, Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (col("cos") / ((col("avg_vec_a") + col("avg_vec_b")) / lit(2.0))).as("margin"))
+      .where(col("margin") >= threshold)
+      .select("vec_a", "vec_b", "margin")
+  }
+
   /** The hyperplane-signature index artifact for [[lshTopK]]: the
     * persisted (vec_id, v, sig) frame — the quantize+project pipeline
     * runs once at build, not per query — plus the bit width the probe
@@ -930,6 +979,45 @@ object SimilarityQueries extends graft.QueryModule {
        |norms AS (SELECT vec_id, SUM(x*x) AS n2 FROM ve GROUP BY 1)
        |${cosTopKSql(10)}""".stripMargin
 
+  /** n13's oracle: the margin-mining score restated independently —
+    * brute-force S×T integer cosines, windowed top-4 per side, the
+    * neighborhood means folded in rank order, the same fixed margin
+    * formula shape — bit-identical doubles. */
+  private lazy val n13OracleSql: String = {
+    def lfold(l: String) = OracleHash.lfold(l)
+    s"""WITH qv AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS x
+       |  FROM embeddings),
+       |norms AS (SELECT vec_id, SUM(x*x) AS n2 FROM qv GROUP BY 1),
+       |cosm AS (
+       |  SELECT sa.vec_id AS vec_a, tb.vec_id AS vec_b,
+       |    CAST(SUM(va.x * vb.x) AS DOUBLE) /
+       |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+       |  FROM (SELECT vec_id FROM embeddings WHERE label = 0) sa
+       |  JOIN (SELECT vec_id FROM embeddings WHERE label = 1) tb ON TRUE
+       |  JOIN qv va ON va.vec_id = sa.vec_id
+       |  JOIN qv vb ON vb.vec_id = tb.vec_id AND vb.i = va.i
+       |  JOIN norms na ON na.vec_id = sa.vec_id
+       |  JOIN norms nb ON nb.vec_id = tb.vec_id
+       |  GROUP BY 1, 2, na.n2, nb.n2),
+       |fwd AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b ASC) AS rn
+       |  FROM cosm),
+       |bwd AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_b ORDER BY cos DESC, vec_a ASC) AS rn
+       |  FROM cosm),
+       |avga AS (
+       |  SELECT vec_a, ${lfold("list(cos ORDER BY rn)")} / count(*) AS avg_a
+       |  FROM fwd WHERE rn <= 4 GROUP BY 1),
+       |avgb AS (
+       |  SELECT vec_b, ${lfold("list(cos ORDER BY rn)")} / count(*) AS avg_b
+       |  FROM bwd WHERE rn <= 4 GROUP BY 1)
+       |SELECT f.vec_a, f.vec_b, f.cos / ((avg_a + avg_b) / 2.0) AS margin
+       |FROM fwd f JOIN avga USING (vec_a) JOIN avgb USING (vec_b)
+       |WHERE f.rn <= 4 AND f.cos / ((avg_a + avg_b) / 2.0) >= 1.0""".stripMargin
+  }
+
   /** n6's full-corpus oracle: replay the whole PQ path — hash-smallest
     * seed selection, 5 Lloyd rounds over 8 subspaces, the final code
     * assignment, the query's ADC lookup table (strict left-fold float
@@ -1205,6 +1293,15 @@ object SimilarityQueries extends graft.QueryModule {
       index.unpersist()
       s.createDataFrame(local, ranked.schema)
     }),
+
+    // N13 — margin-based pair mining between two labeled vector sets
+    // (the parallel-corpus mining score): forward top-4 candidates,
+    // margin = cos relative to both neighborhoods' top-k means, kept at
+    // margin >= 1.0. FULL oracle: independent brute-force restatement
+    // with rank-ordered folds — margins match bit for bit.
+    graft.QueryDef("n13_margin_mining", Some(n13OracleSql))((s, d) =>
+      marginMinePairs(Tables.embeddings(s, d),
+        srcPred = col("label") === 0, tgtPred = col("label") === 1)),
 
     // N12 — FILTERED ANN: top-k cosine restricted to label = 2 (~1/10
     // selectivity), answered from the WRITTEN metadata-carrying IVF
