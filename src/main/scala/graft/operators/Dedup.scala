@@ -157,6 +157,53 @@ object Dedup {
     verifyJaccard(cand, index.sigs, threshold)
   }
 
+  /** Exact duplicate-SPAN removal (the sub-document exact dedup of Lee
+    * et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL'22): any w-token window that also occurs in a
+    * LOWER-doc_id document is a duplicated span, and every token it
+    * covers is cut from the higher doc — so exactly one copy of every
+    * long repeated passage survives corpus-wide, deterministically
+    * (keep-first). Whole-doc near-dup (d2/d3/d5) misses passages
+    * shorter than the similarity threshold's reach; this is the
+    * operator that removes them.
+    *
+    * Shape: one native wordKGramsAll pass emits every window (no
+    * interpreted slice-per-window), the first-occurrence owner is one
+    * hash agg over the window key, covered positions explode bounded
+    * by w x duplicated windows, and the text rebuilds with one ordered
+    * fold per doc. The window join key is the raw w-gram string here —
+    * oracle-transparent; at 100 TB swap the key for its 128-bit hash
+    * (collision odds ~n²/2^128) and the plan is unchanged. */
+  def dupSpanRemoval(docs: DataFrame, w: Int = 20): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      split(normText(col("text")), " ").as("ws"),
+      graft.plans.NativeFunctions.wordKGramsAll(normText(col("text")), w).as("grams"))
+    val wins = toks.select(col("doc_id"),
+      posexplode(col("grams")).as(Seq("p", "gram")))
+    val firstDoc = wins.groupBy("gram").agg(min("doc_id").as("min_doc"))
+    val dup = wins.join(firstDoc, Seq("gram"))
+      .where(col("doc_id") > col("min_doc"))
+      .select(col("doc_id"), col("p"))
+    val covered = dup
+      .select(col("doc_id"), explode(sequence(col("p") + 1, col("p") + w)).as("pos"))
+      .distinct()
+    val tokPos = toks
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("tp", "tok")))
+      .select(col("doc_id"), (col("tp") + 1).as("pos"), col("tok"))
+    val rebuilt = tokPos.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("kept_text"))
+    docs.select(col("doc_id"),
+        size(split(normText(col("text")), " ")).cast(LongType).as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   // --- Cluster resolution --------------------------------------------------
 
   /** Persist-and-truncate for one round of an iterative loop: cache the
@@ -738,6 +785,40 @@ object DedupQueries extends graft.QueryModule {
       batch.unpersist()
       s.createDataFrame(local, out.schema)
     }),
+
+    // D11 — exact duplicate-SPAN removal over the clone-planted corpus:
+    // every 20-token window of a clone also occurs in its lower-id
+    // original, so clones strip to empty while originals keep every
+    // token (keep-first), plus whatever natural cross-doc 20-gram
+    // repeats exist. The oracle restates the whole pass independently
+    // over raw window strings — no hashing on either side.
+    graft.QueryDef("d11_dup_span_removal", Some(
+      s"""WITH docs AS ($exactProbesSql),
+         |toks AS (SELECT doc_id, string_split($normTextSql, ' ') AS ws FROM docs),
+         |wins AS (
+         |  SELECT doc_id, s, array_to_string(list_slice(ws, s, s + 19), ' ') AS gram
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 19)) AS s
+         |        FROM toks WHERE len(ws) >= 20)),
+         |firstdoc AS (SELECT gram, min(doc_id) AS min_doc FROM wins GROUP BY 1),
+         |dup AS (
+         |  SELECT w.doc_id, w.s FROM wins w JOIN firstdoc f ON f.gram = w.gram
+         |  WHERE w.doc_id > f.min_doc),
+         |covered AS (
+         |  SELECT DISTINCT doc_id, unnest(generate_series(s, s + 19)) AS pos FROM dup),
+         |tokpos AS (
+         |  SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS pos FROM toks),
+         |keptt AS (
+         |  SELECT t.doc_id, count(*) AS n_kept,
+         |    array_to_string(list(t.tok ORDER BY t.pos), ' ') AS kept_text
+         |  FROM tokpos t
+         |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+         |                    WHERE c.doc_id = t.doc_id AND c.pos = t.pos)
+         |  GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+         |  coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+         |  coalesce(k.kept_text, '') AS kept_text
+         |FROM toks t LEFT JOIN keptt k ON k.doc_id = t.doc_id""".stripMargin))((s, d) =>
+      dupSpanRemoval(withExactProbes(Tables.documents(s, d)))),
 
     // D3 — SimHash banding + Hamming filter. FULL oracle: the twin
     // recomputes every fingerprint from scratch — FNV-1a per token
