@@ -177,6 +177,21 @@ object Fts {
     val latest = idx.groupBy("id").agg(max("batch_id").as("batch_id"))
     idx.join(latest, Seq("id", "batch_id")).select("id", "term")
   }
+
+  /** Compact the streaming-maintained term index into the persistent
+    * serving layout ([[writeTermIndex]]: term_pfx partitioning +
+    * within-file term sort) — the lifecycle step between "maintained
+    * per micro-batch" and "served with directory pruning", completing
+    * the same maintain → compact → serve → purge cycle the MinHash and
+    * vector indexes have (Dedup.compactMinhashIndex,
+    * Similarity.compactVectorIndex). LWW shadowing resolves here
+    * exactly as at read time (readIncrementalIndex is the single
+    * source); cost is one resolve + one layout write over INDEX rows —
+    * documents are never re-tokenized. The compacted store is what
+    * Engine.listEntriesFiltered's maintained-index route serves. */
+  def compactFtsIndex(spark: org.apache.spark.sql.SparkSession,
+                      incrementalDir: String, outPath: String): Unit =
+    writeTermIndex(readIncrementalIndex(spark, incrementalDir), outPath)
 }
 
 /** FTS queries registered for the correctness gate, over `documents`. */

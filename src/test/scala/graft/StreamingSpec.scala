@@ -450,6 +450,23 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     // a run with nothing new must leave the resolved state unchanged
     Streams.incrementalFtsIndex(spark, src, idx, ckpt)
     assert(Fts.readIncrementalIndex(spark, idx).count() == want.size.toLong)
+
+    // compaction closes the lifecycle: the incremental store lands in
+    // the persistent serving layout, row-identical to a direct batch
+    // write, probe-identical through the prefix-pruned read path
+    val serving = tmp("graft_ftsincr_out") + "/terms"
+    Fts.compactFtsIndex(spark, idx, serving)
+    val compacted = Fts.readTermIndex(spark, serving)
+    assert(compacted.columns.contains("term_pfx"), "compacted store lost the layout key")
+    assert(compacted.select("id", "term")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet == want,
+      "compacted serving store differs from the batch term index")
+    val probed = Fts.matchingIdsPersistent(compacted, Seq("spar", "wind"))
+      .collect().map(_.getLong(0)).toSet
+    val direct = Fts.matchingIds(
+      Fts.termIndex(docs, "doc_id", Seq("text")), Seq("spar", "wind"))
+      .collect().map(_.getLong(0)).toSet
+    assert(probed == direct, "compacted-store probe differs from in-memory probe")
   }
 
   test("streaming warehouse append: corrected, partitioned, idempotent, prunable") {
