@@ -204,6 +204,29 @@ object Dedup {
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
+  /** Deterministic, growth-stable train/val split assignment: a doc's
+    * split is a pure function of its id hash, so adding corpus never
+    * reshuffles existing assignments (a modulo over a ROW NUMBER would
+    * move every doc on every ingest — the classic split-instability
+    * bug that silently rotates val data into train across versions). */
+  def splitOf(idCol: Column, trainPct: Int = 80): Column =
+    when(pmod(xxhash64(idCol), lit(100)) < trainPct, lit("train"))
+      .otherwise(lit("val"))
+
+  /** Split-LEAKAGE report: near-duplicate pairs that CROSS the split
+    * boundary — the eval-contamination a hash split cannot prevent
+    * (near-dups hash independently), and the check every pipeline must
+    * run before trusting a validation number. Composes the MinHash
+    * pair machinery with [[splitOf]]; output is the offending pairs
+    * with their sides, empty = clean split. */
+  def splitLeakage(index: MinhashIndex, threshold: Double = 0.5,
+                   trainPct: Int = 80): DataFrame =
+    minhashPairs(index, threshold)
+      .withColumn("split_a", splitOf(col("doc_a"), trainPct))
+      .withColumn("split_b", splitOf(col("doc_b"), trainPct))
+      .where(col("split_a") =!= col("split_b"))
+      .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
+
   // --- Cluster resolution --------------------------------------------------
 
   /** Persist-and-truncate for one round of an iterative loop: cache the
@@ -819,6 +842,27 @@ object DedupQueries extends graft.QueryModule {
          |  coalesce(k.kept_text, '') AS kept_text
          |FROM toks t LEFT JOIN keptt k ON k.doc_id = t.doc_id""".stripMargin))((s, d) =>
       dupSpanRemoval(withExactProbes(Tables.documents(s, d)))),
+
+    // D12 — split-leakage report: the d2 near-dup pair set composed
+    // with the hash-based split assignment, filtered to pairs that
+    // cross the train/val boundary. FULL oracle by composing the two
+    // existing SQL generators — the d2 MinHash replay as a nested CTE
+    // and the xxhash64-of-BIGINT emulation for each side's split.
+    graft.QueryDef("d12_split_leakage", Some(
+      s"""WITH pairs AS ($d2OracleSql),
+         |ids AS (
+         |  SELECT DISTINCT doc_a AS did FROM pairs
+         |  UNION SELECT DISTINCT doc_b FROM pairs),
+         |hs AS (${OracleHash.hashLongSelect("SELECT did FROM ids", "did")}),
+         |splits AS (
+         |  SELECT did, CASE WHEN ((hs % 100) + 100) % 100 < 80
+         |    THEN 'train' ELSE 'val' END AS split FROM hs)
+         |SELECT p.doc_a, p.doc_b, p.jaccard, sa.split AS split_a, sb.split AS split_b
+         |FROM pairs p
+         |JOIN splits sa ON sa.did = p.doc_a
+         |JOIN splits sb ON sb.did = p.doc_b
+         |WHERE sa.split <> sb.split""".stripMargin))((s, d) =>
+      splitLeakage(buildMinhashIndex(withNearProbes(Tables.documents(s, d))))),
 
     // D3 — SimHash banding + Hamming filter. FULL oracle: the twin
     // recomputes every fingerprint from scratch — FNV-1a per token
