@@ -180,8 +180,11 @@ object Dedup {
       graft.plans.NativeFunctions.wordKGramsAll(normText(col("text")), w).as("grams"))
     val wins = toks.select(col("doc_id"),
       posexplode(col("grams")).as(Seq("p", "gram")))
-    val firstDoc = wins.groupBy("gram").agg(min("doc_id").as("min_doc"))
-    val dup = wins.join(firstDoc, Seq("gram"))
+    // First-occurrence ownership as ONE window over the gram shuffle —
+    // a groupBy + join-back formulation shuffles the (wide) gram
+    // strings twice; the unordered window min shuffles them once.
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    val dup = wins.withColumn("min_doc", min("doc_id").over(byGram))
       .where(col("doc_id") > col("min_doc"))
       .select(col("doc_id"), col("p"))
     val covered = dup
