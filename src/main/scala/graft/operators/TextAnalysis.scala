@@ -13,6 +13,10 @@ import graft.Tables
   */
 object TextAnalysisQueries extends graft.QueryModule {
 
+  private lazy val jsonlRoot: String = graft.util.TmpRoot("jsonl-rt")
+  private val jsonlWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Winnowing fingerprints: Rabin-Karp rolling k-gram hashes + sliding
     * w-window minima, one linear pass per row via the native Winnow
     * codegen expression. Output one row per (doc_id, fingerprint). */
@@ -1079,6 +1083,34 @@ object TextAnalysisQueries extends graft.QueryModule {
           coalesce(col("lang"), lit("")).as("lang"),
           coalesce(col("source"), lit("")).as("source"),
           col("n_chars"))).as("jsonl"))),
+
+    // X3 — JSONL round-trip INGEST: the x1 export materialized to disk
+    // as splittable text and read BACK through a SCHEMA'D json source —
+    // an interchange artifact is only real if it is ingestible, not
+    // just writable. The read pins an explicit schema (inference per
+    // ingest drifts with corpus content — the schema IS the contract);
+    // the oracle is the original table projection, so the loop is
+    // proven lossless value-for-value.
+    graft.QueryDef("x3_jsonl_roundtrip", Some(
+      """SELECT doc_id, coalesce(lang, '') AS lang,
+        |  coalesce(source, '') AS source, n_chars
+        |FROM documents""".stripMargin))((s, d) => {
+      val path = jsonlWritten.computeIfAbsent(d, dd => {
+        val p = s"$jsonlRoot/${dd.replaceAll("[^a-zA-Z0-9]", "_")}/docs"
+        Tables.documents(s, dd).select(to_json(struct(
+          col("doc_id"),
+          coalesce(col("lang"), lit("")).as("lang"),
+          coalesce(col("source"), lit("")).as("source"),
+          col("n_chars"))).as("value"))
+          .write.mode("overwrite").text(p)
+        p
+      })
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("source", StringType), StructField("n_chars", LongType)))
+      s.read.schema(schema).json(path)
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
 
     // M1 — typed metadata over an opaque payload column: JSON props of
     // events parsed and aggregated per event type.
