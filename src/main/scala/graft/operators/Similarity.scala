@@ -1303,6 +1303,35 @@ object SimilarityQueries extends graft.QueryModule {
       marginMinePairs(Tables.embeddings(s, d),
         srcPred = col("label") === 0, tgtPred = col("label") === 1)),
 
+    // N14 — IVF index health: per-cell occupancy plus each cell's share
+    // of the corpus, computed from the WRITTEN store's assignment frame
+    // (one count per partition directory — the monitoring query an
+    // index operator runs after every build/compaction: a skewed cell
+    // is a hot probe, and probe cost at scale follows max-cell size,
+    // not the mean). FULL oracle: the Lloyd replay's final assignment
+    // counted independently.
+    graft.QueryDef("n14_ivf_cell_stats", Some(
+      s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+         |${OracleHash.lloydCtes(1, 16, 5)}
+         |SELECT j AS cell, count(*) AS n_vectors,
+         |  CAST(count(*) AS DOUBLE) /
+         |    (SELECT count(*) FROM codes) AS share
+         |FROM codes GROUP BY 1""".stripMargin))((s, d) => {
+      val path = ivfLblWritten.computeIfAbsent(d, dd => {
+        val built = buildIvfIndex(Tables.embeddings(s, dd))
+        val p = s"$pqRoot/${dirTag(dd)}/ivf-lbl"
+        writeIvfIndex(built, p)
+        built.unpersist()
+        p
+      })
+      val assigned = s.read.parquet(s"$path/assigned")
+      val total = assigned.agg(count(lit(1)).as("n_total"))
+      assigned.groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+        .join(broadcast(total))
+        .select(col("cell"), col("n_vectors"),
+          (col("n_vectors").cast(DoubleType) / col("n_total")).as("share"))
+    }),
+
     // N12 — FILTERED ANN: top-k cosine restricted to label = 2 (~1/10
     // selectivity), answered from the WRITTEN metadata-carrying IVF
     // store — the label predicate is pushed into the parquet scan of
