@@ -230,6 +230,32 @@ object Dedup {
       .where(col("split_a") =!= col("split_b"))
       .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
 
+  /** [[minhashPairs]] with a band-occupancy cap — the 100 TB safeguard
+    * against super-node bands: a band shared by m docs contributes
+    * O(m²) candidate pairs, so ONE boilerplate cluster can dominate the
+    * entire join's output (the classic LSH hot-bucket blowup — at
+    * corpus scale a single viral page template can put 10^6 docs in
+    * one band = 10^12 candidates). Bands over the cap are DROPPED from
+    * candidate generation, with a documented recall trade: a pair is
+    * missed only if EVERY band it shares is hot — i.e. the pair
+    * belongs to a mass-duplicate cluster, which is exact-dedup's (d1)
+    * or boilerplate removal's (t13) job, not near-dup's. The cap is
+    * one unordered window count over the banded frame — no second
+    * shuffle of the band keys. */
+  def minhashPairsCapped(index: MinhashIndex, threshold: Double,
+                         maxBandOccupancy: Int): DataFrame = {
+    val banded = bandedOf(index.sigs)
+    val byBand = org.apache.spark.sql.expressions.Window.partitionBy("band")
+    val pruned = banded.withColumn("occ", count(lit(1)).over(byBand))
+      .where(col("occ") <= maxBandOccupancy)
+    val cand = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, index.sigs, threshold)
+  }
+
   // --- Cluster resolution --------------------------------------------------
 
   /** Persist-and-truncate for one round of an iterative loop: cache the
@@ -562,9 +588,29 @@ object DedupQueries extends graft.QueryModule {
     * 8-band keys → band-collision candidates → exact Jaccard ≥ 0.5.
     * Degenerate docs (empty normalized text) are excluded exactly as
     * [[Dedup.bandedOf]] excludes them. */
-  private lazy val d2OracleSql: String = {
+  /** The MinHash-pairs oracle chain over an arbitrary doc corpus SQL:
+    * shingles → xxhash64 bases → 32-slot signature minima → 8-band
+    * keys → (optionally occupancy-capped) band-collision candidates →
+    * exact Jaccard ≥ 0.5. Parameterized so d2 (no cap), d12 (split
+    * composition) and d13 (capped) all replay the ONE chain. */
+  private def minhashPairsOracleSql(corpusSql: String,
+                                    maxOcc: Option[Int]): String = {
     val hashRel = OracleHash.xxh64Rel("SELECT DISTINCT unnest(g) AS tok FROM grams")
-    s"""WITH docs AS ($nearProbesSql),
+    val candSrc = maxOcc match {
+      case Some(cap) =>
+        s"""pruned AS (
+           |  SELECT b.* FROM bands b
+           |  JOIN (SELECT band FROM bands GROUP BY band HAVING count(*) <= $cap) o
+           |    ON o.band = b.band),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM pruned a JOIN pruned b ON a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
+      case None =>
+        """cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
+    }
+    s"""WITH docs AS ($corpusSql),
        |grams AS (
        |  SELECT doc_id, $shingles3Sql AS g
        |  FROM (SELECT doc_id, string_split($normTextSql, ' ') AS words FROM docs
@@ -581,9 +627,7 @@ object DedupQueries extends graft.QueryModule {
        |  SELECT doc_id, b || '-' || array_to_string(
        |    list_transform(list_slice(sig, b*4+1, b*4+4), v -> CAST(v AS VARCHAR)), ':') AS band
        |  FROM sigarr, generate_series(0, 7) _(b)),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+       |$candSrc
        |SELECT c.doc_a, c.doc_b,
        |  CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) /
        |    (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))) AS jaccard
@@ -593,6 +637,18 @@ object DedupQueries extends graft.QueryModule {
        |WHERE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) /
        |    (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))) >= 0.5""".stripMargin
   }
+
+  private lazy val d2OracleSql: String =
+    minhashPairsOracleSql(nearProbesSql, maxOcc = None)
+
+  /** d13's corpus: the near-probe corpus plus a planted HOT cluster —
+    * 12 verbatim clones of doc 0 at 2000000+i, whose identical
+    * signatures make every one of their bands occupancy ≥ 13. */
+  private val hotClusterSql: String =
+    s"""$nearProbesSql
+       |UNION ALL
+       |SELECT 2000000 + t.i AS doc_id, text FROM documents, generate_series(0, 11) t(i)
+       |WHERE doc_id = 0""".stripMargin
 
   /** d3's full-corpus oracle: recompute every SimHash fingerprint —
     * FNV-1a token hashes, occurrence-weighted votes, 4×16-bit bands,
@@ -845,6 +901,24 @@ object DedupQueries extends graft.QueryModule {
          |  coalesce(k.kept_text, '') AS kept_text
          |FROM toks t LEFT JOIN keptt k ON k.doc_id = t.doc_id""".stripMargin))((s, d) =>
       dupSpanRemoval(withExactProbes(Tables.documents(s, d)))),
+
+    // D13 — occupancy-capped LSH over a corpus with a PLANTED hot
+    // cluster (12 verbatim clones of doc 0): every band of the cluster
+    // carries occupancy >= 13 > cap 8, so its O(m²) pair mass vanishes
+    // from candidate generation while the occupancy-2 near-probe pairs
+    // all survive — the oracle replays the identical cap in the shared
+    // MinHash chain, proving the guard drops exactly the hot bands and
+    // nothing else.
+    graft.QueryDef("d13_capped_lsh", Some(
+      minhashPairsOracleSql(hotClusterSql, maxOcc = Some(8))))((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = withNearProbes(docs)
+        .unionByName(docs.where(col("doc_id") === 0)
+          .select(explode(sequence(lit(0), lit(11))).as("i"), col("text"))
+          .select((col("i") + 2000000).cast(LongType).as("doc_id"), col("text")))
+      minhashPairsCapped(buildMinhashIndex(corpus), threshold = 0.5,
+        maxBandOccupancy = 8)
+    }),
 
     // D12 — split-leakage report: the d2 near-dup pair set composed
     // with the hash-based split assignment, filtered to pairs that
