@@ -256,6 +256,35 @@ object Similarity {
   def readIvfCentroids(spark: SparkSession, path: String): Array[Array[Double]] =
     readCentroidTable(spark, s"$path/centroids")
 
+  /** Compact a streaming IVF append store (Streams.incrementalIvfAssign
+    * output) into a full serving index at `outPath`: the centroid model
+    * copies over, appended vectors resolve LAST-WRITER-WINS by batch_id
+    * (a vec_id re-delivered in a later micro-batch shadows the stale
+    * revision), and appended rows shadow same-id base rows — closing
+    * the IVF lifecycle: build → stream-assign → compact → serve →
+    * purge, the same cycle the MinHash, vector-LSH and FTS families
+    * have. The merged assignment frame keeps the cell partitioning, so
+    * the compacted index probes exactly like a fresh build. Metadata
+    * columns reduce to the (vec_id, embedding, cell) core — streamed
+    * rows carry no metadata, and a serving frame with half-null
+    * metadata would poison filtered retrieval silently. */
+  def compactIvfAppendStore(spark: SparkSession, indexPath: String,
+                            appendsDir: String, outPath: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    spark.read.parquet(s"$indexPath/centroids")
+      .write.mode("overwrite").parquet(s"$outPath/centroids")
+    val core = Seq("vec_id", "embedding", "cell").map(col)
+    val base = spark.read.parquet(s"$indexPath/assigned").select(core: _*)
+    val appends = spark.read.parquet(appendsDir)
+    val w = Window.partitionBy("vec_id").orderBy(col("batch_id").desc)
+    val latest = appends.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).select(core: _*)
+    base.join(latest.select("vec_id"), Seq("vec_id"), "left_anti")
+      .unionByName(latest)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$outPath/assigned")
+  }
+
   /** Frozen-model cell assignment of ANY (vec_id, embedding, …) frame:
     * the nearest-centroid map pass of [[buildIvfIndex]] WITHOUT the
     * training — one shuffle-free pass, metadata columns ride along.

@@ -373,6 +373,25 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(top(combined) == top(full),
       "combined base+append store answers differently from the full assignment")
+
+    // 3. compaction closes the lifecycle: a REVISED re-delivery of vec 450
+    // in a third batch must shadow the batch-2 revision; base rows keep;
+    // the compacted index answers exactly like a fresh frozen-model
+    // assignment of the final corpus
+    val revised = vecs.where(col("vec_id") === 450)
+      .select(col("vec_id"), transform(col("embedding"),
+        (x, i) => when(i === 0, x + lit(0.5f)).otherwise(x)).as("embedding"))
+    addChunk(src, revised, "c3.parquet")
+    Streams.incrementalIvfAssign(spark, src, idxPath, appends, ckpt)
+    val compacted = s"$root/compacted"
+    Similarity.compactIvfAppendStore(spark, idxPath, appends, compacted)
+    val finalCorpus = vecs.where(col("vec_id") =!= 450).unionByName(revised)
+    val cIx = Similarity.readIvfIndex(spark, compacted)
+    val fIx = Similarity.IvfIndex(cents, Similarity.assignCells(cents, finalCorpus))
+    assert(cIx.assigned.count() == finalCorpus.count(),
+      "compacted store row count != final corpus")
+    assert(top(cIx) == top(fIx),
+      "compacted index answers differently from the final-corpus assignment")
   }
 
   test("vector index compaction: re-delivered vec_ids resolve LWW to the latest revision") {
