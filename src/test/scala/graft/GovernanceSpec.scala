@@ -152,6 +152,50 @@ class GovernanceSpec extends AnyFunSuite with SparkSuite {
       "purged vectors still retrievable from the stored IVF-PQ index")
   }
 
+  test("FTS purge survives compaction: takedown ids stay gone through the serving rewrite") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.operators.Fts
+    val docs = Tables.documents(spark, sf).where(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"))
+    val purgedIds = docs.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val ids = docs.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("purge_id"))
+
+    def addChunk(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = util.TmpRoot("gov-ftscmp-stage") + s"/$name"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.createDirectories(Paths.get(dir))
+      Files.copy(part.toPath, Paths.get(s"$dir/$name"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val root = util.TmpRoot("gov-ftscmp")
+    val src = s"$root/src"; val idx = s"$root/idx"; val ckpt = s"$root/ckpt"
+    addChunk(src, docs.where(col("doc_id") < 50), "c1.parquet")
+    streaming.Streams.incrementalFtsIndex(spark, src, idx, ckpt)
+    addChunk(src, docs.where(col("doc_id") >= 50), "c2.parquet")
+    streaming.Streams.incrementalFtsIndex(spark, src, idx, ckpt)
+
+    // takedown on the incremental store (batch_id rides along for LWW),
+    // then the maintenance rewrite into the serving layout
+    val purgedStore = s"$root/idx-purged"
+    Governance.purgeFrame(
+      spark.read.option("basePath", idx).parquet(idx), ids, idCol = "id")
+      .write.mode("overwrite").partitionBy("batch_id").parquet(purgedStore)
+    val serving = s"$root/serving"
+    Fts.compactFtsIndex(spark, purgedStore, serving)
+    val compacted = Fts.readTermIndex(spark, serving)
+    assert(compacted.where(col("id").isin(purgedIds.toSeq: _*)).count() == 0,
+      "FTS compaction resurrected purged ids")
+    val hits = Fts.matchingIdsPersistent(compacted, Seq("spar", "wind"))
+      .select("id").as[Long].collect().toSet
+    assert(hits.intersect(purgedIds).isEmpty,
+      "purged ids findable through the compacted FTS serving store")
+  }
+
   test("purge survives compaction: takedown ids stay gone across index maintenance") {
     import spark.implicits._
     import java.nio.file.{Files, Paths, StandardCopyOption}
