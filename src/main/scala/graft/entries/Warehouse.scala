@@ -76,7 +76,7 @@ object Warehouse {
     * this tie on ts desc; entries carry no event-time column, so the
     * content hash is the stable stand-in.) */
   private def lwwOrder(staged: DataFrame) = {
-    val contentKey = xxhash64(to_json(struct(staged.columns.map(col): _*)))
+    val contentKey = xxhash64(to_json(struct(staged.columns.toSeq.map(col): _*)))
     Seq(col("batch_id").desc, contentKey.desc)
   }
 

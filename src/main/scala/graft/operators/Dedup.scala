@@ -505,7 +505,7 @@ object Dedup {
     val buckets = newBand.select("bucket").distinct()
       .collect().map(_.getInt(0))
     val oldBand = stored.banded
-      .where(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+      .where(col("bucket").isin(buckets.toSeq.map(Integer.valueOf): _*))
     val cand = oldBand.as("a")
       .join(newBand.as("b"), col("a.band") === col("b.band"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

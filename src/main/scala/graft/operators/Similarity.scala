@@ -212,7 +212,7 @@ object Similarity {
     val qv = index.assigned.where(col("vec_id") === queryVecId)
       .select(quant(col("embedding")).as("qv"))
     index.assigned
-      .where(col("cell").isin(probeCells.map(Integer.valueOf): _*) && pred)
+      .where(col("cell").isin(probeCells.toSeq.map(Integer.valueOf): _*) && pred)
       .select(col("vec_id"), quant(col("embedding")).as("v"))
       .join(broadcast(qv))
       .select(col("vec_id"),
@@ -345,7 +345,7 @@ object Similarity {
       }.sortBy(_._1).take(nProbe).map(_._2)
     val qv = index.assigned.where(col("vec_id") === queryVecId)
       .select(quant(col("embedding")).as("qv"))
-    index.assigned.where(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+    index.assigned.where(col("cell").isin(probeCells.toSeq.map(Integer.valueOf): _*))
       .select(col("vec_id"), quant(col("embedding")).as("v"))
       .join(broadcast(qv))
       .select(col("vec_id"),
@@ -735,7 +735,7 @@ object Similarity {
         (s, i)
       }.sortBy(_._1).take(nProbe).map(_._2)
     adcRerank(
-      index.frame.where(col("cell").isin(probeCells.map(Integer.valueOf): _*)),
+      index.frame.where(col("cell").isin(probeCells.toSeq.map(Integer.valueOf): _*)),
       index.books, queryVecId, k, rerank, queryFrame = Some(index.frame))
   }
 
