@@ -563,10 +563,7 @@ object Dedup {
     * space collapses to near-all-pairs at scale, so k=3 is the
     * scale-correct default. */
   def simhashPairs(index: SimhashIndex, maxHamming: Int = 3): DataFrame = {
-    val bandCols = (0 to 3).map(b => concat_ws("-", lit(b),
-      shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).cast(StringType)))
-    val banded = index.sims.select(col("doc_id"), col("sim"),
-      explode(array(bandCols: _*)).as("band"))
+    val banded = simhashBanded(index.sims)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
@@ -577,6 +574,35 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }
+
+  /** The 4×16-bit band rows of a (doc_id, sim) fingerprint frame —
+    * single-sourced between the in-memory pair join and the persistent
+    * store's write path. */
+  private def simhashBanded(sims: DataFrame): DataFrame = {
+    val bandCols = (0 to 3).map(b => concat_ws("-", lit(b),
+      shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).cast(StringType)))
+    sims.select(col("doc_id"), col("sim"),
+      explode(array(bandCols: _*)).as("band"))
+  }
+
+  /** Persist a [[SimhashIndex]] in the same two-table shape as the
+    * MinHash store ([[writeMinhashIndex]]): the exploded band rows
+    * partitioned by a stable band-hash bucket (directory pruning for
+    * incoming-batch probes) plus the flat fingerprint frame. SimHash
+    * fingerprints back both text near-dup (d3) AND the perceptual
+    * image/audio near-dup paths (m5/m6), so this is the media-
+    * fingerprint serving artifact too. */
+  def writeSimhashIndex(index: SimhashIndex, path: String,
+                        nBuckets: Int = 64): Unit = {
+    simhashBanded(index.sims)
+      .withColumn("bucket",
+        pmod(xxhash64(col("band")), lit(nBuckets)).cast(IntegerType))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/banded")
+    index.sims.write.mode("overwrite").parquet(s"$path/sims")
+  }
+
+  def readSimhashIndex(spark: SparkSession, path: String): SimhashIndex =
+    SimhashIndex(spark.read.parquet(s"$path/sims"))
 }
 
 /** Registered dedup queries (D-family of the LLM-pipeline extensions). */

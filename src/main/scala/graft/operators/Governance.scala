@@ -63,6 +63,19 @@ object Governance {
       .write.mode("overwrite").parquet(s"$outPath/centroids")
   }
 
+  /** Rewrite a stored SimHash index (Dedup.writeSimhashIndex layout)
+    * minus the takedown set — fingerprints are content-derived (and for
+    * the m5/m6 media paths, derived from the media bytes themselves),
+    * so both the banded table (bucket partitioning preserved) and the
+    * fingerprint frame rewrite, exactly like the MinHash purge. */
+  def purgeStoredSimhashIndex(spark: SparkSession, inPath: String,
+                              outPath: String, ids: DataFrame): Unit = {
+    purgeFrame(spark.read.parquet(s"$inPath/banded"), ids)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$outPath/banded")
+    purgeFrame(spark.read.parquet(s"$inPath/sims"), ids)
+      .write.mode("overwrite").parquet(s"$outPath/sims")
+  }
+
   /** Rewrite a stored FTS term index (Fts.writeTermIndex layout) minus
     * the takedown set. The terms ARE the document text — an index that
     * keeps them serves retracted content to every prefix probe (and

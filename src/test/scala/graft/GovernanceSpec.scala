@@ -78,6 +78,36 @@ class GovernanceSpec extends AnyFunSuite with SparkSuite {
       "purged vectors still retrievable from the ANN index")
   }
 
+  test("takedown purge removes fingerprints from the stored SimHash index") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val ids = docs.where(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("purge_id"))
+    val purgedIds = ids.as[Long].collect().toSet
+    assert(purgedIds.nonEmpty)
+
+    val root = util.TmpRoot("gov-sim")
+    val ix = Dedup.buildSimhashIndex(Dedup.withExactProbes(docs))
+    Dedup.writeSimhashIndex(ix, s"$root/live")
+    ix.unpersist()
+    Governance.purgeStoredSimhashIndex(spark, s"$root/live", s"$root/purged", ids)
+
+    // no purged fingerprint survives either table
+    val purged = Dedup.readSimhashIndex(spark, s"$root/purged")
+    assert(purged.sims.where(col("doc_id").isin(purgedIds.toSeq: _*)).count() == 0)
+    assert(spark.read.parquet(s"$root/purged/banded")
+      .where(col("doc_id").isin(purgedIds.toSeq: _*)).count() == 0)
+    // non-purged rows intact, pair path serves clean results
+    val live = Dedup.readSimhashIndex(spark, s"$root/live")
+    assert(purged.sims.count() ==
+      live.sims.where(!col("doc_id").isin(purgedIds.toSeq: _*)).count())
+    val pairs = Dedup.simhashPairs(purged)
+      .select("doc_a", "doc_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.intersect(purgedIds).isEmpty,
+      "purged docs still reachable through the stored SimHash pair path")
+  }
+
   test("takedown purge removes terms from the stored FTS index") {
     import spark.implicits._
     import graft.operators.Fts
