@@ -76,6 +76,40 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       s"missing planted pairs within Hamming 3: ${expected -- pairs}")
   }
 
+  test("d13: the occupancy cap drops EXACTLY the all-hot-band pairs") {
+    import graft.operators.Dedup
+    val cap = 8
+    val docs = Tables.documents(spark, sf)
+    val corpus = Dedup.withNearProbes(docs)
+      .unionByName(docs.where(col("doc_id") === 0)
+        .select(explode(sequence(lit(0), lit(11))).as("i"), col("text"))
+        .select((col("i") + 2000000).cast("long").as("doc_id"), col("text")))
+    val ix = Dedup.buildMinhashIndex(corpus)
+    try {
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_a", "doc_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val uncapped = pairSet(Dedup.minhashPairs(ix, threshold = 0.5))
+      val capped = pairSet(Dedup.minhashPairsCapped(ix, threshold = 0.5, cap))
+      assert(capped.subsetOf(uncapped), "cap invented pairs")
+      // characterize the trade precisely: a pair is dropped iff EVERY
+      // band it shares is over the cap
+      val bands = Dedup.bandedOf(ix.sigs)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val occ = bands.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      for (p @ (a, b) <- uncapped) {
+        val shared = bands(a).intersect(bands(b))
+        val allHot = shared.nonEmpty && shared.forall(occ(_) > cap)
+        assert(capped.contains(p) != allHot,
+          s"pair $p: allHot=$allHot but capped-membership=${capped.contains(p)}")
+      }
+      // and the guard actually bites: the planted hot cluster is gone
+      assert(uncapped.exists(p => p._1 >= 2000000 || p._2 >= 2000000))
+      assert(!capped.exists(p => p._1 >= 2000000 || p._2 >= 2000000))
+    } finally ix.unpersist()
+  }
+
   test("d2/d3: empty and whitespace-only docs never become near-dup candidates") {
     import spark.implicits._
     // Degenerate docs all share one signature; without the banding guard
