@@ -87,7 +87,19 @@ object OracleHash {
     * for every row of `src` (which must yield a string column `tok`) —
     * byte-for-byte Spark's `xxhash64` on ASCII input, folded exactly as
     * plans.MinHashSig folds it. */
-  def xxh64Rel(src: String): String = {
+  def xxh64Rel(src: String): String =
+    s"SELECT tok, CAST(u % 2147483648 AS BIGINT) AS base FROM (${xxh64UnsignedRel(src)})"
+
+  /** A `(tok, h)` relation with the full SIGNED 64-bit xxhash64 value —
+    * what Spark's `xxhash64(col)` returns — for consumers that need the
+    * sign bit or the full modulus (feature hashing). */
+  def xxh64SignedRel(src: String): String =
+    s"SELECT tok, CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT) " +
+      s"THEN u - $MM ELSE u END AS BIGINT) AS h FROM (${xxh64UnsignedRel(src)})"
+
+  /** The shared xxHash64 pipeline over string column `tok`, yielding the
+    * unsigned value in column `u`. */
+  private def xxh64UnsignedRel(src: String): String = {
     val word = (0 until 8).map(t =>
       s"CAST(bs[(k-1)*8+${t + 1}] AS HUGEINT) * ${BigInt(1) << (8 * t)}").mkString("(", " + ", ")")
     val read32 = (0 until 4).map(t =>
@@ -124,7 +136,7 @@ object OracleHash {
     add(s"$h3 AS h3f")
     add(s"$bfold AS hb")
     avalancheStages(add)
-    s"SELECT tok, CAST(${xor64("a4", shr("a4", 32))} % 2147483648 AS BIGINT) AS base FROM ($inner)"
+    s"SELECT tok, ${xor64("a4", shr("a4", 32))} AS u FROM ($inner)"
   }
 
   /** `SELECT *, <signed xxhash64(col)> AS hs FROM (src)` — Spark's

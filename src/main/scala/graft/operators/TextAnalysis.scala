@@ -1084,6 +1084,37 @@ object TextAnalysisQueries extends graft.QueryModule {
           coalesce(col("source"), lit("")).as("source"),
           col("n_chars"))).as("jsonl"))),
 
+    // T27 — feature hashing (the "hashing trick", Weinberger et al.
+    // ICML'09): tokens map to a fixed 1024-dim sparse space via
+    // idx = hash mod D with the hash's sign bit signing each count, so
+    // collisions cancel in expectation instead of biasing upward. The
+    // vectorizer a corpus-scale quality/topic classifier needs: NO
+    // vocabulary build, no dictionary broadcast, fixed width at any
+    // corpus size, pure map-side + one hash agg. FULL oracle via the
+    // signed xxhash64 emulation (OracleHash.xxh64SignedRel) — the
+    // third independent consumer of the hash-replay machinery.
+    graft.QueryDef("t27_feature_hashing", Some {
+      val toks =
+        s"""SELECT doc_id, unnest(string_split(${Dedup.normTextSql}, ' ')) AS tok
+           |FROM documents WHERE doc_id < 200""".stripMargin
+      s"""WITH toks AS (SELECT doc_id, tok FROM ($toks) WHERE tok <> ''),
+         |hs AS (${OracleHash.xxh64SignedRel("SELECT DISTINCT tok FROM toks")})
+         |SELECT t.doc_id, ((hs.h % 1024) + 1024) % 1024 AS idx,
+         |  CAST(SUM(CASE WHEN hs.h >= 0 THEN 1 ELSE -1 END) AS BIGINT) AS val
+         |FROM toks t JOIN hs ON hs.tok = t.tok
+         |GROUP BY 1, 2
+         |HAVING SUM(CASE WHEN hs.h >= 0 THEN 1 ELSE -1 END) <> 0""".stripMargin
+    })((s, d) => {
+      val toks = Tables.documents(s, d).where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+        .where(col("tok") =!= "")
+      toks.withColumn("h", xxhash64(col("tok")))
+        .groupBy(col("doc_id"), pmod(col("h"), lit(1024L)).as("idx"))
+        .agg(sum(when(col("h") >= 0, 1L).otherwise(-1L)).as("val"))
+        .where(col("val") =!= 0)
+    }),
+
     // X3 — JSONL round-trip INGEST: the x1 export materialized to disk
     // as splittable text and read BACK through a SCHEMA'D json source —
     // an interchange artifact is only real if it is ingestible, not
