@@ -76,7 +76,10 @@ object Warehouse {
     * this tie on ts desc; entries carry no event-time column, so the
     * content hash is the stable stand-in.) */
   private def lwwOrder(staged: DataFrame) = {
-    val contentKey = xxhash64(to_json(struct(staged.columns.toSeq.map(col): _*)))
+    // Column names are SORTED before hashing so the tiebreak is a
+    // function of the row's content alone — under schema order, a
+    // column reorder would flip historical snapshotAt winners.
+    val contentKey = xxhash64(to_json(struct(staged.columns.toSeq.sorted.map(col): _*)))
     Seq(col("batch_id").desc, contentKey.desc)
   }
 

@@ -171,19 +171,25 @@ object Dedup {
     * interpreted slice-per-window), the first-occurrence owner is one
     * hash agg over the window key, covered positions explode bounded
     * by w x duplicated windows, and the text rebuilds with one ordered
-    * fold per doc. The window join key is the raw w-gram string here —
-    * oracle-transparent; at 100 TB swap the key for its 128-bit hash
-    * (collision odds ~n²/2^128) and the plan is unchanged. */
+    * fold per doc. The ownership shuffle is keyed on xxhash64(gram),
+    * NOT the raw w-gram string: a 20-word gram is ~100-150 bytes and
+    * the window only needs an equality key, so hashing cuts the
+    * exchange's row payload to (doc_id, p, gh) = 24 bytes — ~6-8x
+    * fewer shuffle bytes, same plan shape. Collision odds are
+    * ~n_grams²/2^64 (and a collision could only over-cut one extra
+    * window, never resurrect a duplicate); a collision-audit path that
+    * needs the strings can re-derive them from (doc_id, p). */
   def dupSpanRemoval(docs: DataFrame, w: Int = 20): DataFrame = {
     val toks = docs.select(col("doc_id"),
       split(normText(col("text")), " ").as("ws"),
       graft.plans.NativeFunctions.wordKGramsAll(normText(col("text")), w).as("grams"))
     val wins = toks.select(col("doc_id"),
       posexplode(col("grams")).as(Seq("p", "gram")))
+      .select(col("doc_id"), col("p"), xxhash64(col("gram")).as("gh"))
     // First-occurrence ownership as ONE window over the gram shuffle —
-    // a groupBy + join-back formulation shuffles the (wide) gram
-    // strings twice; the unordered window min shuffles them once.
-    val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    // a groupBy + join-back formulation shuffles the gram keys twice;
+    // the unordered window min shuffles them once.
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gh")
     val dup = wins.withColumn("min_doc", min("doc_id").over(byGram))
       .where(col("doc_id") > col("min_doc"))
       .select(col("doc_id"), col("p"))

@@ -21,9 +21,14 @@ package graft.operators
   *    hyperplane-LSH signature bit source) — 32-bit chain
   *    ([[planesCte]]).
   *
-  * Caveat shared with the t5 oracle: byte-level hashing reads
-  * `unicode()` code points, identical to UTF-8 bytes on this ASCII
-  * corpus, divergent on multi-byte text.
+  * Byte derivation: xxHash64 inputs are the string's true UTF-8 bytes
+  * (code points expanded by the UTF-8 encoding rules, byte length via
+  * `strlen`), so multi-byte text hashes byte-for-byte like Spark's
+  * UTF8String — the former `unicode()`-only derivation was exact only
+  * on ASCII. The FNV fold intentionally keeps code-point units: the
+  * engine's Dedup.fnv64 folds UTF-16 char codes, which equal code
+  * points for all BMP text (divergent only on astral/surrogate-pair
+  * chars, absent from this corpus).
   *
   * Multiplication wrap-around: DuckDB raises on BIGINT overflow rather
   * than wrapping, so (a·b) mod 2^64 with a < 2^64 and constant b splits
@@ -43,6 +48,18 @@ object OracleHash {
   private val P5 = BigInt("27D4EB2F165667C5", 16)
 
   private def hug(x: BigInt): String = s"CAST('$x' AS HUGEINT)"
+
+  /** The UTF-8 byte list of string expression `s` — code points
+    * expanded by the UTF-8 encoding rules (1–4 bytes each), validated
+    * element-for-element against Python's `str.encode('utf-8')`. */
+  private def utf8Bytes(s: String): String =
+    s"flatten(list_transform(" +
+      s"list_transform(generate_series(1, len($s)), i -> unicode(substr($s, i, 1))), " +
+      "cp -> CASE " +
+      "WHEN cp < 128 THEN [cp] " +
+      "WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64] " +
+      "WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64, 128 + cp % 64] " +
+      "ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64, 128 + (cp // 64) % 64, 128 + cp % 64] END))"
 
   private def xor64(p: String, q: String): String =
     s"CAST(xor(CAST(($p) AS UBIGINT), CAST(($q) AS UBIGINT)) AS HUGEINT)"
@@ -124,8 +141,8 @@ object OracleHash {
     val bfold =
       s"CASE WHEN n % 4 > 0 THEN list_reduce(list_prepend(h3f, $btail), (a, b) -> $bstep) ELSE h3f END"
     var inner =
-      s"SELECT tok, len(tok) AS n, len(tok) // 8 AS nw, len(tok) // 32 AS ns, " +
-        s"list_transform(generate_series(1, len(tok)), i -> unicode(substr(tok, i, 1))) AS bs " +
+      s"SELECT tok, strlen(tok) AS n, strlen(tok) // 8 AS nw, strlen(tok) // 32 AS ns, " +
+        s"${utf8Bytes("tok")} AS bs " +
         s"FROM ($src)"
     def add(cols: String): Unit = inner = s"SELECT *, $cols FROM ($inner)"
     add(s"list_transform(generate_series(1, nw), k -> $word) AS ws")
@@ -145,8 +162,13 @@ object OracleHash {
     * ORDER BY hs matches the engine's signed sort. */
   def hashLongSelect(src: String, colName: String): String = {
     val h0 = (42 + P5 + 8) % B64
+    // Normalize the operand into [0, 2^64): a negative BIGINT keeps its
+    // sign through HUGEINT mulc/%, diverging from Spark's
+    // two's-complement treatment of the 8 key bytes (latent today —
+    // all doc/vec ids are non-negative — but cheap to make exact).
+    val x = s"(((CAST($colName AS HUGEINT) % $MM) + $MM) % $MM)"
     var inner =
-      s"SELECT *, ${xor64(hug(h0), rnd0(s"CAST($colName AS HUGEINT)"))} AS hh1 FROM ($src)"
+      s"SELECT *, ${xor64(hug(h0), rnd0(x))} AS hh1 FROM ($src)"
     def add(cols: String): Unit = inner = s"SELECT *, $cols FROM ($inner)"
     add(s"(${mulc(rotl("hh1", 27), P1)} + $P4) % $MM AS hb")
     avalancheStages(add)
@@ -156,8 +178,11 @@ object OracleHash {
   }
 
   /** FNV-1a 64 fold over string column/expression `tok` (Dedup.fnv64):
-    * h = (h XOR byte) · prime, mod 2^64, one list_reduce pass. Yields
-    * the UNSIGNED value as HUGEINT. */
+    * h = (h XOR unit) · prime, mod 2^64, one list_reduce pass. Yields
+    * the UNSIGNED value as HUGEINT. The fold unit is the CODE POINT,
+    * deliberately: the engine folds UTF-16 char codes (fnv64 uses
+    * charAt), which equal code points for all BMP text — see the
+    * object Scaladoc for the astral-char caveat. */
   def fnvFoldExpr(tok: String): String = {
     val prime = BigInt("100000001b3", 16)
     val init = BigInt("cbf29ce484222325", 16)

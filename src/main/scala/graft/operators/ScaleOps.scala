@@ -60,7 +60,12 @@ object ScaleOps {
     // both hashes pre-reduced mod m so h1 + i·h2 stays far from Long
     // overflow (ANSI mode makes wrap-around a hard error, not silence);
     // h2 is forced into [1, m) — an h2 of 0 would collapse all k probes
-    // onto h1, degrading that key's false-positive rate k-fold
+    // onto h1, degrading that key's false-positive rate k-fold. The
+    // [1, m) forcing divides by m-1, so m must be >= 2; note this hash
+    // scheme (h2 mod (m-1) + 1) is part of the bit layout — a filter
+    // bitset persisted under an older scheme cannot be probed by this
+    // one (build+probe are in-process today).
+    require(nBits >= 2, s"bloom filter needs nBits >= 2, got $nBits")
     val h1 = pmod(xxhash64(key), lit(nBits.toLong))
     val h2 = pmod(xxhash64(key, lit(0x9e3779b97f4a7c15L)), lit(nBits.toLong - 1)) + lit(1L)
     (0 until nHashes).map(i => pmod(h1 + lit(i.toLong) * h2, lit(nBits.toLong)))
