@@ -531,14 +531,23 @@ object Dedup {
     * compactor uses), then the banded + signature tables are written.
     * Cost is one window shuffle over the INDEX (signatures are never
     * recomputed from text) plus the banding projection — O(index
-    * rows), independent of corpus text size. */
+    * rows), independent of corpus text size.
+    *
+    * Tombstone-aware: when a takedown store is configured
+    * (Governance.recordTombstones), purged ids are anti-joined out of
+    * the resolved frame — so a purged doc RE-DELIVERED by a later
+    * micro-batch (where LWW would otherwise crown the re-delivery as
+    * the winning revision) stays suppressed through every compaction. */
   def compactMinhashIndex(spark: SparkSession, incrementalDir: String,
-                          outPath: String, nBuckets: Int = 64): Unit = {
+                          outPath: String, nBuckets: Int = 64,
+                          tombstonePath: Option[String] = None): Unit = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("batch_id").desc)
-    val latest = spark.read.parquet(incrementalDir)
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1).select("doc_id", "sh", "sig")
+    val latest = Governance.tombstoneFiltered(spark,
+      spark.read.parquet(incrementalDir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).select("doc_id", "sh", "sig"),
+      tombstonePath)
     val ix = MinhashIndex(latest.persist(StorageLevel.MEMORY_AND_DISK))
     try writeMinhashIndex(ix, outPath, nBuckets)
     finally ix.unpersist()

@@ -170,12 +170,18 @@ object Fts {
     * the reference's FTS5 UPDATE trigger pair (DELETE + INSERT,
     * migrations/0002_fts.sql:24-34) expressed as last-writer-wins on
     * batch_id. The latest-batch resolution is a semi-join against an
-    * O(distinct ids) aggregate, never a window over the term rows. */
+    * O(distinct ids) aggregate, never a window over the term rows.
+    * Tombstone-aware: takedown ids (Governance.recordTombstones) are
+    * anti-joined out, so a purged doc re-delivered by a later batch is
+    * suppressed at READ time — before any compaction runs. */
   def readIncrementalIndex(spark: org.apache.spark.sql.SparkSession,
-                           indexDir: String): DataFrame = {
+                           indexDir: String,
+                           tombstonePath: Option[String] = None): DataFrame = {
     val idx = spark.read.parquet(indexDir) // (id, term) + batch_id partition
     val latest = idx.groupBy("id").agg(max("batch_id").as("batch_id"))
-    idx.join(latest, Seq("id", "batch_id")).select("id", "term")
+    Governance.tombstoneFiltered(spark,
+      idx.join(latest, Seq("id", "batch_id")).select("id", "term"),
+      tombstonePath, idCol = "id")
   }
 
   /** Compact the streaming-maintained term index into the persistent
@@ -190,8 +196,10 @@ object Fts {
     * documents are never re-tokenized. The compacted store is what
     * Engine.listEntriesFiltered's maintained-index route serves. */
   def compactFtsIndex(spark: org.apache.spark.sql.SparkSession,
-                      incrementalDir: String, outPath: String): Unit =
-    writeTermIndex(readIncrementalIndex(spark, incrementalDir), outPath)
+                      incrementalDir: String, outPath: String,
+                      tombstonePath: Option[String] = None): Unit =
+    writeTermIndex(
+      readIncrementalIndex(spark, incrementalDir, tombstonePath), outPath)
 }
 
 /** FTS queries registered for the correctness gate, over `documents`. */

@@ -106,12 +106,18 @@ object Similarity {
     * shuffle over the index (vectors are never re-quantized from
     * embeddings), O(index rows). */
   def compactVectorIndex(spark: SparkSession, incrementalDir: String,
-                         outPath: String): Unit = {
+                         outPath: String,
+                         tombstonePath: Option[String] = None): Unit = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("batch_id").desc)
-    spark.read.parquet(incrementalDir)
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1).select("vec_id", "v")
+    // Tombstone anti-join AFTER LWW resolution: a purged vec_id
+    // re-delivered post-takedown must not win via recency
+    // (Governance.recordTombstones is the durable record).
+    Governance.tombstoneFiltered(spark,
+      spark.read.parquet(incrementalDir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).select("vec_id", "v"),
+      tombstonePath, idCol = "vec_id")
       .write.mode("overwrite").parquet(outPath)
   }
 
@@ -269,7 +275,8 @@ object Similarity {
     * rows carry no metadata, and a serving frame with half-null
     * metadata would poison filtered retrieval silently. */
   def compactIvfAppendStore(spark: SparkSession, indexPath: String,
-                            appendsDir: String, outPath: String): Unit = {
+                            appendsDir: String, outPath: String,
+                            tombstonePath: Option[String] = None): Unit = {
     import org.apache.spark.sql.expressions.Window
     spark.read.parquet(s"$indexPath/centroids")
       .write.mode("overwrite").parquet(s"$outPath/centroids")
@@ -279,8 +286,13 @@ object Similarity {
     val w = Window.partitionBy("vec_id").orderBy(col("batch_id").desc)
     val latest = appends.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).select(core: _*)
-    base.join(latest.select("vec_id"), Seq("vec_id"), "left_anti")
-      .unionByName(latest)
+    // Tombstone anti-join over the MERGED frame: a takedown recorded
+    // between appends suppresses both the base row and any
+    // re-delivered revision (Governance.recordTombstones).
+    Governance.tombstoneFiltered(spark,
+      base.join(latest.select("vec_id"), Seq("vec_id"), "left_anti")
+        .unionByName(latest),
+      tombstonePath, idCol = "vec_id")
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$outPath/assigned")
   }

@@ -277,4 +277,166 @@ class GovernanceSpec extends AnyFunSuite with SparkSuite {
         "compacted index still links re-submitted copies to erased docs")
     } finally resubmit.unpersist()
   }
+
+  test("tombstone store: empty-safe read, append-only accumulation") {
+    import spark.implicits._
+    val root = util.TmpRoot("gov-tomb-store")
+    // missing store reads as EMPTY, not an error — compactors compose it
+    // unconditionally
+    assert(Governance.readTombstones(spark, s"$root/none").count() == 0)
+    // two successive takedowns ACCUMULATE (an overwrite would un-purge
+    // the first set — the exact resurrection bug tombstones exist to kill)
+    Governance.recordTombstones(spark, s"$root/t",
+      Seq(1L, 2L).toDF("purge_id"))
+    Governance.recordTombstones(spark, s"$root/t",
+      Seq(2L, 3L).toDF("purge_id"))
+    val got = Governance.readTombstones(spark, s"$root/t")
+      .as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L))
+  }
+
+  test("tombstones survive re-ingest: re-delivered purged docs stay gone through FTS read and compaction") {
+    import spark.implicits._
+    import graft.operators.Fts
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val purgedIds = docs.where(col("doc_id") % 50 === 0)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(purgedIds.nonEmpty)
+
+    val root = util.TmpRoot("gov-tomb-fts")
+    // batch 0: full corpus; takedown recorded; batch 1 RE-DELIVERS every
+    // purged doc — under plain LWW the re-delivery would WIN
+    Fts.termIndex(docs, "doc_id", Seq("text"))
+      .write.parquet(s"$root/inc/batch_id=0")
+    Governance.recordTombstones(spark, s"$root/tomb",
+      docs.where(col("doc_id") % 50 === 0).select(col("doc_id").as("purge_id")))
+    Fts.termIndex(docs.where(col("doc_id") % 50 === 0), "doc_id", Seq("text"))
+      .write.parquet(s"$root/inc/batch_id=1")
+
+    // negative control first: WITHOUT tombstones the re-delivery serves —
+    // proving the positive assertions below are not vacuous
+    val naive = Fts.readIncrementalIndex(spark, s"$root/inc")
+    assert(naive.where(col("id").isin(purgedIds.toSeq: _*)).count() > 0,
+      "fixture broken: re-delivered docs should resurrect without tombstones")
+
+    // read-time suppression (before any compaction runs)
+    val masked = Fts.readIncrementalIndex(spark, s"$root/inc",
+      tombstonePath = Some(s"$root/tomb"))
+    assert(masked.where(col("id").isin(purgedIds.toSeq: _*)).count() == 0,
+      "tombstone-aware incremental read served purged ids")
+
+    // compaction-time suppression, end to end through the serving probe
+    Fts.compactFtsIndex(spark, s"$root/inc", s"$root/serving",
+      tombstonePath = Some(s"$root/tomb"))
+    val compacted = Fts.readTermIndex(spark, s"$root/serving")
+    assert(compacted.where(col("id").isin(purgedIds.toSeq: _*)).count() == 0,
+      "tombstone-aware compaction resurrected purged ids")
+    val hits = Fts.matchingIdsPersistent(compacted, Seq("spar", "wind"))
+      .select("id").as[Long].collect().toSet
+    assert(hits.intersect(purgedIds).isEmpty,
+      "purged ids findable through the tombstone-compacted serving store")
+    // non-purged docs are untouched by the suppression
+    assert(compacted.count() ==
+      naive.where(!col("id").isin(purgedIds.toSeq: _*)).count())
+  }
+
+  test("tombstones survive re-ingest through MinHash and vector compaction") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val purgedIds = docs.where(col("doc_id") % 50 === 0)
+      .select(col("doc_id")).as[Long].collect().toSet
+
+    val root = util.TmpRoot("gov-tomb-mh")
+    Dedup.signatureFrame(docs).write.parquet(s"$root/inc/batch_id=0")
+    Governance.recordTombstones(spark, s"$root/tomb",
+      docs.where(col("doc_id") % 50 === 0).select(col("doc_id").as("purge_id")))
+    Dedup.signatureFrame(docs.where(col("doc_id") % 50 === 0))
+      .write.parquet(s"$root/inc/batch_id=1")
+
+    // negative control: tombstone-less compaction resurrects
+    Dedup.compactMinhashIndex(spark, s"$root/inc", s"$root/naive")
+    assert(Dedup.readMinhashIndex(spark, s"$root/naive").sigs
+      .where(col("doc_id").isin(purgedIds.toSeq: _*)).count() > 0,
+      "fixture broken: re-delivery should resurrect without tombstones")
+    // tombstone-aware compaction suppresses, in BOTH serving tables
+    Dedup.compactMinhashIndex(spark, s"$root/inc", s"$root/serving",
+      tombstonePath = Some(s"$root/tomb"))
+    val stored = Dedup.readMinhashIndex(spark, s"$root/serving")
+    assert(stored.sigs.where(col("doc_id").isin(purgedIds.toSeq: _*)).count() == 0)
+    assert(stored.banded.where(col("doc_id").isin(purgedIds.toSeq: _*)).count() == 0)
+
+    // vector side: same re-ingest shape through compactVectorIndex
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.select(col("vec_id"), Similarity.quant(col("embedding")).as("v"))
+    val vPurged = emb.where(col("vec_id") % 25 === 0)
+      .select(col("vec_id")).as[Long].collect().toSet
+    q.write.parquet(s"$root/vinc/batch_id=0")
+    Governance.recordTombstones(spark, s"$root/vtomb",
+      emb.where(col("vec_id") % 25 === 0).select(col("vec_id").as("purge_id")))
+    q.where(col("vec_id") % 25 === 0).write.parquet(s"$root/vinc/batch_id=1")
+    Similarity.compactVectorIndex(spark, s"$root/vinc", s"$root/vserving",
+      tombstonePath = Some(s"$root/vtomb"))
+    assert(spark.read.parquet(s"$root/vserving")
+      .where(col("vec_id").isin(vPurged.toSeq: _*)).count() == 0,
+      "tombstone-aware vector compaction served purged vec_ids")
+  }
+
+  test("tombstones hold through the IVF append-store compaction") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val vPurged = emb.where(col("vec_id") % 25 === 0)
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(vPurged.nonEmpty && !vPurged.contains(1L))
+
+    val root = util.TmpRoot("gov-tomb-ivf")
+    val built = Similarity.buildIvfIndex(emb)
+    Similarity.writeIvfIndex(built, s"$root/base")
+    built.unpersist()
+    Governance.recordTombstones(spark, s"$root/tomb",
+      emb.where(col("vec_id") % 25 === 0).select(col("vec_id").as("purge_id")))
+    // the append store re-delivers the purged vectors post-takedown
+    val cents = Similarity.readIvfCentroids(spark, s"$root/base")
+    Similarity.assignCells(cents,
+      emb.where(col("vec_id") % 25 === 0).select(col("vec_id"), col("embedding")))
+      .write.partitionBy("cell").parquet(s"$root/appends/batch_id=0")
+    Similarity.compactIvfAppendStore(spark, s"$root/base", s"$root/appends",
+      s"$root/serving", tombstonePath = Some(s"$root/tomb"))
+    val served = spark.read.parquet(s"$root/serving/assigned")
+    assert(served.where(col("vec_id").isin(vPurged.toSeq: _*)).count() == 0,
+      "tombstone-aware IVF compaction served purged vec_ids")
+    // base rows outside the takedown set are intact
+    assert(served.count() == emb.count() - vPurged.size)
+    // and the ANN query path stays clean end to end
+    val ix = Similarity.readIvfIndex(spark, s"$root/serving")
+    val got = Similarity.ivfTopK(ix, queryVecId = 1L, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.size == 10 && got.intersect(vPurged).isEmpty)
+  }
+
+  test("purgeIncrementalDir rewrites batch-scoped stores minus the takedown set") {
+    import spark.implicits._
+    import graft.operators.Fts
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val purgedIds = docs.where(col("doc_id") % 50 === 0)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val ids = docs.where(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("purge_id"))
+
+    val root = util.TmpRoot("gov-tomb-incdir")
+    Fts.termIndex(docs.where(col("doc_id") < 250), "doc_id", Seq("text"))
+      .write.parquet(s"$root/inc/batch_id=0")
+    Fts.termIndex(docs.where(col("doc_id") >= 250), "doc_id", Seq("text"))
+      .write.parquet(s"$root/inc/batch_id=1")
+    Governance.purgeIncrementalDir(spark, s"$root/inc", s"$root/purged",
+      ids, idCol = "id")
+    val out = spark.read.parquet(s"$root/purged")
+    // purged ids gone from every batch partition; batch scoping preserved
+    assert(out.where(col("id").isin(purgedIds.toSeq: _*)).count() == 0)
+    assert(out.select("batch_id").distinct().as[Long].collect().toSet == Set(0L, 1L))
+    val before = spark.read.parquet(s"$root/inc")
+    assert(out.count() ==
+      before.where(!col("id").isin(purgedIds.toSeq: _*)).count())
+  }
 }
