@@ -456,11 +456,18 @@ object Dedup {
     def unpersist(): Unit = { sims.unpersist(); () }
   }
 
-  def buildSimhashIndex(docs: DataFrame): SimhashIndex =
-    SimhashIndex(docs.where(length(normText(col("text"))) > 0)
+  /** The (doc_id, sim) fingerprint frame — single-sourced between the
+    * batch index build and the streaming incremental maintainer
+    * (streaming.Streams.incrementalSimhashIndex), so the two paths
+    * cannot drift. Degenerate (empty-normalized) docs excluded as
+    * documented on [[SimhashIndex]]. */
+  def simhashFrame(docs: DataFrame): DataFrame =
+    docs.where(length(normText(col("text"))) > 0)
       .select(col("doc_id"),
         simhashCol(split(normText(col("text")), " ")).as("sim"))
-      .persist(StorageLevel.MEMORY_AND_DISK))
+
+  def buildSimhashIndex(docs: DataFrame): SimhashIndex =
+    SimhashIndex(simhashFrame(docs).persist(StorageLevel.MEMORY_AND_DISK))
 
   // --- Persistent MinHash band index + batch-incremental dedup ------------
 
@@ -591,9 +598,9 @@ object Dedup {
   }
 
   /** The 4×16-bit band rows of a (doc_id, sim) fingerprint frame —
-    * single-sourced between the in-memory pair join and the persistent
-    * store's write path. */
-  private def simhashBanded(sims: DataFrame): DataFrame = {
+    * single-sourced between the in-memory pair join, the persistent
+    * store's write path, and the streaming incremental maintainer. */
+  def simhashBanded(sims: DataFrame): DataFrame = {
     val bandCols = (0 to 3).map(b => concat_ws("-", lit(b),
       shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).cast(StringType)))
     sims.select(col("doc_id"), col("sim"),
@@ -618,6 +625,46 @@ object Dedup {
 
   def readSimhashIndex(spark: SparkSession, path: String): SimhashIndex =
     SimhashIndex(spark.read.parquet(s"$path/sims"))
+
+  /** Hamming verification of candidate pairs against the fingerprint
+    * frame — the rerank stage the streaming incremental maintainer
+    * shares with the batch semantics (bit_count over the XOR, the same
+    * test [[simhashPairs]] applies inline). */
+  def verifyHamming(cand: DataFrame, sims: DataFrame,
+                    maxHamming: Int): DataFrame =
+    cand
+      .join(sims.select(col("doc_id").as("doc_a"), col("sim").as("sim_a")), Seq("doc_a"))
+      .join(sims.select(col("doc_id").as("doc_b"), col("sim").as("sim_b")), Seq("doc_b"))
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+
+  /** Compact the STREAMING incremental SimHash store (batchId-scoped
+    * fingerprint partitions written by
+    * streaming.Streams.incrementalSimhashIndex) into the
+    * bucket-partitioned serving layout of [[writeSimhashIndex]] —
+    * completing lifecycle parity with the MinHash / FTS / IVF
+    * families (maintain → compact → serve → purge), so the m5/m6
+    * media-fingerprint serving store stays fresh between full
+    * rebuilds. LWW by batch_id; tombstone-aware like every compactor
+    * (a purged doc re-delivered post-takedown stays suppressed —
+    * Governance.recordTombstones is the durable record). Cost: one
+    * window shuffle over the index (fingerprints are never recomputed
+    * from text/media), O(index rows). */
+  def compactSimhashIndex(spark: SparkSession, incrementalDir: String,
+                          outPath: String, nBuckets: Int = 64,
+                          tombstonePath: Option[String] = None): Unit = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("batch_id").desc)
+    val latest = Governance.tombstoneFiltered(spark,
+      spark.read.parquet(incrementalDir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).select("doc_id", "sim"),
+      tombstonePath)
+    val ix = SimhashIndex(latest.persist(StorageLevel.MEMORY_AND_DISK))
+    try writeSimhashIndex(ix, outPath, nBuckets)
+    finally ix.unpersist()
+  }
 }
 
 /** Registered dedup queries (D-family of the LLM-pipeline extensions). */

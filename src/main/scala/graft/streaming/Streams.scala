@@ -183,6 +183,65 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Incremental SimHash fingerprint maintenance — the missing member
+    * of the incremental-index family (MinHash, FTS term, vector LSH),
+    * keeping the m5/m6 media-fingerprint serving store fresh between
+    * full rebuilds. Each micro-batch fingerprints ONLY its own rows
+    * through the same Dedup.simhashFrame / simhashBanded /
+    * verifyHamming the batch path uses (the two cannot drift),
+    * candidate pairs are NEW-vs-(old ∪ new) band collisions with the
+    * historical scan semi-join-pruned to the bands the batch touches
+    * (Manku 4×16-bit pigeonhole blocking — full recall for
+    * Hamming <= 3), and both sinks land batchId-scoped with overwrite,
+    * so a retried micro-batch REPLACES its own output — idempotent
+    * under failure/retry. Per-batch cost follows touched-band
+    * occupancy, never history size. ID contract: batches disjoint in
+    * doc_id (the incrementalMinhashIndex contract); re-deliveries
+    * resolve at compaction ([[graft.operators.Dedup.compactSimhashIndex]])
+    * by batch_id LWW — or are suppressed outright when tombstoned. */
+  def incrementalSimhashIndex(spark: SparkSession, sourceDir: String,
+                              indexDir: String, pairsDir: String,
+                              checkpointDir: String,
+                              maxHamming: Int = 3): Unit = {
+    import graft.operators.Dedup
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val newSims = Dedup.simhashFrame(batch).persist()
+        // Existence probe, not a broad catch (see incrementalMinhashIndex):
+        // a transient read failure must fail the batch, not silently drop
+        // every new-vs-old pair.
+        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+        val idxExists = idxPath
+          .getFileSystem(s.sparkContext.hadoopConfiguration).exists(idxPath)
+        val oldSims =
+          if (idxExists) s.read.parquet(indexDir).select("doc_id", "sim")
+          else s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], newSims.schema)
+        val newBand = Dedup.simhashBanded(newSims)
+        val oldBandPruned = Dedup.simhashBanded(oldSims)
+          .join(newBand.select("band").distinct(), Seq("band"), "left_semi")
+        val cand = newBand.as("a")
+          .join(oldBandPruned.unionByName(newBand).as("b"),
+            col("a.band") === col("b.band") && col("a.doc_id") =!= col("b.doc_id"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+          .distinct()
+        Dedup.verifyHamming(cand, oldSims.unionByName(newSims), maxHamming)
+          .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
+        newSims.write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+        newSims.unpersist()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Incremental FTS term-index maintenance — the streaming analog of
     * the reference's FTS5 triggers (migrations/0002_fts.sql:17-34: every
     * INSERT/UPDATE delta-maintains the inverted index), mirroring

@@ -290,6 +290,77 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       "pairs emitted more than once across batches")
   }
 
+  test("incremental SimHash index converges to the batch pair set and serving store (d3/m5 twin)") {
+    import graft.operators.Dedup
+    def addChunk(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp("graft_sim_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$dir/$name"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val src = tmp("graft_sim_src")
+    val index = tmp("graft_sim_root") + "/idx"
+    val pairsDir = tmp("graft_sim_root2") + "/pairs"
+    val ckpt = tmp("graft_sim_ckpt")
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // chunk 1: the base corpus; chunk 2: exact clones of docs 0-9 arrive
+    // later (hamming 0 — the planted cross-batch fingerprint matches only
+    // an incremental index can find without rescanning the corpus).
+    addChunk(src, docs, "chunk1.parquet")
+    Streams.incrementalSimhashIndex(spark, src, index, pairsDir, ckpt)
+    val probes = docs.where(col("doc_id") < 10)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    addChunk(src, probes, "chunk2.parquet")
+    Streams.incrementalSimhashIndex(spark, src, index, pairsDir, ckpt)
+    val incremental = spark.read.parquet(pairsDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: the batch pair join over the SAME final corpus
+    val batchIndex = Dedup.buildSimhashIndex(Dedup.withExactProbes(docs))
+    val batch = Dedup.simhashPairs(batchIndex)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    batchIndex.unpersist()
+    val planted = (0L until 10L).map(i => (i, i + 1000000L)).toSet
+    assert(planted.subsetOf(incremental),
+      s"missing planted cross-batch pairs: ${planted -- incremental}")
+    assert(incremental == batch,
+      "incremental SimHash pair set diverges from the batch algorithm")
+
+    // compaction: the streamed store collapses to the serving layout the
+    // direct batch build writes — byte-equivalent fingerprints and bands
+    val out = tmp("graft_sim_cmp") + "/serving"
+    Dedup.compactSimhashIndex(spark, index, out)
+    val direct = Dedup.buildSimhashIndex(Dedup.withExactProbes(docs))
+    val out2 = tmp("graft_sim_cmp2") + "/serving"
+    Dedup.writeSimhashIndex(direct, out2)
+    direct.unpersist()
+    def simSet(path: String) = spark.read.parquet(s"$path/sims")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def bandSet(path: String) = spark.read.parquet(s"$path/banded")
+      .select(col("doc_id"), col("band"), col("bucket")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(simSet(out) == simSet(out2),
+      "compacted fingerprint table differs from the direct build")
+    assert(bandSet(out) == bandSet(out2),
+      "compacted banded table differs from the direct build")
+
+    // tombstoned ids stay out of the compacted serving store even though
+    // the incremental dirs still carry them (lifecycle parity with the
+    // MinHash/FTS/IVF compactors)
+    import spark.implicits._
+    val tomb = tmp("graft_sim_tomb") + "/t"
+    graft.operators.Governance.recordTombstones(spark, tomb,
+      Seq(3L, 1000003L).toDF("purge_id"))
+    val out3 = tmp("graft_sim_cmp3") + "/serving"
+    Dedup.compactSimhashIndex(spark, index, out3, tombstonePath = Some(tomb))
+    assert(spark.read.parquet(s"$out3/sims")
+      .where(col("doc_id").isin(3L, 1000003L)).count() == 0,
+      "tombstoned fingerprints survived SimHash compaction")
+  }
+
   test("incremental vector LSH index converges to the batch pair set (d5 twin)") {
     import graft.operators.Similarity
     def addChunk(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
