@@ -2,6 +2,62 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+
+  /** Parse a BENCHFULL artifact's FIRST line into its per-query timing
+    * map (later lines may carry adjudication records — ignored here). */
+  private def readTimings(path: String): Map[String, Double] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val line = scala.io.Source.fromFile(path, "UTF-8").getLines().next()
+    (JsonMethods.parse(line) \ "queries") match {
+      case JObject(fields) => fields.collect {
+        case (k, JDouble(v)) => k -> v
+        case (k, JInt(v)) => k -> v.toDouble
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  /** Re-run one query ISOLATED: a fresh JVM (same classpath and module
+    * options as this one), min-of-`runs`, its own artifact file. This
+    * is the round-8/9 bench-drift adjudication playbook (SCALE.md
+    * "Bench-drift adjudication") promoted from an ad-hoc step into the
+    * gate itself: a long 185-query JVM accumulates JIT/GC/scheduling
+    * state that lands ±30% swings on sub-2 s queries, and the fresh-JVM
+    * floor is the number that separates a real regression from that
+    * noise. Returns None if the child fails — adjudication must never
+    * fail the bench run itself. */
+  private def isolatedRun(name: String, sfDir: String, cpus: String,
+                          runs: Int): Option[Double] = {
+    try {
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments
+      val outFile = java.nio.file.Files.createTempFile("bench-iso", ".json")
+      val cmd = new java.util.ArrayList[String]()
+      cmd.add(s"${System.getProperty("java.home")}/bin/java")
+      jvmArgs.forEach(a => if (!a.startsWith("-agentlib")) { cmd.add(a); () })
+      cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+      cmd.add("graft.Bench")
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      pb.environment().put("SPARK_GRAFT_ONLY", name)
+      pb.environment().put("SPARK_GRAFT_BENCH_RUNS", runs.toString)
+      pb.environment().put("SPARK_GRAFT_BENCH_FILE", outFile.toString)
+      pb.environment().remove("SPARK_GRAFT_BENCH_BASELINE") // no recursion
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      val p = pb.start()
+      val done = p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) { p.destroyForcibly(); return None }
+      val t = readTimings(outFile.toString).get(name)
+      java.nio.file.Files.deleteIfExists(outFile)
+      t
+    } catch { case t: Throwable =>
+      System.err.println(s"BENCH adjudication failed for $name: $t"); None
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -75,11 +131,48 @@ object Bench {
     // The stdout line is the driver contract but long runs get their tail
     // truncated in captured logs (round 8 lost 115 of 176 timings that
     // way), so the SAME line also lands as an in-repo artifact — every
-    // query stays regression-diffable round over round. Opt out by
-    // setting SPARK_GRAFT_BENCH_FILE=/dev/null.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCHFULL.json")
+    // query stays regression-diffable round over round. The default name
+    // is ROUND-tagged (BENCHFULL_r{N}.json, SPARK_GRAFT_ROUND set) or
+    // SF-tagged (BENCHFULL_<sf>.json) so consecutive runs at different
+    // scale factors — or a mid-round run vs the round-closing gate run —
+    // can never clobber each other's artifact (the round-9 confusion:
+    // the file NAMED _r9 was not the final r9 run). Opt out with
+    // SPARK_GRAFT_BENCH_FILE=/dev/null.
+    val sfTag = new java.io.File(sfDir).getName
+    val defaultFile = sys.env.get("SPARK_GRAFT_ROUND")
+      .map(r => s"BENCHFULL_r$r.json").getOrElse(s"BENCHFULL_$sfTag.json")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", defaultFile)
+    // Standing isolated-run adjudication (round-9 advice promoted into
+    // the gate): with SPARK_GRAFT_BENCH_BASELINE pointing at the previous
+    // round's artifact, every query that moved >1.3x vs baseline (and is
+    // >= 0.2 s — below that the ±0.15 s scheduler jitter dominates any
+    // ratio) re-runs in a FRESH JVM, min-of-6; the fresh-JVM floor is
+    // appended to the artifact as a second JSON line, so round-over-round
+    // diffing reads pre-adjudicated data instead of re-running the
+    // playbook by hand.
+    val adjudicated: Map[String, (Double, Option[Double])] =
+      sys.env.get("SPARK_GRAFT_BENCH_BASELINE") match {
+        case Some(basePath) if new java.io.File(basePath).exists() =>
+          val base = readTimings(basePath)
+          val movers = results.collect {
+            case (name, Some(dt)) if base.get(name).exists(b =>
+              dt >= 0.2 && (dt > 1.3 * b || b > 1.3 * dt)) => name -> dt
+          }
+          movers.map { case (name, dt) =>
+            System.err.println(s"BENCH adjudicating mover $name " +
+              f"(in-fleet $dt%.3f vs baseline ${base(name)}%.3f)")
+            name -> (dt, isolatedRun(name, sfDir, cpus, runs = 6))
+          }.toMap
+        case _ => Map.empty
+      }
+    val adjLine = if (adjudicated.isEmpty) "" else {
+      val fields = adjudicated.map { case (n, (fleet, iso)) =>
+        s"\"$n\":{\"infleet\":$fleet,\"isolated\":${iso.getOrElse(-1)}}"
+      }.mkString(",")
+      s"""{"adjudicated":{$fields}}""" + "\n"
+    }
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (line + "\n").getBytes("UTF-8"))
+      (line + "\n" + adjLine).getBytes("UTF-8"))
     catch { case t: Throwable => System.err.println(s"BENCHFULL write failed: $t") }
     spark.stop()
   }
