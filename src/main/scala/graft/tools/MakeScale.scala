@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal data generator (SCALE.md "sf1 rehearsal"): replicate
+  * the driver-generated sf0.1 `documents`/`embeddings` tables N× with
+  * DISJOINT ids and DISJOINT per-replica content, approximating organic
+  * 10× growth for the headline dedup/ANN pipelines.
+  *
+  * Naive replication would be the WRONG fixture: exact clones give every
+  * doc R-choose-2 cross-replica near-dup pairs, so the pair joins grow
+  * quadratically in R for data reasons, not engine reasons, and the
+  * linearity measurement is poisoned. Instead:
+  *
+  *  - documents: replica k > 0 suffixes every word with `_k` — token
+  *    vocabularies are disjoint across replicas, so shingle/fingerprint
+  *    blocking finds NO cross-replica candidates and the per-replica
+  *    workload equals sf0.1's (pair output scales exactly linearly,
+  *    like ingesting ten unrelated crawls). Doc lengths, word counts,
+  *    and per-doc duplicate structure are preserved.
+  *  - embeddings: replica k rotates the vector by k positions — norms
+  *    and coordinate distributions preserved, cross-replica cosines
+  *    ~random, so ANN candidate sets stay replica-local.
+  *  - replica 0 is bit-identical to the source (sf1 ⊇ sf0.1).
+  *  - orders is copied unscaled — it only feeds the bench warm-up.
+  *
+  * ToolsSpec pins the invariants (id disjointness, replica-0 identity,
+  * vocabulary disjointness, rotation-preserves-multiset).
+  *
+  * Usage: runMain graft.tools.MakeScale [inDir] [outDir] [replicas]
+  */
+object MakeScale {
+
+  /** Id offset between replicas; must exceed any source id (driver data
+    * tops out well below 10M; planted probe ids use the 1-2M range). */
+  val ReplicaStride = 10000000L
+
+  private def withReplicas(df: DataFrame, replicas: Int): DataFrame =
+    df.select(col("*"), explode(sequence(lit(0), lit(replicas - 1))).as("k"))
+
+  /** documents ×R: disjoint ids, per-replica disjoint token vocabulary
+    * (`w` -> `w_k` for k > 0), n_chars recomputed over the new text. */
+  def scaleDocs(df: DataFrame, replicas: Int): DataFrame =
+    withReplicas(df, replicas)
+      .select(
+        (col("doc_id") + col("k") * ReplicaStride).as("doc_id"),
+        when(col("k") === 0, col("text"))
+          .otherwise(array_join(
+            transform(split(col("text"), " "),
+              w => concat(w, lit("_"), col("k"))), " ")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  /** embeddings ×R: disjoint ids, replica k rotates the vector left by
+    * k positions — same norm and coordinate multiset, cross-replica
+    * cosines ~random. */
+  def scaleEmbeddings(df: DataFrame, replicas: Int): DataFrame =
+    withReplicas(df, replicas)
+      .select(
+        (col("vec_id") + col("k") * ReplicaStride).as("vec_id"),
+        concat(
+          slice(col("embedding"), col("k") + 1, size(col("embedding")) - col("k")),
+          slice(col("embedding"), lit(1), col("k"))).as("embedding"),
+        col("label"))
+
+  def main(args: Array[String]): Unit = {
+    val in = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/sf1")
+    val replicas = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    scaleDocs(spark.read.parquet(s"$in/documents.parquet"), replicas)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    scaleEmbeddings(spark.read.parquet(s"$in/embeddings.parquet"), replicas)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    spark.read.parquet(s"$in/orders.parquet")
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    println(s"[makescale] wrote ${replicas}x $in -> $out")
+    spark.stop()
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tools.MakeScale
+
+/** Invariants of the scale-rehearsal generator (SCALE.md "sf1
+  * rehearsal"). The rehearsal's linearity measurement is only valid if
+  * replication approximates ORGANIC growth — these pin exactly that:
+  * exact clones would hand every doc R-choose-2 cross-replica near-dup
+  * pairs and make pair joins grow quadratically for data reasons. */
+class ToolsSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "alpha beta gamma", "en", "web"),
+    (2L, "delta beta", "en", "web"),
+    (7L, "alpha beta gamma", "de", "pdf"))
+    .toDF("doc_id", "text", "lang", "source")
+    .withColumn("n_chars", length(col("text")).cast("long"))
+
+  private lazy val embs = Seq(
+    (1L, Array(1.0f, 2.0f, 3.0f, 4.0f), 0),
+    (2L, Array(0.0f, -1.0f, 5.0f, 2.5f), 1))
+    .toDF("vec_id", "embedding", "label")
+
+  test("scaleDocs: ids disjoint across replicas, counts scale exactly") {
+    val out = MakeScale.scaleDocs(docs, 3).cache()
+    assert(out.count() === 9)
+    assert(out.select("doc_id").distinct().count() === 9)
+    // Replica membership is recoverable from the id stride.
+    val perReplica = out.groupBy((col("doc_id") / MakeScale.ReplicaStride)
+      .cast("long").as("k")).count().collect()
+    assert(perReplica.length === 3 && perReplica.forall(_.getLong(1) == 3))
+  }
+
+  test("scaleDocs: replica 0 is bit-identical to the source") {
+    val out = MakeScale.scaleDocs(docs, 3)
+      .where(col("doc_id") < MakeScale.ReplicaStride)
+    assert(out.except(docs).isEmpty && docs.except(out).isEmpty)
+  }
+
+  test("scaleDocs: token vocabularies are disjoint across replicas") {
+    val toks = MakeScale.scaleDocs(docs, 3)
+      .select((col("doc_id") / MakeScale.ReplicaStride).cast("long").as("k"),
+        explode(split(col("text"), " ")).as("tok"))
+    // No token appears in two different replicas -> shingle/fingerprint
+    // blocking finds zero cross-replica candidates.
+    val crossed = toks.groupBy("tok")
+      .agg(countDistinct("k").as("nk")).where(col("nk") > 1).count()
+    assert(crossed === 0)
+    // Within a replica the duplicate structure is preserved: doc 1 and
+    // doc 7 stay exact duplicates in every replica.
+    val dupPairs = MakeScale.scaleDocs(docs, 3)
+      .groupBy("text").count().where(col("count") > 1).count()
+    assert(dupPairs === 3)
+  }
+
+  test("scaleDocs: per-doc shape (word count, n_chars) is consistent") {
+    val bad = MakeScale.scaleDocs(docs, 3)
+      .where(col("n_chars") =!= length(col("text")).cast("long")).count()
+    assert(bad === 0)
+    // Word counts per doc match the source doc's word count.
+    val wc = MakeScale.scaleDocs(docs, 3)
+      .select((col("doc_id") % MakeScale.ReplicaStride).as("orig"),
+        size(split(col("text"), " ")).as("n")).distinct()
+    val src = docs.select(col("doc_id").as("orig"),
+      size(split(col("text"), " ")).as("n"))
+    assert(wc.except(src).isEmpty)
+  }
+
+  test("scaleEmbeddings: rotation preserves the coordinate multiset and norm") {
+    val out = MakeScale.scaleEmbeddings(embs, 4).cache()
+    assert(out.count() === 8)
+    assert(out.select("vec_id").distinct().count() === 8)
+    // Replica 0 identical.
+    val r0 = out.where(col("vec_id") < MakeScale.ReplicaStride)
+    assert(r0.except(embs).isEmpty && embs.except(r0).isEmpty)
+    // Every replica's vector is a left-rotation: sorted coordinate list
+    // (the multiset) and length match the source vector's.
+    val shape = out.select(
+      (col("vec_id") % MakeScale.ReplicaStride).as("orig"),
+      size(col("embedding")).as("d"),
+      array_sort(col("embedding")).as("sorted")).distinct()
+    val srcShape = embs.select(col("vec_id").as("orig"),
+      size(col("embedding")).as("d"),
+      array_sort(col("embedding")).as("sorted"))
+    assert(shape.except(srcShape).isEmpty)
+    // And rotation is EXACT: replica k element i == source element
+    // (i + k) mod d.
+    val rows = out.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val srcMap = embs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    rows.foreach { case (id, v) =>
+      val k = (id / MakeScale.ReplicaStride).toInt
+      val s = srcMap(id % MakeScale.ReplicaStride)
+      val d = s.length
+      (0 until d).foreach(i => assert(v(i) === s((i + k) % d)))
+    }
+  }
+}
