@@ -868,6 +868,42 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** Reload ONLY the frozen codebooks of a stored [[PqIndex]] — the
+    * O(model) half the streaming encoder needs
+    * ([[graft.streaming.Streams.incrementalPqEncode]]): arriving vectors
+    * are coded against the nightly model without ever touching the code
+    * table, mirroring [[readIvfCentroids]] for the IVF append path. */
+  def readPqCodebooks(spark: SparkSession, path: String): Array[Array[Array[Double]]] =
+    readCodebookTable(spark, s"$path/codebooks")
+
+  /** Collapse a batchId-scoped PQ append store (the output of
+    * [[graft.streaming.Streams.incrementalPqEncode]]) into the
+    * [[writePqIndex]] serving layout: codebooks are FROZEN (copied
+    * verbatim — recoding would silently shift every historical ADC
+    * score), re-delivered vec_ids resolve last-writer-wins by batch_id,
+    * and the merged code table passes the durable-tombstone anti-join so
+    * a takedown recorded between appends suppresses both the base row
+    * and any re-delivered revision. O(index rows); embeddings are never
+    * re-encoded — the codes computed at arrival ARE the data. */
+  def compactPqAppendStore(spark: SparkSession, indexPath: String,
+                           appendsDir: String, outPath: String,
+                           tombstonePath: Option[String] = None): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    spark.read.parquet(s"$indexPath/codebooks").coalesce(1)
+      .write.mode("overwrite").parquet(s"$outPath/codebooks")
+    val core = Seq("vec_id", "embedding", "codes").map(col)
+    val base = spark.read.parquet(s"$indexPath/codes").select(core: _*)
+    val appends = spark.read.parquet(appendsDir)
+    val w = Window.partitionBy("vec_id").orderBy(col("batch_id").desc)
+    val latest = appends.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).select(core: _*)
+    Governance.tombstoneFiltered(spark,
+      base.join(latest.select("vec_id"), Seq("vec_id"), "left_anti")
+        .unionByName(latest),
+      tombstonePath, idCol = "vec_id")
+      .write.mode("overwrite").parquet(s"$outPath/codes")
+  }
+
   /** Exact-clone probes for the ANN oracles (n2b/n3b): `n` verbatim
     * copies of the query vector planted at vec_id 1000000+i. Identical
     * integer vectors ⇒ identical hyperplane signature in EVERY plane

@@ -376,6 +376,43 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming PQ code freshness — encode NEWLY ARRIVING vectors against
+    * the FROZEN codebooks of a nightly-trained stored PQ index
+    * (writePqIndex layout), completing lifecycle parity with the
+    * MinHash/SimHash/FTS/IVF families: every index the engine serves
+    * from now has incremental maintenance + compaction to the serving
+    * layout. The O(model) codebook table loads once on the driver
+    * (Similarity.readPqCodebooks); each micro-batch is one shuffle-free
+    * pass through the SAME Similarity.pqEncode the batch build uses (the
+    * two cannot drift), landing batch_id-scoped M-byte code arrays — a
+    * retried micro-batch REPLACES its own directory, so the sink is
+    * idempotent. Serving = PqIndex(frozen books, base codes ∪ this
+    * store); re-deliveries resolve at compaction by batch_id LWW
+    * (Similarity.compactPqAppendStore, tombstone-aware). Codebooks stay
+    * frozen through compaction by design: recoding against a retrained
+    * model would silently shift every historical ADC score, so model
+    * refresh is an explicit nightly rebuild, never a side effect. */
+  def incrementalPqEncode(spark: SparkSession, sourceDir: String,
+                          pqIndexPath: String, outDir: String,
+                          checkpointDir: String): Unit = {
+    import graft.operators.Similarity
+    val books = Similarity.readPqCodebooks(spark, pqIndexPath)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val q = spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Similarity.pqEncode(books, batch.select(col("vec_id"), col("embedding")))
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming feed of the partitioned entries warehouse: each
     * micro-batch applies the shared corrections overlay
     * (Normalize.withCorrectedDates — the same single source the batch

@@ -465,6 +465,89 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       "compacted index answers differently from the final-corpus assignment")
   }
 
+  test("streaming PQ encode: frozen-codebook appends serve like the batch encode; compaction is LWW + tombstone-aware") {
+    import graft.operators.{Governance, Similarity}
+    def addChunk(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp("graft_pqs_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$dir/$name"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val vecs = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val base = vecs.where(col("vec_id") < 400)
+    val root = tmp("graft_pqs_root")
+    val idxPath = s"$root/pq"; val src = tmp("graft_pqs_src")
+    val appends = s"$root/appends"; val ckpt = tmp("graft_pqs_ckpt")
+    // nightly build on the base corpus, model frozen on disk
+    val built = Similarity.buildPqIndex(base)
+    Similarity.writePqIndex(built, idxPath)
+    built.unpersist()
+    // two later micro-batches of new vectors stream through the encoder
+    addChunk(src, vecs.where(col("vec_id") >= 400 && col("vec_id") < 450), "c1.parquet")
+    Streams.incrementalPqEncode(spark, src, idxPath, appends, ckpt)
+    addChunk(src, vecs.where(col("vec_id") >= 450), "c2.parquet")
+    Streams.incrementalPqEncode(spark, src, idxPath, appends, ckpt)
+    // 1. streamed codes equal the batch frozen-codebook encode — the two
+    // paths share pqEncode, so any drift here is a broken contract
+    val books = Similarity.readPqCodebooks(spark, idxPath)
+    def codeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("codes")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toSet
+    val streamed = codeSet(spark.read.parquet(appends))
+    val direct = codeSet(Similarity.pqEncode(books, vecs.where(col("vec_id") >= 400)))
+    assert(streamed == direct, "streamed PQ codes != batch frozen-codebook encode")
+    // 2. the combined store (base ∪ appends) serves ADC top-k identically
+    // to a frozen-codebook encode of the FULL corpus
+    val stored = Similarity.readPqIndex(spark, idxPath)
+    def top(ix: Similarity.PqIndex) =
+      Similarity.pqTopK(ix, queryVecId = 0L, k = 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val combined = Similarity.PqIndex(books,
+      stored.coded.select("vec_id", "embedding", "codes")
+        .unionByName(spark.read.parquet(appends)
+          .select("vec_id", "embedding", "codes")))
+    val full = Similarity.PqIndex(books, Similarity.pqEncode(books, vecs))
+    assert(top(combined) == top(full),
+      "combined base+append store answers differently from the full encode")
+    // 3. compaction closes the lifecycle: a REVISED re-delivery of vec 450
+    // must shadow the batch-2 codes (LWW by batch_id), and the compacted
+    // store must answer like a fresh frozen-codebook encode of the final
+    // corpus
+    val revised = vecs.where(col("vec_id") === 450)
+      .select(col("vec_id"), transform(col("embedding"),
+        (x, i) => when(i === 0, x + lit(0.5f)).otherwise(x)).as("embedding"))
+    addChunk(src, revised, "c3.parquet")
+    Streams.incrementalPqEncode(spark, src, idxPath, appends, ckpt)
+    val compacted = s"$root/compacted"
+    Similarity.compactPqAppendStore(spark, idxPath, appends, compacted)
+    val finalCorpus = vecs.where(col("vec_id") =!= 450).unionByName(revised)
+    val cIx = Similarity.readPqIndex(spark, compacted)
+    assert(cIx.coded.count() == finalCorpus.count(),
+      "compacted store row count != final corpus")
+    assert(codeSet(cIx.coded) == codeSet(Similarity.pqEncode(books, finalCorpus)),
+      "compacted codes != frozen-codebook encode of the final corpus")
+    assert(top(cIx) == top(Similarity.PqIndex(books,
+        Similarity.pqEncode(books, finalCorpus))),
+      "compacted index answers differently from the final-corpus encode")
+    // 4. a takedown recorded between appends holds through compaction:
+    // the tombstoned id vanishes (base-resident AND re-delivered ids
+    // alike) while every other row survives
+    Governance.recordTombstones(spark, s"$root/tomb",
+      spark.range(1).select(lit(450L).as("purge_id"))
+        .unionByName(spark.range(1).select(lit(7L).as("purge_id"))))
+    val purged = s"$root/compacted_purged"
+    Similarity.compactPqAppendStore(spark, idxPath, appends, purged,
+      tombstonePath = Some(s"$root/tomb"))
+    val pIx = Similarity.readPqIndex(spark, purged)
+    assert(pIx.coded.where(col("vec_id").isin(450L, 7L)).count() == 0,
+      "tombstoned ids survived PQ compaction")
+    assert(pIx.coded.count() == finalCorpus.count() - 2,
+      "non-tombstoned rows lost in purged PQ compaction")
+    pIx.unpersist(); cIx.unpersist(); stored.unpersist()
+  }
+
   test("vector index compaction: re-delivered vec_ids resolve LWW to the latest revision") {
     import graft.operators.Similarity
     def addChunk(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
