@@ -466,6 +466,35 @@ object Similarity {
       .toDF("query_id", "vec_id", "cos")
   }
 
+  /** ANN quality evaluation — MEASURED recall@k of the IVF probe path
+    * against the exact answer over the same probe query set, the number
+    * every approximate-retrieval deployment must monitor before trusting
+    * semantic dedup or retrieval to an index (a probe/cell config is a
+    * recall-vs-cost dial; this op reads the dial). One batched
+    * probe-pruned retrieval + one batched exact retrieval (both bounded
+    * TopK aggregations over the shared integer-cosine arithmetic, so
+    * ties break identically and recall is deterministic), then an
+    * m·k-row join — at 100 TB the eval costs two scans over an m-query
+    * sample, independent of corpus skew, and the exact side is the only
+    * full-corpus pass. Queries whose approximate set misses everything
+    * still surface (hits = 0), so a collapsed index reads 0.0, not
+    * absent. */
+  def annRecallEval(index: IvfIndex, embeddings: DataFrame,
+                    queryIds: Seq[Long], k: Int,
+                    nProbe: Int = 4): DataFrame = {
+    val approx = ivfBatchTopK(index, queryIds, k, nProbe)
+      .select(col("query_id"), col("vec_id"))
+    val exact = batchTopK(embeddings, queryIds, k)
+      .select(col("query_id"), col("vec_id"))
+    val hits = approx.join(exact, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast(DoubleType) / k).as("recall"))
+  }
+
   /** Margin-based pair mining between two vector sets (the
     * bitext-mining score of Artetxe & Schwenk, "Margin-based Parallel
     * Corpus Mining", ACL'19): a candidate pair scores by its cosine
@@ -1037,6 +1066,57 @@ object SimilarityQueries extends graft.QueryModule {
        |norms AS (SELECT vec_id, SUM(x*x) AS n2 FROM ve GROUP BY 1)
        |${cosTopKSql(10)}""".stripMargin
 
+  /** n15's oracle: recall@10 restated independently — the n3 Lloyd
+    * replay generalized to all 8 probe queries at once (per-query
+    * nearest-cell probes via a window, per-query windowed top-k over
+    * the probed cells), the n4-style exact windowed top-k, and the
+    * per-query intersection count. Both sides share the quantized
+    * integer cosine, so tie-breaks — and therefore the measured recall
+    * — are bit-deterministic. */
+  private lazy val n15OracleSql: String =
+    s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+       |${OracleHash.lloydCtes(1, 16, 5)},
+       |qd AS (
+       |  SELECT q.vec_id AS query_id, b.j,
+       |    ${OracleHash.lfold("list((q.x - b.c) * (q.x - b.c) ORDER BY b.t)")} AS dist
+       |  FROM b5 b JOIN vect q ON q.vec_id IN (0,1,2,3,4,5,6,7) AND q.i = b.t + 1
+       |  GROUP BY q.vec_id, b.j),
+       |probes AS (
+       |  SELECT query_id, j FROM (
+       |    SELECT query_id, j, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY dist ASC, j ASC) AS rn
+       |    FROM qd)
+       |  WHERE rn <= 4),
+       |ve AS (SELECT vec_id, i AS d, CAST(round(x * 10000) AS BIGINT) AS x FROM vect),
+       |qe AS (SELECT vec_id AS query_id, d, x FROM ve WHERE vec_id IN (0,1,2,3,4,5,6,7)),
+       |dots AS (
+       |  SELECT qe.query_id, ve.vec_id, SUM(ve.x * qe.x) AS dot, SUM(ve.x * ve.x) AS nv
+       |  FROM ve JOIN qe ON ve.d = qe.d GROUP BY qe.query_id, ve.vec_id),
+       |nq AS (SELECT query_id, SUM(x * x) AS n2 FROM qe GROUP BY 1),
+       |scored AS (
+       |  SELECT d.query_id, d.vec_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
+       |  FROM dots d JOIN nq ON nq.query_id = d.query_id),
+       |exact AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+       |    FROM scored)
+       |  WHERE rn <= 10),
+       |approx AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT s.query_id, s.vec_id, row_number() OVER (
+       |      PARTITION BY s.query_id ORDER BY s.cos DESC, s.vec_id ASC) AS rn
+       |    FROM scored s
+       |    JOIN codes c ON c.vec_id = s.vec_id
+       |    JOIN probes p ON p.query_id = s.query_id AND p.j = c.j)
+       |  WHERE rn <= 10)
+       |SELECT e.query_id, CAST(count(a.vec_id) AS BIGINT) AS hits,
+       |  CAST(count(a.vec_id) AS DOUBLE) / 10 AS recall
+       |FROM exact e LEFT JOIN approx a
+       |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+       |GROUP BY e.query_id""".stripMargin
+
   /** n12's oracle: the n3 training/probe replay with the label
     * predicate applied INSIDE the candidate set (pre-filtering), 8
     * probed cells — value-checks the filtered retrieval end to end. */
@@ -1407,6 +1487,25 @@ object SimilarityQueries extends graft.QueryModule {
         .join(broadcast(total))
         .select(col("cell"), col("n_vectors"),
           (col("n_vectors").cast(DoubleType) / col("n_total")).as("share"))
+    }),
+
+    // N15 — ANN recall evaluation: measured recall@10 of the IVF probe
+    // path vs the exact batched top-k over probe queries 0-7 — the
+    // monitoring number an approximate-retrieval deployment tunes
+    // nProbe/cells against. FULL oracle: the n3 Lloyd replay
+    // generalized per-query + the n4 exact window twin + the
+    // intersection count, all on the shared integer cosine so recall is
+    // bit-deterministic. The natural (un-planted) corpus keeps recall
+    // strictly informative: probes miss some true neighbors, so the row
+    // cannot pass vacuously at recall == 1.0 for every query.
+    graft.QueryDef("n15_ann_recall_eval", Some(n15OracleSql))((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val index = buildIvfIndex(emb)
+      val out = annRecallEval(index, emb,
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L), k = 10)
+      val local = out.collectAsList()
+      index.unpersist()
+      s.createDataFrame(local, out.schema)
     }),
 
     // N12 — FILTERED ANN: top-k cosine restricted to label = 2 (~1/10

@@ -162,6 +162,27 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(recall >= 2, s"recall too low: $recall of 10")
   }
 
+  test("n15: recall eval reads the nProbe dial, and probing all cells is exact") {
+    val emb = Tables.embeddings(spark, sf)
+    val index = Similarity.buildIvfIndex(emb)
+    val qs = Seq(0L, 1L, 2L, 3L)
+    val partial = Similarity.annRecallEval(index, emb, qs, k = 10, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(partial.map(_._1).toSet == qs.toSet, "every probe query must surface")
+    partial.foreach { case (q, hits, recall) =>
+      assert(hits >= 0 && hits <= 10 && recall == hits / 10.0,
+        s"query $q: inconsistent hits=$hits recall=$recall")
+    }
+    // the exactness limit: probing every cell makes IVF brute force, so
+    // recall@k must be exactly 1.0 for every query — this pins that the
+    // eval measures the PROBE loss, not an artifact of the harness
+    val full = Similarity.annRecallEval(index, emb, qs, k = 10, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    index.unpersist()
+    assert(full.values.forall(_ == 1.0),
+      s"all-cell probe must be exact, got $full")
+  }
+
   test("d5: embedding-cosine LSH dedup finds exactly the planted vector pairs") {
     val index = Similarity.buildCosineIndex(
       Similarity.withVecProbes(Tables.embeddings(spark, sf)))
