@@ -1115,6 +1115,54 @@ object TextAnalysisQueries extends graft.QueryModule {
         .where(col("val") =!= 0)
     }),
 
+    // T28 — TEMPERATURE-based language resampling weights (the
+    // multilingual pretraining mix op, XLM-R's p_l^alpha / sum p_m^alpha
+    // at alpha = 0.5): per-language token mass -> share p -> smoothed
+    // sampling weight q -> the upsampling factor q/p a sampler applies
+    // per language. Low-resource languages upweight (q/p > 1), the head
+    // language damps — the dial between "natural distribution" and
+    // "uniform over languages". Determinism by construction: alpha = 0.5
+    // makes the only transcendental sqrt (correctly rounded in IEEE 754,
+    // so Spark and DuckDB agree bit for bit — ln/pow would not), and the
+    // cross-language denominator sums QUANTIZED integers (the t17
+    // pattern: double accumulation is fold-order dependent and could
+    // never hash-match), leaving only fixed-shape divisions of exact
+    // operands. One groupBy + two 1-row broadcast totals; O(languages)
+    // rows end to end, so the plan is unchanged at any corpus size.
+    graft.QueryDef("t28_temperature_mix", Some(
+      """WITH lt AS (
+        |  SELECT lang,
+        |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS n_total FROM lt),
+        |sq AS (
+        |  SELECT lang, n_tok, n_total,
+        |    CAST(round(sqrt(CAST(n_tok AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |      * 1000000000) AS BIGINT) AS s
+        |  FROM lt, tot),
+        |den AS (SELECT CAST(SUM(s) AS BIGINT) AS ds FROM sq)
+        |SELECT lang, n_tok,
+        |  CAST(n_tok AS DOUBLE) / CAST(n_total AS DOUBLE) AS p,
+        |  CAST(s AS DOUBLE) / CAST(ds AS DOUBLE) AS q,
+        |  (CAST(s AS DOUBLE) / CAST(ds AS DOUBLE)) /
+        |    (CAST(n_tok AS DOUBLE) / CAST(n_total AS DOUBLE)) AS upweight
+        |FROM sq, den""".stripMargin))((s, d) => {
+      val nTok = size(split(trim(col("text")), "\\s+")).cast(LongType)
+      val langTok = Tables.documents(s, d)
+        .select(col("lang"), nTok.as("t"))
+        .groupBy("lang").agg(sum(col("t")).as("n_tok"))
+      val total = langTok.agg(sum(col("n_tok")).as("n_total"))
+      val withP = langTok.join(broadcast(total))
+        .withColumn("s", round(sqrt(col("n_tok").cast(DoubleType) /
+          col("n_total").cast(DoubleType)) * 1000000000L).cast(LongType))
+      val denom = withP.agg(sum(col("s")).as("ds"))
+      val p = col("n_tok").cast(DoubleType) / col("n_total").cast(DoubleType)
+      val q = col("s").cast(DoubleType) / col("ds").cast(DoubleType)
+      withP.join(broadcast(denom))
+        .select(col("lang"), col("n_tok"), p.as("p"), q.as("q"),
+          (q / p).as("upweight"))
+    }),
+
     // X3 — JSONL round-trip INGEST: the x1 export materialized to disk
     // as splittable text and read BACK through a SCHEMA'D json source —
     // an interchange artifact is only real if it is ingestible, not
