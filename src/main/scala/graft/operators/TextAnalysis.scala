@@ -1163,6 +1163,70 @@ object TextAnalysisQueries extends graft.QueryModule {
           (q / p).as("upweight"))
     }),
 
+    // T29 — ADAPTIVE per-language quality thresholds: each language cuts
+    // its own bottom quartile of the stopword-ratio score instead of
+    // sharing one global cutoff — the fix for head-language-centric
+    // filtering, where an English-tuned absolute threshold silently
+    // nukes languages whose feature distribution sits elsewhere: each
+    // language's cutoff lands wherever ITS quartile is (per-language
+    // thr_bucket values differ in the output), and every language keeps
+    // ~75% by construction regardless of where its distribution sits.
+    // Quantiles via the scalable
+    // HISTOGRAM pattern, not a per-language sort window: scores quantize
+    // to a fixed integer grid, one (lang, bucket) count aggregation, a
+    // cumulative window over O(languages × buckets) rows — never over
+    // docs, so the head language cannot create a mega-partition at
+    // 100 TB — and the quartile test is pure integer arithmetic
+    // (cum·4 ≥ n), leaving nothing fold-order dependent.
+    graft.QueryDef("t29_adaptive_quality_threshold", Some {
+      val nTok = "len(string_split_regex(trim(text), '\\s+'))"
+      val nStop = s"${occSql("concat(' ', lower(text), ' ')", " the ")} + ${occSql("concat(' ', lower(text), ' ')", " a ")}"
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |    CAST(round((CAST(($nStop) AS DOUBLE) / $nTok) * 10000) AS BIGINT) AS b
+         |  FROM documents),
+         |counts AS (SELECT lang, b, count(*) AS c FROM scored GROUP BY 1, 2),
+         |totals AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_docs FROM counts GROUP BY 1),
+         |cum AS (
+         |  SELECT lang, b, SUM(c) OVER (
+         |    PARTITION BY lang ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM counts),
+         |thr AS (
+         |  SELECT c.lang, CAST(MIN(c.b) AS BIGINT) AS thr_bucket
+         |  FROM cum c JOIN totals t ON t.lang = c.lang
+         |  WHERE c.cum * 4 >= t.n_docs GROUP BY 1),
+         |keep AS (
+         |  SELECT s.lang, CAST(count(*) AS BIGINT) AS n_keep
+         |  FROM scored s JOIN thr ON thr.lang = s.lang AND s.b >= thr.thr_bucket
+         |  GROUP BY 1)
+         |SELECT t.lang, t.n_docs, h.thr_bucket, k.n_keep,
+         |  CAST(k.n_keep AS DOUBLE) / CAST(t.n_docs AS DOUBLE) AS keep_share
+         |FROM totals t
+         |JOIN thr h ON h.lang = t.lang
+         |JOIN keep k ON k.lang = t.lang""".stripMargin
+    })((s, d) => {
+      val nTok = size(split(trim(col("text")), "\\s+"))
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      val nStop = occ(padded, " the ") + occ(padded, " a ")
+      val bucket = round((nStop.cast(DoubleType) / nTok) * 10000).cast(LongType)
+      val scored = Tables.documents(s, d).select(col("lang"), bucket.as("b"))
+      val counts = scored.groupBy("lang", "b").agg(count(lit(1)).as("c"))
+      val totals = counts.groupBy("lang").agg(sum(col("c")).as("n_docs"))
+      val w = Window.partitionBy("lang").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val thr = counts.withColumn("cum", sum(col("c")).over(w))
+        .join(totals, Seq("lang"))
+        .where(col("cum") * 4 >= col("n_docs"))
+        .groupBy("lang").agg(min(col("b")).as("thr_bucket"))
+      val keep = scored.join(broadcast(thr), Seq("lang"))
+        .where(col("b") >= col("thr_bucket"))
+        .groupBy("lang").agg(count(lit(1)).as("n_keep"))
+      totals.join(thr, Seq("lang")).join(keep, Seq("lang"))
+        .select(col("lang"), col("n_docs"), col("thr_bucket"), col("n_keep"),
+          (col("n_keep").cast(DoubleType) / col("n_docs").cast(DoubleType))
+            .as("keep_share"))
+    }),
+
     // X3 — JSONL round-trip INGEST: the x1 export materialized to disk
     // as splittable text and read BACK through a SCHEMA'D json source —
     // an interchange artifact is only real if it is ingestible, not
