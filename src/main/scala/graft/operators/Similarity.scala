@@ -466,6 +466,64 @@ object Similarity {
       .toDF("query_id", "vec_id", "cos")
   }
 
+  /** Per-vector probe lists for GRAPH construction: the nProbe nearest
+    * cells of EVERY vector, computed map-side against the broadcast
+    * O(model) centroid array. [[ivfBatchTopK]]'s driver collect is right
+    * for an m-query sample; here every corpus vector is a query, so the
+    * probe list must be a distributed pass — same left-to-right
+    * squared-L2 accumulation as [[nearestCell]]/the Lloyd trainer, ties
+    * to the lower cell id, so the oracle's strict-fold replay matches
+    * bit for bit. */
+  def probeCells(centroids: Array[Array[Double]], vecs: DataFrame,
+                 nProbe: Int): DataFrame = {
+    val schema = vecs.schema.add("pcell", IntegerType)
+    val embIdx = vecs.schema.fieldIndex("embedding")
+    vecs.flatMap { row =>
+      val v = row.getSeq[Float](embIdx).iterator.map(_.toDouble).toArray
+      val ds = centroids.zipWithIndex.map { case (c, j) =>
+        var s = 0.0; var t = 0
+        while (t < c.length) { val d = v(t) - c(t); s += d * d; t += 1 }
+        (s, j)
+      }
+      ds.sortBy(identity).iterator.take(nProbe).map { case (_, j) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ j)
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Approximate kNN-GRAPH construction — every corpus vector retrieves
+    * its k nearest neighbors through the IVF probe path in ONE
+    * distributed plan: map-side per-vector probe lists ([[probeCells]]),
+    * a single shuffle join on `cell` (each corpus vector lives in
+    * exactly one cell, so a candidate pair arises at most once — no
+    * dedup pass), integer-cosine scoring, and a bounded per-query TopK
+    * aggregation (memory O(k) per query, never the full candidate
+    * list). This is the scale shape for the graph workloads downstream
+    * of ANN — graph clustering, mutual-kNN semantic dedup, diversity
+    * analysis: candidate volume is corpus × nProbe/nCells, and with the
+    * √N cells rule the per-cell join stays balanced as the corpus
+    * grows (nCells also sets the join's parallelism — at 100 TB the
+    * cell count is thousands, not this fixture's 16). */
+  def knnGraph(index: IvfIndex, k: Int, nProbe: Int = 2): DataFrame = {
+    val s = index.assigned.sparkSession
+    import s.implicits._
+    val queries = probeCells(index.centroids,
+        index.assigned.select(col("vec_id"), col("embedding")), nProbe)
+      .select(col("vec_id").as("query_id"), quant(col("embedding")).as("qv"),
+        col("pcell").as("cell"))
+    index.assigned
+      .select(col("vec_id"), col("cell"), quant(col("embedding")).as("v"))
+      .join(queries, Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id").cast(StringType), col("vec_id"),
+        cosine(idot(col("v"), col("qv")), inorm2(col("v")), inorm2(col("qv"))).as("cos"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.TopKAggregator(k).toColumn)
+      .flatMap { case (qid, top) => top.map(t => (qid.toLong, t._1, t._2)) }
+      .toDF("query_id", "vec_id", "cos")
+  }
+
   /** ANN quality evaluation — MEASURED recall@k of the IVF probe path
     * against the exact answer over the same probe query set, the number
     * every approximate-retrieval deployment must monitor before trusting
@@ -1117,6 +1175,49 @@ object SimilarityQueries extends graft.QueryModule {
        |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
        |GROUP BY e.query_id""".stripMargin
 
+  /** n16's oracle: the whole kNN graph restated — per-vector probe
+    * lists from the Lloyd replay (strict-fold distances, (dist, j)
+    * window), candidates via the probe×cell join with self excluded,
+    * integer-cosine scoring, per-query window top-k. Every edge of the
+    * graph is value-checked. */
+  private lazy val n16OracleSql: String =
+    s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+       |${OracleHash.lloydCtes(1, 16, 5)},
+       |qd AS (
+       |  SELECT q.vec_id AS query_id, b.j,
+       |    ${OracleHash.lfold("list((q.x - b.c) * (q.x - b.c) ORDER BY b.t)")} AS dist
+       |  FROM b5 b JOIN vect q ON q.i = b.t + 1
+       |  GROUP BY q.vec_id, b.j),
+       |probes AS (
+       |  SELECT query_id, j FROM (
+       |    SELECT query_id, j, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY dist ASC, j ASC) AS rn
+       |    FROM qd)
+       |  WHERE rn <= 2),
+       |ve AS (SELECT vec_id, i AS d, CAST(round(x * 10000) AS BIGINT) AS x FROM vect),
+       |norms AS (SELECT vec_id, SUM(x * x) AS n2 FROM ve GROUP BY 1),
+       |cand AS (
+       |  SELECT p.query_id, c.vec_id FROM probes p
+       |  JOIN codes c ON c.j = p.j AND c.vec_id <> p.query_id),
+       |dots AS (
+       |  SELECT cd.query_id, cd.vec_id, SUM(a.x * b.x) AS dot
+       |  FROM cand cd
+       |  JOIN ve a ON a.vec_id = cd.query_id
+       |  JOIN ve b ON b.vec_id = cd.vec_id AND b.d = a.d
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.query_id, d.vec_id,
+       |    CAST(dot AS DOUBLE) /
+       |      (sqrt(CAST(nb.n2 AS DOUBLE)) * sqrt(CAST(na.n2 AS DOUBLE))) AS cos
+       |  FROM dots d
+       |  JOIN norms na ON na.vec_id = d.query_id
+       |  JOIN norms nb ON nb.vec_id = d.vec_id)
+       |SELECT query_id, vec_id, cos FROM (
+       |  SELECT query_id, vec_id, cos, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+       |  FROM scored)
+       |WHERE rn <= 5""".stripMargin
+
   /** n12's oracle: the n3 training/probe replay with the label
     * predicate applied INSIDE the candidate set (pre-filtering), 8
     * probed cells — value-checks the filtered retrieval end to end. */
@@ -1503,6 +1604,21 @@ object SimilarityQueries extends graft.QueryModule {
       val index = buildIvfIndex(emb)
       val out = annRecallEval(index, emb,
         queryIds = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L), k = 10)
+      val local = out.collectAsList()
+      index.unpersist()
+      s.createDataFrame(local, out.schema)
+    }),
+
+    // N16 — approximate kNN-GRAPH: every vector's top-5 neighbors
+    // through 2 probed cells, one distributed plan (map-side probe
+    // lists, one cell join, bounded TopK agg) — the substrate for graph
+    // clustering / mutual-kNN dedup / diversity analysis. FULL oracle:
+    // the entire graph (every edge) replayed — Lloyd cells, strict-fold
+    // probe distances, probe×cell candidates, integer cosines, per-query
+    // window top-k.
+    graft.QueryDef("n16_knn_graph", Some(n16OracleSql))((s, d) => {
+      val index = buildIvfIndex(Tables.embeddings(s, d))
+      val out = knnGraph(index, k = 5, nProbe = 2)
       val local = out.collectAsList()
       index.unpersist()
       s.createDataFrame(local, out.schema)

@@ -183,6 +183,36 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       s"all-cell probe must be exact, got $full")
   }
 
+  test("n16: kNN graph bounds out-degree, excludes self, and is exact at full probe") {
+    val emb = Tables.embeddings(spark, sf)
+    val index = Similarity.buildIvfIndex(emb)
+    val edges = Similarity.knnGraph(index, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val n = emb.count()
+    // every corpus vector is a query (no cell may swallow its members),
+    // each with at most k edges, never to itself, scores sane
+    assert(edges.map(_._1).distinct.length == n, "every vector must surface as a query")
+    assert(edges.groupBy(_._1).values.forall(_.length <= 5))
+    assert(edges.forall(e => e._1 != e._2), "self-edges are excluded")
+    assert(edges.forall(e => e._3 >= -1.0001 && e._3 <= 1.0001))
+    // the exactness limit: probing every cell makes the candidate set the
+    // whole corpus, so the graph must equal the brute-force top-k — this
+    // pins that approximation lives ONLY in the probe pruning
+    val qs = Seq(0L, 7L, 123L)
+    val full = Similarity.knnGraph(index, k = 5, nProbe = 16)
+      .where(col("query_id").isin(qs: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force ranks the query's self-match first (cos = 1); the
+    // graph excludes self, so take top-6 exact, drop self, keep 5
+    val brute = Similarity.batchTopK(emb, qs, k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(e => e._1 != e._2)
+      .groupBy(_._1).values.flatMap(
+        _.sortBy(e => (-e._3, e._2)).take(5).map(e => (e._1, e._2))).toSet
+    index.unpersist()
+    assert(full == brute, s"all-cell graph must match brute force: ${full.diff(brute)} / ${brute.diff(full)}")
+  }
+
   test("d5: embedding-cosine LSH dedup finds exactly the planted vector pairs") {
     val index = Similarity.buildCosineIndex(
       Similarity.withVecProbes(Tables.embeddings(spark, sf)))
