@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 import graft.Tables
 
 /** Similarity search over the embeddings table (64-dim float vectors).
@@ -522,6 +523,47 @@ object Similarity {
       .agg(new graft.functions.TopKAggregator(k).toColumn)
       .flatMap { case (qid, top) => top.map(t => (qid.toLong, t._1, t._2)) }
       .toDF("query_id", "vec_id", "cos")
+  }
+
+  /** Mutual-kNN semantic CLUSTERING — connected components over the
+    * MUTUAL edges of the approximate kNN graph (an edge survives only
+    * if each endpoint ranks the other in its own top-k), the grouping
+    * step behind SemDeDup-style curation: mutuality prunes the
+    * hub-vector chains that make raw kNN components collapse into one
+    * giant cluster. One [[knnGraph]] pass, one self-join on the
+    * reversed (query, neighbor) key to keep mutual pairs (edge volume
+    * N·k, key-balanced by construction — out-degree is capped at k, so
+    * no hub key skews the exchange), then the same O(diameter)
+    * label-propagation loop the MinHash components use
+    * ([[Dedup.connectedComponents]] — mutual-kNN components are
+    * near-cliques, so rounds stay small). Vectors with no mutual edge
+    * surface as singleton clusters (cluster = own id), never absent —
+    * a curation pass must account for every document. Components here
+    * are NOT the near-cliques of hash dedup: mutual-kNN edges chain
+    * through embedding space (measured diameter >20 at sf0.1), so the
+    * pointer-jumping O(log diameter) resolver is load-bearing, not an
+    * optimization. */
+  def mutualKnnClusters(index: IvfIndex, k: Int, nProbe: Int = 2): DataFrame = {
+    val edges = knnGraph(index, k, nProbe)
+      .select(col("query_id"), col("vec_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val mutual = edges.as("f").join(edges.as("b"),
+          col("f.query_id") === col("b.vec_id") &&
+            col("f.vec_id") === col("b.query_id"))
+        .where(col("f.query_id") < col("f.vec_id"))
+        .select(col("f.query_id").as("doc_a"), col("f.vec_id").as("doc_b"))
+      // maxIter 24, not the default 12: the jump shortcut's effective
+      // doubling is weaker on sparse chains than on dedup near-cliques
+      // (measured 13 rounds on a 510-node fixture), and each round is
+      // one cheap bounded shuffle — headroom costs nothing unless used.
+      val labels = Dedup.connectedComponentsFast(mutual, maxIter = 24)
+        .select(col("doc_id").as("vec_id"), col("cluster"))
+      index.assigned.select(col("vec_id"))
+        .join(labels, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster"), col("vec_id")).as("cluster"))
+    } finally { edges.unpersist(); () }
   }
 
   /** ANN quality evaluation — MEASURED recall@k of the IVF probe path
@@ -1175,13 +1217,13 @@ object SimilarityQueries extends graft.QueryModule {
        |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
        |GROUP BY e.query_id""".stripMargin
 
-  /** n16's oracle: the whole kNN graph restated — per-vector probe
-    * lists from the Lloyd replay (strict-fold distances, (dist, j)
-    * window), candidates via the probe×cell join with self excluded,
-    * integer-cosine scoring, per-query window top-k. Every edge of the
-    * graph is value-checked. */
-  private lazy val n16OracleSql: String =
-    s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+  /** The kNN-graph CTE chain shared by n16/n17: per-vector probe lists
+    * from the Lloyd replay (strict-fold distances, (dist, j) window),
+    * candidates via the probe×cell join with self excluded,
+    * integer-cosine scoring, per-query window top-k — ends in a `graph`
+    * CTE holding every edge. */
+  private lazy val knnGraphCtes: String =
+    s"""vecs AS (SELECT vec_id, embedding FROM embeddings),
        |${OracleHash.lloydCtes(1, 16, 5)},
        |qd AS (
        |  SELECT q.vec_id AS query_id, b.j,
@@ -1211,12 +1253,43 @@ object SimilarityQueries extends graft.QueryModule {
        |      (sqrt(CAST(nb.n2 AS DOUBLE)) * sqrt(CAST(na.n2 AS DOUBLE))) AS cos
        |  FROM dots d
        |  JOIN norms na ON na.vec_id = d.query_id
-       |  JOIN norms nb ON nb.vec_id = d.vec_id)
-       |SELECT query_id, vec_id, cos FROM (
-       |  SELECT query_id, vec_id, cos, row_number() OVER (
-       |    PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
-       |  FROM scored)
-       |WHERE rn <= 5""".stripMargin
+       |  JOIN norms nb ON nb.vec_id = d.vec_id),
+       |graph AS (
+       |  SELECT query_id, vec_id, cos FROM (
+       |    SELECT query_id, vec_id, cos, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+       |    FROM scored)
+       |  WHERE rn <= 5)""".stripMargin
+
+  /** n16's oracle: every edge of the kNN graph value-checked. */
+  private lazy val n16OracleSql: String =
+    s"WITH $knnGraphCtes\nSELECT query_id, vec_id, cos FROM graph"
+
+  /** n17's oracle: the SAME graph replay, mutual edges kept via the
+    * transpose join, components resolved INDEPENDENTLY by a recursive
+    * CTE (min reachable id per node — the d6 pattern), singletons
+    * restored from the corpus with cluster = own id. The engine's
+    * iterative label-propagation loop is genuinely checked, not
+    * mirrored. `mutual`/`medges` MUST stay MATERIALIZED — otherwise
+    * DuckDB re-inlines the whole graph replay into every recursion
+    * step and the oracle runs for minutes instead of seconds. */
+  private lazy val n17OracleSql: String =
+    s"""WITH RECURSIVE $knnGraphCtes,
+       |mutual AS MATERIALIZED (
+       |  SELECT f.query_id AS a, f.vec_id AS b
+       |  FROM graph f JOIN graph g
+       |    ON g.query_id = f.vec_id AND g.vec_id = f.query_id
+       |  WHERE f.query_id < f.vec_id),
+       |medges AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM mutual
+       |  UNION ALL SELECT b, a FROM mutual),
+       |r(node, label) AS (
+       |  SELECT src, src FROM medges
+       |  UNION
+       |  SELECT e.src, r.label FROM medges e JOIN r ON r.node = e.dst),
+       |lab AS (SELECT node, min(label) AS cl FROM r GROUP BY node)
+       |SELECT v.vec_id, CAST(coalesce(l.cl, v.vec_id) AS BIGINT) AS cluster
+       |FROM vecs v LEFT JOIN lab l ON l.node = v.vec_id""".stripMargin
 
   /** n12's oracle: the n3 training/probe replay with the label
     * predicate applied INSIDE the candidate set (pre-filtering), 8
@@ -1619,6 +1692,19 @@ object SimilarityQueries extends graft.QueryModule {
     graft.QueryDef("n16_knn_graph", Some(n16OracleSql))((s, d) => {
       val index = buildIvfIndex(Tables.embeddings(s, d))
       val out = knnGraph(index, k = 5, nProbe = 2)
+      val local = out.collectAsList()
+      index.unpersist()
+      s.createDataFrame(local, out.schema)
+    }),
+
+    // N17 — mutual-kNN semantic CLUSTERING: connected components over
+    // the mutual edges of the n16 graph (each endpoint in the other's
+    // top-5), singleton vectors surfacing with cluster = own id — the
+    // SemDeDup-style grouping step. FULL oracle: graph replay shared
+    // with n16 + an INDEPENDENT recursive-CTE component resolution.
+    graft.QueryDef("n17_mutual_knn_clusters", Some(n17OracleSql))((s, d) => {
+      val index = buildIvfIndex(Tables.embeddings(s, d))
+      val out = mutualKnnClusters(index, k = 5, nProbe = 2)
       val local = out.collectAsList()
       index.unpersist()
       s.createDataFrame(local, out.schema)

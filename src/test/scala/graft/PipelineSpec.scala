@@ -213,6 +213,27 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(full == brute, s"all-cell graph must match brute force: ${full.diff(brute)} / ${brute.diff(full)}")
   }
 
+  test("n17: mutual-kNN clustering covers every vector and co-clusters planted twins") {
+    // plant near-identical twins: each (i, i+1000000) pair is mutually
+    // top-1, shares a cell, and MUST land in one cluster
+    val emb = Similarity.withVecProbes(Tables.embeddings(spark, sf))
+    val index = Similarity.buildIvfIndex(emb)
+    val labels = Similarity.mutualKnnClusters(index, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    index.unpersist()
+    assert(labels.size == emb.count(), "every vector surfaces exactly once")
+    (0L until 10L).foreach { i =>
+      assert(labels(i) == labels(i + 1000000L),
+        s"planted twin $i split: ${labels(i)} vs ${labels(i + 1000000L)}")
+    }
+    // labels are canonical min-ids: every cluster label is a member of
+    // its own cluster and no label exceeds its members
+    labels.groupBy(_._2).foreach { case (cl, members) =>
+      assert(labels(cl) == cl, s"label $cl is not its own cluster's label")
+      assert(members.keys.min == cl, s"cluster $cl not labeled by min id")
+    }
+  }
+
   test("d5: embedding-cosine LSH dedup finds exactly the planted vector pairs") {
     val index = Similarity.buildCosineIndex(
       Similarity.withVecProbes(Tables.embeddings(spark, sf)))
