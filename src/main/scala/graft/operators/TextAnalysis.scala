@@ -120,6 +120,112 @@ object TextAnalysisQueries extends graft.QueryModule {
         col("cnt"), col("z"), (abs(col("z")) > 2).as("drift"))
   }
 
+  /** Distributed BPE vocabulary induction (Sennrich et al., "Neural
+    * Machine Translation of Rare Words with Subword Units", ACL'16) —
+    * the tokenizer-training step of an LLM data pipeline, run where the
+    * data lives instead of on a sampled-down single node. The corpus is
+    * reduced ONCE to the word-count dictionary (the only corpus-sized
+    * pass — one shuffle keyed on word); every merge round after that is
+    * vocab-sized: adjacent-pair counts via slice/zip_with (codegen'd,
+    * no UDF), one pair-keyed aggregation bounded by the dictionary, an
+    * O(1)-row driver argmax (the merge table IS the model — O(rounds)
+    * driver state, same budget class as the Lloyd centroid collects),
+    * and a map-side `replace` re-segmentation. Rounds are sequential by
+    * the algorithm's nature; at 100 TB the dictionary is millions of
+    * rows against a corpus of billions, so the loop costs R small jobs
+    * after one big one.
+    *
+    * Symbol sequences are stored as DOUBLE-space-joined strings padded
+    * with double spaces ("  a  b  "): the merge pattern " a  b " then
+    * consumes one space from each adjacent gap, so plain `replace` —
+    * identical left-to-right non-overlapping semantics in Spark and
+    * DuckDB — implements exactly greedy BPE merging, INCLUDING back-to-
+    * back occurrences ("a b a b" merges twice in one pass) and overlap
+    * suppression ("b b b" merges once), which a single-space layout
+    * gets wrong because the shared separator is consumed by the first
+    * match. Ties break (count DESC, left ASC, right ASC), so the merge
+    * table is deterministic. */
+  def bpeTrain(docs: DataFrame, rounds: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val chars = filter(split(col("word"), ""), x => length(x) > 0)
+    val words0 = docs
+      .select(explode(split(Dedup.normText(col("text")), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        concat(lit("  "), array_join(chars, "  "), lit("  ")).as("seq"))
+    def ckpt(df: DataFrame): (DataFrame, () => Unit) = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      (p, () => { p.unpersist(); () })
+    }
+    var (words, release) = ckpt(words0)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    try {
+      var r = 0
+      var dry = false
+      while (r < rounds && !dry) {
+        r += 1
+        val syms = filter(split(col("seq"), "  "), x => length(x) > 0)
+        val prs = zip_with(
+          slice(syms, lit(1), size(syms) - 1), slice(syms, lit(2), size(syms) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))
+        val best = words.select(col("freq"), explode(prs).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+          .limit(1).collect()
+        if (best.isEmpty) dry = true // fully merged: nothing adjacent left
+        else {
+          val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += ((r, a, b, c))
+          val (next, nextRelease) = ckpt(words.select(col("word"), col("freq"),
+            replace(col("seq"), lit(s" $a  $b "), lit(s" $a$b ")).as("seq")))
+          release(); words = next; release = nextRelease
+        }
+      }
+    } finally { release() }
+    merges.toSeq.toDF("round", "lhs", "rhs", "freq")
+  }
+
+  /** t30's oracle: the whole R-round training loop unrolled as CTE
+    * rounds — word counts, list_zip pair counts, 1-row argmax with the
+    * engine's tie-break, and the SAME double-space replace
+    * re-segmentation — so every merge row (pair AND its count at merge
+    * time) is value-checked. MATERIALIZED is load-bearing: each round
+    * reads the previous round's dictionary twice (pair scan + rewrite). */
+  private def t30OracleSql(rounds: Int): String = {
+    val w0 =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+         |    '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS seq
+         |  FROM (SELECT unnest(string_split(${Dedup.normTextSql}, ' ')) AS word
+         |        FROM documents)
+         |  WHERE len(word) > 0 GROUP BY word)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT u.pr[1] AS a, u.pr[2] AS b, CAST(SUM(u.freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, unnest(list_zip(s[:-2], s[2:])) AS pr
+         |        FROM (SELECT freq,
+         |                list_filter(string_split(seq, '  '), x -> len(x) > 0) AS s
+         |              FROM w${r - 1})) u
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (
+         |  SELECT $r AS round, a, b, cnt FROM p$r
+         |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT w.word, w.freq,
+         |    replace(w.seq, ' ' || b.a || '  ' || b.b || ' ',
+         |            ' ' || b.a || b.b || ' ') AS seq
+         |  FROM w${r - 1} w CROSS JOIN b$r b)""".stripMargin
+    }
+    val union = (1 to rounds)
+      .map(r => s"SELECT round, a AS lhs, b AS rhs, cnt AS freq FROM b$r")
+      .mkString("\nUNION ALL ")
+    (w0 +: steps).mkString("WITH ", ",\n", "\n") + union
+  }
+
   /** T21 probe corpus: five planted heavy tokens, each repeated
     * ndocs*(4+i) times — counts stay PROPORTIONAL to corpus size, so the
     * heavy set has the same shape at every scale factor (both the corpus
@@ -1114,6 +1220,15 @@ object TextAnalysisQueries extends graft.QueryModule {
         .agg(sum(when(col("h") >= 0, 1L).otherwise(-1L)).as("val"))
         .where(col("val") =!= 0)
     }),
+
+    // T30 — distributed BPE vocabulary induction: 10 merge rounds over
+    // the word-count dictionary, merge table (round, lhs, rhs, freq) as
+    // the model artifact. FULL oracle: the entire training loop unrolled
+    // in SQL — per-round pair counts, argmax with the engine tie-break,
+    // and the double-space replace re-segmentation — so every merge and
+    // its at-merge-time count is value-checked.
+    graft.QueryDef("t30_bpe_train", Some(t30OracleSql(10)))((s, d) =>
+      bpeTrain(Tables.documents(s, d), rounds = 10)),
 
     // T28 — TEMPERATURE-based language resampling weights (the
     // multilingual pretraining mix op, XLM-R's p_l^alpha / sum p_m^alpha

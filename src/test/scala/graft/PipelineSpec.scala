@@ -213,6 +213,24 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(full == brute, s"all-cell graph must match brute force: ${full.diff(brute)} / ${brute.diff(full)}")
   }
 
+  test("t30: BPE merges are greedy left-to-right with exact tie-breaks and dry-stop") {
+    import spark.implicits._
+    // "abab": (a,b) counts 2 and BOTH occurrences must merge in one
+    // round (back-to-back, separator not consumed); "bbb": (b,b) counts
+    // 2 but only ONE merge may apply (overlap suppression)
+    val docs = Seq((1L, "abab"), (2L, "bbb")).toDF("doc_id", "text")
+    val merges = operators.TextAnalysisQueries.bpeTrain(docs, rounds = 6)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(merges.toSeq == Seq(
+      (1, "a", "b", 2L),   // ties (a,b)=2 vs (b,b)=2 break on left ASC
+      (2, "b", "b", 2L),   // count 2 at merge time, applied once: bbb -> [bb, b]
+      (3, "ab", "ab", 1L), // abab fully merged round 1 -> [ab, ab]
+      (4, "bb", "b", 1L)),
+      s"unexpected merge table: ${merges.toSeq}")
+    // round 5 finds no adjacent pairs left -> loop dry-stops at 4 rows
+  }
+
   test("n17: mutual-kNN clustering covers every vector and co-clusters planted twins") {
     // plant near-identical twins: each (i, i+1000000) pair is mutually
     // top-1, shares a cell, and MUST land in one cluster
