@@ -189,13 +189,42 @@ object TextAnalysisQueries extends graft.QueryModule {
     merges.toSeq.toDF("round", "lhs", "rhs", "freq")
   }
 
-  /** t30's oracle: the whole R-round training loop unrolled as CTE
-    * rounds — word counts, list_zip pair counts, 1-row argmax with the
-    * engine's tie-break, and the SAME double-space replace
-    * re-segmentation — so every merge row (pair AND its count at merge
-    * time) is value-checked. MATERIALIZED is load-bearing: each round
-    * reads the previous round's dictionary twice (pair scan + rewrite). */
-  private def t30OracleSql(rounds: Int): String = {
+  /** BPE tokenization applied — segment the corpus with a trained merge
+    * table, shaped for scale: the merges are applied over the DISTINCT-
+    * word dictionary (vocab-sized work — one chained-`replace` column
+    * expression, all `rounds` merges in ONE codegen'd map pass), then
+    * joined back to the corpus word stream, so tokenizing 100 TB costs
+    * one word explode + one dictionary join + one per-doc agg, never
+    * per-document merge loops. Merge ORDER matters (later merges
+    * consume earlier merges' symbols) and is preserved by the fold.
+    * Output per doc: word count and subword count — the token-budget
+    * numbers a pretraining mix is planned with. The dictionary is
+    * broadcast here (vocab ≪ corpus); on a cluster where the vocab
+    * outgrows the broadcast threshold, drop the hint and let AQE pick
+    * the join side. */
+  def bpeSegmentCounts(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val chars = filter(split(col("word"), ""), x => length(x) > 0)
+    val seq0 = concat(lit("  "), array_join(chars, "  "), lit("  "))
+    val seqN = merges.foldLeft(seq0) { case (c, (a, b)) =>
+      replace(c, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    val words = docs.select(col("doc_id"),
+        explode(split(Dedup.normText(col("text")), " ")).as("word"))
+      .where(length(col("word")) > 0)
+    val dict = words.select("word").distinct()
+      .select(col("word"),
+        size(filter(split(seqN, "  "), x => length(x) > 0)).cast(LongType).as("ns"))
+    words.join(broadcast(dict), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("ns")).as("n_subwords"))
+  }
+
+  /** The unrolled BPE training CTE chain shared by t30/t31: w0 (word
+    * counts + char seqs), then per round r the pair counts `p{r}`, the
+    * tie-broken 1-row argmax `b{r}`, and the re-segmented dictionary
+    * `w{r}`. MATERIALIZED is load-bearing: each round reads the previous
+    * round's dictionary twice (pair scan + rewrite). */
+  private def bpeTrainCtes(rounds: Int): String = {
     val w0 =
       s"""w0 AS MATERIALIZED (
          |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
@@ -220,10 +249,50 @@ object TextAnalysisQueries extends graft.QueryModule {
          |            ' ' || b.a || b.b || ' ') AS seq
          |  FROM w${r - 1} w CROSS JOIN b$r b)""".stripMargin
     }
+    (w0 +: steps).mkString(",\n")
+  }
+
+  /** t30's oracle: the training CTEs + the union of every round's
+    * argmax — each merge row (pair AND its count at merge time) is
+    * value-checked. */
+  private def t30OracleSql(rounds: Int): String = {
     val union = (1 to rounds)
       .map(r => s"SELECT round, a AS lhs, b AS rhs, cnt AS freq FROM b$r")
       .mkString("\nUNION ALL ")
-    (w0 +: steps).mkString("WITH ", ",\n", "\n") + union
+    s"WITH ${bpeTrainCtes(rounds)}\n" + union
+  }
+
+  /** t31's oracle: replay the training to get the merge pairs, apply
+    * them in round order over the distinct-word dictionary with the
+    * SAME chained double-space replace, join back to the corpus word
+    * stream, aggregate per doc — word and subword counts value-exact. */
+  private def t31OracleSql(rounds: Int): String = {
+    val apply = (1 to rounds).map { r =>
+      s"""dw$r AS MATERIALIZED (
+         |  SELECT w.word,
+         |    replace(w.seq, ' ' || b.a || '  ' || b.b || ' ',
+         |            ' ' || b.a || b.b || ' ') AS seq
+         |  FROM dw${r - 1} w CROSS JOIN b$r b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeTrainCtes(rounds)},
+       |docwords AS MATERIALIZED (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(string_split(${Dedup.normTextSql}, ' ')) AS word
+       |    FROM documents)
+       |  WHERE len(word) > 0),
+       |dw0 AS MATERIALIZED (
+       |  SELECT DISTINCT word,
+       |    '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS seq
+       |  FROM docwords),
+       |$apply,
+       |subw AS (
+       |  SELECT word,
+       |    CAST(len(list_filter(string_split(seq, '  '), x -> len(x) > 0)) AS BIGINT) AS ns
+       |  FROM dw$rounds)
+       |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(s.ns) AS BIGINT) AS n_subwords
+       |FROM docwords d JOIN subw s ON s.word = d.word
+       |GROUP BY d.doc_id""".stripMargin
   }
 
   /** T21 probe corpus: five planted heavy tokens, each repeated
@@ -1229,6 +1298,19 @@ object TextAnalysisQueries extends graft.QueryModule {
     // its at-merge-time count is value-checked.
     graft.QueryDef("t30_bpe_train", Some(t30OracleSql(10)))((s, d) =>
       bpeTrain(Tables.documents(s, d), rounds = 10)),
+
+    // T31 — BPE segmentation applied with the t30-trained merges:
+    // vocab-sized dictionary apply (one chained-replace codegen pass),
+    // broadcast join back, per-doc word/subword counts. The O(rounds)
+    // merge-table collect is the model handoff, same budget class as
+    // the Lloyd centroid reads. FULL oracle: training replayed + the
+    // same ordered apply over the distinct-word dictionary.
+    graft.QueryDef("t31_bpe_segment", Some(t31OracleSql(10)))((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = bpeTrain(docs, rounds = 10).orderBy("round")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      bpeSegmentCounts(docs, merges)
+    }),
 
     // T28 — TEMPERATURE-based language resampling weights (the
     // multilingual pretraining mix op, XLM-R's p_l^alpha / sum p_m^alpha

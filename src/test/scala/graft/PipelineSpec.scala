@@ -231,6 +231,27 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     // round 5 finds no adjacent pairs left -> loop dry-stops at 4 rows
   }
 
+  test("t31: BPE segmentation applies merges in order, handles unseen words") {
+    import spark.implicits._
+    val train = Seq((1L, "abab"), (2L, "bbb")).toDF("doc_id", "text")
+    // known from the t30 spec: merges (a,b) (b,b) (ab,ab) (bb,b)
+    val m = operators.TextAnalysisQueries.bpeTrain(train, rounds = 6).orderBy("round")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val corpus = Seq((10L, "abab bbb ab b"), (11L, "zzz")).toDF("doc_id", "text")
+    def counts(ms: Seq[(String, String)]) =
+      operators.TextAnalysisQueries.bpeSegmentCounts(corpus, ms)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // full table: every trained word collapses to one symbol; the
+    // standalone words ab / b segment with the same merges
+    assert(counts(m)(10L) == (4L, 4L))
+    // unseen word: no merge applies, pure characters
+    assert(counts(m)(11L) == (1L, 3L))
+    // merge ORDER is a prefix property: first two merges only
+    assert(counts(m.take(2))(10L) == (4L, 6L)) // abab->2 bbb->2 ab->1 b->1
+    // empty table: character segmentation
+    assert(counts(Seq.empty)(10L) == (4L, 10L))
+  }
+
   test("n17: mutual-kNN clustering covers every vector and co-clusters planted twins") {
     // plant near-identical twins: each (i, i+1000000) pair is mutually
     // top-1, shares a cell, and MUST land in one cluster
