@@ -398,6 +398,50 @@ object StarAggs extends graft.QueryModule {
           (abs(col("approx") - col("exact")).cast(DoubleType) <=
             col("exact").cast(DoubleType) * 0.06).as("distinct_ok"))),
 
+    // A17 — deterministic mergeable quantile sketch (Munro-Paterson
+    // merge-and-prune, functions/QuantileSketch.scala) beside the exact
+    // a12 and the probabilistic a15: bounded O(k log(n/k)) state per
+    // buffer with a WORST-CASE rank bound that holds for ANY merge order
+    // and partitioning — which is exactly what makes the contract row
+    // below deterministic. Gate: each returned quantile value (always a
+    // real input element) is exact-ranked in a second single-pass agg;
+    // the target rank ceil(q*n) must fall inside [lt-bound, le+bound]
+    // with the analytic bound the oracle recomputes from n and k alone
+    // (integer bit-length arithmetic, no floating log on either side).
+    graft.QueryDef("a17_quantile_sketch", Some(
+      """WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+        |b AS (SELECT n, CAST(
+        |    (greatest(0, length(bin(n // 256)) - 1) * n) // 512
+        |    + (2 * n) // 256 + 1 AS BIGINT) AS bound FROM c)
+        |SELECT CAST(t.q AS DOUBLE) AS q, b.n, b.bound, TRUE AS within
+        |FROM b, (VALUES (0.1), (0.25), (0.5), (0.75), (0.9), (0.99)) t(q)""".stripMargin))((s, d) => {
+      import s.implicits._
+      import graft.functions.QuantileSketch
+      val k = 256
+      val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+      val vals = Tables.lineitem(s, d)
+        .select(col("l_extendedprice").cast(DoubleType).as("v"))
+      val sk = vals.as[Double]
+        .select(new graft.functions.QuantileSketchAggregator(k).toColumn).head()
+      val n = QuantileSketch.mass(sk) // compaction preserves mass exactly
+      val bound = QuantileSketch.contractBound(n, k)
+      val qv = qs.map(q => (q, QuantileSketch.quantile(sk, q)))
+      val rankCols = qv.zipWithIndex.flatMap { case ((_, v), i) =>
+        Seq(sum(when(col("v") < v, 1L).otherwise(0L)).as(s"lt$i"),
+          sum(when(col("v") <= v, 1L).otherwise(0L)).as(s"le$i"))
+      }
+      val ranks = vals.agg(rankCols.head, rankCols.tail: _*).head()
+      qv.zipWithIndex.map { case ((q, _), i) =>
+        val target = math.max(1L, math.ceil(q * n).toLong)
+        // interval containment, not rank distance: v is within `bound`
+        // of being a correct q-quantile even when a tie block spans the
+        // target (where both strict ranks sit far from it)
+        val within = ranks.getLong(2 * i) <= target + bound &&
+          ranks.getLong(2 * i + 1) >= target - bound
+        (q, n, bound, within)
+      }.toDF("q", "n", "bound", "within")
+    }),
+
     // U2 — anti-join set difference: customers with no URGENT orders
     // (the reference's only set op is union-dedup; except/anti is the
     // other half). LeftAnti is the shuffle-safe plan — a NOT IN subquery

@@ -120,6 +120,36 @@ object PropertySpec extends Properties("graft.scalars") {
         truth.forall { case (t, c) => c <= bound || merged.contains(t) }
     }
 
+  property("quantile sketch: mass exact, values real, rank bound for any stream/k/split") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.chooseNum(-1000.0, 1000.0)),
+      Gen.choose(2, 24), Gen.choose(1, 8)) { (xs, k, nSplits) =>
+      import graft.functions.QuantileSketch
+      val agg = new graft.functions.QuantileSketchAggregator(k)
+      val chunks = xs.grouped(math.max(1, xs.size / nSplits max 1)).toList
+      val partials = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+      val sk = agg.finish(partials.foldLeft(agg.zero)(agg.merge))
+      val n = xs.size.toLong
+      val sortedXs = xs.sorted
+      val maxLevel = sk.length - 1
+      // observed-structure bound (tighter than the a17 analytic one);
+      // the contract is INTERVAL containment — v is within bound of
+      // being a correct q-quantile — which stays meaningful under
+      // arbitrary ties, where rank distance does not (a tie block
+      // spanning the target makes both strict ranks far from it even
+      // when v is exactly right)
+      val bound = maxLevel.toLong * n / (2L * k) + 1L
+      QuantileSketch.mass(sk) == n &&
+        sk.flatten.forall(xs.contains) &&
+        Seq(0.05, 0.25, 0.5, 0.75, 0.95).forall { q =>
+          val v = QuantileSketch.quantile(sk, q)
+          val target = math.max(1L, math.ceil(q * n).toLong)
+          val lt = sortedXs.count(_ < v).toLong
+          val le = sortedXs.count(_ <= v).toLong
+          lt <= target + bound && le >= target - bound
+        }
+    }
+
   property("slug re-aggregation preserves totals") =
     Prop.forAll(Gen.listOf(Gen.oneOf(
       "Department of Health", "DEPARTMINT OF HEALTH", "dept of health",
