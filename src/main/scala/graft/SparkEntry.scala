@@ -20,6 +20,7 @@ object SparkEntry {
     operators.SimilarityQueries,
     operators.TextAnalysisQueries,
     operators.GovernanceQueries,
+    operators.AnalyticsQueries,
   )
 
   lazy val allDefs: Seq[QueryDef] = {

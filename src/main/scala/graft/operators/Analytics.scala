@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Event-stream analytics beyond sessionization (e1) and drift (e3):
+  * the ordered-funnel and cohort-retention shapes every product/usage
+  * pipeline runs over its event table, plus the SCD Type-2 history
+  * view of the CDC changelog (the warehouse-side completion of s11's
+  * last-writer-wins apply — reference analog: the sync loop's
+  * versioned upserts, entries updated in place per
+  * /root/reference/src/lib/sync.ts with only the latest revision
+  * served; SCD2 is what a warehouse keeps when it must answer "what
+  * did this row say between revisions" instead).
+  *
+  * Scale shape (all three): every aggregation keys on user_id or the
+  * natural entity key — one hash-partition chain a 1000-executor
+  * cluster spreads evenly (user_id is high-cardinality and unskewed);
+  * each funnel stage STRICTLY SHRINKS the frame before the next join,
+  * and the final outputs are O(stages), O(weeks²), and O(keys) — never
+  * O(events) — so nothing here collects or re-shuffles the raw stream
+  * twice.
+  */
+object AnalyticsQueries extends graft.QueryModule {
+
+  /** Ordered view→click→purchase funnel over an events frame with
+    * (user_id, event_type, ts). Exposed for direct testing of the
+    * ordering constraint on synthetic streams. */
+  def funnel(events: DataFrame): DataFrame = {
+    val e = events.select("user_id", "event_type", "ts")
+    val v = e.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val c = e.where(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .where(col("ts") >= col("t1"))
+      .groupBy("user_id").agg(min(col("t1")).as("t1"), min(col("ts")).as("t2"))
+    val p = e.where(col("event_type") === "purchase")
+      .join(c.select("user_id", "t2"), Seq("user_id"))
+      .where(col("ts") >= col("t2"))
+      .groupBy("user_id").agg(min(col("t2")).as("t2"), min(col("ts")).as("t3"))
+    def row(stage: String, frame: DataFrame, lag: org.apache.spark.sql.Column) =
+      frame.agg(count(lit(1)).as("n_users"),
+        coalesce(sum(lag), lit(0L)).as("total_lag_us"))
+        .select(lit(stage).as("stage"), col("n_users"), col("total_lag_us"))
+    row("1_view", v, lit(0L))
+      .unionByName(row("2_click", c,
+        unix_micros(col("t2")) - unix_micros(col("t1"))))
+      .unionByName(row("3_purchase", p,
+        unix_micros(col("t3")) - unix_micros(col("t2"))))
+  }
+
+  def defs: Seq[graft.QueryDef] = Seq(
+
+    // E4 — ORDERED event funnel (view → click → purchase): a user
+    // counts at stage N only if stage N's earliest qualifying event is
+    // at-or-after their stage-N-1 entry time — the ordering constraint
+    // that a naive per-type count ignores (a purchase BEFORE first view
+    // is attribution noise, not conversion). Each stage is one
+    // min-aggregate on user_id joined forward; the frames shrink
+    // monotonically, so at 100 TB the expensive join is the first one
+    // and every later stage rides a smaller exchange. total_lag_us sums
+    // EXACT BIGINT microsecond deltas (no float accumulation — the
+    // Num.dsum discipline), so stage-to-stage latency is value-exact.
+    graft.QueryDef("e4_event_funnel", Some(
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(v.t1) AS t1, min(e.ts) AS t2
+        |  FROM events e JOIN v ON v.user_id = e.user_id AND e.ts >= v.t1
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(c.t2) AS t2, min(e.ts) AS t3
+        |  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts >= c.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(0 AS BIGINT) AS total_lag_us FROM v
+        |UNION ALL
+        |SELECT '2_click', count(*),
+        |  CAST(coalesce(SUM(epoch_us(t2) - epoch_us(t1)), 0) AS BIGINT) FROM c
+        |UNION ALL
+        |SELECT '3_purchase', count(*),
+        |  CAST(coalesce(SUM(epoch_us(t3) - epoch_us(t2)), 0) AS BIGINT) FROM p""".stripMargin))(
+      (s, d) => funnel(Tables.events(s, d))),
+
+    // E5 — weekly cohort retention: users bucket into the ISO week of
+    // their FIRST event (one min-agg on user_id), and every later
+    // active week counts them at its week offset — the retention
+    // triangle. Week arithmetic stays integral end to end (Monday
+    // truncation on both engines, day-diff of Mondays is exactly
+    // divisible by 7), so no calendar float can drift the bucket edges.
+    // The heavy step is the one user_id join of the stream against its
+    // own first-seen frame; output is O(weeks²).
+    graft.QueryDef("e5_cohort_retention", Some(
+      """WITH first_seen AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(f.cw AS VARCHAR) AS cohort_week,
+        |  CAST(datediff('day', f.cw, CAST(date_trunc('week', e.ts) AS DATE)) // 7
+        |    AS BIGINT) AS week_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM events e JOIN first_seen f ON f.user_id = e.user_id
+        |GROUP BY 1, 2""".stripMargin))((s, d) => {
+      val e = Tables.events(s, d)
+      val firstSeen = e.groupBy("user_id")
+        .agg(to_date(date_trunc("week", min(col("ts")))).as("cw"))
+      e.select("user_id", "ts").join(firstSeen, Seq("user_id"))
+        .select(col("cw").cast(StringType).as("cohort_week"),
+          (datediff(to_date(date_trunc("week", col("ts"))), col("cw"))
+            .cast(LongType) / 7).cast(LongType).as("week_offset"),
+          col("user_id"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // S12 — SCD Type-2 history from the CDC changelog: every I/U op
+    // becomes a VERSION row valid from its sequence number until the
+    // next op on the same key (lead over the per-key order); a final D
+    // closes the last version and contributes no row itself, so a
+    // deleted key has history but no current row. One per-key window —
+    // the same single shuffle as the s11 apply, just keeping every
+    // revision instead of the last. valid_to is NULL on the open
+    // version (is_current), matching the standard warehouse encoding.
+    graft.QueryDef("s12_scd2_history", Some(
+      """WITH log AS (
+        |  SELECT o_orderkey, o_orderstatus, 0 AS seq, 'I' AS op FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, 1 AS seq, 'U' AS op
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, NULL AS o_orderstatus, 2 AS seq, 'D' AS op
+        |  FROM orders WHERE o_orderkey % 20 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, 'N' AS o_orderstatus,
+        |    1 AS seq, 'I' AS op
+        |  FROM orders WHERE o_orderkey % 25 = 0)
+        |SELECT o_orderkey, o_orderstatus, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, op, CAST(seq AS INTEGER) AS valid_from,
+        |    CAST(lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq)
+        |      AS INTEGER) AS valid_to
+        |  FROM log) v
+        |WHERE op <> 'D'""".stripMargin))((s, d) => {
+      val o = Tables.orders(s, d)
+      val base = o.select(col("o_orderkey"), col("o_orderstatus"),
+        lit(0).as("seq"), lit("I").as("op"))
+      val updates = o.where(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          lit(1).as("seq"), lit("U").as("op"))
+      val deletes = o.where(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey"), lit(null).cast(StringType).as("o_orderstatus"),
+          lit(2).as("seq"), lit("D").as("op"))
+      val inserts = o.where(col("o_orderkey") % 25 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), lit(1).as("seq"), lit("I").as("op"))
+      val w = Window.partitionBy("o_orderkey").orderBy(col("seq"))
+      base.unionByName(updates).unionByName(deletes).unionByName(inserts)
+        .withColumn("valid_to", lead(col("seq"), 1).over(w))
+        .where(col("op") =!= "D")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("seq").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+    })
+  )
+}

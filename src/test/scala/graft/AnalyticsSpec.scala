@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics the oracle compare can't pin by itself: the funnel's
+  * ordering constraint, the cohort triangle's invariants, and the SCD2
+  * version chain (contiguous, delete-closed, one current row per live
+  * key). */
+class AnalyticsSpec extends AnyFunSuite with SparkSuite {
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sf).collect()
+
+  test("e4: funnel stages strictly shrink and lags are non-negative") {
+    val rows = run("e4_event_funnel")
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("1_view", "2_click", "3_purchase"))
+    assert(rows("1_view")._1 >= rows("2_click")._1)
+    assert(rows("2_click")._1 >= rows("3_purchase")._1)
+    // ordered-min lags: each stage's entry is at-or-after the previous
+    assert(rows("2_click")._2 >= 0L && rows("3_purchase")._2 >= 0L)
+  }
+
+  test("e4: a purchase BEFORE first view does not convert") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, "purchase", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, "view", java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
+      (2L, "view", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, "click", java.sql.Timestamp.valueOf("2024-01-01 01:00:00")),
+      (2L, "purchase", java.sql.Timestamp.valueOf("2024-01-01 02:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    e.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // user 1 never clicks; user 2 converts fully with 1h+1h lag
+    val out = operators.AnalyticsQueries.funnel(
+      spark.read.parquet(s"$dir/events.parquet"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("1_view") == ((2L, 0L)))
+    assert(out("2_click") == ((1L, 3600000000L)))
+    assert(out("3_purchase") == ((1L, 3600000000L)))
+  }
+
+  test("e5: cohort triangle — offset 0 exists per cohort, offsets non-negative") {
+    val rows = run("e5_cohort_retention")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 0L))
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (_, rs) =>
+      val at0 = rs.find(_._2 == 0L)
+      // every user is active in their own first week
+      assert(at0.nonEmpty)
+      // week-0 count is the cohort max (retention can only lose users)
+      assert(rs.map(_._3).max == at0.get._3)
+    }
+  }
+
+  test("s12: version chains are contiguous; deleted keys have no current row") {
+    val rows = run("s12_scd2_history").map(r =>
+      (r.getLong(0), Option(r.get(1)).map(_.toString),
+        r.getInt(2), if (r.isNullAt(3)) None else Some(r.getInt(3)),
+        r.getBoolean(4)))
+    val byKey = rows.groupBy(_._1)
+    byKey.foreach { case (k, vs) =>
+      val sorted = vs.sortBy(_._3)
+      // chain: each valid_to equals the next valid_from
+      sorted.sliding(2).foreach { pair =>
+        if (pair.length == 2)
+          assert(pair(0)._4.contains(pair(1)._3), s"gap in chain for $k")
+      }
+      // exactly the last version may be current
+      assert(vs.count(_._5) == (if (sorted.last._4.isEmpty) 1 else 0))
+    }
+    // a key hit by the delete branch (key % 20 == 0, not re-inserted id)
+    val deleted = byKey.filter { case (k, _) => k % 20 == 0 && k < 10000000L }
+    assert(deleted.nonEmpty)
+    // delete closes the chain: every version has valid_to, none current
+    deleted.values.foreach { vs =>
+      assert(vs.forall(v => v._4.nonEmpty && !v._5))
+    }
+  }
+}
