@@ -23,16 +23,36 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's reader rejects
-    * outright; with spark.sql.legacy.parquet.nanosAsLong=true (set by
-    * every session builder in this engine) it arrives as LongType nanos.
-    * Convert to a microsecond timestamp with exact integer division —
-    * the same truncation DuckDB applies reading the file natively. Never
-    * divide by 1e9 in double: epoch-ns magnitudes exceed the 53-bit
-    * mantissa and the timestamps silently lose precision. */
+  /** `events.ts` has shipped under two physical encodings across testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark surfaces as
+    * LongType nanos under spark.sql.legacy.parquet.nanosAsLong=true (set
+    * by every session builder here) — and plain TIMESTAMP(MICROS), which
+    * arrives as a native TimestampType. A 100 TB lake always mixes
+    * physical encodings across partition generations, so the loader
+    * branches on the ACTUAL column dtype instead of assuming one:
+    *   - LongType  ⇒ nanos; exact integer `div 1000` to micros (never
+    *     divide by 1e9 in double — epoch-ns magnitudes exceed the 53-bit
+    *     mantissa and timestamps silently lose precision). This is the
+    *     same truncation DuckDB applies reading NANOS natively.
+    *   - TimestampType / TimestampNTZType ⇒ already micros (Spark's
+    *     native resolution); pass through, normalizing NTZ to TS so
+    *     downstream operators see one type.
+    *   - anything else ⇒ fail loudly — a silent cast here would corrupt
+    *     every event-time operator downstream. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div, not `/` (double)
+    import org.apache.spark.sql.types._
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div, not `/` (double)
+      case TimestampType => raw
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other — expected " +
+            "LongType (nanos-as-long) or TimestampType (micros)")
+    }
   }
 }

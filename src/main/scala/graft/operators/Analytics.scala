@@ -41,9 +41,14 @@ object AnalyticsQueries extends graft.QueryModule {
       .join(c.select("user_id", "t2"), Seq("user_id"))
       .where(col("ts") >= col("t2"))
       .groupBy("user_id").agg(min(col("t2")).as("t2"), min(col("ts")).as("t3"))
+    // Sum the BIGINT microsecond deltas through DECIMAL(38,0) and cast
+    // back — Spark's LongType sum wraps silently without ANSI mode while
+    // the DuckDB oracle sums into HUGEINT, so the decimal accumulator is
+    // what keeps the two engines value-identical at extreme event counts.
     def row(stage: String, frame: DataFrame, lag: org.apache.spark.sql.Column) =
       frame.agg(count(lit(1)).as("n_users"),
-        coalesce(sum(lag), lit(0L)).as("total_lag_us"))
+        coalesce(sum(lag.cast(DecimalType(38, 0))).cast(LongType), lit(0L))
+          .as("total_lag_us"))
         .select(lit(stage).as("stage"), col("n_users"), col("total_lag_us"))
     row("1_view", v, lit(0L))
       .unionByName(row("2_click", c,
@@ -107,10 +112,14 @@ object AnalyticsQueries extends graft.QueryModule {
       val e = Tables.events(s, d)
       val firstSeen = e.groupBy("user_id")
         .agg(to_date(date_trunc("week", min(col("ts")))).as("cw"))
+      // `div` (integral division), not `/` (true division through
+      // Double) — the oracle floor-divides with `// 7`, and the
+      // equivalence of round-trip-through-double must hold by
+      // construction, not by the inputs happening to be exact.
       e.select("user_id", "ts").join(firstSeen, Seq("user_id"))
+        .withColumn("wk", to_date(date_trunc("week", col("ts"))))
         .select(col("cw").cast(StringType).as("cohort_week"),
-          (datediff(to_date(date_trunc("week", col("ts"))), col("cw"))
-            .cast(LongType) / 7).cast(LongType).as("week_offset"),
+          expr("datediff(wk, cw) div 7").cast(LongType).as("week_offset"),
           col("user_id"))
         .groupBy("cohort_week", "week_offset")
         .agg(countDistinct(col("user_id")).as("n_users"))
@@ -134,7 +143,7 @@ object AnalyticsQueries extends graft.QueryModule {
         |  SELECT o_orderkey, NULL AS o_orderstatus, 2 AS seq, 'D' AS op
         |  FROM orders WHERE o_orderkey % 20 = 0
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000 AS o_orderkey, 'N' AS o_orderstatus,
+        |  SELECT -o_orderkey - 1 AS o_orderkey, 'N' AS o_orderstatus,
         |    1 AS seq, 'I' AS op
         |  FROM orders WHERE o_orderkey % 25 = 0)
         |SELECT o_orderkey, o_orderstatus, valid_from, valid_to,
@@ -154,8 +163,15 @@ object AnalyticsQueries extends graft.QueryModule {
       val deletes = o.where(col("o_orderkey") % 20 === 0)
         .select(col("o_orderkey"), lit(null).cast(StringType).as("o_orderstatus"),
           lit(2).as("seq"), lit("D").as("op"))
+      // Synthetic new-key inserts map k → -k-1: strictly negative for
+      // every non-negative real key (this testdata includes orderkey 0,
+      // so plain -k would collide there), hence disjoint by construction
+      // at every scale factor — a fixed "+10M" offset collides with real
+      // keys once max(o_orderkey) = 6M·SF crosses it (~SF 1.67), putting
+      // two seq=1 rows in one window partition and making the lead()
+      // tie-break nondeterministic across engines.
       val inserts = o.where(col("o_orderkey") % 25 === 0)
-        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        .select((-col("o_orderkey") - 1).as("o_orderkey"),
           lit("N").as("o_orderstatus"), lit(1).as("seq"), lit("I").as("op"))
       val w = Window.partitionBy("o_orderkey").orderBy(col("seq"))
       base.unionByName(updates).unionByName(deletes).unionByName(inserts)

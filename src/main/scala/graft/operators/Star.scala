@@ -113,7 +113,7 @@ object StarPredicates extends graft.QueryModule {
         |  SELECT o_orderkey, NULL AS o_orderstatus, 2 AS seq, 'D' AS op
         |  FROM orders WHERE o_orderkey % 20 = 0
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000 AS o_orderkey, 'N' AS o_orderstatus,
+        |  SELECT -o_orderkey - 1 AS o_orderkey, 'N' AS o_orderstatus,
         |    1 AS seq, 'I' AS op
         |  FROM orders WHERE o_orderkey % 25 = 0)
         |SELECT o_orderkey, o_orderstatus, CAST(seq AS INTEGER) AS seq FROM (
@@ -129,8 +129,14 @@ object StarPredicates extends graft.QueryModule {
       val deletes = o.where(col("o_orderkey") % 20 === 0)
         .select(col("o_orderkey"), lit(null).cast(StringType).as("o_orderstatus"),
           lit(2).as("seq"), lit("D").as("op"))
+      // Synthetic inserts map k → -k-1: strictly negative for every
+      // non-negative real key (this testdata includes orderkey 0, so
+      // plain -k would collide there), hence disjoint by construction at
+      // every SF — a fixed "+10M" offset overlaps real keys past
+      // ~SF 1.67, landing two seq=1 rows in one partition and making
+      // the row_number tie nondeterministic across engines.
       val inserts = o.where(col("o_orderkey") % 25 === 0)
-        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        .select((-col("o_orderkey") - 1).as("o_orderkey"),
           lit("N").as("o_orderstatus"), lit(1).as("seq"), lit("I").as("op"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("o_orderkey").orderBy(col("seq").desc)

@@ -24,15 +24,31 @@ object Streams {
   // public: the state encoder's generated code instantiates it reflectively
   final case class SessionState(startUs: Long, endUs: Long, n: Long)
 
-  /** File-source stream of event parquet (ns timestamps arrive as longs
-    * under nanosAsLong; converted exactly like the batch path). */
+  /** File-source stream of event parquet. Structured Streaming needs a
+    * declared schema, but the PHYSICAL encoding of `ts` has varied across
+    * testdata generations (TIMESTAMP(NANOS) → LongType under nanosAsLong,
+    * vs TIMESTAMP(MICROS) → native TimestampType), so hardcoding either
+    * breaks on the other. Probe the footer of the files already present
+    * with one batch read (schema-only — no data scan) and declare the
+    * stream schema to match, then normalize exactly like the batch path
+    * (Tables.events): LongType nanos ⇒ exact integer `div 1000` to
+    * micros; TimestampType ⇒ pass through. Files arriving later must
+    * match the probed encoding — mixed encodings within ONE stream need
+    * a per-generation source union upstream. */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val physical = spark.read.parquet(dir).schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", physical),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    physical match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other")
+    }
   }
 
   /** Watermarked tumbling-window counts per event type — the canonical

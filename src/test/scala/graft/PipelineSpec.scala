@@ -252,6 +252,33 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(counts(Seq.empty)(10L) == (4L, 10L))
   }
 
+  test("t31: merge-loop UDF apply path is value-identical to the codegen replace chain") {
+    import spark.implicits._
+    // Train well past trivial merges on a mixed corpus so several merge
+    // generations stack (later merges consume earlier merges' symbols),
+    // then run the SAME merge table through both dictionary-apply
+    // formulations: the chained-replace codegen expression (small-vocab
+    // path) and the merge-loop UDF (the 30k-vocab scale path, forced
+    // here with codegenMax = 0). Any left-to-right / overlap semantic
+    // divergence between Spark's `replace` and String.replace would
+    // split these results.
+    val train = Seq((1L, "the cat sat on the mat"), (2L, "the rat ate the oat"),
+      (3L, "that hat is flat"), (4L, "chatter that rattles")).toDF("doc_id", "text")
+    val m = operators.TextAnalysisQueries.bpeTrain(train, rounds = 12)
+      .orderBy("round").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(m.length > operators.TextAnalysisQueries.codegenMaxMerges / 4,
+      s"corpus too small to exercise stacked merges (got ${m.length})")
+    val corpus = Seq((10L, "the cat chatted that chatter"), (11L, "unseen zzzq"),
+      (12L, "flat oat mat rattles")).toDF("doc_id", "text")
+    def counts(codegenMax: Int) =
+      operators.TextAnalysisQueries.bpeSegmentCounts(corpus, m, codegenMax)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val viaCodegen = counts(Int.MaxValue)
+    val viaUdf = counts(0)
+    assert(viaCodegen === viaUdf)
+    assert(viaCodegen.keySet === Set(10L, 11L, 12L))
+  }
+
   test("n17: mutual-kNN clustering covers every vector and co-clusters planted twins") {
     // plant near-identical twins: each (i, i+1000000) pair is mutually
     // top-1, shares a cell, and MUST land in one cluster
