@@ -311,11 +311,12 @@ object TextAnalysisQueries extends graft.QueryModule {
     s"WITH ${bpeTrainCtes(rounds)}\n" + union
   }
 
-  /** t31's oracle: replay the training to get the merge pairs, apply
-    * them in round order over the distinct-word dictionary with the
-    * SAME chained double-space replace, join back to the corpus word
-    * stream, aggregate per doc — word and subword counts value-exact. */
-  private def t31OracleSql(rounds: Int): String = {
+  /** The shared segmentation-replay CTE chain (training replay + the
+    * ordered dictionary apply with the SAME chained double-space
+    * replace): ends with `docwords` (corpus word stream) and `subw`
+    * (per-word subword counts). Consumed by the t31 per-doc oracle and
+    * the t33 per-language fertility oracle. */
+  private def bpeApplyCtes(rounds: Int): String = {
     val apply = (1 to rounds).map { r =>
       s"""dw$r AS MATERIALIZED (
          |  SELECT w.word,
@@ -323,7 +324,7 @@ object TextAnalysisQueries extends graft.QueryModule {
          |            ' ' || b.a || b.b || ' ') AS seq
          |  FROM dw${r - 1} w CROSS JOIN b$r b)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${bpeTrainCtes(rounds)},
+    s"""${bpeTrainCtes(rounds)},
        |docwords AS MATERIALIZED (
        |  SELECT doc_id, word FROM (
        |    SELECT doc_id, unnest(string_split(${Dedup.normTextSql}, ' ')) AS word
@@ -337,12 +338,41 @@ object TextAnalysisQueries extends graft.QueryModule {
        |subw AS (
        |  SELECT word,
        |    CAST(len(list_filter(string_split(seq, '  '), x -> len(x) > 0)) AS BIGINT) AS ns
-       |  FROM dw$rounds)
+       |  FROM dw$rounds)""".stripMargin
+  }
+
+  /** t31's oracle: replay the training to get the merge pairs, apply
+    * them in round order over the distinct-word dictionary with the
+    * SAME chained double-space replace, join back to the corpus word
+    * stream, aggregate per doc — word and subword counts value-exact. */
+  private def t31OracleSql(rounds: Int): String =
+    s"""WITH ${bpeApplyCtes(rounds)}
        |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
        |  CAST(SUM(s.ns) AS BIGINT) AS n_subwords
        |FROM docwords d JOIN subw s ON s.word = d.word
        |GROUP BY d.doc_id""".stripMargin
-  }
+
+  /** t33's oracle: the same segmentation replay aggregated per language
+    * with the documents metadata joined back in — integer sums, ratios
+    * as one fixed-shape double division each (IEEE-deterministic). */
+  private def t33OracleSql(rounds: Int): String =
+    s"""WITH ${bpeApplyCtes(rounds)},
+       |perdoc AS (
+       |  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(s.ns) AS BIGINT) AS n_subwords
+       |  FROM docwords d JOIN subw s ON s.word = d.word
+       |  GROUP BY d.doc_id)
+       |SELECT doc.lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+       |  CAST(SUM(p.n_subwords) AS BIGINT) AS n_subwords,
+       |  CAST(SUM(doc.n_chars) AS BIGINT) AS n_chars,
+       |  CAST(SUM(p.n_subwords) AS DOUBLE) / CAST(SUM(p.n_words) AS DOUBLE)
+       |    AS fertility,
+       |  CAST(SUM(doc.n_chars) AS DOUBLE) / CAST(SUM(p.n_subwords) AS DOUBLE)
+       |    AS chars_per_subword
+       |FROM perdoc p JOIN documents doc ON doc.doc_id = p.doc_id
+       |GROUP BY doc.lang""".stripMargin
 
   /** T21 probe corpus: five planted heavy tokens, each repeated
     * ndocs*(4+i) times — counts stay PROPORTIONAL to corpus size, so the
@@ -1361,6 +1391,104 @@ object TextAnalysisQueries extends graft.QueryModule {
     graft.QueryDef("t31_bpe_segment", Some(t31OracleSql(10)))((s, d) => {
       val docs = Tables.documents(s, d)
       bpeSegmentCounts(docs, trainedMerges(docs, d, rounds = 10))
+    }),
+
+    // T33 — tokenizer fertility / compression stats per language (the
+    // numbers a tokenizer choice is judged by: subwords-per-word
+    // "fertility" and chars-per-subword compression — a language whose
+    // fertility balloons under a shared vocabulary is being
+    // under-served, the standard multilingual-tokenizer audit, cf.
+    // XLM-R/BLOOM tokenizer analyses). Reuses the t30-trained model via
+    // the trainedMerges cache and the SAME dictionary apply as t31,
+    // joins documents metadata back, aggregates per lang — O(languages)
+    // output. Ratios are one double division each of exact integer sums
+    // (IEEE-deterministic on both engines). FULL oracle: training +
+    // apply replay, per-language rollup.
+    graft.QueryDef("t33_tokenizer_fertility", Some(t33OracleSql(10)))((s, d) => {
+      val docs = Tables.documents(s, d)
+      val perDoc = bpeSegmentCounts(docs, trainedMerges(docs, d, rounds = 10))
+      perDoc.join(docs.select("doc_id", "lang", "n_chars"), Seq("doc_id"))
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_subwords")).as("n_subwords"),
+          sum(col("n_chars")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+          col("n_chars"),
+          (col("n_subwords").cast(DoubleType) / col("n_words").cast(DoubleType))
+            .as("fertility"),
+          (col("n_chars").cast(DoubleType) / col("n_subwords").cast(DoubleType))
+            .as("chars_per_subword"))
+    }),
+
+    // T32 — DSIR importance weights (Xie et al., "Data Selection for
+    // Language Models via Importance Resampling", NeurIPS'23): score
+    // every raw document by how target-like it is, log w(x) =
+    // log p_target(features) − log p_raw(features) under two hashed
+    // bag-of-ngrams models — the principled upgrade over binary quality
+    // filters, and the op that selects "books+wiki-like" slices out of
+    // a 100 TB crawl. Features are the t27 hashed unigrams (1024
+    // buckets via xxhash64); the target model is the lang='en' slice,
+    // the raw model the whole corpus, both with add-1 smoothing — BOTH
+    // bucket-count frames come out of ONE aggregation pass (the target
+    // count is a conditional sum), the O(buckets) model broadcasts
+    // back, and the per-doc score is one map-side join + doc-keyed agg.
+    // Determinism: each ln quantizes to an exact integer BEFORE
+    // summation (the t17 rule), the two model logs subtract in integer
+    // space, and the keep decision tests the integer sum — the only
+    // double op is the final fixed-shape division. Oracle restates the
+    // pipeline over the OracleHash xxh64 restatement (t27's relation);
+    // doc_id < 200 bounds the oracle's per-token hash replay cost, like
+    // t27.
+    graft.QueryDef("t32_dsir_weights", Some {
+      val toks =
+        s"""SELECT doc_id, lang, unnest(string_split(${Dedup.normTextSql}, ' ')) AS tok
+           |FROM documents WHERE doc_id < 200""".stripMargin
+      s"""WITH toks AS (SELECT doc_id, lang, tok FROM ($toks) WHERE tok <> ''),
+         |hs AS (${OracleHash.xxh64SignedRel("SELECT DISTINCT tok FROM toks")}),
+         |feat AS (
+         |  SELECT t.doc_id, t.lang, ((hs.h % 1024) + 1024) % 1024 AS b
+         |  FROM toks t JOIN hs ON hs.tok = t.tok),
+         |m AS (
+         |  SELECT b, CAST(count(*) AS BIGINT) AS cr,
+         |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |  FROM feat GROUP BY b),
+         |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr,
+         |               CAST(SUM(ct) AS BIGINT) AS nt FROM m),
+         |q AS (
+         |  SELECT b,
+         |    CAST(round(ln((CAST(ct AS DOUBLE) + 1.0) /
+         |      (CAST(nt AS DOUBLE) + 1024.0)) * 1000000) AS BIGINT) -
+         |    CAST(round(ln((CAST(cr AS DOUBLE) + 1.0) /
+         |      (CAST(nr AS DOUBLE) + 1024.0)) * 1000000) AS BIGINT) AS qv
+         |  FROM m, tot)
+         |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |  CAST(SUM(q.qv) AS DOUBLE) / 1000000.0 AS log_weight,
+         |  SUM(q.qv) > 0 AS keep
+         |FROM feat f JOIN q USING (b)
+         |GROUP BY f.doc_id""".stripMargin
+    })((s, d) => {
+      val toks = Tables.documents(s, d).where(col("doc_id") < 200)
+        .select(col("doc_id"), col("lang"),
+          explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+        .where(col("tok") =!= "")
+      val feat = toks.select(col("doc_id"), col("lang"),
+        pmod(xxhash64(col("tok")), lit(1024L)).as("b"))
+      val m = feat.groupBy("b").agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      val tot = m.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+      def qln(c: Column, n: Column): Column =
+        round(log((c.cast(DoubleType) + 1.0) / (n.cast(DoubleType) + 1024.0))
+          * 1000000).cast(LongType)
+      val q = m.join(broadcast(tot))
+        .select(col("b"), (qln(col("ct"), col("nt")) - qln(col("cr"), col("nr")))
+          .as("qv"))
+      feat.join(broadcast(q), Seq("b"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_tok"),
+          (sum(col("qv")).cast(DoubleType) / 1000000.0).as("log_weight"),
+          (sum(col("qv")) > 0).as("keep"))
     }),
 
     // T28 — TEMPERATURE-based language resampling weights (the
