@@ -64,6 +64,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
@@ -143,16 +144,35 @@ object Bench {
       .map(r => s"BENCHFULL_r$r.json").getOrElse(s"BENCHFULL_$sfTag.json")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", defaultFile)
     // Standing isolated-run adjudication (round-9 advice promoted into
-    // the gate): with SPARK_GRAFT_BENCH_BASELINE pointing at the previous
-    // round's artifact, every query that moved >1.3x vs baseline (and is
-    // >= 0.2 s — below that the ±0.15 s scheduler jitter dominates any
-    // ratio) re-runs in a FRESH JVM, min-of-6; the fresh-JVM floor is
-    // appended to the artifact as a second JSON line, so round-over-round
-    // diffing reads pre-adjudicated data instead of re-running the
-    // playbook by hand.
+    // the gate): every query that moved >1.3x vs the previous round's
+    // artifact (and is >= 0.2 s — below that the ±0.15 s scheduler
+    // jitter dominates any ratio) re-runs in a FRESH JVM, min-of-6; the
+    // fresh-JVM floor is appended to the artifact as a second JSON
+    // line, so round-over-round diffing reads pre-adjudicated data
+    // instead of re-running the playbook by hand.
+    //
+    // The baseline is now AUTO-DETECTED (round-12 fix: the protocol was
+    // skipped in rounds 10-11 precisely because it needed a manual env
+    // var that the round-closing gate run never set): explicit
+    // SPARK_GRAFT_BENCH_BASELINE wins ("off" disables); else the first
+    // existing of BENCHFULL_r{N-1}.json (SPARK_GRAFT_ROUND=N set) and
+    // BENCHFULL_<sfTag>.json — the latter is the previous committed
+    // full run at this scale factor, read BEFORE this run overwrites
+    // it. SPARK_GRAFT_ONLY runs skip adjudication: a fleet-relative
+    // protocol is meaningless for a hand-picked subset.
+    val baselinePath: Option[String] =
+      (sys.env.get("SPARK_GRAFT_BENCH_BASELINE") match {
+        case Some("off") | Some("none") => Seq.empty
+        case Some(p) => Seq(p)
+        case None if only.isDefined => Seq.empty
+        case None =>
+          sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption).toSeq
+            .map(n => s"BENCHFULL_r${n - 1}.json") :+ s"BENCHFULL_$sfTag.json"
+      }).find(p => new java.io.File(p).exists())
     val adjudicated: Map[String, (Double, Option[Double])] =
-      sys.env.get("SPARK_GRAFT_BENCH_BASELINE") match {
-        case Some(basePath) if new java.io.File(basePath).exists() =>
+      baselinePath match {
+        case Some(basePath) =>
+          System.err.println(s"BENCH adjudication baseline: $basePath")
           val base = readTimings(basePath)
           val movers = results.collect {
             case (name, Some(dt)) if base.get(name).exists(b =>
@@ -163,13 +183,13 @@ object Bench {
               f"(in-fleet $dt%.3f vs baseline ${base(name)}%.3f)")
             name -> (dt, isolatedRun(name, sfDir, cpus, runs = 6))
           }.toMap
-        case _ => Map.empty
+        case None => Map.empty
       }
     val adjLine = if (adjudicated.isEmpty) "" else {
       val fields = adjudicated.map { case (n, (fleet, iso)) =>
         s"\"$n\":{\"infleet\":$fleet,\"isolated\":${iso.getOrElse(-1)}}"
       }.mkString(",")
-      s"""{"adjudicated":{$fields}}""" + "\n"
+      s"""{"adjudicated":{$fields},"baseline":"${baselinePath.getOrElse("")}"}""" + "\n"
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n" + adjLine).getBytes("UTF-8"))

@@ -36,7 +36,12 @@ object Tables {
     *     same truncation DuckDB applies reading NANOS natively.
     *   - TimestampType / TimestampNTZType ⇒ already micros (Spark's
     *     native resolution); pass through, normalizing NTZ to TS so
-    *     downstream operators see one type.
+    *     downstream operators see one type. The NTZ→TS cast
+    *     reinterprets the wall-clock through spark.sql.session.timeZone,
+    *     so every session builder in this repo pins
+    *     `spark.sql.session.timeZone=UTC` — on a non-UTC driver the
+    *     batch/stream loaders would otherwise shift event times by the
+    *     session offset and disagree with the UTC-epoch oracle.
     *   - anything else ⇒ fail loudly — a silent cast here would corrupt
     *     every event-time operator downstream. */
   def events(s: SparkSession, d: String): DataFrame = {

@@ -45,11 +45,20 @@ object AnalyticsQueries extends graft.QueryModule {
     // back — Spark's LongType sum wraps silently without ANSI mode while
     // the DuckDB oracle sums into HUGEINT, so the decimal accumulator is
     // what keeps the two engines value-identical at extreme event counts.
-    def row(stage: String, frame: DataFrame, lag: org.apache.spark.sql.Column) =
-      frame.agg(count(lit(1)).as("n_users"),
-        coalesce(sum(lag.cast(DecimalType(38, 0))).cast(LongType), lit(0L))
-          .as("total_lag_us"))
+    // The cast back is guarded: a non-ANSI Decimal→Long cast returns
+    // NULL on overflow, which a bare coalesce would silently turn into
+    // 0 in exactly the extreme-count regime the accumulator exists for.
+    // DuckDB's CAST(HUGEINT AS BIGINT) errors on overflow, so the
+    // loud-failure branch is also the behavior-matching one.
+    def row(stage: String, frame: DataFrame, lag: org.apache.spark.sql.Column) = {
+      val dec = sum(lag.cast(DecimalType(38, 0)))
+      val lagUs = when(dec.isNull, lit(0L))
+        .when(dec.between(lit(Long.MinValue), lit(Long.MaxValue)), dec.cast(LongType))
+        .otherwise(raise_error(concat(
+          lit("total_lag_us overflows BIGINT: "), dec.cast(StringType))).cast(LongType))
+      frame.agg(count(lit(1)).as("n_users"), lagUs.as("total_lag_us"))
         .select(lit(stage).as("stage"), col("n_users"), col("total_lag_us"))
+    }
     row("1_view", v, lit(0L))
       .unionByName(row("2_click", c,
         unix_micros(col("t2")) - unix_micros(col("t1"))))

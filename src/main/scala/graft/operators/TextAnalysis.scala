@@ -259,14 +259,37 @@ object TextAnalysisQueries extends graft.QueryModule {
     * (corpus dir, rounds) and reuse the O(rounds) merge table — the
     * realistic pipeline shape (a tokenizer is trained nightly, applied
     * per batch), and the same per-JVM artifact-cache discipline as the
-    * persistent ANN/FTS indexes (Similarity.ivfWritten et al.). */
+    * persistent ANN/FTS indexes (Similarity.ivfWritten et al.).
+    *
+    * The cache key includes a cheap CONTENT fingerprint of the corpus
+    * (file listing + sizes + mtimes of `dir`/documents.parquet), not
+    * just the path: a dir whose data is regenerated within one JVM
+    * lifetime gets a fresh model instead of a silently stale merge
+    * table. The fingerprint walk is O(files) driver-side metadata, no
+    * data scan. */
   private val bpeModels = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int), Seq[(String, String)]]()
+    (String, Long, Int), Seq[(String, String)]]()
 
-  def trainedMerges(docs: DataFrame, dir: String, rounds: Int): Seq[(String, String)] =
-    bpeModels.computeIfAbsent((dir, rounds), _ =>
+  /** Order-insensitive fingerprint of the parquet files under `path`:
+    * XOR of per-file hash(name, size, mtime). 0 for a missing dir (the
+    * docs frame was built some other way — cache keyed on path only). */
+  private def corpusFingerprint(path: String): Long = {
+    val root = new java.io.File(path)
+    val files: Array[java.io.File] =
+      if (root.isDirectory) root.listFiles() else if (root.isFile) Array(root) else null
+    if (files == null) 0L
+    else files.filter(_.isFile).foldLeft(0L) { (acc, f) =>
+      acc ^ scala.util.hashing.MurmurHash3
+        .productHash((f.getName, f.length(), f.lastModified())).toLong
+    }
+  }
+
+  def trainedMerges(docs: DataFrame, dir: String, rounds: Int): Seq[(String, String)] = {
+    val fp = corpusFingerprint(s"$dir/documents.parquet")
+    bpeModels.computeIfAbsent((dir, fp, rounds), _ =>
       bpeTrain(docs, rounds).orderBy("round")
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq)
+  }
 
   /** The unrolled BPE training CTE chain shared by t30/t31: w0 (word
     * counts + char seqs), then per round r the pair counts `p{r}`, the

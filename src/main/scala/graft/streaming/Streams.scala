@@ -34,9 +34,19 @@ object Streams {
     * (Tables.events): LongType nanos ⇒ exact integer `div 1000` to
     * micros; TimestampType ⇒ pass through. Files arriving later must
     * match the probed encoding — mixed encodings within ONE stream need
-    * a per-generation source union upstream. */
+    * a per-generation source union upstream.
+    *
+    * An EMPTY source directory (no parquet footers yet — a normal
+    * startup state for a file-source stream) has nothing to probe:
+    * `spark.read.parquet` throws `Unable to infer schema`. Fall back to
+    * the current-generation default (native TIMESTAMP(MICROS) ⇒
+    * TimestampType) so the stream can start before the first file
+    * lands; the probed-or-defaulted encoding is pinned for the stream's
+    * lifetime either way. */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    val physical = spark.read.parquet(dir).schema("ts").dataType
+    val physical =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException => TimestampType }
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", physical),
       StructField("user_id", LongType), StructField("event_type", StringType),
