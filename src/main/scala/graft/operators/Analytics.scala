@@ -66,6 +66,21 @@ object AnalyticsQueries extends graft.QueryModule {
         unix_micros(col("t3")) - unix_micros(col("t2"))))
   }
 
+  /** The cohort-retention triangle from its two normalized inputs:
+    * `firstSeen` (user_id, cw: DATE — Monday of the user's first
+    * event) and `userWeeks` (user_id, wk: DATE — Monday of an active
+    * week; duplicates fine, countDistinct dedups). Shared by the batch
+    * e5 query and the streaming read path (Streams.readCohortRetention)
+    * so batch/stream equivalence holds by construction, the e1–e3
+    * discipline. One user_id join + one O(weeks²) agg. */
+  def cohortTriangle(firstSeen: DataFrame, userWeeks: DataFrame): DataFrame =
+    userWeeks.join(firstSeen, Seq("user_id"))
+      .select(col("cw").cast(StringType).as("cohort_week"),
+        expr("datediff(wk, cw) div 7").cast(LongType).as("week_offset"),
+        col("user_id"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+
   def defs: Seq[graft.QueryDef] = Seq(
 
     // E4 — ORDERED event funnel (view → click → purchase): a user
@@ -121,17 +136,13 @@ object AnalyticsQueries extends graft.QueryModule {
       val e = Tables.events(s, d)
       val firstSeen = e.groupBy("user_id")
         .agg(to_date(date_trunc("week", min(col("ts")))).as("cw"))
-      // `div` (integral division), not `/` (true division through
-      // Double) — the oracle floor-divides with `// 7`, and the
-      // equivalence of round-trip-through-double must hold by
-      // construction, not by the inputs happening to be exact.
-      e.select("user_id", "ts").join(firstSeen, Seq("user_id"))
-        .withColumn("wk", to_date(date_trunc("week", col("ts"))))
-        .select(col("cw").cast(StringType).as("cohort_week"),
-          expr("datediff(wk, cw) div 7").cast(LongType).as("week_offset"),
-          col("user_id"))
-        .groupBy("cohort_week", "week_offset")
-        .agg(countDistinct(col("user_id")).as("n_users"))
+      // cohortTriangle uses `div` (integral division), not `/` (true
+      // division through Double) — the oracle floor-divides with
+      // `// 7`, and the equivalence of round-trip-through-double must
+      // hold by construction, not by the inputs happening to be exact.
+      cohortTriangle(firstSeen,
+        e.select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("wk")))
     }),
 
     // S12 — SCD Type-2 history from the CDC changelog: every I/U op

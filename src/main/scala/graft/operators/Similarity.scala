@@ -1582,6 +1582,135 @@ object SimilarityQueries extends graft.QueryModule {
         .limit(10)
     }),
 
+    // N18 — CROSS-ENCODER-STYLE RERANK over n7's RRF pool: the second
+    // retrieval stage every serving stack runs — a cheap fused
+    // candidate pool (n7), then an expensive per-(query, doc) scorer
+    // over just those k docs. The SERVING SHAPE is the real thing: the
+    // O(k) pool broadcast-semi-joins back into the document and
+    // embedding stores to GATHER features (no corpus shuffle — the two
+    // big tables are probed, never re-partitioned), and the scorer
+    // runs map-side over k rows. The scorer itself is a deterministic
+    // late-interaction surrogate (quantized ln-tf saturation + cosine
+    // + the fused prior, fixed weights) standing in for the model
+    // forward pass, so the full two-stage pipeline is
+    // oracle-replayable end to end; at 100 TB swap the surrogate for
+    // the model UDF and every join stays identical. Each feature term
+    // quantizes to an exact integer BEFORE the sum (the t17 ln rule),
+    // so ranking is integer-exact.
+    graft.QueryDef("n18_cross_rerank", Some {
+      val toks = "list_filter(string_split_regex(lower(strip_accents(text)), '[^a-z0-9]+'), x -> x <> '')"
+      def ts(t: String) =
+        s"""ln(1.0 + (CAST(n_docs AS DOUBLE) - df_$t + 0.5) / (df_$t + 0.5)) * (CAST(tf_$t AS DOUBLE) * 2.2) /
+           |      (CAST(tf_$t AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))""".stripMargin
+      s"""WITH toks AS (SELECT doc_id AS id, $toks AS t FROM documents),
+         |base AS (SELECT id, len(t) AS dl, unnest(t) AS term FROM toks),
+         |hits AS (SELECT id, dl, term FROM base WHERE term IN ('spark', 'window')),
+         |tf AS (
+         |  SELECT id, dl,
+         |    CAST(SUM(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS BIGINT) AS tf_spark,
+         |    CAST(SUM(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS tf_window
+         |  FROM hits GROUP BY id, dl),
+         |stats AS (SELECT count(*) AS n_docs, CAST(SUM(len(t)) AS DOUBLE) / count(*) AS avgdl FROM toks),
+         |dfs AS (
+         |  SELECT
+         |    CAST(count(DISTINCT CASE WHEN term = 'spark' THEN id END) AS DOUBLE) AS df_spark,
+         |    CAST(count(DISTINCT CASE WHEN term = 'window' THEN id END) AS DOUBLE) AS df_window
+         |  FROM hits),
+         |bm AS (
+         |  SELECT id, score FROM (
+         |    SELECT id, ${ts("spark")}
+         |      + ${ts("window")} AS score
+         |    FROM tf, stats, dfs)
+         |  WHERE score > 0 ORDER BY score DESC, id ASC LIMIT 20),
+         |bmr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rt FROM bm),
+         |qe AS (
+         |  SELECT CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q,
+         |    generate_subscripts(embedding, 1) AS i
+         |  FROM embeddings WHERE vec_id = 0),
+         |ve AS (
+         |  SELECT vec_id, CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS x,
+         |    generate_subscripts(embedding, 1) AS i
+         |  FROM embeddings),
+         |dots AS (
+         |  SELECT ve.vec_id, SUM(ve.x * qe.q) AS dot, SUM(ve.x * ve.x) AS nv
+         |  FROM ve JOIN qe ON ve.i = qe.i GROUP BY ve.vec_id),
+         |nq AS (SELECT SUM(q * q) AS n2 FROM qe),
+         |vec AS (
+         |  SELECT vec_id,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST((SELECT n2 FROM nq) AS DOUBLE))) AS cos
+         |  FROM dots ORDER BY cos DESC, vec_id ASC LIMIT 20),
+         |vr AS (SELECT vec_id AS id, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rv FROM vec),
+         |fused AS (
+         |  SELECT coalesce(bmr.id, vr.id) AS doc_id,
+         |    coalesce(1.0 / (60.0 + rt), 0.0) + coalesce(1.0 / (60.0 + rv), 0.0) AS rrf
+         |  FROM bmr FULL OUTER JOIN vr ON bmr.id = vr.id),
+         |pool AS (SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10),
+         |ptf AS (
+         |  SELECT id, tf_spark, tf_window FROM tf
+         |  WHERE id IN (SELECT doc_id FROM pool)),
+         |pcos AS (
+         |  SELECT vec_id,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST((SELECT n2 FROM nq) AS DOUBLE))) AS cos
+         |  FROM dots WHERE vec_id IN (SELECT doc_id FROM pool)),
+         |rer AS (
+         |  SELECT p.doc_id,
+         |    CAST(round(2.0 * ln(1.0 + coalesce(tf_spark, 0)) * 1000000) AS BIGINT)
+         |    + CAST(round(2.0 * ln(1.0 + coalesce(tf_window, 0)) * 1000000) AS BIGINT)
+         |    + CAST(round(3.0 * coalesce(cos, 0.0) * 1000000) AS BIGINT)
+         |    + CAST(round(10.0 * rrf * 1000000) AS BIGINT) AS qs
+         |  FROM pool p
+         |  LEFT JOIN ptf ON ptf.id = p.doc_id
+         |  LEFT JOIN pcos ON pcos.vec_id = p.doc_id)
+         |SELECT doc_id, CAST(qs AS DOUBLE) / 1000000.0 AS rerank_score
+         |FROM rer ORDER BY qs DESC, doc_id ASC""".stripMargin
+    })((s, d) => {
+      val w20 = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("id").asc)
+      val bmr = Fts.bm25(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("spark", "window"), k = 20)
+        .select(col("id"), row_number().over(w20).as("rt"))
+      val wv = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val vr = bruteForceTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 20)
+        .select(col("vec_id").as("id"), row_number().over(wv).as("rv"))
+      val pool = bmr.join(vr, Seq("id"), "full_outer")
+        .select(col("id").as("doc_id"),
+          (coalesce(lit(1.0) / (lit(60.0) + col("rt")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("rv")), lit(0.0))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+        .limit(10)
+      // Feature GATHER: O(k) pool broadcast into each store — the
+      // corpus is probed, never shuffled. tf recomputed exactly like
+      // the bm25 tokenization (same Cols.ftsTokens), zero for a pool
+      // doc with no term hits; cosine exactly like bruteForceTopK,
+      // zero for a pool doc with no embedding row.
+      val tfF = Tables.documents(s, d)
+        .join(broadcast(pool.select("doc_id")), Seq("doc_id"))
+        .select(col("doc_id"), graft.functions.Cols.ftsTokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(filter(col("toks"), t => t === "spark")).cast(LongType).as("tf_spark"),
+          size(filter(col("toks"), t => t === "window")).cast(LongType).as("tf_window"))
+      val q = Tables.embeddings(s, d).where(col("vec_id") === 0L)
+        .select(quant(col("embedding")).as("qv"))
+      val cosF = Tables.embeddings(s, d)
+        .join(broadcast(pool.select(col("doc_id").as("vec_id"))), Seq("vec_id"))
+        .join(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          cosine(idot(quant(col("embedding")), col("qv")),
+            inorm2(quant(col("embedding"))), inorm2(col("qv"))).as("cos"))
+      val qs =
+        round(lit(2.0) * log(lit(1.0) + coalesce(col("tf_spark"), lit(0L)).cast(DoubleType)) * 1000000).cast(LongType) +
+        round(lit(2.0) * log(lit(1.0) + coalesce(col("tf_window"), lit(0L)).cast(DoubleType)) * 1000000).cast(LongType) +
+        round(lit(3.0) * coalesce(col("cos"), lit(0.0)) * 1000000).cast(LongType) +
+        round(lit(10.0) * col("rrf") * 1000000).cast(LongType)
+      pool.join(tfF, Seq("doc_id"), "left_outer")
+        .join(cosF, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), qs.as("qs"))
+        .orderBy(col("qs").desc, col("doc_id").asc)
+        .select(col("doc_id"),
+          (col("qs").cast(DoubleType) / 1000000.0).as("rerank_score"))
+    }),
+
     // N6c — the SAME planted-clone query routed through the PERSISTENT
     // PQ index (p6f's pattern for vectors): codebooks + code table are
     // written once per (JVM, data dir) — the nightly artifact, not

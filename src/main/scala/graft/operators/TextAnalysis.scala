@@ -1562,6 +1562,62 @@ object TextAnalysisQueries extends graft.QueryModule {
           (q / p).as("upweight"))
     }),
 
+    // T34 — MIXTURE ASSEMBLY: t28's temperature weights composed with a
+    // global token budget into ONE materialized per-language sampling
+    // plan — the single artifact a pretraining-data pipeline actually
+    // ships (per source/language: how many tokens to draw, at what
+    // rate, over how many epochs). Everything allocative stays in
+    // EXACT integer space: the temperature share s/ds is the t28
+    // quantized integer pair, target_tok = (budget·s) div ds is one
+    // integer multiply-divide (no double rounding can move a token),
+    // planned_tok = min(actual, target), epochs = ceil-div of target
+    // over actual for the upsampled tail; only the reported RATE is a
+    // fixed-shape double division at the end. O(languages) rows, two
+    // 1-row broadcast totals — the plan is unchanged at any corpus
+    // size.
+    graft.QueryDef("t34_mixture_plan", Some(
+      """WITH lt AS (
+        |  SELECT lang,
+        |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS n_total FROM lt),
+        |sq AS (
+        |  SELECT lang, n_tok,
+        |    CAST(round(sqrt(CAST(n_tok AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |      * 1000000000) AS BIGINT) AS s
+        |  FROM lt, tot),
+        |den AS (SELECT CAST(SUM(s) AS BIGINT) AS ds FROM sq),
+        |plan AS (
+        |  SELECT lang, n_tok,
+        |    CAST((50000 * s) // ds AS BIGINT) AS target_tok
+        |  FROM sq, den)
+        |SELECT lang, n_tok, target_tok,
+        |  CAST(least(n_tok, target_tok) AS BIGINT) AS planned_tok,
+        |  CAST(CASE WHEN target_tok > n_tok
+        |    THEN (target_tok + n_tok - 1) // n_tok ELSE 1 END AS BIGINT) AS epochs,
+        |  CAST(target_tok AS DOUBLE) / CAST(n_tok AS DOUBLE) AS sample_rate
+        |FROM plan""".stripMargin))((s, d) => {
+      val budget = 50000L
+      val nTok = size(split(trim(col("text")), "\\s+")).cast(LongType)
+      val langTok = Tables.documents(s, d)
+        .select(col("lang"), nTok.as("t"))
+        .groupBy("lang").agg(sum(col("t")).as("n_tok"))
+      val total = langTok.agg(sum(col("n_tok")).as("n_total"))
+      val withS = langTok.join(broadcast(total))
+        .withColumn("s", round(sqrt(col("n_tok").cast(DoubleType) /
+          col("n_total").cast(DoubleType)) * 1000000000L).cast(LongType))
+      val denom = withS.agg(sum(col("s")).as("ds"))
+      withS.join(broadcast(denom))
+        .withColumn("target_tok", expr(s"($budget * s) div ds").cast(LongType))
+        .select(col("lang"), col("n_tok"), col("target_tok"),
+          least(col("n_tok"), col("target_tok")).as("planned_tok"),
+          when(col("target_tok") > col("n_tok"),
+            expr("(target_tok + n_tok - 1) div n_tok"))
+            .otherwise(lit(1L)).cast(LongType).as("epochs"),
+          (col("target_tok").cast(DoubleType) / col("n_tok").cast(DoubleType))
+            .as("sample_rate"))
+    }),
+
     // T29 — ADAPTIVE per-language quality thresholds: each language cuts
     // its own bottom quartile of the stopword-ratio score instead of
     // sharing one global cutoff — the fix for head-language-centric

@@ -534,4 +534,47 @@ object Streams {
     graft.operators.TextAnalysisQueries.driftZscores(
       spark.read.parquet(rollupDir)
         .groupBy("event_type", "day").agg(sum(col("cnt")).as("cnt")))
+
+  /** Incremental side of e5 cohort retention — the e3 rollup pattern
+    * applied to the retention triangle. Each micro-batch reduces its
+    * events to the one frame the read path needs: per (user_id, active
+    * ISO week) the min event ts seen in this batch. That partial is
+    * sufficient statistics for BOTH retention inputs — min(min_ts)
+    * over all batches is the user's global first event (⇒ cohort
+    * week), and the distinct (user, week) pairs are the activity
+    * matrix — so the rollup grows O(users × active-weeks-per-batch),
+    * never O(events), and re-running a batch overwrites its own
+    * batch_id partition idempotently (exactly-once under AvailableNow
+    * restarts). */
+  def incrementalCohortPartials(spark: SparkSession, sourceDir: String,
+                                rollupDir: String, checkpointDir: String): Unit = {
+    val q = eventStream(spark, sourceDir).writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .groupBy(col("user_id"),
+            to_date(date_trunc("week", col("ts"))).as("wk"))
+          .agg(min(col("ts")).as("min_ts"))
+          .write.mode("overwrite").parquet(s"$rollupDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Merge the cohort partials and build the retention triangle — the
+    * streaming read path of e5, sharing the batch query's final stage
+    * ([[graft.operators.AnalyticsQueries.cohortTriangle]]) so the two
+    * paths cannot drift. first-seen re-minimizes min_ts across batches
+    * (min is merge-associative, any batch split gives the same cohort
+    * week); the week-truncation of the merged min equals the batch
+    * path's truncation of the global min because trunc is monotone. */
+  def readCohortRetention(spark: SparkSession, rollupDir: String): DataFrame = {
+    val parts = spark.read.parquet(rollupDir)
+    val firstSeen = parts.groupBy("user_id")
+      .agg(to_date(date_trunc("week", min(col("min_ts")))).as("cw"))
+    graft.operators.AnalyticsQueries.cohortTriangle(
+      firstSeen, parts.select("user_id", "wk"))
+  }
 }

@@ -22,6 +22,10 @@ import org.apache.spark.sql.functions._
   *  - embeddings: replica k rotates the vector by k positions — norms
   *    and coordinate distributions preserved, cross-replica cosines
   *    ~random, so ANN candidate sets stay replica-local.
+  *  - events: replica k shifts user_id/event_id by k·stride with
+  *    timestamps unchanged — more users over the same window, the
+  *    organic growth shape for a stream (per-user sequences preserved,
+  *    cohort week range fixed).
   *  - replica 0 is bit-identical to the source (sf1 ⊇ sf0.1).
   *  - orders is copied unscaled — it only feeds the bench warm-up.
   *
@@ -64,6 +68,22 @@ object MakeScale {
           slice(col("embedding"), lit(1), col("k"))).as("embedding"),
         col("label"))
 
+  /** events ×R: disjoint user_ids and event_ids, timestamps unchanged —
+    * organic growth for an event stream is MORE USERS over the same
+    * wall-clock window (ten unrelated products sharing one quarter),
+    * not a longer history. Sessionization state therefore grows with
+    * active users (the bounded-state claim under test) while the cohort
+    * week range — and so e5's O(weeks²) output — stays fixed; per-user
+    * event sequences are preserved bit-identically, and replica 0 is
+    * the source. */
+  def scaleEvents(df: DataFrame, replicas: Int): DataFrame =
+    withReplicas(df, replicas)
+      .select(
+        (col("event_id") + col("k") * ReplicaStride).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("k") * ReplicaStride).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+
   def main(args: Array[String]): Unit = {
     val in = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/sf1")
@@ -85,6 +105,10 @@ object MakeScale {
     scaleEmbeddings(spark.read.parquet(s"$in/embeddings.parquet"), replicas)
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    scaleEvents(spark.read.parquet(s"$in/events.parquet"), replicas)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
 
     spark.read.parquet(s"$in/orders.parquet")
       .write.mode("overwrite").parquet(s"$out/orders.parquet")

@@ -46,6 +46,39 @@ object ProfileBpe {
       graft.operators.TextAnalysisQueries.bpeSegmentCounts(docs, merges)
         .write.format("noop").mode("overwrite").save()
     }
+    // Threshold sweep (round-12, VERDICT advice #6): measure WHERE the
+    // chained-replace codegen formulation stops beating the merge-loop
+    // UDF, so `codegenMaxMerges` is a measured constant instead of a
+    // guess. The merge TABLE SIZE is the only cost driver of the apply
+    // (each merge is one replace pass over the word-seq string whether
+    // or not it fires), so the real 10 trained merges are padded with
+    // never-matching pairs to each probe size. Both paths run at every
+    // size (min-of-2 after a warm run each); a codegen failure at depth
+    // (64KB method limit → interpreted fallback) is part of the
+    // measurement, not an error. Run with arg "threshold"; writes
+    // PROFILE_bpe_threshold.json.
+    if (args.contains("threshold")) {
+      val sizes = Seq(10, 32, 100, 300, 1000, 3000)
+      val lines = sizes.map { m =>
+        val padded = merges ++ (merges.length until m).map(i => (s"$i", ""))
+        def best(codegenMax: Int): Double =
+          (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            graft.operators.TextAnalysisQueries
+              .bpeSegmentCounts(docs, padded, codegenMax = codegenMax)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }.drop(1).min // first run pays codegen compile; steady-state is the signal
+        val cg = try best(Int.MaxValue) catch { case _: Throwable => -1.0 }
+        val ud = best(0)
+        val line = f"""{"merges":$m,"codegen_sec":$cg%.3f,"udf_sec":$ud%.3f}"""
+        System.err.println(s"PROFILE threshold $line")
+        line
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("PROFILE_bpe_threshold.json"),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    }
     spark.stop()
   }
 }

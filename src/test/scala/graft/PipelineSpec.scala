@@ -675,6 +675,42 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("t34: mixture plan allocates the budget by temperature share, exactly") {
+    val rows = SparkEntry.queries("t34_mixture_plan")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nTok = r.getAs[Long]("n_tok")
+      val target = r.getAs[Long]("target_tok")
+      val planned = r.getAs[Long]("planned_tok")
+      val epochs = r.getAs[Long]("epochs")
+      val rate = r.getAs[Double]("sample_rate")
+      assert(planned === math.min(nTok, target))
+      assert(epochs >= 1L)
+      // epochs is exactly the ceil-div of target over actual when
+      // upsampling, 1 otherwise.
+      if (target > nTok) assert(epochs === (target + nTok - 1) / nTok)
+      else assert(epochs === 1L)
+      assert(math.abs(rate - target.toDouble / nTok) < 1e-12)
+    }
+    // Integer allocation can undershoot the budget only by flooring —
+    // strictly less than one quantum (1 token) per language.
+    val budget = 50000L
+    val total = rows.map(_.getAs[Long]("target_tok")).sum
+    assert(total <= budget && total > budget - rows.length)
+  }
+
+  test("n18: rerank scores exactly the n7 pool and orders by the quantized score") {
+    val pool = SparkEntry.queries("n7_hybrid_rrf")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val rer = SparkEntry.queries("n18_cross_rerank")(spark, sf).collect()
+    assert(rer.map(_.getLong(0)).toSet === pool)
+    assert(rer.length === pool.size)
+    // Monotone nonincreasing in the quantized score (ties broken by id
+    // inside the query; equal scores may interleave only by id).
+    val scores = rer.map(_.getAs[Double]("rerank_score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
   test("upsert LWW is idempotent across re-runs (S5 determinism)") {
     val q = SparkEntry.queries("s5_upsert_lww")
     val a = q(spark, sf).collect().map(_.toString).sorted.toSeq

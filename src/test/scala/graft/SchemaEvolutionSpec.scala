@@ -94,4 +94,78 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkSuite {
     assert(streamOut(nanosDir) === expected)
     assert(streamOut(microsDir) === expected)
   }
+
+  test("Streams.eventStream starts on an empty source dir (micros default)") {
+    // A file-source stream's normal startup state is a directory with
+    // no parquet footers yet; the probe must fall back to the
+    // current-generation default instead of throwing, and the stream
+    // must then consume micros-ts files that land later.
+    val dir = s"$root/empty_start"
+    new java.io.File(dir).mkdirs()
+    val stream = graft.streaming.Streams.eventStream(spark, dir)
+    assert(stream.schema("ts").dataType === TimestampType)
+    val s = spark
+    import s.implicits._
+    microsRows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")))
+      .write.mode("append").parquet(dir)
+    val out = s"$dir-out"
+    val q = stream
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir-ckpt")
+      .format("parquet").option("path", out).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(got === microsRows.map { case (id, us, _, _, _, _) => (id, us) }.sortBy(_._1))
+  }
+
+  test("mixed ts encodings in ONE dir fail loudly; per-generation union is the recipe") {
+    // The adversarial case the eventStream doc-comment scopes out: a
+    // directory whose FILES mix the nanos-long and micros-ts
+    // generations. One footer wins the probe, the other file's column
+    // can't be read as that type — the contract is LOUD failure (never
+    // silently shifted timestamps), and the supported shape is one
+    // stream per generation unioned upstream, which this test runs as
+    // a working example.
+    val (nanosDir, microsDir) = writeFixtures()
+    val mixed = s"$root/mixed_gen"
+    new java.io.File(mixed).mkdirs()
+    def copyParquets(from: String, tag: String): Unit = {
+      val files = new java.io.File(from).listFiles().filter(_.getName.endsWith(".parquet"))
+      files.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(s"$mixed/$tag-$i.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    copyParquets(nanosDir, "gen-a")
+    copyParquets(microsDir, "gen-b")
+    // Batch and stream both fail loudly somewhere between schema probe
+    // and materialization — never return shifted event times.
+    assertThrows[Throwable] {
+      val wrapped = s"$root/mixed_tbl"
+      spark.read.parquet(mixed).write.mode("overwrite")
+        .parquet(s"$wrapped/events.parquet") // may already throw here
+      Tables.events(spark, wrapped).collect()
+    }
+    // The recipe: one eventStream PER generation dir, unioned — every
+    // row normalized to identical micros.
+    val out = s"$root/union-out"
+    val a = graft.streaming.Streams.eventStream(spark, nanosDir)
+    val b = graft.streaming.Streams.eventStream(spark, microsDir)
+    val q = a.unionByName(b)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/union-ckpt")
+      .format("parquet").option("path", out).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val one = microsRows.map { case (id, us, _, _, _, _) => (id, us) }
+    assert(got === (one ++ one).sorted)
+  }
 }

@@ -205,6 +205,35 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(streamed == batch, "incremental drift scores != batch e3 path")
   }
 
+  test("incremental cohort partials equal the batch e5 retention triangle") {
+    // the adversarial split for retention: a user's FIRST event lands
+    // in chunk 1 and later activity in chunk 2 (and the cut is mid
+    // event-id, so some users' first sighting is chunk 2) — the reader
+    // must re-minimize first-seen across batches or cohort weeks drift.
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val cut = raw.agg(max(col("event_id"))).head().getLong(0) / 2
+    val src = tmp("graft_coh_src")
+    val rollup = tmp("graft_coh_roll") + "/rollup"
+    val ckpt = tmp("graft_coh_ckpt")
+    def addChunk(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp("graft_coh_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/$name"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    addChunk(raw.where(col("event_id") <= cut), "chunk1.parquet")
+    Streams.incrementalCohortPartials(spark, src, rollup, ckpt)
+    addChunk(raw.where(col("event_id") > cut), "chunk2.parquet")
+    Streams.incrementalCohortPartials(spark, src, rollup, ckpt)
+    val streamed = Streams.readCohortRetention(spark, rollup)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = SparkEntry.queries("e5_cohort_retention")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch, "incremental cohort retention != batch e5")
+  }
+
   test("index compaction: incremental batches collapse to the direct serving index") {
     import graft.operators.Dedup
     def addChunk(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {

@@ -71,6 +71,38 @@ class ToolsSpec extends AnyFunSuite with SparkSuite {
     assert(wc.except(src).isEmpty)
   }
 
+  test("scaleEvents: disjoint users/ids, per-user sequences preserved, week range fixed") {
+    val evs = Seq(
+      (1L, java.sql.Timestamp.valueOf("2025-01-06 00:00:00"), 10L, "view", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2025-01-07 12:30:00"), 10L, "click", 2.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2025-01-15 08:00:00"), 11L, "view", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = MakeScale.scaleEvents(evs, 3).cache()
+    assert(out.count() === 9)
+    assert(out.select("event_id").distinct().count() === 9)
+    // User populations are disjoint across replicas (more users, never
+    // merged activity), so sessionization/cohort state grows with R.
+    val crossed = out.groupBy((col("user_id") % MakeScale.ReplicaStride).as("u"))
+      .agg(countDistinct((col("user_id") / MakeScale.ReplicaStride)
+        .cast("long")).as("nk"))
+      .where(col("nk") =!= 3).count()
+    assert(crossed === 0)
+    // Replica 0 bit-identical.
+    val r0 = out.where(col("event_id") < MakeScale.ReplicaStride)
+    assert(r0.except(evs).isEmpty && evs.except(r0).isEmpty)
+    // Timestamps unchanged — the cohort week RANGE (and so e5's
+    // O(weeks²) output shape) is scale-invariant.
+    val srcW = evs.select(to_date(date_trunc("week", col("ts"))).as("w")).distinct()
+    val outW = out.select(to_date(date_trunc("week", col("ts"))).as("w")).distinct()
+    assert(outW.except(srcW).isEmpty && srcW.except(outW).isEmpty)
+    // Per-user event sequences preserved: replica k of user u has the
+    // source user's exact (ts, event_type) sequence.
+    val seqs = out.select((col("user_id") % MakeScale.ReplicaStride).as("orig"),
+      col("ts"), col("event_type")).distinct()
+    val srcSeqs = evs.select(col("user_id").as("orig"), col("ts"), col("event_type"))
+    assert(seqs.except(srcSeqs).isEmpty && srcSeqs.except(seqs).isEmpty)
+  }
+
   test("scaleEmbeddings: rotation preserves the coordinate multiset and norm") {
     val out = MakeScale.scaleEmbeddings(embs, 4).cache()
     assert(out.count() === 8)
