@@ -215,8 +215,16 @@ object TextAnalysisQueries extends graft.QueryModule {
     *     (identical to Spark's `replace` and DuckDB's) applied
     *     iteratively, O(merges) per DISTINCT word with zero expression
     *     depth. Equivalence of the two paths is pinned by TextSpec.
+    *
+    * The threshold is MEASURED, not guessed (round 12,
+    * `ProfileBpe threshold` at sf0.1, PROFILE_bpe_threshold.json):
+    * the two paths are at parity through 100 merges (~0.38 s vs
+    * ~0.35 s), the replace-chain falls behind at 300 (0.44 vs 0.32),
+    * is 2.6× worse at 1,000 (deep-tree analysis + codegen fallback),
+    * and fails outright at 3,000. 100 is the largest measured size
+    * where the chained expression still holds parity.
     */
-  val codegenMaxMerges = 32
+  val codegenMaxMerges = 100
 
   def bpeSegmentCounts(docs: DataFrame, merges: Seq[(String, String)],
                        codegenMax: Int = codegenMaxMerges): DataFrame = {

@@ -266,7 +266,7 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       (3L, "that hat is flat"), (4L, "chatter that rattles")).toDF("doc_id", "text")
     val m = operators.TextAnalysisQueries.bpeTrain(train, rounds = 12)
       .orderBy("round").collect().map(r => (r.getString(1), r.getString(2))).toSeq
-    assert(m.length > operators.TextAnalysisQueries.codegenMaxMerges / 4,
+    assert(m.length > 8,
       s"corpus too small to exercise stacked merges (got ${m.length})")
     val corpus = Seq((10L, "the cat chatted that chatter"), (11L, "unseen zzzq"),
       (12L, "flat oat mat rattles")).toDF("doc_id", "text")
