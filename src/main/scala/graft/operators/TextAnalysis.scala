@@ -1626,6 +1626,97 @@ object TextAnalysisQueries extends graft.QueryModule {
             .as("sample_rate"))
     }),
 
+    // T35 — GOPHER-STYLE doc-level quality rules (the published rule
+    // suite real pretraining pipelines run verbatim): word-count
+    // bounds, mean-word-length band, alphabetic-word ratio, minimum
+    // distinct stopwords — each surfaced as its own flag (a rule
+    // REPORT, so threshold tuning reads per-rule failure rates, not
+    // just the AND) plus the composed keep. Every rule is decided in
+    // EXACT integer space (3n ≤ Σlen ≤ 10n for the mean band,
+    // 5·alpha ≥ 4·n for the 0.8 ratio), so no double comparison can
+    // flip a flag between engines; the reported mean is one
+    // fixed-shape division. Map-side, codegen-friendly, zero joins —
+    // at 100 TB this is a free rider on the first corpus scan.
+    graft.QueryDef("t35_gopher_rules", Some(
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_tok,
+        |    CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_distinct(list_intersect(ws,
+        |      ['the', 'a', 'and', 'of', 'to', 'in']))) AS BIGINT) AS n_stop
+        |  FROM f)
+        |SELECT doc_id, n_tok,
+        |  CAST(sum_len AS DOUBLE) / n_tok AS mean_word_len,
+        |  n_tok BETWEEN 50 AND 100000 AS ok_word_count,
+        |  (3 * n_tok <= sum_len AND sum_len <= 10 * n_tok) AS ok_mean_len,
+        |  5 * n_alpha >= 4 * n_tok AS ok_alpha_ratio,
+        |  n_stop >= 2 AS ok_stopwords,
+        |  (n_tok BETWEEN 50 AND 100000 AND 3 * n_tok <= sum_len
+        |    AND sum_len <= 10 * n_tok AND 5 * n_alpha >= 4 * n_tok
+        |    AND n_stop >= 2) AS keep
+        |FROM m""".stripMargin))((s, d) => {
+      val ws = filter(split(trim(col("text")), "\\s+"), w => length(w) > 0)
+      val stops = array(Seq("the", "a", "and", "of", "to", "in").map(lit): _*)
+      val m = Tables.documents(s, d).select(col("doc_id"),
+        size(ws).cast(LongType).as("n_tok"),
+        aggregate(ws, lit(0L), (acc, w) => acc + length(w)).as("sum_len"),
+        size(filter(ws, w => w.rlike("[a-z]"))).cast(LongType).as("n_alpha"),
+        size(array_distinct(array_intersect(ws, stops))).cast(LongType).as("n_stop"))
+      val okWc = col("n_tok").between(50L, 100000L)
+      val okMean = (lit(3L) * col("n_tok") <= col("sum_len")) &&
+        (col("sum_len") <= lit(10L) * col("n_tok"))
+      val okAlpha = lit(5L) * col("n_alpha") >= lit(4L) * col("n_tok")
+      val okStop = col("n_stop") >= 2L
+      m.select(col("doc_id"), col("n_tok"),
+        (col("sum_len").cast(DoubleType) / col("n_tok")).as("mean_word_len"),
+        okWc.as("ok_word_count"), okMean.as("ok_mean_len"),
+        okAlpha.as("ok_alpha_ratio"), okStop.as("ok_stopwords"),
+        (okWc && okMean && okAlpha && okStop).as("keep"))
+    }),
+
+    // T36 — DATA CARD: the per-(source, language) datasheet a corpus
+    // release ships — document/token volumes, exact-duplicate rate,
+    // mean document length — assembled in ONE pass over the corpus
+    // plus the d1 hash-group frame (duplicate membership = the md5
+    // group size on normalized text, the d1 relation restated as a
+    // per-doc flag). Rates are fixed-shape divisions of exact
+    // integers. Output is O(sources × languages); duplicate-group size
+    // comes from a count window over the hash key — ONE shuffle of the
+    // doc frame (no agg+join back), and it reuses the dedup pipeline's
+    // key, so at 100 TB this co-partitions with d1.
+    graft.QueryDef("t36_data_card", Some(
+      s"""WITH h AS (
+         |  SELECT doc_id, source, lang,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+         |    md5(${Dedup.normTextSql}) AS th
+         |  FROM documents),
+         |g AS (SELECT th, count(*) AS grp FROM h GROUP BY th)
+         |SELECT h.source, h.lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(h.n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN g.grp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |  CAST(SUM(CASE WHEN g.grp > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_rate,
+         |  CAST(SUM(h.n_tok) AS DOUBLE) / count(*) AS avg_doc_tokens
+         |FROM h JOIN g USING (th)
+         |GROUP BY h.source, h.lang""".stripMargin))((s, d) => {
+      val h = Tables.documents(s, d).select(col("doc_id"), col("source"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tok"),
+        md5(Dedup.normText(col("text")).cast(BinaryType)).as("th"))
+      val isDup = when(col("grp") > 1L, 1L).otherwise(0L)
+      h.withColumn("grp", count(lit(1)).over(Window.partitionBy("th")))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(isDup).as("n_dup_docs"),
+          (sum(isDup).cast(DoubleType) / count(lit(1))).as("dup_rate"),
+          (sum(col("n_tok")).cast(DoubleType) / count(lit(1))).as("avg_doc_tokens"))
+    }),
+
     // T29 — ADAPTIVE per-language quality thresholds: each language cuts
     // its own bottom quartile of the stopword-ratio score instead of
     // sharing one global cutoff — the fix for head-language-centric
