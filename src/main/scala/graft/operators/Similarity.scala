@@ -1703,8 +1703,12 @@ object SimilarityQueries extends graft.QueryModule {
         round(lit(2.0) * log(lit(1.0) + coalesce(col("tf_window"), lit(0L)).cast(DoubleType)) * 1000000).cast(LongType) +
         round(lit(3.0) * coalesce(col("cos"), lit(0.0)) * 1000000).cast(LongType) +
         round(lit(10.0) * col("rrf") * 1000000).cast(LongType)
-      pool.join(tfF, Seq("doc_id"), "left_outer")
-        .join(cosF, Seq("doc_id"), "left_outer")
+      // Explicit broadcast hints: both feature frames are ≤ k rows by
+      // construction, but their size ESTIMATES descend from the corpus
+      // scans they probe, so without the hint Catalyst plans the tiny
+      // gather as a sort-merge join (PlanSpec pins the broadcast shape).
+      pool.join(broadcast(tfF), Seq("doc_id"), "left_outer")
+        .join(broadcast(cosF), Seq("doc_id"), "left_outer")
         .select(col("doc_id"), qs.as("qs"))
         .orderBy(col("qs").desc, col("doc_id").asc)
         .select(col("doc_id"),

@@ -198,6 +198,31 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("t35 rule report is map-side only: zero exchanges in the plan") {
+    // The Gopher rule suite must ride the corpus scan for free — any
+    // Exchange here means a rule accidentally aggregated or joined.
+    val p = plan("t35_gopher_rules")
+    assert(!p.contains("Exchange"), s"t35 shuffles:\n$p")
+  }
+
+  test("n18 feature gather never shuffles the corpus (broadcast joins only)") {
+    // The rerank stage's contract: the O(k) pool is broadcast into the
+    // document/embedding scans, and the gathered features broadcast
+    // back onto the pool — a shuffled LeftOuter join would mean a
+    // corpus-sized estimate leaked into a 10-row gather. The two
+    // FullOuter SortMergeJoins are n7's rank fusion over two ≤ 20-row
+    // frames (Spark cannot broadcast a full outer), bounded by
+    // construction — only the gather joins are pinned here.
+    val p = plan("n18_cross_rerank")
+    assert(!p.contains("SortMergeJoin LeftOuter"), s"n18 shuffled gather:\n$p")
+    assert(!p.contains("ShuffledHashJoin"), s"n18 shuffled hash join:\n$p")
+  }
+
+  test("t36 data card has no join: dup groups via a window on the hash key") {
+    val p = plan("t36_data_card")
+    assert(!p.contains("Join"), s"t36 contains a join:\n$p")
+  }
+
   test("LSH candidate joins are equality joins on band keys, not loops") {
     for (name <- Seq("d2_minhash_lsh", "d3_simhash")) {
       val p = plan(name)
