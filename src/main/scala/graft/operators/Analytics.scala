@@ -145,6 +145,67 @@ object AnalyticsQueries extends graft.QueryModule {
           to_date(date_trunc("week", col("ts"))).as("wk")))
     }),
 
+    // E6 — rolling active users (DAU / WAU / MAU): the product-health
+    // triple over the event stream. The scale-relevant choice is HOW
+    // the rolling distinct is computed: a range join (spine day ⋈
+    // events in [d-29, d]) re-scans every event ~30× through a
+    // non-equi join, while the fan-out formulation explodes the
+    // DISTINCT (user, day) frame — already ≪ events — by exactly the
+    // window width into EQUALITY keys, so each rolling distinct is one
+    // hash aggregation on (window-day) with bounded 7×/30× inflation
+    // of the small frame, co-partitioned with the daily agg. Output is
+    // one row per day in the observed range; days with no activity
+    // still row (coalesced 0) — a gap in a health dashboard must be a
+    // zero, not a missing row. The oracle replays it as the range
+    // join, so the two formulations' equivalence is itself checked.
+    graft.QueryDef("e6_active_users", Some(
+      """WITH uday AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM uday),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |dau AS (
+        |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM uday GROUP BY day),
+        |wau AS (
+        |  SELECT s.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+        |  FROM spine s JOIN uday u ON u.day BETWEEN s.day - 6 AND s.day
+        |  GROUP BY s.day),
+        |mau AS (
+        |  SELECT s.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
+        |  FROM spine s JOIN uday u ON u.day BETWEEN s.day - 29 AND s.day
+        |  GROUP BY s.day)
+        |SELECT CAST(s.day AS VARCHAR) AS day,
+        |  coalesce(dau.dau, 0) AS dau,
+        |  coalesce(wau.wau, 0) AS wau,
+        |  coalesce(mau.mau, 0) AS mau
+        |FROM spine s
+        |LEFT JOIN dau ON dau.day = s.day
+        |LEFT JOIN wau ON wau.day = s.day
+        |LEFT JOIN mau ON mau.day = s.day""".stripMargin))((s, d) => {
+      val uday = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val spine = uday.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      // A (user, day) activity contributes to window days day..day+w-1
+      // — u ∈ window(d) ⟺ u.day ∈ [d-w+1, d] — turning the range join
+      // into equality keys.
+      def rolling(w: Int, name: String) =
+        uday.select(col("user_id"),
+            explode(expr(s"sequence(day, date_add(day, ${w - 1}), interval 1 day)"))
+              .as("day"))
+          .groupBy("day").agg(countDistinct(col("user_id")).as(name))
+      val dau = uday.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+      spine.join(dau, Seq("day"), "left_outer")
+        .join(rolling(7, "wau"), Seq("day"), "left_outer")
+        .join(rolling(30, "mau"), Seq("day"), "left_outer")
+        .select(col("day").cast(StringType).as("day"),
+          coalesce(col("dau"), lit(0L)).as("dau"),
+          coalesce(col("wau"), lit(0L)).as("wau"),
+          coalesce(col("mau"), lit(0L)).as("mau"))
+    }),
+
     // S12 — SCD Type-2 history from the CDC changelog: every I/U op
     // becomes a VERSION row valid from its sequence number until the
     // next op on the same key (lead over the per-key order); a final D

@@ -57,6 +57,30 @@ class AnalyticsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("e6: active-user windows nest (dau <= wau <= mau) and the spine has no gaps") {
+    val rows = run("e6_active_users")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    // window containment: a user active today is active this week and
+    // this month — any violation means a fan-out off-by-one
+    rows.foreach { case (day, dau, wau, mau) =>
+      assert(dau <= wau && wau <= mau, s"$day: $dau/$wau/$mau not nested")
+    }
+    // the spine is contiguous days, min to max, no missing rows
+    val days = rows.map(r => java.time.LocalDate.parse(r._1))
+    days.sliding(2).foreach { p =>
+      if (p.length == 2) assert(p(0).plusDays(1) == p(1), s"gap after ${p(0)}")
+    }
+    // wau at day d is exactly the distinct union of the trailing 7
+    // dau populations — spot-verified structurally by the oracle's
+    // range-join replay; here pin the cheap lower bound max(trailing
+    // dau) <= wau
+    rows.sliding(7).foreach { w =>
+      assert(w.map(_._2).max <= w.last._3, s"wau below a trailing dau at ${w.last._1}")
+    }
+  }
+
   test("s12: version chains are contiguous; deleted keys have no current row") {
     val rows = run("s12_scd2_history").map(r =>
       (r.getLong(0), Option(r.get(1)).map(_.toString),
