@@ -681,8 +681,10 @@ object DedupQueries extends graft.QueryModule {
     * keys → (optionally occupancy-capped) band-collision candidates →
     * exact Jaccard ≥ 0.5. Parameterized so d2 (no cap), d12 (split
     * composition) and d13 (capped) all replay the ONE chain. */
-  private def minhashPairsOracleSql(corpusSql: String,
-                                    maxOcc: Option[Int]): String = {
+  /** The shared MinHash replay CTE chain (docs → grams → hashed →
+    * docsh → sigv → sigarr → bands → cand), WITHOUT the leading WITH —
+    * composable by the d2/d13 pair oracles and the d14 recall eval. */
+  private def minhashCtes(corpusSql: String, maxOcc: Option[Int]): String = {
     val hashRel = OracleHash.xxh64Rel("SELECT DISTINCT unnest(g) AS tok FROM grams")
     val candSrc = maxOcc match {
       case Some(cap) =>
@@ -698,7 +700,7 @@ object DedupQueries extends graft.QueryModule {
           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
     }
-    s"""WITH docs AS ($corpusSql),
+    s"""docs AS ($corpusSql),
        |grams AS (
        |  SELECT doc_id, $shingles3Sql AS g
        |  FROM (SELECT doc_id, string_split($normTextSql, ' ') AS words FROM docs
@@ -715,7 +717,12 @@ object DedupQueries extends graft.QueryModule {
        |  SELECT doc_id, b || '-' || array_to_string(
        |    list_transform(list_slice(sig, b*4+1, b*4+4), v -> CAST(v AS VARCHAR)), ':') AS band
        |  FROM sigarr, generate_series(0, 7) _(b)),
-       |$candSrc
+       |$candSrc""".stripMargin
+  }
+
+  private def minhashPairsOracleSql(corpusSql: String,
+                                    maxOcc: Option[Int]): String = {
+    s"""WITH ${minhashCtes(corpusSql, maxOcc)}
        |SELECT c.doc_a, c.doc_b,
        |  CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) /
        |    (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))) AS jaccard
@@ -1006,6 +1013,98 @@ object DedupQueries extends graft.QueryModule {
           .select((col("i") + 2000000).cast(LongType).as("doc_id"), col("text")))
       minhashPairsCapped(buildMinhashIndex(corpus), threshold = 0.5,
         maxBandOccupancy = 8)
+    }),
+
+    // D14 — LSH RECALL/PRECISION EVAL: the dedup-tuning dial that
+    // answers "what does the band structure MISS" — the d2 pipeline's
+    // twin of n15's ANN recall eval. Ground truth is the EXHAUSTIVE
+    // exact-Jaccard pair set (shingle inverted index: a pair with no
+    // shared shingle has J = 0, so postings cover the truth), scored
+    // against the band-join candidate set at thresholds {0.5, 0.6,
+    // 0.7, 0.8}: recall = truth pairs the bands surfaced; precision =
+    // candidates that are true at θ. The corpus is a bounded slice
+    // (doc_id < 300 + the near probes), the t32 discipline: an
+    // exhaustive-truth EVAL is a sampled audit by nature — at 100 TB
+    // you run it on a slice to pick (bands, rows), then run the tuned
+    // LSH on the corpus; the posting-list join is the same
+    // equality-join shape as the band join itself. Counts are exact
+    // ints, ratios fixed-shape divisions.
+    graft.QueryDef("d14_lsh_recall_eval", Some {
+      val evalCorpusSql =
+        """SELECT doc_id, text FROM documents WHERE doc_id < 300
+          |UNION ALL
+          |SELECT doc_id + 1000000 AS doc_id, text || ' zz0 zz1 zz2' AS text
+          |FROM documents WHERE doc_id >= 10 AND doc_id < 20""".stripMargin
+      val jac = """CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) /
+                  |    (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)))""".stripMargin
+      s"""WITH ${minhashCtes(evalCorpusSql, maxOcc = None)},
+         |jc AS (
+         |  SELECT c.doc_a, c.doc_b, $jac AS jaccard
+         |  FROM cand c
+         |  JOIN grams ga ON ga.doc_id = c.doc_a
+         |  JOIN grams gb ON gb.doc_id = c.doc_b),
+         |truth AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM docsh x JOIN docsh y ON x.tok = y.tok AND y.doc_id > x.doc_id),
+         |jt AS (
+         |  SELECT t.doc_a, t.doc_b, $jac AS jaccard,
+         |    (c.doc_a IS NOT NULL) AS in_cand
+         |  FROM truth t
+         |  JOIN grams ga ON ga.doc_id = t.doc_a
+         |  JOIN grams gb ON gb.doc_id = t.doc_b
+         |  LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+         |  WHERE $jac >= 0.5),
+         |th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8]) AS threshold),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+         |tstats AS (
+         |  SELECT th.threshold,
+         |    CAST(coalesce(SUM(CASE WHEN jt.jaccard >= th.threshold THEN 1 END), 0) AS BIGINT) AS n_true,
+         |    CAST(coalesce(SUM(CASE WHEN jt.jaccard >= th.threshold AND jt.in_cand THEN 1 END), 0) AS BIGINT) AS n_found
+         |  FROM th, jt GROUP BY th.threshold),
+         |pstats AS (
+         |  SELECT th.threshold,
+         |    CAST(coalesce(SUM(CASE WHEN jc.jaccard >= th.threshold THEN 1 END), 0) AS BIGINT) AS n_cand_true
+         |  FROM th, jc GROUP BY th.threshold)
+         |SELECT t.threshold, nc.n_cand, t.n_true, t.n_found,
+         |  CAST(t.n_found AS DOUBLE) / t.n_true AS recall,
+         |  CAST(p.n_cand_true AS DOUBLE) / nc.n_cand AS precision_at
+         |FROM tstats t JOIN pstats p ON p.threshold = t.threshold, nc""".stripMargin
+    })((s, d) => {
+      val docs = Tables.documents(s, d).where(col("doc_id") < 300)
+      val index = buildMinhashIndex(withNearProbes(docs))
+      // All band candidates WITH their exact Jaccard (threshold 0 = no cut)
+      val cand = minhashPairs(index, threshold = 0.0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val docsh = index.sigs.select(col("doc_id"), explode(col("sh")).as("tok"))
+      val truthPairs = docsh.as("x")
+        .join(docsh.as("y"),
+          col("x.tok") === col("y.tok") && col("y.doc_id") > col("x.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val jt = verifyJaccard(truthPairs, index.sigs, threshold = 0.5)
+        .join(cand.select(col("doc_a"), col("doc_b"), lit(true).as("in_cand")),
+          Seq("doc_a", "doc_b"), "left_outer")
+        .na.fill(false, Seq("in_cand"))
+      val th = org.apache.spark.sql.functions.explode(
+        array(Seq(0.5, 0.6, 0.7, 0.8).map(lit): _*)).as("threshold")
+      val thF = index.sigs.sparkSession.range(1).select(th)
+      val tstats = jt.join(broadcast(thF))
+        .groupBy("threshold").agg(
+          sum(when(col("jaccard") >= col("threshold"), 1L).otherwise(0L)).as("n_true"),
+          sum(when(col("jaccard") >= col("threshold") && col("in_cand"), 1L)
+            .otherwise(0L)).as("n_found"))
+      val pstats = cand.join(broadcast(thF))
+        .groupBy("threshold").agg(
+          sum(when(col("jaccard") >= col("threshold"), 1L).otherwise(0L)).as("n_cand_true"))
+      val nc = cand.agg(count(lit(1)).as("n_cand"))
+      val out = tstats.join(pstats, Seq("threshold")).join(broadcast(nc))
+        .select(col("threshold"), col("n_cand"), col("n_true"), col("n_found"),
+          (col("n_found").cast(DoubleType) / col("n_true")).as("recall"),
+          (col("n_cand_true").cast(DoubleType) / col("n_cand")).as("precision_at"))
+      val local = out.collectAsList()
+      cand.unpersist()
+      index.unpersist()
+      s.createDataFrame(local, out.schema)
     }),
 
     // D12 — split-leakage report: the d2 near-dup pair set composed

@@ -577,4 +577,17 @@ object Streams {
     graft.operators.AnalyticsQueries.cohortTriangle(
       firstSeen, parts.select("user_id", "wk"))
   }
+
+  // Scoped out, deliberately: an incremental twin of the ORDERED e4
+  // funnel. Retention decomposes because min() is merge-associative —
+  // per-batch (user, week, min ts) is a bounded sufficient statistic.
+  // The funnel's stage-2 statistic, min click ts >= t1, is NOT
+  // mergeable from bounded per-batch aggregates: t1 itself can
+  // decrease when a later batch delivers an earlier view, retro-
+  // qualifying clicks that a per-batch min already discarded (any
+  // time-bucketed min has the same blind spot inside t1's bucket).
+  // The exact incremental form needs the per-user event log — which
+  // is just the batch e4 over an appended store. Run e4 over the
+  // accumulating events table instead of pretending a rollup can
+  // carry it.
 }
