@@ -81,6 +81,39 @@ object AnalyticsQueries extends graft.QueryModule {
       .groupBy("cohort_week", "week_offset")
       .agg(countDistinct(col("user_id")).as("n_users"))
 
+  /** Growth accounting over an events frame with (user_id, ts): weekly
+    * NEW / RETAINED / RESURRECTED / CHURNED counts (see the e7 QueryDef
+    * for semantics and scale shape). Exposed for direct testing of the
+    * classification and churn-boundary rules on synthetic streams. */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val uw = events
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy(col("wk"))
+    val m = uw
+      .withColumn("prev", lag(col("wk"), 1).over(w))
+      .withColumn("nxt", lead(col("wk"), 1).over(w))
+    val bounds = uw.agg(min(col("wk")).as("w0"), max(col("wk")).as("w1"))
+    val spine = bounds
+      .select(explode(expr("sequence(w0, w1, interval 7 day)")).as("wk"))
+    val act = m.groupBy("wk").agg(
+      count(when(col("prev").isNull, 1)).as("n_new"),
+      count(when(datediff(col("wk"), col("prev")) === 7, 1)).as("n_retained"),
+      count(when(datediff(col("wk"), col("prev")) > 7, 1)).as("n_resurrected"))
+    val chn = m.join(broadcast(bounds))
+      .where((col("nxt").isNull || datediff(col("nxt"), col("wk")) > 7) &&
+        date_add(col("wk"), 7) <= col("w1"))
+      .select(date_add(col("wk"), 7).as("wk"))
+      .groupBy("wk").agg(count(lit(1)).as("n_churned"))
+    spine.join(act, Seq("wk"), "left_outer")
+      .join(chn, Seq("wk"), "left_outer")
+      .select(col("wk").cast(StringType).as("week"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
+
   def defs: Seq[graft.QueryDef] = Seq(
 
     // E4 — ORDERED event funnel (view → click → purchase): a user
@@ -205,6 +238,56 @@ object AnalyticsQueries extends graft.QueryModule {
           coalesce(col("wau"), lit(0L)).as("wau"),
           coalesce(col("mau"), lit(0L)).as("mau"))
     }),
+
+    // E7 — growth accounting (weekly user lifecycle): every active
+    // (user, week) is classified NEW (no prior activity), RETAINED
+    // (active the immediately preceding week) or RESURRECTED (a gap of
+    // ≥2 weeks), and CHURNED rows at week w count users active in w-7
+    // with no activity in w — the standard startup growth-accounting
+    // identity (active(w) = new + retained + resurrected; churned(w) =
+    // active(w-7) - retained(w)). The scale shape is ONE window over
+    // the distinct (user, week) frame — already ≪ events — partitioned
+    // by user_id (high-cardinality, unskewed), so lag/lead run without
+    // any global sort; the per-week rollup is O(weeks) and the spine
+    // left-joins zero-fill gap weeks (a dashboard gap must be a 0, not
+    // a missing row). Churn at the final week + 7 is out of the
+    // observation range and excluded via the 1-row broadcast bounds
+    // join — weeks beyond max(wk) are unobservable, not zero.
+    graft.QueryDef("e7_growth_accounting", Some(
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, wk,
+        |    lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev,
+        |    lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS nxt
+        |  FROM uw),
+        |b AS (SELECT min(wk) AS w0, max(wk) AS w1 FROM uw),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(w0, w1, INTERVAL 7 DAY)) AS DATE) AS wk
+        |  FROM b),
+        |act AS (
+        |  SELECT wk,
+        |    CAST(count(*) FILTER (WHERE prev IS NULL) AS BIGINT) AS n_new,
+        |    CAST(count(*) FILTER (WHERE datediff('day', prev, wk) = 7) AS BIGINT)
+        |      AS n_retained,
+        |    CAST(count(*) FILTER (WHERE datediff('day', prev, wk) > 7) AS BIGINT)
+        |      AS n_resurrected
+        |  FROM m GROUP BY 1),
+        |chn AS (
+        |  SELECT wk + 7 AS wk, CAST(count(*) AS BIGINT) AS n_churned
+        |  FROM m WHERE (nxt IS NULL OR datediff('day', wk, nxt) > 7)
+        |    AND wk + 7 <= (SELECT w1 FROM b)
+        |  GROUP BY 1)
+        |SELECT CAST(s.wk AS VARCHAR) AS week,
+        |  coalesce(a.n_new, 0) AS n_new,
+        |  coalesce(a.n_retained, 0) AS n_retained,
+        |  coalesce(a.n_resurrected, 0) AS n_resurrected,
+        |  coalesce(c.n_churned, 0) AS n_churned
+        |FROM spine s
+        |LEFT JOIN act a ON a.wk = s.wk
+        |LEFT JOIN chn c ON c.wk = s.wk""".stripMargin))((s, d) =>
+      growthAccounting(Tables.events(s, d))),
 
     // S12 — SCD Type-2 history from the CDC changelog: every I/U op
     // becomes a VERSION row valid from its sequence number until the

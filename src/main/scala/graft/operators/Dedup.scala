@@ -1177,6 +1177,44 @@ object DedupQueries extends graft.QueryModule {
     graft.QueryDef("d6b_clusters_fast", Some(d6OracleSql))((s, d) =>
       connectedComponentsFast(d6PairGraph(s, d))),
 
+    // D15 — SOFT dedup (duplication-aware reweighting): instead of
+    // dropping non-representative cluster members (d7's hard apply),
+    // every document keeps weight 1/|cluster| — a cluster's total
+    // sampling mass is exactly one document's, the reweighting-style
+    // alternative real pretraining pipelines use when near-duplicates
+    // carry complementary fragments worth keeping at reduced rate.
+    // Rides the SAME component resolution as d6/d6b (pointer-jumping,
+    // O(log d) rounds); docs outside any cluster surface as singletons
+    // with weight 1 — a sampling plan must account for every document,
+    // the n17 singleton discipline. Scale shape: the size rollup is
+    // O(clusters) and BROADCASTS back onto the cluster frame; the only
+    // O(corpus) exchange is the doc_id left join of labels onto the
+    // corpus. weight is ONE fixed-shape double division of exact ints,
+    // so the hash gate holds bit for bit. Oracle: the d6 recursive-CTE
+    // resolution nested as a subquery (the d12 composition pattern) +
+    // an independent size/weight rollup.
+    graft.QueryDef("d15_soft_dedup_weights", Some(
+      s"""WITH c AS ($d6OracleSql),
+         |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csize
+         |       FROM c GROUP BY 1),
+         |f AS (
+         |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id)
+         |SELECT f.doc_id, f.cluster,
+         |  coalesce(sz.csize, 1) AS csize,
+         |  CAST(1 AS DOUBLE) / CAST(coalesce(sz.csize, 1) AS DOUBLE) AS weight
+         |FROM f LEFT JOIN sz ON sz.cluster = f.cluster""".stripMargin))((s, d) => {
+      val c = connectedComponentsFast(d6PairGraph(s, d))
+      val sz = c.groupBy("cluster").agg(count(lit(1)).as("csize"))
+      val f = Tables.documents(s, d).select(col("doc_id"))
+        .join(c, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      f.join(broadcast(sz), Seq("cluster"), "left_outer")
+        .select(col("doc_id"), col("cluster"),
+          coalesce(col("csize"), lit(1L)).as("csize"),
+          (lit(1.0) / coalesce(col("csize"), lit(1L)).cast(DoubleType)).as("weight"))
+    }),
+
     // D7 — the dedup pipeline APPLIED end-to-end: exact-hash pairs →
     // connected components → drop non-representative members → the kept
     // corpus, as an anti-join (what a training pipeline actually ships).

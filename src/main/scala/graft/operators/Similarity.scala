@@ -1265,6 +1265,29 @@ object SimilarityQueries extends graft.QueryModule {
   private lazy val n16OracleSql: String =
     s"WITH $knnGraphCtes\nSELECT query_id, vec_id, cos FROM graph"
 
+  /** n19's oracle: the SAME graph replay, neighbor labels gathered,
+    * majority vote with the (votes DESC, label ASC) tie-break replayed
+    * as a window, true label joined back — every prediction
+    * value-checked. */
+  private lazy val n19OracleSql: String =
+    s"""WITH $knnGraphCtes,
+       |votes AS (
+       |  SELECT g.query_id, e.label AS lbl, CAST(count(*) AS BIGINT) AS n_votes
+       |  FROM graph g JOIN embeddings e ON e.vec_id = g.vec_id
+       |  GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT query_id, lbl, n_votes FROM (
+       |    SELECT query_id, lbl, n_votes, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY n_votes DESC, lbl ASC) AS rn
+       |    FROM votes)
+       |  WHERE rn = 1)
+       |SELECT CAST(p.query_id AS BIGINT) AS vec_id,
+       |  CAST(e.label AS INTEGER) AS true_label,
+       |  CAST(p.lbl AS INTEGER) AS pred_label,
+       |  p.n_votes,
+       |  (p.lbl = e.label) AS correct
+       |FROM pred p JOIN embeddings e ON e.vec_id = p.query_id""".stripMargin
+
   /** n17's oracle: the SAME graph replay, mutual edges kept via the
     * transpose join, components resolved INDEPENDENTLY by a recursive
     * CTE (min reachable id per node — the d6 pattern), singletons
@@ -1838,6 +1861,38 @@ object SimilarityQueries extends graft.QueryModule {
     graft.QueryDef("n17_mutual_knn_clusters", Some(n17OracleSql))((s, d) => {
       val index = buildIvfIndex(Tables.embeddings(s, d))
       val out = mutualKnnClusters(index, k = 5, nProbe = 2)
+      val local = out.collectAsList()
+      index.unpersist()
+      s.createDataFrame(local, out.schema)
+    }),
+
+    // N19 — kNN LABEL PROPAGATION: every vector receives the majority
+    // label of its 5 approximate nearest neighbors (IVF probe path) —
+    // the cheap semi-supervised classifier real curation stacks use to
+    // spread a small set of human quality/domain labels across an
+    // unlabeled corpus (and, run over already-labeled data as here, a
+    // label-consistency audit: `correct` is the leave-one-out
+    // agreement flag). Rides the n16 graph VERBATIM — the only
+    // additions are one label gather join on the neighbor id (the n18
+    // store-gather shape: the corpus is probed, never reshuffled), an
+    // O(N·labels) vote agg, and a per-query argmax window with a
+    // deterministic (votes DESC, label ASC) tie-break. FULL oracle:
+    // graph replay + vote + tie-break + truth join, value for value.
+    graft.QueryDef("n19_knn_label_propagation", Some(n19OracleSql))((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val index = buildIvfIndex(emb)
+      val graph = knnGraph(index, k = 5, nProbe = 2)
+      val votes = graph
+        .join(emb.select(col("vec_id"), col("label").as("lbl")), Seq("vec_id"))
+        .groupBy("query_id", "lbl").agg(count(lit(1)).as("n_votes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("n_votes").desc, col("lbl").asc)
+      val out = votes.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("query_id").as("vec_id"), col("lbl").as("pred_label"),
+          col("n_votes"))
+        .join(emb.select(col("vec_id"), col("label").as("true_label")), Seq("vec_id"))
+        .select(col("vec_id"), col("true_label"), col("pred_label"), col("n_votes"),
+          (col("pred_label") === col("true_label")).as("correct"))
       val local = out.collectAsList()
       index.unpersist()
       s.createDataFrame(local, out.schema)

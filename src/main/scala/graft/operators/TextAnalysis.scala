@@ -1717,6 +1717,140 @@ object TextAnalysisQueries extends graft.QueryModule {
           (sum(col("n_tok")).cast(DoubleType) / count(lit(1))).as("avg_doc_tokens"))
     }),
 
+    // T37 — per-source N-GRAM DUPLICATION report: the corpus-health
+    // metric behind n-gram dedup tuning — for each source, how much of
+    // its 10-gram mass is duplicated (within the corpus) and how much
+    // is shared with ANOTHER source (cross-source contamination, the
+    // signal that a source is an aggregator/mirror). Planted
+    // duplication makes the report non-degenerate at every sf: docs at
+    // % 37 re-emitted under their own source (intra-source mass), docs
+    // at % 41 re-emitted under a synthetic aggregator source 'srcX'
+    // (cross-source mass). Scale shape: the engine shuffles the 8-byte
+    // xxhash64 of each gram, never the string (the d11 key
+    // discipline); one (source, gram) count, one gram-level source
+    // count that co-partitions with it, one O(sources) rollup. The
+    // oracle recomputes over RAW gram strings — no hash emulation — so
+    // rows+hash agreement also certifies the hashed key introduced no
+    // collision at this sf. Rates are fixed-shape divisions of exact
+    // ints.
+    graft.QueryDef("t37_ngram_dup_report", Some(
+      s"""WITH docs AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 3000000, source, text FROM documents
+         |  WHERE doc_id % 37 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 4000000, 'srcX', text FROM documents
+         |  WHERE doc_id % 41 = 0),
+         |toks AS (
+         |  SELECT source, string_split(${Dedup.normTextSql}, ' ') AS ws FROM docs),
+         |wins AS (
+         |  SELECT source, array_to_string(list_slice(ws, s, s + 9), ' ') AS gram
+         |  FROM (SELECT source, ws, unnest(generate_series(1, len(ws) - 9)) AS s
+         |        FROM toks WHERE len(ws) >= 10)),
+         |gc AS (SELECT source, gram, count(*) AS occ FROM wins GROUP BY 1, 2),
+         |gs AS (SELECT gram, count(*) AS n_sources FROM gc GROUP BY 1)
+         |SELECT gc.source,
+         |  CAST(SUM(gc.occ) AS BIGINT) AS n_gram_occ,
+         |  CAST(count(*) AS BIGINT) AS n_gram_distinct,
+         |  CAST(SUM(gc.occ) - count(*) AS DOUBLE) / SUM(gc.occ) AS dup_rate,
+         |  CAST(coalesce(SUM(CASE WHEN gs.n_sources > 1 THEN gc.occ END), 0)
+         |    AS BIGINT) AS n_cross_occ,
+         |  CAST(coalesce(SUM(CASE WHEN gs.n_sources > 1 THEN gc.occ END), 0)
+         |    AS DOUBLE) / SUM(gc.occ) AS cross_rate
+         |FROM gc JOIN gs USING (gram)
+         |GROUP BY 1""".stripMargin))((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      val corpus = docs
+        .unionByName(docs.where(col("doc_id") % 37 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("source"), col("text")))
+        .unionByName(docs.where(col("doc_id") % 41 === 0)
+          .select((col("doc_id") + 4000000L).as("doc_id"),
+            lit("srcX").as("source"), col("text")))
+      val wins = corpus
+        .select(col("source"), split(Dedup.normText(col("text")), " ").as("w"))
+        .where(size(col("w")) >= 10)
+        .select(col("source"), explode(expr("sequence(1, size(w) - 9)")).as("p"),
+          col("w"))
+        .select(col("source"),
+          xxhash64(array_join(slice(col("w"), col("p"), lit(10)), " ")).as("g"))
+      val gc = wins.groupBy("source", "g").agg(count(lit(1)).as("occ"))
+      val gs = gc.groupBy("g").agg(count(lit(1)).as("n_sources"))
+      gc.join(gs, Seq("g"))
+        .groupBy("source")
+        .agg(sum(col("occ")).as("n_gram_occ"),
+          count(lit(1)).as("n_gram_distinct"),
+          sum(when(col("n_sources") > 1, col("occ")).otherwise(0L)).as("n_cross_occ"))
+        .select(col("source"), col("n_gram_occ"), col("n_gram_distinct"),
+          ((col("n_gram_occ") - col("n_gram_distinct")).cast(DoubleType) /
+            col("n_gram_occ")).as("dup_rate"),
+          col("n_cross_occ"),
+          (col("n_cross_occ").cast(DoubleType) / col("n_gram_occ")).as("cross_rate"))
+    }),
+
+    // T38 — quality-decile CURRICULUM plan via a DISTRIBUTED NTILE:
+    // docs rank globally by (token count, doc_id) and split into 10
+    // equal-depth bins — the per-bin doc/token masses a curriculum or
+    // quality-mixing schedule consumes. The point is HOW the rank is
+    // computed: Spark's own ntile() over a global ORDER BY collapses
+    // the corpus into ONE partition (a non-starter at 100 TB), so the
+    // engine derives the identical rank distributively — a key
+    // histogram (one agg, O(distinct keys)), a cumulative window over
+    // the HISTOGRAM rows only (the t29 discipline: never over docs), a
+    // broadcast join of per-key offsets back onto the corpus, and a
+    // row_number PARTITIONED by key for the intra-key order — then
+    // applies NTILE's exact remainder arithmetic (first n mod k bins
+    // get the extra row) in integer space. The oracle uses DuckDB's
+    // native NTILE(10), so the distributed formulation is proven
+    // equivalent to the single-node primitive value for value.
+    graft.QueryDef("t38_quality_ntile_plan", Some(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, ntok, NTILE(10) OVER (ORDER BY ntok, doc_id) AS bin
+        |  FROM t)
+        |SELECT CAST(bin AS INTEGER) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(ntok) AS min_tokens, max(ntok) AS max_tokens,
+        |  CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(ntok) AS DOUBLE) / count(*) AS avg_tokens
+        |FROM b GROUP BY 1""".stripMargin))((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("ntok"))
+      val hist = docs.groupBy("ntok").agg(count(lit(1)).as("c"))
+      // Cumulative offsets over the O(distinct keys) histogram only —
+      // the single-partition window never sees the corpus.
+      val wHist = Window.orderBy("ntok")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = hist
+        .withColumn("before", coalesce(sum(col("c")).over(wHist), lit(0L)))
+        .select("ntok", "before")
+      val total = docs.agg(count(lit(1)).as("n"))
+      val ranked = docs
+        .withColumn("rn", row_number()
+          .over(Window.partitionBy("ntok").orderBy("doc_id")).cast(LongType))
+        .join(broadcast(offsets), Seq("ntok"))
+        .join(broadcast(total))
+        .withColumn("rank", col("before") + col("rn"))
+      // NTILE(k): n_big = n mod k buckets of size (n div k + 1) lead,
+      // the rest have size n div k — the standard remainder-first law.
+      val binned = ranked
+        .withColumn("bin", expr(
+          """CASE WHEN rank <= (n % 10) * ((n div 10) + 1)
+            |  THEN (rank - 1) div ((n div 10) + 1) + 1
+            |  ELSE (n % 10) +
+            |    (rank - (n % 10) * ((n div 10) + 1) - 1) div (n div 10) + 1
+            |END""".stripMargin).cast(IntegerType))
+      binned.groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("ntok")).as("min_tokens"),
+          max(col("ntok")).as("max_tokens"),
+          sum(col("ntok")).as("sum_tokens"),
+          (sum(col("ntok")).cast(DoubleType) / count(lit(1))).as("avg_tokens"))
+    }),
+
     // T29 — ADAPTIVE per-language quality thresholds: each language cuts
     // its own bottom quartile of the stopword-ratio score instead of
     // sharing one global cutoff — the fix for head-language-centric

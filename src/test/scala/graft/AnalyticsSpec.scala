@@ -81,6 +81,52 @@ class AnalyticsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("e7: growth-accounting identity holds week over week") {
+    val rows = run("e7_growth_accounting")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    // weekly spine is contiguous Mondays
+    val weeks = rows.map(r => java.time.LocalDate.parse(r._1))
+    weeks.sliding(2).foreach { p =>
+      if (p.length == 2) assert(p(0).plusDays(7) == p(1), s"gap after ${p(0)}")
+    }
+    // the growth-accounting identity: churned(w) = active(w-7) - retained(w)
+    // (a user active last week either retains or churns — no third door)
+    rows.sliding(2).foreach { p =>
+      if (p.length == 2) {
+        val activePrev = p(0)._2 + p(0)._3 + p(0)._4
+        assert(p(1)._5 == activePrev - p(1)._3,
+          s"churn identity broken at ${p(1)._1}")
+      }
+    }
+    // first week is all-new by definition, and nothing can churn there
+    assert(rows.head._3 == 0L && rows.head._4 == 0L && rows.head._5 == 0L)
+  }
+
+  test("e7: classification and churn boundary on a synthetic stream") {
+    import spark.implicits._
+    // user 1 active weeks 1,2,4 of Jan 2024 (Mondays 1st, 8th, 22nd):
+    // new@w1, retained@w2, churned@w3, resurrected@w4; the would-be
+    // churn at w5 is beyond max(wk) and must NOT row.
+    // user 2 active w1 only: new@w1, churned@w2.
+    val e = Seq(
+      (1L, "2024-01-02 10:00:00"), (1L, "2024-01-10 10:00:00"),
+      (1L, "2024-01-25 10:00:00"), (2L, "2024-01-03 09:00:00"))
+      .map { case (u, t) => (u, java.sql.Timestamp.valueOf(t)) }
+      .toDF("user_id", "ts")
+    val out = operators.AnalyticsQueries.growthAccounting(e)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out == Map(
+      "2024-01-01" -> ((2L, 0L, 0L, 0L)),
+      "2024-01-08" -> ((0L, 1L, 0L, 1L)),
+      "2024-01-15" -> ((0L, 0L, 0L, 1L)),
+      "2024-01-22" -> ((0L, 0L, 1L, 0L))))
+  }
+
   test("s12: version chains are contiguous; deleted keys have no current row") {
     val rows = run("s12_scd2_history").map(r =>
       (r.getLong(0), Option(r.get(1)).map(_.toString),

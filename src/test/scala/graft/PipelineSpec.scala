@@ -738,4 +738,76 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       .count()
     assert(total == expect)
   }
+
+  test("d15: soft-dedup weights — every doc once, cluster mass sums to 1") {
+    val rows = SparkEntry.queries("d15_soft_dedup_weights")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.length == n && rows.map(_._1).distinct.length == n)
+    rows.foreach { case (_, _, csize, w) =>
+      assert(csize >= 1L && w > 0.0 && w <= 1.0)
+      assert(math.abs(w - 1.0 / csize) == 0.0) // the exact division shape
+    }
+    // each cluster's total sampling mass is exactly one document's
+    rows.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.map(_._3).distinct.length == 1, s"csize disagrees in $cl")
+      assert(members.length == members.head._3, s"csize wrong for $cl")
+      assert(math.abs(members.map(_._4).sum - 1.0) < 1e-9, s"mass != 1 for $cl")
+    }
+  }
+
+  test("t37: planted aggregator source is 100% cross-duplicated") {
+    val rows = SparkEntry.queries("t37_ngram_dup_report")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // srcX re-emits other sources' docs verbatim, so EVERY srcX gram
+    // also lives under its original source: cross mass is total
+    val (occ, dist, dup, cross, crossRate) = rows("srcX")
+    assert(cross == occ && crossRate == 1.0)
+    assert(dup >= 0.0 && dist <= occ)
+    // dup_rate is the fixed-shape (occ-dist)/occ division everywhere
+    rows.values.foreach { case (o, di, dr, _, cr) =>
+      assert(dr == (o - di).toDouble / o && cr >= 0.0 && cr <= 1.0)
+    }
+    // the %37 self-clones make intra-source duplication non-degenerate
+    assert(rows.exists { case (s, v) => s != "srcX" && v._3 > 0.0 })
+  }
+
+  test("t38: distributed NTILE partitions the corpus into balanced ordered bins") {
+    val rows = SparkEntry.queries("t38_quality_ntile_plan")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(rows.map(_._1) == (1 to 10))
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum == n)
+    // equal depth to within 1 row, remainder on the leading bins
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1L && sizes.sorted.reverse == sizes)
+    // bins are ordered ranges of the sort key
+    rows.sliding(2).foreach { p =>
+      if (p.length == 2) assert(p(0)._4 <= p(1)._3,
+        s"bin ${p(0)._1} overlaps bin ${p(1)._1}")
+    }
+  }
+
+  test("n19: every vector is classified; votes bounded by k; ties break low") {
+    val rows = SparkEntry.queries("n19_knn_label_propagation")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getBoolean(4)))
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.length == n && rows.map(_._1).distinct.length == n)
+    rows.foreach { case (_, t, p, votes, correct) =>
+      assert(votes >= 1L && votes <= 5L)
+      assert(correct == (t == p))
+    }
+    // the majority label must carry a plurality: no OTHER label among
+    // the 5 neighbors can exceed the winner, so votes >= ceil(5/labels)
+    val nLabels = Tables.embeddings(spark, sf)
+      .select("label").distinct().count().toInt
+    val floorVotes = (5 + nLabels - 1) / nLabels
+    assert(rows.forall(_._4 >= floorVotes))
+  }
 }
