@@ -193,9 +193,30 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     // stops seeing it, the walker is broken, not the plans.
     assert(globalWindows("a11_window_totals").nonEmpty,
       "plan walker no longer sees known global windows — vacuous test")
-    for (name <- Seq("t6_pack_sequences", "e1_sessionize")) {
+    for (name <- Seq("t6_pack_sequences", "e1_sessionize",
+        "e7_growth_accounting")) {
       assert(globalWindows(name).isEmpty, s"$name: unpartitioned Window in plan")
     }
+    // t38's ONLY global window must sit on the key histogram (post-agg,
+    // O(distinct keys)) — the corpus-side rank window stays partitioned.
+    // One global WindowExec is the design; two would mean the corpus
+    // leaked into a single task.
+    assert(globalWindows("t38_quality_ntile_plan").length == 1,
+      "t38: histogram window count drifted")
+  }
+
+  test("d15/t38: small-side rollups broadcast back onto the corpus") {
+    // d15: the O(clusters) size rollup must broadcast; a shuffled join
+    // here would re-exchange the corpus for a frame thousands of times
+    // smaller.
+    assert(plan("d15_soft_dedup_weights").contains("BroadcastHashJoin"),
+      "d15: size rollup not broadcast")
+    // t38: per-key offsets and the 1-row total broadcast onto the
+    // corpus — any SortMergeJoin means the histogram join degraded to
+    // a corpus shuffle.
+    val p = plan("t38_quality_ntile_plan")
+    assert(p.contains("BroadcastHashJoin"), "t38: offsets join not broadcast")
+    assert(!p.contains("SortMergeJoin"), s"t38: corpus-side shuffled join:\n$p")
   }
 
   test("t35 rule report is map-side only: zero exchanges in the plan") {
