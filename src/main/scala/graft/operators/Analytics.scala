@@ -85,10 +85,19 @@ object AnalyticsQueries extends graft.QueryModule {
     * NEW / RETAINED / RESURRECTED / CHURNED counts (see the e7 QueryDef
     * for semantics and scale shape). Exposed for direct testing of the
     * classification and churn-boundary rules on synthetic streams. */
-  def growthAccounting(events: DataFrame): DataFrame = {
-    val uw = events
+  def growthAccounting(events: DataFrame): DataFrame =
+    growthFromUserWeeks(events
       .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
-      .distinct()
+      .distinct())
+
+  /** The growth rollup from an already-distinct (user_id, wk: Monday
+    * DATE) activity frame — shared with the streaming read path
+    * (Streams.readGrowthAccounting), which feeds it the SAME
+    * (user, week) sufficient statistic the e5 cohort partials carry,
+    * so batch/stream equivalence holds by construction (the
+    * cohortTriangle discipline). */
+  def growthFromUserWeeks(userWeeks: DataFrame): DataFrame = {
+    val uw = userWeeks.select("user_id", "wk").distinct()
     val w = Window.partitionBy("user_id").orderBy(col("wk"))
     val m = uw
       .withColumn("prev", lag(col("wk"), 1).over(w))
@@ -288,6 +297,58 @@ object AnalyticsQueries extends graft.QueryModule {
         |LEFT JOIN act a ON a.wk = s.wk
         |LEFT JOIN chn c ON c.wk = s.wk""".stripMargin))((s, d) =>
       growthAccounting(Tables.events(s, d))),
+
+    // E8 — half-life DECAYED activity score per user (the RFM-style
+    // recency-weighted engagement feature): each event contributes
+    // 2^(-age_weeks) with a one-week half-life, so recent activity
+    // dominates and stale users decay toward 0. The determinism trick
+    // makes it hash-gateable where exp-decay never could be: dyadic
+    // weights ONLY — the per-event weight is the exact integer
+    // 2^(30-k), k = min(age div 7, 30) (ages past 30 half-lives clamp
+    // to the quantization floor), summed in integer space and divided
+    // by 2^30 once at the end, so no float accumulates in any order.
+    // asof = max event day (derived, never current_date — the Verify
+    // gotcha), joined as a 1-row broadcast. One user_id hash agg over
+    // map-side weights; O(users) output. The BIGINT sum rides the e4
+    // decimal accumulator with the loud-overflow guard (weights reach
+    // 2^30, so ~2^33 events could wrap a raw long).
+    // (`anchor`, not `asof` — ASOF is a reserved word in the oracle's
+    // SQL dialect and an unquoted alias fails to parse.)
+    graft.QueryDef("e8_decayed_activity", Some(
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |a AS (SELECT max(e.day) AS anchor FROM e),
+        |w AS (
+        |  SELECT user_id, e.day,
+        |    (CAST(1 AS BIGINT) <<
+        |      CAST(30 - least(datediff('day', e.day, anchor) // 7, 30) AS INTEGER))
+        |      AS ws
+        |  FROM e, a)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(w.day) AS VARCHAR) AS last_day,
+        |  CAST(SUM(ws) AS BIGINT) AS decayed_scaled,
+        |  CAST(SUM(ws) AS DOUBLE) / 1073741824.0 AS decayed_score
+        |FROM w GROUP BY 1""".stripMargin))((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val asof = e.agg(max(col("day")).as("anchor"))
+      val dec = sum(col("ws").cast(DecimalType(38, 0)))
+      val scaled = when(dec.between(lit(Long.MinValue), lit(Long.MaxValue)),
+        dec.cast(LongType))
+        .otherwise(raise_error(concat(
+          lit("decayed_scaled overflows BIGINT: "),
+          dec.cast(StringType))).cast(LongType))
+      e.join(broadcast(asof))
+        .withColumn("ws", expr(
+          "shiftleft(1L, cast(30 - least(datediff(anchor, day) div 7, 30) as int))"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          max(col("day")).cast(StringType).as("last_day"),
+          scaled.as("decayed_scaled"))
+        .select(col("user_id"), col("n_events"), col("last_day"),
+          col("decayed_scaled"),
+          (col("decayed_scaled").cast(DoubleType) / 1073741824.0)
+            .as("decayed_score"))
+    }),
 
     // S12 — SCD Type-2 history from the CDC changelog: every I/U op
     // becomes a VERSION row valid from its sequence number until the

@@ -418,6 +418,62 @@ object TextAnalysisQueries extends graft.QueryModule {
     docs.select(col("doc_id"), col("text")).unionByName(probes)
   }
 
+  /** Shared DSIR scoring CTE chain (t32 + t39): hashed 1024-bucket
+    * unigram features over the bounded doc_id < 200 slice, the
+    * target(en)/raw count model from ONE aggregation, add-1 smoothing,
+    * per-bucket integer-quantized ln ratio `qv`. Ends with `feat` and
+    * `q` ready for the per-doc rollup. */
+  private lazy val dsirCtes: String = {
+    val toks =
+      s"""SELECT doc_id, lang, unnest(string_split(${Dedup.normTextSql}, ' ')) AS tok
+         |FROM documents WHERE doc_id < 200""".stripMargin
+    s"""toks AS (SELECT doc_id, lang, tok FROM ($toks) WHERE tok <> ''),
+       |hs AS (${OracleHash.xxh64SignedRel("SELECT DISTINCT tok FROM toks")}),
+       |feat AS (
+       |  SELECT t.doc_id, t.lang, ((hs.h % 1024) + 1024) % 1024 AS b
+       |  FROM toks t JOIN hs ON hs.tok = t.tok),
+       |m AS (
+       |  SELECT b, CAST(count(*) AS BIGINT) AS cr,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+       |  FROM feat GROUP BY b),
+       |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr,
+       |               CAST(SUM(ct) AS BIGINT) AS nt FROM m),
+       |q AS (
+       |  SELECT b,
+       |    CAST(round(ln((CAST(ct AS DOUBLE) + 1.0) /
+       |      (CAST(nt AS DOUBLE) + 1024.0)) * 1000000) AS BIGINT) -
+       |    CAST(round(ln((CAST(cr AS DOUBLE) + 1.0) /
+       |      (CAST(nr AS DOUBLE) + 1024.0)) * 1000000) AS BIGINT) AS qv
+       |  FROM m, tot)""".stripMargin
+  }
+
+  /** The engine side of [[dsirCtes]]: per-doc (doc_id, n_tok, qsum)
+    * where qsum is the integer micro-ln importance weight — t32
+    * derives log_weight/keep from it, t39 adds the Gumbel key. */
+  private def dsirQuantScores(s: org.apache.spark.sql.SparkSession,
+                              d: String): DataFrame = {
+    val toks = Tables.documents(s, d).where(col("doc_id") < 200)
+      .select(col("doc_id"), col("lang"),
+        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+      .where(col("tok") =!= "")
+    val feat = toks.select(col("doc_id"), col("lang"),
+      pmod(xxhash64(col("tok")), lit(1024L)).as("b"))
+    val m = feat.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    val tot = m.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    def qln(c: Column, n: Column): Column =
+      round(log((c.cast(DoubleType) + 1.0) / (n.cast(DoubleType) + 1024.0))
+        * 1000000).cast(LongType)
+    val q = m.join(broadcast(tot))
+      .select(col("b"), (qln(col("ct"), col("nt")) - qln(col("cr"), col("nr")))
+        .as("qv"))
+    feat.join(broadcast(q), Seq("b"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tok"),
+        sum(col("qv")).as("qsum"))
+  }
+
   def defs: Seq[graft.QueryDef] = Seq(
 
     // T1 — language-ID heuristic: stop-word marker hits per language,
@@ -1471,55 +1527,54 @@ object TextAnalysisQueries extends graft.QueryModule {
     // pipeline over the OracleHash xxh64 restatement (t27's relation);
     // doc_id < 200 bounds the oracle's per-token hash replay cost, like
     // t27.
-    graft.QueryDef("t32_dsir_weights", Some {
-      val toks =
-        s"""SELECT doc_id, lang, unnest(string_split(${Dedup.normTextSql}, ' ')) AS tok
-           |FROM documents WHERE doc_id < 200""".stripMargin
-      s"""WITH toks AS (SELECT doc_id, lang, tok FROM ($toks) WHERE tok <> ''),
-         |hs AS (${OracleHash.xxh64SignedRel("SELECT DISTINCT tok FROM toks")}),
-         |feat AS (
-         |  SELECT t.doc_id, t.lang, ((hs.h % 1024) + 1024) % 1024 AS b
-         |  FROM toks t JOIN hs ON hs.tok = t.tok),
-         |m AS (
-         |  SELECT b, CAST(count(*) AS BIGINT) AS cr,
-         |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
-         |  FROM feat GROUP BY b),
-         |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr,
-         |               CAST(SUM(ct) AS BIGINT) AS nt FROM m),
-         |q AS (
-         |  SELECT b,
-         |    CAST(round(ln((CAST(ct AS DOUBLE) + 1.0) /
-         |      (CAST(nt AS DOUBLE) + 1024.0)) * 1000000) AS BIGINT) -
-         |    CAST(round(ln((CAST(cr AS DOUBLE) + 1.0) /
-         |      (CAST(nr AS DOUBLE) + 1024.0)) * 1000000) AS BIGINT) AS qv
-         |  FROM m, tot)
+    graft.QueryDef("t32_dsir_weights", Some(
+      s"""WITH $dsirCtes
          |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
          |  CAST(SUM(q.qv) AS DOUBLE) / 1000000.0 AS log_weight,
          |  SUM(q.qv) > 0 AS keep
          |FROM feat f JOIN q USING (b)
-         |GROUP BY f.doc_id""".stripMargin
-    })((s, d) => {
-      val toks = Tables.documents(s, d).where(col("doc_id") < 200)
-        .select(col("doc_id"), col("lang"),
-          explode(split(Dedup.normText(col("text")), " ")).as("tok"))
-        .where(col("tok") =!= "")
-      val feat = toks.select(col("doc_id"), col("lang"),
-        pmod(xxhash64(col("tok")), lit(1024L)).as("b"))
-      val m = feat.groupBy("b").agg(
-        count(lit(1)).as("cr"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
-      val tot = m.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
-      def qln(c: Column, n: Column): Column =
-        round(log((c.cast(DoubleType) + 1.0) / (n.cast(DoubleType) + 1024.0))
-          * 1000000).cast(LongType)
-      val q = m.join(broadcast(tot))
-        .select(col("b"), (qln(col("ct"), col("nt")) - qln(col("cr"), col("nr")))
-          .as("qv"))
-      feat.join(broadcast(q), Seq("b"))
-        .groupBy("doc_id").agg(
-          count(lit(1)).as("n_tok"),
-          (sum(col("qv")).cast(DoubleType) / 1000000.0).as("log_weight"),
-          (sum(col("qv")) > 0).as("keep"))
+         |GROUP BY f.doc_id""".stripMargin))((s, d) =>
+      dsirQuantScores(s, d)
+        .select(col("doc_id"), col("n_tok"),
+          (col("qsum").cast(DoubleType) / 1000000.0).as("log_weight"),
+          (col("qsum") > 0).as("keep"))),
+
+    // T39 — DSIR importance RESAMPLING applied (the second half of Xie
+    // et al.: select k docs with probability ∝ w(x) via the Gumbel
+    // top-k trick): each doc's integer log-weight (t32's qsum, micro-ln
+    // units) plus a quantized Gumbel perturbation −ln(−ln(u)) — u from
+    // the t7/t22 integer hash, NOT rand(), so the selected SET is
+    // identical across engines, partitionings, and retries — and the
+    // top-k by perturbed key IS a weighted sample without replacement.
+    // The key addition happens in INTEGER micro-units (both summands
+    // quantized before the add, the t17 rule), and the top-k is a
+    // bounded TakeOrdered with a doc_id tie-break — no global sort.
+    // Oracle: the t32 feature/model replay shared via dsirCtes + the
+    // same hash-Gumbel arithmetic + ORDER BY/LIMIT.
+    graft.QueryDef("t39_dsir_resample", Some(
+      s"""WITH $dsirCtes,
+         |sc AS (
+         |  SELECT f.doc_id, SUM(q.qv) AS qsum
+         |  FROM feat f JOIN q USING (b) GROUP BY 1),
+         |g AS (
+         |  SELECT doc_id, qsum,
+         |    CAST(round(-ln(-ln(
+         |      (((doc_id * 2654435761) % 2147483648) + 1) / 2147483649.0))
+         |      * 1000000) AS BIGINT) AS gq
+         |  FROM sc)
+         |SELECT doc_id, CAST(qsum AS DOUBLE) / 1000000.0 AS log_weight,
+         |  CAST(qsum + gq AS BIGINT) AS sample_key
+         |FROM g ORDER BY sample_key DESC, doc_id ASC LIMIT 50""".stripMargin))(
+      (s, d) => {
+      val u = (((col("doc_id") * 2654435761L) % 2147483648L) + 1L)
+        .cast(DoubleType) / 2147483649.0
+      val gq = round(-log(-log(u)) * 1000000).cast(LongType)
+      dsirQuantScores(s, d)
+        .select(col("doc_id"),
+          (col("qsum").cast(DoubleType) / 1000000.0).as("log_weight"),
+          (col("qsum") + gq).as("sample_key"))
+        .orderBy(col("sample_key").desc, col("doc_id").asc)
+        .limit(50)
     }),
 
     // T28 — TEMPERATURE-based language resampling weights (the

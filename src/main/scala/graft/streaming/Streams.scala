@@ -578,6 +578,20 @@ object Streams {
       firstSeen, parts.select("user_id", "wk"))
   }
 
+  /** Streaming read path of e7 growth accounting — rides the SAME
+    * cohort partials ([[incrementalCohortPartials]]): the distinct
+    * (user_id, wk) pairs of the rollup ARE the activity frame the
+    * growth window needs, so one incremental rollup serves retention
+    * (e5) AND growth accounting (e7) with no second pass over events.
+    * The final stage is shared with the batch query
+    * ([[graft.operators.AnalyticsQueries.growthFromUserWeeks]]) so the
+    * two paths cannot drift; the rollup's (user, week) set is
+    * batch-split-invariant (a pair appears iff the user was active
+    * that week, regardless of which micro-batch saw it). */
+  def readGrowthAccounting(spark: SparkSession, rollupDir: String): DataFrame =
+    graft.operators.AnalyticsQueries.growthFromUserWeeks(
+      spark.read.parquet(rollupDir).select("user_id", "wk"))
+
   // Scoped out, deliberately: an incremental twin of the ORDERED e4
   // funnel. Retention decomposes because min() is merge-associative —
   // per-batch (user, week, min ts) is a bounded sufficient statistic.

@@ -127,6 +127,21 @@ class AnalyticsSpec extends AnyFunSuite with SparkSuite {
       "2024-01-22" -> ((0L, 0L, 1L, 0L))))
   }
 
+  test("e8: decayed scores are exact dyadic sums, bounded by event count") {
+    val rows = run("e8_decayed_activity")
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val anchor = rows.map(_._3).max
+    rows.foreach { case (u, n, last, scaled, score) =>
+      // the double score IS the integer sum / 2^30 — no rounding leaks
+      assert(score == scaled.toDouble / 1073741824.0, s"user $u: score drifted")
+      // every weight <= 1, so score <= n_events; > 0 always
+      assert(score > 0.0 && score <= n.toDouble, s"user $u: score out of range")
+      // an event on the anchor day carries full weight 1
+      if (last == anchor) assert(score >= 1.0, s"user $u: anchor-day event under-weighted")
+    }
+  }
+
   test("s12: version chains are contiguous; deleted keys have no current row") {
     val rows = run("s12_scd2_history").map(r =>
       (r.getLong(0), Option(r.get(1)).map(_.toString),

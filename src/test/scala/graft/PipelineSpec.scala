@@ -793,6 +793,25 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("t39: Gumbel top-k resample is biased toward target-like docs, ordered") {
+    val sel = SparkEntry.queries("t39_dsir_resample")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(sel.length == 50 && sel.map(_._1).distinct.length == 50)
+    // the frame arrives in sample order: key desc, doc_id tiebreak asc
+    sel.sliding(2).foreach { p =>
+      if (p.length == 2)
+        assert(p(0)._3 > p(1)._3 || (p(0)._3 == p(1)._3 && p(0)._1 < p(1)._1))
+    }
+    // importance sampling must pull the selected mean log-weight above
+    // the corpus mean — if it doesn't, the Gumbel noise drowned the
+    // weights and the op degenerated into a uniform sample
+    val corpusMean = SparkEntry.queries("t32_dsir_weights")(spark, sf)
+      .agg(avg(col("log_weight"))).head().getDouble(0)
+    val selMean = sel.map(_._2).sum / sel.length
+    assert(selMean > corpusMean,
+      f"selected mean $selMean%.3f not above corpus mean $corpusMean%.3f")
+  }
+
   test("n19: every vector is classified; votes bounded by k; ties break low") {
     val rows = SparkEntry.queries("n19_knn_label_propagation")(spark, sf)
       .collect()

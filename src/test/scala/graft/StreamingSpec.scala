@@ -232,6 +232,17 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     val batch = SparkEntry.queries("e5_cohort_retention")(spark, sf)
       .collect().map(_.toString).sorted.toSeq
     assert(streamed == batch, "incremental cohort retention != batch e5")
+    // e7 rides the SAME rollup: the partials' distinct (user, week)
+    // pairs are growth accounting's whole input, so the one incremental
+    // artifact must serve both read paths. Same adversarial split:
+    // users whose first sighting is chunk 2 must still classify NEW in
+    // their true first week, not re-classify per batch.
+    val growthStreamed = Streams.readGrowthAccounting(spark, rollup)
+      .collect().map(_.toString).sorted.toSeq
+    val growthBatch = SparkEntry.queries("e7_growth_accounting")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(growthStreamed == growthBatch,
+      "incremental growth accounting != batch e7")
   }
 
   test("index compaction: incremental batches collapse to the direct serving index") {
