@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -29,17 +29,26 @@ object AnalyticsQueries extends graft.QueryModule {
   /** Ordered view→click→purchase funnel over an events frame with
     * (user_id, event_type, ts). Exposed for direct testing of the
     * ordering constraint on synthetic streams. */
-  def funnel(events: DataFrame): DataFrame = {
+  def funnel(events: DataFrame, windowHours: Option[Int] = None): DataFrame = {
+    // Conversion window: stage N counts only within `windowHours` of
+    // the stage-N-1 entry (None = unbounded, the e4 semantics). The
+    // bound composes with the ordering constraint in the same
+    // post-join filter, so the join/agg shape — and its scale
+    // behavior — is unchanged.
+    def inWindow(ts: Column, from: Column): Column = windowHours match {
+      case Some(h) => ts >= from && ts <= from + expr(s"INTERVAL $h HOURS")
+      case None    => ts >= from
+    }
     val e = events.select("user_id", "event_type", "ts")
     val v = e.where(col("event_type") === "view")
       .groupBy("user_id").agg(min(col("ts")).as("t1"))
     val c = e.where(col("event_type") === "click")
       .join(v, Seq("user_id"))
-      .where(col("ts") >= col("t1"))
+      .where(inWindow(col("ts"), col("t1")))
       .groupBy("user_id").agg(min(col("t1")).as("t1"), min(col("ts")).as("t2"))
     val p = e.where(col("event_type") === "purchase")
       .join(c.select("user_id", "t2"), Seq("user_id"))
-      .where(col("ts") >= col("t2"))
+      .where(inWindow(col("ts"), col("t2")))
       .groupBy("user_id").agg(min(col("t2")).as("t2"), min(col("ts")).as("t3"))
     // Sum the BIGINT microsecond deltas through DECIMAL(38,0) and cast
     // back — Spark's LongType sum wraps silently without ANSI mode while
@@ -156,6 +165,40 @@ object AnalyticsQueries extends graft.QueryModule {
         |SELECT '3_purchase', count(*),
         |  CAST(coalesce(SUM(epoch_us(t3) - epoch_us(t2)), 0) AS BIGINT) FROM p""".stripMargin))(
       (s, d) => funnel(Tables.events(s, d))),
+
+    // E9 — WINDOWED conversion funnel: e4's ordered view → click →
+    // purchase with a 24-hour conversion window per stage — the form
+    // marketing/product attribution actually uses ("converted within a
+    // day"), where e4's unbounded variant answers "ever converted".
+    // Same min-agg join chain and monotone frame shrinkage (the window
+    // is one more predicate in the existing post-join filter, so the
+    // scale shape is identical to e4); a stage's entry event must land
+    // in [prev, prev + 24h], which both tightens counts and bounds
+    // every lag at 24h·stage — the spec pins counts(e9) ≤ counts(e4)
+    // and the lag ceiling.
+    graft.QueryDef("e9_windowed_funnel", Some(
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(v.t1) AS t1, min(e.ts) AS t2
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |    AND e.ts >= v.t1 AND e.ts <= v.t1 + INTERVAL 24 HOURS
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(c.t2) AS t2, min(e.ts) AS t3
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |    AND e.ts >= c.t2 AND e.ts <= c.t2 + INTERVAL 24 HOURS
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(0 AS BIGINT) AS total_lag_us FROM v
+        |UNION ALL
+        |SELECT '2_click', count(*),
+        |  CAST(coalesce(SUM(epoch_us(t2) - epoch_us(t1)), 0) AS BIGINT) FROM c
+        |UNION ALL
+        |SELECT '3_purchase', count(*),
+        |  CAST(coalesce(SUM(epoch_us(t3) - epoch_us(t2)), 0) AS BIGINT) FROM p""".stripMargin))(
+      (s, d) => funnel(Tables.events(s, d), windowHours = Some(24))),
 
     // E5 — weekly cohort retention: users bucket into the ISO week of
     // their FIRST event (one min-agg on user_id), and every later

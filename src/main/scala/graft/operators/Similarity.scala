@@ -1898,6 +1898,72 @@ object SimilarityQueries extends graft.QueryModule {
       s.createDataFrame(local, out.schema)
     }),
 
+    // N20 — embedding-store QC DATASHEET (the dq2 profiler for the
+    // vector side): per label — vector count, ZERO vectors (norm 0:
+    // they poison cosine with NaN and IVF assignment with ties),
+    // exact-DUPLICATE vectors (identical quantized coordinates: an
+    // upstream encoder re-emit or collapsed batch — found via ONE
+    // count window on the joined coordinate key, the t36 group-size
+    // shape), and the quantized-norm range/mean. The QC gate a
+    // pipeline runs BEFORE index build, where a bad batch is one
+    // filter instead of a rebuilt index. Planted probes keep every
+    // check non-degenerate: a zeroed clone and an exact clone of
+    // vec 0. All stats are exact ints; mean is the one fixed-shape
+    // division. O(labels) output; the window key is the quantized
+    // vector itself — at 100 TB you'd key on xxhash64 of it (8 B, the
+    // t37 discipline); the raw key here keeps the oracle
+    // hash-emulation-free.
+    graft.QueryDef("n20_vector_qc", Some(
+      """WITH base AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  UNION ALL
+        |  SELECT 3000001, embedding, label FROM embeddings WHERE vec_id = 0
+        |  UNION ALL
+        |  SELECT 3000000, list_transform(embedding, x -> CAST(0 AS FLOAT)), label
+        |  FROM embeddings WHERE vec_id = 0),
+        |qv AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+        |  FROM base),
+        |n AS (
+        |  SELECT vec_id, label,
+        |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2,
+        |    array_to_string(list_transform(v, x -> CAST(x AS VARCHAR)), ',') AS vkey
+        |  FROM qv),
+        |c AS (SELECT n.*, count(*) OVER (PARTITION BY vkey) AS kcnt FROM n)
+        |SELECT CAST(label AS INTEGER) AS label,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(SUM(CASE WHEN kcnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(min(n2) AS BIGINT) AS min_n2,
+        |  CAST(max(n2) AS BIGINT) AS max_n2,
+        |  CAST(SUM(n2) AS DOUBLE) / count(*) AS mean_n2
+        |FROM c GROUP BY 1""".stripMargin))((s, d) => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding", "label")
+      val v0 = emb.where(col("vec_id") === 0)
+      val corpus = emb
+        .unionByName(v0.select(lit(3000001L).as("vec_id"), col("embedding"),
+          col("label")))
+        .unionByName(v0.select(lit(3000000L).as("vec_id"),
+          transform(col("embedding"), _ => lit(0.0f)).as("embedding"),
+          col("label")))
+      val n = corpus.select(col("vec_id"), col("label"),
+          quant(col("embedding")).as("v"))
+        .select(col("vec_id"), col("label"),
+          inorm2(col("v")).as("n2"),
+          array_join(transform(col("v"), x => x.cast(StringType)), ",").as("vkey"))
+      val c = n.withColumn("kcnt", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("vkey")))
+      c.groupBy("label").agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("n2") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("kcnt") > 1L, 1L).otherwise(0L)).as("n_dup"),
+        min(col("n2")).as("min_n2"),
+        max(col("n2")).as("max_n2"),
+        (sum(col("n2")).cast(DoubleType) / count(lit(1))).as("mean_n2"))
+    }),
+
     // N12 — FILTERED ANN: top-k cosine restricted to label = 2 (~1/10
     // selectivity), answered from the WRITTEN metadata-carrying IVF
     // store — the label predicate is pushed into the parquet scan of

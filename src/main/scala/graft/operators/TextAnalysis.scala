@@ -447,6 +447,48 @@ object TextAnalysisQueries extends graft.QueryModule {
        |  FROM m, tot)""".stripMargin
   }
 
+  /** Shared t34 mixture-plan CTE chain (t34 + t40): per-language token
+    * mass, temperature shares (quantized sqrt), the 50k-token budget
+    * split in exact integer space — ends with `plan`
+    * (lang, n_tok, target_tok). */
+  private lazy val mixtureCtes: String =
+    """lt AS (
+      |  SELECT lang,
+      |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tok
+      |  FROM documents GROUP BY lang),
+      |tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS n_total FROM lt),
+      |sq AS (
+      |  SELECT lang, n_tok,
+      |    CAST(round(sqrt(CAST(n_tok AS DOUBLE) / CAST(n_total AS DOUBLE))
+      |      * 1000000000) AS BIGINT) AS s
+      |  FROM lt, tot),
+      |den AS (SELECT CAST(SUM(s) AS BIGINT) AS ds FROM sq),
+      |plan AS (
+      |  SELECT lang, n_tok,
+      |    CAST((50000 * s) // ds AS BIGINT) AS target_tok
+      |  FROM sq, den)""".stripMargin
+
+  /** Engine side of [[mixtureCtes]]: the per-language plan frame
+    * (lang, n_tok, target_tok) under the fixed 50k-token budget —
+    * t34 derives epochs/rates from it, t40 joins its sample_rate onto
+    * kept docs. O(languages) rows, two 1-row broadcast totals. */
+  private def mixturePlan(s: org.apache.spark.sql.SparkSession,
+                          d: String): DataFrame = {
+    val budget = 50000L
+    val nTok = size(split(trim(col("text")), "\\s+")).cast(LongType)
+    val langTok = Tables.documents(s, d)
+      .select(col("lang"), nTok.as("t"))
+      .groupBy("lang").agg(sum(col("t")).as("n_tok"))
+    val total = langTok.agg(sum(col("n_tok")).as("n_total"))
+    val withS = langTok.join(broadcast(total))
+      .withColumn("s", round(sqrt(col("n_tok").cast(DoubleType) /
+        col("n_total").cast(DoubleType)) * 1000000000L).cast(LongType))
+    val denom = withS.agg(sum(col("s")).as("ds"))
+    withS.join(broadcast(denom))
+      .withColumn("target_tok", expr(s"($budget * s) div ds").cast(LongType))
+      .select(col("lang"), col("n_tok"), col("target_tok"))
+  }
+
   /** The engine side of [[dsirCtes]]: per-doc (doc_id, n_tok, qsum)
     * where qsum is the integer micro-ln importance weight — t32
     * derives log_weight/keep from it, t39 adds the Gumbel key. */
@@ -1639,47 +1681,21 @@ object TextAnalysisQueries extends graft.QueryModule {
     // 1-row broadcast totals — the plan is unchanged at any corpus
     // size.
     graft.QueryDef("t34_mixture_plan", Some(
-      """WITH lt AS (
-        |  SELECT lang,
-        |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tok
-        |  FROM documents GROUP BY lang),
-        |tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS n_total FROM lt),
-        |sq AS (
-        |  SELECT lang, n_tok,
-        |    CAST(round(sqrt(CAST(n_tok AS DOUBLE) / CAST(n_total AS DOUBLE))
-        |      * 1000000000) AS BIGINT) AS s
-        |  FROM lt, tot),
-        |den AS (SELECT CAST(SUM(s) AS BIGINT) AS ds FROM sq),
-        |plan AS (
-        |  SELECT lang, n_tok,
-        |    CAST((50000 * s) // ds AS BIGINT) AS target_tok
-        |  FROM sq, den)
-        |SELECT lang, n_tok, target_tok,
-        |  CAST(least(n_tok, target_tok) AS BIGINT) AS planned_tok,
-        |  CAST(CASE WHEN target_tok > n_tok
-        |    THEN (target_tok + n_tok - 1) // n_tok ELSE 1 END AS BIGINT) AS epochs,
-        |  CAST(target_tok AS DOUBLE) / CAST(n_tok AS DOUBLE) AS sample_rate
-        |FROM plan""".stripMargin))((s, d) => {
-      val budget = 50000L
-      val nTok = size(split(trim(col("text")), "\\s+")).cast(LongType)
-      val langTok = Tables.documents(s, d)
-        .select(col("lang"), nTok.as("t"))
-        .groupBy("lang").agg(sum(col("t")).as("n_tok"))
-      val total = langTok.agg(sum(col("n_tok")).as("n_total"))
-      val withS = langTok.join(broadcast(total))
-        .withColumn("s", round(sqrt(col("n_tok").cast(DoubleType) /
-          col("n_total").cast(DoubleType)) * 1000000000L).cast(LongType))
-      val denom = withS.agg(sum(col("s")).as("ds"))
-      withS.join(broadcast(denom))
-        .withColumn("target_tok", expr(s"($budget * s) div ds").cast(LongType))
+      s"""WITH $mixtureCtes
+         |SELECT lang, n_tok, target_tok,
+         |  CAST(least(n_tok, target_tok) AS BIGINT) AS planned_tok,
+         |  CAST(CASE WHEN target_tok > n_tok
+         |    THEN (target_tok + n_tok - 1) // n_tok ELSE 1 END AS BIGINT) AS epochs,
+         |  CAST(target_tok AS DOUBLE) / CAST(n_tok AS DOUBLE) AS sample_rate
+         |FROM plan""".stripMargin))((s, d) =>
+      mixturePlan(s, d)
         .select(col("lang"), col("n_tok"), col("target_tok"),
           least(col("n_tok"), col("target_tok")).as("planned_tok"),
           when(col("target_tok") > col("n_tok"),
             expr("(target_tok + n_tok - 1) div n_tok"))
             .otherwise(lit(1L)).cast(LongType).as("epochs"),
           (col("target_tok").cast(DoubleType) / col("n_tok").cast(DoubleType))
-            .as("sample_rate"))
-    }),
+            .as("sample_rate"))),
 
     // T35 — GOPHER-STYLE doc-level quality rules (the published rule
     // suite real pretraining pipelines run verbatim): word-count
@@ -1904,6 +1920,94 @@ object TextAnalysisQueries extends graft.QueryModule {
           max(col("ntok")).as("max_tokens"),
           sum(col("ntok")).as("sum_tokens"),
           (sum(col("ntok")).cast(DoubleType) / count(lit(1))).as("avg_tokens"))
+    }),
+
+    // T40 — per-document DISPOSITION LEDGER: the audit artifact a
+    // curation pipeline actually ships alongside the corpus — every
+    // document's final decision (keep / drop) with the FIRST failing
+    // stage as its reason code and, for kept docs, the per-language
+    // sampling rate from the t34 mixture plan. Composes three existing
+    // stages without recomputing their semantics: the t35 Gopher rules
+    // (exact-integer flags, fixed precedence word_count → mean_word_len
+    // → alpha_ratio → stopwords), the d1 exact-dup relation as a
+    // keep-first window on the md5 key (one shuffle, co-partitioned
+    // with d1/t36 at 100 TB), and the O(languages) t34 plan broadcast
+    // back as the rate. Where t15 reports the funnel's AGGREGATE
+    // counts, this is the row-level ledger that answers "why was doc X
+    // dropped" — the provenance/audit requirement of a real release.
+    // Scale: rules are map-side riders on the scan; the only corpus
+    // shuffle is the hash window; output O(docs).
+    graft.QueryDef("t40_disposition_ledger", Some(
+      s"""WITH $mixtureCtes,
+         |rates AS (
+         |  SELECT lang, CAST(target_tok AS DOUBLE) / CAST(n_tok AS DOUBLE) AS rate
+         |  FROM plan),
+         |corpus AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 5000000, lang, text FROM documents
+         |  WHERE doc_id % 53 = 0),
+         |f AS (
+         |  SELECT doc_id, lang,
+         |    list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0) AS ws,
+         |    md5(${Dedup.normTextSql}) AS th
+         |  FROM corpus),
+         |m AS (
+         |  SELECT doc_id, lang, th,
+         |    CAST(len(ws) AS BIGINT) AS n_tok,
+         |    CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS sum_len,
+         |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_distinct(list_intersect(ws,
+         |      ['the', 'a', 'and', 'of', 'to', 'in']))) AS BIGINT) AS n_stop
+         |  FROM f),
+         |k AS (SELECT m.*, min(doc_id) OVER (PARTITION BY th) AS keeper FROM m),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |    CASE
+         |      WHEN NOT (n_tok BETWEEN 50 AND 100000) THEN 'word_count'
+         |      WHEN NOT (3 * n_tok <= sum_len AND sum_len <= 10 * n_tok)
+         |        THEN 'mean_word_len'
+         |      WHEN NOT (5 * n_alpha >= 4 * n_tok) THEN 'alpha_ratio'
+         |      WHEN NOT (n_stop >= 2) THEN 'stopwords'
+         |      WHEN doc_id <> keeper THEN 'duplicate'
+         |      ELSE 'kept' END AS reason
+         |  FROM k)
+         |SELECT r.doc_id, r.lang, r.reason, r.reason = 'kept' AS keep,
+         |  CASE WHEN r.reason = 'kept' THEN rates.rate
+         |    ELSE CAST(0 AS DOUBLE) END AS sample_rate
+         |FROM r JOIN rates USING (lang)""".stripMargin))((s, d) => {
+      val stops = array(Seq("the", "a", "and", "of", "to", "in").map(lit): _*)
+      val ws = filter(split(trim(col("text")), "\\s+"), w => length(w) > 0)
+      // Planted %53 clones (same lang, +5M ids) keep the duplicate arm
+      // non-degenerate; the mixture rates stay computed over the REAL
+      // corpus — probes must not move the plan.
+      val docs0 = Tables.documents(s, d).select("doc_id", "lang", "text")
+      val corpus = docs0.unionByName(docs0.where(col("doc_id") % 53 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("lang"), col("text")))
+      val m = corpus.select(col("doc_id"), col("lang"),
+        size(ws).cast(LongType).as("n_tok"),
+        aggregate(ws, lit(0L), (acc, w) => acc + length(w)).as("sum_len"),
+        size(filter(ws, w => w.rlike("[a-z]"))).cast(LongType).as("n_alpha"),
+        size(array_distinct(array_intersect(ws, stops))).cast(LongType).as("n_stop"),
+        md5(Dedup.normText(col("text")).cast(BinaryType)).as("th"))
+      val k = m.withColumn("keeper",
+        min(col("doc_id")).over(Window.partitionBy("th")))
+      val rates = mixturePlan(s, d).select(col("lang"),
+        (col("target_tok").cast(DoubleType) / col("n_tok").cast(DoubleType))
+          .as("rate"))
+      val reason = when(!col("n_tok").between(50L, 100000L), "word_count")
+        .when(!(lit(3L) * col("n_tok") <= col("sum_len") &&
+          col("sum_len") <= lit(10L) * col("n_tok")), "mean_word_len")
+        .when(!(lit(5L) * col("n_alpha") >= lit(4L) * col("n_tok")), "alpha_ratio")
+        .when(!(col("n_stop") >= 2L), "stopwords")
+        .when(col("doc_id") =!= col("keeper"), "duplicate")
+        .otherwise("kept")
+      k.join(broadcast(rates), Seq("lang"))
+        .withColumn("reason", reason)
+        .select(col("doc_id"), col("lang"), col("reason"),
+          (col("reason") === "kept").as("keep"),
+          when(col("reason") === "kept", col("rate")).otherwise(lit(0.0))
+            .as("sample_rate"))
     }),
 
     // T29 — ADAPTIVE per-language quality thresholds: each language cuts

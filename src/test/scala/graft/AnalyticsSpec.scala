@@ -127,6 +127,23 @@ class AnalyticsSpec extends AnyFunSuite with SparkSuite {
       "2024-01-22" -> ((0L, 0L, 1L, 0L))))
   }
 
+  test("e9: the conversion window only tightens e4, and caps every lag") {
+    val e4 = run("e4_event_funnel")
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val e9 = run("e9_windowed_funnel")
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(e9.keySet == e4.keySet)
+    e9.foreach { case (stage, (n9, lag9)) =>
+      // a window can only remove conversions, never add them
+      assert(n9 <= e4(stage)._1, s"$stage: windowed count exceeds unbounded")
+      // every per-user lag is <= 24h by construction
+      assert(lag9 <= n9 * 86400000000L, s"$stage: lag exceeds the 24h window")
+    }
+    // the fixture is dense enough that the window actually bites
+    assert(e9("2_click")._1 < e4("2_click")._1,
+      "24h window removed nothing — degenerate fixture")
+  }
+
   test("e8: decayed scores are exact dyadic sums, bounded by event count") {
     val rows = run("e8_decayed_activity")
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))

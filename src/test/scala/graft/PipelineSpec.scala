@@ -812,6 +812,48 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       f"selected mean $selMean%.3f not above corpus mean $corpusMean%.3f")
   }
 
+  test("t40: ledger covers every doc once; clones of kept docs read 'duplicate'") {
+    val rows = SparkEntry.queries("t40_disposition_ledger")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(3), r.getDouble(4))))
+      .toMap
+    val nDocs = Tables.documents(spark, sf).count()
+    val nClones = Tables.documents(spark, sf)
+      .where(col("doc_id") % 53 === 0).count()
+    assert(rows.size == nDocs + nClones)
+    rows.foreach { case (id, (reason, keep, rate)) =>
+      assert(keep == (reason == "kept"), s"doc $id: keep flag disagrees")
+      assert((rate > 0.0) == keep, s"doc $id: rate/keep mismatch")
+    }
+    // a clone shares its original's text, so it fails the same rule —
+    // or, if the original was kept, the dedup stage must catch it
+    rows.filter(_._1 >= 5000000L).foreach { case (cid, (reason, _, _)) =>
+      val orig = rows(cid - 5000000L)._1
+      if (orig == "kept") assert(reason == "duplicate", s"clone $cid kept")
+      else assert(reason == orig, s"clone $cid: rule reason differs from original")
+    }
+    assert(rows.exists(_._2._1 == "duplicate"), "duplicate arm never fired")
+  }
+
+  test("n20: vector QC flags exactly the planted zero and duplicate probes") {
+    val rows = SparkEntry.queries("n20_vector_qc")(spark, sf)
+      .collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val emb = Tables.embeddings(spark, sf)
+    assert(rows.values.map(_._1).sum == emb.count() + 2)
+    val probeLabel = emb.where(col("vec_id") === 0)
+      .select("label").head().getInt(0)
+    val (_, nZero, nDup, minN2) = rows(probeLabel)
+    // the zeroed clone is the only zero vector, and the exact clone
+    // pairs with its original
+    assert(nZero == 1L && minN2 == 0L && nDup >= 2L)
+    rows.filter(_._1 != probeLabel).foreach { case (l, (_, z, _, mn)) =>
+      assert(z == 0L && mn > 0L, s"label $l: unexpected zero vector")
+    }
+  }
+
   test("n19: every vector is classified; votes bounded by k; ties break low") {
     val rows = SparkEntry.queries("n19_knn_label_propagation")(spark, sf)
       .collect()
