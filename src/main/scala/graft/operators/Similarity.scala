@@ -692,8 +692,8 @@ object Similarity {
 
   /** Nearest codebook entry for the subvector at `off` — squared-L2
     * argmin, lowest id on ties (deterministic). */
-  private def nearestCell(book: Array[Array[Double]], v: Array[Double],
-                          off: Int, dsub: Int): Int = {
+  private[operators] def nearestCell(book: Array[Array[Double]], v: Array[Double],
+                                     off: Int, dsub: Int): Int = {
     var best = 0; var bd = Double.MaxValue; var j = 0
     while (j < book.length) {
       var s = 0.0; var t = 0
@@ -1896,6 +1896,60 @@ object SimilarityQueries extends graft.QueryModule {
       val local = out.collectAsList()
       index.unpersist()
       s.createDataFrame(local, out.schema)
+    }),
+
+    // N21 — PQ quantization DISTORTION report: per subspace, the
+    // reconstruction error ‖x_m − centroid(code_m)‖² of the trained
+    // codebooks over the whole corpus — the dial that picks
+    // (nSub, nCentroids) before committing a 100 TB encode, and the
+    // third leg of the index-eval family (n15 = IVF recall, d14 = LSH
+    // recall/precision, n21 = PQ distortion). One map pass re-derives
+    // each vector's nearest cell and its squared error in a FIXED
+    // ascending-dimension loop (bit-identical to the oracle's ordered
+    // strict fold — the n6 ADC discipline), each per-(vec, subspace)
+    // error quantizes to an integer nano before aggregation (the t17
+    // rule: no double ever accumulates across rows), and the rollup is
+    // O(nSub) rows. Training cost is shared knowledge: at scale the
+    // codebooks come from the nightly build; the report is one extra
+    // map+agg over the encode pass it already runs.
+    graft.QueryDef("n21_pq_distortion", Some(
+      s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+         |${OracleHash.lloydCtes(8, 16, 5)},
+         |errs AS (
+         |  SELECT c.vec_id, c.m,
+         |    ${OracleHash.lfold("list((q.x - b.c) * (q.x - b.c) ORDER BY b.t)")} AS sqerr
+         |  FROM codes c
+         |  JOIN b5 b ON b.m = c.m AND b.j = c.j
+         |  JOIN vect q ON q.vec_id = c.vec_id AND q.i = b.m * 8 + b.t + 1
+         |  GROUP BY c.vec_id, c.m),
+         |eq AS (
+         |  SELECT m, CAST(round(sqerr * 1000000000) AS BIGINT) AS errq
+         |  FROM errs)
+         |SELECT CAST(m AS INTEGER) AS m, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(errq) AS DOUBLE) / 1000000000.0 / count(*) AS mean_sqerr,
+         |  CAST(max(errq) AS BIGINT) AS max_sqerr_q
+         |FROM eq GROUP BY 1""".stripMargin))((s, d) => {
+      import s.implicits._
+      val vecs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val books = trainPqCodebooks(vecs, nSub = 8, nCentroids = 16, iters = 5)
+      vecs.as[(Long, Seq[Float])].flatMap { case (_, emb) =>
+        val v = emb.iterator.map(_.toDouble).toArray
+        (0 until 8).iterator.map { m =>
+          val cell = nearestCell(books(m), v, m * 8, 8)
+          var sq = 0.0
+          var t = 0
+          while (t < 8) {
+            val dd = v(m * 8 + t) - books(m)(cell)(t); sq += dd * dd; t += 1
+          }
+          (m, math.round(sq * 1e9))
+        }
+      }.toDF("m", "errq")
+        .groupBy("m").agg(
+          count(lit(1)).as("n_vecs"),
+          (sum(col("errq")).cast(DoubleType) / 1000000000.0 / count(lit(1)))
+            .as("mean_sqerr"),
+          max(col("errq")).as("max_sqerr_q"))
+        .select(col("m"), col("n_vecs"), col("mean_sqerr"), col("max_sqerr_q"))
     }),
 
     // N20 — embedding-store QC DATASHEET (the dq2 profiler for the

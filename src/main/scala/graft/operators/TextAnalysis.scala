@@ -2255,6 +2255,70 @@ object TextAnalysisQueries extends graft.QueryModule {
         .where(col("doc_b") >= 1000000L)
     }),
 
+    // M7 — MEDIA data card (t36 for the binary modalities): per media
+    // type — item count, exact byte volume, mean size, and the
+    // byte-identical duplicate rate via a count window on md5 of the
+    // RAW payload (the t36/n20 group-size shape; payload dedup is the
+    // first pass of any media pipeline because exact re-uploads
+    // dominate its duplicate mass). The ENGINE reads the real bytes:
+    // media type dispatches on the actual magic, sizes are
+    // octet_length of the payload, dup keys hash the payload itself —
+    // while the oracle recomputes everything in CLOSED FORM from
+    // doc_id (the m2 discipline: lengths from the header arithmetic,
+    // dup mass from the planted-clone structure), so a mis-written
+    // header or a hash-key slip fails rows+schema+hash. Corpus is the
+    // m5/m6 bounded slice (the fixture generator repeats payloads past
+    // its period, which would add data-dependent dup mass the
+    // closed-form twin can't see); clones of doc_id < 20 plant the dup
+    // groups. O(types) output.
+    graft.QueryDef("m7_media_card", Some(
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS media_type,
+        |    CAST(CASE WHEN doc_id % 2 = 0
+        |      THEN 54 + ((16 + doc_id % 64) * 3 + 3) // 4 * 4 * (8 + doc_id % 32)
+        |      ELSE 44 + (100 + doc_id % 400) * (1 + (doc_id // 2) % 2) * 2
+        |    END AS BIGINT) AS byte_len
+        |  FROM documents
+        |  WHERE (doc_id % 2 = 0 AND doc_id < 256)
+        |     OR (doc_id % 2 = 1 AND doc_id < 400)),
+        |corpus AS (
+        |  SELECT doc_id, media_type, byte_len FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, media_type, byte_len FROM base
+        |  WHERE doc_id < 20),
+        |dups AS (
+        |  SELECT media_type, CAST(2 * count(*) AS BIGINT) AS n_dup
+        |  FROM base WHERE doc_id < 20 GROUP BY 1)
+        |SELECT c.media_type, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(c.byte_len) AS BIGINT) AS total_bytes,
+        |  CAST(SUM(c.byte_len) AS DOUBLE) / count(*) AS mean_bytes,
+        |  d.n_dup AS n_dup_items,
+        |  CAST(d.n_dup AS DOUBLE) / count(*) AS dup_rate
+        |FROM corpus c JOIN dups d USING (media_type)
+        |GROUP BY c.media_type, d.n_dup""".stripMargin))((s, d) => {
+      val payloads = Multimodal.fixturePayloads(
+        Tables.documents(s, d).where(
+          (col("doc_id") % 2 === 0 && col("doc_id") < 256) ||
+            (col("doc_id") % 2 === 1 && col("doc_id") < 400)))
+      val withClones = payloads.unionByName(
+        payloads.where(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("payload")))
+      val feat = withClones.select(col("doc_id"),
+        when(expr("substring(payload, 1, 2)") === lit(Array[Byte]('B', 'M')),
+          "bmp").otherwise("wav").as("media_type"),
+        length(col("payload")).cast(LongType).as("byte_len"),
+        md5(col("payload")).as("ph"))
+      feat.withColumn("kcnt", count(lit(1)).over(Window.partitionBy("ph")))
+        .groupBy("media_type").agg(
+          count(lit(1)).as("n_items"),
+          sum(col("byte_len")).as("total_bytes"),
+          (sum(col("byte_len")).cast(DoubleType) / count(lit(1))).as("mean_bytes"),
+          sum(when(col("kcnt") > 1L, 1L).otherwise(0L)).as("n_dup_items"),
+          (sum(when(col("kcnt") > 1L, 1L).otherwise(0L)).cast(DoubleType) /
+            count(lit(1))).as("dup_rate"))
+    }),
+
     // E1 — sessionization: 30-minute-gap sessions per user via lag +
     // running sum (the batch shape of mapGroupsWithState; the streaming
     // twin lives in graft.streaming and is covered by StreamingSpec).

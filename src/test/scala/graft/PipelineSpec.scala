@@ -854,6 +854,52 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("m7: media card covers the slice + clones; dup mass is exactly planted") {
+    val rows = SparkEntry.queries("m7_media_card")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4))))
+      .toMap
+    assert(rows.keySet == Set("bmp", "wav"), "magic dispatch broke")
+    val docs = Tables.documents(spark, sf)
+    val nBmp = docs.where(col("doc_id") % 2 === 0 && col("doc_id") < 256).count()
+    val nWav = docs.where(col("doc_id") % 2 === 1 && col("doc_id") < 400).count()
+    assert(rows("bmp")._1 == nBmp + 10 && rows("wav")._1 == nWav + 10)
+    // each planted clone pairs with its original: 20 dup items per type
+    assert(rows("bmp")._3 == 20L && rows("wav")._3 == 20L)
+    // byte volumes are real octet lengths, so both types carry mass
+    assert(rows("bmp")._2 > 0L && rows("wav")._2 > 0L)
+  }
+
+  test("n21: PQ distortion is per-subspace complete and beats a 1-centroid book") {
+    val rows = SparkEntry.queries("n21_pq_distortion")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_._1) == (0 to 7) && rows.forall(_._2 == n))
+    rows.foreach { case (m, _, mean, maxQ) =>
+      assert(mean >= 0.0 && mean <= maxQ.toDouble / 1e9, s"subspace $m bounds")
+    }
+    // 16 codebook entries must reconstruct better than collapsing each
+    // subspace to its single mean — otherwise training is broken
+    val vecs = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    def meanErr(books: Array[Array[Array[Double]]]): Double = {
+      val vs = vecs.collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      vs.map { v =>
+        (0 until 8).map { m =>
+          val errs = books(m).map { c =>
+            (0 until 8).map(t => { val d = v(m * 8 + t) - c(t); d * d }).sum
+          }
+          errs.min
+        }.sum
+      }.sum / vs.length
+    }
+    val b16 = Similarity.trainPqCodebooks(vecs, nSub = 8, nCentroids = 16, iters = 5)
+    val b1 = Similarity.trainPqCodebooks(vecs, nSub = 8, nCentroids = 1, iters = 5)
+    assert(meanErr(b16) < meanErr(b1),
+      "16-entry codebooks reconstruct no better than the subspace mean")
+  }
+
   test("n19: every vector is classified; votes bounded by k; ties break low") {
     val rows = SparkEntry.queries("n19_knn_label_propagation")(spark, sf)
       .collect()
