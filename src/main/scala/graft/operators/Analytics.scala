@@ -132,6 +132,62 @@ object AnalyticsQueries extends graft.QueryModule {
         coalesce(col("n_churned"), lit(0L)).as("n_churned"))
   }
 
+  /** The DAU/WAU/MAU rollup from an already-distinct (user_id, day:
+    * DATE) activity frame — shared by the batch e6 query and the
+    * streaming read path (Streams.readActiveUsers), which feeds it the
+    * distinct pairs of the incremental (user, day) rollup, so
+    * batch/stream equivalence holds by construction (the
+    * cohortTriangle / growthFromUserWeeks discipline). */
+  def activeUsersFromDays(userDays: DataFrame): DataFrame = {
+    val uday = userDays.select("user_id", "day").distinct()
+    val spine = uday.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    // A (user, day) activity contributes to window days day..day+w-1
+    // — u ∈ window(d) ⟺ u.day ∈ [d-w+1, d] — turning the range join
+    // into equality keys.
+    def rolling(w: Int, name: String) =
+      uday.select(col("user_id"),
+          explode(expr(s"sequence(day, date_add(day, ${w - 1}), interval 1 day)"))
+            .as("day"))
+        .groupBy("day").agg(countDistinct(col("user_id")).as(name))
+    val dau = uday.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+    spine.join(dau, Seq("day"), "left_outer")
+      .join(rolling(7, "wau"), Seq("day"), "left_outer")
+      .join(rolling(30, "mau"), Seq("day"), "left_outer")
+      .select(col("day").cast(StringType).as("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"),
+        coalesce(col("mau"), lit(0L)).as("mau"))
+  }
+
+  /** The e8 decayed-activity rollup from per-(user, day) event COUNTS
+    * (user_id, day: DATE, cnt) — count partials are merge-associative,
+    * so the streaming path re-sums its per-batch partials and lands
+    * here (Streams.readDecayedActivity); the batch e8 query reduces
+    * raw events to the same frame first. Weights stay exact dyadic
+    * integers; cnt multiplies the weight in integer space. */
+  def decayedFromDayCounts(dayCounts: DataFrame): DataFrame = {
+    val e = dayCounts.groupBy("user_id", "day").agg(sum(col("cnt")).as("cnt"))
+    val asof = e.agg(max(col("day")).as("anchor"))
+    val dec = sum((col("cnt") * col("w1")).cast(DecimalType(38, 0)))
+    val scaled = when(dec.between(lit(Long.MinValue), lit(Long.MaxValue)),
+      dec.cast(LongType))
+      .otherwise(raise_error(concat(
+        lit("decayed_scaled overflows BIGINT: "),
+        dec.cast(StringType))).cast(LongType))
+    e.join(broadcast(asof))
+      .withColumn("w1", expr(
+        "shiftleft(1L, cast(30 - least(datediff(anchor, day) div 7, 30) as int))"))
+      .groupBy("user_id")
+      .agg(sum(col("cnt")).as("n_events"),
+        max(col("day")).cast(StringType).as("last_day"),
+        scaled.as("decayed_scaled"))
+      .select(col("user_id"), col("n_events"), col("last_day"),
+        col("decayed_scaled"),
+        (col("decayed_scaled").cast(DoubleType) / 1073741824.0)
+          .as("decayed_score"))
+  }
+
   def defs: Seq[graft.QueryDef] = Seq(
 
     // E4 — ORDERED event funnel (view → click → purchase): a user
@@ -268,28 +324,9 @@ object AnalyticsQueries extends graft.QueryModule {
         |FROM spine s
         |LEFT JOIN dau ON dau.day = s.day
         |LEFT JOIN wau ON wau.day = s.day
-        |LEFT JOIN mau ON mau.day = s.day""".stripMargin))((s, d) => {
-      val uday = Tables.events(s, d)
-        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      val spine = uday.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
-      // A (user, day) activity contributes to window days day..day+w-1
-      // — u ∈ window(d) ⟺ u.day ∈ [d-w+1, d] — turning the range join
-      // into equality keys.
-      def rolling(w: Int, name: String) =
-        uday.select(col("user_id"),
-            explode(expr(s"sequence(day, date_add(day, ${w - 1}), interval 1 day)"))
-              .as("day"))
-          .groupBy("day").agg(countDistinct(col("user_id")).as(name))
-      val dau = uday.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
-      spine.join(dau, Seq("day"), "left_outer")
-        .join(rolling(7, "wau"), Seq("day"), "left_outer")
-        .join(rolling(30, "mau"), Seq("day"), "left_outer")
-        .select(col("day").cast(StringType).as("day"),
-          coalesce(col("dau"), lit(0L)).as("dau"),
-          coalesce(col("wau"), lit(0L)).as("wau"),
-          coalesce(col("mau"), lit(0L)).as("mau"))
-    }),
+        |LEFT JOIN mau ON mau.day = s.day""".stripMargin))((s, d) =>
+      activeUsersFromDays(Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct())),
 
     // E7 — growth accounting (weekly user lifecycle): every active
     // (user, week) is classified NEW (no prior activity), RETAINED
@@ -370,28 +407,10 @@ object AnalyticsQueries extends graft.QueryModule {
         |  CAST(max(w.day) AS VARCHAR) AS last_day,
         |  CAST(SUM(ws) AS BIGINT) AS decayed_scaled,
         |  CAST(SUM(ws) AS DOUBLE) / 1073741824.0 AS decayed_score
-        |FROM w GROUP BY 1""".stripMargin))((s, d) => {
-      val e = Tables.events(s, d)
-        .select(col("user_id"), to_date(col("ts")).as("day"))
-      val asof = e.agg(max(col("day")).as("anchor"))
-      val dec = sum(col("ws").cast(DecimalType(38, 0)))
-      val scaled = when(dec.between(lit(Long.MinValue), lit(Long.MaxValue)),
-        dec.cast(LongType))
-        .otherwise(raise_error(concat(
-          lit("decayed_scaled overflows BIGINT: "),
-          dec.cast(StringType))).cast(LongType))
-      e.join(broadcast(asof))
-        .withColumn("ws", expr(
-          "shiftleft(1L, cast(30 - least(datediff(anchor, day) div 7, 30) as int))"))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_events"),
-          max(col("day")).cast(StringType).as("last_day"),
-          scaled.as("decayed_scaled"))
-        .select(col("user_id"), col("n_events"), col("last_day"),
-          col("decayed_scaled"),
-          (col("decayed_scaled").cast(DoubleType) / 1073741824.0)
-            .as("decayed_score"))
-    }),
+        |FROM w GROUP BY 1""".stripMargin))((s, d) =>
+      decayedFromDayCounts(Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt")))),
 
     // S12 — SCD Type-2 history from the CDC changelog: every I/U op
     // becomes a VERSION row valid from its sequence number until the

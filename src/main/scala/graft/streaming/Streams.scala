@@ -578,6 +578,50 @@ object Streams {
       firstSeen, parts.select("user_id", "wk"))
   }
 
+  /** Incremental (user, day) activity rollup — the daily-grain sibling
+    * of [[incrementalCohortPartials]]: each micro-batch reduces to
+    * per-(user_id, active day) event COUNTS, a bounded sufficient
+    * statistic that serves BOTH daily dashboards downstream — active
+    * users (e6: the distinct pairs) and decayed activity (e8: counts
+    * re-summed, merge-associative). Rollup grows O(users ×
+    * active-days-per-batch), never O(events); batch_id partitions
+    * overwrite idempotently (exactly-once under AvailableNow
+    * restarts). */
+  def incrementalUserDayCounts(spark: SparkSession, sourceDir: String,
+                               rollupDir: String, checkpointDir: String): Unit = {
+    val q = eventStream(spark, sourceDir).writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+          .write.mode("overwrite").parquet(s"$rollupDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming read path of e6 active users: the rollup's distinct
+    * (user, day) pairs through the SHARED batch stage
+    * ([[graft.operators.AnalyticsQueries.activeUsersFromDays]]). The
+    * distinct-pair set is batch-split-invariant, so streamed == batch
+    * by construction. */
+  def readActiveUsers(spark: SparkSession, rollupDir: String): DataFrame =
+    graft.operators.AnalyticsQueries.activeUsersFromDays(
+      spark.read.parquet(rollupDir).select("user_id", "day"))
+
+  /** Streaming read path of e8 decayed activity: per-batch day counts
+    * re-summed (count partials are merge-associative — a day split
+    * across micro-batches merges exactly) through the SHARED batch
+    * stage ([[graft.operators.AnalyticsQueries.decayedFromDayCounts]]).
+    * The anchor day re-derives from the merged rollup, so late batches
+    * move it exactly as they would move the batch query's. */
+  def readDecayedActivity(spark: SparkSession, rollupDir: String): DataFrame =
+    graft.operators.AnalyticsQueries.decayedFromDayCounts(
+      spark.read.parquet(rollupDir).select("user_id", "day", "cnt"))
+
   /** Streaming read path of e7 growth accounting — rides the SAME
     * cohort partials ([[incrementalCohortPartials]]): the distinct
     * (user_id, wk) pairs of the rollup ARE the activity frame the

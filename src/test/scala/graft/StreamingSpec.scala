@@ -245,6 +245,39 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       "incremental growth accounting != batch e7")
   }
 
+  test("incremental (user, day) counts serve both e6 and e8 read paths") {
+    // mid-event-id cut: the same (user, day) spans both chunks, so the
+    // reader must MERGE count partials (e8) and DEDUP the pair (e6) —
+    // an off-by-one in either direction diverges from batch.
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val cut = raw.agg(max(col("event_id"))).head().getLong(0) / 2
+    val src = tmp("graft_uday_src")
+    val rollup = tmp("graft_uday_roll") + "/rollup"
+    val ckpt = tmp("graft_uday_ckpt")
+    def addChunk(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp("graft_uday_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/$name"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    addChunk(raw.where(col("event_id") <= cut), "chunk1.parquet")
+    Streams.incrementalUserDayCounts(spark, src, rollup, ckpt)
+    addChunk(raw.where(col("event_id") > cut), "chunk2.parquet")
+    Streams.incrementalUserDayCounts(spark, src, rollup, ckpt)
+    val e6s = Streams.readActiveUsers(spark, rollup)
+      .collect().map(_.toString).sorted.toSeq
+    val e6b = SparkEntry.queries("e6_active_users")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(e6s == e6b, "incremental active users != batch e6")
+    val e8s = Streams.readDecayedActivity(spark, rollup)
+      .collect().map(_.toString).sorted.toSeq
+    val e8b = SparkEntry.queries("e8_decayed_activity")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(e8s == e8b, "incremental decayed activity != batch e8")
+  }
+
   test("index compaction: incremental batches collapse to the direct serving index") {
     import graft.operators.Dedup
     def addChunk(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
