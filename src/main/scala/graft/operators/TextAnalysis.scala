@@ -447,6 +447,37 @@ object TextAnalysisQueries extends graft.QueryModule {
        |  FROM m, tot)""".stripMargin
   }
 
+  /** Distributed NTILE (t38 + t41): equal-depth bins over (doc_id,
+    * key: LONG) without Spark's single-partition global-sort ntile().
+    * Key histogram (one agg, O(distinct keys)) → cumulative window
+    * over the HISTOGRAM rows only (the t29 discipline: never over
+    * docs) → broadcast per-key offsets + row_number partitioned by key
+    * for the intra-key order → NTILE's exact remainder arithmetic
+    * (first n mod k bins get the extra row) in integer space. Output =
+    * input columns + `bin`. */
+  def distributedNtile(docs: DataFrame, k: Int): DataFrame = {
+    val hist = docs.groupBy("key").agg(count(lit(1)).as("c"))
+    val wHist = Window.orderBy("key")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist
+      .withColumn("before", coalesce(sum(col("c")).over(wHist), lit(0L)))
+      .select("key", "before")
+    val total = docs.agg(count(lit(1)).as("n"))
+    docs
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("key").orderBy("doc_id")).cast(LongType))
+      .join(broadcast(offsets), Seq("key"))
+      .join(broadcast(total))
+      .withColumn("rank", col("before") + col("rn"))
+      .withColumn("bin", expr(
+        s"""CASE WHEN rank <= (n % $k) * ((n div $k) + 1)
+           |  THEN (rank - 1) div ((n div $k) + 1) + 1
+           |  ELSE (n % $k) +
+           |    (rank - (n % $k) * ((n div $k) + 1) - 1) div (n div $k) + 1
+           |END""".stripMargin).cast(IntegerType))
+      .drop("rn", "before", "n", "rank")
+  }
+
   /** Shared t34 mixture-plan CTE chain (t34 + t40): per-language token
     * mass, temperature shares (quantized sqrt), the 50k-token budget
     * split in exact integer space — ends with `plan`
@@ -1889,31 +1920,9 @@ object TextAnalysisQueries extends graft.QueryModule {
         |  CAST(SUM(ntok) AS DOUBLE) / count(*) AS avg_tokens
         |FROM b GROUP BY 1""".stripMargin))((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast(LongType).as("ntok"))
-      val hist = docs.groupBy("ntok").agg(count(lit(1)).as("c"))
-      // Cumulative offsets over the O(distinct keys) histogram only —
-      // the single-partition window never sees the corpus.
-      val wHist = Window.orderBy("ntok")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = hist
-        .withColumn("before", coalesce(sum(col("c")).over(wHist), lit(0L)))
-        .select("ntok", "before")
-      val total = docs.agg(count(lit(1)).as("n"))
-      val ranked = docs
-        .withColumn("rn", row_number()
-          .over(Window.partitionBy("ntok").orderBy("doc_id")).cast(LongType))
-        .join(broadcast(offsets), Seq("ntok"))
-        .join(broadcast(total))
-        .withColumn("rank", col("before") + col("rn"))
-      // NTILE(k): n_big = n mod k buckets of size (n div k + 1) lead,
-      // the rest have size n div k — the standard remainder-first law.
-      val binned = ranked
-        .withColumn("bin", expr(
-          """CASE WHEN rank <= (n % 10) * ((n div 10) + 1)
-            |  THEN (rank - 1) div ((n div 10) + 1) + 1
-            |  ELSE (n % 10) +
-            |    (rank - (n % 10) * ((n div 10) + 1) - 1) div (n div 10) + 1
-            |END""".stripMargin).cast(IntegerType))
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("key"))
+      val binned = distributedNtile(docs, 10)
+        .withColumnRenamed("key", "ntok")
       binned.groupBy("bin")
         .agg(count(lit(1)).as("n_docs"),
           min(col("ntok")).as("min_tokens"),
@@ -2008,6 +2017,78 @@ object TextAnalysisQueries extends graft.QueryModule {
           (col("reason") === "kept").as("keep"),
           when(col("reason") === "kept", col("rate")).otherwise(lit(0.0))
             .as("sample_rate"))
+    }),
+
+    // T41 — quality-model CALIBRATION report (reliability diagram):
+    // the t25 classifier's score quintiles (via the SAME
+    // distributedNtile as t38, on the integer micro-quantized logit)
+    // cross-tabulated against the independent t2 heuristic pass rate —
+    // the ML-ops check a pipeline runs before trusting a learned
+    // filter at 100 TB: if pass_rate doesn't rise with the model's
+    // score bins, the model is mis-calibrated against the rules it's
+    // meant to replace. Logit and sigmoid both quantize to integer
+    // micros BEFORE any aggregation (the t17 rule); per-bin stats are
+    // exact ints + fixed-shape divisions; O(k) output. Oracle: native
+    // NTILE(5) over the replayed score — the distributed formulation
+    // re-proven against the single-node primitive on a second key
+    // distribution (near-unique logits, where t38's token counts are
+    // tie-heavy — the two extremes of the rank machinery).
+    graft.QueryDef("t41_model_calibration", Some {
+      val nTok = "len(string_split_regex(trim(text), '\\s+'))"
+      val nPunct = "len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))"
+      val nStop = s"${occSql("concat(' ', lower(text), ' ')", " the ")} + ${occSql("concat(' ', lower(text), ' ')", " a ")}"
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |    CAST(round(z * 1000000) AS BIGINT) AS zq,
+         |    CAST(round(1.0 / (1.0 + exp(-z)) * 1000000) AS BIGINT) AS sq,
+         |    qpass
+         |  FROM (
+         |    SELECT doc_id,
+         |      -2.0 + 8.0 * (CAST(($nStop) AS DOUBLE) / $nTok)
+         |        + 0.5 * (CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / $nTok)
+         |        - 0.01 * CAST($nTok AS DOUBLE) AS z,
+         |      CASE WHEN $nTok >= 10
+         |        AND CAST(($nPunct) AS DOUBLE) / len(text) < 0.1
+         |        AND CAST(($nStop) AS DOUBLE) / $nTok > 0.0
+         |      THEN 1 ELSE 0 END AS qpass
+         |    FROM documents)),
+         |b AS (
+         |  SELECT doc_id, zq, sq, qpass,
+         |    NTILE(5) OVER (ORDER BY zq, doc_id) AS bin
+         |  FROM sc)
+         |SELECT CAST(bin AS INTEGER) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(qpass) AS BIGINT) AS n_pass,
+         |  CAST(SUM(qpass) AS DOUBLE) / count(*) AS pass_rate,
+         |  CAST(SUM(sq) AS DOUBLE) / 1000000.0 / count(*) AS mean_score,
+         |  min(zq) AS min_zq, max(zq) AS max_zq
+         |FROM b GROUP BY 1""".stripMargin
+    })((s, d) => {
+      val nTok = size(split(trim(col("text")), "\\s+"))
+      val nPunct = length(col("text")) -
+        length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      val nStop = occ(padded, " the ") + occ(padded, " a ")
+      val z = lit(-2.0) + lit(8.0) * (nStop.cast(DoubleType) / nTok) +
+        lit(0.5) * (length(regexp_replace(col("text"), "\\s+", ""))
+          .cast(DoubleType) / nTok) -
+        lit(0.01) * nTok.cast(DoubleType)
+      val qpass = when(nTok >= 10 &&
+        (nPunct.cast(DoubleType) / length(col("text"))) < 0.1 &&
+        (nStop.cast(DoubleType) / nTok) > 0.0, 1L).otherwise(0L)
+      val sc = Tables.documents(s, d).select(col("doc_id"),
+        round(z * 1000000).cast(LongType).as("key"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)) * 1000000).cast(LongType).as("sq"),
+        qpass.as("qpass"))
+      distributedNtile(sc, 5)
+        .groupBy("bin").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("qpass")).as("n_pass"),
+          (sum(col("qpass")).cast(DoubleType) / count(lit(1))).as("pass_rate"),
+          (sum(col("sq")).cast(DoubleType) / 1000000.0 / count(lit(1)))
+            .as("mean_score"),
+          min(col("key")).as("min_zq"),
+          max(col("key")).as("max_zq"))
     }),
 
     // T29 — ADAPTIVE per-language quality thresholds: each language cuts

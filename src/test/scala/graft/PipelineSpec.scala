@@ -900,6 +900,29 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       "16-entry codebooks reconstruct no better than the subspace mean")
   }
 
+  test("t41: calibration bins are balanced, range-ordered, score-monotone") {
+    val rows = SparkEntry.queries("t41_model_calibration")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3), r.getDouble(4),
+        r.getLong(5), r.getLong(6)))
+      .sortBy(_._1).toSeq
+    assert(rows.map(_._1) == (1 to 5))
+    val sizes = rows.map(_._2)
+    assert(sizes.sum == Tables.documents(spark, sf).count())
+    assert(sizes.max - sizes.min <= 1L)
+    rows.foreach { case (_, _, pr, ms, _, _) =>
+      assert(pr >= 0.0 && pr <= 1.0 && ms > 0.0 && ms < 1.0)
+    }
+    rows.sliding(2).foreach { p =>
+      if (p.length == 2) {
+        // quintiles are ordered ranges of the logit…
+        assert(p(0)._6 <= p(1)._5, "bin ranges overlap")
+        // …so the mean sigmoid must strictly increase bin over bin
+        assert(p(0)._4 < p(1)._4, "mean score not monotone in bin")
+      }
+    }
+  }
+
   test("n19: every vector is classified; votes bounded by k; ties break low") {
     val rows = SparkEntry.queries("n19_knn_label_propagation")(spark, sf)
       .collect()
