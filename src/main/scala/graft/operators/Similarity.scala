@@ -1217,6 +1217,64 @@ object SimilarityQueries extends graft.QueryModule {
        |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
        |GROUP BY e.query_id""".stripMargin
 
+  /** n22's oracle: the n15 replay with the probe rank crossed against
+    * the probe-budget dimension — one rank window, probe lists widen
+    * per budget, per-(budget, query) hits against the SAME exact
+    * top-10, rolled up to the curve. */
+  private lazy val n22OracleSql: String =
+    s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+       |${OracleHash.lloydCtes(1, 16, 5)},
+       |qd AS (
+       |  SELECT q.vec_id AS query_id, b.j,
+       |    ${OracleHash.lfold("list((q.x - b.c) * (q.x - b.c) ORDER BY b.t)")} AS dist
+       |  FROM b5 b JOIN vect q ON q.vec_id IN (0,1,2,3,4,5,6,7) AND q.i = b.t + 1
+       |  GROUP BY q.vec_id, b.j),
+       |r AS (
+       |  SELECT query_id, j, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY dist ASC, j ASC) AS rn
+       |  FROM qd),
+       |pn AS (SELECT unnest([1, 2, 4, 8]) AS np),
+       |probes AS (
+       |  SELECT pn.np, r.query_id, r.j FROM r, pn WHERE r.rn <= pn.np),
+       |ve AS (SELECT vec_id, i AS d, CAST(round(x * 10000) AS BIGINT) AS x FROM vect),
+       |qe AS (SELECT vec_id AS query_id, d, x FROM ve WHERE vec_id IN (0,1,2,3,4,5,6,7)),
+       |dots AS (
+       |  SELECT qe.query_id, ve.vec_id, SUM(ve.x * qe.x) AS dot, SUM(ve.x * ve.x) AS nv
+       |  FROM ve JOIN qe ON ve.d = qe.d GROUP BY qe.query_id, ve.vec_id),
+       |nq AS (SELECT query_id, SUM(x * x) AS n2 FROM qe GROUP BY 1),
+       |scored AS (
+       |  SELECT d.query_id, d.vec_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
+       |  FROM dots d JOIN nq ON nq.query_id = d.query_id),
+       |exact AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+       |    FROM scored)
+       |  WHERE rn <= 10),
+       |approx AS (
+       |  SELECT np, query_id, vec_id FROM (
+       |    SELECT p.np, s.query_id, s.vec_id, row_number() OVER (
+       |      PARTITION BY p.np, s.query_id ORDER BY s.cos DESC, s.vec_id ASC) AS rn
+       |    FROM scored s
+       |    JOIN codes c ON c.vec_id = s.vec_id
+       |    JOIN probes p ON p.query_id = s.query_id AND p.j = c.j)
+       |  WHERE rn <= 10),
+       |hits AS (
+       |  SELECT pn.np, e.query_id,
+       |    CAST(coalesce(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 END), 0)
+       |      AS BIGINT) AS hits
+       |  FROM exact e CROSS JOIN pn
+       |  LEFT JOIN approx a ON a.np = pn.np AND a.query_id = e.query_id
+       |    AND a.vec_id = e.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT CAST(np AS INTEGER) AS n_probe,
+       |  CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(SUM(hits) AS BIGINT) AS sum_hits,
+       |  CAST(SUM(hits) AS DOUBLE) / (count(*) * 10) AS mean_recall,
+       |  CAST(min(hits) AS BIGINT) AS min_hits
+       |FROM hits GROUP BY 1""".stripMargin
+
   /** The kNN-graph CTE chain shared by n16/n17: per-vector probe lists
     * from the Lloyd replay (strict-fold distances, (dist, j) window),
     * candidates via the probe×cell join with self excluded,
@@ -1833,6 +1891,35 @@ object SimilarityQueries extends graft.QueryModule {
       val index = buildIvfIndex(emb)
       val out = annRecallEval(index, emb,
         queryIds = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L), k = 10)
+      val local = out.collectAsList()
+      index.unpersist()
+      s.createDataFrame(local, out.schema)
+    }),
+
+    // N22 — the recall-vs-nProbe CURVE: n15's recall eval swept over
+    // nProbe ∈ {1, 2, 4, 8} in ONE query — the actual tuning chart an
+    // IVF deployment reads to pick its probe budget (recall climbs
+    // toward 1.0 as probes approach the cell count; the knee is the
+    // operating point). The index builds ONCE; each sweep point reuses
+    // its assignments and only the probe list widens, so the added
+    // cost per point is one bounded batch retrieval, not a rebuild.
+    // Aggregates are exact ints (sum/min of per-query hit counts);
+    // mean_recall is one fixed-shape division. FULL oracle: the n15
+    // replay with the probe rank crossed against the probe-budget
+    // dimension, per-(budget, query) hits re-derived value for value.
+    graft.QueryDef("n22_recall_curve", Some(n22OracleSql))((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val index = buildIvfIndex(emb)
+      val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L)
+      val out = Seq(1, 2, 4, 8).map { p =>
+        annRecallEval(index, emb, ids, k = 10, nProbe = p)
+          .agg(count(lit(1)).as("n_queries"), sum(col("hits")).as("sum_hits"),
+            min(col("hits")).as("min_hits"))
+          .select(lit(p).as("n_probe"), col("n_queries"), col("sum_hits"),
+            (col("sum_hits").cast(DoubleType) / (col("n_queries") * 10))
+              .as("mean_recall"),
+            col("min_hits"))
+      }.reduce(_ unionByName _)
       val local = out.collectAsList()
       index.unpersist()
       s.createDataFrame(local, out.schema)

@@ -870,6 +870,27 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(rows("bmp")._2 > 0L && rows("wav")._2 > 0L)
   }
 
+  test("n22: recall curve is monotone in the probe budget") {
+    val rows = SparkEntry.queries("n22_recall_curve")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(rows.map(_._1) == Seq(1, 2, 4, 8))
+    rows.foreach { case (_, nq, sumH, mean, minH) =>
+      assert(nq == 8L && mean == sumH.toDouble / (nq * 10))
+      assert(minH * nq <= sumH)
+    }
+    // a wider probe set is a candidate SUPERSET, and any candidate that
+    // displaces an exact-top-10 member from the approx list must itself
+    // be exact-top-10 (cos order is global) — so hits can only grow
+    rows.sliding(2).foreach { p =>
+      if (p.length == 2) {
+        assert(p(0)._3 <= p(1)._3, "sum_hits dropped with more probes")
+        assert(p(0)._5 <= p(1)._5, "min_hits dropped with more probes")
+      }
+    }
+  }
+
   test("n21: PQ distortion is per-subspace complete and beats a 1-centroid book") {
     val rows = SparkEntry.queries("n21_pq_distortion")(spark, sf)
       .collect()
