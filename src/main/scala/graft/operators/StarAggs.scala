@@ -408,6 +408,52 @@ object StarAggs extends graft.QueryModule {
     // the target rank ceil(q*n) must fall inside [lt-bound, le+bound]
     // with the analytic bound the oracle recomputes from n and k alone
     // (integer bit-length arithmetic, no floating log on either side).
+    // A18 — EXACT distributed percentiles via the HISTOGRAM method: the
+    // third leg of the quantile family (a12/a15 = approx drop-ins,
+    // a17 = deterministic sketch bounds, a18 = exact with NO global
+    // sort). percentile() over a full column ships every value into one
+    // aggregation buffer; here the corpus reduces to a (value, count)
+    // histogram in ONE hash agg — the price key is bounded by the VALUE
+    // RANGE (integer cents), not the row count, so at 100 TB the
+    // histogram stays O(distinct prices) — then a cumulative window
+    // over histogram rows only (the t29/t38 discipline) and a 3-row
+    // broadcast rank probe pick each percentile as the smallest value
+    // whose cumulative count reaches ceil(p·n) (quantile_disc law,
+    // ranks in integer space). The oracle derives the same values
+    // INDEPENDENTLY by sorting and indexing row_number = rank — the
+    // histogram formulation proven against the order-statistics
+    // definition.
+    graft.QueryDef("a18_exact_percentiles", Some(
+      """WITH t AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        |  FROM lineitem),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+        |q AS (SELECT unnest([0.5, 0.9, 0.99]) AS p),
+        |ranked AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM t)
+        |SELECT q.p, CAST(ceil(q.p * nn.n) AS BIGINT) AS rank,
+        |  r.c AS value_cents,
+        |  CAST(r.c AS DOUBLE) / 100 AS value
+        |FROM q, nn
+        |JOIN ranked r ON r.rn = CAST(ceil(q.p * nn.n) AS BIGINT)""".stripMargin))(
+      (s, d) => {
+      val t = Tables.lineitem(s, d)
+        .select(round(col("l_extendedprice") * 100).cast(LongType).as("c"))
+      val hist = t.groupBy("c").agg(count(lit(1)).as("cnt"))
+      val wc = Window.orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum(col("cnt")).over(wc))
+      val n = t.agg(count(lit(1)).as("n"))
+      val ranks = s.range(1)
+        .select(explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"))
+        .join(broadcast(n))
+        .withColumn("rank", ceil(col("p") * col("n")).cast(LongType))
+        .select("p", "rank")
+      cum.join(broadcast(ranks), col("cum") >= col("rank"))
+        .groupBy("p", "rank").agg(min(col("c")).as("value_cents"))
+        .select(col("p"), col("rank"), col("value_cents"),
+          (col("value_cents").cast(DoubleType) / 100).as("value"))
+    }),
+
     graft.QueryDef("a17_quantile_sketch", Some(
       """WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
         |b AS (SELECT n, CAST(

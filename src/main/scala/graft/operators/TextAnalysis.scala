@@ -447,6 +447,26 @@ object TextAnalysisQueries extends graft.QueryModule {
        |  FROM m, tot)""".stripMargin
   }
 
+  /** The e1 session frame (user_id, session_id, n_events, start_us,
+    * end_us): 30-minute-gap sessions per user via lag + running sum —
+    * shared by the batch e1 query and e10's concurrency curve. */
+  def sessionFrame(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("new_session",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(run))
+      .groupBy("user_id", "session_id").agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+      .select("user_id", "session_id", "n_events", "start_us", "end_us")
+  }
+
   /** Distributed NTILE (t38 + t41): equal-depth bins over (doc_id,
     * key: LONG) without Spark's single-partition global-sort ntile().
     * Key histogram (one agg, O(distinct keys)) → cumulative window
@@ -2416,21 +2436,52 @@ object TextAnalysisQueries extends graft.QueryModule {
         |  FROM marked)
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
         |  CAST(min(epoch_us(ts)) AS BIGINT) AS start_us, CAST(max(epoch_us(ts)) AS BIGINT) AS end_us
-        |FROM sess GROUP BY user_id, session_id""".stripMargin))((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val run = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d)
-        .withColumn("new_session",
-          when(lag(col("ts"), 1).over(w).isNull ||
-            (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))) > 1800000000L, 1L)
-            .otherwise(0L))
-        .withColumn("session_id", sum(col("new_session")).over(run))
-        .groupBy("user_id", "session_id").agg(
-          count(lit(1)).as("n_events"),
-          min(unix_micros(col("ts"))).as("start_us"),
-          max(unix_micros(col("ts"))).as("end_us"))
-        .select("user_id", "session_id", "n_events", "start_us", "end_us")
+        |FROM sess GROUP BY user_id, session_id""".stripMargin))((s, d) =>
+      sessionFrame(Tables.events(s, d))),
+
+    // E10 — daily PEAK CONCURRENCY curve: the capacity-planning metric
+    // (max simultaneous sessions per day) over e1's session frame,
+    // computed at minute grain through the e6 FAN-OUT discipline: each
+    // session explodes to the minutes it covers (bounded inflation —
+    // sessions are gap-capped at 30 min idle, so minutes-per-session
+    // is small and the session frame is already ≪ events), one hash
+    // agg per minute, one O(days) max rollup. The naive alternative —
+    // a +1/−1 running sum over a single global time order — is one
+    // reducer over every boundary; the fan-out keeps every stage
+    // partitioned. Pure integer epoch arithmetic end to end; the day
+    // renders as epoch-day date addition on both engines.
+    graft.QueryDef("e10_concurrency_curve", Some(
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked),
+        |sb AS (
+        |  SELECT min(epoch_us(ts)) // 60000000 AS m0,
+        |    max(epoch_us(ts)) // 60000000 AS m1
+        |  FROM sess GROUP BY user_id, session_id),
+        |mins AS (SELECT unnest(generate_series(m0, m1)) AS minute FROM sb),
+        |mc AS (SELECT minute, CAST(count(*) AS BIGINT) AS conc FROM mins GROUP BY 1)
+        |SELECT CAST(DATE '1970-01-01' + CAST(minute // 1440 AS INTEGER) AS VARCHAR) AS day,
+        |  CAST(max(conc) AS BIGINT) AS peak_concurrent,
+        |  CAST(count(*) AS BIGINT) AS n_active_minutes
+        |FROM mc GROUP BY 1""".stripMargin))((s, d) => {
+      val sb = sessionFrame(Tables.events(s, d))
+        .select(expr("start_us div 60000000").as("m0"),
+          expr("end_us div 60000000").as("m1"))
+      val mc = sb.select(explode(expr("sequence(m0, m1)")).as("minute"))
+        .groupBy("minute").agg(count(lit(1)).as("conc"))
+      mc.withColumn("day_idx", expr("minute div 1440"))
+        .groupBy("day_idx").agg(max(col("conc")).as("peak_concurrent"),
+          count(lit(1)).as("n_active_minutes"))
+        .select(
+          date_add(to_date(lit("1970-01-01")), col("day_idx").cast(IntegerType))
+            .cast(StringType).as("day"),
+          col("peak_concurrent"), col("n_active_minutes"))
     }),
 
     // E2 — incremental watermark read: only rows past the stored

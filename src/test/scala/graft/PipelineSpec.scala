@@ -870,6 +870,40 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(rows("bmp")._2 > 0L && rows("wav")._2 > 0L)
   }
 
+  test("a18: histogram percentiles equal the local order statistics") {
+    val rows = SparkEntry.queries("a18_exact_percentiles")(spark, sf)
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val cents = Tables.lineitem(spark, sf)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length
+    for (p <- Seq(0.5, 0.9, 0.99)) {
+      val rank = math.ceil(p * n).toLong
+      assert(rows(p)._1 == rank, s"p=$p rank")
+      assert(rows(p)._2 == cents(rank.toInt - 1), s"p=$p value")
+    }
+  }
+
+  test("e10: daily peaks equal a local minute-sweep over the session frame") {
+    val sess = graft.operators.TextAnalysisQueries
+      .sessionFrame(Tables.events(spark, sf))
+      .select("start_us", "end_us").collect()
+      .map(r => (r.getLong(0) / 60000000L, r.getLong(1) / 60000000L))
+    val conc = scala.collection.mutable.Map[Long, Long]()
+    sess.foreach { case (m0, m1) =>
+      (m0 to m1).foreach(m => conc(m) = conc.getOrElse(m, 0L) + 1L)
+    }
+    val expect = conc.groupBy(_._1 / 1440L).map { case (d, ms) =>
+      java.time.LocalDate.ofEpochDay(d).toString ->
+        ((ms.values.max, ms.size.toLong))
+    }
+    val got = SparkEntry.queries("e10_concurrency_curve")(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == expect)
+  }
+
   test("n22: recall curve is monotone in the probe budget") {
     val rows = SparkEntry.queries("n22_recall_curve")(spark, sf)
       .collect()
