@@ -205,6 +205,30 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       "t38: histogram window count drifted")
   }
 
+  test("a18/t41: histogram-rank queries keep their global window off the corpus") {
+    // The only global WindowExec allowed is the histogram cumulative —
+    // one per query. The corpus-side row_number (t41) stays partitioned
+    // by key; a18 has no corpus window at all.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Nil
+      }
+      p +: (p.children ++ nested).flatMap(flatten)
+    }
+    for (name <- Seq("a18_exact_percentiles", "t41_model_calibration")) {
+      val globals = flatten(SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(globals.length == 1, s"$name: global-window count drifted")
+    }
+  }
+
   test("d15/t38: small-side rollups broadcast back onto the corpus") {
     // d15: the O(clusters) size rollup must broadcast; a shuffled join
     // here would re-exchange the corpus for a frame thousands of times
