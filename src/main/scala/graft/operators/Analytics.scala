@@ -188,6 +188,26 @@ object AnalyticsQueries extends graft.QueryModule {
           .as("decayed_score"))
   }
 
+  /** Last-touch attribution over an events frame with (user_id, ts,
+    * event_id, event_type) — see the e11 QueryDef for semantics.
+    * Exposed for direct testing of the lookback boundary and the
+    * same-timestamp tiebreak on synthetic streams. */
+  def lastTouchAttribution(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isChan = col("event_type").isin("view", "click")
+    val m = events
+      .withColumn("last_chan",
+        last(when(isChan, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("last_ts",
+        last(when(isChan, col("ts")), ignoreNulls = true).over(w))
+    m.where(col("event_type") === "purchase")
+      .select(coalesce(
+        when(col("last_ts") >= col("ts") - expr("INTERVAL 7 DAYS"),
+          col("last_chan")), lit("none")).as("channel"))
+      .groupBy("channel").agg(count(lit(1)).as("n_purchases"))
+  }
+
   def defs: Seq[graft.QueryDef] = Seq(
 
     // E4 — ORDERED event funnel (view → click → purchase): a user
@@ -411,6 +431,36 @@ object AnalyticsQueries extends graft.QueryModule {
       decayedFromDayCounts(Tables.events(s, d)
         .groupBy(col("user_id"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("cnt")))),
+
+    // E11 — LAST-TOUCH ATTRIBUTION: every purchase credits the most
+    // recent preceding channel event (view or click) within a 7-day
+    // lookback, else 'none' — the standard marketing-attribution
+    // assignment, and the event-stream application of the as-of-join
+    // shape (j7) WITHOUT a join: one ignore-nulls running `last` over
+    // the per-user (ts, event_id) order carries the latest channel and
+    // its timestamp forward, so attribution is a map-side CASE on the
+    // windowed frame — no self-join, no range join, one user_id
+    // shuffle. The (ts, event_id) tiebreak makes a same-timestamp
+    // channel event deterministically attributable; the lookback test
+    // is pure timestamp arithmetic. O(channels) output.
+    graft.QueryDef("e11_last_touch_attribution", Some(
+      """WITH m AS (
+        |  SELECT user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type IN ('view', 'click')
+        |      THEN event_type END IGNORE NULLS)
+        |      OVER w AS last_chan,
+        |    last_value(CASE WHEN event_type IN ('view', 'click')
+        |      THEN ts END IGNORE NULLS)
+        |      OVER w AS last_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT coalesce(CASE WHEN last_ts >= ts - INTERVAL 7 DAY
+        |    THEN last_chan END, 'none') AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_purchases
+        |FROM m WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin))((s, d) =>
+      lastTouchAttribution(Tables.events(s, d))),
 
     // S12 — SCD Type-2 history from the CDC changelog: every I/U op
     // becomes a VERSION row valid from its sequence number until the

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Semantics the oracle compare can't pin by itself: the funnel's
@@ -157,6 +158,37 @@ class AnalyticsSpec extends AnyFunSuite with SparkSuite {
       // an event on the anchor day carries full weight 1
       if (last == anchor) assert(score >= 1.0, s"user $u: anchor-day event under-weighted")
     }
+  }
+
+  test("e11: lookback boundary and same-timestamp tiebreak on a synthetic stream") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val e = Seq(
+      // user 1: click 8 days before purchase — outside lookback → none
+      (1L, 1L, "click", "2024-01-01 00:00:00"),
+      (2L, 1L, "purchase", "2024-01-09 00:00:01"),
+      // user 2: view then click then purchase — LAST touch (click) wins
+      (3L, 2L, "view", "2024-01-01 00:00:00"),
+      (4L, 2L, "click", "2024-01-02 00:00:00"),
+      (5L, 2L, "purchase", "2024-01-03 00:00:00"),
+      // user 3: view at the SAME ts as the purchase, lower event_id —
+      // the (ts, event_id) order makes it visible and attributable
+      (6L, 3L, "view", "2024-01-05 12:00:00"),
+      (7L, 3L, "purchase", "2024-01-05 12:00:00"),
+      // user 4: purchase with no channel history at all
+      (8L, 4L, "purchase", "2024-01-04 00:00:00"))
+      .map { case (id, u, et, ts) => (id, u, et, t(ts)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = operators.AnalyticsQueries.lastTouchAttribution(e)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("none" -> 2L, "click" -> 1L, "view" -> 1L))
+    // real data: every purchase is attributed exactly once
+    val rows = run("e11_last_touch_attribution")
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val purchases = Tables.events(spark, sf)
+      .where(col("event_type") === "purchase").count()
+    assert(rows.values.sum == purchases)
+    assert(rows.keySet.subsetOf(Set("view", "click", "none")))
   }
 
   test("s12: version chains are contiguous; deleted keys have no current row") {
