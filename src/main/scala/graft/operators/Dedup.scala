@@ -1177,6 +1177,47 @@ object DedupQueries extends graft.QueryModule {
     graft.QueryDef("d6b_clusters_fast", Some(d6OracleSql))((s, d) =>
       connectedComponentsFast(d6PairGraph(s, d))),
 
+    // D16 — cluster resolution over the REAL near-dup pair graph: d2's
+    // MinHash-LSH pairs (not d6's planted chains) resolved to
+    // components, every corpus doc surfacing — singletons with
+    // cluster = own id (the n17 discipline). This closes the last gap
+    // between the pair stage and the cluster stage: d6/d6b prove the
+    // resolvers on a synthetic graph with known topology, d16 proves
+    // the COMPOSITION pairs → components on the production path, where
+    // cluster shapes come from banding recall, not construction.
+    // Scale: the pair frame is the banded join's output (never
+    // all-pairs), pointer jumping is O(log d) bounded shuffles.
+    // Oracle: the full d2 hash replay nested MATERIALIZED (the n17
+    // lesson — an un-materialized graph replay re-inlines into every
+    // recursion step) + an independent recursive-CTE resolution +
+    // singleton restoration from the probed corpus.
+    graft.QueryDef("d16_neardup_clusters", Some(
+      s"""WITH RECURSIVE pairs AS MATERIALIZED ($d2OracleSql),
+         |edges AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |r(node, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN r ON r.node = e.dst),
+         |lab AS (SELECT node, min(label) AS cluster FROM r GROUP BY node),
+         |docs AS (SELECT doc_id FROM ($nearProbesSql))
+         |SELECT d.doc_id, CAST(coalesce(l.cluster, d.doc_id) AS BIGINT) AS cluster
+         |FROM docs d LEFT JOIN lab l ON l.node = d.doc_id""".stripMargin))((s, d) => {
+      val corpus = withNearProbes(Tables.documents(s, d))
+      val index = buildMinhashIndex(corpus)
+      val pairs = minhashPairs(index, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val labels = connectedComponentsFast(pairs)
+      val out = corpus.select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      val local = out.collectAsList()
+      index.unpersist()
+      s.createDataFrame(local, out.schema)
+    }),
+
     // D15 — SOFT dedup (duplication-aware reweighting): instead of
     // dropping non-representative cluster members (d7's hard apply),
     // every document keeps weight 1/|cluster| — a cluster's total

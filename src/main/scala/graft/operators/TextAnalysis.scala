@@ -597,6 +597,51 @@ object TextAnalysisQueries extends graft.QueryModule {
             .when(col("score_de") >= col("score_fr"), "de").otherwise("fr"))
     }),
 
+    // T44 — language-ID CONFUSION MATRIX: t1's predictions cross-
+    // tabulated against the ground-truth labels, with each cell's
+    // share of its true-language row — the eval artifact that decides
+    // whether the classifier is fit to drive t29/t34's per-language
+    // decisions (a systematic en→fr confusion would silently starve
+    // one language's mixture share). Two aggregations over O(langs)
+    // and O(langs²) frames after the map-side scoring; the share is a
+    // fixed-shape division of exact counts. The 'correct' flag rides
+    // along so both the diagonal and the error mass read directly.
+    graft.QueryDef("t44_langid_confusion", Some {
+      val sEn = s"${occSql("t", " the ")} + ${occSql("t", " and ")} + ${occSql("t", " of ")}"
+      val sDe = s"${occSql("t", " der ")} + ${occSql("t", " und ")} + ${occSql("t", " die ")}"
+      val sFr = s"${occSql("t", " le ")} + ${occSql("t", " et ")} + ${occSql("t", " la ")}"
+      s"""WITH pred AS (
+         |  SELECT lang,
+         |    CASE WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
+         |         WHEN score_de >= score_fr THEN 'de' ELSE 'fr' END AS pred_lang
+         |  FROM (SELECT lang, ($sEn) AS score_en, ($sDe) AS score_de, ($sFr) AS score_fr
+         |    FROM (SELECT lang, concat(' ', lower(text), ' ') AS t FROM documents))),
+         |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM pred GROUP BY 1)
+         |SELECT p.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(*) AS DOUBLE) / t.n_lang AS share,
+         |  p.lang = p.pred_lang AS correct
+         |FROM pred p JOIN tot t ON t.lang = p.lang
+         |GROUP BY p.lang, p.pred_lang, t.n_lang""".stripMargin
+    })((s, d) => {
+      val t = concat(lit(" "), lower(col("text")), lit(" "))
+      def sc(ws: Seq[String]) = ws.map(w => occ(t, s" $w ")).reduce(_ + _)
+      val pred = Tables.documents(s, d)
+        .select(col("lang"),
+          sc(Seq("the", "and", "of")).cast(LongType).as("score_en"),
+          sc(Seq("der", "und", "die")).cast(LongType).as("score_de"),
+          sc(Seq("le", "et", "la")).cast(LongType).as("score_fr"))
+        .withColumn("pred_lang",
+          when(col("score_en") >= col("score_de") &&
+            col("score_en") >= col("score_fr"), "en")
+            .when(col("score_de") >= col("score_fr"), "de").otherwise("fr"))
+      val tot = pred.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      pred.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .join(broadcast(tot), Seq("lang"))
+        .select(col("lang"), col("pred_lang"), col("n"),
+          (col("n").cast(DoubleType) / col("n_lang")).as("share"),
+          (col("lang") === col("pred_lang")).as("correct"))
+    }),
+
     // T2 — quality scoring: length, token stats, punctuation + stop-word
     // ratios, mean word length — the standard pre-training filters.
     graft.QueryDef("t2_quality_score", Some {

@@ -870,6 +870,30 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(rows("bmp")._2 > 0L && rows("wav")._2 > 0L)
   }
 
+  test("d16: planted near-dup pairs co-cluster through the real pair graph") {
+    val rows = SparkEntry.queries("d16_neardup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.size == n + 10) // corpus + the 10 near probes
+    for (i <- 10L until 20L)
+      assert(rows(i) == rows(i + 1000000L), s"probe pair $i split across clusters")
+    // singletons carry their own id — no doc silently absorbed
+    val clustered = rows.filter { case (id, cl) => cl != id }
+    assert(clustered.nonEmpty)
+  }
+
+  test("t44: confusion rows partition each language; shares sum to 1") {
+    val rows = SparkEntry.queries("t44_langid_confusion")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(rows.map(_._3).sum == Tables.documents(spark, sf).count())
+    rows.foreach { case (l, p, _, _, c) => assert(c == (l == p)) }
+    rows.groupBy(_._1).foreach { case (l, rs) =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-9, s"$l shares don't sum to 1")
+    }
+  }
+
   test("a18: histogram percentiles equal the local order statistics") {
     val rows = SparkEntry.queries("a18_exact_percentiles")(spark, sf)
       .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2))))
