@@ -2156,6 +2156,86 @@ object TextAnalysisQueries extends graft.QueryModule {
           max(col("key")).as("max_zq"))
     }),
 
+    // X4 — RELEASE MANIFEST: the one-row datasheet stamped onto a
+    // corpus release — volumes (docs, tokens, languages, sources),
+    // exact-duplicate doc rate (the d1 relation as a global statistic),
+    // Gopher keep rate (t35's composed rule), and the mixture plan's
+    // budget utilization (t34's planned mass over its 50k budget) —
+    // every number a composition of stages that already carry their
+    // own oracles, assembled here as the cross-stage consistency check
+    // a release pipeline runs last. Three aggregation passes over the
+    // corpus (stats+rules ride ONE scan; the dup rate needs its hash
+    // window; the plan is O(languages)) joined as 1-row broadcasts;
+    // rates are fixed-shape divisions of exact ints.
+    graft.QueryDef("x4_release_manifest", Some(
+      s"""WITH $mixtureCtes,
+         |planned AS (
+         |  SELECT CAST(SUM(least(n_tok, target_tok)) AS BIGINT) AS planned_tok
+         |  FROM plan),
+         |f AS (
+         |  SELECT doc_id, lang, source,
+         |    list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0) AS ws,
+         |    md5(${Dedup.normTextSql}) AS th
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang, source, th,
+         |    CAST(len(ws) AS BIGINT) AS n_tok,
+         |    CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS sum_len,
+         |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_distinct(list_intersect(ws,
+         |      ['the', 'a', 'and', 'of', 'to', 'in']))) AS BIGINT) AS n_stop
+         |  FROM f),
+         |g AS (SELECT th, count(*) AS grp FROM m GROUP BY th),
+         |stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(m.n_tok) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT m.lang) AS BIGINT) AS n_langs,
+         |    CAST(count(DISTINCT m.source) AS BIGINT) AS n_sources,
+         |    CAST(SUM(CASE WHEN g.grp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |    CAST(SUM(CASE WHEN m.n_tok BETWEEN 50 AND 100000
+         |      AND 3 * m.n_tok <= m.sum_len AND m.sum_len <= 10 * m.n_tok
+         |      AND 5 * m.n_alpha >= 4 * m.n_tok
+         |      AND m.n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+         |  FROM m JOIN g USING (th))
+         |SELECT s.n_docs, s.n_tokens, s.n_langs, s.n_sources,
+         |  CAST(s.n_dup_docs AS DOUBLE) / s.n_docs AS dup_doc_rate,
+         |  CAST(s.n_keep AS DOUBLE) / s.n_docs AS gopher_keep_rate,
+         |  p.planned_tok,
+         |  CAST(p.planned_tok AS DOUBLE) / 50000 AS budget_utilization
+         |FROM stats s, planned p""".stripMargin))((s, d) => {
+      val stops = array(Seq("the", "a", "and", "of", "to", "in").map(lit): _*)
+      val ws = filter(split(trim(col("text")), "\\s+"), w => length(w) > 0)
+      val m = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        col("source"),
+        size(ws).cast(LongType).as("n_tok"),
+        aggregate(ws, lit(0L), (acc, w) => acc + length(w)).as("sum_len"),
+        size(filter(ws, w => w.rlike("[a-z]"))).cast(LongType).as("n_alpha"),
+        size(array_distinct(array_intersect(ws, stops))).cast(LongType).as("n_stop"),
+        md5(Dedup.normText(col("text")).cast(BinaryType)).as("th"))
+      val withGrp = m.withColumn("grp",
+        count(lit(1)).over(Window.partitionBy("th")))
+      val keep = col("n_tok").between(50L, 100000L) &&
+        (lit(3L) * col("n_tok") <= col("sum_len")) &&
+        (col("sum_len") <= lit(10L) * col("n_tok")) &&
+        (lit(5L) * col("n_alpha") >= lit(4L) * col("n_tok")) &&
+        (col("n_stop") >= 2L)
+      val stats = withGrp.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(when(col("grp") > 1L, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_keep"))
+      val planned = mixturePlan(s, d)
+        .agg(sum(least(col("n_tok"), col("target_tok"))).as("planned_tok"))
+      stats.join(broadcast(planned))
+        .select(col("n_docs"), col("n_tokens"), col("n_langs"), col("n_sources"),
+          (col("n_dup_docs").cast(DoubleType) / col("n_docs")).as("dup_doc_rate"),
+          (col("n_keep").cast(DoubleType) / col("n_docs")).as("gopher_keep_rate"),
+          col("planned_tok"),
+          (col("planned_tok").cast(DoubleType) / 50000).as("budget_utilization"))
+    }),
+
     // T29 — ADAPTIVE per-language quality thresholds: each language cuts
     // its own bottom quartile of the stopword-ratio score instead of
     // sharing one global cutoff — the fix for head-language-centric

@@ -870,6 +870,24 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(rows("bmp")._2 > 0L && rows("wav")._2 > 0L)
   }
 
+  test("x4: release manifest agrees with every standalone stage it composes") {
+    val r = SparkEntry.queries("x4_release_manifest")(spark, sf).head()
+    val nDocs = r.getLong(0)
+    assert(nDocs == Tables.documents(spark, sf).count())
+    // gopher keep rate == t35's composed keep share
+    val t35 = SparkEntry.queries("t35_gopher_rules")(spark, sf)
+      .select(col("keep")).collect().map(_.getBoolean(0))
+    assert(r.getDouble(5) == t35.count(identity).toDouble / nDocs)
+    // planned tokens == the t34 plan's planned_tok sum
+    val planned = SparkEntry.queries("t34_mixture_plan")(spark, sf)
+      .agg(sum(col("planned_tok"))).head().getLong(0)
+    assert(r.getLong(6) == planned)
+    // dup-doc mass == the t36 data card's n_dup_docs total
+    val dup = SparkEntry.queries("t36_data_card")(spark, sf)
+      .agg(sum(col("n_dup_docs"))).head().getLong(0)
+    assert(r.getDouble(4) == dup.toDouble / nDocs)
+  }
+
   test("d16: planted near-dup pairs co-cluster through the real pair graph") {
     val rows = SparkEntry.queries("d16_neardup_clusters")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
