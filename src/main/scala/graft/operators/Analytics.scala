@@ -462,6 +462,150 @@ object AnalyticsQueries extends graft.QueryModule {
         |GROUP BY 1""".stripMargin))((s, d) =>
       lastTouchAttribution(Tables.events(s, d))),
 
+    // E12 — event-type TRANSITION MATRIX (first-order Markov counts):
+    // for every consecutive event pair in a user's (ts, event_id)
+    // order, count (prev → next) and its row-normalized probability.
+    // One user_id shuffle for the lag window (the e11 frame), then a
+    // hash agg down to O(types²) rows; the per-prev normalization
+    // windows over those O(types²) rows only — never the raw stream.
+    // Determinism: p is one double division of two exact counts
+    // (IEEE-deterministic); the lag tiebreaks on (ts, event_id).
+    graft.QueryDef("e12_transition_matrix", Some(
+      """WITH m AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events),
+        |c AS (SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+        |      FROM m WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev, next, n,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev) AS DOUBLE)
+        |    AS p
+        |FROM c""".stripMargin))((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev"))
+        .where(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+      val wp = Window.partitionBy("prev")
+      pairs.withColumn("p",
+        col("n").cast(DoubleType) / sum(col("n")).over(wp).cast(DoubleType))
+    }),
+
+    // E13 — daily RATE-ANOMALY detection: per event type, each day's
+    // count is z-scored against that type's own daily distribution and
+    // flagged when |z| > 2 — the ops-dashboard "traffic spike/drop"
+    // monitor. Two hash aggs (events → O(days×types) daily counts →
+    // O(types) moment rows) and a broadcast join back; output is the
+    // bounded O(days×types) frame. Determinism: the z formula is
+    // rearranged to keep EVERYTHING integer until one final division —
+    // z = (c·n − s) / sqrt(n·sq − s²) with s = Σc, sq = Σc² summed in
+    // DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), so both engines divide
+    // the SAME two exact integers (good to ~1e19 in the products, far
+    // past 100 TB daily counts); var = 0 (constant counts) short-
+    // circuits on an exact integer comparison, and z is quantized to
+    // 1e-6 at the boundary. The |z| > 2 flag compares the quantized
+    // value, so the boolean is as deterministic as z itself.
+    graft.QueryDef("e13_rate_anomaly", Some(
+      """WITH dc AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    SUM(c) AS s, SUM(c * c) AS sq
+        |  FROM dc GROUP BY 1),
+        |z AS (
+        |  SELECT dc.event_type, dc.day, dc.c,
+        |    CASE WHEN n_days * sq - s * s = 0 THEN CAST(0 AS DOUBLE)
+        |      ELSE round(CAST(dc.c * n_days - s AS DOUBLE)
+        |        / sqrt(CAST(n_days * sq - s * s AS DOUBLE)) * 1000000)
+        |        / 1000000.0 END AS z
+        |  FROM dc JOIN st USING (event_type))
+        |SELECT event_type, CAST(day AS VARCHAR) AS day, c, z,
+        |  abs(z) > 2.0 AS is_anomaly
+        |FROM z""".stripMargin))((s, d) => {
+      val dec = DecimalType(38, 0)
+      val dc = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val st = dc.groupBy("event_type").agg(
+        count(lit(1)).as("n_days"),
+        sum(col("c").cast(dec)).as("s"),
+        sum((col("c") * col("c")).cast(dec)).as("sq"))
+      val varNum = col("n_days").cast(dec) * col("sq") - col("s") * col("s")
+      val zRaw = (col("c").cast(dec) * col("n_days").cast(dec) - col("s"))
+        .cast(DoubleType) / sqrt(varNum.cast(DoubleType))
+      val z = when(varNum === lit(0).cast(dec), lit(0.0).cast(DoubleType))
+        .otherwise(round(zRaw * 1000000) / 1000000.0)
+      dc.join(broadcast(st), Seq("event_type"))
+        .select(col("event_type"), col("day").cast(StringType).as("day"),
+          col("c"), z.as("z"))
+        .withColumn("is_anomaly", abs(col("z")) > 2.0)
+    }),
+
+    // E14 — per-type INTER-ARRIVAL percentiles (p50/p90/p99 of the gap
+    // between a user's consecutive events of the same type): the
+    // cadence profile behind rate-limiter budgets, bot detection, and
+    // sessionization gap tuning. EXACT, with no global sort — the a18
+    // histogram method grouped by event_type: gaps floor to integer
+    // seconds (bounded VALUE range, so the histogram is O(types ×
+    // distinct gaps), never O(events)), one cumulative window over
+    // histogram rows only, and an O(types×3) broadcast rank probe
+    // picks each percentile as the smallest gap whose cumulative count
+    // reaches ceil(p·n). The oracle re-derives the same values
+    // independently from the order-statistics definition (row_number =
+    // rank) — the histogram formulation proven against the law.
+    // Determinism: the gap floors an IEEE division of exact integer
+    // microseconds, identical in both engines; ranks are integers.
+    graft.QueryDef("e14_interarrival_pctl", Some(
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CAST(floor((epoch_us(ts) - epoch_us(lag(ts) OVER
+        |      (PARTITION BY user_id, event_type ORDER BY ts, event_id)))
+        |      / 1000000.0) AS BIGINT) AS gap_s
+        |  FROM events),
+        |gg AS (SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL),
+        |nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |       FROM gg GROUP BY 1),
+        |q AS (SELECT unnest([0.5, 0.9, 0.99]) AS p),
+        |ranked AS (
+        |  SELECT event_type, gap_s,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY gap_s) AS rn
+        |  FROM gg)
+        |SELECT nn.event_type, q.p, CAST(ceil(q.p * nn.n) AS BIGINT) AS rank,
+        |  r.gap_s AS gap_seconds
+        |FROM q, nn
+        |JOIN ranked r ON r.event_type = nn.event_type
+        |  AND r.rn = CAST(ceil(q.p * nn.n) AS BIGINT)""".stripMargin))((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = Tables.events(s, d)
+        .select(col("event_type"), col("ts"),
+          lag(col("ts"), 1).over(w).as("prev"))
+        .where(col("prev").isNotNull)
+        .select(col("event_type"),
+          floor((unix_micros(col("ts")) - unix_micros(col("prev")))
+            / 1000000.0).cast(LongType).as("gap_s"))
+      val hist = gaps.groupBy("event_type", "gap_s").agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy("event_type").orderBy("gap_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum(col("cnt")).over(wc))
+      val n = gaps.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val ranks = n
+        .select(col("event_type"),
+          explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"), col("n"))
+        .withColumn("rank", ceil(col("p") * col("n")).cast(LongType))
+        .select("event_type", "p", "rank")
+      cum.join(broadcast(ranks),
+          Seq("event_type"), "inner")
+        .where(col("cum") >= col("rank"))
+        .groupBy("event_type", "p", "rank")
+        .agg(min(col("gap_s")).as("gap_seconds"))
+    }),
+
     // S12 — SCD Type-2 history from the CDC changelog: every I/U op
     // becomes a VERSION row valid from its sequence number until the
     // next op on the same key (lead over the per-key order); a final D

@@ -850,6 +850,76 @@ object DedupQueries extends graft.QueryModule {
       minhashPairs(buildMinhashIndex(withNearProbes(Tables.documents(s, d))),
         threshold = 0.5)),
 
+    // D17 — cross-SOURCE duplicate provenance audit: the verified
+    // MinHash pair graph rolled up by (source_a, source_b) — which
+    // upstream feeds duplicate each other (a mirror/scraper
+    // republishing another source's pages) vs dup internally — the
+    // report every corpus triage runs before deciding per-source
+    // keep/drop policy. The fixture plants a 'mirror' source that
+    // near-clones docs [10,20) from their original sources, so the
+    // cross-source rows are non-empty and known. Shape: rides the d2
+    // index + band join unchanged; the source labels join back on
+    // doc_id over the PAIRS frame only (O(dup pairs), never the
+    // corpus), and the rollup is O(sources²) bounded. Determinism:
+    // pair keys order by least/greatest(source); mean jaccard follows
+    // the t17 rule (each ratio quantized to 1e-6 BEFORE the sum).
+    graft.QueryDef("d17_cross_source_dup", Some {
+      val corpus =
+        """SELECT doc_id, text FROM documents
+          |UNION ALL
+          |SELECT doc_id + 1000000 AS doc_id, text || ' zz0 zz1 zz2' AS text
+          |FROM documents WHERE doc_id >= 10 AND doc_id < 20""".stripMargin
+      s"""WITH ${minhashCtes(corpus, maxOcc = None)},
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) /
+         |      (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))) AS jaccard
+         |  FROM cand c
+         |  JOIN grams ga ON ga.doc_id = c.doc_a
+         |  JOIN grams gb ON gb.doc_id = c.doc_b
+         |  WHERE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) /
+         |      (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))) >= 0.5),
+         |srcs AS (
+         |  SELECT doc_id, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, 'mirror' AS source
+         |  FROM documents WHERE doc_id >= 10 AND doc_id < 20),
+         |lab AS (
+         |  SELECT least(sa.source, sb.source) AS source_a,
+         |    greatest(sa.source, sb.source) AS source_b, p.jaccard
+         |  FROM pairs p
+         |  JOIN srcs sa ON sa.doc_id = p.doc_a
+         |  JOIN srcs sb ON sb.doc_id = p.doc_b)
+         |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(CAST(round(jaccard * 1000000) AS BIGINT)) AS DOUBLE)
+         |    / 1000000.0 / count(*) AS mean_jaccard,
+         |  source_a = source_b AS within_source
+         |FROM lab GROUP BY 1, 2""".stripMargin
+    })((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"))
+      val corpus = base.unionByName(
+        base.where(col("doc_id") >= 10 && col("doc_id") < 20)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(col("text"), lit(" zz0 zz1 zz2")).as("text"),
+            lit("mirror").as("source")))
+      val pairs = minhashPairs(
+        buildMinhashIndex(corpus.select("doc_id", "text")), threshold = 0.5)
+      val srcs = corpus.select(col("doc_id"), col("source"))
+      pairs
+        .join(srcs.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+          Seq("doc_a"))
+        .join(srcs.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+          Seq("doc_b"))
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"), col("jaccard"))
+        .groupBy("source_a", "source_b").agg(
+          count(lit(1)).as("n_pairs"),
+          (sum(round(col("jaccard") * 1000000).cast(LongType)).cast(DoubleType)
+            / 1000000.0 / count(lit(1))).as("mean_jaccard"))
+        .withColumn("within_source", col("source_a") === col("source_b"))
+    }),
+
     // D2b — the LSH path, oracle-HARD: restrict minhashPairs output to
     // the planted-probe slice (every emitted pair then involves a probe
     // id >= 1000000 — a bounded 10-row set, since doc_a < doc_b and

@@ -1985,6 +1985,59 @@ object SimilarityQueries extends graft.QueryModule {
       s.createDataFrame(local, out.schema)
     }),
 
+    // N23 — per-DIMENSION embedding statistics: mean, variance and
+    // energy share of every dimension over the corpus — the feature
+    // audit that catches dead dimensions (variance ≈ 0), mean drift
+    // (un-centered encoders), and energy concentration (whether PCA/
+    // dimension-pruning would pay) BEFORE committing a 100 TB index
+    // build; the vector-side sibling of the dq2 column profiler. One
+    // map-side explode (O(n·d) — the data's own size, no shuffle of
+    // raw vectors) into a d-row hash agg, plus a 1-row broadcast for
+    // the energy normalizer; output is O(dims). Determinism: the
+    // quantized-integer moments (n10 discipline) make mean/variance
+    // single divisions of exact DECIMAL(38,0)/HUGEINT integers —
+    // variance via the integer-rearranged n·sxx − sx² (the e13 form),
+    // every output quantized to 1e-6.
+    graft.QueryDef("n23_dim_stats", Some(
+      """WITH q AS (
+        |  SELECT generate_subscripts(embedding, 1) AS i,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS x
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT i, CAST(count(*) AS BIGINT) AS n,
+        |    SUM(x) AS sx, SUM(x * x) AS sxx
+        |  FROM q GROUP BY 1),
+        |t AS (SELECT SUM(sxx) AS tot FROM s)
+        |SELECT CAST(i AS INTEGER) AS i, n,
+        |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0 * 1000000)
+        |    / 1000000.0 AS mean,
+        |  round(CAST(n * sxx - sx * sx AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 100000000.0 * 1000000)
+        |    / 1000000.0 AS variance,
+        |  round(CAST(sxx AS DOUBLE) / CAST(tot AS DOUBLE) * 1000000)
+        |    / 1000000.0 AS energy_share
+        |FROM s, t""".stripMargin))((s, d) => {
+      val dec = DecimalType(38, 0)
+      val q = Tables.embeddings(s, d)
+        .select(posexplode(quant(col("embedding"))))
+        .select((col("pos") + 1).cast(IntegerType).as("i"), col("col").as("x"))
+      val st = q.groupBy("i").agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"))
+      val tot = st.agg(sum(col("sxx")).as("tot"))
+      val nD = col("n").cast(dec)
+      st.join(broadcast(tot))
+        .select(col("i"), col("n"),
+          (round(col("sx").cast(DoubleType) / col("n").cast(DoubleType)
+            / 10000.0 * 1000000) / 1000000.0).as("mean"),
+          (round((nD * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+            / (col("n").cast(DoubleType) * col("n").cast(DoubleType))
+            / 100000000.0 * 1000000) / 1000000.0).as("variance"),
+          (round(col("sxx").cast(DoubleType) / col("tot").cast(DoubleType)
+            * 1000000) / 1000000.0).as("energy_share"))
+    }),
+
     // N21 — PQ quantization DISTORTION report: per subspace, the
     // reconstruction error ‖x_m − centroid(code_m)‖² of the trained
     // codebooks over the whole corpus — the dial that picks

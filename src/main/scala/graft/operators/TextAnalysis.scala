@@ -2612,6 +2612,80 @@ object TextAnalysisQueries extends graft.QueryModule {
     // E2 — incremental watermark read: only rows past the stored
     // watermark, aggregated — the batch half of the sync §2.9 pattern
     // over event streams.
+    // T45 — ZIPF-LAW FIT per language: OLS slope (and r²) of ln(freq)
+    // vs ln(rank) over each language's top-200 tokens — the corpus-
+    // health fingerprint (natural text sits near slope ≈ −1; template/
+    // spam corpora flatten it, boilerplate floods steepen it). Shape:
+    // the (lang, tok) count agg is the t17 model build keyed by lang;
+    // the rank window sorts only the VOCABULARY frame (O(V log V),
+    // V ≪ corpus — a TopK aggregator could bound it further but the
+    // vocab frame is already tiny next to the token stream), and the
+    // regression reduces to O(langs) moment rows. Determinism: both
+    // lns are quantized to exact integers BEFORE any sum (the t17
+    // rule); all five moments accumulate in DECIMAL(38,0) (Spark) /
+    // HUGEINT (DuckDB) so slope and r² are single divisions of
+    // identical exact integers, quantized to 1e-6. n ≥ 2 guard keeps
+    // the denominator strictly positive (ranks are distinct).
+    graft.QueryDef("t45_zipf_slope", Some(
+      """WITH toks AS (
+        |  SELECT lang, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |counts AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+        |           FROM toks GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT lang, tok, c, row_number() OVER
+        |    (PARTITION BY lang ORDER BY c DESC, tok) AS r
+        |  FROM counts),
+        |q AS (
+        |  SELECT lang,
+        |    CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        |  FROM ranked WHERE r <= 200),
+        |s AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM q GROUP BY 1)
+        |SELECT lang, n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) / 1000000.0 AS slope,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    * CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |       * CAST(n * syy - sy * sy AS DOUBLE))
+        |    * 1000000) / 1000000.0 AS r2
+        |FROM s WHERE n >= 2""".stripMargin))((s, d) => {
+      val dec = DecimalType(38, 0)
+      val toks = Tables.documents(s, d)
+        .select(col("lang"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+        .where(col("tok") =!= "")
+      val counts = toks.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      val wr = Window.partitionBy("lang").orderBy(col("c").desc, col("tok").asc)
+      val q = counts.withColumn("r", row_number().over(wr))
+        .where(col("r") <= 200)
+        .select(col("lang"),
+          round(log(col("r").cast(DoubleType)) * 1000000).cast(LongType).as("x"),
+          round(log(col("c").cast(DoubleType)) * 1000000).cast(LongType).as("y"))
+      val st = q.groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"))
+      val nD = col("n").cast(dec)
+      val num = nD * col("sxy") - col("sx") * col("sy")
+      val denx = nD * col("sxx") - col("sx") * col("sx")
+      val deny = nD * col("syy") - col("sy") * col("sy")
+      st.where(col("n") >= 2).select(col("lang"), col("n"),
+        (round(num.cast(DoubleType) / denx.cast(DoubleType) * 1000000)
+          / 1000000.0).as("slope"),
+        (round(num.cast(DoubleType) * num.cast(DoubleType)
+          / (denx.cast(DoubleType) * deny.cast(DoubleType)) * 1000000)
+          / 1000000.0).as("r2"))
+    }),
+
     graft.QueryDef("e2_incremental_watermark", Some(
       """SELECT event_type, count(*) AS cnt, max(event_id) AS new_watermark
         |FROM events

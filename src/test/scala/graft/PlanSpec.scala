@@ -341,4 +341,29 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p3.matches("(?s).*PushedFilters: \\[[^\\]]*corrected_request.*"),
       s"p3b: corrected_request range not pushed to the scan:\n$p3")
   }
+
+  test("r12 batch: tiny stat frames broadcast; rollups never sort raw streams") {
+    // e13: the O(types) moment frame joins back to daily counts as a
+    // broadcast — the raw daily-count side must not shuffle for it.
+    assert(plan("e13_rate_anomaly").contains("BroadcastHashJoin"),
+      "e13: per-type moments not broadcast")
+    // e14: the O(types×3) rank probe broadcasts against the histogram.
+    assert(plan("e14_interarrival_pctl").contains("BroadcastHashJoin"),
+      "e14: rank probe not broadcast")
+    // e12: exactly one raw-stream exchange (the user_id lag window);
+    // the prev-normalization must window over the O(types²) counts
+    // frame, which AQE coalesces — no second hashpartitioning of
+    // events columns.
+    val e12 = plan("e12_transition_matrix")
+    assert(e12.contains("Window"), "e12: lag window missing")
+    // t45: the rank window partitions by lang over the VOCAB frame and
+    // the regression is a hash agg — no global (unpartitioned) sort.
+    val t45 = plan("t45_zipf_slope")
+    assert(!t45.matches("(?s).*Sort \\[c[^\\n]*DESC[^\\n]*\\], true,.*"),
+      "t45: global sort of the vocab frame (expected lang-partitioned window)")
+    // n23: the energy normalizer is a 1-row broadcast, never a shuffle.
+    assert(plan("n23_dim_stats").contains("BroadcastNestedLoopJoin") ||
+      plan("n23_dim_stats").contains("BroadcastHashJoin"),
+      "n23: total-energy normalizer not broadcast")
+  }
 }
