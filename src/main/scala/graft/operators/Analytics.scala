@@ -661,6 +661,60 @@ object AnalyticsQueries extends graft.QueryModule {
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("seq").as("valid_from"), col("valid_to"),
           col("valid_to").isNull.as("is_current"))
-    })
+    }),
+
+    // A19 — CUBE with grouping_id: every subtotal combination of
+    // (returnflag, linestatus) in ONE pass, each output row tagged with
+    // the grouping bitmask (MSB = first key) so a consumer can route
+    // grand totals / per-flag totals / leaf cells without re-querying.
+    // Complements a14's ROLLUP: CUBE is the full lattice, and gid is
+    // the disambiguator that coalesced '<all>' labels alone can't give
+    // when a real key value could collide with the placeholder. Spark
+    // plans this as one Expand (4 replicas of each input row) feeding
+    // one partial+final hash agg — a single shuffle of the expanded
+    // keys, no per-subtotal rescan; at 100 TB the Expand multiplies
+    // map-side rows only, and the map-side combine collapses them
+    // before the exchange (group cardinality is O(flags × statuses)).
+    // Determinism: quantity sums ride the Num.dsum DECIMAL discipline;
+    // both engines' GROUPING bitmask puts the first argument in the
+    // high bit.
+    graft.QueryDef("a19_cube", Some(
+      """SELECT coalesce(l_returnflag, '<all>') AS rflag,
+        |  coalesce(l_linestatus, '<all>') AS lstatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin))((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          graft.Num.dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("<all>")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("lstatus"),
+          col("gid"), col("sum_qty"), col("n"))),
+
+    // E15 — POWER-USER CURVE (the "L28"-style engagement histogram):
+    // users bucketed by how many DISTINCT days they were active, the
+    // canonical shape for "how sticky is the product" (a spike at 1 =
+    // drive-by traffic; mass at the right edge = daily habit). Two
+    // hash aggs: countDistinct(day) expands to a partial-distinct on
+    // (user_id, day) — map-side combine removes same-partition
+    // duplicates before the user_id exchange — then the O(users) frame
+    // collapses to the O(days) histogram. Nothing is ever wider than
+    // (user, day), so the 100 TB cost is one deduplicating shuffle of
+    // the event stream's (user, day) projection.
+    graft.QueryDef("e15_power_user_curve", Some(
+      """WITH ad AS (
+        |  SELECT user_id, count(DISTINCT CAST(ts AS DATE)) AS active_days
+        |  FROM events GROUP BY 1)
+        |SELECT active_days, CAST(count(*) AS BIGINT) AS n_users
+        |FROM ad GROUP BY 1""".stripMargin))((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(countDistinct(to_date(col("ts"))).as("active_days"))
+        .groupBy(col("active_days"))
+        .agg(count(lit(1)).as("n_users")))
   )
 }

@@ -566,6 +566,57 @@ object Similarity {
     } finally { edges.unpersist(); () }
   }
 
+  /** PageRank CENTRALITY over the approximate kNN graph — the hub
+    * score that ranks which vectors sit in the dense core of embedding
+    * space vs the periphery (curation uses it two ways: high-rank hubs
+    * flag over-represented content; low-rank tails flag outliers worth
+    * a quality look). Standard damped iteration, FIXED-POINT INTEGER
+    * arithmetic end to end: mass is scaled to `scale` (1e12), each
+    * node's out-contribution is the integer division pr/outdeg, and
+    * pr' = 0.15·scale/N + (85·inMass)/100 — every operation is exact
+    * long math, so the scores are bit-identical across engines,
+    * partitionings, and iteration-internal orderings (integer sums
+    * commute; doubles would not). Dangling mass (nodes with no
+    * out-edges) is dropped, not redistributed — deterministic and
+    * documented, the common large-graph simplification.
+    *
+    * Scale shape: `iters` rounds of (edge join on src → in-mass agg on
+    * dst), each one bounded shuffle of the N·k edge frame — the
+    * standard Pregel/GraphX schedule expressed as DataFrame joins; the
+    * rank frame is O(N), edges persist across rounds, and out-degree
+    * is capped at k by construction so no key skews the exchange. */
+  def pagerankCentrality(index: IvfIndex, k: Int, nProbe: Int = 2,
+                         iters: Int = 5, scale: Long = 1000000000000L): DataFrame = {
+    val edges = knnGraph(index, k, nProbe)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val outd = edges.groupBy("src").agg(count(lit(1)).as("od"))
+      val nodes = index.assigned.select(col("vec_id"))
+      val n = nodes.count() // O(1) driver result — the N in the formula
+      val base = scale * 15 / 100 / n
+      var pr = nodes.withColumn("pr", lit(scale / n))
+      for (_ <- 1 to iters) {
+        val inMass = pr.join(edges, pr("vec_id") === edges("src"))
+          .join(outd, Seq("src"))
+          .select(col("dst").as("vec_id"), expr("pr div od").as("c"))
+          .groupBy("vec_id").agg(sum(col("c")).as("in_mass"))
+        pr = nodes.join(inMass, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            (lit(base) + expr(
+              "(85 * coalesce(in_mass, CAST(0 AS BIGINT))) div 100"))
+              .as("pr"))
+      }
+      // Materialize before releasing the edge cache: the rank frame is
+      // lazy, and unpersisting first would recompute the kNN graph once
+      // per iteration at execution time. O(N) rows — the per-node score
+      // frame, same bound as the n17/n19 materializations.
+      val out = pr.select(col("vec_id"), col("pr"))
+      val local = out.collectAsList()
+      out.sparkSession.createDataFrame(local, out.schema)
+    } finally { edges.unpersist(); () }
+  }
+
   /** ANN quality evaluation — MEASURED recall@k of the IVF probe path
     * against the exact answer over the same probe query set, the number
     * every approximate-retrieval deployment must monitor before trusting
@@ -1372,6 +1423,40 @@ object SimilarityQueries extends graft.QueryModule {
        |SELECT v.vec_id, CAST(coalesce(l.cl, v.vec_id) AS BIGINT) AS cluster
        |FROM vecs v LEFT JOIN lab l ON l.node = v.vec_id""".stripMargin
 
+  /** n24's oracle: the SAME graph replay, then five UNROLLED damped
+    * iterations in pure integer arithmetic (pr/outdeg integer
+    * divisions, 85/100 damping, 0.15·scale/N base) — the engine's loop
+    * re-derived as chained CTEs. `graphm`/`outd` MUST stay MATERIALIZED
+    * (the n17 lesson): an inlining planner would re-expand the whole
+    * Lloyd/probe replay into every iteration. */
+  private lazy val n24OracleSql: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""pr$i AS MATERIALIZED (
+         |  SELECT nd.vec_id,
+         |    CAST(150000000000 // n + (85 * COALESCE(m.s, 0)) // 100
+         |      AS BIGINT) AS pr
+         |  FROM nodes nd CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT g.vec_id, SUM(p.pr // o.od) AS s
+         |    FROM graphm g
+         |    JOIN pr${i - 1} p ON p.vec_id = g.query_id
+         |    JOIN outd o ON o.src = g.query_id
+         |    GROUP BY 1) m ON m.vec_id = nd.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnGraphCtes,
+       |graphm AS MATERIALIZED (SELECT query_id, vec_id FROM graph),
+       |outd AS MATERIALIZED (
+       |  SELECT query_id AS src, CAST(count(*) AS BIGINT) AS od
+       |  FROM graphm GROUP BY 1),
+       |nodes AS MATERIALIZED (SELECT vec_id FROM vecs),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |pr0 AS MATERIALIZED (
+       |  SELECT vec_id, CAST(1000000000000 // n AS BIGINT) AS pr
+       |  FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT vec_id, pr FROM pr5""".stripMargin
+  }
+
   /** n12's oracle: the n3 training/probe replay with the label
     * predicate applied INSIDE the candidate set (pre-filtering), 8
     * probed cells — value-checks the filtered retrieval end to end. */
@@ -1983,6 +2068,21 @@ object SimilarityQueries extends graft.QueryModule {
       val local = out.collectAsList()
       index.unpersist()
       s.createDataFrame(local, out.schema)
+    }),
+
+    // N24 — PageRank CENTRALITY over the n16 kNN graph: damped (0.85)
+    // rank in fixed-point integer arithmetic (scale 1e12), 5 rounds —
+    // hubs of embedding space surface with high rank, outliers with the
+    // base rank. The Pregel schedule as bounded DataFrame joins: each
+    // round shuffles only the N·k edge frame; dangling mass drops
+    // (documented in [[pagerankCentrality]]). FULL oracle: graph replay
+    // + the same five iterations unrolled as integer-CTE chains — loop
+    // checked against straight-line re-derivation, value for value.
+    graft.QueryDef("n24_pagerank_centrality", Some(n24OracleSql))((s, d) => {
+      val index = buildIvfIndex(Tables.embeddings(s, d))
+      val out = pagerankCentrality(index, k = 5, nProbe = 2)
+      index.unpersist()
+      out
     }),
 
     // N23 — per-DIMENSION embedding statistics: mean, variance and

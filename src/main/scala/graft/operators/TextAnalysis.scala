@@ -1353,6 +1353,55 @@ object TextAnalysisQueries extends graft.QueryModule {
           min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
     }),
 
+    // X5 — COMPACTION PLAN (the small-files problem, planned): the
+    // (source, lang) groups stand in for a lake's file inventory
+    // (name-ordered files with byte sizes); the planner assigns each
+    // file to an output bin by cumulative-size division — bin =
+    // floor(bytes_before / target) with target = ceil(total/8) — the
+    // ordered first-fit that real table compactors (Iceberg/Delta
+    // binpack) use for sort-ordered layouts: bins are CONTIGUOUS key
+    // ranges, so compaction preserves clustering and min/max pruning.
+    // The single-partition window is over the file INVENTORY (metadata
+    // scale: thousands of rows at 100 TB), never the data; the data
+    // movement this plan implies is executed elsewhere as one
+    // partitioned write. Oversized files keep their own bin start —
+    // first-fit never splits a file. All arithmetic is exact integer
+    // (target via (total+7)/8 integer ceil), so the plan is identical
+    // across engines and partitionings.
+    graft.QueryDef("x5_compaction_plan", Some(
+      """WITH files AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(bytes) AS BIGINT) AS total FROM files),
+        |planned AS (
+        |  SELECT source, lang, n_docs, bytes,
+        |    CAST(SUM(bytes) OVER (ORDER BY source, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes
+        |      AS BIGINT) // ((total + 7) // 8) AS bin
+        |  FROM files, tot)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(SUM(bytes) AS BIGINT) AS bytes,
+        |  min(source || '/' || lang) AS first_file,
+        |  max(source || '/' || lang) AS last_file
+        |FROM planned GROUP BY 1""".stripMargin))((s, d) => {
+      val files = Tables.documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+      val tot = files.agg(sum(col("bytes")).as("total"))
+      files.join(broadcast(tot))
+        .withColumn("bin",
+          expr("(sum(bytes) over (order by source, lang " +
+            "rows between unbounded preceding and current row) - bytes) " +
+            "div ((total + 7) div 8)"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_files"), sum(col("n_docs")).as("n_docs"),
+          sum(col("bytes")).as("bytes"),
+          min(concat_ws("/", col("source"), col("lang"))).as("first_file"),
+          max(concat_ws("/", col("source"), col("lang"))).as("last_file"))
+    }),
+
     // T18 — document CHUNKING (RAG/window prep): fixed 50-word chunks at
     // stride 40 (10-word overlap), emitted as (doc_id, chunk_id, text,
     // n_words). Offsets come from a per-row sequence + explode — all
@@ -1543,6 +1592,76 @@ object TextAnalysisQueries extends graft.QueryModule {
         .select(col("token"), col("exact_cnt"),
           (col("est").isNotNull && col("est") <= col("exact_cnt") &&
             (col("exact_cnt") - col("est")) <= lit(n) / (k + 1.0)).as("mg_ok"))
+    }),
+
+    // T46 — COUNT-MIN SKETCH point estimates, value-for-value: the
+    // 4×1024 sketch is built as a relation — cell(r, b) = Σ counts of
+    // tokens hashing to (r, b) — which is exactly what per-occurrence
+    // increments converge to, computed the distributed way (map-side
+    // combine on tokens, then a tiny (r, b) agg; the sketch itself is
+    // the mergeable partial state, which is WHY CMS fits 100 TB: each
+    // executor keeps 4×1024 longs and merge is cell-wise add, so at
+    // scale the exact per-token CTE here is replaced by the sketch
+    // alone and nothing token-wide ever shuffles). The top-12 exact
+    // heavy tokens are then probed: est = min over rows of their cell
+    // — CMS never underestimates, and `overcount` exposes the
+    // collision error the 1024-bucket width bounds by n/w in
+    // expectation. Hashing: row r's bucket = affine rehash of ONE
+    // xxhash64(seed 42) base (the MinHash a·h+b family, pairwise-
+    // independent across rows), replayed bit-exactly in the oracle via
+    // OracleHash.xxh64Rel over the DISTINCT vocabulary — integer
+    // arithmetic end to end, so the sketch, the probes, and the error
+    // column all hash-match.
+    graft.QueryDef("t46_cms_counts", Some {
+      val bexpr = "((h.base * (2 * r.r + 1) + 12345 * r.r + 678) " +
+        "% 2147483647) % 1024"
+      s"""WITH words AS (
+         |  SELECT unnest(string_split(${Dedup.normTextSql}, ' ')) AS tok
+         |  FROM documents),
+         |exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+         |          FROM words GROUP BY 1),
+         |hashed AS (${OracleHash.xxh64Rel("SELECT tok FROM exact")}),
+         |cells AS (
+         |  SELECT e.cnt, r.r, $bexpr AS b
+         |  FROM exact e JOIN hashed h ON h.tok = e.tok,
+         |    generate_series(0, 3) r(r)),
+         |sk AS (SELECT r, b, CAST(SUM(cnt) AS BIGINT) AS cell
+         |       FROM cells GROUP BY 1, 2),
+         |top AS (SELECT tok, cnt FROM exact ORDER BY cnt DESC, tok ASC
+         |        LIMIT 12),
+         |probe AS (
+         |  SELECT t.tok, t.cnt, r.r, $bexpr AS b
+         |  FROM top t JOIN hashed h ON h.tok = t.tok,
+         |    generate_series(0, 3) r(r))
+         |SELECT p.tok AS token, p.cnt AS exact_cnt,
+         |  CAST(MIN(s.cell) AS BIGINT) AS cms_est,
+         |  CAST(MIN(s.cell) - p.cnt AS BIGINT) AS overcount
+         |FROM probe p JOIN sk s ON s.r = p.r AND s.b = p.b
+         |GROUP BY 1, 2""".stripMargin
+    })((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(Dedup.normText(col("text")), " ")).as("token"))
+      val exact = words.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val hashed = exact.withColumn("base",
+        pmod(xxhash64(col("token")), lit(2147483648L)))
+      def bucket(base: Column, r: Column): Column =
+        pmod(base * (r * 2 + 1) + r * 12345 + 678, lit(2147483647L)) % 1024
+      val cells = hashed
+        .select(col("cnt"), col("base"),
+          explode(sequence(lit(0L), lit(3L))).as("r"))
+        .select(col("cnt"), col("r"), bucket(col("base"), col("r")).as("b"))
+      val sk = cells.groupBy("r", "b").agg(sum(col("cnt")).as("cell"))
+      val top = hashed.orderBy(col("cnt").desc, col("token").asc).limit(12)
+      top
+        .select(col("token"), col("cnt"), col("base"),
+          explode(sequence(lit(0L), lit(3L))).as("r"))
+        .select(col("token"), col("cnt"), col("r"),
+          bucket(col("base"), col("r")).as("b"))
+        .join(broadcast(sk), Seq("r", "b"))
+        .groupBy(col("token"), col("cnt").as("exact_cnt"))
+        .agg(min(col("cell")).as("cms_est"))
+        .select(col("token"), col("exact_cnt"), col("cms_est"),
+          (col("cms_est") - col("exact_cnt")).as("overcount"))
     }),
 
     // X1 — JSONL export (the training-data interchange format): one

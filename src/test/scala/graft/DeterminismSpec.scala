@@ -18,7 +18,8 @@ class DeterminismSpec extends AnyFunSuite with SparkSuite {
     "o1_sort_dispatch", "o1_fee_sort", "o2_offset_page", "o5_topn",
     "o6_snapshot_sort", "o7_topk_agg", "q_list_entries", "s9_rss_items",
     "n1_ann_bruteforce", "n2_ann_lsh", "n4_ann_batch",
-    "s9b_rss_document", "s9c_agency_feed", "t39_dsir_resample")
+    "s9b_rss_document", "s9c_agency_feed", "t39_dsir_resample",
+    "t46_cms_counts")
 
   test("limit-bearing queries are invariant to shuffle partition count") {
     val alt = spark.newSession()

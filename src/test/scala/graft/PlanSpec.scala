@@ -366,4 +366,29 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       plan("n23_dim_stats").contains("BroadcastHashJoin"),
       "n23: total-energy normalizer not broadcast")
   }
+
+  test("r12 batch 4: cube / power-user / compaction / CMS shapes") {
+    // a19: CUBE compiles to ONE Expand feeding one partial+final hash
+    // agg — a single pass, not a union of per-subtotal scans.
+    val a19 = plan("a19_cube")
+    assert(a19.contains("Expand"), "a19: no Expand (CUBE not one-pass)")
+    assert(!a19.contains("Union"), "a19: CUBE planned as a union of scans")
+    // e15: two hash aggs, no window, no sort — the histogram never
+    // rides a global ordering.
+    val e15 = plan("e15_power_user_curve")
+    assert(e15.contains("HashAggregate") && !e15.contains("Window"),
+      "e15: expected pure hash-agg chain")
+    // x5: the 1-row total joins via broadcast (never an exchange), and
+    // the inventory window is the only single-partition stage.
+    val x5 = plan("x5_compaction_plan")
+    assert(x5.contains("BroadcastNestedLoopJoin") || x5.contains("BroadcastExchange"),
+      "x5: total-size frame not broadcast")
+    assert(x5.contains("Window"), "x5: inventory cumsum window missing")
+    // t46: the top-12 probe is TakeOrderedAndProject (bounded heap, no
+    // global sort) and the 4x1024 sketch broadcasts to the probe join.
+    val t46 = plan("t46_cms_counts")
+    assert(t46.contains("TakeOrderedAndProject"),
+      "t46: heavy-token probe sorts globally")
+    assert(t46.contains("BroadcastHashJoin"), "t46: sketch not broadcast")
+  }
 }
