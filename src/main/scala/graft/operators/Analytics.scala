@@ -716,5 +716,40 @@ object AnalyticsQueries extends graft.QueryModule {
         .agg(countDistinct(to_date(col("ts"))).as("active_days"))
         .groupBy(col("active_days"))
         .agg(count(lit(1)).as("n_users")))
+  ,
+
+    // S13 — INCREMENTAL ROLLUP MAINTENANCE (materialized-view delta
+    // merge): the daily (day, type) rollup is maintained as
+    // base-partial ⊎ delta-partial re-aggregated — the nightly pattern
+    // that updates a 100 TB rollup by scanning ONLY the new partition
+    // and merging O(days×types) summary rows, never recomputing
+    // history. The split replays e2's id-watermark convention (base =
+    // ids ≤ 80% max, delta = the rest). The ORACLE is the one-shot
+    // full aggregate — so the hash gate literally proves the merge law
+    // (count and DECIMAL-sum are associative/commutative over the
+    // partition) that incremental maintenance rests on. Determinism:
+    // counts are longs; value sums ride the Num.dsum DECIMAL
+    // discipline through BOTH partials and the merge, so no float ever
+    // accumulates.
+    graft.QueryDef("s13_incremental_rollup", Some(
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin))((s, d) => {
+      val e = Tables.events(s, d)
+      val wm = e.agg(floor(max(col("event_id")) * 0.8).cast(LongType).as("wm"))
+      val dec = DecimalType(18, 2)
+      def partial(df: DataFrame): DataFrame = df
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("pn"), sum(col("value").cast(dec)).as("pv"))
+      val base  = partial(e.join(broadcast(wm), col("event_id") <= col("wm")))
+      val delta = partial(e.join(broadcast(wm), col("event_id") > col("wm")))
+      base.unionByName(delta)
+        .groupBy(col("day"), col("event_type"))
+        .agg(sum(col("pn")).as("n_events"),
+          sum(col("pv")).cast(DoubleType).as("sum_value"))
+        .select(col("day").cast(StringType).as("day"), col("event_type"),
+          col("n_events"), col("sum_value"))
+    })
   )
 }

@@ -617,6 +617,56 @@ object Similarity {
     } finally { edges.unpersist(); () }
   }
 
+  /** Top PRINCIPAL COMPONENT by power iteration, fixed-point integer
+    * arithmetic end to end — the measurement that closes n23's
+    * "would PCA pay?" question: the dominant direction of the
+    * (uncentered) second-moment matrix, computed WITHOUT ever
+    * materializing the d×d covariance (the classic two-pass matvec:
+    * y = Σᵢ (vᵢ·w) vᵢ — a Gram-matrix row-space iteration that scales
+    * to any corpus because each round is two bounded aggregations over
+    * the exploded (vec, dim, value) frame, shuffling only O(N) dot
+    * products and O(d) component sums — never a d×d block).
+    *
+    * Determinism: coordinates quantize to 1e4 ints (the shared quant
+    * grid); w starts as the all-ones vector at scale 1e4 (fixing the
+    * eigenvector's sign); each round renormalizes by max|y| via an
+    * exact integer multiply-divide routed through DECIMAL(38,0) /
+    * HUGEINT with an explicit sign split, so both engines truncate the
+    * SAME non-negative quotient. Value bounds: |dot| ≤ d·10⁸,
+    * |y| ≤ N·d·10¹², inside long to ~10⁶ vectors; past that the dot
+    * product re-quantizes (documented, same knob as idot).
+    * A degenerate all-zero round (m = 0) yields the zero vector rather
+    * than dividing by zero. */
+  def topPrincipalComponent(embeddings: DataFrame, iters: Int = 3): DataFrame = {
+    val s = embeddings.sparkSession
+    val ve = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).cast(LongType).as("d"),
+        round(col("x") * 10000).cast(LongType).as("xq"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      import s.implicits._
+      val dims = ve.agg(max(col("d")).as("mx")).head().getLong(0)
+      var w = s.range(1, dims + 1).toDF("d").withColumn("w", lit(10000L))
+      for (_ <- 1 to iters) {
+        val dots = ve.join(broadcast(w), Seq("d"))
+          .groupBy("vec_id").agg(sum(col("xq") * col("w")).as("dot"))
+        val y = ve.join(dots, Seq("vec_id"))
+          .groupBy("d").agg(sum(col("dot") * col("xq")).as("y"))
+        val m = y.agg(max(abs(col("y"))).as("m"))
+        w = y.join(broadcast(m))
+          .select(col("d"), expr(
+            """CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+              |ELSE (CASE WHEN y < 0 THEN -1L ELSE 1L END) *
+              |  CAST((CAST(abs(y) AS DECIMAL(38,0)) * 10000) div m AS BIGINT)
+              |END""".stripMargin).as("w"))
+      }
+      val out = w.select(col("d"), col("w"))
+      val local = out.collectAsList() // O(dims) rows
+      s.createDataFrame(local, out.schema)
+    } finally { ve.unpersist(); () }
+  }
+
   /** ANN quality evaluation — MEASURED recall@k of the IVF probe path
     * against the exact answer over the same probe query set, the number
     * every approximate-retrieval deployment must monitor before trusting
@@ -1457,6 +1507,43 @@ object SimilarityQueries extends graft.QueryModule {
        |SELECT vec_id, pr FROM pr5""".stripMargin
   }
 
+  /** n25's oracle: the power iteration unrolled — the exploded
+    * quantized frame, three (dot-agg, matvec-agg, max-renorm) rounds in
+    * exact integer arithmetic with the sign-split HUGEINT
+    * multiply-divide mirroring the engine's DECIMAL(38,0) trunc-div.
+    * `ve` MATERIALIZED so the rounds share one explode. */
+  private lazy val n25OracleSql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""dots$i AS MATERIALIZED (
+         |  SELECT v.vec_id, CAST(SUM(v.xq * w.w) AS BIGINT) AS dot
+         |  FROM ve v JOIN w${i - 1} w ON w.d = v.d GROUP BY 1),
+         |y$i AS MATERIALIZED (
+         |  SELECT v.d, CAST(SUM(dt.dot * v.xq) AS BIGINT) AS y
+         |  FROM ve v JOIN dots$i dt ON dt.vec_id = v.vec_id GROUP BY 1),
+         |m$i AS (SELECT MAX(ABS(y)) AS m FROM y$i),
+         |w$i AS MATERIALIZED (
+         |  SELECT y.d,
+         |    CASE WHEN m.m = 0 THEN CAST(0 AS BIGINT)
+         |      ELSE (CASE WHEN y.y < 0 THEN -1 ELSE 1 END) *
+         |        CAST((CAST(ABS(y.y) AS HUGEINT) * 10000)
+         |          // CAST(m.m AS HUGEINT) AS BIGINT)
+         |    END AS w
+         |  FROM y$i y CROSS JOIN m$i m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+       |vect AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x FROM vecs),
+       |ve AS MATERIALIZED (
+       |  SELECT vec_id, CAST(i AS BIGINT) AS d,
+       |    CAST(round(x * 10000) AS BIGINT) AS xq FROM vect),
+       |w0 AS (
+       |  SELECT CAST(i AS BIGINT) AS d, CAST(10000 AS BIGINT) AS w
+       |  FROM generate_series(1, 64) s(i)),
+       |$rounds
+       |SELECT d, w FROM w3""".stripMargin
+  }
+
   /** n12's oracle: the n3 training/probe replay with the label
     * predicate applied INSIDE the candidate set (pre-filtering), 8
     * probed cells — value-checks the filtered retrieval end to end. */
@@ -2084,6 +2171,17 @@ object SimilarityQueries extends graft.QueryModule {
       index.unpersist()
       out
     }),
+
+    // N25 — top principal component by POWER ITERATION: 3 rounds of
+    // the Gram-matrix matvec y = Σᵢ (vᵢ·w) vᵢ in fixed-point integer
+    // arithmetic — the d×d covariance never materializes, each round
+    // is two bounded aggs over the exploded frame (O(N) dots, O(d)
+    // sums), and the max-renorm is an exact sign-split integer
+    // multiply-divide. Answers n23's "would PCA pay" with the actual
+    // dominant direction. FULL oracle: the three rounds unrolled as
+    // integer-CTE chains over the same quantized explode.
+    graft.QueryDef("n25_top_principal_component", Some(n25OracleSql))((s, d) =>
+      topPrincipalComponent(Tables.embeddings(s, d))),
 
     // N23 — per-DIMENSION embedding statistics: mean, variance and
     // energy share of every dimension over the corpus — the feature

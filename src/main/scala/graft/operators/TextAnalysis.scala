@@ -2805,6 +2805,50 @@ object TextAnalysisQueries extends graft.QueryModule {
           / 1000000.0).as("r2"))
     }),
 
+    // T47 — per-SOURCE language-diversity profile: Shannon entropy of
+    // each source's language mix plus the dominant-language share — the
+    // mixture-health gauge a multilingual corpus tracks per upstream
+    // feed (entropy ≈ 0 = monolingual feed; high top_share with many
+    // langs = token diversity is cosmetic). One (source, lang) hash agg
+    // (O(sources×langs) frame) and a per-source rollup — nothing wider
+    // than the pair frame ever shuffles. Determinism: each entropy term
+    // −p·ln(p) is quantized to integer micros PER TERM (the t45 ln
+    // rule) before the exact long sum, so term order is irrelevant;
+    // p itself is one IEEE division of exact counts; top_share is a
+    // single quantized division of the integer max.
+    graft.QueryDef("t47_source_lang_entropy", Some(
+      """WITH c AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (
+        |  SELECT source, c, CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT)
+        |    AS n
+        |  FROM c),
+        |q AS (
+        |  SELECT source, n,
+        |    CAST(round(-(CAST(c AS DOUBLE) / n)
+        |      * ln(CAST(c AS DOUBLE) / n) * 1000000) AS BIGINT) AS tq,
+        |    c
+        |  FROM t)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_langs,
+        |  CAST(SUM(tq) AS DOUBLE) / 1000000.0 AS entropy,
+        |  round(CAST(max(c) AS DOUBLE) / max(n) * 1000000) / 1000000.0
+        |    AS top_share
+        |FROM q GROUP BY 1""".stripMargin))((s, d) => {
+      val c = Tables.documents(s, d)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+      val wn = Window.partitionBy("source")
+      val p = col("c").cast(DoubleType) / col("n")
+      c.withColumn("n", sum(col("c")).over(wn))
+        .withColumn("tq", round(-p * log(p) * 1000000).cast(LongType))
+        .groupBy("source")
+        .agg(max(col("n")).as("n_docs"), count(lit(1)).as("n_langs"),
+          (sum(col("tq")).cast(DoubleType) / 1000000.0).as("entropy"),
+          (round(max(col("c")).cast(DoubleType) / max(col("n")) * 1000000)
+            / 1000000.0).as("top_share"))
+    }),
+
     graft.QueryDef("e2_incremental_watermark", Some(
       """SELECT event_type, count(*) AS cnt, max(event_id) AS new_watermark
         |FROM events

@@ -390,5 +390,16 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(t46.contains("TakeOrderedAndProject"),
       "t46: heavy-token probe sorts globally")
     assert(t46.contains("BroadcastHashJoin"), "t46: sketch not broadcast")
+    // t47: the per-source share window runs over the (source, lang)
+    // PAIR frame (post-agg), and the rollup is a hash agg — the raw
+    // corpus never enters a window or a sort.
+    val t47 = plan("t47_source_lang_entropy")
+    assert(t47.contains("Window") && t47.contains("HashAggregate"),
+      "t47: expected pair-frame window + hash rollup")
+    // s13: both partials read through the broadcast watermark (never a
+    // shuffled theta-join of the stream against the 1-row frame).
+    val s13 = plan("s13_incremental_rollup")
+    assert(s13.contains("BroadcastNestedLoopJoin"),
+      "s13: watermark not broadcast")
   }
 }
