@@ -208,6 +208,42 @@ object AnalyticsQueries extends graft.QueryModule {
       .groupBy("channel").agg(count(lit(1)).as("n_purchases"))
   }
 
+  /** e13's final stage over a (event_type, day, c) daily-count frame —
+    * SHARED between the batch query and the streaming read path
+    * ([[graft.streaming.Streams.readRateAnomaly]]) so the two cannot
+    * drift: daily counts are merge-associative, so a rollup re-summed
+    * across micro-batches feeds this stage identically to one pass
+    * over the raw events. */
+  def rateAnomalyFromDailyCounts(dc: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val st = dc.groupBy("event_type").agg(
+      count(lit(1)).as("n_days"),
+      sum(col("c").cast(dec)).as("s"),
+      sum((col("c") * col("c")).cast(dec)).as("sq"))
+    val varNum = col("n_days").cast(dec) * col("sq") - col("s") * col("s")
+    val zRaw = (col("c").cast(dec) * col("n_days").cast(dec) - col("s"))
+      .cast(DoubleType) / sqrt(varNum.cast(DoubleType))
+    val z = when(varNum === lit(0).cast(dec), lit(0.0).cast(DoubleType))
+      .otherwise(round(zRaw * 1000000) / 1000000.0)
+    dc.join(broadcast(st), Seq("event_type"))
+      .select(col("event_type"), col("day").cast(StringType).as("day"),
+        col("c"), z.as("z"))
+      .withColumn("is_anomaly", abs(col("z")) > 2.0)
+  }
+
+  /** e15's final stage over a (user_id, day) activity-pair frame —
+    * SHARED between the batch query and the streaming read path
+    * ([[graft.streaming.Streams.readPowerUserCurve]]): the histogram
+    * depends only on the DISTINCT pair set, which is batch-split-
+    * invariant (a pair appears iff the user was active that day,
+    * regardless of which micro-batch saw it). */
+  def powerUserCurve(pairs: DataFrame): DataFrame =
+    pairs
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("day")).as("active_days"))
+      .groupBy(col("active_days"))
+      .agg(count(lit(1)).as("n_users"))
+
   def defs: Seq[graft.QueryDef] = Seq(
 
     // E4 — ORDERED event funnel (view → click → purchase): a user
@@ -526,25 +562,10 @@ object AnalyticsQueries extends graft.QueryModule {
         |  FROM dc JOIN st USING (event_type))
         |SELECT event_type, CAST(day AS VARCHAR) AS day, c, z,
         |  abs(z) > 2.0 AS is_anomaly
-        |FROM z""".stripMargin))((s, d) => {
-      val dec = DecimalType(38, 0)
-      val dc = Tables.events(s, d)
+        |FROM z""".stripMargin))((s, d) =>
+      rateAnomalyFromDailyCounts(Tables.events(s, d)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("c"))
-      val st = dc.groupBy("event_type").agg(
-        count(lit(1)).as("n_days"),
-        sum(col("c").cast(dec)).as("s"),
-        sum((col("c") * col("c")).cast(dec)).as("sq"))
-      val varNum = col("n_days").cast(dec) * col("sq") - col("s") * col("s")
-      val zRaw = (col("c").cast(dec) * col("n_days").cast(dec) - col("s"))
-        .cast(DoubleType) / sqrt(varNum.cast(DoubleType))
-      val z = when(varNum === lit(0).cast(dec), lit(0.0).cast(DoubleType))
-        .otherwise(round(zRaw * 1000000) / 1000000.0)
-      dc.join(broadcast(st), Seq("event_type"))
-        .select(col("event_type"), col("day").cast(StringType).as("day"),
-          col("c"), z.as("z"))
-        .withColumn("is_anomaly", abs(col("z")) > 2.0)
-    }),
+        .agg(count(lit(1)).as("c")))),
 
     // E14 — per-type INTER-ARRIVAL percentiles (p50/p90/p99 of the gap
     // between a user's consecutive events of the same type): the
@@ -711,12 +732,8 @@ object AnalyticsQueries extends graft.QueryModule {
         |  FROM events GROUP BY 1)
         |SELECT active_days, CAST(count(*) AS BIGINT) AS n_users
         |FROM ad GROUP BY 1""".stripMargin))((s, d) =>
-      Tables.events(s, d)
-        .groupBy(col("user_id"))
-        .agg(countDistinct(to_date(col("ts"))).as("active_days"))
-        .groupBy(col("active_days"))
-        .agg(count(lit(1)).as("n_users")))
-  ,
+      powerUserCurve(Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")))),
 
     // S13 — INCREMENTAL ROLLUP MAINTENANCE (materialized-view delta
     // merge): the daily (day, type) rollup is maintained as

@@ -535,6 +535,18 @@ object Streams {
       spark.read.parquet(rollupDir)
         .groupBy("event_type", "day").agg(sum(col("cnt")).as("cnt")))
 
+  /** Streaming read path of e13 rate anomaly — rides the SAME
+    * (event_type, day, cnt) rollup as the e3 drift twin (one
+    * incremental pass serves both monitors): counts re-sum across
+    * micro-batch partials (merge-associative) and the z-scoring is the
+    * shared batch stage
+    * ([[graft.operators.AnalyticsQueries.rateAnomalyFromDailyCounts]]),
+    * so streamed == batch by construction. */
+  def readRateAnomaly(spark: SparkSession, rollupDir: String): DataFrame =
+    graft.operators.AnalyticsQueries.rateAnomalyFromDailyCounts(
+      spark.read.parquet(rollupDir)
+        .groupBy("event_type", "day").agg(sum(col("cnt")).as("c")))
+
   /** Incremental side of e5 cohort retention — the e3 rollup pattern
     * applied to the retention triangle. Each micro-batch reduces its
     * events to the one frame the read path needs: per (user_id, active
@@ -621,6 +633,15 @@ object Streams {
   def readDecayedActivity(spark: SparkSession, rollupDir: String): DataFrame =
     graft.operators.AnalyticsQueries.decayedFromDayCounts(
       spark.read.parquet(rollupDir).select("user_id", "day", "cnt"))
+
+  /** Streaming read path of e15 power-user curve — a THIRD consumer of
+    * the (user, day) rollup (with e6 active users and e8 decayed
+    * activity): the histogram depends only on the distinct pair set,
+    * which is batch-split-invariant; final stage shared with the batch
+    * query ([[graft.operators.AnalyticsQueries.powerUserCurve]]). */
+  def readPowerUserCurve(spark: SparkSession, rollupDir: String): DataFrame =
+    graft.operators.AnalyticsQueries.powerUserCurve(
+      spark.read.parquet(rollupDir).select("user_id", "day"))
 
   /** Streaming read path of e7 growth accounting — rides the SAME
     * cohort partials ([[incrementalCohortPartials]]): the distinct

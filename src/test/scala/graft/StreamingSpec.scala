@@ -203,6 +203,13 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
         .agg(count(lit(1)).as("cnt")))
       .collect().map(_.toString).sorted.toSeq
     assert(streamed == batch, "incremental drift scores != batch e3 path")
+    // e13 rides the SAME rollup: the global z-score monitor must also
+    // merge split-day partials exactly.
+    val e13s = Streams.readRateAnomaly(spark, rollup)
+      .collect().map(_.toString).sorted.toSeq
+    val e13b = SparkEntry.queries("e13_rate_anomaly")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(e13s == e13b, "incremental rate anomaly != batch e13 path")
   }
 
   test("incremental cohort partials equal the batch e5 retention triangle") {
@@ -276,6 +283,13 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     val e8b = SparkEntry.queries("e8_decayed_activity")(spark, sf)
       .collect().map(_.toString).sorted.toSeq
     assert(e8s == e8b, "incremental decayed activity != batch e8")
+    // e15 is a third consumer of the same rollup: the engagement
+    // histogram depends only on the distinct (user, day) set.
+    val e15s = Streams.readPowerUserCurve(spark, rollup)
+      .collect().map(_.toString).sorted.toSeq
+    val e15b = SparkEntry.queries("e15_power_user_curve")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(e15s == e15b, "incremental power-user curve != batch e15")
   }
 
   test("index compaction: incremental batches collapse to the direct serving index") {
