@@ -267,6 +267,94 @@ object Multimodal {
     hash
   }
 
+  /** Deterministic Y4M (YUV4MPEG2) fixture video — a REAL streaming
+    * container (mplayer/ffmpeg's uncompressed interchange format): an
+    * ASCII parameter header, then per-frame `FRAME\n` markers each
+    * followed by a raw C444 picture (3·W·H bytes, Y plane first).
+    * Dimensions and frame count are closed-form in doc_id (mirrored by
+    * the oracle); picture bytes are the LCG of (doc_id, global byte
+    * index) so every per-frame sum is recomputable in SQL. */
+  def encodeY4m(docId: Long): Array[Byte] = {
+    val w = 8 + (docId % 16).toInt
+    val h = 4 + (docId % 8).toInt
+    val nf = 3 + (docId % 6).toInt
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A0:0 C444\n".getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val p = w * h
+    val out = new Array[Byte](header.length + nf * (6 + 3 * p))
+    System.arraycopy(header, 0, out, 0, header.length)
+    var off = header.length
+    var g = 0
+    var f = 0
+    while (f < nf) {
+      System.arraycopy(marker, 0, out, off, 6); off += 6
+      var i = 0
+      while (i < 3 * p) {
+        out(off) = ((docId * 23 + g.toLong * 11) & 0xFF).toByte
+        off += 1; g += 1; i += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  /** Output row of the m8 keyframe sampler: header-derived geometry,
+    * the frame count COUNTED from the markers (not trusted from any
+    * field — Y4M declares none), and the summed Y plane of every
+    * sampled frame — closed-form in the oracle, so a wrong header
+    * length, marker stride, or plane offset shifts the sum and fails
+    * the gate. */
+  final case class VideoFrames(
+      doc_id: Long, width: Long, height: Long,
+      n_frames: Long, n_sampled: Long, luma_sum: Long)
+
+  /** Y4M keyframe sampling — the video analog of m4's audio frames:
+    * parse the ASCII parameter header (magic, W/H/C tokens), then walk
+    * the stream validating every `FRAME\n` marker; every `stride`-th
+    * frame contributes its Y-plane byte sum (the luma content
+    * signature real keyframe extractors thumbnail from). Real
+    * byte-level reads, map-side; throws on malformed input — a corrupt
+    * stream fails loudly. */
+  def frameSampleY4m(docId: Long, payload: Array[Byte],
+                     stride: Int = 2): VideoFrames = {
+    val nl = payload.indexOf('\n'.toByte)
+    require(nl > 0, s"doc $docId: no Y4M header line")
+    val toks = new String(payload, 0, nl, "US-ASCII").split(" ")
+    require(toks(0) == "YUV4MPEG2", s"doc $docId: bad Y4M magic")
+    def param(c: Char): Option[String] =
+      toks.find(t => t.nonEmpty && t(0) == c).map(_.drop(1))
+    val w = param('W').getOrElse(sys.error(s"doc $docId: no W")).toInt
+    val h = param('H').getOrElse(sys.error(s"doc $docId: no H")).toInt
+    require(param('C').forall(_ == "444"),
+      s"doc $docId: unsupported chroma ${param('C')}")
+    val p = w * h
+    var off = nl + 1
+    var nf = 0L; var sampled = 0L; var luma = 0L
+    while (off < payload.length) {
+      require(payload.length >= off + 6 + 3 * p &&
+        new String(payload, off, 6, "US-ASCII") == "FRAME\n",
+        s"doc $docId: bad frame marker at $off")
+      off += 6
+      if (nf % stride == 0) {
+        var i = 0
+        while (i < p) { luma += payload(off + i) & 0xFF; i += 1 }
+        sampled += 1
+      }
+      off += 3 * p
+      nf += 1
+    }
+    require(off == payload.length, s"doc $docId: trailing bytes")
+    VideoFrames(docId, w.toLong, h.toLong, nf, sampled, luma)
+  }
+
+  /** Fixture video frame — the video sibling of [[fixturePayloads]]. */
+  def fixtureVideoPayloads(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, encodeY4m(id))))
+      .toDF("doc_id", "payload")
+  }
+
   /** The m2 pipeline over a (doc_id, payload) frame: per-partition
     * decode, features out. Column pruning keeps the scan at exactly the
     * two columns; no shuffle — decode is embarrassingly parallel. */

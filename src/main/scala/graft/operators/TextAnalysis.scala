@@ -2543,6 +2543,39 @@ object TextAnalysisQueries extends graft.QueryModule {
         .toDF()
     }),
 
+    // M8 — VIDEO keyframe sampling over a real Y4M (YUV4MPEG2) stream
+    // — completes the modality triad (m3/m5 image, m4/m6 audio, m8
+    // video): the fixture synthesizes genuine YUV4MPEG2 containers
+    // (ASCII parameter header + FRAME-marker-delimited raw C444
+    // pictures) and the sampler REALLY parses them — magic/token
+    // header parse, every marker validated, frame count COUNTED from
+    // the stream (Y4M declares none), every 2nd frame's Y plane
+    // summed (the luma signature keyframe extractors thumbnail from).
+    // Map-side per partition, no byte crosses the driver; the corpus
+    // slice (doc_id % 4 = 2) keeps the oracle's closed-form double
+    // unroll proportional at every sf. A wrong header length, marker
+    // stride, or plane offset shifts luma_sum and fails the gate.
+    graft.QueryDef("m8_video_keyframes", Some(
+      """WITH v AS (
+        |  SELECT doc_id, 8 + doc_id % 16 AS w, 4 + doc_id % 8 AS h,
+        |    3 + doc_id % 6 AS nf
+        |  FROM documents WHERE doc_id % 4 = 2),
+        |g AS (SELECT doc_id, w, h, nf, (nf + 1) // 2 AS ns, w * h AS p FROM v)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(nf AS BIGINT) AS n_frames, CAST(ns AS BIGINT) AS n_sampled,
+        |  CAST(list_sum(list_transform(generate_series(0, ns - 1), k ->
+        |    list_sum(list_transform(generate_series(0, p - 1), i ->
+        |      (doc_id * 23 + (k * 2 * 3 * p + i) * 11) % 256)))) AS BIGINT)
+        |    AS luma_sum
+        |FROM g""".stripMargin))((s, d) => {
+      import s.implicits._
+      Multimodal.fixtureVideoPayloads(
+        Tables.documents(s, d).where(col("doc_id") % 4 === 2))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, p) => Multimodal.frameSampleY4m(id, p) })
+        .toDF()
+    }),
+
     // M5 — image near-dup via perceptual average-hash, oracle-HARD in
     // the d3b probe style: planted byte-identical payload clones (even
     // docs < 20 at +1000000 — parity preserved) MUST surface as exactly
@@ -2847,6 +2880,68 @@ object TextAnalysisQueries extends graft.QueryModule {
           (sum(col("tq")).cast(DoubleType) / 1000000.0).as("entropy"),
           (round(max(col("c")).cast(DoubleType) / max(col("n")) * 1000000)
             / 1000000.0).as("top_share"))
+    }),
+
+    // T48 — per-source KL DIVERGENCE from the corpus unigram LM: how
+    // far each upstream feed's token distribution drifts from the
+    // whole-corpus distribution — the distribution-shift monitor
+    // curation runs per feed (a spiking KL flags a source whose
+    // content changed character: new template, new language mix,
+    // spam). Distributions restrict to the corpus TOP-100 vocabulary
+    // with add-one smoothing over |V| (so zero-count cells contribute
+    // finitely and KL is well-defined); the (sources × 100) grid is
+    // two broadcast fan-outs — the corpus-wide work is the same token
+    // agg t17/t45 already pay, and nothing wider than (source, tok)
+    // shuffles. Determinism: each p·ln(p/q) term quantizes to integer
+    // NANOS (terms are ~1e-4; the t45 ln rule at 1e9) before the
+    // exact long sum; p and q are single IEEE divisions of exact ints.
+    graft.QueryDef("t48_kl_source_drift", Some(
+      s"""WITH words AS (
+         |  SELECT source, unnest(string_split(${Dedup.normTextSql}, ' ')) AS tok
+         |  FROM documents),
+         |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cq
+         |      FROM words GROUP BY 1),
+         |v AS (SELECT tok, cq FROM c ORDER BY cq DESC, tok LIMIT 100),
+         |nqt AS (SELECT CAST(SUM(cq) AS BIGINT) AS nq FROM v),
+         |sc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cs
+         |       FROM words GROUP BY 1, 2),
+         |srcs AS (SELECT DISTINCT source FROM documents),
+         |g2 AS (
+         |  SELECT s.source, v.tok, v.cq, COALESCE(sc.cs, 0) AS cs
+         |  FROM srcs s CROSS JOIN v
+         |  LEFT JOIN sc ON sc.source = s.source AND sc.tok = v.tok),
+         |ns AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns
+         |       FROM g2 GROUP BY 1),
+         |terms AS (
+         |  SELECT g2.source, ns.ns,
+         |    CAST(round(((g2.cs + 1.0) / (ns.ns + 100))
+         |      * ln(((g2.cs + 1.0) / (ns.ns + 100))
+         |           / ((g2.cq + 1.0) / (nqt.nq + 100)))
+         |      * 1000000000) AS BIGINT) AS tq
+         |  FROM g2 JOIN ns USING (source) CROSS JOIN nqt)
+         |SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(tq) AS DOUBLE) / 1000000000.0 AS kl
+         |FROM terms GROUP BY 1""".stripMargin))((s, d) => {
+      val docs = Tables.documents(s, d)
+      val words = docs.select(col("source"),
+        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+      val c = words.groupBy("tok").agg(count(lit(1)).as("cq"))
+      val v = c.orderBy(col("cq").desc, col("tok").asc).limit(100)
+      val nq = v.agg(sum(col("cq")).as("nq"))
+      val sc = words.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+      val g2 = docs.select(col("source")).distinct()
+        .crossJoin(broadcast(v))
+        .join(sc, Seq("source", "tok"), "left")
+        .select(col("source"), col("tok"), col("cq"),
+          coalesce(col("cs"), lit(0L)).as("cs"))
+      val ns = g2.groupBy("source").agg(sum(col("cs")).as("ns"))
+      val ps = (col("cs") + 1.0) / (col("ns") + 100)
+      val q = (col("cq") + 1.0) / (col("nq") + 100)
+      g2.join(broadcast(ns), Seq("source")).join(broadcast(nq))
+        .withColumn("tq", round(ps * log(ps / q) * 1000000000L).cast(LongType))
+        .groupBy("source")
+        .agg(max(col("ns")).as("n_tokens"),
+          (sum(col("tq")).cast(DoubleType) / 1000000000.0).as("kl"))
     }),
 
     graft.QueryDef("e2_incremental_watermark", Some(

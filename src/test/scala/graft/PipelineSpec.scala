@@ -528,6 +528,30 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     intercept[Exception] { Multimodal.frameSampleWav(4L, Multimodal.encode(4L)) }
   }
 
+  test("m8: Y4M sampler counts frames from markers and rejects corrupt streams") {
+    import graft.operators.Multimodal
+    // doc 10: W=18 H=6 → 3+10%6=7 frames, stride 2 samples frames 0,2,4,6
+    val v10 = Multimodal.frameSampleY4m(10L, Multimodal.encodeY4m(10L))
+    assert(v10.width == 18 && v10.height == 6 &&
+      v10.n_frames == 7 && v10.n_sampled == 4)
+    // closed-form luma: frame f's Y plane is bytes [f·3p, f·3p + p)
+    val p = 18 * 6
+    val expected = (0 until 7 by 2).map(f =>
+      (0 until p).map(i => (10L * 23 + (f * 3 * p + i).toLong * 11) & 0xFF).sum).sum
+    assert(v10.luma_sum == expected)
+    // a flipped byte inside a FRAME marker must fail loudly
+    val corrupt = Multimodal.encodeY4m(10L)
+    val hdr = corrupt.indexOf('\n'.toByte) + 1
+    corrupt(hdr) = 'X'.toByte
+    intercept[Exception] { Multimodal.frameSampleY4m(10L, corrupt) }
+    // truncated stream (trailing bytes check) must fail loudly
+    intercept[Exception] {
+      Multimodal.frameSampleY4m(10L, Multimodal.encodeY4m(10L).dropRight(1))
+    }
+    // a WAV payload is not a Y4M
+    intercept[Exception] { Multimodal.frameSampleY4m(7L, Multimodal.encode(7L)) }
+  }
+
   test("fts: prefix search folds diacritics (unicode61 remove_diacritics)") {
     import spark.implicits._
     val docs = Seq(

@@ -401,5 +401,12 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     val s13 = plan("s13_incremental_rollup")
     assert(s13.contains("BroadcastNestedLoopJoin"),
       "s13: watermark not broadcast")
+    // t48: the top-100 vocab probe is a bounded TakeOrderedAndProject
+    // and fans out to the (source × V) grid via broadcast — the corpus
+    // token frame never re-shuffles against the grid.
+    val t48 = plan("t48_kl_source_drift")
+    assert(t48.contains("TakeOrderedAndProject"), "t48: vocab sorts globally")
+    assert(t48.contains("BroadcastNestedLoopJoin") ||
+      t48.contains("BroadcastHashJoin"), "t48: vocab grid not broadcast")
   }
 }
