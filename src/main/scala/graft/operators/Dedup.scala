@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
@@ -1175,6 +1175,117 @@ object DedupQueries extends graft.QueryModule {
       cand.unpersist()
       index.unpersist()
       s.createDataFrame(local, out.schema)
+    }),
+
+    // D18 — LSH BAND-CONFIG sweep: the (bands, rows-per-band) dial
+    // measured, not guessed — for b×r ∈ {4×8, 8×4, 16×2} over the SAME
+    // 32-value signature, the candidate volume and the measured recall
+    // of true (Jaccard ≥ 0.5) pairs, next to the analytic S-curve
+    // probability 1−(1−s^r)^b at s = 0.5. This is the d-family's n22:
+    // the chart a deployment reads to trade shuffle volume (candidate
+    // pairs) against recall before committing a 100 TB banding. One
+    // signature build serves every config (banding is a re-slice of
+    // the same sig array — no re-hash, no second corpus scan); each
+    // config costs one band self-join over the bounded eval corpus,
+    // and the sweep output is O(configs). Counts are exact integers;
+    // recall is one division; the analytic column quantizes pow() to
+    // 1e-6 so both engines' libm agree.
+    graft.QueryDef("d18_lsh_band_sweep", Some {
+      val evalCorpusSql =
+        """SELECT doc_id, text FROM documents WHERE doc_id < 300
+          |UNION ALL
+          |SELECT doc_id + 1000000 AS doc_id, text || ' zz0 zz1 zz2' AS text
+          |FROM documents WHERE doc_id >= 10 AND doc_id < 20""".stripMargin
+      val jac = """CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) /
+                  |    (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)))""".stripMargin
+      def candCte(name: String, b: Int, r: Int): String =
+        s"""bands_$name AS (
+           |  SELECT doc_id, b || '-' || array_to_string(
+           |    list_transform(list_slice(sig, b*$r+1, b*$r+$r),
+           |      v -> CAST(v AS VARCHAR)), ':') AS band
+           |  FROM sigarr, generate_series(0, ${b - 1}) _(b)),
+           |cand_$name AS MATERIALIZED (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands_$name a JOIN bands_$name b
+           |    ON a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
+      def statRow(b: Int, r: Int, cand: String): String =
+        s"""SELECT $b AS bands, $r AS rpb,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $cand) AS n_cand,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM jt) AS n_true,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM jt j
+           |   JOIN $cand c ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b)
+           |    AS n_found""".stripMargin
+      s"""WITH ${minhashCtes(evalCorpusSql, maxOcc = None)},
+         |${candCte("b48", 4, 8)},
+         |${candCte("b162", 16, 2)},
+         |cand_b84 AS MATERIALIZED (SELECT doc_a, doc_b FROM cand),
+         |truth AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM docsh x JOIN docsh y ON x.tok = y.tok AND y.doc_id > x.doc_id),
+         |jt AS MATERIALIZED (
+         |  SELECT t.doc_a, t.doc_b
+         |  FROM truth t
+         |  JOIN grams ga ON ga.doc_id = t.doc_a
+         |  JOIN grams gb ON gb.doc_id = t.doc_b
+         |  WHERE $jac >= 0.5),
+         |stats AS (
+         |${statRow(4, 8, "cand_b48")}
+         |UNION ALL
+         |${statRow(8, 4, "cand_b84")}
+         |UNION ALL
+         |${statRow(16, 2, "cand_b162")})
+         |SELECT CAST(bands AS BIGINT) AS bands, CAST(rpb AS BIGINT) AS rpb,
+         |  n_cand, n_true, n_found,
+         |  CAST(n_found AS DOUBLE) / n_true AS recall,
+         |  round((1 - pow(1 - pow(0.5, rpb), bands)) * 1000000) / 1000000.0
+         |    AS analytic_p
+         |FROM stats""".stripMargin
+    })((s, d) => {
+      import scala.jdk.CollectionConverters._
+      val docs = Tables.documents(s, d).where(col("doc_id") < 300)
+      val sigF = signatureFrame(withNearProbes(docs))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        // Truth: d14's construction — co-shingle pairs verified at
+        // Jaccard >= 0.5 (exact intersection over the signature frame).
+        val docsh = sigF.select(col("doc_id"), explode(col("sh")).as("tok"))
+        val truthPairs = docsh.as("x")
+          .join(docsh.as("y"),
+            col("x.tok") === col("y.tok") && col("y.doc_id") > col("x.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val jt = verifyJaccard(truthPairs, sigF, threshold = 0.5)
+          .select(col("doc_a"), col("doc_b"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val nTrue = jt.count()
+        val rows = Seq((4, 8), (8, 4), (16, 2)).map { case (b, r) =>
+          val banded = sigF.where(!degenerateSh)
+            .select(col("doc_id"), explode(bandKeys(col("sig"), b, r)).as("band"))
+          val cand = banded.as("a").join(banded.as("b"),
+              col("a.band") === col("b.band") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val nCand = cand.count()
+          val nFound = jt.join(cand, Seq("doc_a", "doc_b")).count()
+          cand.unpersist()
+          val analytic = math.round(
+            (1 - math.pow(1 - math.pow(0.5, r), b)) * 1000000) / 1000000.0
+          Row(b.toLong, r.toLong, nCand, nTrue, nFound,
+            nFound.toDouble / nTrue, analytic)
+        }
+        jt.unpersist()
+        val schema = StructType(Seq(
+          StructField("bands", LongType, nullable = false),
+          StructField("rpb", LongType, nullable = false),
+          StructField("n_cand", LongType, nullable = false),
+          StructField("n_true", LongType, nullable = false),
+          StructField("n_found", LongType, nullable = false),
+          StructField("recall", DoubleType, nullable = false),
+          StructField("analytic_p", DoubleType, nullable = false)))
+        s.createDataFrame(rows.asJava, schema)
+      } finally { sigF.unpersist(); () }
     }),
 
     // D12 — split-leakage report: the d2 near-dup pair set composed
