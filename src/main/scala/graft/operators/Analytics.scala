@@ -735,6 +735,45 @@ object AnalyticsQueries extends graft.QueryModule {
       powerUserCurve(Tables.events(s, d)
         .select(col("user_id"), to_date(col("ts")).as("day")))),
 
+    // E18 — longest ACTIVITY STREAK per user, histogrammed: the
+    // gaps-and-islands pattern (consecutive-day runs found by the
+    // day − row_number invariant: days in one unbroken run all map to
+    // the same anchor date) — the engagement metric behind "N-day
+    // streak" product mechanics and habit analysis. Everything is
+    // user_id-partitioned: distinct (user, day) → per-user ordered
+    // row_number → island groupBy → per-user max → O(streak lengths)
+    // histogram; the raw stream shuffles once (the distinct), windows
+    // run over per-user day frames (bounded by the calendar), and no
+    // global sort exists. Determinism: pure date/integer arithmetic.
+    graft.QueryDef("e18_user_streaks", Some(
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |isl AS (
+        |  SELECT user_id,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS INTEGER) AS anchor
+        |  FROM days),
+        |runs AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS len
+        |  FROM isl GROUP BY user_id, anchor),
+        |best AS (
+        |  SELECT user_id, CAST(max(len) AS BIGINT) AS best_streak
+        |  FROM runs GROUP BY 1)
+        |SELECT best_streak, CAST(count(*) AS BIGINT) AS n_users
+        |FROM best GROUP BY 1""".stripMargin))((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy("user_id").orderBy(col("day"))
+      days
+        .withColumn("anchor", date_sub(col("day"), row_number().over(w)))
+        .groupBy(col("user_id"), col("anchor"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("best_streak"))
+        .groupBy(col("best_streak"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // S13 — INCREMENTAL ROLLUP MAINTENANCE (materialized-view delta
     // merge): the daily (day, type) rollup is maintained as
     // base-partial ⊎ delta-partial re-aggregated — the nightly pattern

@@ -2049,6 +2049,50 @@ object SimilarityQueries extends graft.QueryModule {
           (col("n_vectors").cast(DoubleType) / col("n_total")).as("share"))
     }),
 
+    // N26 — IVF REBALANCE PLAN: the maintenance decision n14's stats
+    // feed — cells more than 2× the mean occupancy are marked 'split'
+    // with an integer ceil-div target subcell count (occupancy-
+    // proportional, so post-split cells land near the mean), cells
+    // under half the mean are 'merge' candidates, the rest 'keep'.
+    // Skewed cells are THE failure mode of IVF at scale (one hot cell
+    // = one hot probe partition = stragglers on every query), and real
+    // index services run exactly this plan nightly. Reads the WRITTEN
+    // index artifact (the serving path, no rebuild); O(cells) output;
+    // all-integer rule so the plan is engine-exact.
+    graft.QueryDef("n26_ivf_rebalance_plan", Some(
+      s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+         |${OracleHash.lloydCtes(1, 16, 5)},
+         |occ AS (SELECT j AS cell, CAST(count(*) AS BIGINT) AS n_vectors
+         |        FROM codes GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS total FROM occ)
+         |SELECT cell, n_vectors,
+         |  CASE WHEN n_vectors * 16 > 2 * total
+         |    THEN (n_vectors * 16 + total - 1) // total
+         |    ELSE 1 END AS split_into,
+         |  CASE WHEN n_vectors * 16 > 2 * total THEN 'split'
+         |    WHEN n_vectors * 16 * 2 < total THEN 'merge'
+         |    ELSE 'keep' END AS action
+         |FROM occ, tot""".stripMargin))((s, d) => {
+      val path = ivfLblWritten.computeIfAbsent(d, dd => {
+        val built = buildIvfIndex(Tables.embeddings(s, dd))
+        val p = s"$pqRoot/${dirTag(dd)}/ivf-lbl"
+        writeIvfIndex(built, p)
+        built.unpersist()
+        p
+      })
+      val occ = s.read.parquet(s"$path/assigned")
+        .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+      val tot = occ.agg(sum(col("n_vectors")).as("total"))
+      occ.join(broadcast(tot))
+        .select(col("cell"), col("n_vectors"),
+          expr("""CASE WHEN n_vectors * 16 > 2 * total
+                 |  THEN (n_vectors * 16 + total - 1) div total
+                 |  ELSE CAST(1 AS BIGINT) END""".stripMargin).as("split_into"),
+          expr("""CASE WHEN n_vectors * 16 > 2 * total THEN 'split'
+                 |  WHEN n_vectors * 16 * 2 < total THEN 'merge'
+                 |  ELSE 'keep' END""".stripMargin).as("action"))
+    }),
+
     // N15 — ANN recall evaluation: measured recall@10 of the IVF probe
     // path vs the exact batched top-k over probe queries 0-7 — the
     // monitoring number an approximate-retrieval deployment tunes

@@ -1402,6 +1402,54 @@ object TextAnalysisQueries extends graft.QueryModule {
           max(concat_ws("/", col("source"), col("lang"))).as("last_file"))
     }),
 
+    // X6 — SNAPSHOT DIFF (data-versioning release report): two corpus
+    // snapshots compared by content hash into per-source added /
+    // removed / changed / unchanged counts — what a lake release
+    // pipeline publishes next to its manifest (x4) so consumers know
+    // the delta before re-training. The fixture derives both
+    // snapshots from one table (old = ids ≤ 80 % watermark; new =
+    // ids above the 20 % mark, every 10th doc carrying a planted
+    // revision), so the ORACLE can state the expected report in
+    // CLOSED FORM from the id rules while the ENGINE computes it the
+    // real way: one full-outer hash join of md5 content digests —
+    // the at-scale shape (digests shuffle, never documents; at
+    // 100 TB both sides are manifest files of (id, hash) pairs).
+    // A diff derived from ids and a diff derived from content must
+    // agree exactly or the gate fails.
+    graft.QueryDef("x6_snapshot_diff", Some(
+      """WITH mx AS (
+        |  SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS wm,
+        |    CAST(floor(max(doc_id) * 0.2) AS BIGINT) AS lc
+        |  FROM documents)
+        |SELECT source, status, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT source, CASE
+        |    WHEN doc_id <= lc THEN 'removed'
+        |    WHEN doc_id > wm THEN 'added'
+        |    WHEN doc_id % 10 = 0 THEN 'changed'
+        |    ELSE 'unchanged' END AS status
+        |  FROM documents, mx)
+        |GROUP BY 1, 2""".stripMargin))((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mx = docs.agg(
+        floor(max(col("doc_id")) * 0.8).cast(LongType).as("wm"),
+        floor(max(col("doc_id")) * 0.2).cast(LongType).as("lc"))
+      val oldSnap = docs.join(broadcast(mx), col("doc_id") <= col("wm"))
+        .select(col("doc_id"), col("source").as("src_old"),
+          md5(col("text")).as("h_old"))
+      val newSnap = docs.join(broadcast(mx), col("doc_id") > col("lc"))
+        .select(col("doc_id"), col("source").as("src_new"),
+          md5(when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+            .as("h_new"))
+      oldSnap.join(newSnap, Seq("doc_id"), "full_outer")
+        .select(coalesce(col("src_new"), col("src_old")).as("source"),
+          when(col("h_new").isNull, "removed")
+            .when(col("h_old").isNull, "added")
+            .when(col("h_old") =!= col("h_new"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy("source", "status").agg(count(lit(1)).as("n"))
+    }),
+
     // T18 — document CHUNKING (RAG/window prep): fixed 50-word chunks at
     // stride 40 (10-word overlap), emitted as (doc_id, chunk_id, text,
     // n_words). Offsets come from a per-row sequence + explode — all

@@ -408,5 +408,18 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(t48.contains("TakeOrderedAndProject"), "t48: vocab sorts globally")
     assert(t48.contains("BroadcastNestedLoopJoin") ||
       t48.contains("BroadcastHashJoin"), "t48: vocab grid not broadcast")
+    // e18: every window/sort is user_id-partitioned — the streak scan
+    // must never funnel through a single partition.
+    val e18 = plan("e18_user_streaks")
+    assert(e18.contains("Window") && !e18.contains("SinglePartition"),
+      "e18: expected user-partitioned islands, no single-partition stage")
+    // x6: the diff is a genuine full-outer join of the two digest
+    // frames (added AND removed rows must both survive).
+    assert(plan("x6_snapshot_diff").contains("FullOuter"),
+      "x6: diff join is not full-outer")
+    // n26: the occupancy total is a 1-row broadcast over the stored
+    // artifact read.
+    assert(plan("n26_ivf_rebalance_plan").contains("Broadcast"),
+      "n26: occupancy total not broadcast")
   }
 }
