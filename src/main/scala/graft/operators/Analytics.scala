@@ -244,6 +244,24 @@ object AnalyticsQueries extends graft.QueryModule {
       .groupBy(col("active_days"))
       .agg(count(lit(1)).as("n_users"))
 
+  /** e18's final stage over a (user_id, day) activity-pair frame —
+    * SHARED between the batch query and the streaming read path
+    * ([[graft.streaming.Streams.readUserStreaks]]): the gaps-and-
+    * islands derivation depends only on the DISTINCT pair set, which
+    * is batch-split-invariant, so the incremental (user, day) rollup
+    * feeds the identical streak computation. */
+  def userStreaks(pairs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("day"))
+    pairs.select(col("user_id"), col("day")).distinct()
+      .withColumn("anchor", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("best_streak"))
+      .groupBy(col("best_streak"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   def defs: Seq[graft.QueryDef] = Seq(
 
     // E4 — ORDERED event funnel (view → click → purchase): a user
@@ -760,18 +778,66 @@ object AnalyticsQueries extends graft.QueryModule {
         |  SELECT user_id, CAST(max(len) AS BIGINT) AS best_streak
         |  FROM runs GROUP BY 1)
         |SELECT best_streak, CAST(count(*) AS BIGINT) AS n_users
-        |FROM best GROUP BY 1""".stripMargin))((s, d) => {
-      val days = Tables.events(s, d)
-        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      val w = Window.partitionBy("user_id").orderBy(col("day"))
-      days
-        .withColumn("anchor", date_sub(col("day"), row_number().over(w)))
-        .groupBy(col("user_id"), col("anchor"))
-        .agg(count(lit(1)).as("len"))
-        .groupBy(col("user_id"))
-        .agg(max(col("len")).as("best_streak"))
-        .groupBy(col("best_streak"))
-        .agg(count(lit(1)).as("n_users"))
+        |FROM best GROUP BY 1""".stripMargin))((s, d) =>
+      userStreaks(Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")))),
+
+    // E19 — BOT / AUTOMATION FLAGS: per user, event-type ENTROPY plus
+    // raw volume — the two cheapest behavioural signals (a scripted
+    // client hammers one endpoint → low type entropy at high volume;
+    // a human mixes types). Flag rule is ALL-INTEGER so both engines
+    // decide identically: volume 1.5× the fleet mean as the exact
+    // cross-multiplication 2·n·users > 3·total, entropy below 0.8
+    // nats compared in quantized nano-space. Everything is one
+    // (user, type) agg (map-side combined: O(users × types) groups)
+    // plus O(users) joins; the 1-row fleet total broadcasts. Entropy
+    // terms follow the t45/t48 ln rule: each −p·ln p term quantizes
+    // to integer nanos before the exact long sum; p is a single IEEE
+    // division of exact counts; events_per_day likewise.
+    graft.QueryDef("e19_bot_flags", Some(
+      """WITH peru AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n
+        |      FROM peru GROUP BY 1),
+        |d AS (SELECT user_id,
+        |        CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days
+        |      FROM events GROUP BY 1),
+        |h AS (
+        |  SELECT p.user_id,
+        |    CAST(SUM(CAST(round(-(CAST(p.c AS DOUBLE) / n.n)
+        |      * ln(CAST(p.c AS DOUBLE) / n.n)
+        |      * 1000000000) AS BIGINT)) AS BIGINT) AS hq
+        |  FROM peru p JOIN n ON n.user_id = p.user_id GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS te,
+        |               CAST(count(DISTINCT user_id) AS BIGINT) AS tu
+        |        FROM events)
+        |SELECT n.user_id, n.n AS n_events, d.days AS active_days,
+        |  CAST(h.hq AS DOUBLE) / 1000000000.0 AS entropy,
+        |  CAST(n.n AS DOUBLE) / d.days AS events_per_day,
+        |  (n.n * tu * 2 > te * 3 AND h.hq < 800000000) AS is_bot
+        |FROM n JOIN d ON d.user_id = n.user_id
+        |JOIN h ON h.user_id = n.user_id CROSS JOIN tot""".stripMargin))((s, d) => {
+      val e = Tables.events(s, d)
+      val peru = e.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val n = peru.groupBy(col("user_id")).agg(sum(col("c")).as("n"))
+      val days = e.groupBy(col("user_id"))
+        .agg(countDistinct(to_date(col("ts"))).as("days"))
+      val p = col("c").cast(DoubleType) / col("n")
+      val h = peru.join(n, Seq("user_id"))
+        .withColumn("tq", round(-p * log(p) * 1000000000L).cast(LongType))
+        .groupBy(col("user_id")).agg(sum(col("tq")).as("hq"))
+      val tot = e.agg(count(lit(1)).as("te"),
+        countDistinct(col("user_id")).as("tu"))
+      n.join(days, Seq("user_id")).join(h, Seq("user_id"))
+        .join(broadcast(tot))
+        .select(col("user_id"), col("n").as("n_events"),
+          col("days").as("active_days"),
+          (col("hq").cast(DoubleType) / 1000000000.0).as("entropy"),
+          (col("n").cast(DoubleType) / col("days")).as("events_per_day"),
+          (col("n") * col("tu") * 2 > col("te") * 3 &&
+            col("hq") < 800000000L).as("is_bot"))
     }),
 
     // S13 — INCREMENTAL ROLLUP MAINTENANCE (materialized-view delta

@@ -2093,6 +2093,64 @@ object SimilarityQueries extends graft.QueryModule {
                  |  ELSE 'keep' END""".stripMargin).as("action"))
     }),
 
+    // N27 — CENTROID DRIFT / index staleness monitor: per cell, the L2
+    // distance between the STORED centroid and the mean of the vectors
+    // currently assigned to it — i.e. how far one more Lloyd
+    // recentring would move the model. A serving stack runs this
+    // nightly to decide when the index is stale enough to retrain
+    // (fresh data shifts assignment means away from the frozen
+    // centroids). Reads BOTH halves of the written artifact: the
+    // O(model) centroid table broadcasts, the assigned frame pays one
+    // (cell, dim)-keyed agg — 16×64 = 1024 groups, so map-side combine
+    // collapses it before any exchange; that is exactly one Lloyd
+    // half-iteration, the natural cost floor for this audit.
+    // Determinism: per-dim sums are exact BIGINTs at the Lloyd 1e4
+    // quantization, the mean is the identical s/10000/n double both
+    // engines compute in recentring, and each squared-delta term
+    // quantizes to 1e-12 ints before the exact long sum; drift =
+    // sqrt of that exact rational.
+    graft.QueryDef("n27_centroid_drift", Some(
+      s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+         |${OracleHash.lloydCtes(1, 16, 5)},
+         |sums AS (
+         |  SELECT a.j AS cell, ve.i - 1 AS t,
+         |    SUM(CAST(round(ve.x * 10000) AS BIGINT)) AS s,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM codes a JOIN vect ve ON ve.vec_id = a.vec_id
+         |  GROUP BY 1, 2),
+         |terms AS (
+         |  SELECT s.cell, s.n,
+         |    CAST(round((CAST(s.s AS DOUBLE) / 10000.0 / s.n - b.c)
+         |      * (CAST(s.s AS DOUBLE) / 10000.0 / s.n - b.c)
+         |      * 1000000000000) AS BIGINT) AS tq
+         |  FROM sums s JOIN b5 b ON b.j = s.cell AND b.t = s.t)
+         |SELECT cell, CAST(max(n) AS BIGINT) AS n_vectors,
+         |  sqrt(CAST(SUM(tq) AS DOUBLE) / 1000000000000.0) AS drift
+         |FROM terms GROUP BY 1""".stripMargin))((s, d) => {
+      val path = ivfLblWritten.computeIfAbsent(d, dd => {
+        val built = buildIvfIndex(Tables.embeddings(s, dd))
+        val p = s"$pqRoot/${dirTag(dd)}/ivf-lbl"
+        writeIvfIndex(built, p)
+        built.unpersist()
+        p
+      })
+      val sums = s.read.parquet(s"$path/assigned")
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("t", "x")))
+        .groupBy(col("cell"), col("t"))
+        .agg(sum(round(col("x").cast(DoubleType) * 10000).cast(LongType)).as("s"),
+          count(lit(1)).as("n"))
+      val cents = s.read.parquet(s"$path/centroids")
+        .select(col("cell").as("ccell"), col("d").as("t"), col("v"))
+      val mean = col("s").cast(DoubleType) / 10000.0 / col("n")
+      sums.join(broadcast(cents),
+          sums("cell") === col("ccell") && sums("t") === cents("t"))
+        .withColumn("tq",
+          round((mean - col("v")) * (mean - col("v")) * 1e12).cast(LongType))
+        .groupBy(sums("cell"))
+        .agg(max(col("n")).as("n_vectors"),
+          sqrt(sum(col("tq")).cast(DoubleType) / 1e12).as("drift"))
+    }),
+
     // N15 — ANN recall evaluation: measured recall@10 of the IVF probe
     // path vs the exact batched top-k over probe queries 0-7 — the
     // monitoring number an approximate-retrieval deployment tunes

@@ -1450,6 +1450,100 @@ object TextAnalysisQueries extends graft.QueryModule {
         .groupBy("source", "status").agg(count(lit(1)).as("n"))
     }),
 
+    // X7 — RELEASE DISTRIBUTION DRIFT: per-source Jensen–Shannon
+    // divergence of the document-LENGTH distribution between the two
+    // x6 snapshots — the release-QC number published with the diff
+    // report (a source whose length profile shifts between releases
+    // signals an upstream extractor change even when row counts look
+    // healthy). Lengths bucket onto a FIXED 20-bin grid (200-char
+    // bins, capped), so the per-source state is O(20) and the whole
+    // comparison is two count-aggs plus an O(sources × 20) broadcast
+    // grid — at 100 TB the histograms come off snapshot manifests,
+    // never re-reading documents. Add-one smoothing over the grid;
+    // each ½(p·ln(p/m)+q·ln(q/m)) term quantizes to integer nanos
+    // before the exact long sum (the t45/t48 ln rule); p, q, m are
+    // IEEE arithmetic over exact ints on both engines.
+    graft.QueryDef("x7_release_drift", Some(
+      """WITH mx AS (
+        |  SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS wm,
+        |    CAST(floor(max(doc_id) * 0.2) AS BIGINT) AS lc
+        |  FROM documents),
+        |old AS (
+        |  SELECT source, least(length(text) // 200, 19) AS b,
+        |    CAST(count(*) AS BIGINT) AS co
+        |  FROM documents, mx WHERE doc_id <= wm GROUP BY 1, 2),
+        |nw AS (
+        |  SELECT source,
+        |    least((length(text) +
+        |      CASE WHEN doc_id % 10 = 0 THEN 5 ELSE 0 END) // 200, 19) AS b,
+        |    CAST(count(*) AS BIGINT) AS cn
+        |  FROM documents, mx WHERE doc_id > lc GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT s.source, r.range AS b
+        |  FROM (SELECT DISTINCT source FROM documents) s
+        |  CROSS JOIN range(0, 20) r),
+        |g AS (
+        |  SELECT grid.source, grid.b,
+        |    COALESCE(old.co, 0) AS co, COALESCE(nw.cn, 0) AS cn
+        |  FROM grid
+        |  LEFT JOIN old ON old.source = grid.source AND old.b = grid.b
+        |  LEFT JOIN nw ON nw.source = grid.source AND nw.b = grid.b),
+        |ns AS (
+        |  SELECT source, CAST(SUM(co) AS BIGINT) AS no,
+        |    CAST(SUM(cn) AS BIGINT) AS nn
+        |  FROM g GROUP BY 1),
+        |terms AS (
+        |  SELECT g.source, ns.no, ns.nn,
+        |    CAST(round((((g.co + 1.0) / (ns.no + 20))
+        |        * ln(((g.co + 1.0) / (ns.no + 20))
+        |             / ((((g.co + 1.0) / (ns.no + 20))
+        |                + ((g.cn + 1.0) / (ns.nn + 20))) / 2))
+        |      + ((g.cn + 1.0) / (ns.nn + 20))
+        |        * ln(((g.cn + 1.0) / (ns.nn + 20))
+        |             / ((((g.co + 1.0) / (ns.no + 20))
+        |                + ((g.cn + 1.0) / (ns.nn + 20))) / 2)))
+        |      / 2 * 1000000000) AS BIGINT) AS tq
+        |  FROM g JOIN ns ON ns.source = g.source)
+        |SELECT source, CAST(max(no) AS BIGINT) AS n_old,
+        |  CAST(max(nn) AS BIGINT) AS n_new,
+        |  CAST(SUM(tq) AS DOUBLE) / 1000000000.0 AS js
+        |FROM terms GROUP BY 1""".stripMargin))((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mx = docs.agg(
+        floor(max(col("doc_id")) * 0.8).cast(LongType).as("wm"),
+        floor(max(col("doc_id")) * 0.2).cast(LongType).as("lc"))
+      val old = docs.join(broadcast(mx), col("doc_id") <= col("wm"))
+        .select(col("source"),
+          least(expr("length(text) div 200"), lit(19L)).as("b"))
+        .groupBy("source", "b").agg(count(lit(1)).as("co"))
+      val nw = docs.join(broadcast(mx), col("doc_id") > col("lc"))
+        .select(col("source"),
+          least(expr("(length(text) + " +
+            "(CASE WHEN doc_id % 10 = 0 THEN 5 ELSE 0 END)) div 200"),
+            lit(19L)).as("b"))
+        .groupBy("source", "b").agg(count(lit(1)).as("cn"))
+      val grid = docs.select(col("source")).distinct()
+        .crossJoin(broadcast(s.range(0, 20).toDF("b")))
+      val g = grid
+        .join(old, Seq("source", "b"), "left")
+        .join(nw, Seq("source", "b"), "left")
+        .select(col("source"), col("b"),
+          coalesce(col("co"), lit(0L)).as("co"),
+          coalesce(col("cn"), lit(0L)).as("cn"))
+      val ns = g.groupBy("source")
+        .agg(sum(col("co")).as("no"), sum(col("cn")).as("nn"))
+      val p = (col("co") + 1.0) / (col("no") + 20)
+      val q = (col("cn") + 1.0) / (col("nn") + 20)
+      val m = (p + q) / 2
+      g.join(broadcast(ns), Seq("source"))
+        .withColumn("tq",
+          round((p * log(p / m) + q * log(q / m)) / 2 * 1000000000L)
+            .cast(LongType))
+        .groupBy("source")
+        .agg(max(col("no")).as("n_old"), max(col("nn")).as("n_new"),
+          (sum(col("tq")).cast(DoubleType) / 1000000000.0).as("js"))
+    }),
+
     // T18 — document CHUNKING (RAG/window prep): fixed 50-word chunks at
     // stride 40 (10-word overlap), emitted as (doc_id, chunk_id, text,
     // n_words). Offsets come from a per-row sequence + explode — all

@@ -643,6 +643,15 @@ object Streams {
     graft.operators.AnalyticsQueries.powerUserCurve(
       spark.read.parquet(rollupDir).select("user_id", "day"))
 
+  /** Streaming read path of e18 user streaks — a FOURTH consumer of
+    * the (user, day) rollup: the gaps-and-islands streak derivation
+    * depends only on the distinct pair set, which is batch-split-
+    * invariant; final stage shared with the batch query
+    * ([[graft.operators.AnalyticsQueries.userStreaks]]). */
+  def readUserStreaks(spark: SparkSession, rollupDir: String): DataFrame =
+    graft.operators.AnalyticsQueries.userStreaks(
+      spark.read.parquet(rollupDir).select("user_id", "day"))
+
   /** Streaming read path of e7 growth accounting — rides the SAME
     * cohort partials ([[incrementalCohortPartials]]): the distinct
     * (user_id, wk) pairs of the rollup ARE the activity frame the

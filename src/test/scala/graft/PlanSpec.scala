@@ -421,5 +421,19 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     // artifact read.
     assert(plan("n26_ivf_rebalance_plan").contains("Broadcast"),
       "n26: occupancy total not broadcast")
+    // n27: the O(model) centroid table broadcasts against the
+    // (cell, dim)-agg of the assigned frame — never the reverse.
+    val n27 = plan("n27_centroid_drift")
+    assert(n27.contains("BroadcastHashJoin"), "n27: centroids not broadcast")
+    // e19: pure hash-agg chain + broadcast fleet total; per-user flags
+    // must not sort or window anything.
+    val e19 = plan("e19_bot_flags")
+    assert(!e19.contains("Window") && e19.contains("Broadcast"),
+      "e19: expected windowless agg chain with broadcast total")
+    // x7: the fixed 20-bin grid and the per-source totals both ride
+    // broadcasts; the only joins over document-scale data are the two
+    // snapshot count-aggs.
+    assert(plan("x7_release_drift").contains("BroadcastHashJoin"),
+      "x7: grid/totals not broadcast")
   }
 }

@@ -290,6 +290,15 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     val e15b = SparkEntry.queries("e15_power_user_curve")(spark, sf)
       .collect().map(_.toString).sorted.toSeq
     assert(e15s == e15b, "incremental power-user curve != batch e15")
+    // e18 is a fourth consumer: streak islands depend only on the
+    // distinct (user, day) set, so the incremental rollup must
+    // reproduce the batch histogram exactly — even with a day split
+    // across the two micro-batches.
+    val e18s = Streams.readUserStreaks(spark, rollup)
+      .collect().map(_.toString).sorted.toSeq
+    val e18b = SparkEntry.queries("e18_user_streaks")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(e18s == e18b, "incremental user streaks != batch e18")
   }
 
   test("index compaction: incremental batches collapse to the direct serving index") {
