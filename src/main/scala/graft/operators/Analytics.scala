@@ -840,6 +840,67 @@ object AnalyticsQueries extends graft.QueryModule {
             col("hq") < 800000000L).as("is_bot"))
     }),
 
+    // E20 — RFM SEGMENTATION: every user quartile-ranked on Recency
+    // (days since last event vs the stream's max day), Frequency
+    // (event count) and Monetary (exact cent-summed value), then
+    // mapped to a named segment by an all-integer rule — the classic
+    // lifecycle segmentation run off any event stream. Monetary sums
+    // round each value to integer CENTS before the exact long sum (no
+    // float accumulation); quartiles ride the SHARED distributedNtile
+    // (t38/t41): key histogram + cumulative window over histogram rows
+    // + broadcast offsets — never a single-partition global sort, so
+    // the O(users) frame ranks at any scale. Quartile 1 = best (most
+    // recent / most frequent / highest spend via negated keys).
+    graft.QueryDef("e20_rfm_segments", Some(
+      """WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS a FROM events),
+        |peru AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    max(CAST(ts AS DATE)) AS last_day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT user_id, n, cents,
+        |    CAST(date_diff('day', last_day, a) AS BIGINT) AS rec_days
+        |  FROM peru, anchor),
+        |rk AS (
+        |  SELECT user_id, n, cents, rec_days,
+        |    NTILE(4) OVER (ORDER BY rec_days, user_id) AS r,
+        |    NTILE(4) OVER (ORDER BY -n, user_id) AS f,
+        |    NTILE(4) OVER (ORDER BY -cents, user_id) AS mq
+        |  FROM m)
+        |SELECT user_id, rec_days, n AS n_events, cents,
+        |  CAST(r AS INTEGER) AS r, CAST(f AS INTEGER) AS f,
+        |  CAST(mq AS INTEGER) AS m,
+        |  CASE WHEN r <= 2 AND f <= 2 AND mq <= 2 THEN 'champion'
+        |    WHEN r >= 3 AND f <= 2 THEN 'at_risk'
+        |    WHEN r <= 2 AND f >= 3 THEN 'new'
+        |    ELSE 'hibernating' END AS segment
+        |FROM rk""".stripMargin))((s, d) => {
+      import graft.operators.TextAnalysisQueries.distributedNtile
+      val e = Tables.events(s, d)
+      val anchor = e.agg(max(to_date(col("ts"))).as("a"))
+      val peru = e.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n"),
+        max(to_date(col("ts"))).as("last_day"),
+        sum(round(col("value") * 100).cast(LongType)).as("cents"))
+      val m = peru.join(broadcast(anchor))
+        .withColumn("rec_days", datediff(col("a"), col("last_day")).cast(LongType))
+        .select("user_id", "n", "cents", "rec_days")
+      def ranked(key: Column, name: String): DataFrame =
+        distributedNtile(
+          m.select(col("user_id").as("doc_id"), key.as("key")), 4)
+          .select(col("doc_id").as("user_id"), col("bin").as(name))
+      m.join(ranked(col("rec_days"), "r"), Seq("user_id"))
+        .join(ranked(-col("n"), "f"), Seq("user_id"))
+        .join(ranked(-col("cents"), "m"), Seq("user_id"))
+        .select(col("user_id"), col("rec_days"), col("n").as("n_events"),
+          col("cents"), col("r"), col("f"), col("m"),
+          when(col("r") <= 2 && col("f") <= 2 && col("m") <= 2, "champion")
+            .when(col("r") >= 3 && col("f") <= 2, "at_risk")
+            .when(col("r") <= 2 && col("f") >= 3, "new")
+            .otherwise("hibernating").as("segment"))
+    }),
+
     // S13 — INCREMENTAL ROLLUP MAINTENANCE (materialized-view delta
     // merge): the daily (day, type) rollup is maintained as
     // base-partial ⊎ delta-partial re-aggregated — the nightly pattern

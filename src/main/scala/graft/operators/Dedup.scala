@@ -1399,6 +1399,70 @@ object DedupQueries extends graft.QueryModule {
       s.createDataFrame(local, out.schema)
     }),
 
+    // D19 — SURVIVORSHIP POLICY over the real near-dup clusters: for
+    // every multi-member cluster of the d16 pair graph, the canonical
+    // document is the LONGEST member (token count, tiebreak smallest
+    // doc_id) — the keep-most-complete rule real pipelines prefer over
+    // d7's keep-first when near-duplicates are truncations of one
+    // another. The policy key is ALL-INTEGER (token count + id), so
+    // both engines elect the same keeper without float ordering.
+    // Scale: rides the banded pair join + pointer-jumping components
+    // (never all-pairs); the election is one cluster-partitioned
+    // window over CLUSTER MEMBERS only (multi-member clusters are a
+    // vanishing fraction of the corpus), output O(dup clusters).
+    graft.QueryDef("d19_survivorship", Some(
+      s"""WITH RECURSIVE pairs AS MATERIALIZED ($d2OracleSql),
+         |edges AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |r(node, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN r ON r.node = e.dst),
+         |lab AS (SELECT node, min(label) AS cluster FROM r GROUP BY node),
+         |docs AS (SELECT doc_id, text FROM ($nearProbesSql)),
+         |memb AS (
+         |  SELECT d.doc_id,
+         |    CAST(coalesce(l.cluster, d.doc_id) AS BIGINT) AS cluster,
+         |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+         |      AS ntok
+         |  FROM docs d LEFT JOIN lab l ON l.node = d.doc_id),
+         |cnt AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+         |        FROM memb GROUP BY 1),
+         |rk AS (
+         |  SELECT cluster, doc_id, ntok, row_number() OVER (
+         |    PARTITION BY cluster ORDER BY ntok DESC, doc_id ASC) AS rn
+         |  FROM memb)
+         |SELECT r.cluster, r.doc_id AS keeper_doc,
+         |  r.ntok AS keeper_tokens, c.n_members
+         |FROM rk r JOIN cnt c ON c.cluster = r.cluster
+         |WHERE r.rn = 1 AND c.n_members > 1""".stripMargin))((s, d) => {
+      val corpus = withNearProbes(Tables.documents(s, d))
+      val index = buildMinhashIndex(corpus)
+      val pairs = minhashPairs(index, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val labels = connectedComponentsFast(pairs)
+      val memb = corpus
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast(LongType).as("ntok"))
+        .join(labels, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"), col("ntok"))
+      val cnt = memb.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster")
+        .orderBy(col("ntok").desc, col("doc_id").asc)
+      val out = memb.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .join(cnt, Seq("cluster"))
+        .where(col("n_members") > 1)
+        .select(col("cluster"), col("doc_id").as("keeper_doc"),
+          col("ntok").as("keeper_tokens"), col("n_members"))
+      val local = out.collectAsList()
+      index.unpersist()
+      s.createDataFrame(local, out.schema)
+    }),
+
     // D15 — SOFT dedup (duplication-aware reweighting): instead of
     // dropping non-representative cluster members (d7's hard apply),
     // every document keeps weight 1/|cluster| — a cluster's total

@@ -3086,6 +3086,87 @@ object TextAnalysisQueries extends graft.QueryModule {
           (sum(col("tq")).cast(DoubleType) / 1000000000.0).as("kl"))
     }),
 
+    // T50 — CCNet-STYLE PERPLEXITY BUCKETS: per language, documents
+    // ranked by LM fit (the t17 unigram log-prob) and cut into
+    // head / middle / tail thirds — the curation split CCNet ships
+    // per-language shards under (head = best-modeled text). The rank
+    // key is the micro-quantized average log-prob (one IEEE division
+    // + round of exact ints — identical both engines), so ordering is
+    // integer-exact with doc_id tiebreak. NO per-language global
+    // sort: the engine ranks via the t38 histogram discipline —
+    // (lang, skey) count-agg, cumulative window over HISTOGRAM rows
+    // only, broadcast offsets + per-(lang, skey) row_number — so the
+    // only corpus-wide exchanges are the token agg t17 already pays
+    // and one (lang, skey) agg; tiers then collapse to O(langs × 3).
+    graft.QueryDef("t50_ccnet_buckets", Some(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |total AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |    CAST(SUM(CAST(round(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * 1000000) AS BIGINT)) AS BIGINT) AS sq
+        |  FROM toks JOIN counts USING (tok), total GROUP BY doc_id),
+        |sc AS (
+        |  SELECT d.lang, p.doc_id, p.n_tok,
+        |    CAST(round(CAST(p.sq AS DOUBLE) / p.n_tok) AS BIGINT) AS skey
+        |  FROM perdoc p JOIN documents d ON d.doc_id = p.doc_id),
+        |rk AS (
+        |  SELECT lang, doc_id, n_tok, skey,
+        |    row_number() OVER (
+        |      PARTITION BY lang ORDER BY skey DESC, doc_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM sc),
+        |b AS (SELECT lang, n_tok, skey, ((rn - 1) * 3) // n AS tier FROM rk)
+        |SELECT lang,
+        |  CASE tier WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+        |    ELSE 'tail' END AS tier,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  max(skey) AS hi_logprob_micro, min(skey) AS lo_logprob_micro
+        |FROM b GROUP BY 1, 2""".stripMargin))((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+        .where(col("tok") =!= "")
+      val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val total = counts.agg(sum(col("c")).as("n"))
+      val q = round(log(col("c").cast(DoubleType) / col("n").cast(DoubleType))
+        * 1000000).cast(LongType)
+      val perdoc = toks.join(counts, Seq("tok")).join(broadcast(total))
+        .select(col("doc_id"), q.as("q"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum(col("q")).as("sq"))
+      val sc = perdoc.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("lang"), col("doc_id"), col("n_tok"),
+          round(col("sq").cast(DoubleType) / col("n_tok"))
+            .cast(LongType).as("skey"))
+      val hist = sc.groupBy("lang", "skey").agg(count(lit(1)).as("c"))
+      val wH = Window.partitionBy("lang").orderBy(col("skey").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = hist
+        .withColumn("before", coalesce(sum(col("c")).over(wH), lit(0L)))
+        .select("lang", "skey", "before")
+      val nl = sc.groupBy("lang").agg(count(lit(1)).as("n"))
+      val rn = row_number().over(
+        Window.partitionBy("lang", "skey").orderBy("doc_id"))
+      sc.withColumn("rn", rn.cast(LongType))
+        .join(broadcast(offsets), Seq("lang", "skey"))
+        .join(broadcast(nl), Seq("lang"))
+        .withColumn("tier", expr("((before + rn - 1) * 3) div n"))
+        .withColumn("tier",
+          when(col("tier") === 0, "head")
+            .when(col("tier") === 1, "middle").otherwise("tail"))
+        .groupBy("lang", "tier")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          max(col("skey")).as("hi_logprob_micro"),
+          min(col("skey")).as("lo_logprob_micro"))
+    }),
+
     graft.QueryDef("e2_incremental_watermark", Some(
       """SELECT event_type, count(*) AS cnt, max(event_id) AS new_watermark
         |FROM events

@@ -194,7 +194,7 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(globalWindows("a11_window_totals").nonEmpty,
       "plan walker no longer sees known global windows — vacuous test")
     for (name <- Seq("t6_pack_sequences", "e1_sessionize",
-        "e7_growth_accounting")) {
+        "e7_growth_accounting", "t50_ccnet_buckets")) {
       assert(globalWindows(name).isEmpty, s"$name: unpartitioned Window in plan")
     }
     // t38's ONLY global window must sit on the key histogram (post-agg,
@@ -435,5 +435,16 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     // snapshot count-aggs.
     assert(plan("x7_release_drift").contains("BroadcastHashJoin"),
       "x7: grid/totals not broadcast")
+    // t50: the tier ranking must ride the histogram discipline — the
+    // offsets broadcast onto the corpus-side frame. (The 1-row token
+    // total still single-partitions, as in t17 — the window-partitioning
+    // invariant is pinned in the global-window walker test below.)
+    assert(plan("t50_ccnet_buckets").contains("BroadcastHashJoin"),
+      "t50: histogram offsets not broadcast")
+    // e20: the three quartile rankings ride distributedNtile — offsets
+    // and totals broadcast onto the O(users) frame, no shuffled join.
+    val e20 = plan("e20_rfm_segments")
+    assert(e20.contains("BroadcastHashJoin") && !e20.contains("SortMergeJoin"),
+      "e20: ntile offsets not broadcast")
   }
 }
