@@ -186,6 +186,51 @@ object GovernanceQueries extends graft.QueryModule {
 
   def defs: Seq[graft.QueryDef] = Seq(
 
+    // G4 — DP-STYLE NOISED RELEASE: per-day event counts published
+    // with Laplace(b=10) noise — the aggregate-release pattern a
+    // governance pipeline applies before sharing usage statistics
+    // externally (counts may go negative; that is the mechanism, not a
+    // bug). The noise is DETERMINISTICALLY seeded per release cell:
+    // u ~ Uniform(0,1) derives from xxhash64(epoch_day) (Spark's
+    // native hash; the oracle replays it bit-for-bit via the
+    // OracleHash XXH64-on-BIGINT twin), mapped through the Laplace
+    // inverse CDF. m+0.5 centering keeps u strictly inside (0,1) so
+    // ln never sees 0, and /2^20 is a power-of-two division (exact in
+    // IEEE), so both engines feed ln the identical double; the final
+    // integer round is the t25 quantization class. Map-side after one
+    // daily rollup; O(days) output.
+    graft.QueryDef("g4_dp_release", Some {
+      val daily =
+        """SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          |    AS ed, CAST(count(*) AS BIGINT) AS c
+          |  FROM events GROUP BY 1""".stripMargin
+      s"""WITH h AS (
+         |  SELECT * FROM (${OracleHash.hashLongSelect(daily, "ed")})),
+         |n AS (
+         |  SELECT ed, c,
+         |    (CAST(((hs % 1048576) + 1048576) % 1048576 AS DOUBLE) + 0.5)
+         |      / 1048576 AS u
+         |  FROM h)
+         |SELECT CAST(DATE '1970-01-01' + CAST(ed AS INTEGER) AS VARCHAR)
+         |    AS day,
+         |  CAST(c + CAST(round(-10.0 * sign(u - 0.5)
+         |    * ln(1 - 2 * abs(u - 0.5))) AS BIGINT) AS BIGINT) AS released
+         |FROM n""".stripMargin
+    })((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(unix_date(to_date(col("ts"))).cast(LongType).as("ed"))
+        .agg(count(lit(1)).as("c"))
+      val m = ((xxhash64(col("ed")) % 1048576L) + 1048576L) % 1048576L
+      val u = (m.cast(DoubleType) + 0.5) / 1048576
+      daily
+        .select(
+          date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+            col("ed").cast(IntegerType)).cast(StringType).as("day"),
+          (col("c") + round(lit(-10.0) * signum(u - 0.5)
+            * log(lit(1) - lit(2) * abs(u - 0.5))).cast(LongType))
+            .as("released"))
+    }),
+
     // G3 — takedown DURABILITY through re-ingest: batch 0 lands the
     // full corpus in the incremental FTS store, the takedown
     // (doc_id % 50 = 0) is recorded as durable tombstones

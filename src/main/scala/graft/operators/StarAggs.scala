@@ -137,6 +137,43 @@ object StarAggs extends graft.QueryModule {
         Num.dsum(col("l_quantity")).as("sum_qty"),
         Num.dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"))),
 
+    // A20 — per-group MODE (modal order priority per status): the
+    // deterministic argmax over grouped counts — (status, priority)
+    // count-agg, then a row_number election over the O(groups) rollup
+    // ordered (cnt DESC, priority ASC) so ties break lexicographically
+    // on both engines. The election window runs over grouped rows only
+    // (never the fact table), and the per-status share is one IEEE
+    // division of exact counts.
+    graft.QueryDef("a20_group_mode", Some(
+      """WITH g AS (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |t AS (SELECT o_orderstatus, CAST(SUM(cnt) AS BIGINT) AS total
+        |      FROM g GROUP BY 1),
+        |rk AS (
+        |  SELECT o_orderstatus, o_orderpriority, cnt, row_number() OVER (
+        |    PARTITION BY o_orderstatus
+        |    ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+        |  FROM g)
+        |SELECT r.o_orderstatus, r.o_orderpriority AS mode_priority,
+        |  r.cnt, CAST(r.cnt AS DOUBLE) / t.total AS share
+        |FROM rk r JOIN t ON t.o_orderstatus = r.o_orderstatus
+        |WHERE r.rn = 1""".stripMargin))((s, d) => {
+      val g = Tables.orders(s, d)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+      val t = g.groupBy("o_orderstatus").agg(sum(col("cnt")).as("total"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus")
+        .orderBy(col("cnt").desc, col("o_orderpriority").asc)
+      g.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .join(broadcast(t), Seq("o_orderstatus"))
+        .select(col("o_orderstatus"),
+          col("o_orderpriority").as("mode_priority"), col("cnt"),
+          (col("cnt").cast(DoubleType) / col("total")).as("share"))
+    }),
+
     // A5 — grouped counts over one column (resolution facets,
     // src/lib/db/entries.ts:189-204).
     graft.QueryDef("a5_group_counts", Some(

@@ -3086,6 +3086,44 @@ object TextAnalysisQueries extends graft.QueryModule {
           (sum(col("tq")).cast(DoubleType) / 1000000000.0).as("kl"))
     }),
 
+    // T51 — VOCABULARY COVERAGE per language: the share of token
+    // OCCURRENCES covered by the corpus-wide top-100 vocabulary — the
+    // audit that tells you whether a fixed shared vocab (t48's probe)
+    // under-serves a language before you commit a tokenizer to it.
+    // The vocab probe is the bounded TakeOrderedAndProject t48 pays;
+    // membership is a broadcast semi-join onto the per-(lang, tok)
+    // rollup (nothing wider than (lang, tok) shuffles); coverage is
+    // one IEEE division of exact counts. O(languages) output.
+    graft.QueryDef("t51_vocab_coverage", Some(
+      s"""WITH words AS (
+         |  SELECT lang, unnest(string_split(${Dedup.normTextSql}, ' ')) AS tok
+         |  FROM documents),
+         |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cq
+         |      FROM words GROUP BY 1),
+         |v AS (SELECT tok FROM c ORDER BY cq DESC, tok LIMIT 100),
+         |lt AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+         |       FROM words GROUP BY 1, 2)
+         |SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN tok IN (SELECT tok FROM v)
+         |    THEN c ELSE 0 END) AS BIGINT) AS covered,
+         |  CAST(SUM(CASE WHEN tok IN (SELECT tok FROM v)
+         |    THEN c ELSE 0 END) AS DOUBLE) / SUM(c) AS coverage
+         |FROM lt GROUP BY 1""".stripMargin))((s, d) => {
+      val words = Tables.documents(s, d).select(col("lang"),
+        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+      val c = words.groupBy("tok").agg(count(lit(1)).as("cq"))
+      val v = c.orderBy(col("cq").desc, col("tok").asc).limit(100)
+        .select(col("tok"), lit(1L).as("in_vocab"))
+      val lt = words.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      lt.join(broadcast(v), Seq("tok"), "left")
+        .groupBy("lang")
+        .agg(sum(col("c")).as("n_tokens"),
+          sum(when(col("in_vocab").isNotNull, col("c")).otherwise(0L))
+            .as("covered"))
+        .withColumn("coverage",
+          col("covered").cast(DoubleType) / col("n_tokens"))
+    }),
+
     // T50 — CCNet-STYLE PERPLEXITY BUCKETS: per language, documents
     // ranked by LM fit (the t17 unigram log-prob) and cut into
     // head / middle / tail thirds — the curation split CCNet ships

@@ -446,5 +446,19 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     val e20 = plan("e20_rfm_segments")
     assert(e20.contains("BroadcastHashJoin") && !e20.contains("SortMergeJoin"),
       "e20: ntile offsets not broadcast")
+    // t51: the top-100 vocab probe stays a bounded TakeOrdered and its
+    // membership join broadcasts onto the (lang, tok) rollup.
+    val t51 = plan("t51_vocab_coverage")
+    assert(t51.contains("TakeOrderedAndProject") && t51.contains("Broadcast"),
+      "t51: vocab probe not bounded/broadcast")
+    // a20: the mode election windows over the grouped rollup, and the
+    // per-status totals broadcast back — the fact table never windows.
+    val a20 = plan("a20_group_mode")
+    assert(a20.contains("Window") && a20.contains("BroadcastHashJoin"),
+      "a20: election/totals shape drifted")
+    // g4: noised release is agg + map-side hash arithmetic — no joins
+    // at all.
+    val g4 = plan("g4_dp_release")
+    assert(!g4.contains("Join"), "g4: unexpected join in noised release")
   }
 }
