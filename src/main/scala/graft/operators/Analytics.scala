@@ -840,6 +840,34 @@ object AnalyticsQueries extends graft.QueryModule {
             col("hq") < 800000000L).as("is_bot"))
     }),
 
+    // E21 — NAIVE SEASONAL FORECAST BASELINE: per event type, each
+    // day's count against the same-weekday-last-week count (the
+    // forecast every real model must beat) with the absolute error —
+    // the backtest report an anomaly/forecast service publishes.
+    // CALENDAR-correct by construction: the forecast joins on
+    // (type, day−7) rather than lagging 7 ROWS, so missing days
+    // can't misalign the baseline. All-integer output; the join runs
+    // on the O(types × days) rollup, never the raw stream.
+    graft.QueryDef("e21_forecast_baseline", Some(
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type, CAST(a.day AS VARCHAR) AS day, a.c AS actual,
+        |  f.c AS forecast, abs(a.c - f.c) AS abs_err
+        |FROM daily a JOIN daily f
+        |  ON f.event_type = a.event_type AND f.day = a.day - 7""".stripMargin))((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val f = daily.select(col("event_type"),
+        date_add(col("day"), 7).as("day"), col("c").as("forecast"))
+      daily.join(f, Seq("event_type", "day"))
+        .select(col("event_type"), col("day").cast(StringType).as("day"),
+          col("c").as("actual"), col("forecast"),
+          abs(col("c") - col("forecast")).as("abs_err"))
+    }),
+
     // E20 — RFM SEGMENTATION: every user quartile-ranked on Recency
     // (days since last event vs the stream's max day), Frequency
     // (event count) and Monetary (exact cent-summed value), then

@@ -788,7 +788,7 @@ object DedupQueries extends graft.QueryModule {
   /** The deterministic d6 pair graph: chains of 3 at doc_id % 50 plus
     * cross-links at % 200 merging two chains (labels must travel 3
     * hops). Shared by d6 (propagation) and d6b (pointer jumping). */
-  private def d6PairGraph(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  private[operators] def d6PairGraph(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val ids = Tables.documents(s, d).select(col("doc_id"))
     def pairsAt(offset: Int, cond: Column) =
       ids.where(cond).select(col("doc_id").as("doc_a"))
@@ -800,7 +800,7 @@ object DedupQueries extends graft.QueryModule {
 
   /** Independent recursive-CTE component oracle (min reachable id per
     * node) over the same planted graph. */
-  private val d6OracleSql: String =
+  private[operators] val d6OracleSql: String =
     """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
       |chain AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

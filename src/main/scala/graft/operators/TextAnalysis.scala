@@ -475,6 +475,30 @@ object TextAnalysisQueries extends graft.QueryModule {
     * for the intra-key order → NTILE's exact remainder arithmetic
     * (first n mod k bins get the extra row) in integer space. Output =
     * input columns + `bin`. */
+  /** Shared m5/m6/m9 pair stage: fixture payloads of one parity (the
+    * modality slice, bounded under the generator's repeat period),
+    * byte-identical clones planted at doc_id+1e6, hashed map-side by
+    * `hash`, blocked through the SHARED SimHash band machinery, and
+    * kept to the planted-clone pairs (doc_b ≥ 1e6) whose closed-form
+    * oracles derive from ids alone. */
+  private def mediaClonePairs(s: SparkSession, d: String, parity: Int,
+      bound: Int, hash: (Long, Array[Byte]) => Long): DataFrame = {
+    import s.implicits._
+    val payloads = Multimodal.fixturePayloads(
+      Tables.documents(s, d)
+        .where(col("doc_id") % 2 === parity && col("doc_id") < bound))
+    val withClones = payloads.unionByName(
+      payloads.where(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("payload")))
+    val hashed = withClones.as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id, hash(id, p)) })
+      .toDF("doc_id", "sim")
+    val index = Dedup.SimhashIndex(hashed.persist())
+    index.sims.count() // materialize before the banded self-join reads it twice
+    Dedup.simhashPairs(index, maxHamming = 0)
+      .where(col("doc_b") >= 1000000L)
+  }
+
   def distributedNtile(docs: DataFrame, k: Int): DataFrame = {
     val hist = docs.groupBy("key").agg(count(lit(1)).as("c"))
     val wHist = Window.orderBy("key")
@@ -2733,22 +2757,8 @@ object TextAnalysisQueries extends graft.QueryModule {
     graft.QueryDef("m5_image_neardup", Some(
       """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,
         |  CAST(0 AS INTEGER) AS hamming
-        |FROM documents WHERE doc_id % 2 = 0 AND doc_id < 20""".stripMargin))((s, d) => {
-      import s.implicits._
-      val payloads = Multimodal.fixturePayloads(
-        Tables.documents(s, d)
-          .where(col("doc_id") % 2 === 0 && col("doc_id") < 256))
-      val withClones = payloads.unionByName(
-        payloads.where(col("doc_id") < 20)
-          .select((col("doc_id") + 1000000).as("doc_id"), col("payload")))
-      val hashed = withClones.as[(Long, Array[Byte])]
-        .mapPartitions(_.map { case (id, p) => (id, Multimodal.aHashBmp(id, p)) })
-        .toDF("doc_id", "sim")
-      val index = Dedup.SimhashIndex(hashed.persist())
-      index.sims.count() // materialize before the banded self-join reads it twice
-      Dedup.simhashPairs(index, maxHamming = 0)
-        .where(col("doc_b") >= 1000000L)
-    }),
+        |FROM documents WHERE doc_id % 2 = 0 AND doc_id < 20""".stripMargin))((s, d) =>
+      mediaClonePairs(s, d, parity = 0, bound = 256, Multimodal.aHashBmp)),
 
     // M6 — audio near-dup via the WAV energy fingerprint: the m5
     // pattern at the audio modality (planted byte-identical PCM clones,
@@ -2758,21 +2768,34 @@ object TextAnalysisQueries extends graft.QueryModule {
     graft.QueryDef("m6_audio_neardup", Some(
       """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,
         |  CAST(0 AS INTEGER) AS hamming
-        |FROM documents WHERE doc_id % 2 = 1 AND doc_id < 20""".stripMargin))((s, d) => {
-      import s.implicits._
-      val payloads = Multimodal.fixturePayloads(
-        Tables.documents(s, d)
-          .where(col("doc_id") % 2 === 1 && col("doc_id") < 400))
-      val withClones = payloads.unionByName(
-        payloads.where(col("doc_id") < 20)
-          .select((col("doc_id") + 1000000).as("doc_id"), col("payload")))
-      val hashed = withClones.as[(Long, Array[Byte])]
-        .mapPartitions(_.map { case (id, p) => (id, Multimodal.aHashWav(id, p)) })
-        .toDF("doc_id", "sim")
-      val index = Dedup.SimhashIndex(hashed.persist())
-      index.sims.count()
-      Dedup.simhashPairs(index, maxHamming = 0)
-        .where(col("doc_b") >= 1000000L)
+        |FROM documents WHERE doc_id % 2 = 1 AND doc_id < 20""".stripMargin))((s, d) =>
+      mediaClonePairs(s, d, parity = 1, bound = 400, Multimodal.aHashWav)),
+
+    // M9 — MEDIA DEDUP CLUSTERS: the m5/m6 pair frames (both
+    // modalities, one SimHash band path) resolved to connected
+    // components and summarized per cluster — pairs → clusters is the
+    // same composition text dedup ships (d16), now at the binary
+    // modalities, riding the SHARED pointer-jumping resolver. The
+    // ENGINE re-hashes the real bytes and runs the real component
+    // loop; the ORACLE states the expected clusters in CLOSED FORM
+    // from the planted-clone structure (the m2/m7 discipline), so any
+    // drift in hashing, banding, or resolution fails the gate.
+    // O(dup clusters) output; keeper = min member (the d7 rule).
+    graft.QueryDef("m9_media_dedup_clusters", Some(
+      """SELECT doc_id AS cluster,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS media_type,
+        |  CAST(2 AS BIGINT) AS n_members, doc_id AS keeper
+        |FROM documents WHERE doc_id < 20""".stripMargin))((s, d) => {
+      val pairs = mediaClonePairs(s, d, 0, 256, Multimodal.aHashBmp)
+        .unionByName(mediaClonePairs(s, d, 1, 400, Multimodal.aHashWav))
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.connectedComponentsFast(pairs)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"), min(col("doc_id")).as("keeper"))
+        .select(col("cluster"),
+          when(col("cluster") % 2 === 0, "bmp").otherwise("wav")
+            .as("media_type"),
+          col("n_members"), col("keeper"))
     }),
 
     // M7 — MEDIA data card (t36 for the binary modalities): per media
@@ -3122,6 +3145,60 @@ object TextAnalysisQueries extends graft.QueryModule {
             .as("covered"))
         .withColumn("coverage",
           col("covered").cast(DoubleType) / col("n_tokens"))
+    }),
+
+    // T52 — EFFECTIVE TOKEN BUDGET (dedup-aware): per language, the
+    // raw token count next to the duplication-discounted count under
+    // the d15 soft-dedup weights (each doc counts ntok/|cluster|) —
+    // the number a pretraining data plan actually budgets against,
+    // since duplicated mass adds tokens but not information. Composes
+    // the d6 component resolution + d15's size rollup + per-doc token
+    // counts into one O(languages) report. Determinism: each per-doc
+    // discounted term quantizes to integer MILLI-tokens
+    // (round(ntok·1000/csize) — one exact-int double division + round)
+    // before the exact long sum; the final ratio is IEEE over exact
+    // ints. Scale shape: cluster sizes broadcast (O(clusters) after
+    // the rollup), the only corpus-wide exchanges are the component
+    // label join and the language agg.
+    graft.QueryDef("t52_effective_tokens", Some(
+      s"""WITH c AS (${DedupQueries.d6OracleSql}),
+         |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csize
+         |       FROM c GROUP BY 1),
+         |f AS (
+         |  SELECT d.doc_id, d.lang,
+         |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+         |      AS ntok,
+         |    coalesce(c.cluster, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id),
+         |t AS (
+         |  SELECT f.lang, f.ntok,
+         |    CAST(round(CAST(f.ntok AS DOUBLE) * 1000
+         |      / coalesce(sz.csize, 1)) AS BIGINT) AS eff_milli
+         |  FROM f LEFT JOIN sz ON sz.cluster = f.cluster)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(ntok) AS BIGINT) AS raw_tokens,
+         |  CAST(SUM(eff_milli) AS DOUBLE) / 1000.0 AS effective_tokens,
+         |  CAST(SUM(eff_milli) AS DOUBLE) / 1000.0 / SUM(ntok)
+         |    AS effective_ratio
+         |FROM t GROUP BY 1""".stripMargin))((s, d) => {
+      val c = Dedup.connectedComponentsFast(DedupQueries.d6PairGraph(s, d))
+      val sz = c.groupBy("cluster").agg(count(lit(1)).as("csize"))
+      val f = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast(LongType).as("ntok"))
+        .join(c, Seq("doc_id"), "left_outer")
+        .select(col("lang"), col("ntok"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      f.join(broadcast(sz), Seq("cluster"), "left_outer")
+        .withColumn("eff_milli",
+          round(col("ntok").cast(DoubleType) * 1000
+            / coalesce(col("csize"), lit(1L))).cast(LongType))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("raw_tokens"),
+          (sum(col("eff_milli")).cast(DoubleType) / 1000.0)
+            .as("effective_tokens"))
+        .withColumn("effective_ratio",
+          col("effective_tokens") / col("raw_tokens"))
     }),
 
     // T50 — CCNet-STYLE PERPLEXITY BUCKETS: per language, documents

@@ -460,5 +460,13 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     // at all.
     val g4 = plan("g4_dp_release")
     assert(!g4.contains("Join"), "g4: unexpected join in noised release")
+    // t52: the O(clusters) size rollup broadcasts back onto the corpus
+    // frame (the d15 discipline).
+    assert(plan("t52_effective_tokens").contains("BroadcastHashJoin"),
+      "t52: cluster sizes not broadcast")
+    // e21: the baseline joins the daily rollup to itself — no window,
+    // no touch of the raw stream beyond the one rollup agg.
+    assert(!plan("e21_forecast_baseline").contains("Window"),
+      "e21: unexpected window in forecast baseline")
   }
 }
