@@ -840,6 +840,40 @@ object AnalyticsQueries extends graft.QueryModule {
             col("hq") < 800000000L).as("is_bot"))
     }),
 
+    // E22 — WEEKDAY SEASONALITY PROFILE: per event type, the
+    // day-of-week distribution (share of the type's volume landing on
+    // each weekday) with the peak day flagged — the seasonality prior
+    // behind e21's day-over-week baseline, and the capacity-planning
+    // chart every ops dashboard carries. One (type, dow) agg off the
+    // raw stream (map-side combined: O(types × 7) groups), totals and
+    // maxima broadcast back; share is one IEEE division of exact
+    // counts, the peak flag an exact integer compare (ties flag every
+    // tied day on both engines). DOW convention: 0 = Sunday (DuckDB
+    // dayofweek; Spark's 1-based value minus 1).
+    graft.QueryDef("e22_weekday_profile", Some(
+      """WITH g AS (
+        |  SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS total,
+        |        CAST(max(c) AS BIGINT) AS mx
+        |      FROM g GROUP BY 1)
+        |SELECT g.event_type, CAST(g.dow AS INTEGER) AS dow, g.c,
+        |  CAST(g.c AS DOUBLE) / t.total AS share,
+        |  g.c = t.mx AS is_peak
+        |FROM g JOIN t ON t.event_type = g.event_type""".stripMargin))((s, d) => {
+      val g = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          (dayofweek(to_date(col("ts"))) - 1).cast(IntegerType).as("dow"))
+        .agg(count(lit(1)).as("c"))
+      val t = g.groupBy("event_type")
+        .agg(sum(col("c")).as("total"), max(col("c")).as("mx"))
+      g.join(broadcast(t), Seq("event_type"))
+        .select(col("event_type"), col("dow"), col("c"),
+          (col("c").cast(DoubleType) / col("total")).as("share"),
+          (col("c") === col("mx")).as("is_peak"))
+    }),
+
     // E21 — NAIVE SEASONAL FORECAST BASELINE: per event type, each
     // day's count against the same-weekday-last-week count (the
     // forecast every real model must beat) with the absolute error —

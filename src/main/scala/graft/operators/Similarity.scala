@@ -1164,6 +1164,8 @@ object SimilarityQueries extends graft.QueryModule {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val ivfPqWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val pqBalWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def dirTag(d: String): String = d.replaceAll("[^a-zA-Z0-9]", "_")
 
   /** Exploded quantized view + norms shared by the hash-replay oracles:
@@ -2149,6 +2151,53 @@ object SimilarityQueries extends graft.QueryModule {
         .groupBy(sums("cell"))
         .agg(max(col("n")).as("n_vectors"),
           sqrt(sum(col("tq")).cast(DoubleType) / 1e12).as("drift"))
+    }),
+
+    // N29 — PQ CODEBOOK BALANCE: per subspace, code-usage occupancy
+    // entropy + the hottest code's count — the codebook-health audit
+    // next to n21's distortion report (a subspace whose entropy
+    // collapses toward 0 is wasting its 4 bits: most vectors map to
+    // few codes, ADC scores lose resolution, and retraining that
+    // codebook is the fix). Reads the WRITTEN code table (the serving
+    // artifact); occupancy is one (m, code) agg — 128 groups, map-side
+    // combined — and the per-subspace totals broadcast. Entropy terms
+    // follow the t45/t48 ln rule (nano-quantized before the exact
+    // sum); p is a single IEEE division of exact counts.
+    graft.QueryDef("n29_pq_code_balance", Some(
+      s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+         |${OracleHash.lloydCtes(8, 16, 5)},
+         |occ AS (SELECT m, j, CAST(count(*) AS BIGINT) AS c
+         |        FROM codes GROUP BY 1, 2),
+         |tot AS (SELECT m, CAST(SUM(c) AS BIGINT) AS n FROM occ GROUP BY 1),
+         |terms AS (
+         |  SELECT o.m, o.c,
+         |    CAST(round(-(CAST(o.c AS DOUBLE) / t.n)
+         |      * ln(CAST(o.c AS DOUBLE) / t.n)
+         |      * 1000000000) AS BIGINT) AS tq
+         |  FROM occ o JOIN tot t ON t.m = o.m)
+         |SELECT CAST(m AS INTEGER) AS m,
+         |  CAST(count(*) AS BIGINT) AS n_used_codes,
+         |  CAST(max(c) AS BIGINT) AS max_code_count,
+         |  CAST(SUM(tq) AS DOUBLE) / 1000000000.0 AS entropy
+         |FROM terms GROUP BY 1""".stripMargin))((s, d) => {
+      val path = pqBalWritten.computeIfAbsent(d, dd => {
+        val built = buildPqIndex(Tables.embeddings(s, dd))
+        val p = s"$pqRoot/${dirTag(dd)}/pq-bal"
+        writePqIndex(built, p)
+        built.unpersist()
+        p
+      })
+      val occ = s.read.parquet(s"$path/codes")
+        .select(posexplode(col("codes")).as(Seq("m", "j")))
+        .groupBy("m", "j").agg(count(lit(1)).as("c"))
+      val tot = occ.groupBy("m").agg(sum(col("c")).as("n"))
+      val p = col("c").cast(DoubleType) / col("n")
+      occ.join(broadcast(tot), Seq("m"))
+        .withColumn("tq", round(-p * log(p) * 1000000000L).cast(LongType))
+        .groupBy(col("m").cast(IntegerType).as("m"))
+        .agg(count(lit(1)).as("n_used_codes"),
+          max(col("c")).as("max_code_count"),
+          (sum(col("tq")).cast(DoubleType) / 1000000000.0).as("entropy"))
     }),
 
     // N15 — ANN recall evaluation: measured recall@10 of the IVF probe

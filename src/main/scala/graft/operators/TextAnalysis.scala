@@ -3147,6 +3147,53 @@ object TextAnalysisQueries extends graft.QueryModule {
           col("covered").cast(DoubleType) / col("n_tokens"))
     }),
 
+    // T53 — DUP-MASS PROFILE: the cluster-SIZE histogram of the d6
+    // component resolution with singletons folded into the size-1
+    // bucket — the one-page answer to "how duplicated is this corpus"
+    // (total dup mass = 1 − share of the size-1 row) that decides
+    // whether d7's hard drop or d15's soft reweighting is worth its
+    // cost. Everything after the component labels is O(clusters):
+    // size rollup → size histogram; the singleton count derives from
+    // two 1-row totals; share is one IEEE division of exact ints.
+    graft.QueryDef("t53_dup_mass_profile", Some(
+      s"""WITH c AS (${DedupQueries.d6OracleSql}),
+         |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csize
+         |       FROM c GROUP BY 1),
+         |grp AS (SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters
+         |        FROM sz GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+         |cov AS (SELECT CAST(coalesce(SUM(csize), 0) AS BIGINT) AS covered
+         |        FROM sz),
+         |allg AS (
+         |  SELECT csize, CAST(SUM(n_clusters) AS BIGINT) AS n_clusters
+         |  FROM (
+         |    SELECT csize, n_clusters FROM grp
+         |    UNION ALL
+         |    SELECT CAST(1 AS BIGINT) AS csize,
+         |      CAST(nd - covered AS BIGINT) AS n_clusters
+         |    FROM tot, cov WHERE nd > covered)
+         |  GROUP BY 1)
+         |SELECT csize, n_clusters,
+         |  CAST(csize * n_clusters AS BIGINT) AS n_docs,
+         |  CAST(csize * n_clusters AS DOUBLE) / nd AS share
+         |FROM allg, tot""".stripMargin))((s, d) => {
+      val c = Dedup.connectedComponentsFast(DedupQueries.d6PairGraph(s, d))
+      val sz = c.groupBy("cluster").agg(count(lit(1)).as("csize"))
+      val grp = sz.groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+      val tot = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+      val cov = sz.agg(coalesce(sum(col("csize")), lit(0L)).as("covered"))
+      val single = tot.join(broadcast(cov))
+        .where(col("nd") > col("covered"))
+        .select(lit(1L).as("csize"), (col("nd") - col("covered")).as("n_clusters"))
+      grp.unionByName(single)
+        .groupBy("csize").agg(sum(col("n_clusters")).as("n_clusters"))
+        .join(broadcast(tot))
+        .select(col("csize"), col("n_clusters"),
+          (col("csize") * col("n_clusters")).as("n_docs"),
+          ((col("csize") * col("n_clusters")).cast(DoubleType) / col("nd"))
+            .as("share"))
+    }),
+
     // T52 — EFFECTIVE TOKEN BUDGET (dedup-aware): per language, the
     // raw token count next to the duplication-discounted count under
     // the d15 soft-dedup weights (each doc counts ntok/|cluster|) —

@@ -468,5 +468,13 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     // no touch of the raw stream beyond the one rollup agg.
     assert(!plan("e21_forecast_baseline").contains("Window"),
       "e21: unexpected window in forecast baseline")
+    // n29: occupancy off the written code table, per-subspace totals
+    // broadcast.
+    assert(plan("n29_pq_code_balance").contains("BroadcastHashJoin"),
+      "n29: subspace totals not broadcast")
+    // e22: pure agg chain + broadcast per-type totals — windowless.
+    val e22 = plan("e22_weekday_profile")
+    assert(!e22.contains("Window") && e22.contains("Broadcast"),
+      "e22: expected windowless agg with broadcast totals")
   }
 }
