@@ -840,6 +840,126 @@ object AnalyticsQueries extends graft.QueryModule {
             col("hq") < 800000000L).as("is_bot"))
     }),
 
+    // A21 — DAILY CO-MOVEMENT MATRIX: Pearson correlation of daily
+    // counts between every event-type pair — the co-movement audit
+    // that separates "these two metrics move together" from
+    // coincidence before anyone ships a derived KPI. All five moments
+    // are EXACT integer sums (counts are ints, products through
+    // DECIMAL(38,0) — the e13/t45 moment discipline), so r is two
+    // IEEE ops over exact ints, quantized 1e-6; the self-join runs on
+    // the O(types × days) rollup, output O(types²)/2. Days where
+    // either type is absent drop via the inner day join (documented
+    // semantics: correlation over co-observed days).
+    graft.QueryDef("a21_daily_correlation", Some(
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.c AS x, b.c AS y
+        |  FROM daily a JOIN daily b
+        |    ON b.day = a.day AND a.event_type < b.event_type),
+        |s AS (
+        |  SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_days,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM p GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_days,
+        |  round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)
+        |           * CAST(n_days * syy - sy * sy AS DOUBLE))
+        |    * 1000000) / 1000000.0 AS corr
+        |FROM s WHERE n_days >= 2
+        |  AND n_days * sxx - sx * sx > 0
+        |  AND n_days * syy - sy * sy > 0""".stripMargin))((s, d) => {
+      val dec = DecimalType(38, 0)
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val a = daily.select(col("event_type").as("type_a"),
+        col("day"), col("c").as("x"))
+      val b = daily.select(col("event_type").as("type_b"),
+        col("day"), col("c").as("y"))
+      val st = a.join(b, Seq("day")).where(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("y") * col("y")).cast(dec)).as("syy"))
+      val nD = col("n_days").cast(dec)
+      val num = nD * col("sxy") - col("sx") * col("sy")
+      val denx = nD * col("sxx") - col("sx") * col("sx")
+      val deny = nD * col("syy") - col("sy") * col("sy")
+      st.where(col("n_days") >= 2 &&
+          denx > lit(0).cast(dec) && deny > lit(0).cast(dec))
+        .select(col("type_a"), col("type_b"), col("n_days"),
+          (round(num.cast(DoubleType)
+            / sqrt(denx.cast(DoubleType) * deny.cast(DoubleType))
+            * 1000000) / 1000000.0).as("corr"))
+    }),
+
+    // E23 — USER-ACTIVITY POWER-LAW FIT: the t45 Zipf regression
+    // applied to the user dimension — slope/r² of ln(count) on
+    // ln(rank) over the top-200 most active users, the one-row answer
+    // to "is activity heavy-tailed enough to need per-user caps and
+    // skew-aware partitioning". The top-200 frame arrives via a
+    // bounded TakeOrdered (total order, user_id tiebreak) so the only
+    // window runs over 200 rows; lns quantize to exact integers
+    // before the DECIMAL moment sums (the t45 discipline).
+    graft.QueryDef("e23_user_zipf", Some(
+      """WITH cnt AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |ranked AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, user_id) AS r
+        |  FROM cnt),
+        |q AS (
+        |  SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        |  FROM ranked WHERE r <= 200),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM q)
+        |SELECT n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) / 1000000.0
+        |    AS slope,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    * CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |       * CAST(n * syy - sy * sy AS DOUBLE))
+        |    * 1000000) / 1000000.0 AS r2
+        |FROM s WHERE n >= 2""".stripMargin))((s, d) => {
+      val dec = DecimalType(38, 0)
+      val top = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("user_id").asc).limit(200)
+      val w = Window.orderBy(col("c").desc, col("user_id").asc)
+      val q = top.withColumn("r", row_number().over(w))
+        .select(
+          round(log(col("r").cast(DoubleType)) * 1000000).cast(LongType).as("x"),
+          round(log(col("c").cast(DoubleType)) * 1000000).cast(LongType).as("y"))
+      val st = q.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"))
+      val nD = col("n").cast(dec)
+      val num = nD * col("sxy") - col("sx") * col("sy")
+      val denx = nD * col("sxx") - col("sx") * col("sx")
+      val deny = nD * col("syy") - col("sy") * col("sy")
+      st.where(col("n") >= 2).select(col("n"),
+        (round(num.cast(DoubleType) / denx.cast(DoubleType) * 1000000)
+          / 1000000.0).as("slope"),
+        (round(num.cast(DoubleType) * num.cast(DoubleType)
+          / (denx.cast(DoubleType) * deny.cast(DoubleType))
+          * 1000000) / 1000000.0).as("r2"))
+    }),
+
     // E22 — WEEKDAY SEASONALITY PROFILE: per event type, the
     // day-of-week distribution (share of the type's volume landing on
     // each weekday) with the peak day flagged — the seasonality prior

@@ -186,6 +186,43 @@ object GovernanceQueries extends graft.QueryModule {
 
   def defs: Seq[graft.QueryDef] = Seq(
 
+    // G5 — TTL EXPIRY PLAN: the retention-policy dry run — per order
+    // year, row volume, whether the year falls outside the 6-year
+    // retention window (fixed asOf = Star.AsOf, never current_date),
+    // and the cumulative share of the table reclaimed by expiring
+    // ascending years — the report a data-retention review signs off
+    // BEFORE any delete runs. One year-grain rollup (map-side
+    // combined), a 1-row total broadcast, and a cumulative window
+    // over the O(years) rollup only; shares are IEEE divisions of
+    // exact counts.
+    graft.QueryDef("g5_ttl_expiry_plan", Some(
+      s"""WITH y AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         |    CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM orders GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM y)
+         |SELECT yr, n_rows, yr < ${Star.AsOfYear - 6} AS expires,
+         |  CAST(n_rows AS DOUBLE) / total AS share,
+         |  CAST(SUM(CASE WHEN yr < ${Star.AsOfYear - 6} THEN n_rows
+         |    ELSE 0 END) OVER (ORDER BY yr) AS DOUBLE) / total
+         |    AS cum_expired_share
+         |FROM y, tot""".stripMargin))((s, d) => {
+      val cutoff = Star.AsOfYear - 6
+      val y = Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).cast(LongType).as("yr"))
+        .agg(count(lit(1)).as("n_rows"))
+      val tot = y.agg(sum(col("n_rows")).as("total"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("yr")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      y.join(broadcast(tot))
+        .withColumn("expires", col("yr") < cutoff)
+        .select(col("yr"), col("n_rows"), col("expires"),
+          (col("n_rows").cast(DoubleType) / col("total")).as("share"),
+          (sum(when(col("yr") < cutoff, col("n_rows")).otherwise(0L))
+            .over(w).cast(DoubleType) / col("total"))
+            .as("cum_expired_share"))
+    }),
+
     // G4 — DP-STYLE NOISED RELEASE: per-day event counts published
     // with Laplace(b=10) noise — the aggregate-release pattern a
     // governance pipeline applies before sharing usage statistics

@@ -476,5 +476,17 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     val e22 = plan("e22_weekday_profile")
     assert(!e22.contains("Window") && e22.contains("Broadcast"),
       "e22: expected windowless agg with broadcast totals")
+    // a21: the co-movement self-join runs on the rollup; no raw-stream
+    // window, no cartesian.
+    val a21 = plan("a21_daily_correlation")
+    assert(!a21.contains("Window") && !a21.contains("Cartesian"),
+      "a21: correlation shape drifted")
+    // e23: the top-200 frame arrives bounded before the 200-row rank
+    // window.
+    assert(plan("e23_user_zipf").contains("TakeOrderedAndProject"),
+      "e23: top-200 not a bounded TakeOrdered")
+    // g5: cumulative window over the O(years) rollup; total broadcasts.
+    assert(plan("g5_ttl_expiry_plan").contains("Broadcast"),
+      "g5: total not broadcast")
   }
 }
