@@ -231,6 +231,65 @@ object AnalyticsQueries extends graft.QueryModule {
       .withColumn("is_anomaly", abs(col("z")) > 2.0)
   }
 
+  /** e21's final stage over a (event_type, day, c) daily-count frame —
+    * SHARED between the batch query and the streaming read path
+    * ([[graft.streaming.Streams.readForecastBaseline]]): daily counts
+    * are merge-associative, so the incremental rollup feeds the
+    * identical calendar-correct day-over-week join. */
+  def forecastBaselineFromDaily(daily: DataFrame): DataFrame = {
+    val f = daily.select(col("event_type"),
+      date_add(col("day"), 7).as("day"), col("c").as("forecast"))
+    daily.join(f, Seq("event_type", "day"))
+      .select(col("event_type"), col("day").cast(StringType).as("day"),
+        col("c").as("actual"), col("forecast"),
+        abs(col("c") - col("forecast")).as("abs_err"))
+  }
+
+  /** e22's final stage over the same daily-count frame — SHARED with
+    * [[graft.streaming.Streams.readWeekdayProfile]]: the day-of-week
+    * re-aggregation of merged daily counts equals the one-pass
+    * (type, dow) agg because counts are merge-associative. */
+  def weekdayProfileFromDaily(daily: DataFrame): DataFrame = {
+    val g = daily
+      .groupBy(col("event_type"),
+        (dayofweek(col("day")) - 1).cast(IntegerType).as("dow"))
+      .agg(sum(col("c")).as("c"))
+    val t = g.groupBy("event_type")
+      .agg(sum(col("c")).as("total"), max(col("c")).as("mx"))
+    g.join(broadcast(t), Seq("event_type"))
+      .select(col("event_type"), col("dow"), col("c"),
+        (col("c").cast(DoubleType) / col("total")).as("share"),
+        (col("c") === col("mx")).as("is_peak"))
+  }
+
+  /** a21's final stage over the same daily-count frame — SHARED with
+    * [[graft.streaming.Streams.readDailyCorrelation]]: the co-movement
+    * moments are sums over (day, pair) rows of the merged rollup. */
+  def dailyCorrelationFromDaily(daily: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val a = daily.select(col("event_type").as("type_a"),
+      col("day"), col("c").as("x"))
+    val b = daily.select(col("event_type").as("type_b"),
+      col("day"), col("c").as("y"))
+    val st = a.join(b, Seq("day")).where(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"))
+    val nD = col("n_days").cast(dec)
+    val num = nD * col("sxy") - col("sx") * col("sy")
+    val denx = nD * col("sxx") - col("sx") * col("sx")
+    val deny = nD * col("syy") - col("sy") * col("sy")
+    st.where(col("n_days") >= 2 &&
+        denx > lit(0).cast(dec) && deny > lit(0).cast(dec))
+      .select(col("type_a"), col("type_b"), col("n_days"),
+        (round(num.cast(DoubleType)
+          / sqrt(denx.cast(DoubleType) * deny.cast(DoubleType))
+          * 1000000) / 1000000.0).as("corr"))
+  }
+
   /** e15's final stage over a (user_id, day) activity-pair frame —
     * SHARED between the batch query and the streaming read path
     * ([[graft.streaming.Streams.readPowerUserCurve]]): the histogram
@@ -872,33 +931,10 @@ object AnalyticsQueries extends graft.QueryModule {
         |    * 1000000) / 1000000.0 AS corr
         |FROM s WHERE n_days >= 2
         |  AND n_days * sxx - sx * sx > 0
-        |  AND n_days * syy - sy * sy > 0""".stripMargin))((s, d) => {
-      val dec = DecimalType(38, 0)
-      val daily = Tables.events(s, d)
+        |  AND n_days * syy - sy * sy > 0""".stripMargin))((s, d) =>
+      dailyCorrelationFromDaily(Tables.events(s, d)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("c"))
-      val a = daily.select(col("event_type").as("type_a"),
-        col("day"), col("c").as("x"))
-      val b = daily.select(col("event_type").as("type_b"),
-        col("day"), col("c").as("y"))
-      val st = a.join(b, Seq("day")).where(col("type_a") < col("type_b"))
-        .groupBy("type_a", "type_b")
-        .agg(count(lit(1)).as("n_days"),
-          sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
-          sum((col("x") * col("y")).cast(dec)).as("sxy"),
-          sum((col("x") * col("x")).cast(dec)).as("sxx"),
-          sum((col("y") * col("y")).cast(dec)).as("syy"))
-      val nD = col("n_days").cast(dec)
-      val num = nD * col("sxy") - col("sx") * col("sy")
-      val denx = nD * col("sxx") - col("sx") * col("sx")
-      val deny = nD * col("syy") - col("sy") * col("sy")
-      st.where(col("n_days") >= 2 &&
-          denx > lit(0).cast(dec) && deny > lit(0).cast(dec))
-        .select(col("type_a"), col("type_b"), col("n_days"),
-          (round(num.cast(DoubleType)
-            / sqrt(denx.cast(DoubleType) * deny.cast(DoubleType))
-            * 1000000) / 1000000.0).as("corr"))
-    }),
+        .agg(count(lit(1)).as("c")))),
 
     // E23 — USER-ACTIVITY POWER-LAW FIT: the t45 Zipf regression
     // applied to the user dimension — slope/r² of ln(count) on
@@ -981,18 +1017,10 @@ object AnalyticsQueries extends graft.QueryModule {
         |SELECT g.event_type, CAST(g.dow AS INTEGER) AS dow, g.c,
         |  CAST(g.c AS DOUBLE) / t.total AS share,
         |  g.c = t.mx AS is_peak
-        |FROM g JOIN t ON t.event_type = g.event_type""".stripMargin))((s, d) => {
-      val g = Tables.events(s, d)
-        .groupBy(col("event_type"),
-          (dayofweek(to_date(col("ts"))) - 1).cast(IntegerType).as("dow"))
-        .agg(count(lit(1)).as("c"))
-      val t = g.groupBy("event_type")
-        .agg(sum(col("c")).as("total"), max(col("c")).as("mx"))
-      g.join(broadcast(t), Seq("event_type"))
-        .select(col("event_type"), col("dow"), col("c"),
-          (col("c").cast(DoubleType) / col("total")).as("share"),
-          (col("c") === col("mx")).as("is_peak"))
-    }),
+        |FROM g JOIN t ON t.event_type = g.event_type""".stripMargin))((s, d) =>
+      weekdayProfileFromDaily(Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c")))),
 
     // E21 — NAIVE SEASONAL FORECAST BASELINE: per event type, each
     // day's count against the same-weekday-last-week count (the
@@ -1010,17 +1038,10 @@ object AnalyticsQueries extends graft.QueryModule {
         |SELECT a.event_type, CAST(a.day AS VARCHAR) AS day, a.c AS actual,
         |  f.c AS forecast, abs(a.c - f.c) AS abs_err
         |FROM daily a JOIN daily f
-        |  ON f.event_type = a.event_type AND f.day = a.day - 7""".stripMargin))((s, d) => {
-      val daily = Tables.events(s, d)
+        |  ON f.event_type = a.event_type AND f.day = a.day - 7""".stripMargin))((s, d) =>
+      forecastBaselineFromDaily(Tables.events(s, d)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("c"))
-      val f = daily.select(col("event_type"),
-        date_add(col("day"), 7).as("day"), col("c").as("forecast"))
-      daily.join(f, Seq("event_type", "day"))
-        .select(col("event_type"), col("day").cast(StringType).as("day"),
-          col("c").as("actual"), col("forecast"),
-          abs(col("c") - col("forecast")).as("abs_err"))
-    }),
+        .agg(count(lit(1)).as("c")))),
 
     // E20 — RFM SEGMENTATION: every user quartile-ranked on Recency
     // (days since last event vs the stream's max day), Frequency

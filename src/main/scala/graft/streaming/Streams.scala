@@ -547,6 +547,40 @@ object Streams {
       spark.read.parquet(rollupDir)
         .groupBy("event_type", "day").agg(sum(col("cnt")).as("c")))
 
+  /** Merged (event_type, day, c) view of the incremental daily rollup —
+    * the one re-sum every daily-count consumer shares. */
+  private def mergedDailyCounts(spark: SparkSession,
+                                rollupDir: String): DataFrame =
+    spark.read.parquet(rollupDir)
+      .groupBy("event_type", "day").agg(sum(col("cnt")).as("c"))
+
+  /** Streaming read path of e21 forecast baseline — a THIRD consumer
+    * of the (type, day) rollup (with e3 drift and e13 rate anomaly):
+    * merged daily counts through the SHARED batch stage
+    * ([[graft.operators.AnalyticsQueries.forecastBaselineFromDaily]]);
+    * split-day partials re-sum before the day−7 join, so streamed ==
+    * batch by construction. */
+  def readForecastBaseline(spark: SparkSession, rollupDir: String): DataFrame =
+    graft.operators.AnalyticsQueries.forecastBaselineFromDaily(
+      mergedDailyCounts(spark, rollupDir))
+
+  /** Streaming read path of e22 weekday profile — same rollup, shared
+    * final stage ([[graft.operators.AnalyticsQueries
+    * .weekdayProfileFromDaily]]): the dow re-aggregation of merged
+    * daily counts equals the one-pass profile because counts are
+    * merge-associative. */
+  def readWeekdayProfile(spark: SparkSession, rollupDir: String): DataFrame =
+    graft.operators.AnalyticsQueries.weekdayProfileFromDaily(
+      mergedDailyCounts(spark, rollupDir))
+
+  /** Streaming read path of a21 daily co-movement — same rollup,
+    * shared final stage ([[graft.operators.AnalyticsQueries
+    * .dailyCorrelationFromDaily]]): the Pearson moments are sums over
+    * the merged (day, pair) frame. */
+  def readDailyCorrelation(spark: SparkSession, rollupDir: String): DataFrame =
+    graft.operators.AnalyticsQueries.dailyCorrelationFromDaily(
+      mergedDailyCounts(spark, rollupDir))
+
   /** Incremental side of e5 cohort retention — the e3 rollup pattern
     * applied to the retention triangle. Each micro-batch reduces its
     * events to the one frame the read path needs: per (user_id, active

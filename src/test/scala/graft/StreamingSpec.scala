@@ -210,6 +210,18 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     val e13b = SparkEntry.queries("e13_rate_anomaly")(spark, sf)
       .collect().map(_.toString).sorted.toSeq
     assert(e13s == e13b, "incremental rate anomaly != batch e13 path")
+    // e21/e22/a21 are further consumers of the same rollup: the
+    // forecast join, the weekday profile, and the co-movement moments
+    // must all merge split-day partials exactly.
+    for ((read, name) <- Seq(
+        (Streams.readForecastBaseline _, "e21_forecast_baseline"),
+        (Streams.readWeekdayProfile _, "e22_weekday_profile"),
+        (Streams.readDailyCorrelation _, "a21_daily_correlation"))) {
+      val s2 = read(spark, rollup).collect().map(_.toString).sorted.toSeq
+      val b2 = SparkEntry.queries(name)(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(s2 == b2, s"incremental twin != batch $name")
+    }
   }
 
   test("incremental cohort partials equal the batch e5 retention triangle") {
