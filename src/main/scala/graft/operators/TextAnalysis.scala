@@ -481,6 +481,23 @@ object TextAnalysisQueries extends graft.QueryModule {
     * `hash`, blocked through the SHARED SimHash band machinery, and
     * kept to the planted-clone pairs (doc_b ≥ 1e6) whose closed-form
     * oracles derive from ids alone. */
+  /** t6's pack frame (lang, pack_id, n_docs, token_sum) — SHARED by
+    * the t6 gate row and the t54 packing-efficiency report so the
+    * report can never drift from the packing it describes. Greedy
+    * prefix-sum assignment: a doc joins the pack its cumulative prior
+    * lands in (boundary docs overshoot, quantified by t54). */
+  private def packedFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("tokens"))
+      .withColumn("prior", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .groupBy(col("lang"),
+        floor(col("prior") / 2048).cast(LongType).as("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("token_sum"))
+  }
+
   private def mediaClonePairs(s: SparkSession, d: String, parity: Int,
       bound: Int, hash: (Long, Array[Byte]) => Long): DataFrame = {
     import s.implicits._
@@ -855,17 +872,45 @@ object TextAnalysisQueries extends graft.QueryModule {
         |  FROM toks)
         |SELECT lang, CAST(floor(prior / 2048) AS BIGINT) AS pack_id,
         |  count(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS token_sum
-        |FROM packed GROUP BY lang, pack_id""".stripMargin))((s, d) => {
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          size(split(trim(col("text")), "\\s+")).cast(LongType).as("tokens"))
-        .withColumn("prior", coalesce(sum(col("tokens")).over(w), lit(0L)))
-        .groupBy(col("lang"),
-          floor(col("prior") / 2048).cast(LongType).as("pack_id"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("token_sum"))
-    }),
+        |FROM packed GROUP BY lang, pack_id""".stripMargin))(packedFrame),
+
+    // T54 — PACKING EFFICIENCY REPORT: per language, how well t6's
+    // greedy sequence packing uses its 2048-token windows — pack
+    // count, token mass vs nominal capacity, fill ratio, and the
+    // largest pack (boundary-straddling docs overshoot 2048; the
+    // report quantifies by how much) — the fill-rate metric a
+    // pretraining team tracks because wasted window tokens are wasted
+    // compute. Pure O(packs) rollup of the SHARED t6 pack frame
+    // (`packedFrame` backs both queries, so report and packing cannot
+    // drift); fill_ratio is one IEEE division of exact ints.
+    graft.QueryDef("t54_packing_report", Some(
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |packed AS (
+        |  SELECT lang, tokens,
+        |    coalesce(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM toks),
+        |packs AS (
+        |  SELECT lang, CAST(floor(prior / 2048) AS BIGINT) AS pack_id,
+        |    CAST(SUM(tokens) AS BIGINT) AS token_sum
+        |  FROM packed GROUP BY lang, pack_id)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_packs,
+        |  CAST(SUM(token_sum) AS BIGINT) AS total_tokens,
+        |  CAST(count(*) * 2048 AS BIGINT) AS capacity,
+        |  CAST(SUM(token_sum) AS DOUBLE) / (count(*) * 2048) AS fill_ratio,
+        |  CAST(max(token_sum) AS BIGINT) AS max_pack_tokens
+        |FROM packs GROUP BY 1""".stripMargin))((s, d) =>
+      packedFrame(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_packs"),
+          sum(col("token_sum")).as("total_tokens"),
+          (count(lit(1)) * 2048).as("capacity"),
+          (sum(col("token_sum")).cast(DoubleType)
+            / (count(lit(1)) * 2048)).as("fill_ratio"),
+          max(col("token_sum")).as("max_pack_tokens"))),
 
     // T7 — deterministic stratified sampling: per-language rates via
     // pure-integer hash arithmetic ((id * knuth) mod 2^31 mod 100 <
