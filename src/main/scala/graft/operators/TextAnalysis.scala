@@ -2926,6 +2926,54 @@ object TextAnalysisQueries extends graft.QueryModule {
         |FROM sess GROUP BY user_id, session_id""".stripMargin))((s, d) =>
       sessionFrame(Tables.events(s, d))),
 
+    // E24 — SESSION-DURATION PERCENTILES: exact p50/p90/p99 of session
+    // length (integer seconds) over e1's session frame — the
+    // engagement-depth number next to e14's inter-arrival gaps, via
+    // the SAME a18 histogram method: durations floor to seconds so
+    // the histogram is O(distinct durations), the cumulative window
+    // runs over HISTOGRAM rows only, and the rank probe is an O(3)
+    // broadcast. Rides the shared `sessionFrame`, so the measured
+    // sessions are exactly the e1/e10 ones.
+    graft.QueryDef("e24_session_duration_pctl", Some(
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked),
+        |durs AS (
+        |  SELECT (CAST(max(epoch_us(ts)) AS BIGINT)
+        |    - CAST(min(epoch_us(ts)) AS BIGINT)) // 1000000 AS dur_s
+        |  FROM sess GROUP BY user_id, session_id),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM durs),
+        |q AS (SELECT unnest([0.5, 0.9, 0.99]) AS p),
+        |ranked AS (
+        |  SELECT dur_s, row_number() OVER (ORDER BY dur_s) AS rn FROM durs)
+        |SELECT q.p, CAST(ceil(q.p * nn.n) AS BIGINT) AS rank,
+        |  r.dur_s AS dur_seconds
+        |FROM q, nn
+        |JOIN ranked r ON r.rn = CAST(ceil(q.p * nn.n) AS BIGINT)""".stripMargin))((s, d) => {
+      val durs = sessionFrame(Tables.events(s, d))
+        .select(((col("end_us") - col("start_us")) / 1000000)
+          .cast(LongType).as("dur_s"))
+      val hist = durs.groupBy("dur_s").agg(count(lit(1)).as("cnt"))
+      val wc = Window.orderBy("dur_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum(col("cnt")).over(wc))
+      val n = durs.agg(count(lit(1)).as("n"))
+      val ranks = n
+        .select(explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"), col("n"))
+        .withColumn("rank", ceil(col("p") * col("n")).cast(LongType))
+        .select("p", "rank")
+      cum.join(broadcast(ranks))
+        .where(col("cum") >= col("rank"))
+        .groupBy("p", "rank")
+        .agg(min(col("dur_s")).as("dur_seconds"))
+    }),
+
     // E10 — daily PEAK CONCURRENCY curve: the capacity-planning metric
     // (max simultaneous sessions per day) over e1's session frame,
     // computed at minute grain through the e6 FAN-OUT discipline: each
