@@ -1745,6 +1745,43 @@ object TextAnalysisQueries extends graft.QueryModule {
           col("n_tok"))
     }),
 
+    // X8 — SHARD SKEW AUDIT: the one-row balance verdict over the t20
+    // shard plan — max/mean token load across shards (quantized 1e-6)
+    // and an ALL-INTEGER balanced flag (max·shards ≤ 1.2·total via
+    // cross-multiplication) — the pre-flight check that catches a
+    // skewed shard before it becomes the slowest trainer rank of
+    // every epoch. O(shards) rollup of the same hash assignment t20/
+    // t20b export (one agg + a 1-row reduction); mean is exact-int
+    // division, the ratio one further IEEE op.
+    graft.QueryDef("x8_shard_skew", Some(
+      """WITH hashed AS (
+        |  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tok
+        |  FROM documents),
+        |sh AS (SELECT CAST(h % 8 AS BIGINT) AS shard,
+        |         CAST(SUM(n_tok) AS BIGINT) AS tok
+        |       FROM hashed GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_shards,
+        |  CAST(max(tok) AS BIGINT) AS max_tokens,
+        |  CAST(SUM(tok) AS BIGINT) AS total_tokens,
+        |  round(CAST(max(tok) AS DOUBLE) * count(*)
+        |    / SUM(tok) * 1000000) / 1000000.0 AS skew_ratio,
+        |  max(tok) * count(*) * 10 <= SUM(tok) * 12 AS balanced
+        |FROM sh""".stripMargin))((s, d) => {
+      val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+      val sh = Tables.documents(s, d)
+        .select((h % 8).as("shard"),
+          size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tok"))
+        .groupBy("shard").agg(sum(col("n_tok")).as("tok"))
+      sh.agg(count(lit(1)).as("n_shards"), max(col("tok")).as("max_tokens"),
+          sum(col("tok")).as("total_tokens"))
+        .select(col("n_shards"), col("max_tokens"), col("total_tokens"),
+          (round(col("max_tokens").cast(DoubleType) * col("n_shards")
+            / col("total_tokens") * 1000000) / 1000000.0).as("skew_ratio"),
+          (col("max_tokens") * col("n_shards") * 10 <=
+            col("total_tokens") * 12).as("balanced"))
+    }),
+
     // T20b — the shard manifest: per-shard doc and token totals, the
     // export-side bookkeeping a downstream trainer reads to plan epochs.
     graft.QueryDef("t20b_shard_manifest", Some(
