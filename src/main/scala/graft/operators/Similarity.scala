@@ -2200,6 +2200,70 @@ object SimilarityQueries extends graft.QueryModule {
           (sum(col("tq")).cast(DoubleType) / 1000000000.0).as("entropy"))
     }),
 
+    // N30 — ASSIGNMENT MARGIN HISTOGRAM: per vector, the gap between
+    // its best and second-best cell distance, histogrammed — the
+    // quantization-confidence audit (a mass of near-zero margins means
+    // assignments flip under any centroid drift, recall is
+    // probe-sensitive, and nProbe must rise; ties land in bucket 0 by
+    // construction). Distances are per-term 1e-12-quantized integer
+    // sums (the n27 convention), so best/second elect identically on
+    // both engines with the (distance, cell) tiebreak; the runner-up
+    // comes from a bounded 16-element sorted array per vector — never
+    // a corpus-wide window. Cost is one centroids×vectors scoring pass
+    // — the same shape one training assignment pass already costs —
+    // and the output is O(buckets).
+    graft.QueryDef("n30_assignment_margin", Some(
+      s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+         |${OracleHash.lloydCtes(1, 16, 5)},
+         |dq AS (
+         |  SELECT ve.vec_id, b.j,
+         |    CAST(SUM(CAST(round((ve.x - b.c) * (ve.x - b.c)
+         |      * 1000000000000) AS BIGINT)) AS BIGINT) AS d
+         |  FROM b5 b JOIN vect ve ON ve.i = b.t + 1
+         |  GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT vec_id, d,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+         |  FROM dq),
+         |m AS (
+         |  SELECT a.vec_id, b.d - a.d AS margin_q
+         |  FROM rk a JOIN rk b
+         |    ON b.vec_id = a.vec_id AND a.rn = 1 AND b.rn = 2)
+         |SELECT CAST(least(margin_q // 20000000000, 19) AS BIGINT)
+         |    AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_vectors,
+         |  CAST(min(margin_q) AS BIGINT) AS min_margin_q,
+         |  CAST(max(margin_q) AS BIGINT) AS max_margin_q
+         |FROM m GROUP BY 1""".stripMargin))((s, d) => {
+      val path = ivfLblWritten.computeIfAbsent(d, dd => {
+        val built = buildIvfIndex(Tables.embeddings(s, dd))
+        val p = s"$pqRoot/${dirTag(dd)}/ivf-lbl"
+        writeIvfIndex(built, p)
+        built.unpersist()
+        p
+      })
+      val cents = s.read.parquet(s"$path/centroids")
+        .select(col("cell"), col("d").as("t"), col("v"))
+      val x = col("x").cast(DoubleType)
+      val dists = s.read.parquet(s"$path/assigned")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("t", "x")))
+        .join(broadcast(cents), Seq("t"))
+        .select(col("vec_id"), col("cell"),
+          round((x - col("v")) * (x - col("v")) * 1e12)
+            .cast(LongType).as("term"))
+        .groupBy("vec_id", "cell").agg(sum(col("term")).as("dist"))
+      dists.groupBy("vec_id")
+        .agg(sort_array(collect_list(struct(col("dist"), col("cell"))))
+          .as("ds"))
+        .select((col("ds").getItem(1).getField("dist")
+          - col("ds").getItem(0).getField("dist")).as("margin_q"))
+        .groupBy(least(expr("margin_q div 20000000000"), lit(19L))
+          .as("bucket"))
+        .agg(count(lit(1)).as("n_vectors"),
+          min(col("margin_q")).as("min_margin_q"),
+          max(col("margin_q")).as("max_margin_q"))
+    }),
+
     // N15 — ANN recall evaluation: measured recall@10 of the IVF probe
     // path vs the exact batched top-k over probe queries 0-7 — the
     // monitoring number an approximate-retrieval deployment tunes
