@@ -996,6 +996,52 @@ object AnalyticsQueries extends graft.QueryModule {
           * 1000000) / 1000000.0).as("r2"))
     }),
 
+    // E25 — ACTIVITY GINI COEFFICIENT: inequality of the per-user
+    // event distribution (0 = uniform, →1 = one user does everything)
+    // — the one-number complement to e23's power-law fit that capacity
+    // planning quotes. NO user-wide rank window: ranks derive from the
+    // count-value HISTOGRAM (t50 discipline) — a tie block of k users
+    // at value c starting after cumulative rank r0 contributes exactly
+    // c·(k·r0 + k(k+1)/2) to Σ rank·count, in closed form — so every
+    // sum is an exact integer (DECIMAL against overflow) and the Gini
+    // is two IEEE divisions at the end, quantized 1e-6. The oracle
+    // derives the same number from the textbook row_number formula —
+    // histogram formulation proven against the law.
+    graft.QueryDef("e25_activity_gini", Some(
+      """WITH cnt AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |ranked AS (
+        |  SELECT c, row_number() OVER (ORDER BY c, user_id) AS i FROM cnt),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    SUM(i * c) AS si, CAST(SUM(c) AS BIGINT) AS t
+        |  FROM ranked)
+        |SELECT n, t AS total_events,
+        |  round((2.0 * si / (n * t) - (n + 1.0) / n) * 1000000)
+        |    / 1000000.0 AS gini
+        |FROM s""".stripMargin))((s, d) => {
+      val dec = DecimalType(38, 0)
+      val cnt = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      val hist = cnt.groupBy("c").agg(count(lit(1)).as("k"))
+      val wc = Window.orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val blocks = hist
+        .withColumn("r0", coalesce(sum(col("k")).over(wc), lit(0L)))
+        .select(col("c"), col("k"),
+          (col("c").cast(dec) * (col("k").cast(dec) * col("r0").cast(dec)
+            + expr("k * (k + 1) div 2").cast(dec))).as("si_block"),
+          (col("c").cast(dec) * col("k").cast(dec)).as("t_block"))
+      val st = blocks.agg(sum(col("k")).as("n"),
+        sum(col("si_block")).as("si"), sum(col("t_block")).as("t"))
+      st.select(col("n"), col("t").cast(LongType).as("total_events"),
+        (round((lit(2.0) * col("si").cast(DoubleType)
+          / (col("n").cast(dec) * col("t")).cast(DoubleType)
+          - (col("n") + lit(1.0)) / col("n")) * 1000000)
+          / 1000000.0).as("gini"))
+    }),
+
     // E22 — WEEKDAY SEASONALITY PROFILE: per event type, the
     // day-of-week distribution (share of the type's volume landing on
     // each weekday) with the peak day flagged — the seasonality prior
