@@ -21,6 +21,7 @@ object SparkEntry {
     operators.TextAnalysisQueries,
     operators.GovernanceQueries,
     operators.AnalyticsQueries,
+    operators.InferenceQueries,
   )
 
   lazy val allDefs: Seq[QueryDef] = {

@@ -52,14 +52,29 @@ object Sync {
     s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
       .replace("&apos;", "'").replace("&#39;", "'").replace("&amp;", "&")
 
+  // Class markers match ANYWHERE in the class list (`class="col-md-4
+  // content-col-label"` on the real Bootstrap page), mirroring the
+  // reference's CSS class selectors (sync.ts:85-97), not an exact
+  // attribute compare. Values strip nested tags before cleaning —
+  // node-html-parser's `.text` (what the reference reads) returns
+  // descendant text with markup removed.
   private val LabelRe = Pattern.compile(
-    """class="content-col-label".*?<strong>(.*?)</strong>""", Pattern.DOTALL)
+    """class="[^"]*\bcontent-col-label\b[^"]*".*?class="[^"]*\bcontent-div-var\b[^"]*".*?<strong[^>]*>(.*?)</strong>""",
+    Pattern.DOTALL)
   private val DataRe = Pattern.compile(
-    """class="content-col-data".*?<div class="content-div-var">(.*?)</div>""", Pattern.DOTALL)
-  private val PanelRe = Pattern.compile(
-    """class="panel-body".*?<strong>(.*?)</strong>.*?<p>(.*?)</p>""", Pattern.DOTALL)
+    """class="[^"]*\bcontent-col-data\b[^"]*".*?<div[^>]*class="[^"]*\bcontent-div-var\b[^"]*"[^>]*>(.*?)</div>""",
+    Pattern.DOTALL)
+  private val PanelMarkRe = Pattern.compile(
+    """class="[^"]*\bpanel-body\b[^"]*"""")
+  private val StrongRe = Pattern.compile(
+    """<strong[^>]*>(.*?)</strong>""", Pattern.DOTALL)
+  private val PRe = Pattern.compile("""<p[^>]*>(.*?)</p>""", Pattern.DOTALL)
   private val RequestItemsRe = Pattern.compile(
-    """class="container-requestitems"([\s\S]*)""")
+    """class="[^"]*\bcontainer-requestitems\b[^"]*"([\s\S]*)""")
+
+  /** node-html-parser `.text` semantics for a captured inner-HTML span:
+    * drop tags, keep their text content. */
+  private def stripTags(s: String): String = s.replaceAll("<[^>]+>", " ")
 
   /** S2 — parseEntry: label/value DOM pairs + panel sections -> typed
     * record (reference src/lib/sync.ts:83-130). Regex-driven over the
@@ -77,16 +92,32 @@ object Sync {
       val buf = Seq.newBuilder[String]; while (m.find()) buf += m.group(1); buf.result()
     }
     labels.zip(data).foreach { case (k, v) =>
-      val key = normalizeKey(cleanText(k))
-      if (key.nonEmpty) values(key) = decodeEntities(cleanText(v))
+      val key = normalizeKey(cleanText(stripTags(k)))
+      if (key.nonEmpty) values(key) = decodeEntities(cleanText(stripTags(v)))
     }
 
+    // Panels are scoped PER panel-body block (the reference iterates
+    // `.panel-body` nodes and reads the strong/p INSIDE each,
+    // sync.ts:97-104): a panel missing its <p> is skipped, never
+    // allowed to capture the next panel's value across the boundary.
     val reqItems = RequestItemsRe.matcher(html)
     if (reqItems.find()) {
-      val m = PanelRe.matcher(reqItems.group(1))
-      while (m.find()) {
-        val key = normalizeKey(cleanText(m.group(1)))
-        if (key.nonEmpty) values(key) = decodeEntities(cleanText(m.group(2)))
+      val region = reqItems.group(1)
+      val marks = {
+        val m = PanelMarkRe.matcher(region)
+        val buf = Seq.newBuilder[Int]; while (m.find()) buf += m.start(); buf.result()
+      }
+      (marks :+ region.length).sliding(2).foreach {
+        case Seq(from, until) =>
+          val chunk = region.substring(from, until)
+          val sm = StrongRe.matcher(chunk)
+          val pm = PRe.matcher(chunk)
+          if (sm.find() && pm.find()) {
+            val key = normalizeKey(cleanText(stripTags(sm.group(1))))
+            if (key.nonEmpty)
+              values(key) = decodeEntities(cleanText(stripTags(pm.group(1))))
+          }
+        case _ => ()
       }
     }
 

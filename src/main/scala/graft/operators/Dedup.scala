@@ -33,6 +33,30 @@ object Dedup {
       |UNION ALL
       |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 10""".stripMargin
 
+  /** Span probes for the substring-dedup family: the exact-clone corpus
+    * plus PARTIAL-overlap probes — doc_id < 8 re-emitted at +3000000
+    * with only their first 40 normalized tokens and a unique tail
+    * token, so the maximal duplicated span is a strict PREFIX of the
+    * probe (tokens 1..40), never the whole doc — the case that
+    * separates span merging from d11's whole-window logic. */
+  def withSpanProbes(docs: DataFrame): DataFrame =
+    withExactProbes(docs).unionByName(
+      docs.where(col("doc_id") < 8)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          concat(
+            array_join(slice(split(normText(col("text")), " "), 1, 40), " "),
+            lit(" uq"), col("doc_id").cast("string")).as("text")))
+
+  // NB: no line here may START with `||` — this snippet is interpolated
+  // into other stripMargin strings, whose margin-strip would eat the
+  // first pipe of a leading concat operator.
+  val spanProbesSql: String =
+    s"""$exactProbesSql
+       |UNION ALL
+       |SELECT doc_id + 3000000 AS doc_id,
+       |  concat(array_to_string(list_slice(string_split($normTextSql, ' '), 1, 40), ' '), ' uq', CAST(doc_id AS VARCHAR)) AS text
+       |FROM documents WHERE doc_id < 8""".stripMargin
+
   /** Near-clone probes: doc_id in [10,20) re-emitted with a word appended
     * (high-but-not-1.0 Jaccard). */
   def withNearProbes(docs: DataFrame): DataFrame =
@@ -211,6 +235,55 @@ object Dedup {
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  /** Suffix-array-style exact substring dedup at ARBITRARY length —
+    * the maximal cross-document repeated spans of >= `minLen` tokens,
+    * the spans the Lee et al. ExactSubstr pass cuts (d11 is the fixed
+    * w=20 apply; this generalizes the length and reports the MAXIMAL
+    * merged spans, the unit a real pipeline logs and removes).
+    *
+    * Formulation: a repeated substring of length >= L is exactly a run
+    * of duplicated L-token windows, so (1) hash every L-gram (the d11
+    * machinery), (2) keep-first ownership per gram (window min over
+    * the gram shuffle — one shuffle, no join-back), (3) merge the
+    * duplicated window positions per doc into maximal spans with the
+    * gaps-and-islands window (two adjacent duplicated windows at gram
+    * index p1 < p2 belong to one span iff p2 - p1 <= L, i.e. their
+    * token coverage overlaps or abuts). This reproduces the
+    * suffix-array result without ever building the suffix array — the
+    * classic distributed reformulation, one gram shuffle + per-doc
+    * bounded windows (a doc's window count is its token count, never
+    * corpus-scaled).
+    *
+    * Output: (doc_id, span_start, span_end, span_tokens) per maximal
+    * span, token positions 1-based inclusive. Deterministic: spans are
+    * set-defined (no floats, no sampling). */
+  def maximalDupSpans(docs: DataFrame, minLen: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      graft.plans.NativeFunctions.wordKGramsAll(normText(col("text")), minLen).as("grams"))
+    val wins = toks.select(col("doc_id"),
+      posexplode(col("grams")).as(Seq("p", "gram")))
+      .select(col("doc_id"), col("p"), xxhash64(col("gram")).as("gh"))
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+    val dup = wins.withColumn("min_doc", min("doc_id").over(byGram))
+      .where(col("doc_id") > col("min_doc"))
+      .select(col("doc_id"), col("p"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+    val prevWin = byDoc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    dup
+      .withColumn("prev_p", max("p").over(prevWin))
+      .withColumn("new_island",
+        when(col("prev_p").isNull || col("p") > col("prev_p") + minLen, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum("new_island").over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((min(col("p")) + 1).cast(LongType).as("span_start"),
+        (max(col("p")) + minLen).cast(LongType).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
   /** Deterministic, growth-stable train/val split assignment: a doc's
@@ -736,6 +809,35 @@ object DedupQueries extends graft.QueryModule {
   private lazy val d2OracleSql: String =
     minhashPairsOracleSql(nearProbesSql, maxOcc = None)
 
+  /** d20's oracle chain, parameterized by span length L: L-gram windows
+    * → keep-first gram ownership → duplicated positions → the SAME
+    * gaps-and-islands merge [[Dedup.maximalDupSpans]] runs (1-based
+    * gram starts here vs 0-based posexplode there — the island
+    * condition `gap > L` is shift-invariant). */
+  private def dupSpanOracleSql(corpusSql: String, L: Int): String =
+    s"""WITH docs AS ($corpusSql),
+       |toks AS (SELECT doc_id, string_split($normTextSql, ' ') AS ws FROM docs),
+       |wins AS (
+       |  SELECT doc_id, s, array_to_string(list_slice(ws, s, s + ${L - 1}), ' ') AS gram
+       |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${L - 1})) AS s
+       |        FROM toks WHERE len(ws) >= $L)),
+       |firstdoc AS (SELECT gram, min(doc_id) AS min_doc FROM wins GROUP BY 1),
+       |dup AS (
+       |  SELECT w.doc_id, w.s FROM wins w JOIN firstdoc f ON f.gram = w.gram
+       |  WHERE w.doc_id > f.min_doc),
+       |ord AS (
+       |  SELECT doc_id, s, max(s) OVER (PARTITION BY doc_id ORDER BY s
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_s
+       |  FROM dup),
+       |isl AS (
+       |  SELECT doc_id, s, sum(CASE WHEN prev_s IS NULL OR s > prev_s + $L
+       |    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s) AS island
+       |  FROM ord)
+       |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+       |  CAST(max(s) + ${L - 1} AS BIGINT) AS span_end,
+       |  CAST(max(s) + ${L - 1} - min(s) + 1 AS BIGINT) AS span_tokens
+       |FROM isl GROUP BY doc_id, island""".stripMargin
+
   /** d13's corpus: the near-probe corpus plus a planted HOT cluster —
     * 12 verbatim clones of doc 0 at 2000000+i, whose identical
     * signatures make every one of their bands occupancy ≥ 13. */
@@ -788,7 +890,7 @@ object DedupQueries extends graft.QueryModule {
   /** The deterministic d6 pair graph: chains of 3 at doc_id % 50 plus
     * cross-links at % 200 merging two chains (labels must travel 3
     * hops). Shared by d6 (propagation) and d6b (pointer jumping). */
-  private[operators] def d6PairGraph(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  private[graft] def d6PairGraph(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val ids = Tables.documents(s, d).select(col("doc_id"))
     def pairsAt(offset: Int, cond: Column) =
       ids.where(cond).select(col("doc_id").as("doc_a"))
@@ -1066,6 +1168,26 @@ object DedupQueries extends graft.QueryModule {
          |  coalesce(k.kept_text, '') AS kept_text
          |FROM toks t LEFT JOIN keptt k ON k.doc_id = t.doc_id""".stripMargin))((s, d) =>
       dupSpanRemoval(withExactProbes(Tables.documents(s, d)))),
+
+    // D20 — suffix-array-style exact substring dedup at ARBITRARY
+    // length: the maximal cross-doc repeated spans of >= 10 tokens
+    // (Lee et al.'s ExactSubstr unit), over a corpus with planted
+    // whole-doc clones AND partial-prefix probes (first 40 tokens +
+    // unique tail), so the gate proves both degenerate (full-doc) and
+    // strict-prefix span merging. One gram shuffle + per-doc islands —
+    // no suffix array, same result. FULL oracle: the identical
+    // gram/ownership/gaps-and-islands chain replayed in SQL.
+    graft.QueryDef("d20_max_dup_spans",
+      Some(dupSpanOracleSql(spanProbesSql, 10)))((s, d) =>
+      maximalDupSpans(withSpanProbes(Tables.documents(s, d)), minLen = 10)),
+
+    // D20b — the SAME operator at L=30: the length is a free dial, not
+    // a baked constant (the d11 limitation this family generalizes).
+    // Raising L past repeat lengths the corpus happens to contain
+    // changes the span set in a way the oracle re-derives exactly.
+    graft.QueryDef("d20b_max_dup_spans_l30",
+      Some(dupSpanOracleSql(spanProbesSql, 30)))((s, d) =>
+      maximalDupSpans(withSpanProbes(Tables.documents(s, d)), minLen = 30)),
 
     // D13 — occupancy-capped LSH over a corpus with a PLANTED hot
     // cluster (12 verbatim clones of doc 0): every band of the cluster
@@ -1394,9 +1516,10 @@ object DedupQueries extends graft.QueryModule {
         .join(labels, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           coalesce(col("cluster"), col("doc_id")).as("cluster"))
-      val local = out.collectAsList()
+      // O(N) label frame — executor-side cut, not a driver collect.
+      val cut = graft.util.Exec.materializedCut(out)
       index.unpersist()
-      s.createDataFrame(local, out.schema)
+      cut
     }),
 
     // D19 — SURVIVORSHIP POLICY over the real near-dup clusters: for
@@ -1458,9 +1581,11 @@ object DedupQueries extends graft.QueryModule {
         .where(col("n_members") > 1)
         .select(col("cluster"), col("doc_id").as("keeper_doc"),
           col("ntok").as("keeper_tokens"), col("n_members"))
-      val local = out.collectAsList()
+      // Output scales with the duplicate-cluster count — corpus-tied,
+      // so executor-side cut, not a driver collect.
+      val cut = graft.util.Exec.materializedCut(out)
       index.unpersist()
-      s.createDataFrame(local, out.schema)
+      cut
     }),
 
     // D15 — SOFT dedup (duplication-aware reweighting): instead of

@@ -182,10 +182,21 @@ object Similarity {
     * top-k value for value, which no library fit would permit. The ONLY
     * k-means fit in the IVF family lives here: the query path
     * ([[ivfTopK]]) consumes the returned artifact and never trains, so
-    * an index amortizes over any number of queries. */
-  def buildIvfIndex(embeddings: DataFrame, nCells: Int = 16,
+    * an index amortizes over any number of queries.
+    *
+    * `nCells <= 0` (the default) derives nCells ~ sqrt(N) from the
+    * corpus — the engine rule that balances per-cell scan cost against
+    * probe fan-out (REHEARSAL_n16_cells.json measures the fixed-16
+    * configuration at ~10x the derived one on a 10x-grown corpus). The
+    * derivation costs one count() of the corpus at build time — noise
+    * next to the Lloyd rounds. Gate fixtures pin nCells = 16 explicitly
+    * so their oracles replay an exact constant. */
+  def buildIvfIndex(embeddings: DataFrame, nCells: Int = 0,
                     iters: Int = 5): IvfIndex = {
-    val books = trainPqCodebooks(embeddings, nSub = 1, nCentroids = nCells, iters = iters)
+    val cells =
+      if (nCells > 0) nCells
+      else math.max(2L, math.round(math.sqrt(embeddings.count().toDouble))).toInt
+    val books = trainPqCodebooks(embeddings, nSub = 1, nCentroids = cells, iters = iters)
     // Metadata columns (label, source, …) RIDE ALONG into the assigned
     // frame — and therefore into the written cell-partitioned store —
     // so filtered retrieval ([[ivfTopKFiltered]]) can push its
@@ -609,11 +620,11 @@ object Similarity {
       }
       // Materialize before releasing the edge cache: the rank frame is
       // lazy, and unpersisting first would recompute the kNN graph once
-      // per iteration at execution time. O(N) rows — the per-node score
-      // frame, same bound as the n17/n19 materializations.
-      val out = pr.select(col("vec_id"), col("pr"))
-      val local = out.collectAsList()
-      out.sparkSession.createDataFrame(local, out.schema)
+      // per iteration at execution time. Executor-side persist + one
+      // distributed count — the O(N) per-node score frame never crosses
+      // the driver (it stays cached; callers release it once consumed,
+      // as with the component-label frames).
+      graft.util.Exec.materializedCut(pr.select(col("vec_id"), col("pr")))
     } finally { edges.unpersist(); () }
   }
 
@@ -694,6 +705,73 @@ object Similarity {
       .select(col("query_id"),
         coalesce(col("hits"), lit(0L)).as("hits"),
         (coalesce(col("hits"), lit(0L)).cast(DoubleType) / k).as("recall"))
+  }
+
+  /** Retrieval RANKING-quality eval — nDCG@k and MRR of the IVF probe
+    * path under label-match relevance (a retrieved vector is relevant
+    * iff it carries the query's label and is not the query itself) —
+    * the ranking-quality gate that completes the serving-eval family:
+    * n15/n22 measure WHETHER the true neighbors surface (recall),
+    * this measures whether the relevant ones surface EARLY (position-
+    * discounted), the number a retrieval deployment actually tunes
+    * for.
+    *
+    * Determinism: DCG runs in scaled integer space — the rank-r weight
+    * is round(scale / log2(r+1)) as a BIGINT (log2 of a small int is
+    * the same IEEE double on every engine, so the weights are exact
+    * constants), rel is 0/1, and DCG/IDCG are integer sums that
+    * commute; nDCG and the reciprocal rank are one fixed-shape
+    * division each. IDCG uses the corpus-wide relevant count (label
+    * frequency − 1), so a query whose label class is smaller than k
+    * gets the correctly truncated ideal.
+    *
+    * Scale: rides [[ivfBatchTopK]] (probed cells only, bounded TopK
+    * agg); everything after is O(m·k) rows joined against the label
+    * frame (the bounded side broadcasts) plus one O(labels) count agg. */
+  def retrievalRankingEval(index: IvfIndex, embeddings: DataFrame,
+                           queryIds: Seq[Long], k: Int, nProbe: Int = 4,
+                           scale: Long = 1000000000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = index.assigned.sparkSession
+    import s.implicits._
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val qLabels = labels
+      .where(col("vec_id").isin(queryIds.map(Long.box): _*))
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+    val ranked = ivfBatchTopK(index, queryIds, k, nProbe)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)))
+    val rel = labels
+      .join(broadcast(ranked.join(broadcast(qLabels), Seq("query_id"))), Seq("vec_id"))
+      .select(col("query_id"), col("rank"),
+        when(col("label") === col("q_label") && col("vec_id") =!= col("query_id"), 1L)
+          .otherwise(0L).as("rel"),
+        round(lit(scale.toDouble) / log2(col("rank") + 1)).cast(LongType).as("w"))
+    val perQ = rel.groupBy("query_id").agg(
+      sum(when(col("rel") === 1L, col("w")).otherwise(0L)).as("dcg"),
+      sum(col("rel")).as("rel_in_k"),
+      min(when(col("rel") === 1L, col("rank"))).as("first_rel"))
+    val labCnt = labels.groupBy("label").agg(count(lit(1)).as("n_label"))
+    val rQ = qLabels.join(broadcast(labCnt),
+        qLabels("q_label") === labCnt("label"))
+      .select(col("query_id"), (col("n_label") - 1).cast(LongType).as("n_rel_corpus"))
+    val weights = s.range(1, k + 1).toDF("r")
+      .select(col("r"),
+        round(lit(scale.toDouble) / log2(col("r") + 1)).cast(LongType).as("w"))
+    val idcg = rQ.join(broadcast(weights),
+        col("r") <= least(lit(k.toLong), col("n_rel_corpus")))
+      .groupBy("query_id").agg(sum(col("w")).as("idcg"))
+    perQ.join(rQ, Seq("query_id"))
+      .join(idcg, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel_corpus"), col("rel_in_k"),
+        col("dcg"),
+        coalesce(col("idcg"), lit(0L)).as("idcg"),
+        when(coalesce(col("idcg"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("dcg").cast(DoubleType) / col("idcg").cast(DoubleType))
+          .as("ndcg"),
+        coalesce(col("first_rel"), lit(0)).cast(LongType).as("first_rel_rank"),
+        when(col("first_rel").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("first_rel").cast(DoubleType)).as("rr"))
   }
 
   /** Margin-based pair mining between two vector sets (the
@@ -952,7 +1030,7 @@ object Similarity {
     def unpersist(): Unit = { frame.unpersist(); () }
   }
 
-  def buildIvfPqIndex(embeddings: DataFrame, nCells: Int = 16,
+  def buildIvfPqIndex(embeddings: DataFrame, nCells: Int = 0,
                       nSub: Int = 8, nCentroids: Int = 16): IvfPqIndex = {
     val books = trainPqCodebooks(
       embeddings.select(col("vec_id"), col("embedding")), nSub, nCentroids)
@@ -1320,6 +1398,82 @@ object SimilarityQueries extends graft.QueryModule {
        |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
        |GROUP BY e.query_id""".stripMargin
 
+  /** n31's oracle: the n15 probe-path replay (Lloyd cells, probe
+    * ranking, integer cosines, per-query rank window) extended with
+    * the label joins and the integer-DCG arithmetic — weights, DCG,
+    * IDCG, nDCG, first-relevant rank and reciprocal rank re-derived
+    * value for value. */
+  private lazy val n31OracleSql: String =
+    s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+       |${OracleHash.lloydCtes(1, 16, 5)},
+       |qd AS (
+       |  SELECT q.vec_id AS query_id, b.j,
+       |    ${OracleHash.lfold("list((q.x - b.c) * (q.x - b.c) ORDER BY b.t)")} AS dist
+       |  FROM b5 b JOIN vect q ON q.vec_id IN (0,1,2,3,4,5,6,7) AND q.i = b.t + 1
+       |  GROUP BY q.vec_id, b.j),
+       |probes AS (
+       |  SELECT query_id, j FROM (
+       |    SELECT query_id, j, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY dist ASC, j ASC) AS rn
+       |    FROM qd)
+       |  WHERE rn <= 4),
+       |ve AS (SELECT vec_id, i AS d, CAST(round(x * 10000) AS BIGINT) AS x FROM vect),
+       |qe AS (SELECT vec_id AS query_id, d, x FROM ve WHERE vec_id IN (0,1,2,3,4,5,6,7)),
+       |dots AS (
+       |  SELECT qe.query_id, ve.vec_id, SUM(ve.x * qe.x) AS dot, SUM(ve.x * ve.x) AS nv
+       |  FROM ve JOIN qe ON ve.d = qe.d GROUP BY qe.query_id, ve.vec_id),
+       |nq AS (SELECT query_id, SUM(x * x) AS n2 FROM qe GROUP BY 1),
+       |scored AS (
+       |  SELECT d.query_id, d.vec_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
+       |  FROM dots d JOIN nq ON nq.query_id = d.query_id),
+       |topk AS (
+       |  SELECT query_id, vec_id, rn FROM (
+       |    SELECT s.query_id, s.vec_id, row_number() OVER (
+       |      PARTITION BY s.query_id ORDER BY s.cos DESC, s.vec_id ASC) AS rn
+       |    FROM scored s
+       |    JOIN codes c ON c.vec_id = s.vec_id
+       |    JOIN probes p ON p.query_id = s.query_id AND p.j = c.j)
+       |  WHERE rn <= 10),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |qlab AS (SELECT vec_id AS query_id, label AS q_label FROM embeddings
+       |         WHERE vec_id IN (0,1,2,3,4,5,6,7)),
+       |relk AS (
+       |  SELECT t.query_id, t.rn,
+       |    CASE WHEN l.label = q.q_label AND t.vec_id <> t.query_id
+       |      THEN 1 ELSE 0 END AS rel,
+       |    CAST(round(1000000000000 / log2(t.rn + 1)) AS BIGINT) AS w
+       |  FROM topk t
+       |  JOIN lab l ON l.vec_id = t.vec_id
+       |  JOIN qlab q ON q.query_id = t.query_id),
+       |perq AS (
+       |  SELECT query_id,
+       |    CAST(SUM(CASE WHEN rel = 1 THEN w ELSE 0 END) AS BIGINT) AS dcg,
+       |    CAST(SUM(rel) AS BIGINT) AS rel_in_k,
+       |    MIN(CASE WHEN rel = 1 THEN rn END) AS first_rel
+       |  FROM relk GROUP BY 1),
+       |labcnt AS (SELECT label, count(*) AS n_label FROM embeddings GROUP BY 1),
+       |rq AS (
+       |  SELECT q.query_id, CAST(c.n_label - 1 AS BIGINT) AS n_rel_corpus
+       |  FROM qlab q JOIN labcnt c ON c.label = q.q_label),
+       |wts AS (
+       |  SELECT r, CAST(round(1000000000000 / log2(r + 1)) AS BIGINT) AS w
+       |  FROM generate_series(1, 10) t(r)),
+       |ideal AS (
+       |  SELECT rq.query_id, CAST(SUM(w.w) AS BIGINT) AS idcg
+       |  FROM rq JOIN wts w ON w.r <= least(10, rq.n_rel_corpus)
+       |  GROUP BY 1)
+       |SELECT p.query_id, r.n_rel_corpus, p.rel_in_k, p.dcg,
+       |  coalesce(i.idcg, CAST(0 AS BIGINT)) AS idcg,
+       |  CASE WHEN coalesce(i.idcg, 0) = 0 THEN 0.0
+       |       ELSE CAST(p.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE) END AS ndcg,
+       |  CAST(coalesce(p.first_rel, 0) AS BIGINT) AS first_rel_rank,
+       |  CASE WHEN p.first_rel IS NULL THEN 0.0
+       |       ELSE 1.0 / CAST(p.first_rel AS DOUBLE) END AS rr
+       |FROM perq p
+       |JOIN rq r ON r.query_id = p.query_id
+       |LEFT JOIN ideal i ON i.query_id = p.query_id""".stripMargin
+
   /** n22's oracle: the n15 replay with the probe rank crossed against
     * the probe-budget dimension — one rank window, probe lists widen
     * per budget, per-(budget, query) hits against the SAME exact
@@ -1540,6 +1694,12 @@ object SimilarityQueries extends graft.QueryModule {
        |  SELECT vec_id, CAST(i AS BIGINT) AS d,
        |    CAST(round(x * 10000) AS BIGINT) AS xq FROM vect),
        |w0 AS (
+       |  -- start vector spans dims 1..64: the SAME fixture pin
+       |  -- OracleHash.lloydCtes hardcodes (TESTDATA embeddings are
+       |  -- 64-dim); the engine derives dims at runtime, so a fixture
+       |  -- with a different dimension would fail this gate BY DESIGN —
+       |  -- update both pins together, or derive from
+       |  -- max(generate_subscripts) if the fixture ever varies.
        |  SELECT CAST(i AS BIGINT) AS d, CAST(10000 AS BIGINT) AS w
        |  FROM generate_series(1, 64) s(i)),
        |$rounds
@@ -1704,7 +1864,8 @@ object SimilarityQueries extends graft.QueryModule {
     graft.QueryDef("n3b_ann_ivf_probes", Some(
       bruteForceSql(cloneCorpusSql, 11)))((s, d) => {
       val index = buildIvfIndex(
-        withQueryClones(Tables.embeddings(s, d), queryVecId = 0L, n = 10))
+        withQueryClones(Tables.embeddings(s, d), queryVecId = 0L, n = 10),
+        nCells = 16)
       val ranked = ivfTopK(index, queryVecId = 0L, k = 11)
       val local = ranked.collectAsList()
       index.unpersist()
@@ -1722,7 +1883,7 @@ object SimilarityQueries extends graft.QueryModule {
     // a local frame — a lazily-returned result would leak the persist
     // (no caller could unpersist it).
     graft.QueryDef("n3_ann_ivf", Some(n3OracleSql))((s, d) => {
-      val index = buildIvfIndex(Tables.embeddings(s, d))
+      val index = buildIvfIndex(Tables.embeddings(s, d), nCells = 16)
       val ranked = ivfTopK(index, queryVecId = 0L, k = 10)
       val local = ranked.collectAsList()
       index.unpersist()
@@ -2000,7 +2161,8 @@ object SimilarityQueries extends graft.QueryModule {
       bruteForceSql(cloneCorpusSql, 11)))((s, d) => {
       val path = ivfWritten.computeIfAbsent(d, dd => {
         val built = buildIvfIndex(
-          withQueryClones(Tables.embeddings(s, dd), queryVecId = 0L, n = 10))
+          withQueryClones(Tables.embeddings(s, dd), queryVecId = 0L, n = 10),
+          nCells = 16)
         val p = s"$pqRoot/${dirTag(dd)}/ivf"
         writeIvfIndex(built, p)
         built.unpersist()
@@ -2037,7 +2199,7 @@ object SimilarityQueries extends graft.QueryModule {
          |    (SELECT count(*) FROM codes) AS share
          |FROM codes GROUP BY 1""".stripMargin))((s, d) => {
       val path = ivfLblWritten.computeIfAbsent(d, dd => {
-        val built = buildIvfIndex(Tables.embeddings(s, dd))
+        val built = buildIvfIndex(Tables.embeddings(s, dd), nCells = 16)
         val p = s"$pqRoot/${dirTag(dd)}/ivf-lbl"
         writeIvfIndex(built, p)
         built.unpersist()
@@ -2076,7 +2238,7 @@ object SimilarityQueries extends graft.QueryModule {
          |    ELSE 'keep' END AS action
          |FROM occ, tot""".stripMargin))((s, d) => {
       val path = ivfLblWritten.computeIfAbsent(d, dd => {
-        val built = buildIvfIndex(Tables.embeddings(s, dd))
+        val built = buildIvfIndex(Tables.embeddings(s, dd), nCells = 16)
         val p = s"$pqRoot/${dirTag(dd)}/ivf-lbl"
         writeIvfIndex(built, p)
         built.unpersist()
@@ -2130,7 +2292,7 @@ object SimilarityQueries extends graft.QueryModule {
          |  sqrt(CAST(SUM(tq) AS DOUBLE) / 1000000000000.0) AS drift
          |FROM terms GROUP BY 1""".stripMargin))((s, d) => {
       val path = ivfLblWritten.computeIfAbsent(d, dd => {
-        val built = buildIvfIndex(Tables.embeddings(s, dd))
+        val built = buildIvfIndex(Tables.embeddings(s, dd), nCells = 16)
         val p = s"$pqRoot/${dirTag(dd)}/ivf-lbl"
         writeIvfIndex(built, p)
         built.unpersist()
@@ -2236,7 +2398,7 @@ object SimilarityQueries extends graft.QueryModule {
          |  CAST(max(margin_q) AS BIGINT) AS max_margin_q
          |FROM m GROUP BY 1""".stripMargin))((s, d) => {
       val path = ivfLblWritten.computeIfAbsent(d, dd => {
-        val built = buildIvfIndex(Tables.embeddings(s, dd))
+        val built = buildIvfIndex(Tables.embeddings(s, dd), nCells = 16)
         val p = s"$pqRoot/${dirTag(dd)}/ivf-lbl"
         writeIvfIndex(built, p)
         built.unpersist()
@@ -2275,7 +2437,7 @@ object SimilarityQueries extends graft.QueryModule {
     // cannot pass vacuously at recall == 1.0 for every query.
     graft.QueryDef("n15_ann_recall_eval", Some(n15OracleSql))((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val index = buildIvfIndex(emb)
+      val index = buildIvfIndex(emb, nCells = 16)
       val out = annRecallEval(index, emb,
         queryIds = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L), k = 10)
       val local = out.collectAsList()
@@ -2296,7 +2458,7 @@ object SimilarityQueries extends graft.QueryModule {
     // dimension, per-(budget, query) hits re-derived value for value.
     graft.QueryDef("n22_recall_curve", Some(n22OracleSql))((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val index = buildIvfIndex(emb)
+      val index = buildIvfIndex(emb, nCells = 16)
       val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L)
       val out = Seq(1, 2, 4, 8).map { p =>
         annRecallEval(index, emb, ids, k = 10, nProbe = p)
@@ -2312,6 +2474,24 @@ object SimilarityQueries extends graft.QueryModule {
       s.createDataFrame(local, out.schema)
     }),
 
+    // N31 — retrieval RANKING-quality eval: nDCG@10 + MRR of the IVF
+    // probe path under label-match relevance — n15/n22 answer "do the
+    // true neighbors surface", this answers "do the RELEVANT ones
+    // surface EARLY", the ranking gate a serving deployment tunes.
+    // Integer-DCG arithmetic (scaled log2 weights as BIGINTs, 0/1 rel,
+    // integer sums; nDCG/RR each one fixed-shape division). FULL
+    // oracle: the n15 probe replay + label joins + the identical DCG
+    // chain. Output is bounded (one row per probe query).
+    graft.QueryDef("n31_ranking_eval", Some(n31OracleSql))((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val index = buildIvfIndex(emb, nCells = 16)
+      val out = retrievalRankingEval(index, emb,
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L), k = 10)
+      val local = out.collectAsList() // bounded: 8 rows
+      index.unpersist()
+      s.createDataFrame(local, out.schema)
+    }),
+
     // N16 — approximate kNN-GRAPH: every vector's top-5 neighbors
     // through 2 probed cells, one distributed plan (map-side probe
     // lists, one cell join, bounded TopK agg) — the substrate for graph
@@ -2320,11 +2500,12 @@ object SimilarityQueries extends graft.QueryModule {
     // probe distances, probe×cell candidates, integer cosines, per-query
     // window top-k.
     graft.QueryDef("n16_knn_graph", Some(n16OracleSql))((s, d) => {
-      val index = buildIvfIndex(Tables.embeddings(s, d))
-      val out = knnGraph(index, k = 5, nProbe = 2)
-      val local = out.collectAsList()
+      val index = buildIvfIndex(Tables.embeddings(s, d), nCells = 16)
+      // Executor-side materialization (N·k edges is corpus-sized —
+      // never through the driver), then release the index cache.
+      val out = graft.util.Exec.materializedCut(knnGraph(index, k = 5, nProbe = 2))
       index.unpersist()
-      s.createDataFrame(local, out.schema)
+      out
     }),
 
     // N17 — mutual-kNN semantic CLUSTERING: connected components over
@@ -2333,11 +2514,12 @@ object SimilarityQueries extends graft.QueryModule {
     // SemDeDup-style grouping step. FULL oracle: graph replay shared
     // with n16 + an INDEPENDENT recursive-CTE component resolution.
     graft.QueryDef("n17_mutual_knn_clusters", Some(n17OracleSql))((s, d) => {
-      val index = buildIvfIndex(Tables.embeddings(s, d))
-      val out = mutualKnnClusters(index, k = 5, nProbe = 2)
-      val local = out.collectAsList()
+      val index = buildIvfIndex(Tables.embeddings(s, d), nCells = 16)
+      // O(N) label frame — executor-side cut, not a driver collect.
+      val out = graft.util.Exec.materializedCut(
+        mutualKnnClusters(index, k = 5, nProbe = 2))
       index.unpersist()
-      s.createDataFrame(local, out.schema)
+      out
     }),
 
     // N19 — kNN LABEL PROPAGATION: every vector receives the majority
@@ -2354,7 +2536,7 @@ object SimilarityQueries extends graft.QueryModule {
     // graph replay + vote + tie-break + truth join, value for value.
     graft.QueryDef("n19_knn_label_propagation", Some(n19OracleSql))((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val index = buildIvfIndex(emb)
+      val index = buildIvfIndex(emb, nCells = 16)
       val graph = knnGraph(index, k = 5, nProbe = 2)
       val votes = graph
         .join(emb.select(col("vec_id"), col("label").as("lbl")), Seq("vec_id"))
@@ -2367,9 +2549,10 @@ object SimilarityQueries extends graft.QueryModule {
         .join(emb.select(col("vec_id"), col("label").as("true_label")), Seq("vec_id"))
         .select(col("vec_id"), col("true_label"), col("pred_label"), col("n_votes"),
           (col("pred_label") === col("true_label")).as("correct"))
-      val local = out.collectAsList()
+      // O(N) prediction frame — executor-side cut, not a driver collect.
+      val cut = graft.util.Exec.materializedCut(out)
       index.unpersist()
-      s.createDataFrame(local, out.schema)
+      cut
     }),
 
     // N24 — PageRank CENTRALITY over the n16 kNN graph: damped (0.85)
@@ -2381,7 +2564,7 @@ object SimilarityQueries extends graft.QueryModule {
     // + the same five iterations unrolled as integer-CTE chains — loop
     // checked against straight-line re-derivation, value for value.
     graft.QueryDef("n24_pagerank_centrality", Some(n24OracleSql))((s, d) => {
-      val index = buildIvfIndex(Tables.embeddings(s, d))
+      val index = buildIvfIndex(Tables.embeddings(s, d), nCells = 16)
       val out = pagerankCentrality(index, k = 5, nProbe = 2)
       index.unpersist()
       out
@@ -2580,7 +2763,7 @@ object SimilarityQueries extends graft.QueryModule {
     // predicate applied pre-top-k.
     graft.QueryDef("n12_ann_filtered", Some(n12OracleSql))((s, d) => {
       val path = ivfLblWritten.computeIfAbsent(d, dd => {
-        val built = buildIvfIndex(Tables.embeddings(s, dd))
+        val built = buildIvfIndex(Tables.embeddings(s, dd), nCells = 16)
         val p = s"$pqRoot/${dirTag(dd)}/ivf-lbl"
         writeIvfIndex(built, p)
         built.unpersist()
@@ -2603,7 +2786,8 @@ object SimilarityQueries extends graft.QueryModule {
     graft.QueryDef("n8_ann_ivfpq_probes", Some(
       bruteForceSql(cloneCorpusSql, 11)))((s, d) => {
       val index = buildIvfPqIndex(
-        withQueryClones(Tables.embeddings(s, d), queryVecId = 0L, n = 10))
+        withQueryClones(Tables.embeddings(s, d), queryVecId = 0L, n = 10),
+        nCells = 16)
       val ranked = ivfPqTopK(index, queryVecId = 0L, k = 11)
       val local = ranked.collectAsList()
       index.unpersist()
@@ -2620,7 +2804,8 @@ object SimilarityQueries extends graft.QueryModule {
       bruteForceSql(cloneCorpusSql, 11)))((s, d) => {
       val path = ivfPqWritten.computeIfAbsent(d, dd => {
         val built = buildIvfPqIndex(
-          withQueryClones(Tables.embeddings(s, dd), queryVecId = 0L, n = 10))
+          withQueryClones(Tables.embeddings(s, dd), queryVecId = 0L, n = 10),
+          nCells = 16)
         val p = s"$pqRoot/${dirTag(dd)}/ivfpq"
         writeIvfPqIndex(built, p)
         built.unpersist()
@@ -2837,7 +3022,7 @@ object SimilarityQueries extends graft.QueryModule {
         |  FROM scored)
         |WHERE rn <= 3""".stripMargin))((s, d) => {
       val index = buildIvfIndex(
-        withBatchClones(Tables.embeddings(s, d), maxQueryId = 4L))
+        withBatchClones(Tables.embeddings(s, d), maxQueryId = 4L), nCells = 16)
       val ranked = ivfBatchTopK(index, queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 3)
       val local = ranked.collectAsList()
       index.unpersist()

@@ -512,8 +512,15 @@ object TextAnalysisQueries extends graft.QueryModule {
       .toDF("doc_id", "sim")
     val index = Dedup.SimhashIndex(hashed.persist())
     index.sims.count() // materialize before the banded self-join reads it twice
-    Dedup.simhashPairs(index, maxHamming = 0)
-      .where(col("doc_b") >= 1000000L)
+    // Materialize the BOUNDED pair frame (planted clones only), then
+    // release the corpus-sized fingerprint cache — this helper runs
+    // four times per dataset (m5, m6, m9 twice), so leaking `hashed`
+    // would hold four full fingerprint frames for the JVM lifetime.
+    val pairs = graft.util.Exec.materializedCut(
+      Dedup.simhashPairs(index, maxHamming = 0)
+        .where(col("doc_b") >= 1000000L))
+    index.sims.unpersist()
+    pairs
   }
 
   def distributedNtile(docs: DataFrame, k: Int): DataFrame = {

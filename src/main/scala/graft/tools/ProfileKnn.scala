@@ -30,10 +30,15 @@ object ProfileKnn {
     spark.sparkContext.setLogLevel("WARN")
     val emb = graft.Tables.embeddings(spark, dir)
     val n = emb.count()
+    // a requested cell count of 0 exercises buildIvfIndex's DERIVED
+    // default (nCells ~ sqrt(N)); the emitted line reports the count
+    // the build actually used.
     val lines = cellsList.map { nCells =>
+      var usedCells = nCells
       val (buildT, graphT) = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val idx = graft.operators.Similarity.buildIvfIndex(emb, nCells = nCells)
+        usedCells = idx.centroids.length
         idx.assigned.write.format("noop").mode("overwrite").save()
         val t1 = System.nanoTime()
         graft.operators.Similarity.knnGraph(idx, k = 5, nProbe = 2)
@@ -43,7 +48,7 @@ object ProfileKnn {
         spark.catalog.clearCache()
         ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
       }.reduce((a, b) => (math.min(a._1, b._1), math.min(a._2, b._2)))
-      val line = f"""{"n":$n,"nCells":$nCells,"build_sec":$buildT%.3f,"graph_sec":$graphT%.3f,"sf":"$dir"}"""
+      val line = f"""{"n":$n,"nCells":$usedCells,"requested":$nCells,"build_sec":$buildT%.3f,"graph_sec":$graphT%.3f,"sf":"$dir"}"""
       println(line); line
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

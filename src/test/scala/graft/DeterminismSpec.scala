@@ -19,7 +19,8 @@ class DeterminismSpec extends AnyFunSuite with SparkSuite {
     "o6_snapshot_sort", "o7_topk_agg", "q_list_entries", "s9_rss_items",
     "n1_ann_bruteforce", "n2_ann_lsh", "n4_ann_batch",
     "s9b_rss_document", "s9c_agency_feed", "t39_dsir_resample",
-    "t46_cms_counts", "e23_user_zipf", "t51_vocab_coverage")
+    "t46_cms_counts", "e23_user_zipf", "t51_vocab_coverage",
+    "t48_kl_source_drift")
 
   test("limit-bearing queries are invariant to shuffle partition count") {
     val alt = spark.newSession()

@@ -60,7 +60,7 @@ class GovernanceSpec extends AnyFunSuite with SparkSuite {
     assert(purgedIds.nonEmpty && !purgedIds.contains(1L))
 
     val root = util.TmpRoot("gov-vec")
-    val built = Similarity.buildIvfIndex(emb)
+    val built = Similarity.buildIvfIndex(emb, nCells = 16)
     Similarity.writeIvfIndex(built, s"$root/live")
     built.unpersist()
     Governance.purgeStoredIvfIndex(spark, s"$root/live", s"$root/purged", ids)
@@ -166,7 +166,7 @@ class GovernanceSpec extends AnyFunSuite with SparkSuite {
         "purged vectors still retrievable from the stored PQ index")
     } finally pqPurged.unpersist()
 
-    val ivfpq = Similarity.buildIvfPqIndex(emb)
+    val ivfpq = Similarity.buildIvfPqIndex(emb, nCells = 16)
     Similarity.writeIvfPqIndex(ivfpq, s"$root/ivfpq-live")
     ivfpq.unpersist()
     Governance.purgeStoredIvfPqIndex(
@@ -391,7 +391,7 @@ class GovernanceSpec extends AnyFunSuite with SparkSuite {
     assert(vPurged.nonEmpty && !vPurged.contains(1L))
 
     val root = util.TmpRoot("gov-tomb-ivf")
-    val built = Similarity.buildIvfIndex(emb)
+    val built = Similarity.buildIvfIndex(emb, nCells = 16)
     Similarity.writeIvfIndex(built, s"$root/base")
     built.unpersist()
     Governance.recordTombstones(spark, s"$root/tomb",

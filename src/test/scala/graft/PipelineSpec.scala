@@ -164,7 +164,7 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
 
   test("n15: recall eval reads the nProbe dial, and probing all cells is exact") {
     val emb = Tables.embeddings(spark, sf)
-    val index = Similarity.buildIvfIndex(emb)
+    val index = Similarity.buildIvfIndex(emb, nCells = 16)
     val qs = Seq(0L, 1L, 2L, 3L)
     val partial = Similarity.annRecallEval(index, emb, qs, k = 10, nProbe = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
@@ -185,7 +185,7 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
 
   test("n16: kNN graph bounds out-degree, excludes self, and is exact at full probe") {
     val emb = Tables.embeddings(spark, sf)
-    val index = Similarity.buildIvfIndex(emb)
+    val index = Similarity.buildIvfIndex(emb, nCells = 16)
     val edges = Similarity.knnGraph(index, k = 5, nProbe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val n = emb.count()
@@ -283,7 +283,7 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     // plant near-identical twins: each (i, i+1000000) pair is mutually
     // top-1, shares a cell, and MUST land in one cluster
     val emb = Similarity.withVecProbes(Tables.embeddings(spark, sf))
-    val index = Similarity.buildIvfIndex(emb)
+    val index = Similarity.buildIvfIndex(emb, nCells = 16)
     val labels = Similarity.mutualKnnClusters(index, k = 5, nProbe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     index.unpersist()
@@ -347,7 +347,7 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       ix.unpersist()
     }
     assertReleased("IvfIndex") {
-      val ix = Similarity.buildIvfIndex(emb)
+      val ix = Similarity.buildIvfIndex(emb, nCells = 16)
       assert(Similarity.ivfTopK(ix, 0L, 10).count() == 10L)
       ix.unpersist()
     }
@@ -357,7 +357,7 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       ix.unpersist()
     }
     assertReleased("IvfPqIndex") {
-      val ix = Similarity.buildIvfPqIndex(emb)
+      val ix = Similarity.buildIvfPqIndex(emb, nCells = 16)
       assert(Similarity.ivfPqTopK(ix, 0L, 10).count() == 10L)
       ix.unpersist()
     }
@@ -417,7 +417,7 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
 
   test("n3: IVF probes nearest cells and keeps the exact match") {
     val emb = Tables.embeddings(spark, sf)
-    val index = Similarity.buildIvfIndex(emb)
+    val index = Similarity.buildIvfIndex(emb, nCells = 16)
     val ivf = Similarity.ivfTopK(index, 0L, 10).collect().map(_.getLong(0)).toSeq
     assert(ivf.head == 0L) // the query's own cell is always probed
     val brute = Similarity.bruteForceTopK(emb, 0L, 10)
@@ -1060,5 +1060,19 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       .select("label").distinct().count().toInt
     val floorVotes = (5 + nLabels - 1) / nLabels
     assert(rows.forall(_._4 >= floorVotes))
+  }
+
+  test("n3: buildIvfIndex with no nCells derives ~ sqrt(N) cells") {
+    // The engine rule (SCALE.md / REHEARSAL_n16_cells.json): a caller
+    // who does not pass nCells must get the scale-aware default, not
+    // the fixture's pinned 16 — the pinned configuration was measured
+    // at ~10x the derived one on a 10x-grown corpus.
+    val emb = Tables.embeddings(spark, sf)
+    val expected = math.max(2L, math.round(math.sqrt(emb.count().toDouble))).toInt
+    val index = Similarity.buildIvfIndex(emb)
+    val nCells = index.centroids.length
+    index.unpersist()
+    assert(nCells == expected,
+      s"derived default should be sqrt(N)=$expected cells, got $nCells")
   }
 }

@@ -74,7 +74,7 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("n3c: the persistent IVF probe prunes cell partitions at the file index") {
-    val built = operators.Similarity.buildIvfIndex(Tables.embeddings(spark, sf))
+    val built = operators.Similarity.buildIvfIndex(Tables.embeddings(spark, sf), nCells = 16)
     val path = util.TmpRoot("ivfplan") + "/ivf"
     operators.Similarity.writeIvfIndex(built, path)
     built.unpersist()
@@ -86,7 +86,7 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("n8b: the persistent IVF-PQ probe prunes cell partitions at the file index") {
-    val built = operators.Similarity.buildIvfPqIndex(Tables.embeddings(spark, sf))
+    val built = operators.Similarity.buildIvfPqIndex(Tables.embeddings(spark, sf), nCells = 16)
     val path = util.TmpRoot("ivfpqplan") + "/ivfpq"
     operators.Similarity.writeIvfPqIndex(built, path)
     built.unpersist()
@@ -297,7 +297,7 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
   test("filtered ANN: label predicate pushed into the probed cells' scan") {
     import graft.operators.Similarity
     val path = java.nio.file.Files.createTempDirectory("graft_fann_plan").toString + "/ivf"
-    val built = Similarity.buildIvfIndex(Tables.embeddings(spark, sf))
+    val built = Similarity.buildIvfIndex(Tables.embeddings(spark, sf), nCells = 16)
     Similarity.writeIvfIndex(built, path)
     built.unpersist()
     val index = Similarity.readIvfIndex(spark, path)
@@ -488,5 +488,23 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     // g5: cumulative window over the O(years) rollup; total broadcasts.
     assert(plan("g5_ttl_expiry_plan").contains("Broadcast"),
       "g5: total not broadcast")
+  }
+
+  test("corpus-sized graph outputs are executor-materialized, never a driver collect") {
+    // n16/n17/n19/n24/d16/d19 return one row per corpus vector/document
+    // (or per dup cluster). Their frames must arrive as lineage-cut
+    // distributed RDD scans (Exec.materializedCut), NOT LocalRelations —
+    // a LocalRelation in the analyzed plan means every row crossed the
+    // driver, the pattern that dies first at 100x scale.
+    for (name <- Seq("n16_knn_graph", "n17_mutual_knn_clusters",
+        "n19_knn_label_propagation", "n24_pagerank_centrality",
+        "d16_neardup_clusters", "d19_survivorship")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val leaves = df.queryExecution.analyzed.collectLeaves()
+      assert(leaves.nonEmpty && !leaves.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        s"$name: result passed through the driver (LocalRelation leaf)")
+      spark.catalog.clearCache()
+    }
   }
 }

@@ -524,7 +524,7 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     val idxPath = s"$root/ivf"; val src = tmp("graft_ivfs_src")
     val appends = s"$root/appends"; val ckpt = tmp("graft_ivfs_ckpt")
     // nightly build on the base corpus, model frozen on disk
-    val built = Similarity.buildIvfIndex(base)
+    val built = Similarity.buildIvfIndex(base, nCells = 16)
     Similarity.writeIvfIndex(built, idxPath)
     built.unpersist()
     // two later micro-batches of new vectors stream through the assigner

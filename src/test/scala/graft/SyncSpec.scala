@@ -42,6 +42,58 @@ class SyncSpec extends AnyFunSuite with SparkSuite {
     assert(entry.first_name.contains("Pat"))
   }
 
+  test("parseEntry golden: reconstructed SearchedEntryDetails page, field-level") {
+    // A faithfully reconstructed real-DOM-shaped page (ASP.NET +
+    // Bootstrap: compound class attributes, ViewState noise, nested
+    // <span>/<br /> inside values, multi-line text, a panel-body with
+    // no <p>) — the shapes node-html-parser's CSS selectors see on the
+    // live site (reference src/lib/sync.ts:83-130). Every field
+    // asserted, including the amended flag (truthy non-empty value
+    // inside a nested span), key normalization from "First Name:" to
+    // first_name, empty middle name -> None, and the no-<p> panel
+    // being SKIPPED rather than stealing the next panel's value.
+    val html = {
+      val in = getClass.getResourceAsStream("/golden/SearchedEntryDetails_4521.html")
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val e = Sync.parseEntry(html, 4521L).get
+    assert(e.id == 4521L)
+    assert(e.agency == "West Virginia State Police")
+    assert(e.organization.contains("Mountain State Spotlight & Partners, LLC"))
+    assert(e.first_name.contains("María"))
+    assert(e.middle_name.isEmpty)           // empty cell -> None, not Some("")
+    assert(e.last_name.contains("O'Leary"))
+    assert(e.request_date.contains("2024-07-04"))    // 7/4/2024 padded
+    assert(e.completion_date.contains("2024-08-15")) // 08/15/2024
+    assert(e.entry_date.contains("2024-08-16"))      // ISO passthrough
+    assert(e.fee.contains("$25.50"))
+    assert(e.is_amended == 1)               // nested-span value is truthy
+    assert(e.subject.contains(
+      "Trooper dash-cam & body-cam retention schedules, 2022-2024"))
+    assert(e.details.contains(
+      "All retention policies in effect, including superseded revisions & appendices."))
+    assert(e.resolution.contains("Granted in Part")) // multi-line collapsed
+    assert(e.response.contains("Records produced with redactions; see cover letter."))
+  }
+
+  test("parseEntry golden: panel without <p> never captures across the boundary") {
+    // The 'Attachments' panel in the golden page has a <strong> but no
+    // <p>; the reference skips it (querySelector inside THAT panel).
+    // A flat regex over the whole region would bind Attachments to the
+    // NEXT panel's <p> and lose Details — pin both the absence and the
+    // non-theft.
+    val html = {
+      val in = getClass.getResourceAsStream("/golden/SearchedEntryDetails_4521.html")
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val e = Sync.parseEntry(html, 4521L).get
+    assert(e.details.isDefined, "Details must survive the malformed panel before it")
+    assert(!e.details.get.contains("retention policies") || e.subject.get.contains("dash-cam"),
+      "panel values crossed panel boundaries")
+  }
+
   test("parseEntry: entity decode and unparseable completion -> None") {
     val entry = Sync.parseEntry(Sync.fixtureTransport(30L), 30L).get
     assert(entry.details.contains("Cost & schedule"))
