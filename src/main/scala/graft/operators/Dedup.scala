@@ -40,12 +40,17 @@ object Dedup {
     * probe (tokens 1..40), never the whole doc — the case that
     * separates span merging from d11's whole-window logic. */
   def withSpanProbes(docs: DataFrame): DataFrame =
-    withExactProbes(docs).unionByName(
-      docs.where(col("doc_id") < 8)
-        .select((col("doc_id") + 3000000).as("doc_id"),
-          concat(
-            array_join(slice(split(normText(col("text")), " "), 1, 40), " "),
-            lit(" uq"), col("doc_id").cast("string")).as("text")))
+    withExactProbes(docs).unionByName(spanBatchOf(docs))
+
+  /** Just the partial-prefix probes — doubles as the "today's crawl"
+    * batch for the against-index path (d21): ids disjoint from the
+    * corpus, each sharing its first <= 40 tokens with a corpus doc. */
+  def spanBatchOf(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") < 8)
+      .select((col("doc_id") + 3000000).as("doc_id"),
+        concat(
+          array_join(slice(split(normText(col("text")), " "), 1, 40), " "),
+          lit(" uq"), col("doc_id").cast("string")).as("text"))
 
   // NB: no line here may START with `||` — this snippet is interpolated
   // into other stripMargin strings, whose margin-strip would eat the
@@ -260,15 +265,30 @@ object Dedup {
     * span, token positions 1-based inclusive. Deterministic: spans are
     * set-defined (no floats, no sampling). */
   def maximalDupSpans(docs: DataFrame, minLen: Int): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      graft.plans.NativeFunctions.wordKGramsAll(normText(col("text")), minLen).as("grams"))
-    val wins = toks.select(col("doc_id"),
-      posexplode(col("grams")).as(Seq("p", "gram")))
-      .select(col("doc_id"), col("p"), xxhash64(col("gram")).as("gh"))
+    val wins = gramFrame(docs, minLen)
     val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gh")
     val dup = wins.withColumn("min_doc", min("doc_id").over(byGram))
       .where(col("doc_id") > col("min_doc"))
       .select(col("doc_id"), col("p"))
+    mergeWindowSpans(dup, minLen)
+  }
+
+  /** The (doc_id, p, gh) L-gram window frame — single-sourced between
+    * [[maximalDupSpans]], the persistent gram index
+    * ([[writeGramIndex]]/[[dupSpansAgainstIndex]]) and the streaming
+    * maintainer, so the hash and window positions can never drift
+    * between build and probe. */
+  def gramFrame(docs: DataFrame, minLen: Int): DataFrame =
+    docs.select(col("doc_id"),
+        graft.plans.NativeFunctions.wordKGramsAll(normText(col("text")), minLen).as("grams"))
+      .select(col("doc_id"), posexplode(col("grams")).as(Seq("p", "gram")))
+      .select(col("doc_id"), col("p"), xxhash64(col("gram")).as("gh"))
+
+  /** Gaps-and-islands merge of duplicated window positions (doc_id, p)
+    * into maximal token spans — shared by the self-corpus and
+    * against-index span paths. Per-doc windows only (bounded by doc
+    * length, never corpus-scaled). */
+  private def mergeWindowSpans(dup: DataFrame, minLen: Int): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("p")
     val prevWin = byDoc.rowsBetween(
@@ -284,6 +304,86 @@ object Dedup {
         (max(col("p")) + minLen).cast(LongType).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  // --- Persistent gram index + batch-incremental substring dedup ----------
+
+  /** The written gram-ownership index — the "strip today's crawl of
+    * every span the historical corpus already contains" artifact
+    * (d21's serving side; the ExactSubstr analog of the d10 MinHash
+    * store). One (gh, min_doc) row per DISTINCT L-gram, partitioned by
+    * a stable hash bucket of `gh` so a batch probe reads at most
+    * `nBuckets` directories of a 100 TB index (the d10 pruning
+    * discipline; gh IS already xxhash64, so the bucket is one pmod). */
+  final case class StoredGramIndex(grams: DataFrame, minLen: Int)
+
+  private def gramBucket(gh: Column, nBuckets: Int): Column =
+    pmod(gh, lit(nBuckets.toLong)).cast(IntegerType)
+
+  def writeGramIndex(docs: DataFrame, minLen: Int, path: String,
+                     nBuckets: Int = 64): Unit = {
+    gramFrame(docs, minLen)
+      .groupBy("gh").agg(min(col("doc_id")).as("min_doc"))
+      .withColumn("bucket", gramBucket(col("gh"), nBuckets))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/grams")
+    docs.sparkSession.range(minLen, minLen + 1).toDF("min_len")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def readGramIndex(spark: org.apache.spark.sql.SparkSession,
+                    path: String): StoredGramIndex = {
+    val minLen = spark.read.parquet(s"$path/meta").head().getLong(0).toInt
+    StoredGramIndex(spark.read.parquet(s"$path/grams"), minLen)
+  }
+
+  /** Compact the STREAMING incremental gram store (batch_id-scoped
+    * (gh, min_doc) deltas from streaming.Streams.incrementalGramIndex)
+    * — optionally over an existing base index — into the serving
+    * layout [[dupSpansAgainstIndex]] probes. Ownership merges by
+    * min-of-mins, which is associative: HOW the corpus was split into
+    * micro-batches can never change the compacted index. Purges are a
+    * REBUILD concern by design: a gram owned by a purged doc may still
+    * occur in live docs, and the (gh, min_doc) rollup cannot know —
+    * the governance path re-runs [[writeGramIndex]] over the purged
+    * corpus (G1's full-artifact sweep), it does not edit this store. */
+  def compactGramIndex(spark: org.apache.spark.sql.SparkSession,
+                       incrementalDir: String, servingPath: String,
+                       minLen: Int, basePath: Option[String] = None,
+                       nBuckets: Int = 64): Unit = {
+    val deltas = spark.read.parquet(incrementalDir).select("gh", "min_doc")
+    val all = basePath match {
+      case Some(p) =>
+        spark.read.parquet(s"$p/grams").select("gh", "min_doc")
+          .unionByName(deltas)
+      case None => deltas
+    }
+    all.groupBy("gh").agg(min(col("min_doc")).as("min_doc"))
+      .withColumn("bucket", gramBucket(col("gh"), nBuckets))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$servingPath/grams")
+    spark.range(minLen, minLen + 1).toDF("min_len")
+      .coalesce(1).write.mode("overwrite").parquet(s"$servingPath/meta")
+  }
+
+  /** Batch-incremental substring dedup: the maximal spans of each BATCH
+    * document already present in the STORED corpus — computed WITHOUT
+    * re-gramming the corpus (the index carries ownership). The corpus
+    * side prunes twice: directory pruning on the batch's bucket set
+    * (<= nBuckets ints, driver-bounded by construction), then the
+    * gh-equality LEFT SEMI join. Within-batch repeats are
+    * [[maximalDupSpans]]'s job on the batch alone; batch doc_ids must
+    * be disjoint from corpus ids (the d10 contract). */
+  def dupSpansAgainstIndex(stored: StoredGramIndex, batch: DataFrame,
+                           nBuckets: Int = 64): DataFrame = {
+    val bg = gramFrame(batch, stored.minLen)
+      .withColumn("bucket", gramBucket(col("gh"), nBuckets))
+    val buckets = bg.select("bucket").distinct()
+      .collect().map(_.getInt(0))
+    val probe = stored.grams
+      .where(col("bucket").isin(buckets.toSeq.map(Integer.valueOf): _*))
+    val dup = bg.join(probe.select(col("gh"), col("bucket")),
+        Seq("gh", "bucket"), "left_semi")
+      .select(col("doc_id"), col("p"))
+    mergeWindowSpans(dup, stored.minLen)
   }
 
   /** Deterministic, growth-stable train/val split assignment: a doc's
@@ -814,18 +914,11 @@ object DedupQueries extends graft.QueryModule {
     * gaps-and-islands merge [[Dedup.maximalDupSpans]] runs (1-based
     * gram starts here vs 0-based posexplode there — the island
     * condition `gap > L` is shift-invariant). */
-  private def dupSpanOracleSql(corpusSql: String, L: Int): String =
-    s"""WITH docs AS ($corpusSql),
-       |toks AS (SELECT doc_id, string_split($normTextSql, ' ') AS ws FROM docs),
-       |wins AS (
-       |  SELECT doc_id, s, array_to_string(list_slice(ws, s, s + ${L - 1}), ' ') AS gram
-       |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${L - 1})) AS s
-       |        FROM toks WHERE len(ws) >= $L)),
-       |firstdoc AS (SELECT gram, min(doc_id) AS min_doc FROM wins GROUP BY 1),
-       |dup AS (
-       |  SELECT w.doc_id, w.s FROM wins w JOIN firstdoc f ON f.gram = w.gram
-       |  WHERE w.doc_id > f.min_doc),
-       |ord AS (
+  /** The shared gaps-and-islands tail over a `dup(doc_id, s)` CTE —
+    * the SQL twin of [[Dedup.mergeWindowSpans]], composed by the d20
+    * and d21 oracles. */
+  private def spanIslandsTail(L: Int): String =
+    s"""ord AS (
        |  SELECT doc_id, s, max(s) OVER (PARTITION BY doc_id ORDER BY s
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_s
        |  FROM dup),
@@ -837,6 +930,44 @@ object DedupQueries extends graft.QueryModule {
        |  CAST(max(s) + ${L - 1} AS BIGINT) AS span_end,
        |  CAST(max(s) + ${L - 1} - min(s) + 1 AS BIGINT) AS span_tokens
        |FROM isl GROUP BY doc_id, island""".stripMargin
+
+  private def dupSpanOracleSql(corpusSql: String, L: Int): String =
+    s"""WITH docs AS ($corpusSql),
+       |toks AS (SELECT doc_id, string_split($normTextSql, ' ') AS ws FROM docs),
+       |wins AS (
+       |  SELECT doc_id, s, array_to_string(list_slice(ws, s, s + ${L - 1}), ' ') AS gram
+       |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${L - 1})) AS s
+       |        FROM toks WHERE len(ws) >= $L)),
+       |firstdoc AS (SELECT gram, min(doc_id) AS min_doc FROM wins GROUP BY 1),
+       |dup AS (
+       |  SELECT w.doc_id, w.s FROM wins w JOIN firstdoc f ON f.gram = w.gram
+       |  WHERE w.doc_id > f.min_doc),
+       |${spanIslandsTail(L)}""".stripMargin
+
+  /** d21's oracle: the corpus's DISTINCT gram set vs the batch's
+    * windows (no ownership needed — batch ids are disjoint, so any
+    * corpus match is a cross-corpus duplicate), then the shared
+    * islands tail. */
+  private def d21OracleSql(L: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split($normTextSql, ' ') AS ws FROM documents),
+       |cg AS (
+       |  SELECT DISTINCT array_to_string(list_slice(ws, s, s + ${L - 1}), ' ') AS gram
+       |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${L - 1})) AS s
+       |        FROM toks WHERE len(ws) >= $L)),
+       |batch AS (
+       |  SELECT doc_id + 3000000 AS doc_id,
+       |    concat(array_to_string(list_slice(string_split($normTextSql, ' '), 1, 40), ' '), ' uq', CAST(doc_id AS VARCHAR)) AS text
+       |  FROM documents WHERE doc_id < 8),
+       |btoks AS (SELECT doc_id, string_split($normTextSql, ' ') AS ws FROM batch),
+       |bwins AS (
+       |  SELECT doc_id, s, array_to_string(list_slice(ws, s, s + ${L - 1}), ' ') AS gram
+       |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${L - 1})) AS s
+       |        FROM btoks WHERE len(ws) >= $L)),
+       |dup AS (
+       |  SELECT b.doc_id, b.s FROM bwins b
+       |  WHERE EXISTS (SELECT 1 FROM cg WHERE cg.gram = b.gram)),
+       |${spanIslandsTail(L)}""".stripMargin
 
   /** d13's corpus: the near-probe corpus plus a planted HOT cluster —
     * 12 verbatim clones of doc 0 at 2000000+i, whose identical
@@ -884,6 +1015,8 @@ object DedupQueries extends graft.QueryModule {
 
   private lazy val idxRoot: String = graft.util.TmpRoot("mh-idx")
   private val mhWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val gramWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def dirTag(d: String): String = d.replaceAll("[^a-zA-Z0-9]", "_")
 
@@ -1188,6 +1321,27 @@ object DedupQueries extends graft.QueryModule {
     graft.QueryDef("d20b_max_dup_spans_l30",
       Some(dupSpanOracleSql(spanProbesSql, 30)))((s, d) =>
       maximalDupSpans(withSpanProbes(Tables.documents(s, d)), minLen = 30)),
+
+    // D21 — batch-incremental substring dedup against the PERSISTENT
+    // gram index: the "strip today's crawl of every span the
+    // historical corpus already contains" serving path — the d10
+    // lifecycle at the d20 operator. The corpus is gram-indexed ONCE
+    // to a bucket-partitioned store (memoized across gate runs); the
+    // batch (partial-prefix probes, ids disjoint) probes at most
+    // nBuckets directories, semi-joins on the gram hash, and merges
+    // its hits with the shared islands pass. FULL oracle: the corpus's
+    // distinct gram set vs the batch windows + the identical islands
+    // tail — any drift in the written layout, bucket pruning, hash, or
+    // merge fails value equality.
+    graft.QueryDef("d21_spans_against_index", Some(d21OracleSql(10)))((s, d) => {
+      val path = gramWritten.computeIfAbsent(d, dd => {
+        val p = s"$idxRoot/${dirTag(dd)}/grams"
+        writeGramIndex(Tables.documents(s, dd), minLen = 10, p)
+        p
+      })
+      val stored = readGramIndex(s, path)
+      dupSpansAgainstIndex(stored, spanBatchOf(Tables.documents(s, d)))
+    }),
 
     // D13 — occupancy-capped LSH over a corpus with a PLANTED hot
     // cluster (12 verbatim clones of doc 0): every band of the cluster

@@ -118,6 +118,24 @@ object Governance {
       .write.mode("overwrite").parquet(s"$outPath/centroids")
   }
 
+  /** Gram-index takedown (Dedup.writeGramIndex layout): ownership rows
+    * are (content-hash, owner doc_id), so rows OWNED by a purged id
+    * drop — conservative by design: a gram the purged doc shared with
+    * a SURVIVING doc stops being flagged until the next rebuild (dedup
+    * recall loss, never a compliance leak — the purged doc's ownership
+    * row is gone either way), because re-owning it needs the corpus,
+    * not the artifact. The nightly [[graft.operators.Dedup
+    * .writeGramIndex]] rebuild is the recovery path (documented at
+    * `compactGramIndex`). Bucket partitioning preserved — probes prune
+    * as before; the O(1) meta table copies as-is. */
+  def purgeStoredGramIndex(spark: SparkSession, inPath: String,
+                           outPath: String, ids: DataFrame): Unit = {
+    purgeFrame(spark.read.parquet(s"$inPath/grams"), ids, idCol = "min_doc")
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$outPath/grams")
+    spark.read.parquet(s"$inPath/meta")
+      .write.mode("overwrite").parquet(s"$outPath/meta")
+  }
+
   /** Rewrite a stored SimHash index (Dedup.writeSimhashIndex layout)
     * minus the takedown set — fingerprints are content-derived (and for
     * the m5/m6 media paths, derived from the media bytes themselves),

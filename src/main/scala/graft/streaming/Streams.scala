@@ -700,6 +700,65 @@ object Streams {
     graft.operators.AnalyticsQueries.growthFromUserWeeks(
       spark.read.parquet(rollupDir).select("user_id", "wk"))
 
+  /** Streaming batched inference — score NEWLY ARRIVING documents per
+    * micro-batch through the SAME
+    * [[graft.operators.Inference.batchedInference]] the batch path
+    * uses (the two cannot drift): normalize on the frame, partition-
+    * owned batches of `batchSize`, one score row per document. Output
+    * lands batch_id-scoped with overwrite, so a retried micro-batch
+    * REPLACES its own directory — idempotent under failure/retry.
+    * The model is FROZEN by construction (the scorer function is
+    * fixed for the stream's lifetime) — a model refresh is a new
+    * stream over a new output root, never an in-place drift, the same
+    * frozen-model rule the IVF/PQ incremental paths hold. */
+  def incrementalScore(spark: SparkSession, sourceDir: String,
+                       outDir: String, checkpointDir: String,
+                       batchSize: Int = 32,
+                       scoreBatch: Seq[(Long, String)] => Seq[(Long, Long)] =
+                         graft.operators.Inference.surrogateScoreBatch): Unit = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Inference.batchedInference(batch, batchSize)(scoreBatch)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Incremental gram-index maintenance (the d21 substring-dedup
+    * store): each micro-batch grams ONLY its own rows through the
+    * shared [[graft.operators.Dedup.gramFrame]] and lands its
+    * per-batch (gh, min_doc) ownership batch_id-scoped — idempotent
+    * overwrite, same contract as every incremental index here.
+    * Serving happens after [[graft.operators.Dedup.compactGramIndex]]
+    * folds the deltas (min-of-mins ownership merge — associative, so
+    * batch split never changes the result) into the bucket-partitioned
+    * layout [[graft.operators.Dedup.dupSpansAgainstIndex]] probes. */
+  def incrementalGramIndex(spark: SparkSession, sourceDir: String,
+                           indexDir: String, checkpointDir: String,
+                           minLen: Int): Unit = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup.gramFrame(batch, minLen)
+          .groupBy("gh").agg(min(col("doc_id")).as("min_doc"))
+          .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   // Scoped out, deliberately: an incremental twin of the ORDERED e4
   // funnel. Retention decomposes because min() is merge-associative —
   // per-batch (user, week, min ts) is a bounded sufficient statistic.

@@ -439,4 +439,33 @@ class GovernanceSpec extends AnyFunSuite with SparkSuite {
     assert(out.count() ==
       before.where(!col("id").isin(purgedIds.toSeq: _*)).count())
   }
+
+  test("takedown purge drops owned rows from the stored gram index") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val root = util.TmpRoot("gov-gram")
+    Dedup.writeGramIndex(docs, minLen = 10, s"$root/live")
+    // purge doc 3 — the owner of the grams the probe batch's doc
+    // 3000003 shares (its 40-token prefix)
+    val ids = docs.where(col("doc_id") === 3).select(col("doc_id").as("purge_id"))
+    Governance.purgeStoredGramIndex(spark, s"$root/live", s"$root/purged", ids)
+
+    val purged = Dedup.readGramIndex(spark, s"$root/purged")
+    // no ownership row of the purged doc survives; meta (min_len) intact
+    assert(purged.grams.where(col("min_doc") === 3).count() == 0)
+    assert(purged.minLen == 10)
+    val live = Dedup.readGramIndex(spark, s"$root/live")
+    assert(purged.grams.count() ==
+      live.grams.where(col("min_doc") =!= 3).count())
+    // the probe path serves from the purged store: spans owned by the
+    // purged doc are gone (conservative recall loss, documented), every
+    // OTHER batch doc's spans are untouched
+    def spans(ix: Dedup.StoredGramIndex) =
+      Dedup.dupSpansAgainstIndex(ix, Dedup.spanBatchOf(docs)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val before = spans(live)
+    val after = spans(purged)
+    assert(after.subsetOf(before), "purge must never ADD spans")
+    assert(before.filterNot(_._1 == 3000003L) == after.filterNot(_._1 == 3000003L),
+      "purge changed spans of documents unrelated to the takedown")
+  }
 }

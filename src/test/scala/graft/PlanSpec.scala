@@ -490,6 +490,18 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       "g5: total not broadcast")
   }
 
+  test("d21: the gram-index probe prunes bucket partitions at the file index") {
+    import operators.Dedup
+    val path = util.TmpRoot("gramplan") + "/grams"
+    Dedup.writeGramIndex(Tables.documents(spark, sf), minLen = 10, path)
+    val stored = Dedup.readGramIndex(spark, path)
+    val p = Dedup.dupSpansAgainstIndex(stored,
+        Dedup.spanBatchOf(Tables.documents(spark, sf)))
+      .queryExecution.executedPlan.toString
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*bucket.*"),
+      s"d21: bucket probe not pruning partitions:\n$p")
+  }
+
   test("corpus-sized graph outputs are executor-materialized, never a driver collect") {
     // n16/n17/n19/n24/d16/d19 return one row per corpus vector/document
     // (or per dup cluster). Their frames must arrive as lineage-cut

@@ -860,4 +860,76 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       .groupBy("event_id").count().where(col("count") > 1).count()
     assert(dupKeys == 0)
   }
+
+  test("streaming batched inference equals the batch scorer (i1 twin)") {
+    import graft.operators.Inference
+    def addChunk(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp("graft_inf_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$dir/$name"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val src = tmp("graft_inf_src")
+    val out = tmp("graft_inf_root") + "/scores"
+    val ckpt = tmp("graft_inf_ckpt")
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // two micro-batches cover the corpus; scores must equal ONE batch
+    // pass — scoring is per-row deterministic, so the batch split and
+    // the micro-batch boundary can never show through
+    addChunk(src, docs.where(col("doc_id") % 2 === 0), "c1.parquet")
+    Streams.incrementalScore(spark, src, out, ckpt)
+    addChunk(src, docs.where(col("doc_id") % 2 === 1), "c2.parquet")
+    Streams.incrementalScore(spark, src, out, ckpt)
+    def scoreSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("score_q")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = scoreSet(spark.read.parquet(out))
+    val direct = scoreSet(Inference.batchedInference(docs, batchSize = 32)(
+      Inference.surrogateScoreBatch))
+    assert(streamed == direct, "streamed scores != batch scores")
+    assert(streamed.size == docs.count(), "row accounting drifted across batches")
+  }
+
+  test("incremental gram index compacts to the direct serving index (d21 twin)") {
+    import graft.operators.Dedup
+    def addChunk(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp("graft_gram_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$dir/$name"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val src = tmp("graft_gram_src")
+    val inc = tmp("graft_gram_root") + "/inc"
+    val ckpt = tmp("graft_gram_ckpt")
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // ownership merge is min-of-mins: split the corpus so some grams
+    // occur in BOTH halves (doc split by parity keeps natural repeats
+    // crossing the boundary) — compaction must still crown the global
+    // min owner for every gram
+    addChunk(src, docs.where(col("doc_id") % 2 === 0), "c1.parquet")
+    Streams.incrementalGramIndex(spark, src, inc, ckpt, minLen = 10)
+    addChunk(src, docs.where(col("doc_id") % 2 === 1), "c2.parquet")
+    Streams.incrementalGramIndex(spark, src, inc, ckpt, minLen = 10)
+    val serving = tmp("graft_gram_out") + "/serving"
+    Dedup.compactGramIndex(spark, inc, serving, minLen = 10)
+    val direct = tmp("graft_gram_out2") + "/direct"
+    Dedup.writeGramIndex(docs, minLen = 10, direct)
+    def gramSet(path: String) = spark.read.parquet(s"$path/grams")
+      .select(col("gh"), col("min_doc"), col("bucket")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(gramSet(serving) == gramSet(direct),
+      "compacted gram index differs from the direct build")
+    // and the compacted store SERVES identically: the d21 probe path
+    // returns the same spans from either index
+    def spans(path: String) =
+      Dedup.dupSpansAgainstIndex(Dedup.readGramIndex(spark, path),
+        Dedup.spanBatchOf(docs)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans(serving) == spans(direct),
+      "compacted store serves different spans than the direct build")
+  }
 }
