@@ -1789,6 +1789,87 @@ object TextAnalysisQueries extends graft.QueryModule {
             col("total_tokens") * 12).as("balanced"))
     }),
 
+    // X9 — END-TO-END CURATION MANIFEST: the staged funnel a release
+    // actually runs — Gopher quality gate (t35's exact-int rules) →
+    // exact-dup keep-first (d7's md5-key rule) → shard assignment
+    // (t20's Knuth hash) — fused into ONE plan, emitting the per-shard
+    // curated manifest plus the funnel counts (input → post-quality →
+    // post-dedup) every release report leads with. One corpus scan
+    // computes metrics + dedup key; one key window elects keepers
+    // (group sizes bounded by duplicate multiplicity); one hash agg
+    // builds the manifest; the 1-row funnel broadcasts back. Near-dup
+    // apply stays d7/d19's job — this composite pins how the stages
+    // COMPOSE, each rule byte-identical to its standalone gate.
+    graft.QueryDef("x9_curation_manifest", Some(
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0) AS ws,
+         |    md5(${Dedup.normTextSql}) AS th
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, th,
+         |    CAST(len(ws) AS BIGINT) AS n_tok,
+         |    CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS sum_len,
+         |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_distinct(list_intersect(ws,
+         |      ['the', 'a', 'and', 'of', 'to', 'in']))) AS BIGINT) AS n_stop
+         |  FROM f),
+         |q AS (
+         |  SELECT doc_id, th, n_tok FROM m
+         |  WHERE n_tok BETWEEN 50 AND 100000 AND 3 * n_tok <= sum_len
+         |    AND sum_len <= 10 * n_tok AND 5 * n_alpha >= 4 * n_tok
+         |    AND n_stop >= 2),
+         |u AS (
+         |  SELECT doc_id, n_tok FROM (
+         |    SELECT doc_id, n_tok, row_number() OVER (
+         |      PARTITION BY th ORDER BY doc_id) AS rn
+         |    FROM q)
+         |  WHERE rn = 1),
+         |sh AS (
+         |  SELECT CAST(((doc_id * 2654435761) % 4294967296) % 8 AS BIGINT) AS shard,
+         |    n_tok
+         |  FROM u),
+         |man AS (
+         |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |  FROM sh GROUP BY 1),
+         |fun AS (
+         |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_input,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_quality,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_unique)
+         |SELECT man.shard, man.n_docs, man.n_tokens,
+         |  fun.n_input, fun.n_quality, fun.n_unique
+         |FROM man, fun""".stripMargin))((s, d) => {
+      val ws = filter(split(trim(col("text")), "\\s+"), w => length(w) > 0)
+      val stops = array(Seq("the", "a", "and", "of", "to", "in").map(lit): _*)
+      val m = Tables.documents(s, d).select(col("doc_id"),
+        md5(Dedup.normText(col("text")).cast(BinaryType)).as("th"),
+        size(ws).cast(LongType).as("n_tok"),
+        aggregate(ws, lit(0L), (acc, w) => acc + length(w)).as("sum_len"),
+        size(filter(ws, w => w.rlike("[a-z]"))).cast(LongType).as("n_alpha"),
+        size(array_distinct(array_intersect(ws, stops))).cast(LongType).as("n_stop"))
+      val q = m.where(col("n_tok").between(50L, 100000L) &&
+          (lit(3L) * col("n_tok") <= col("sum_len")) &&
+          (col("sum_len") <= lit(10L) * col("n_tok")) &&
+          (lit(5L) * col("n_alpha") >= lit(4L) * col("n_tok")) &&
+          (col("n_stop") >= 2L))
+        .select(col("doc_id"), col("th"), col("n_tok"))
+      val u = q.withColumn("rn", row_number().over(
+          Window.partitionBy("th").orderBy("doc_id")))
+        .where(col("rn") === 1).select(col("doc_id"), col("n_tok"))
+      val sharded = u.select(
+        (((col("doc_id") * lit(2654435761L)) % lit(4294967296L)) % 8).as("shard"),
+        col("n_tok"))
+      val man = sharded.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      val fun = m.agg(count(lit(1)).as("n_input"))
+        .join(broadcast(q.agg(count(lit(1)).as("n_quality"))))
+        .join(broadcast(u.agg(count(lit(1)).as("n_unique"))))
+      man.join(broadcast(fun))
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          col("n_input"), col("n_quality"), col("n_unique"))
+    }),
+
     // T20b — the shard manifest: per-shard doc and token totals, the
     // export-side bookkeeping a downstream trainer reads to plan epochs.
     graft.QueryDef("t20b_shard_manifest", Some(
