@@ -761,8 +761,10 @@ object Similarity {
     val idcg = rQ.join(broadcast(weights),
         col("r") <= least(lit(k.toLong), col("n_rel_corpus")))
       .groupBy("query_id").agg(sum(col("w")).as("idcg"))
-    perQ.join(rQ, Seq("query_id"))
-      .join(idcg, Seq("query_id"), "left")
+    // every frame here is O(m) rows — broadcast so no planner estimate
+    // can ever demote the tail to a sort-merge exchange
+    perQ.join(broadcast(rQ), Seq("query_id"))
+      .join(broadcast(idcg), Seq("query_id"), "left")
       .select(col("query_id"), col("n_rel_corpus"), col("rel_in_k"),
         col("dcg"),
         coalesce(col("idcg"), lit(0L)).as("idcg"),

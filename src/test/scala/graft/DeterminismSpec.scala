@@ -35,4 +35,26 @@ class DeterminismSpec extends AnyFunSuite with SparkSuite {
       alt.catalog.clearCache()
     }
   }
+
+  // No LIMIT in these, but each leans on a window / hash-bucket / batch
+  // mechanism where a partitioning-sensitivity bug would hide: d20/d21
+  // islands windows, n31's rank window + integer DCG, x9's election
+  // window, i1's batch boundaries.
+  private val r13Queries = Seq(
+    "d20_max_dup_spans", "d21_spans_against_index", "n31_ranking_eval",
+    "x9_curation_manifest", "i1_batched_inference")
+
+  test("round-13 additions are invariant to shuffle partition count") {
+    val alt = spark.newSession()
+    alt.conf.set("spark.sql.shuffle.partitions", "13")
+    for (name <- r13Queries) {
+      val a = SparkEntry.queries(name)(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      val b = SparkEntry.queries(name)(alt, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"$name: row set depends on partitioning")
+      spark.catalog.clearCache()
+      alt.catalog.clearCache()
+    }
+  }
 }

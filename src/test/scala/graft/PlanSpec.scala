@@ -490,6 +490,38 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       "g5: total not broadcast")
   }
 
+  test("r13 batch: new-query plan shapes (spans, ranking eval, curation funnel)") {
+    // d20: candidate generation is ONE gram shuffle (partitioned
+    // window over gh) + per-doc islands — no join anywhere in the
+    // self-corpus span path.
+    val d20 = plan("d20_max_dup_spans")
+    assert(!d20.contains("Join"), s"d20: unexpected join:\n$d20")
+    // d21: the stored-index probe is a LEFT SEMI on the gram hash —
+    // the batch never materializes corpus rows, only existence.
+    assert(plan("d21_spans_against_index").contains("LeftSemi"),
+      "d21: index probe should be a left-semi join")
+    // n31: the bounded ranked pool and the O(k) weight table broadcast
+    // against the corpus-sized label frame — label side never shuffles
+    // into a sort-merge join. (The gate wrapper collects its 8-row
+    // output, so audit the OPERATOR's plan, not the harness's.)
+    val emb31 = Tables.embeddings(spark, sf)
+    val ix31 = operators.Similarity.buildIvfIndex(emb31, nCells = 16)
+    val n31 = operators.Similarity.retrievalRankingEval(
+        ix31, emb31, queryIds = Seq(0L, 1L), k = 10)
+      .queryExecution.executedPlan.toString
+    ix31.unpersist()
+    assert(n31.contains("Broadcast") && !n31.contains("SortMergeJoin"),
+      s"n31: expected broadcast-only joins:\n$n31")
+    // x9: the 1-row funnel frame broadcasts back onto the per-shard
+    // manifest; the dedup election window is keyed (partitioned).
+    val x9 = plan("x9_curation_manifest")
+    assert(x9.contains("Broadcast"), s"x9: funnel counts not broadcast:\n$x9")
+    // i1: pure mapPartitions pipeline — no exchange at all (scores are
+    // per-row; any shuffle would be overhead).
+    val i1 = plan("i1_batched_inference")
+    assert(!i1.contains("Exchange"), s"i1: unexpected exchange:\n$i1")
+  }
+
   test("d21: the gram-index probe prunes bucket partitions at the file index") {
     import operators.Dedup
     val path = util.TmpRoot("gramplan") + "/grams"
