@@ -273,6 +273,41 @@ object Dedup {
     mergeWindowSpans(dup, minLen)
   }
 
+  /** [[maximalDupSpans]] with ATTRIBUTION: each maximal span also
+    * reports `src_doc` — the smallest doc_id among the first-occurrence
+    * owners of its duplicated windows, i.e. where the boilerplate came
+    * FROM. The per-span provenance a curation review actually asks for
+    * ("is this a license header? which template?") and the input to a
+    * boilerplate-source ranking; same one-gram-shuffle + per-doc
+    * islands cost as the unattributed operator — the owner id just
+    * rides the window rows into the span rollup (min is exact, so
+    * attribution is deterministic even when a span's windows have
+    * different owners). */
+  def dupSpansAttributed(docs: DataFrame, minLen: Int): DataFrame = {
+    val wins = gramFrame(docs, minLen)
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+    val dup = wins.withColumn("min_doc", min("doc_id").over(byGram))
+      .where(col("doc_id") > col("min_doc"))
+      .select(col("doc_id"), col("p"), col("min_doc"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+    val prevWin = byDoc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    dup
+      .withColumn("prev_p", max("p").over(prevWin))
+      .withColumn("new_island",
+        when(col("prev_p").isNull || col("p") > col("prev_p") + minLen, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum("new_island").over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((min(col("p")) + 1).cast(LongType).as("span_start"),
+        (max(col("p")) + minLen).cast(LongType).as("span_end"),
+        min(col("min_doc")).as("src_doc"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("src_doc"))
+  }
+
   /** The (doc_id, p, gh) L-gram window frame — single-sourced between
     * [[maximalDupSpans]], the persistent gram index
     * ([[writeGramIndex]]/[[dupSpansAgainstIndex]]) and the streaming
@@ -944,6 +979,34 @@ object DedupQueries extends graft.QueryModule {
        |  WHERE w.doc_id > f.min_doc),
        |${spanIslandsTail(L)}""".stripMargin
 
+  /** d22's oracle: dupSpanOracleSql with the per-window owner carried
+    * through the islands chain and rolled up as min(min_doc). */
+  private def dupSpanAttributedOracleSql(corpusSql: String, L: Int): String =
+    s"""WITH docs AS ($corpusSql),
+       |toks AS (SELECT doc_id, string_split($normTextSql, ' ') AS ws FROM docs),
+       |wins AS (
+       |  SELECT doc_id, s, array_to_string(list_slice(ws, s, s + ${L - 1}), ' ') AS gram
+       |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${L - 1})) AS s
+       |        FROM toks WHERE len(ws) >= $L)),
+       |firstdoc AS (SELECT gram, min(doc_id) AS min_doc FROM wins GROUP BY 1),
+       |dup AS (
+       |  SELECT w.doc_id, w.s, f.min_doc FROM wins w
+       |  JOIN firstdoc f ON f.gram = w.gram
+       |  WHERE w.doc_id > f.min_doc),
+       |ord AS (
+       |  SELECT doc_id, s, min_doc, max(s) OVER (PARTITION BY doc_id ORDER BY s
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_s
+       |  FROM dup),
+       |isl AS (
+       |  SELECT doc_id, s, min_doc, sum(CASE WHEN prev_s IS NULL OR s > prev_s + $L
+       |    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s) AS island
+       |  FROM ord)
+       |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+       |  CAST(max(s) + ${L - 1} AS BIGINT) AS span_end,
+       |  CAST(max(s) + ${L - 1} - min(s) + 1 AS BIGINT) AS span_tokens,
+       |  CAST(min(min_doc) AS BIGINT) AS src_doc
+       |FROM isl GROUP BY doc_id, island""".stripMargin
+
   /** d21's oracle: the corpus's DISTINCT gram set vs the batch's
     * windows (no ownership needed — batch ids are disjoint, so any
     * corpus match is a cross-corpus duplicate), then the shared
@@ -1333,6 +1396,17 @@ object DedupQueries extends graft.QueryModule {
     // distinct gram set vs the batch windows + the identical islands
     // tail — any drift in the written layout, bucket pruning, hash, or
     // merge fails value equality.
+    // D22 — span ATTRIBUTION: d20's maximal spans, each carrying the
+    // doc the content came FROM (min first-occurrence owner over the
+    // span's windows) — the provenance a boilerplate review asks for.
+    // Exact-clone probes attribute to their base doc; the partial
+    // prefix probes to the doc whose prefix they copied; natural spans
+    // to whatever corpus doc first carried them. Same plan cost as
+    // d20 — the owner id rides the existing window rows.
+    graft.QueryDef("d22_span_attribution",
+      Some(dupSpanAttributedOracleSql(spanProbesSql, 10)))((s, d) =>
+      dupSpansAttributed(withSpanProbes(Tables.documents(s, d)), minLen = 10)),
+
     graft.QueryDef("d21_spans_against_index", Some(d21OracleSql(10)))((s, d) => {
       val path = gramWritten.computeIfAbsent(d, dd => {
         val p = s"$idxRoot/${dirTag(dd)}/grams"
