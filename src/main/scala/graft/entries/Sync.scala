@@ -52,25 +52,28 @@ object Sync {
     s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
       .replace("&apos;", "'").replace("&#39;", "'").replace("&amp;", "&")
 
-  // Class markers match ANYWHERE in the class list (`class="col-md-4
-  // content-col-label"` on the real Bootstrap page), mirroring the
-  // reference's CSS class selectors (sync.ts:85-97), not an exact
-  // attribute compare. Values strip nested tags before cleaning —
-  // node-html-parser's `.text` (what the reference reads) returns
-  // descendant text with markup removed.
+  // Class markers match whole SPACE-DELIMITED class tokens (`class=
+  // "col-md-4 content-col-label"` on the real Bootstrap page),
+  // mirroring the reference's CSS class selectors exactly
+  // (sync.ts:85-97): `.panel-body` must NOT match `panel-body-sm` —
+  // a \b boundary would, because '-' is a regex word boundary. Values
+  // strip nested tags before cleaning — node-html-parser's `.text`
+  // (what the reference reads) returns descendant text with markup
+  // removed.
+  private def classTok(name: String): String =
+    s"""class="(?:[^"]*\\s)?$name(?:\\s[^"]*)?""""
   private val LabelRe = Pattern.compile(
-    """class="[^"]*\bcontent-col-label\b[^"]*".*?class="[^"]*\bcontent-div-var\b[^"]*".*?<strong[^>]*>(.*?)</strong>""",
+    s"""${classTok("content-col-label")}.*?${classTok("content-div-var")}.*?<strong[^>]*>(.*?)</strong>""",
     Pattern.DOTALL)
   private val DataRe = Pattern.compile(
-    """class="[^"]*\bcontent-col-data\b[^"]*".*?<div[^>]*class="[^"]*\bcontent-div-var\b[^"]*"[^>]*>(.*?)</div>""",
+    s"""${classTok("content-col-data")}.*?<div[^>]*${classTok("content-div-var")}[^>]*>(.*?)</div>""",
     Pattern.DOTALL)
-  private val PanelMarkRe = Pattern.compile(
-    """class="[^"]*\bpanel-body\b[^"]*"""")
+  private val PanelMarkRe = Pattern.compile(classTok("panel-body"))
   private val StrongRe = Pattern.compile(
     """<strong[^>]*>(.*?)</strong>""", Pattern.DOTALL)
   private val PRe = Pattern.compile("""<p[^>]*>(.*?)</p>""", Pattern.DOTALL)
   private val RequestItemsRe = Pattern.compile(
-    """class="[^"]*\bcontainer-requestitems\b[^"]*"([\s\S]*)""")
+    s"""${classTok("container-requestitems")}([\\s\\S]*)""")
 
   /** node-html-parser `.text` semantics for a captured inner-HTML span:
     * drop tags, keep their text content. */
@@ -109,7 +112,16 @@ object Sync {
       }
       (marks :+ region.length).sliding(2).foreach {
         case Seq(from, until) =>
-          val chunk = region.substring(from, until)
+          // Bound the chunk at the panel-body's own closing tag, not
+          // just the next panel marker: panel-body children are flat
+          // (<strong>/<p>), so the first </div> after the marker closes
+          // THIS panel — without the cut, the LAST panel (which has no
+          // next marker) would extend to the document end and a
+          // missing-<p> panel there would capture the footer's <p>.
+          val toNextMark = region.substring(from, until)
+          val close = toNextMark.indexOf("</div>")
+          val chunk =
+            if (close >= 0) toNextMark.substring(0, close) else toNextMark
           val sm = StrongRe.matcher(chunk)
           val pm = PRe.matcher(chunk)
           if (sm.find() && pm.find()) {

@@ -264,14 +264,8 @@ object Dedup {
     * Output: (doc_id, span_start, span_end, span_tokens) per maximal
     * span, token positions 1-based inclusive. Deterministic: spans are
     * set-defined (no floats, no sampling). */
-  def maximalDupSpans(docs: DataFrame, minLen: Int): DataFrame = {
-    val wins = gramFrame(docs, minLen)
-    val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gh")
-    val dup = wins.withColumn("min_doc", min("doc_id").over(byGram))
-      .where(col("doc_id") > col("min_doc"))
-      .select(col("doc_id"), col("p"))
-    mergeWindowSpans(dup, minLen)
-  }
+  def maximalDupSpans(docs: DataFrame, minLen: Int): DataFrame =
+    mergeWindowSpans(selfDupWindows(docs, minLen).drop("min_doc"), minLen)
 
   /** [[maximalDupSpans]] with ATTRIBUTION: each maximal span also
     * reports `src_doc` — the smallest doc_id among the first-occurrence
@@ -283,29 +277,20 @@ object Dedup {
     * rides the window rows into the span rollup (min is exact, so
     * attribution is deterministic even when a span's windows have
     * different owners). */
-  def dupSpansAttributed(docs: DataFrame, minLen: Int): DataFrame = {
+  def dupSpansAttributed(docs: DataFrame, minLen: Int): DataFrame =
+    mergeWindowSpans(selfDupWindows(docs, minLen), minLen,
+      min(col("min_doc")).as("src_doc"))
+
+  /** The duplicated window positions of a corpus against ITSELF
+    * (keep-first gram ownership, one window over the gram shuffle),
+    * with the per-window owner — shared by the plain and attributed
+    * span operators. */
+  private def selfDupWindows(docs: DataFrame, minLen: Int): DataFrame = {
     val wins = gramFrame(docs, minLen)
     val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gh")
-    val dup = wins.withColumn("min_doc", min("doc_id").over(byGram))
+    wins.withColumn("min_doc", min("doc_id").over(byGram))
       .where(col("doc_id") > col("min_doc"))
       .select(col("doc_id"), col("p"), col("min_doc"))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("p")
-    val prevWin = byDoc.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    dup
-      .withColumn("prev_p", max("p").over(prevWin))
-      .withColumn("new_island",
-        when(col("prev_p").isNull || col("p") > col("prev_p") + minLen, 1L)
-          .otherwise(0L))
-      .withColumn("island", sum("new_island").over(byDoc))
-      .groupBy(col("doc_id"), col("island"))
-      .agg((min(col("p")) + 1).cast(LongType).as("span_start"),
-        (max(col("p")) + minLen).cast(LongType).as("span_end"),
-        min(col("min_doc")).as("src_doc"))
-      .select(col("doc_id"), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start") + 1).as("span_tokens"),
-        col("src_doc"))
   }
 
   /** The (doc_id, p, gh) L-gram window frame — single-sourced between
@@ -319,11 +304,14 @@ object Dedup {
       .select(col("doc_id"), posexplode(col("grams")).as(Seq("p", "gram")))
       .select(col("doc_id"), col("p"), xxhash64(col("gram")).as("gh"))
 
-  /** Gaps-and-islands merge of duplicated window positions (doc_id, p)
-    * into maximal token spans — shared by the self-corpus and
-    * against-index span paths. Per-doc windows only (bounded by doc
-    * length, never corpus-scaled). */
-  private def mergeWindowSpans(dup: DataFrame, minLen: Int): DataFrame = {
+  /** Gaps-and-islands merge of duplicated window positions (doc_id, p,
+    * carry…) into maximal token spans — the ONE islands implementation
+    * behind the self-corpus (d20), attributed (d22) and against-index
+    * (d21) span paths. `carryAggs` appends per-span rollups of the
+    * extra columns (e.g. d22's min(min_doc) owner). Per-doc windows
+    * only (bounded by doc length, never corpus-scaled). */
+  private def mergeWindowSpans(dup: DataFrame, minLen: Int,
+                               carryAggs: Column*): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("p")
     val prevWin = byDoc.rowsBetween(
@@ -336,9 +324,9 @@ object Dedup {
       .withColumn("island", sum("new_island").over(byDoc))
       .groupBy(col("doc_id"), col("island"))
       .agg((min(col("p")) + 1).cast(LongType).as("span_start"),
-        (max(col("p")) + minLen).cast(LongType).as("span_end"))
-      .select(col("doc_id"), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+        ((max(col("p")) + minLen).cast(LongType).as("span_end") +: carryAggs): _*)
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
+      .drop("island")
   }
 
   // --- Persistent gram index + batch-incremental substring dedup ----------
@@ -350,10 +338,22 @@ object Dedup {
     * a stable hash bucket of `gh` so a batch probe reads at most
     * `nBuckets` directories of a 100 TB index (the d10 pruning
     * discipline; gh IS already xxhash64, so the bucket is one pmod). */
-  final case class StoredGramIndex(grams: DataFrame, minLen: Int)
+  final case class StoredGramIndex(grams: DataFrame, minLen: Int,
+                                   nBuckets: Int)
 
   private def gramBucket(gh: Column, nBuckets: Int): Column =
     pmod(gh, lit(nBuckets.toLong)).cast(IntegerType)
+
+  /** The index's configuration travels WITH the artifact (min_len AND
+    * n_buckets): the probe side must bucket with the layout's own
+    * modulus — a caller-supplied mismatch would silently miss ~
+    * (n-1)/n of all true spans (the join keys include the bucket). */
+  private def writeGramMeta(spark: org.apache.spark.sql.SparkSession,
+                            path: String, minLen: Int, nBuckets: Int): Unit = {
+    import spark.implicits._
+    Seq((minLen.toLong, nBuckets.toLong)).toDF("min_len", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
 
   def writeGramIndex(docs: DataFrame, minLen: Int, path: String,
                      nBuckets: Int = 64): Unit = {
@@ -361,14 +361,15 @@ object Dedup {
       .groupBy("gh").agg(min(col("doc_id")).as("min_doc"))
       .withColumn("bucket", gramBucket(col("gh"), nBuckets))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/grams")
-    docs.sparkSession.range(minLen, minLen + 1).toDF("min_len")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeGramMeta(docs.sparkSession, path, minLen, nBuckets)
   }
 
   def readGramIndex(spark: org.apache.spark.sql.SparkSession,
                     path: String): StoredGramIndex = {
-    val minLen = spark.read.parquet(s"$path/meta").head().getLong(0).toInt
-    StoredGramIndex(spark.read.parquet(s"$path/grams"), minLen)
+    val meta = spark.read.parquet(s"$path/meta")
+      .select("min_len", "n_buckets").head()
+    StoredGramIndex(spark.read.parquet(s"$path/grams"),
+      meta.getLong(0).toInt, meta.getLong(1).toInt)
   }
 
   /** Compact the STREAMING incremental gram store (batch_id-scoped
@@ -388,15 +389,20 @@ object Dedup {
     val deltas = spark.read.parquet(incrementalDir).select("gh", "min_doc")
     val all = basePath match {
       case Some(p) =>
-        spark.read.parquet(s"$p/grams").select("gh", "min_doc")
-          .unionByName(deltas)
+        // Fail fast on a configuration mismatch: gram hashes of
+        // different lengths would merge into one store that answers
+        // (near-)nothing — a silent corruption, not an error.
+        val base = readGramIndex(spark, p)
+        require(base.minLen == minLen,
+          s"gram-length mismatch: base index at $p was built with " +
+            s"minLen=${base.minLen}, compaction requested $minLen")
+        base.grams.select("gh", "min_doc").unionByName(deltas)
       case None => deltas
     }
     all.groupBy("gh").agg(min(col("min_doc")).as("min_doc"))
       .withColumn("bucket", gramBucket(col("gh"), nBuckets))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$servingPath/grams")
-    spark.range(minLen, minLen + 1).toDF("min_len")
-      .coalesce(1).write.mode("overwrite").parquet(s"$servingPath/meta")
+    writeGramMeta(spark, servingPath, minLen, nBuckets)
   }
 
   /** Batch-incremental substring dedup: the maximal spans of each BATCH
@@ -407,10 +413,20 @@ object Dedup {
     * gh-equality LEFT SEMI join. Within-batch repeats are
     * [[maximalDupSpans]]'s job on the batch alone; batch doc_ids must
     * be disjoint from corpus ids (the d10 contract). */
-  def dupSpansAgainstIndex(stored: StoredGramIndex, batch: DataFrame,
-                           nBuckets: Int = 64): DataFrame = {
+  def dupSpansAgainstIndex(stored: StoredGramIndex,
+                           batch: DataFrame): DataFrame = {
+    // L and the bucket modulus both come from the STORED index's meta —
+    // a caller-supplied modulus that disagreed with the written layout
+    // would silently miss ~(n-1)/n of all true spans.
     val bg = gramFrame(batch, stored.minLen)
-      .withColumn("bucket", gramBucket(col("gh"), nBuckets))
+      .withColumn("bucket", gramBucket(col("gh"), stored.nBuckets))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // This collect is the FIRST action over bg, so it populates the
+    // cache — without the persist, the semi-join would re-gram the
+    // whole batch a second time. The cache then backs the returned
+    // LAZY span frame; release it once consumed (clearCache / the
+    // usual index-frame convention), as with the final labels frame of
+    // [[connectedComponents]].
     val buckets = bg.select("bucket").distinct()
       .collect().map(_.getInt(0))
     val probe = stored.grams
@@ -949,35 +965,30 @@ object DedupQueries extends graft.QueryModule {
     * gaps-and-islands merge [[Dedup.maximalDupSpans]] runs (1-based
     * gram starts here vs 0-based posexplode there — the island
     * condition `gap > L` is shift-invariant). */
-  /** The shared gaps-and-islands tail over a `dup(doc_id, s)` CTE —
-    * the SQL twin of [[Dedup.mergeWindowSpans]], composed by the d20
-    * and d21 oracles. */
-  private def spanIslandsTail(L: Int): String =
+  /** The shared gaps-and-islands tail over a `dup(doc_id, s[, carry])`
+    * CTE — the SQL twin of [[Dedup.mergeWindowSpans]], composed by the
+    * d20/d21/d22 oracles. `carry` rides extra dup columns through the
+    * windows (", min_doc"); `carrySel` appends their span rollups. */
+  private def spanIslandsTail(L: Int, carry: String = "",
+                              carrySel: String = ""): String =
     s"""ord AS (
-       |  SELECT doc_id, s, max(s) OVER (PARTITION BY doc_id ORDER BY s
+       |  SELECT doc_id, s$carry, max(s) OVER (PARTITION BY doc_id ORDER BY s
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_s
        |  FROM dup),
        |isl AS (
-       |  SELECT doc_id, s, sum(CASE WHEN prev_s IS NULL OR s > prev_s + $L
+       |  SELECT doc_id, s$carry, sum(CASE WHEN prev_s IS NULL OR s > prev_s + $L
        |    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s) AS island
        |  FROM ord)
        |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
        |  CAST(max(s) + ${L - 1} AS BIGINT) AS span_end,
-       |  CAST(max(s) + ${L - 1} - min(s) + 1 AS BIGINT) AS span_tokens
+       |  CAST(max(s) + ${L - 1} - min(s) + 1 AS BIGINT) AS span_tokens$carrySel
        |FROM isl GROUP BY doc_id, island""".stripMargin
 
+  /** d20's oracle is d22's with the attribution column projected away —
+    * ONE islands chain in SQL, mirroring the shared Scala helper. */
   private def dupSpanOracleSql(corpusSql: String, L: Int): String =
-    s"""WITH docs AS ($corpusSql),
-       |toks AS (SELECT doc_id, string_split($normTextSql, ' ') AS ws FROM docs),
-       |wins AS (
-       |  SELECT doc_id, s, array_to_string(list_slice(ws, s, s + ${L - 1}), ' ') AS gram
-       |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${L - 1})) AS s
-       |        FROM toks WHERE len(ws) >= $L)),
-       |firstdoc AS (SELECT gram, min(doc_id) AS min_doc FROM wins GROUP BY 1),
-       |dup AS (
-       |  SELECT w.doc_id, w.s FROM wins w JOIN firstdoc f ON f.gram = w.gram
-       |  WHERE w.doc_id > f.min_doc),
-       |${spanIslandsTail(L)}""".stripMargin
+    s"""SELECT doc_id, span_start, span_end, span_tokens
+       |FROM (${dupSpanAttributedOracleSql(corpusSql, L)})""".stripMargin
 
   /** d22's oracle: dupSpanOracleSql with the per-window owner carried
     * through the islands chain and rolled up as min(min_doc). */
@@ -993,19 +1004,8 @@ object DedupQueries extends graft.QueryModule {
        |  SELECT w.doc_id, w.s, f.min_doc FROM wins w
        |  JOIN firstdoc f ON f.gram = w.gram
        |  WHERE w.doc_id > f.min_doc),
-       |ord AS (
-       |  SELECT doc_id, s, min_doc, max(s) OVER (PARTITION BY doc_id ORDER BY s
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_s
-       |  FROM dup),
-       |isl AS (
-       |  SELECT doc_id, s, min_doc, sum(CASE WHEN prev_s IS NULL OR s > prev_s + $L
-       |    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s) AS island
-       |  FROM ord)
-       |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
-       |  CAST(max(s) + ${L - 1} AS BIGINT) AS span_end,
-       |  CAST(max(s) + ${L - 1} - min(s) + 1 AS BIGINT) AS span_tokens,
-       |  CAST(min(min_doc) AS BIGINT) AS src_doc
-       |FROM isl GROUP BY doc_id, island""".stripMargin
+       |${spanIslandsTail(L, carry = ", min_doc",
+           carrySel = ",\n  CAST(min(min_doc) AS BIGINT) AS src_doc")}""".stripMargin
 
   /** d21's oracle: the corpus's DISTINCT gram set vs the batch's
     * windows (no ownership needed — batch ids are disjoint, so any

@@ -77,21 +77,51 @@ class SyncSpec extends AnyFunSuite with SparkSuite {
     assert(e.response.contains("Records produced with redactions; see cover letter."))
   }
 
-  test("parseEntry golden: panel without <p> never captures across the boundary") {
-    // The 'Attachments' panel in the golden page has a <strong> but no
-    // <p>; the reference skips it (querySelector inside THAT panel).
-    // A flat regex over the whole region would bind Attachments to the
-    // NEXT panel's <p> and lose Details — pin both the absence and the
-    // non-theft.
-    val html = {
-      val in = getClass.getResourceAsStream("/golden/SearchedEntryDetails_4521.html")
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
-    }
-    val e = Sync.parseEntry(html, 4521L).get
-    assert(e.details.isDefined, "Details must survive the malformed panel before it")
-    assert(!e.details.get.contains("retention policies") || e.subject.get.contains("dash-cam"),
-      "panel values crossed panel boundaries")
+  test("parseEntry: panel without <p> never captures across a boundary — even at the end") {
+    // Two theft shapes the reference's per-panel querySelector can
+    // never produce: (a) a no-<p> panel stealing the NEXT panel's
+    // value, (b) the LAST panel (no next marker) stealing the page
+    // footer's <p>. Pin exact values: Details must bind to its own
+    // paragraph, and Response (the trailing no-<p> panel) must be
+    // absent — not the copyright line.
+    val html =
+      """<html><body><div class="container">
+        |<div class="container-requestitems">
+        |  <div class="panel panel-default"><div class="panel-body">
+        |    <strong>Subject</strong>
+        |  </div></div>
+        |  <div class="panel panel-default"><div class="panel-body">
+        |    <strong>Details</strong>
+        |    <p>the real details text</p>
+        |  </div></div>
+        |  <div class="panel panel-default"><div class="panel-body">
+        |    <strong>Response</strong>
+        |  </div></div>
+        |</div>
+        |<footer><p>&copy; 2024 Secretary of State</p></footer>
+        |</div></body></html>""".stripMargin
+    val e = Sync.parseEntry(html, 99L).get
+    assert(e.details.contains("the real details text"),
+      "Details must bind to its own paragraph")
+    assert(e.subject.isEmpty, "no-<p> Subject panel must not steal Details' value")
+    assert(e.response.isEmpty, "trailing no-<p> panel must not capture the footer")
+  }
+
+  test("parseEntry: class markers match whole tokens, not hyphen extensions") {
+    // `.panel-body` must not match `panel-body-collapsed` (CSS token
+    // semantics; '-' is a regex word boundary so \b would match). A
+    // modifier-classed decoy panel between two real ones must not
+    // split the real panel's strong/p pairing.
+    val html =
+      """<html><body>
+        |<div class="container-requestitems">
+        |  <div class="panel-body"><strong>Subject</strong><p>real subject</p></div>
+        |  <div class="panel-body-collapsed"><strong>Decoy</strong></div>
+        |  <div class="panel-body"><strong>Details</strong><p>real details</p></div>
+        |</div></body></html>""".stripMargin
+    val e = Sync.parseEntry(html, 98L).get
+    assert(e.subject.contains("real subject"))
+    assert(e.details.contains("real details"))
   }
 
   test("parseEntry: entity decode and unparseable completion -> None") {
