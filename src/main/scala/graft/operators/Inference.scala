@@ -66,6 +66,97 @@ object Inference {
     batch.map { case (id, t) =>
       (id, java.lang.Long.remainderUnsigned(Dedup.fnv64(t), 1000L))
     }
+
+  /** The "candidate model version" surrogate: the same FNV chain over
+    * the content with a version tag appended — deterministically
+    * DIFFERENT from [[surrogateScoreBatch]] on every document, which is
+    * exactly what a canary comparison needs to exercise. */
+  def surrogateScoreBatchV2(batch: Seq[(Long, String)]): Seq[(Long, Long)] =
+    batch.map { case (id, t) =>
+      (id, java.lang.Long.remainderUnsigned(Dedup.fnv64(t + "@v2"), 1000L))
+    }
+
+  /** I3 — model-version CANARY drift report: score the same sample with
+    * the serving model and the candidate, roll up per source how far the
+    * scores moved (sum/max of |Δ|, and the count past a drift
+    * threshold). This is the gate a 100 TB pipeline runs on a small
+    * canary sample BEFORE committing a corpus-wide re-score/re-embed:
+    * per-source drift localizes which slices the new version changes.
+    * Two batched-inference passes (each the pinned i1 operator) joined
+    * on doc_id, then one partial+final agg — O(sources) output; the
+    * sample predicate stays on the scan side of both passes. */
+  def canaryScoreDrift(docs: DataFrame, threshold: Long = 100,
+      batchSize: Int = 32)(
+      scoreA: Seq[(Long, String)] => Seq[(Long, Long)],
+      scoreB: Seq[(Long, String)] => Seq[(Long, Long)]): DataFrame = {
+    val a = batchedInference(docs, batchSize)(scoreA)
+      .withColumnRenamed("score_q", "score_a")
+    val b = batchedInference(docs, batchSize)(scoreB)
+      .withColumnRenamed("score_q", "score_b")
+    docs.select(col("doc_id"), col("source"))
+      .join(a, Seq("doc_id")).join(b, Seq("doc_id"))
+      .withColumn("delta", abs(col("score_a") - col("score_b")))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("delta")).as("sum_abs_delta"),
+        max(col("delta")).as("max_abs_delta"),
+        sum(when(col("delta") >= threshold, 1L).otherwise(0L))
+          .as("drifted_docs"))
+  }
+
+  /** Content-addressed score cache: one row per DISTINCT normalized
+    * text (key = md5 of the normalized text — the d1 exact-dedup key),
+    * carrying the model score for that content. Dedup by key is what
+    * makes the cache safe as a join side: duplicate documents score
+    * identically (the model is a pure function of content), so `min`
+    * is a deterministic representative, and a left join against the
+    * cache can never fan rows out. */
+  def buildScoreCache(docs: DataFrame, batchSize: Int = 32)
+      (scoreBatch: Seq[(Long, String)] => Seq[(Long, Long)]): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      md5(Dedup.normText(col("text"))).as("key"))
+    keyed.join(batchedInference(docs, batchSize)(scoreBatch), Seq("doc_id"))
+      .groupBy("key").agg(min(col("score_q")).as("score_q"))
+  }
+
+  /** I2 — INCREMENTAL inference via the content-addressed cache: score
+    * a corpus reusing cached scores for every document whose content
+    * key is already known, calling the model ONLY for misses. This is
+    * the dominant cost lever of a recurring 100 TB embedding/scoring
+    * pipeline — a re-crawl re-infers the changed fraction, not the
+    * corpus. Shape: one equi-join on the content key (both sides hash-
+    * partition by key; the cache is corpus-scale in general, so no
+    * broadcast assumption), then ONE mapPartitions pass that emits
+    * cache hits as-is and batches only the misses through the model —
+    * no second scan, no union of re-derived subplans, memory bounded at
+    * O(batch). Output: (doc_id, score_q, from_cache 0/1) — the flag is
+    * the audit column a pipeline sums to verify its expected hit rate. */
+  def cachedInference(docs: DataFrame, cache: DataFrame, batchSize: Int = 32)
+      (scoreBatch: Seq[(Long, String)] => Seq[(Long, Long)]): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), Dedup.normText(col("text")).as("t"))
+      .withColumn("key", md5(col("t")))
+      .join(cache.select(col("key"), col("score_q").as("cached_q")),
+        Seq("key"), "left")
+      .select(col("doc_id"), col("t"), col("cached_q"))
+      .as[(Long, String, Option[Long])]
+      .mapPartitions { it =>
+        // A real model creates its session HERE (once per partition).
+        it.grouped(batchSize).flatMap { g =>
+          val hits = g.collect { case (id, _, Some(q)) => (id, q, 1) }
+          val misses = g.collect { case (id, t, None) => (id, t) }
+          val scored =
+            if (misses.isEmpty) Nil
+            else scoreBatch(misses).map { case (id, q) => (id, q, 0) }
+          hits ++ scored
+        }
+      }
+      .toDF("doc_id", "score_q", "from_cache")
+      .select(col("doc_id"), col("score_q").cast(LongType).as("score_q"),
+        col("from_cache").cast(IntegerType).as("from_cache"))
+  }
 }
 
 object InferenceQueries extends graft.QueryModule {
@@ -88,6 +179,70 @@ object InferenceQueries extends graft.QueryModule {
          |    AS score_q
          |FROM docs""".stripMargin))((s, d) =>
       Inference.batchedInference(graft.Tables.documents(s, d), batchSize = 32)(
-        Inference.surrogateScoreBatch))
+        Inference.surrogateScoreBatch)),
+
+    // I2 — incremental inference against a content-addressed cache
+    // built from the doc_id % 3 == 0 slice (a deterministic stand-in
+    // for "the previous run's corpus"). FULL oracle: every score is the
+    // i1 FNV replay (cached or fresh paths must agree — the cache can
+    // never serve a stale/divergent value for matching content), and
+    // from_cache is exact key membership, so a doc OUTSIDE the cached
+    // slice whose text duplicates a cached doc is correctly a HIT. Any
+    // join fan-out from duplicate cache keys, dropped/duplicated rows
+    // at the hit/miss seam, or key-derivation drift fails value
+    // equality. Batch-boundedness is pinned in InferenceSpec.
+    graft.QueryDef("i2_cached_inference", Some(
+      s"""WITH docs AS (SELECT doc_id, $normTextSql AS t FROM documents),
+         |keyed AS (SELECT doc_id, t, md5(t) AS key FROM docs),
+         |cache AS (
+         |  SELECT DISTINCT md5(t) AS key FROM docs WHERE doc_id % 3 = 0)
+         |SELECT doc_id,
+         |  CAST(${graft.operators.OracleHash.fnvFoldExpr("t")} % 1000 AS BIGINT)
+         |    AS score_q,
+         |  CAST(CASE WHEN key IN (SELECT key FROM cache) THEN 1 ELSE 0 END
+         |    AS INTEGER) AS from_cache
+         |FROM keyed""".stripMargin))((s, d) => {
+      val docs = graft.Tables.documents(s, d)
+      val cache = Inference.buildScoreCache(
+        docs.where(col("doc_id") % 3 === 0))(Inference.surrogateScoreBatch)
+      Inference.cachedInference(docs, cache)(Inference.surrogateScoreBatch)
+    }),
+
+    // I3 — model-canary drift on a ~20% xxhash64(doc_id) sample (the
+    // d12 split discipline: hash sampling stays uniform across sources,
+    // where a doc_id residue would alias against the fixture's
+    // source-assignment modulus): serving surrogate vs the "@v2"
+    // candidate surrogate. FULL oracle: the sample's xxhash64-of-BIGINT
+    // is replayed via OracleHash.hashLongSelect, both FNV chains per
+    // document (the candidate's version tag folds INSIDE the hash, so
+    // every doc genuinely moves), |Δ| summed/maxed and thresholded per
+    // source — row-accounting drift in either inference pass, join
+    // fan-out, or threshold arithmetic all fail value equality.
+    graft.QueryDef("i3_canary_drift", Some(
+      s"""WITH base AS (SELECT doc_id, source, $normTextSql AS t FROM documents),
+         |h AS (${graft.operators.OracleHash.hashLongSelect(
+               "SELECT doc_id FROM documents", "doc_id")}),
+         |docs AS (
+         |  SELECT b.doc_id, b.source, b.t FROM base b
+         |  JOIN h ON h.doc_id = b.doc_id
+         |  WHERE ((h.hs % 5) + 5) % 5 = 0),
+         |sc AS (
+         |  SELECT doc_id, source,
+         |    CAST(${graft.operators.OracleHash.fnvFoldExpr("t")} % 1000
+         |      AS BIGINT) AS qa,
+         |    CAST(${graft.operators.OracleHash.fnvFoldExpr("(t || '@v2')")} % 1000
+         |      AS BIGINT) AS qb
+         |  FROM docs),
+         |dd AS (SELECT source, abs(qa - qb) AS delta FROM sc)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(delta) AS BIGINT) AS sum_abs_delta,
+         |  CAST(max(delta) AS BIGINT) AS max_abs_delta,
+         |  CAST(sum(CASE WHEN delta >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS drifted_docs
+         |FROM dd GROUP BY source""".stripMargin))((s, d) =>
+      Inference.canaryScoreDrift(
+        graft.Tables.documents(s, d)
+          .where(pmod(xxhash64(col("doc_id")), lit(5)) === 0))(
+        Inference.surrogateScoreBatch, Inference.surrogateScoreBatchV2))
   )
 }

@@ -33,6 +33,37 @@ object Similarity {
   def idot(a: Column, b: Column): Column =
     graft.plans.NativeFunctions.dotLong(a, b)
 
+  /** Int8 SCALAR-quantization audit — the cheap sibling of PQ (n21):
+    * per dimension, affine-map the corpus range [min, max] onto the 256
+    * int8 codes and report the reconstruction error that encode would
+    * cost (err_sum / err_max on the shared 1e4 integer grid). This is
+    * the dial every serving stack reads before choosing SQ8 (4× smaller
+    * vectors, one multiply-add to decode) over full floats or PQ.
+    * Arithmetic is ENTIRELY integer: code = round((xq−minq)·255/rangeq)
+    * and recon = minq + round(code·rangeq/255) are computed as
+    * non-negative scaled integer divisions (truncation == floor == the
+    * oracle's `//`), so the report is bit-identical across engines and
+    * partitionings. Plan: one explode scan → O(dims) stats broadcast
+    * back → one partial+final agg; nothing is corpus-sized after the
+    * first aggregation, and the broadcast keeps the second pass
+    * shuffle-free on the fact side. */
+  def scalarQuantAudit(embeddings: DataFrame): DataFrame = {
+    val ve = embeddings
+      .select(posexplode(quant(col("embedding"))))
+      .select((col("pos") + 1).cast(LongType).as("d"), col("col").as("xq"))
+    val st = ve.groupBy("d").agg(min("xq").as("minq"), max("xq").as("maxq"))
+    ve.join(broadcast(st), Seq("d"))
+      .withColumn("rangeq", col("maxq") - col("minq"))
+      .withColumn("code", when(col("rangeq") === 0, lit(0L))
+        .otherwise(expr("((xq - minq) * 510 + rangeq) div (2 * rangeq)")))
+      .withColumn("recon", when(col("rangeq") === 0, col("minq"))
+        .otherwise(col("minq") + expr("(code * rangeq * 2 + 255) div 510")))
+      .withColumn("err", abs(col("xq") - col("recon")))
+      .groupBy("d")
+      .agg(min("minq").as("minq"), min("maxq").as("maxq"),
+        sum("err").as("err_sum"), max("err").as("err_max"))
+  }
+
   def inorm2(a: Column): Column = idot(a, a)
 
   /** cosine = dot / (sqrt(na) * sqrt(nb)) — written in exactly this shape
@@ -476,6 +507,35 @@ object Similarity {
       .agg(new graft.functions.TopKAggregator(k).toColumn)
       .flatMap { case (qid, top) => top.map(t => (qid.toLong, t._1, t._2)) }
       .toDF("query_id", "vec_id", "cos")
+  }
+
+  /** MATRYOSHKA dimension-truncation recall curve — the dims-budget
+    * sibling of the n22 probe-budget curve: for each dimension budget,
+    * retrieve exact top-k using only the embedding PREFIX and measure
+    * overlap with the full-dimension top-k. This is the dial for
+    * matryoshka-style tiered serving (coarse rank on a prefix at a
+    * fraction of the memory bandwidth, full-dim rerank on the
+    * shortlist): the curve says how much recall each prefix width
+    * actually buys on THIS corpus. One bounded m-query audit per
+    * budget (each a [[batchTopK]] broadcast pass — the corpus is
+    * scanned, never shuffled), then an O(m·k·|budgets|) overlap join;
+    * at 100 TB this runs on a query sample exactly as sized here. The
+    * full-width budget is included deliberately: its overlap ==
+    * retrieved row is the curve's built-in self-check. */
+  def matryoshkaRecallCurve(embeddings: DataFrame, queryIds: Seq[Long],
+      k: Int, dimBudgets: Seq[Int]): DataFrame = {
+    val full = batchTopK(embeddings, queryIds, k)
+      .select(col("query_id"), col("vec_id"))
+    val trunc = dimBudgets.map { dm =>
+      batchTopK(embeddings.select(col("vec_id"),
+          slice(col("embedding"), 1, dm).as("embedding")), queryIds, k)
+        .select(lit(dm).as("dims"), col("query_id"), col("vec_id"))
+    }.reduce(_ unionByName _)
+    trunc
+      .join(full.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+      .groupBy("dims")
+      .agg(count(lit(1)).as("retrieved"),
+        sum(coalesce(col("hit"), lit(0L))).as("overlap"))
   }
 
   /** Per-vector probe lists for GRAPH construction: the nProbe nearest
@@ -2636,6 +2696,36 @@ object SimilarityQueries extends graft.QueryModule {
             * 1000000) / 1000000.0).as("energy_share"))
     }),
 
+    // N32 — int8 scalar-quantization audit (see
+    // Similarity.scalarQuantAudit): the oracle replays the affine
+    // int8 encode/decode per dimension with the same non-negative
+    // integer divisions (`//` ≡ Spark's `div` on non-negative
+    // operands), value-checking minq/maxq and the exact error rollup.
+    graft.QueryDef("n32_scalar_quant", Some(
+      """WITH q AS (
+        |  SELECT generate_subscripts(embedding, 1) AS i,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT)
+        |      AS xq
+        |  FROM embeddings),
+        |ve AS (SELECT CAST(i AS BIGINT) AS d, xq FROM q),
+        |st AS (SELECT d, min(xq) AS minq, max(xq) AS maxq FROM ve GROUP BY d),
+        |r AS (
+        |  SELECT ve.d, xq, minq, maxq, maxq - minq AS rangeq,
+        |    CASE WHEN maxq = minq THEN 0
+        |      ELSE ((xq - minq) * 510 + (maxq - minq)) // (2 * (maxq - minq))
+        |    END AS code
+        |  FROM ve JOIN st USING (d)),
+        |e AS (
+        |  SELECT d, minq, maxq,
+        |    abs(xq - (CASE WHEN rangeq = 0 THEN minq
+        |      ELSE minq + (code * rangeq * 2 + 255) // 510 END)) AS err
+        |  FROM r)
+        |SELECT d, min(minq) AS minq, min(maxq) AS maxq,
+        |  CAST(sum(err) AS BIGINT) AS err_sum,
+        |  CAST(max(err) AS BIGINT) AS err_max
+        |FROM e GROUP BY d""".stripMargin))((s, d) =>
+      Similarity.scalarQuantAudit(Tables.embeddings(s, d))),
+
     // N21 — PQ quantization DISTORTION report: per subspace, the
     // reconstruction error ‖x_m − centroid(code_m)‖² of the trained
     // codebooks over the whole corpus — the dial that picks
@@ -2958,6 +3048,52 @@ object SimilarityQueries extends graft.QueryModule {
         |  FROM scored)
         |WHERE rn <= 10""".stripMargin))((s, d) =>
       batchTopK(Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+
+    // N34 — matryoshka dimension-truncation recall curve (see
+    // Similarity.matryoshkaRecallCurve): the oracle replays every
+    // (budget, query) exact top-k with prefix-bounded integer
+    // dot/norm sums and the n4 ranking window, then the overlap join —
+    // value-exact including the full-width self-check row.
+    graft.QueryDef("n34_matryoshka_recall", Some(
+      """WITH dimsrel AS (SELECT unnest([8, 16, 32, 64]) AS dims),
+        |qe AS (
+        |  SELECT vec_id AS query_id,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)),
+        |ve AS (
+        |  SELECT vec_id, CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT dims, qe.query_id, ve.vec_id,
+        |    SUM(ve.x * qe.q) AS dot, SUM(ve.x * ve.x) AS nv
+        |  FROM ve JOIN qe ON ve.i = qe.i CROSS JOIN dimsrel
+        |  WHERE ve.i <= dims
+        |  GROUP BY dims, qe.query_id, ve.vec_id),
+        |nq AS (
+        |  SELECT dims, query_id, SUM(q * q) AS n2
+        |  FROM qe CROSS JOIN dimsrel WHERE i <= dims GROUP BY dims, query_id),
+        |scored AS (
+        |  SELECT d.dims, d.query_id, d.vec_id,
+        |    CAST(dot AS DOUBLE) / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
+        |  FROM dots d JOIN nq ON nq.dims = d.dims AND nq.query_id = d.query_id),
+        |ranked AS (
+        |  SELECT dims, query_id, vec_id FROM (
+        |    SELECT dims, query_id, vec_id, row_number() OVER (
+        |      PARTITION BY dims, query_id ORDER BY cos DESC, vec_id ASC) AS rn
+        |    FROM scored)
+        |  WHERE rn <= 10),
+        |full64 AS (SELECT query_id, vec_id FROM ranked WHERE dims = 64)
+        |SELECT dims, count(*) AS retrieved,
+        |  CAST(sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS overlap
+        |FROM ranked r LEFT JOIN full64 f
+        |  ON f.query_id = r.query_id AND f.vec_id = r.vec_id
+        |GROUP BY dims""".stripMargin))((s, d) =>
+      matryoshkaRecallCurve(Tables.embeddings(s, d),
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L), k = 10,
+        dimBudgets = Seq(8, 16, 32, 64))),
 
     // N11 — hard-negative mining, oracle-checked value for value with
     // the n4 window twin plus the ceiling filter: per query 0-4, the 10

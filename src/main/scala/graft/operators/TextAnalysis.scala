@@ -615,7 +615,83 @@ object TextAnalysisQueries extends graft.QueryModule {
         sum(col("qv")).as("qsum"))
   }
 
+  /** Mis-decoded-UTF-8 marker planted by the t55 fixture: 'café résumé'
+    * read as Latin-1 ('Ã©' = the classic mojibake signature). One Scala
+    * constant feeds BOTH the Spark literal and the oracle SQL literal so
+    * the planted bytes can never drift between the two engines. */
+  private val mojiLit = " cafÃ© rÃ©sumÃ©"
+
+  /** Encoding / mojibake quality control — the first gate a web-crawl
+    * corpus passes before any text analysis: per source, how many
+    * characters are non-ASCII, how many are U+FFFD replacement chars
+    * (a decoder already gave up), how many are C0 control characters
+    * (binary junk detached from its container), and how many carry the
+    * 'Ã'-prefixed double-decode signature of UTF-8 read as Latin-1 —
+    * plus the count of flagged documents. All counts are computed as
+    * length deltas of codegen'd regexp_replace calls (no UDF), then one
+    * partial+final hash aggregation by source — a single corpus scan
+    * with O(sources) output, embarrassingly parallel at 100 TB. The
+    * synthetic corpus is pure ASCII, so the query plants deterministic
+    * anomalies on fixed doc_id residues (the m5/m6 planted-clone
+    * discipline) to keep every counter exercised end to end. */
+  def encodingQc(docs: DataFrame): DataFrame = {
+    val t = col("t")
+    def cnt(pattern: String): Column =
+      length(t) - length(regexp_replace(t, pattern, ""))
+    docs
+      .withColumn("t", concat(col("text"),
+        when(col("doc_id") % 7 === 3, lit(mojiLit)).otherwise(lit("")),
+        when(col("doc_id") % 11 === 5, lit("\u0007\ufffd")).otherwise(lit(""))))
+      .select(col("source"), t,
+        cnt("[^\\x00-\\x7F]").as("nonascii"),
+        cnt("Ã").as("moji"),
+        cnt("�").as("repl"),
+        cnt("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]").as("ctrl"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(t)).as("total_chars"),
+        sum(col("nonascii")).as("nonascii_chars"),
+        sum(col("moji")).as("mojibake_chars"),
+        sum(col("repl")).as("replacement_chars"),
+        sum(col("ctrl")).as("ctrl_chars"),
+        sum(when(col("moji") + col("repl") + col("ctrl") > 0, 1L)
+          .otherwise(0L)).as("flagged_docs"))
+  }
+
   def defs: Seq[graft.QueryDef] = Seq(
+
+    // T55 — encoding QC: the oracle replays the planted-anomaly
+    // injection and every length-delta counter in DuckDB's RE2 (the
+    // regex subset used — literal chars and hex-escaped classes — is
+    // semantically identical across Java regex and RE2), value-checking
+    // the per-source rollup exactly.
+    graft.QueryDef("t55_encoding_qc", Some(
+      s"""WITH injected AS (
+         |  SELECT source,
+         |    text
+         |      || CASE WHEN doc_id % 7 = 3 THEN '$mojiLit' ELSE '' END
+         |      || CASE WHEN doc_id % 11 = 5 THEN chr(7) || chr(65533)
+         |           ELSE '' END AS t
+         |  FROM documents),
+         |m AS (
+         |  SELECT source, t,
+         |    length(t) - length(regexp_replace(t, '[^\\x00-\\x7F]', '', 'g'))
+         |      AS nonascii,
+         |    length(t) - length(regexp_replace(t, chr(195), '', 'g')) AS moji,
+         |    length(t) - length(regexp_replace(t, chr(65533), '', 'g')) AS repl,
+         |    length(t) - length(regexp_replace(t,
+         |      '[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}]', '', 'g')) AS ctrl
+         |  FROM injected)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(length(t)) AS BIGINT) AS total_chars,
+         |  CAST(sum(nonascii) AS BIGINT) AS nonascii_chars,
+         |  CAST(sum(moji) AS BIGINT) AS mojibake_chars,
+         |  CAST(sum(repl) AS BIGINT) AS replacement_chars,
+         |  CAST(sum(ctrl) AS BIGINT) AS ctrl_chars,
+         |  CAST(sum(CASE WHEN moji + repl + ctrl > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS flagged_docs
+         |FROM m GROUP BY source""".stripMargin))((s, d) =>
+      encodingQc(Tables.documents(s, d))),
 
     // T1 — language-ID heuristic: stop-word marker hits per language,
     // argmax with a fixed precedence. (The synthetic corpus is one shared

@@ -42,7 +42,9 @@ class DeterminismSpec extends AnyFunSuite with SparkSuite {
   // window, i1's batch boundaries.
   private val r13Queries = Seq(
     "d20_max_dup_spans", "d21_spans_against_index", "n31_ranking_eval",
-    "x9_curation_manifest", "i1_batched_inference", "d22_span_attribution")
+    "x9_curation_manifest", "i1_batched_inference", "d22_span_attribution",
+    "i2_cached_inference", "n32_scalar_quant", "t55_encoding_qc",
+    "n34_matryoshka_recall", "i3_canary_drift")
 
   test("round-13 additions are invariant to shuffle partition count") {
     val alt = spark.newSession()

@@ -37,4 +37,36 @@ class InferenceSpec extends AnyFunSuite with SparkSuite {
     val n = docs.count()
     assert(by32.length == n && by32.map(_._1).distinct.length == n)
   }
+
+  test("i2: the model is never invoked for cached content") {
+    val cache = Inference.buildScoreCache(docs.where(col("doc_id") % 3 === 0))(
+      Inference.surrogateScoreBatch)
+    // The fresh-path scorer returns a marker no cached row can carry
+    // (surrogate scores are < 1000): a marker on a from_cache=1 row or
+    // a non-marker on a from_cache=0 row proves the hit/miss seam
+    // routed a row to the wrong path.
+    val out = Inference.cachedInference(docs, cache, batchSize = 7) { batch =>
+      assert(batch.nonEmpty && batch.size <= 7,
+        s"miss batch of ${batch.size} exceeds bound 7")
+      batch.map { case (id, _) => (id, 777777L) }
+    }.collect()
+    val n = docs.count()
+    assert(out.length == n && out.map(_.getLong(0)).distinct.length == n)
+    val (hits, misses) = out.partition(_.getInt(2) == 1)
+    assert(hits.nonEmpty && misses.nonEmpty)
+    assert(hits.forall(_.getLong(1) < 1000L), "a cached row was re-scored")
+    assert(misses.forall(_.getLong(1) == 777777L),
+      "a miss row did not come from the model")
+  }
+
+  test("i2: cached and uncached runs produce identical scores") {
+    val cache = Inference.buildScoreCache(docs.where(col("doc_id") % 3 === 0))(
+      Inference.surrogateScoreBatch)
+    val cached = Inference.cachedInference(docs, cache)(
+      Inference.surrogateScoreBatch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = Inference.batchedInference(docs)(Inference.surrogateScoreBatch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cached == plain)
+  }
 }
