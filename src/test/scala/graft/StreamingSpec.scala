@@ -892,6 +892,48 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(streamed.size == docs.count(), "row accounting drifted across batches")
   }
 
+  test("incremental cached inference reuses prior batches' content (i2 twin)") {
+    import graft.operators.Inference
+    def addChunk(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp("graft_ci_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$dir/$name"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val src = tmp("graft_ci_src")
+    val out = tmp("graft_ci_root") + "/scores"
+    val cacheDir = tmp("graft_ci_root2") + "/cache"
+    val ckpt = tmp("graft_ci_ckpt")
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // chunk 2 re-delivers 20 of chunk 1's documents under NEW doc_ids —
+    // the re-crawl case the cache exists for
+    val chunk1 = docs.where(col("doc_id") % 2 === 0)
+    val redelivered = chunk1.where(col("doc_id") < 40)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val chunk2 = docs.where(col("doc_id") % 2 === 1).unionByName(redelivered)
+    addChunk(src, chunk1, "c1.parquet")
+    Streams.incrementalCachedScore(spark, src, out, cacheDir, ckpt)
+    addChunk(src, chunk2, "c2.parquet")
+    Streams.incrementalCachedScore(spark, src, out, cacheDir, ckpt)
+    val streamed = spark.read.parquet(out)
+    // scores agree with one direct uncached pass over everything
+    val direct = Inference.batchedInference(
+      docs.unionByName(redelivered), batchSize = 32)(
+      Inference.surrogateScoreBatch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = streamed.select(col("doc_id"), col("score_q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == direct, "streamed cached scores != direct scores")
+    // every re-delivered doc was a cache HIT; chunk 1 (empty cache) had none
+    val hits = streamed.where(col("from_cache") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hits == redelivered.select("doc_id").collect()
+      .map(_.getLong(0)).toSet,
+      "cache hits != the re-delivered content set")
+  }
+
   test("incremental gram index compacts to the direct serving index (d21 twin)") {
     import graft.operators.Dedup
     def addChunk(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
