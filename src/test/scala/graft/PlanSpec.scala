@@ -520,6 +520,28 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     // per-row; any shuffle would be overhead).
     val i1 = plan("i1_batched_inference")
     assert(!i1.contains("Exchange"), s"i1: unexpected exchange:\n$i1")
+    // t55: single-scan agg chain — counters are regexp length deltas,
+    // no join anywhere, no window.
+    val t55 = plan("t55_encoding_qc")
+    assert(!t55.contains("Join") && !t55.contains("Window"),
+      s"t55: expected join-free single-scan agg:\n$t55")
+    // n32: the O(dims) stats frame broadcasts back onto the exploded
+    // fact side — never a sort-merge exchange of the corpus.
+    val n32 = plan("n32_scalar_quant")
+    assert(n32.contains("BroadcastHashJoin") && !n32.contains("SortMergeJoin"),
+      s"n32: expected broadcast stats join:\n$n32")
+    // i2: ONE cache join feeding ONE mapPartitions pass (hits pass
+    // through, misses batch) — the join must not duplicate into
+    // separate hit/miss subplans.
+    val i2 = plan("i2_cached_inference")
+    assert(i2.contains("MapPartitions"),
+      s"i2: missing the batched scoring pass:\n$i2")
+    assert(i2.sliding("MapPartitions".length).count(_ == "MapPartitions") <= 2,
+      s"i2: scoring pass duplicated:\n$i2")
+    // n34: every per-budget retrieval broadcasts its m-query side; the
+    // corpus is scanned, never shuffled into a sort-merge join.
+    val n34 = plan("n34_matryoshka_recall")
+    assert(n34.contains("Broadcast"), s"n34: query side not broadcast:\n$n34")
   }
 
   test("d21: the gram-index probe prunes bucket partitions at the file index") {
