@@ -634,14 +634,18 @@ object TextAnalysisQueries extends graft.QueryModule {
     * synthetic corpus is pure ASCII, so the query plants deterministic
     * anomalies on fixed doc_id residues (the m5/m6 planted-clone
     * discipline) to keep every counter exercised end to end. */
+  /** The t55/t56 planted-anomaly frame: mojibake on doc_id % 7 == 3,
+    * a control char + replacement char on doc_id % 11 == 5. */
+  private def injectedDocs(docs: DataFrame): DataFrame =
+    docs.withColumn("t", concat(col("text"),
+      when(col("doc_id") % 7 === 3, lit(mojiLit)).otherwise(lit("")),
+      when(col("doc_id") % 11 === 5, lit("\u0007\ufffd")).otherwise(lit(""))))
+
   def encodingQc(docs: DataFrame): DataFrame = {
     val t = col("t")
     def cnt(pattern: String): Column =
       length(t) - length(regexp_replace(t, pattern, ""))
-    docs
-      .withColumn("t", concat(col("text"),
-        when(col("doc_id") % 7 === 3, lit(mojiLit)).otherwise(lit("")),
-        when(col("doc_id") % 11 === 5, lit("\u0007\ufffd")).otherwise(lit(""))))
+    injectedDocs(docs)
       .select(col("source"), t,
         cnt("[^\\x00-\\x7F]").as("nonascii"),
         cnt("Ã").as("moji"),
@@ -658,6 +662,42 @@ object TextAnalysisQueries extends graft.QueryModule {
           .otherwise(0L)).as("flagged_docs"))
   }
 
+  /** Encoding REPAIR — the fix-up stage paired with [[encodingQc]]
+    * (the ftfy pattern): un-mojibake the double-decode pairs (here the
+    * planted 'A~(c)' -> 'e-acute'; a real deployment carries the full
+    * Latin-1/Windows-1252 pair table in the same one regexp each),
+    * then strip replacement and C0 control characters. Per source:
+    * chars before/after, repaired-pair and stripped-char counts, and
+    * the residual-bad-docs audit (docs still carrying any anomaly
+    * after repair — non-zero means the pair table needs widening).
+    * Same single-scan, join-free shape as t55. */
+  def encodingRepair(docs: DataFrame): DataFrame = {
+    val fixed = injectedDocs(docs)
+      .withColumn("t1", regexp_replace(col("t"), "\u00c3\u00a9", "\u00e9"))
+      .withColumn("t2", regexp_replace(col("t1"),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\ufffd]", ""))
+    fixed.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col("t"))).as("chars_before"),
+      sum(length(col("t2"))).as("chars_after"),
+      sum(length(col("t")) - length(col("t1"))).as("moji_repaired"),
+      sum(length(col("t1")) - length(col("t2"))).as("stripped_chars"),
+      sum(when(col("t2").rlike(
+        "[\u00c3\ufffd\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"), 1L)
+        .otherwise(0L)).as("residual_bad_docs"))
+  }
+
+  /** DuckDB twin of [[injectedDocs]] — one CTE shared by the t55/t56
+    * oracles so the planted bytes stay byte-identical on both sides. */
+  private lazy val injectedSql: String =
+    s"""injected AS (
+       |  SELECT source,
+       |    text ||
+       |      CASE WHEN doc_id % 7 = 3 THEN '$mojiLit' ELSE '' END ||
+       |      CASE WHEN doc_id % 11 = 5 THEN chr(7) || chr(65533)
+       |           ELSE '' END AS t
+       |  FROM documents)""".stripMargin
+
   def defs: Seq[graft.QueryDef] = Seq(
 
     // T55 — encoding QC: the oracle replays the planted-anomaly
@@ -666,13 +706,7 @@ object TextAnalysisQueries extends graft.QueryModule {
     // semantically identical across Java regex and RE2), value-checking
     // the per-source rollup exactly.
     graft.QueryDef("t55_encoding_qc", Some(
-      s"""WITH injected AS (
-         |  SELECT source,
-         |    text
-         |      || CASE WHEN doc_id % 7 = 3 THEN '$mojiLit' ELSE '' END
-         |      || CASE WHEN doc_id % 11 = 5 THEN chr(7) || chr(65533)
-         |           ELSE '' END AS t
-         |  FROM documents),
+      s"""WITH $injectedSql,
          |m AS (
          |  SELECT source, t,
          |    length(t) - length(regexp_replace(t, '[^\\x00-\\x7F]', '', 'g'))
@@ -692,6 +726,36 @@ object TextAnalysisQueries extends graft.QueryModule {
          |    AS BIGINT) AS flagged_docs
          |FROM m GROUP BY source""".stripMargin))((s, d) =>
       encodingQc(Tables.documents(s, d))),
+
+    // T56 — encoding repair (see encodingRepair): the oracle replays
+    // the same injection, the literal un-mojibake replace, and the
+    // strip class (chr-built so no control byte ever sits in the SQL
+    // text), then the per-source char accounting and the residual
+    // audit. On the planted fixture residual_bad_docs is 0 everywhere
+    // — the repair provably clears exactly what the t55 QC flags.
+    graft.QueryDef("t56_encoding_repair", Some(
+      s"""WITH $injectedSql,
+         |r1 AS (
+         |  SELECT source, t,
+         |    replace(t, chr(195) || chr(169), chr(233)) AS t1
+         |  FROM injected),
+         |r2 AS (
+         |  SELECT source, t, t1,
+         |    regexp_replace(t1,
+         |      '[' || chr(65533) || '\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}]',
+         |      '', 'g') AS t2
+         |  FROM r1)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(length(t)) AS BIGINT) AS chars_before,
+         |  CAST(sum(length(t2)) AS BIGINT) AS chars_after,
+         |  CAST(sum(length(t) - length(t1)) AS BIGINT) AS moji_repaired,
+         |  CAST(sum(length(t1) - length(t2)) AS BIGINT) AS stripped_chars,
+         |  CAST(sum(CASE WHEN regexp_matches(t2,
+         |      '[' || chr(195) || chr(65533) ||
+         |      '\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}]')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS residual_bad_docs
+         |FROM r2 GROUP BY source""".stripMargin))((s, d) =>
+      encodingRepair(Tables.documents(s, d))),
 
     // T1 — language-ID heuristic: stop-word marker hits per language,
     // argmax with a fixed precedence. (The synthetic corpus is one shared

@@ -525,6 +525,10 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     val t55 = plan("t55_encoding_qc")
     assert(!t55.contains("Join") && !t55.contains("Window"),
       s"t55: expected join-free single-scan agg:\n$t55")
+    // t56: same join-free single-scan shape as its QC sibling.
+    val t56 = plan("t56_encoding_repair")
+    assert(!t56.contains("Join") && !t56.contains("Window"),
+      s"t56: expected join-free single-scan agg:\n$t56")
     // n32: the O(dims) stats frame broadcasts back onto the exploded
     // fact side — never a sort-merge exchange of the corpus.
     val n32 = plan("n32_scalar_quant")
