@@ -538,6 +538,41 @@ object Similarity {
         sum(coalesce(col("hit"), lit(0L))).as("overlap"))
   }
 
+  /** MATRYOSHKA two-stage retrieval — the serving operator the n34
+    * curve tunes: coarse-rank the corpus on an embedding PREFIX (a
+    * fraction of the memory bandwidth per candidate), keep a
+    * `shortlist`, then exact-rerank ONLY the shortlist on full
+    * dimensions. Stage 1 is a [[batchTopK]] broadcast scan with
+    * k = shortlist; stage 2 gathers full vectors by BROADCASTING the
+    * O(m·shortlist) candidate frame against the store (the n18
+    * store-gather shape — the corpus is probed map-side, never
+    * shuffled) and re-scores through the same bounded TopK
+    * aggregation. Both stages use the (cos DESC, vec_id ASC) total
+    * tie-break, so the result is deterministic end to end; recall vs
+    * exact is whatever the n34 curve says the (coarseDims, shortlist)
+    * point buys. */
+  def matryoshkaTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      coarseDims: Int, shortlist: Int): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val coarse = batchTopK(embeddings.select(col("vec_id"),
+        slice(col("embedding"), 1, coarseDims).as("embedding")),
+      queryIds, shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val q = embeddings.where(col("vec_id").isin(queryIds.map(Long.box): _*))
+      .select(col("vec_id").as("query_id"), quant(col("embedding")).as("qv"))
+    embeddings.select(col("vec_id"), quant(col("embedding")).as("v"))
+      .join(broadcast(coarse), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id").cast(StringType), col("vec_id"),
+        cosine(idot(col("v"), col("qv")), inorm2(col("v")), inorm2(col("qv")))
+          .as("cos"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.TopKAggregator(k).toColumn)
+      .flatMap { case (qid, top) => top.map(t => (qid.toLong, t._1, t._2)) }
+      .toDF("query_id", "vec_id", "cos")
+  }
+
   /** Per-vector probe lists for GRAPH construction: the nProbe nearest
     * cells of EVERY vector, computed map-side against the broadcast
     * O(model) centroid array. [[ivfBatchTopK]]'s driver collect is right
@@ -3094,6 +3129,59 @@ object SimilarityQueries extends graft.QueryModule {
       matryoshkaRecallCurve(Tables.embeddings(s, d),
         queryIds = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L), k = 10,
         dimBudgets = Seq(8, 16, 32, 64))),
+
+    // N35 — matryoshka two-stage retrieval (see
+    // Similarity.matryoshkaTopK): coarse top-50 on the 16-dim prefix,
+    // exact top-10 rerank on full dims. The oracle replays BOTH stages
+    // — prefix-bounded ranking window for the shortlist, full-dim
+    // re-score joined against it, final window — value-exact; a coarse
+    // stage that leaked or dropped a candidate, or a rerank that
+    // escaped the shortlist, changes the row set.
+    graft.QueryDef("n35_matryoshka_topk", Some(
+      """WITH qe AS (
+        |  SELECT vec_id AS query_id,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)),
+        |ve AS (
+        |  SELECT vec_id, CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |pdots AS (
+        |  SELECT qe.query_id, ve.vec_id, SUM(ve.x * qe.q) AS dot, SUM(ve.x * ve.x) AS nv
+        |  FROM ve JOIN qe ON ve.i = qe.i WHERE ve.i <= 16
+        |  GROUP BY qe.query_id, ve.vec_id),
+        |pnq AS (SELECT query_id, SUM(q * q) AS n2 FROM qe WHERE i <= 16 GROUP BY query_id),
+        |pscored AS (
+        |  SELECT d.query_id, d.vec_id,
+        |    CAST(dot AS DOUBLE) / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
+        |  FROM pdots d JOIN pnq ON pnq.query_id = d.query_id),
+        |shortlist AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+        |    FROM pscored)
+        |  WHERE rn <= 50),
+        |fdots AS (
+        |  SELECT qe.query_id, ve.vec_id, SUM(ve.x * qe.q) AS dot, SUM(ve.x * ve.x) AS nv
+        |  FROM ve JOIN qe ON ve.i = qe.i GROUP BY qe.query_id, ve.vec_id),
+        |fnq AS (SELECT query_id, SUM(q * q) AS n2 FROM qe GROUP BY query_id),
+        |fscored AS (
+        |  SELECT d.query_id, d.vec_id,
+        |    CAST(dot AS DOUBLE) / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
+        |  FROM fdots d JOIN fnq ON fnq.query_id = d.query_id),
+        |rer AS (
+        |  SELECT f.query_id, f.vec_id, f.cos
+        |  FROM fscored f JOIN shortlist s
+        |    ON s.query_id = f.query_id AND s.vec_id = f.vec_id)
+        |SELECT query_id, vec_id, cos FROM (
+        |  SELECT query_id, vec_id, cos, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+        |  FROM rer)
+        |WHERE rn <= 10""".stripMargin))((s, d) =>
+      matryoshkaTopK(Tables.embeddings(s, d),
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L), k = 10,
+        coarseDims = 16, shortlist = 50)),
 
     // N11 — hard-negative mining, oracle-checked value for value with
     // the n4 window twin plus the ceiling filter: per query 0-4, the 10

@@ -44,7 +44,8 @@ class DeterminismSpec extends AnyFunSuite with SparkSuite {
     "d20_max_dup_spans", "d21_spans_against_index", "n31_ranking_eval",
     "x9_curation_manifest", "i1_batched_inference", "d22_span_attribution",
     "i2_cached_inference", "n32_scalar_quant", "t55_encoding_qc",
-    "n34_matryoshka_recall", "i3_canary_drift", "t56_encoding_repair")
+    "n34_matryoshka_recall", "i3_canary_drift", "t56_encoding_repair",
+    "n35_matryoshka_topk")
 
   test("round-13 additions are invariant to shuffle partition count") {
     val alt = spark.newSession()

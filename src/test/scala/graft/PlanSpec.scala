@@ -546,6 +546,12 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     // corpus is scanned, never shuffled into a sort-merge join.
     val n34 = plan("n34_matryoshka_recall")
     assert(n34.contains("Broadcast"), s"n34: query side not broadcast:\n$n34")
+    // n35: both the shortlist gather and the query side broadcast —
+    // the corpus is probed map-side in both stages, never shuffled
+    // into a sort-merge join.
+    val n35 = plan("n35_matryoshka_topk")
+    assert(n35.contains("Broadcast") && !n35.contains("SortMergeJoin"),
+      s"n35: expected broadcast-only store gather:\n$n35")
   }
 
   test("d21: the gram-index probe prunes bucket partitions at the file index") {
