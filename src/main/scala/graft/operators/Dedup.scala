@@ -1908,6 +1908,103 @@ object DedupQueries extends graft.QueryModule {
           col("a.g").as("ga"), col("b.g").as("gb"))
         .select(col("doc_a"), col("doc_b"),
           (inter.cast(DoubleType) / (size(col("ga")) + size(col("gb")) - inter)).as("jaccard"))
+    }),
+
+    // D23 — BLOCKED RECORD LINKAGE: the classic entity-resolution
+    // pipeline — block on a cheap deterministic key (first 12 chars of
+    // the ascii-normalized text), score candidate pairs with edit
+    // distance over a bounded 40-char signature, threshold, keep the
+    // BEST match per left record (min distance, id tiebreak). At scale
+    // the candidate volume is bounded by block collision counts (never
+    // n²) and the best-match window runs per-left-record over its
+    // block's candidates — the exact design production linkage runs at
+    // 100 TB. `levenshtein` is a codegen'd built-in in both engines;
+    // the signature is [a-z0-9 ]-only so the two implementations agree
+    // codepoint-for-codepoint. Blocks need >= 12 normalized chars so
+    // short/empty texts can't form a degenerate mega-block.
+    graft.QueryDef("d23_record_linkage", Some(
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 12) AS bk,
+        |    substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 40) AS sig
+        |  FROM documents
+        |  WHERE len(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) >= 12),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(levenshtein(a.sig, b.sig) AS BIGINT) AS dist
+        |  FROM k a JOIN k b ON b.bk = a.bk AND b.doc_id > a.doc_id),
+        |best AS (
+        |  SELECT doc_a, doc_b, dist,
+        |    row_number() OVER (PARTITION BY doc_a ORDER BY dist, doc_b) AS rn
+        |  FROM pairs WHERE dist <= 20)
+        |SELECT doc_a, doc_b, dist FROM best WHERE rn = 1""".stripMargin))((s, d) => {
+      val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
+      val k = Tables.documents(s, d)
+        .select(col("doc_id"), norm.as("norm"))
+        .where(length(col("norm")) >= 12)
+        .select(col("doc_id"), substring(col("norm"), 1, 12).as("bk"),
+          substring(col("norm"), 1, 40).as("sig"))
+      val pairs = k.as("a")
+        .join(k.as("b"),
+          col("b.bk") === col("a.bk") && col("b.doc_id") > col("a.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.sig"), col("b.sig")).cast(LongType).as("dist"))
+        .where(col("dist") <= 20)
+      // Per-left-record window: bounded by the block's candidate count.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_a")).orderBy(col("dist"), col("doc_b"))
+      pairs.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("doc_a"), col("doc_b"), col("dist"))
+    }),
+
+    // D24 — ASYMMETRIC CONTAINMENT over blocked candidates: Jaccard
+    // (d4) under-scores the sub-document case — A ⊂ B inflates the
+    // union — while containment |A∩B|/|A| catches truncations, quote
+    // expansions, and boilerplate-wrapped clones. Candidates come from
+    // the same 12-char prefix block as d23 (collision-bounded, never
+    // all-pairs — at production scale the block stage would be the d2
+    // banded MinHash join; the verify stage here is what both feed);
+    // grams are distinct word bigrams, so each containment is one
+    // integer set-intersection divided by a set size — a single IEEE
+    // division of exact ints, bit-identical across engines.
+    graft.QueryDef("d24_containment", Some(
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 12) AS bk,
+         |    list_distinct(list_transform(
+         |      generate_series(1, greatest(len(words) - 1, 1)),
+         |      i -> array_to_string(list_slice(words, i, i + 1), ' '))) AS g
+         |  FROM (SELECT doc_id, text, string_split($normTextSql, ' ') AS words FROM documents)
+         |  WHERE len(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) >= 12),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_intersect(a.g, b.g)) AS inter, len(a.g) AS na, len(b.g) AS nb
+         |  FROM g a JOIN g b ON b.bk = a.bk AND b.doc_id > a.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(inter AS DOUBLE) / na AS cont_a,
+         |  CAST(inter AS DOUBLE) / nb AS cont_b
+         |FROM pairs
+         |WHERE CAST(inter AS DOUBLE) / na >= 0.5 OR CAST(inter AS DOUBLE) / nb >= 0.5""".stripMargin))((s, d) => {
+      val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
+      val bigrams = graft.plans.NativeFunctions.wordKGrams(normText(col("text")), 2)
+      // No persist: the gram projection is cheap to recompute and a
+      // cached frame here would outlive the query (the t-513 advice
+      // class); both sides re-derive from the pruned parquet scan.
+      val g = Tables.documents(s, d)
+        .where(length(norm) >= 12)
+        .select(col("doc_id"), substring(norm, 1, 12).as("bk"), bigrams.as("g"))
+      val inter = size(array_intersect(col("ga"), col("gb"))).cast(DoubleType)
+      val out = g.as("a")
+        .join(g.as("b"),
+          col("b.bk") === col("a.bk") && col("b.doc_id") > col("a.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.g").as("ga"), col("b.g").as("gb"))
+        .select(col("doc_a"), col("doc_b"),
+          (inter / size(col("ga"))).as("cont_a"),
+          (inter / size(col("gb"))).as("cont_b"))
+        .where(col("cont_a") >= 0.5 || col("cont_b") >= 0.5)
+      out
     })
   )
 }

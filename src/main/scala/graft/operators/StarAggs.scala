@@ -550,6 +550,67 @@ object StarAggs extends graft.QueryModule {
         .select("c_custkey")
         .intersect(Tables.orders(s, d)
           .where(col("o_orderpriority") === "1-URGENT")
-          .select(col("o_custkey").as("c_custkey"))))
+          .select(col("o_custkey").as("c_custkey")))),
+
+    // A22 — GROUPED TREND REGRESSION: per-agency least-squares fit of
+    // monthly order volume on a month index — the "is this segment
+    // growing or shrinking, and how noisily" primitive behind the e21
+    // forecast and t29 adaptive thresholds. One rollup shuffle to
+    // O(agencies × months), then per-group closed-form slope/intercept/
+    // r² from EXACT BIGINT moment sums (x is an integer month index,
+    // y an integer count — no ln quantization even needed; the e23
+    // discipline with all-integer inputs). The group frame is tiny at
+    // any scale, so every double is one fixed-shape expression over
+    // exact ints — bit-identical across engines and partitionings.
+    graft.QueryDef("a22_trend_regression", Some(
+      """WITH m AS (
+        |  SELECT o_orderpriority AS agency,
+        |    CAST((year(CAST(o_orderdate AS DATE)) - 1992) * 12
+        |      + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |s AS (
+        |  SELECT agency, CAST(count(*) AS BIGINT) AS n_months,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM m GROUP BY 1)
+        |SELECT agency, n_months,
+        |  round(CAST(n_months * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n_months * sxx - sx * sx AS DOUBLE) * 1000000) / 1000000.0 AS slope,
+        |  round((CAST(sy AS DOUBLE)
+        |    - CAST(n_months * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n_months * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / n_months * 1000000) / 1000000.0 AS intercept,
+        |  round(CAST(n_months * sxy - sx * sy AS DOUBLE)
+        |    * CAST(n_months * sxy - sx * sy AS DOUBLE)
+        |    / (CAST(n_months * sxx - sx * sx AS DOUBLE)
+        |       * CAST(n_months * syy - sy * sy AS DOUBLE)) * 1000000) / 1000000.0 AS r2
+        |FROM s
+        |WHERE n_months >= 2 AND n_months * sxx - sx * sx > 0
+        |  AND n_months * syy - sy * sy > 0""".stripMargin))((s, d) => {
+      val dt = col("o_orderdate").cast(DateType)
+      val monthly = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("agency"),
+          ((year(dt) - 1992) * 12 + month(dt) - 1).cast(LongType).as("x"))
+        .agg(count(lit(1)).as("y"))
+      val m = monthly.select(col("agency"), col("x"), col("y"))
+      val st = m.groupBy("agency").agg(
+        count(lit(1)).as("n_months"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val dxx = (col("n_months") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+      val dyy = (col("n_months") * col("syy") - col("sy") * col("sy")).cast(DoubleType)
+      val dxy = (col("n_months") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+      st.where(col("n_months") >= 2 &&
+          col("n_months") * col("sxx") - col("sx") * col("sx") > 0 &&
+          col("n_months") * col("syy") - col("sy") * col("sy") > 0)
+        .select(col("agency"), col("n_months"),
+          (round(dxy / dxx * 1000000) / 1000000.0).as("slope"),
+          (round((col("sy").cast(DoubleType) - dxy / dxx * col("sx").cast(DoubleType))
+            / col("n_months") * 1000000) / 1000000.0).as("intercept"),
+          (round(dxy * dxy / (dxx * dyy) * 1000000) / 1000000.0).as("r2"))
+    })
   )
 }

@@ -3735,6 +3735,63 @@ object TextAnalysisQueries extends graft.QueryModule {
       TextAnalysisQueries.driftZscores(
         Tables.events(s, d)
           .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-          .agg(count(lit(1)).as("cnt"))))
+          .agg(count(lit(1)).as("cnt")))),
+
+    // T57 — MIN-K% PROB membership signal (Shi et al., the
+    // pretraining-data-detection heuristic): under the t17 self-trained
+    // unigram LM, a document whose LEAST-likely tokens are still likely
+    // is suspiciously "easy" — the signature of text the model (here:
+    // the corpus itself) has effectively memorized, i.e. duplicated
+    // mass. Per doc: mean of the k = ceil(20% · n_tok) smallest token
+    // log-probs. The per-doc window is doc-length-bounded (never
+    // corpus-wide), the LM is a distributed token-keyed frame (the t17
+    // discipline), and each ln is quantized to integer micro-units
+    // BEFORE any sum, so the suspect decision compares exact BIGINTs —
+    // sum(q) > -3.43 µ-units · k — with no float boundary to drift
+    // between engines or partitionings.
+    graft.QueryDef("t57_mink_prob", Some(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |total AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(round(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS q
+        |  FROM toks JOIN counts USING (tok), total),
+        |ranked AS (
+        |  SELECT doc_id, q,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY q) AS rn,
+        |    count(*) OVER (PARTITION BY doc_id) AS n_tok
+        |  FROM scored)
+        |SELECT doc_id, CAST(max(n_tok) AS BIGINT) AS n_tok,
+        |  CAST(SUM(q) AS DOUBLE) / 1000000.0 / count(*) AS mink20,
+        |  SUM(q) > -3430000 * CAST(count(*) AS BIGINT) AS suspect
+        |FROM ranked
+        |WHERE rn <= greatest(1, CAST(ceil(n_tok * 0.2) AS BIGINT))
+        |GROUP BY doc_id""".stripMargin))((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+        .where(col("tok") =!= "")
+      val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val total = counts.agg(sum(col("c")).as("n"))
+      val q = round(log(col("c").cast(DoubleType) / col("n").cast(DoubleType))
+        * 1000000).cast(LongType)
+      val scored = toks.join(counts, Seq("tok")).join(broadcast(total))
+        .select(col("doc_id"), q.as("q"))
+      val wRank = Window.partitionBy(col("doc_id")).orderBy(col("q"))
+      val wDoc = Window.partitionBy(col("doc_id"))
+      scored
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("n_tok", count(lit(1)).over(wDoc))
+        .where(col("rn") <= greatest(lit(1L),
+          ceil(col("n_tok") * 0.2).cast(LongType)))
+        .groupBy("doc_id").agg(
+          max(col("n_tok")).cast(LongType).as("n_tok"),
+          (sum(col("q")).cast(DoubleType) / 1000000.0 / count(lit(1))).as("mink20"),
+          (sum(col("q")) > lit(-3430000L) * count(lit(1))).as("suspect"))
+    })
   )
 }

@@ -45,7 +45,13 @@ class DeterminismSpec extends AnyFunSuite with SparkSuite {
     "x9_curation_manifest", "i1_batched_inference", "d22_span_attribution",
     "i2_cached_inference", "n32_scalar_quant", "t55_encoding_qc",
     "n34_matryoshka_recall", "i3_canary_drift", "t56_encoding_repair",
-    "n35_matryoshka_topk")
+    "n35_matryoshka_topk",
+    // d23's best-match window + blocked self-join, d24's blocked
+    // containment join, t57's per-doc bottom-k window, a22's grouped
+    // moment sums — each leans on a window/join mechanism where a
+    // partitioning-sensitivity bug would hide.
+    "d23_record_linkage", "d24_containment", "t57_mink_prob",
+    "a22_trend_regression")
 
   test("round-13 additions are invariant to shuffle partition count") {
     val alt = spark.newSession()

@@ -552,6 +552,30 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     val n35 = plan("n35_matryoshka_topk")
     assert(n35.contains("Broadcast") && !n35.contains("SortMergeJoin"),
       s"n35: expected broadcast-only store gather:\n$n35")
+    // d23/d24: candidate generation is a key-equality join on the
+    // blocking key — a nested-loop fallback here would be the n²
+    // all-pairs scan the module forbids.
+    for (n <- Seq("d23_record_linkage", "d24_containment")) {
+      val p = plan(n)
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$n: blocking join degenerated to a nested loop:\n$p")
+    }
+    // d23: the best-match rank runs per left record, never globally.
+    val d23 = plan("d23_record_linkage")
+    assert("(?s).*Window \\[[^\\]]*\\], \\[doc_a[^\\]]*\\].*".r
+      .findFirstIn(d23).isDefined,
+      s"d23: best-match window not partitioned by doc_a:\n$d23")
+    // t57: the LM total is a 1-row broadcast; the per-doc bottom-k
+    // window partitions by doc_id (doc-length-bounded, never global).
+    val t57 = plan("t57_mink_prob")
+    assert(t57.contains("Broadcast"), s"t57: LM total not broadcast:\n$t57")
+    assert("(?s).*Window \\[[^\\]]*\\], \\[doc_id[^\\]]*\\].*".r
+      .findFirstIn(t57).isDefined,
+      s"t57: bottom-k window not partitioned by doc_id:\n$t57")
+    // a22: one rollup + one group agg — join-free by construction.
+    val a22 = plan("a22_trend_regression")
+    assert(!a22.contains("Join"),
+      s"a22: expected join-free double aggregation:\n$a22")
   }
 
   test("d21: the gram-index probe prunes bucket partitions at the file index") {
