@@ -22,6 +22,43 @@ object Dedup {
   def normText(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
   val normTextSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
+  /** d23 record-linkage key frame: ascii-normalized 40-char signature
+    * plus the 12-char blocking prefix, length-gated (>= 12 normalized
+    * chars, so short/empty texts can't form a degenerate mega-block).
+    * ONE regexp normalization pass, persisted: the length gate and
+    * BOTH sides of the blocked self-join read the cached projection.
+    * Without the cache, Catalyst's filter pushdown re-substitutes the
+    * regexp into the scan filter and each join side recomputes the
+    * pipeline — measured 4× the normalization cost at the 50k-doc
+    * rehearsal scale (PROFILE_linkage_stages.json). Release with
+    * unpersist(); the gate harnesses clearCache() between queries. */
+  def linkageKeys(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
+    docs.select(col("doc_id"), substring(norm, 1, 40).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .where(length(col("sig")) >= 12)
+      .select(col("doc_id"), substring(col("sig"), 1, 12).as("bk"), col("sig"))
+  }
+
+  /** Blocked record linkage: equality join on the blocking key (never
+    * all-pairs — candidate volume is bounded by block collision
+    * counts), levenshtein threshold over the bounded signature, then
+    * the BEST match per left record (min distance, id tiebreak) via a
+    * per-left window bounded by the block's candidate count. */
+  def recordLinkage(keys: DataFrame, maxDist: Int): DataFrame = {
+    val pairs = keys.as("a")
+      .join(keys.as("b"),
+        col("b.bk") === col("a.bk") && col("b.doc_id") > col("a.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.sig"), col("b.sig")).cast(LongType).as("dist"))
+      .where(col("dist") <= maxDist)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a")).orderBy(col("dist"), col("doc_b"))
+    pairs.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
+
   /** Exact-clone probes: doc_id < 10 duplicated verbatim at +1000000. */
   def withExactProbes(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"))
@@ -1937,26 +1974,8 @@ object DedupQueries extends graft.QueryModule {
         |  SELECT doc_a, doc_b, dist,
         |    row_number() OVER (PARTITION BY doc_a ORDER BY dist, doc_b) AS rn
         |  FROM pairs WHERE dist <= 20)
-        |SELECT doc_a, doc_b, dist FROM best WHERE rn = 1""".stripMargin))((s, d) => {
-      val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
-      val k = Tables.documents(s, d)
-        .select(col("doc_id"), norm.as("norm"))
-        .where(length(col("norm")) >= 12)
-        .select(col("doc_id"), substring(col("norm"), 1, 12).as("bk"),
-          substring(col("norm"), 1, 40).as("sig"))
-      val pairs = k.as("a")
-        .join(k.as("b"),
-          col("b.bk") === col("a.bk") && col("b.doc_id") > col("a.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          levenshtein(col("a.sig"), col("b.sig")).cast(LongType).as("dist"))
-        .where(col("dist") <= 20)
-      // Per-left-record window: bounded by the block's candidate count.
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_a")).orderBy(col("dist"), col("doc_b"))
-      pairs.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("doc_a"), col("doc_b"), col("dist"))
-    }),
+        |SELECT doc_a, doc_b, dist FROM best WHERE rn = 1""".stripMargin))((s, d) =>
+      Dedup.recordLinkage(Dedup.linkageKeys(Tables.documents(s, d)), maxDist = 20)),
 
     // D24 — ASYMMETRIC CONTAINMENT over blocked candidates: Jaccard
     // (d4) under-scores the sub-document case — A ⊂ B inflates the
@@ -1988,12 +2007,18 @@ object DedupQueries extends graft.QueryModule {
          |WHERE CAST(inter AS DOUBLE) / na >= 0.5 OR CAST(inter AS DOUBLE) / nb >= 0.5""".stripMargin))((s, d) => {
       val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
       val bigrams = graft.plans.NativeFunctions.wordKGrams(normText(col("text")), 2)
-      // No persist: the gram projection is cheap to recompute and a
-      // cached frame here would outlive the query (the t-513 advice
-      // class); both sides re-derive from the pruned parquet scan.
-      val g = Tables.documents(s, d)
-        .where(length(norm) >= 12)
-        .select(col("doc_id"), substring(norm, 1, 12).as("bk"), bigrams.as("g"))
+      // ONE normalization + gram pass, persisted: the block key, the
+      // length gate, and BOTH sides of the self-join read the cached
+      // projection. Without the cache Catalyst's filter pushdown
+      // re-substitutes the regexp into the scan filter and each join
+      // side recomputes the pipeline — measured 4× the normalization
+      // cost at the 50k-doc rehearsal scale (PROFILE_linkage_stages).
+      // The d4 precedent; gate harnesses clearCache() between queries.
+      val g0 = Tables.documents(s, d)
+        .select(col("doc_id"), substring(norm, 1, 12).as("bk"),
+          length(norm).as("nlen"), bigrams.as("g"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val g = g0.where(col("nlen") >= 12).drop("nlen")
       val inter = size(array_intersect(col("ga"), col("gb"))).cast(DoubleType)
       val out = g.as("a")
         .join(g.as("b"),
