@@ -474,6 +474,148 @@ object Dedup {
     mergeWindowSpans(dup, stored.minLen)
   }
 
+  // --- Persistent record-linkage index -------------------------------------
+
+  /** The d25 stored linkage-key artifact: the [[linkageKeys]] frame
+    * written bucket-partitioned by a hash of the blocking key, so an
+    * incremental batch probes at most its own bucket set at the file
+    * index (the d10/d21 partition-pruning discipline). n_buckets
+    * travels WITH the artifact — a caller-supplied mismatch would
+    * silently miss ~(n-1)/n of all true links. */
+  final case class StoredLinkageIndex(keys: DataFrame, nBuckets: Int)
+
+  private def linkBucket(bk: Column, n: Int): Column =
+    pmod(xxhash64(bk), lit(n.toLong)).cast(IntegerType)
+
+  /** The plain (doc_id, bk, sig) key rows of a frame — single-sourced
+    * between the streaming maintainer's per-batch landings and tests.
+    * (The batch build [[writeLinkageIndex]] uses the persisted one-pass
+    * variant instead: at build scale the pushdown re-substitution
+    * doubles the regexp cost; inside a micro-batch it is noise.) */
+  def linkageKeyRows(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
+    docs.select(col("doc_id"), substring(norm, 1, 40).as("sig"))
+      .where(length(col("sig")) >= 12)
+      .select(col("doc_id"), substring(col("sig"), 1, 12).as("bk"), col("sig"))
+  }
+
+  /** Write the linkage-key store: one normalization pass (persisted for
+    * the write, released after — the [[linkageKeys]] pushdown lesson),
+    * bucket-partitioned on hash(bk). At 100 TB this is the once-per-
+    * release build the incremental path amortizes. */
+  def writeLinkageIndex(docs: DataFrame, path: String,
+                        nBuckets: Int = 64): Unit = {
+    val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
+    val sigs = docs.select(col("doc_id"), substring(norm, 1, 40).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sigs.where(length(col("sig")) >= 12)
+      .select(col("doc_id"), substring(col("sig"), 1, 12).as("bk"), col("sig"))
+      .withColumn("bucket", linkBucket(col("bk"), nBuckets))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/keys")
+    sigs.unpersist()
+    import docs.sparkSession.implicits._
+    Seq(nBuckets.toLong).toDF("n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def readLinkageIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String): StoredLinkageIndex = {
+    val meta = spark.read.parquet(s"$path/meta").select("n_buckets").head()
+    StoredLinkageIndex(spark.read.parquet(s"$path/keys"), meta.getLong(0).toInt)
+  }
+
+  /** Deterministic probe batch for the incremental-linkage gates:
+    * exact-prefix re-emissions (ids +4M — signature unchanged, so the
+    * best link is the base doc at distance 0) plus in-signature
+    * mutations (ids +4.5M — 5 chars replaced past the blocking prefix,
+    * so the block still matches and the distance is small but
+    * nonzero). Id ranges are disjoint from every other probe family. */
+  def linkBatchOf(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") % 41 === 0)
+      .select((col("doc_id") + 4000000L).as("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") % 43 === 0)
+        .select((col("doc_id") + 4500000L).as("doc_id"),
+          concat(substring(col("text"), 1, 14), lit("qzxqz"),
+            substring(col("text"), 20, Int.MaxValue)).as("text")))
+
+  val linkBatchSql: String =
+    """SELECT doc_id + 4000000 AS doc_id, text FROM documents WHERE doc_id % 41 = 0
+      |UNION ALL
+      |SELECT doc_id + 4500000 AS doc_id,
+      |  concat(substr(text, 1, 14), 'qzxqz', substr(text, 20)) AS text
+      |FROM documents WHERE doc_id % 43 = 0""".stripMargin
+
+  /** Batch-incremental record linkage: each BATCH document's best
+    * stored match, computed WITHOUT rescanning the corpus — the stored
+    * side prunes twice: directory pruning on the batch's bucket set
+    * (<= nBuckets ints, driver-bounded by construction), then the
+    * bk-equality join. The batch key frame persists so the bucket
+    * collect and the join share one normalization pass. */
+  def linkAgainstIndex(stored: StoredLinkageIndex, batch: DataFrame,
+                       maxDist: Int): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
+    val bkeys = batch.select(col("doc_id"), substring(norm, 1, 40).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .where(length(col("sig")) >= 12)
+      .select(col("doc_id"), substring(col("sig"), 1, 12).as("bk"), col("sig"))
+      .withColumn("bucket", linkBucket(col("bk"), stored.nBuckets))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val buckets = bkeys.select("bucket").distinct().collect().map(_.getInt(0))
+    val probe = stored.keys
+      .where(col("bucket").isin(buckets.toSeq.map(Integer.valueOf): _*))
+    val pairs = bkeys.as("b")
+      .join(probe.as("k"), col("k.bk") === col("b.bk") &&
+        col("k.bucket") === col("b.bucket"))
+      .select(col("b.doc_id").as("doc_id"), col("k.doc_id").as("match_id"),
+        levenshtein(col("b.sig"), col("k.sig")).cast(LongType).as("dist"))
+      .where(col("dist") <= maxDist)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("dist"), col("match_id"))
+    pairs.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("match_id"), col("dist"))
+  }
+
+  /** Compact the STREAMING incremental linkage store (batch_id-scoped
+    * per-doc key rows from streaming.Streams.incrementalLinkageIndex)
+    * — optionally over an existing base index — into the serving
+    * layout [[linkAgainstIndex]] probes. Keys are PER-DOC rows (unlike
+    * the gram store's cross-doc ownership rollup), so two things the
+    * gram family cannot do fall out for free: a re-delivered doc
+    * resolves by last-writer-wins on batch_id (the s5 discipline —
+    * batch split can never change the result for immutable content,
+    * and a corrected re-crawl deterministically supersedes), and
+    * takedown PURGE is a row filter at compaction, not a rebuild. */
+  def compactLinkageIndex(spark: org.apache.spark.sql.SparkSession,
+                          incrementalDir: String, servingPath: String,
+                          basePath: Option[String] = None,
+                          nBuckets: Int = 64,
+                          tombstones: Option[DataFrame] = None): Unit = {
+    val deltas = spark.read.option("basePath", incrementalDir)
+      .parquet(incrementalDir)
+      .select(col("doc_id"), col("bk"), col("sig"), col("batch_id"))
+    val all = basePath match {
+      case Some(p) =>
+        readLinkageIndex(spark, p).keys
+          .select(col("doc_id"), col("bk"), col("sig"), lit(-1L).as("batch_id"))
+          .unionByName(deltas)
+      case None => deltas
+    }
+    val latest = all.groupBy("doc_id").agg(
+      max_by(struct(col("batch_id"), col("bk"), col("sig")),
+        col("batch_id")).as("s"))
+      .select(col("doc_id"), col("s.bk").as("bk"), col("s.sig").as("sig"))
+    val kept = tombstones match {
+      case Some(t) => latest.join(t.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      case None => latest
+    }
+    kept.withColumn("bucket", linkBucket(col("bk"), nBuckets))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$servingPath/keys")
+    import spark.implicits._
+    Seq(nBuckets.toLong).toDF("n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$servingPath/meta")
+  }
+
   /** Deterministic, growth-stable train/val split assignment: a doc's
     * split is a pure function of its id hash, so adding corpus never
     * reshuffles existing assignments (a modulo over a ROW NUMBER would
@@ -1117,6 +1259,8 @@ object DedupQueries extends graft.QueryModule {
   private val mhWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val gramWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val linkWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def dirTag(d: String): String = d.replaceAll("[^a-zA-Z0-9]", "_")
 
@@ -2030,6 +2174,48 @@ object DedupQueries extends graft.QueryModule {
           (inter / size(col("gb"))).as("cont_b"))
         .where(col("cont_a") >= 0.5 || col("cont_b") >= 0.5)
       out
+    }),
+
+    // D25 — INCREMENTAL LINKAGE AGAINST THE STORED INDEX: each batch
+    // document's best corpus match WITHOUT rescanning the corpus — the
+    // d23 key frame persisted bucket-partitioned on hash(bk), probed
+    // with directory pruning on the batch's bucket set (the d10/d21
+    // discipline; PlanSpec pins PartitionFilters). The batch plants
+    // exact-prefix re-emissions (dist 0 to their base doc) and
+    // in-signature 5-char mutations (block preserved, dist small but
+    // nonzero), so both the hit path and the fuzzy path are exercised.
+    // FULL oracle: corpus keys × replayed batch keys, levenshtein,
+    // best-match window — any drift in the written layout, bucket
+    // pruning, or merge fails value equality.
+    graft.QueryDef("d25_linkage_against_index", Some(
+      s"""WITH k AS (
+         |  SELECT doc_id,
+         |    substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 12) AS bk,
+         |    substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 40) AS sig
+         |  FROM documents
+         |  WHERE len(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) >= 12),
+         |b AS (
+         |  SELECT doc_id,
+         |    substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 12) AS bk,
+         |    substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 40) AS sig
+         |  FROM ($linkBatchSql)
+         |  WHERE len(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) >= 12),
+         |pairs AS (
+         |  SELECT b.doc_id AS doc_id, k.doc_id AS match_id,
+         |    CAST(levenshtein(b.sig, k.sig) AS BIGINT) AS dist
+         |  FROM b JOIN k ON k.bk = b.bk),
+         |best AS (
+         |  SELECT doc_id, match_id, dist,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY dist, match_id) AS rn
+         |  FROM pairs WHERE dist <= 20)
+         |SELECT doc_id, match_id, dist FROM best WHERE rn = 1""".stripMargin))((s, d) => {
+      val path = linkWritten.computeIfAbsent(d, dd => {
+        val p = s"$idxRoot/${dirTag(dd)}/linkage"
+        writeLinkageIndex(Tables.documents(s, dd), p)
+        p
+      })
+      linkAgainstIndex(readLinkageIndex(s, path),
+        linkBatchOf(Tables.documents(s, d)), maxDist = 20)
     })
   )
 }

@@ -823,6 +823,35 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Incremental linkage-index maintenance (the d25 record-linkage
+    * store): each micro-batch computes ONLY its own rows' (doc_id, bk,
+    * sig) keys through the shared
+    * [[graft.operators.Dedup.linkageKeyRows]] and lands them
+    * batch_id-scoped — idempotent overwrite, same contract as every
+    * incremental index here. Serving happens after
+    * [[graft.operators.Dedup.compactLinkageIndex]] folds the deltas
+    * (last-writer-wins per doc_id on batch_id — keys are per-doc rows,
+    * so re-delivery and corrected re-crawls resolve deterministically,
+    * and takedown purge is a row filter at compaction) into the
+    * bucket-partitioned layout
+    * [[graft.operators.Dedup.linkAgainstIndex]] probes. */
+  def incrementalLinkageIndex(spark: SparkSession, sourceDir: String,
+                              indexDir: String, checkpointDir: String): Unit = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup.linkageKeyRows(batch)
+          .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   // Scoped out, deliberately: an incremental twin of the ORDERED e4
   // funnel. Retention decomposes because min() is merge-associative —
   // per-batch (user, week, min ts) is a bounded sufficient statistic.

@@ -590,6 +590,19 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"d21: bucket probe not pruning partitions:\n$p")
   }
 
+  test("d25: the linkage-index probe prunes bucket partitions at the file index") {
+    import operators.Dedup
+    val path = util.TmpRoot("linkplan") + "/linkage"
+    Dedup.writeLinkageIndex(Tables.documents(spark, sf), path)
+    val stored = Dedup.readLinkageIndex(spark, path)
+    val p = Dedup.linkAgainstIndex(stored,
+        Dedup.linkBatchOf(Tables.documents(spark, sf)), maxDist = 20)
+      .queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*bucket.*"),
+      s"d25: bucket probe not pruning partitions:\n$p")
+  }
+
   test("corpus-sized graph outputs are executor-materialized, never a driver collect") {
     // n16/n17/n19/n24/d16/d19 return one row per corpus vector/document
     // (or per dup cluster). Their frames must arrive as lineage-cut

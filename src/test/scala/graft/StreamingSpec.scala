@@ -974,4 +974,55 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(spans(serving) == spans(direct),
       "compacted store serves different spans than the direct build")
   }
+
+  test("incremental linkage index compacts to the direct store and purges tombstones (d25 twin)") {
+    import graft.operators.Dedup
+    def addChunk(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp("graft_link_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$dir/$name"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val src = tmp("graft_link_src")
+    val inc = tmp("graft_link_root") + "/inc"
+    val ckpt = tmp("graft_link_ckpt")
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    addChunk(src, docs.where(col("doc_id") % 2 === 0), "c1.parquet")
+    Streams.incrementalLinkageIndex(spark, src, inc, ckpt)
+    addChunk(src, docs.where(col("doc_id") % 2 === 1), "c2.parquet")
+    Streams.incrementalLinkageIndex(spark, src, inc, ckpt)
+    val serving = tmp("graft_link_out") + "/serving"
+    Dedup.compactLinkageIndex(spark, inc, serving)
+    val direct = tmp("graft_link_out2") + "/direct"
+    Dedup.writeLinkageIndex(docs, direct)
+    def keySet(path: String) = spark.read.parquet(s"$path/keys")
+      .select(col("doc_id"), col("bk"), col("sig"), col("bucket")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    assert(keySet(serving) == keySet(direct),
+      "compacted linkage index differs from the direct build")
+    // the compacted store SERVES identically through the pruned probe
+    def links(path: String) =
+      Dedup.linkAgainstIndex(Dedup.readLinkageIndex(spark, path),
+        Dedup.linkBatchOf(docs), maxDist = 20).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(links(serving) == links(direct),
+      "compacted store serves different links than the direct build")
+    spark.catalog.clearCache()
+    // takedown purge is a row filter at compaction (per-doc key rows —
+    // unlike the gram store's cross-doc ownership, no rebuild needed):
+    // tombstoned ids vanish from the store and from every served link
+    import spark.implicits._
+    val tomb = docs.select(col("doc_id")).where(col("doc_id") % 7 === 0)
+    val purged = tmp("graft_link_out3") + "/purged"
+    Dedup.compactLinkageIndex(spark, inc, purged, tombstones = Some(tomb))
+    val purgedIds = spark.read.parquet(s"$purged/keys")
+      .select("doc_id").as[Long].collect().toSet
+    assert(purgedIds.forall(_ % 7 != 0), "tombstoned doc survived compaction")
+    val servedMatches = links(purged).map(_._2)
+    assert(servedMatches.forall(_ % 7 != 0),
+      "a purged doc is still served as a link target")
+    spark.catalog.clearCache()
+  }
 }
