@@ -223,7 +223,9 @@ object OracleHash {
     * each round references the previous one more than once, and an
     * inlining planner (DuckDB's default) would otherwise re-expand the
     * whole training prefix per reference — exponential in rounds. */
-  def lloydCtes(nSub: Int, nCentroids: Int, iters: Int): String = {
+  def lloydCtes(nSub: Int, nCentroids: Int, iters: Int,
+                prefix: String = "", emitVect: Boolean = true): String = {
+    val p = prefix
     val dsub = 64 / nSub
     def asgSelect(books: String): String =
       s"""  SELECT vec_id, m, j FROM (
@@ -232,33 +234,41 @@ object OracleHash {
          |    FROM (
          |      SELECT ve.vec_id, b.m, b.j,
          |        ${lfold("list((ve.x - b.c) * (ve.x - b.c) ORDER BY b.t)")} AS dist
-         |      FROM $books b JOIN vect ve ON ve.i = b.m * $dsub + b.t + 1
+         |      FROM $books b JOIN ${p}vect ve ON ve.i = b.m * $dsub + b.t + 1
          |      GROUP BY 1, 2, 3) d) WHERE rn = 1""".stripMargin
     val rounds = (1 to iters).map { k =>
-      s"""asg$k AS MATERIALIZED (
-         |${asgSelect(s"b${k - 1}")}),
-         |sums$k AS MATERIALIZED (
+      s"""${p}asg$k AS MATERIALIZED (
+         |${asgSelect(s"${p}b${k - 1}")}),
+         |${p}sums$k AS MATERIALIZED (
          |  SELECT a.m, a.j, ve.i - a.m * $dsub - 1 AS t,
          |    SUM(CAST(round(ve.x * 10000) AS BIGINT)) AS s, COUNT(*) AS n
-         |  FROM asg$k a JOIN vect ve ON ve.vec_id = a.vec_id
+         |  FROM ${p}asg$k a JOIN ${p}vect ve ON ve.vec_id = a.vec_id
          |    AND ve.i > a.m * $dsub AND ve.i <= a.m * $dsub + $dsub
          |  GROUP BY 1, 2, 3),
-         |b$k AS MATERIALIZED (
+         |${p}b$k AS MATERIALIZED (
          |  SELECT p.m, p.j, p.t, COALESCE(CAST(s.s AS DOUBLE) / 10000.0 / s.n, p.c) AS c
-         |  FROM b${k - 1} p LEFT JOIN sums$k s ON s.m = p.m AND s.j = p.j AND s.t = p.t)""".stripMargin
+         |  FROM ${p}b${k - 1} p LEFT JOIN ${p}sums$k s ON s.m = p.m AND s.j = p.j AND s.t = p.t)""".stripMargin
     }.mkString(",\n")
-    s"""vect AS MATERIALIZED (
-       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-       |    CAST(unnest(embedding) AS DOUBLE) AS x FROM vecs),
-       |seedh AS MATERIALIZED (${hashLongSelect("SELECT vec_id FROM vecs", "vec_id")}),
-       |seeds AS MATERIALIZED (
+    // When the caller provides its own `${prefix}vect` relation (e.g.
+    // the residual chain of n36, whose per-dim rows are DERIVED from a
+    // previous chain rather than unnested from an array column), only
+    // the vect CTE is skipped — seeding still hashes the ids of `vecs`,
+    // which by construction is the same id set.
+    val vectCte = if (emitVect)
+      s"""${p}vect AS MATERIALIZED (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x FROM vecs),
+         |""".stripMargin
+    else ""
+    s"""$vectCte${p}seedh AS MATERIALIZED (${hashLongSelect("SELECT vec_id FROM vecs", "vec_id")}),
+       |${p}seeds AS MATERIALIZED (
        |  SELECT vec_id, row_number() OVER (ORDER BY hs ASC, vec_id ASC) - 1 AS j
-       |  FROM seedh QUALIFY j < $nCentroids),
-       |b0 AS MATERIALIZED (
+       |  FROM ${p}seedh QUALIFY j < $nCentroids),
+       |${p}b0 AS MATERIALIZED (
        |  SELECT (ve.i - 1) // $dsub AS m, s.j, (ve.i - 1) % $dsub AS t, ve.x AS c
-       |  FROM seeds s JOIN vect ve ON ve.vec_id = s.vec_id),
+       |  FROM ${p}seeds s JOIN ${p}vect ve ON ve.vec_id = s.vec_id),
        |$rounds,
-       |codes AS MATERIALIZED (
-       |${asgSelect(s"b$iters")})""".stripMargin
+       |${p}codes AS MATERIALIZED (
+       |${asgSelect(s"${p}b$iters")})""".stripMargin
   }
 }

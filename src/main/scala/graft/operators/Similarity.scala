@@ -1006,22 +1006,27 @@ object Similarity {
                        trainEvery: Int = 1): Array[Array[Array[Double]]] = {
     import embeddings.sparkSession.implicits._
     val dsub = 64 / nSub
-    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+    // Accept float OR double embedding arrays (residual training feeds
+    // doubles): float→double is a widening cast, exact, so the values —
+    // and therefore seeds, codes, and every downstream oracle — are
+    // unchanged for the float path.
+    val vecs = embeddings.select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
     val train = if (trainEvery <= 1) vecs
       else vecs.where(pmod(xxhash64(col("vec_id")), lit(trainEvery)) === 0)
     val seedRows = train
       .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc).limit(nCentroids)
       .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[Double](0).toArray)
     require(seedRows.length == nCentroids,
       s"corpus smaller than $nCentroids codebook entries")
     var books: Array[Array[Array[Double]]] = Array.tabulate(nSub)(m =>
       seedRows.map(v => v.slice(m * dsub, (m + 1) * dsub)))
     for (_ <- 0 until iters) {
       val bks = books
-      val sums = train.as[(Long, Seq[Float])].mapPartitions { it =>
+      val sums = train.as[(Long, Seq[Double])].mapPartitions { it =>
         it.flatMap { case (_, emb) =>
-          val v = emb.iterator.map(_.toDouble).toArray
+          val v = emb.toArray
           (0 until nSub).iterator.map { m =>
             (m, nearestCell(bks(m), v, m * dsub, dsub), v.slice(m * dsub, (m + 1) * dsub))
           }
@@ -1137,6 +1142,26 @@ object Similarity {
     frame.count() // materialize before releasing the IVF cache it reads
     ivf.unpersist()
     IvfPqIndex(ivf.centroids, books, frame)
+  }
+
+  /** Per-vector IVF residuals r = v − centroid(cell) as a DOUBLE-array
+    * frame — the input residual PQ (n36) trains on. Floats widen to
+    * double exactly and centroids are exact quantized-integer means,
+    * so both engines derive bit-identical residuals; one map pass over
+    * the assigned frame, no shuffle. */
+  def residuals(index: IvfIndex): DataFrame = {
+    val s = index.assigned.sparkSession
+    import s.implicits._
+    val cents = index.centroids
+    index.assigned.select(col("vec_id"), col("cell"), col("embedding"))
+      .as[(Long, Int, Seq[Float])]
+      .map { case (id, cell, emb) =>
+        val c = cents(cell)
+        val r = new Array[Double](emb.length)
+        var i = 0
+        while (i < r.length) { r(i) = emb(i).toDouble - c(i); i += 1 }
+        (id, r)
+      }.toDF("vec_id", "embedding")
   }
 
   /** IVF-PQ query: probe the nProbe nearest cells (as ivfTopK), ADC-
@@ -2813,6 +2838,90 @@ object SimilarityQueries extends graft.QueryModule {
             .as("mean_sqerr"),
           max(col("errq")).as("max_sqerr_q"))
         .select(col("m"), col("n_vecs"), col("mean_sqerr"), col("max_sqerr_q"))
+    }),
+
+    // N36 — RESIDUAL-PQ DISTORTION AUDIT: FAISS-style IVFPQ encodes the
+    // RESIDUAL v − centroid(cell), not the raw vector — residuals have
+    // smaller variance, so the same code budget buys lower
+    // reconstruction error. This query trains BOTH codebook sets on the
+    // same corpus (raw = n21's, residual = PQ over the n3 IVF fit's
+    // residuals) and reports per-subspace reconstruction MSE for each —
+    // the measured answer to "is the residual transform worth a second
+    // Lloyd pass at 100 TB". PipelineSpec pins the point: total
+    // residual MSE < total raw MSE. FULL oracle: THREE Lloyd chains
+    // replayed in SQL (raw PQ, the nSub=1 IVF fit, PQ over the derived
+    // residual rows — the prefixed lloydCtes), every centroid, code,
+    // and squared error value-exact. All residual arithmetic is IEEE
+    // doubles derived from exact quantized-integer means, identical in
+    // both engines.
+    graft.QueryDef("n36_residual_pq", Some(
+      s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+         |${OracleHash.lloydCtes(8, 16, 5)},
+         |${OracleHash.lloydCtes(1, 16, 5, prefix = "ivf_")},
+         |res_vect AS MATERIALIZED (
+         |  SELECT v.vec_id, v.i, v.x - b.c AS x
+         |  FROM ivf_vect v
+         |  JOIN ivf_codes a ON a.vec_id = v.vec_id
+         |  JOIN ivf_b5 b ON b.j = a.j AND b.t = v.i - 1),
+         |${OracleHash.lloydCtes(8, 16, 5, prefix = "res_", emitVect = false)},
+         |raw_errs AS (
+         |  SELECT c.vec_id, c.m,
+         |    ${OracleHash.lfold("list((q.x - b.c) * (q.x - b.c) ORDER BY b.t)")} AS sqerr
+         |  FROM codes c
+         |  JOIN b5 b ON b.m = c.m AND b.j = c.j
+         |  JOIN vect q ON q.vec_id = c.vec_id AND q.i = b.m * 8 + b.t + 1
+         |  GROUP BY c.vec_id, c.m),
+         |res_errs AS (
+         |  SELECT c.vec_id, c.m,
+         |    ${OracleHash.lfold("list((q.x - b.c) * (q.x - b.c) ORDER BY b.t)")} AS sqerr
+         |  FROM res_codes c
+         |  JOIN res_b5 b ON b.m = c.m AND b.j = c.j
+         |  JOIN res_vect q ON q.vec_id = c.vec_id AND q.i = b.m * 8 + b.t + 1
+         |  GROUP BY c.vec_id, c.m),
+         |eq AS (
+         |  SELECT 'raw' AS scheme, m, CAST(round(sqerr * 1000000000) AS BIGINT) AS errq
+         |  FROM raw_errs
+         |  UNION ALL
+         |  SELECT 'residual' AS scheme, m, CAST(round(sqerr * 1000000000) AS BIGINT) AS errq
+         |  FROM res_errs)
+         |SELECT scheme, CAST(m AS INTEGER) AS m, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(errq) AS DOUBLE) / 1000000000.0 / count(*) AS mean_sqerr,
+         |  CAST(max(errq) AS BIGINT) AS max_sqerr_q
+         |FROM eq GROUP BY 1, 2""".stripMargin))((s, d) => {
+      import s.implicits._
+      val vecs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val ivf = buildIvfIndex(vecs, nCells = 16)
+      val res = residuals(ivf)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      res.count() // materialize before releasing the IVF cache it reads
+      ivf.unpersist()
+      val rawBooks = trainPqCodebooks(vecs, nSub = 8, nCentroids = 16, iters = 5)
+      val resBooks = trainPqCodebooks(res, nSub = 8, nCentroids = 16, iters = 5)
+      def errFrame(src: DataFrame, books: Array[Array[Array[Double]]],
+                   scheme: String) =
+        src.select(col("vec_id"),
+            col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+          .as[(Long, Seq[Double])].flatMap { case (_, emb) =>
+            val v = emb.toArray
+            (0 until 8).iterator.map { m =>
+              val cell = nearestCell(books(m), v, m * 8, 8)
+              var sq = 0.0
+              var t = 0
+              while (t < 8) {
+                val dd = v(m * 8 + t) - books(m)(cell)(t); sq += dd * dd; t += 1
+              }
+              (scheme, m, math.round(sq * 1e9))
+            }
+          }.toDF("scheme", "m", "errq")
+      errFrame(vecs, rawBooks, "raw")
+        .unionByName(errFrame(res, resBooks, "residual"))
+        .groupBy("scheme", "m").agg(
+          count(lit(1)).as("n_vecs"),
+          (sum(col("errq")).cast(DoubleType) / 1000000000.0 / count(lit(1)))
+            .as("mean_sqerr"),
+          max(col("errq")).as("max_sqerr_q"))
+        .select(col("scheme"), col("m"), col("n_vecs"),
+          col("mean_sqerr"), col("max_sqerr_q"))
     }),
 
     // N20 — embedding-store QC DATASHEET (the dq2 profiler for the

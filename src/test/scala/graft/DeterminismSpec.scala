@@ -51,7 +51,8 @@ class DeterminismSpec extends AnyFunSuite with SparkSuite {
     // moment sums — each leans on a window/join mechanism where a
     // partitioning-sensitivity bug would hide.
     "d23_record_linkage", "d24_containment", "t57_mink_prob",
-    "a22_trend_regression", "d25_linkage_against_index")
+    "a22_trend_regression", "d25_linkage_against_index",
+    "n36_residual_pq")
 
   test("round-13 additions are invariant to shuffle partition count") {
     val alt = spark.newSession()

@@ -1075,4 +1075,19 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(nCells == expected,
       s"derived default should be sqrt(N)=$expected cells, got $nCells")
   }
+
+  test("n36: residual PQ reconstructs strictly better than raw PQ") {
+    // The point of the residual transform: same code budget, lower
+    // error. If this ever flips, the residual path is mis-deriving
+    // (e.g. subtracting the wrong centroid) even if both chains are
+    // internally consistent with their oracles.
+    val rows = SparkEntry.queries("n36_residual_pq")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(3)))
+    val raw = rows.filter(_._1 == "raw").map(_._2).sum
+    val res = rows.filter(_._1 == "residual").map(_._2).sum
+    spark.catalog.clearCache()
+    assert(rows.length == 16, s"expected 2 schemes x 8 subspaces, got ${rows.length}")
+    assert(res < raw,
+      f"residual MSE $res%.4f should beat raw MSE $raw%.4f")
+  }
 }
