@@ -1058,10 +1058,19 @@ object Similarity {
     val schema = df.schema.add("codes",
       ArrayType(IntegerType, containsNull = false))
     val embIdx = df.schema.fieldIndex("embedding")
+    // Accept float OR double embedding arrays (the residual frame is
+    // double-valued); float widens exactly, so existing codes are
+    // unchanged.
+    val isFloat = df.schema(embIdx).dataType match {
+      case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
     val nSub = books.length
     val dsub = 64 / nSub
     df.map { row =>
-      val v = row.getSeq[Float](embIdx).iterator.map(_.toDouble).toArray
+      val v =
+        if (isFloat) row.getSeq[Float](embIdx).iterator.map(_.toDouble).toArray
+        else row.getSeq[Double](embIdx).toArray
       org.apache.spark.sql.Row.fromSeq(row.toSeq :+
         (0 until nSub).map(m => nearestCell(books(m), v, m * dsub, dsub)))
     }(org.apache.spark.sql.Encoders.row(schema))
@@ -1179,6 +1188,98 @@ object Similarity {
     adcRerank(
       index.frame.where(col("cell").isin(probeCells.toSeq.map(Integer.valueOf): _*)),
       index.books, queryVecId, k, rerank, queryFrame = Some(index.frame))
+  }
+
+  /** The RESIDUAL IVF-PQ composite (n37) — the FAISS IVFPQ encoding
+    * form: codes quantize v − centroid(cell) rather than v itself,
+    * buying the n36-measured distortion cut at the same code budget.
+    * The frame carries (vec_id, embedding, cell, codes) with RESIDUAL
+    * codes; encoding is one map pass over the assigned frame (residual
+    * recomputed inline — no join, no shuffle). */
+  final case class IvfPqResidualIndex(centroids: Array[Array[Double]],
+                                      books: Array[Array[Array[Double]]],
+                                      frame: DataFrame) {
+    def unpersist(): Unit = { frame.unpersist(); () }
+  }
+
+  def buildIvfPqResidualIndex(embeddings: DataFrame, nCells: Int = 0,
+                              nSub: Int = 8,
+                              nCentroids: Int = 16): IvfPqResidualIndex = {
+    val ivf = buildIvfIndex(embeddings, nCells)
+    val res = residuals(ivf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val books = trainPqCodebooks(res, nSub, nCentroids) // materializes res
+    val cents = ivf.centroids
+    val src = ivf.assigned.select(col("vec_id"), col("embedding"), col("cell"))
+    val schema = src.schema.add("codes",
+      ArrayType(IntegerType, containsNull = false))
+    val dsub = 64 / nSub
+    val frame = src.map { row =>
+      val emb = row.getSeq[Float](1)
+      val c = cents(row.getInt(2))
+      val r = new Array[Double](emb.length)
+      var i = 0
+      while (i < r.length) { r(i) = emb(i).toDouble - c(i); i += 1 }
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+
+        (0 until nSub).map(m => nearestCell(books(m), r, m * dsub, dsub)))
+    }(org.apache.spark.sql.Encoders.row(schema))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    frame.count() // materialize before releasing the caches it reads
+    res.unpersist()
+    ivf.unpersist()
+    IvfPqResidualIndex(cents, books, frame)
+  }
+
+  /** Residual IVF-PQ query. ADC over residual codes needs no per-cell
+    * lookup table: dot(q, v̂) = dot(q, centroid(cell)) + Σₘ dot(qₘ,
+    * bookₘ[codeₘ]) — dot is linear, so the cell dependence collapses
+    * into an O(nCells) offset table and the LUT stays cell-independent
+    * (one M×K table, exactly the plain-PQ shape). Scan cost per probed
+    * row is one array lookup + M lookup-adds; only the bounded rerank
+    * pool touches raw vectors. */
+  def ivfPqResidualTopK(index: IvfPqResidualIndex, queryVecId: Long, k: Int,
+                        nProbe: Int = 4, rerank: Int = 50): DataFrame = {
+    val nSub = index.books.length
+    val nCentroids = index.books.head.length
+    val dsub = 64 / nSub
+    val qVec = index.frame.where(col("vec_id") === queryVecId)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    val probeCells = index.centroids.zipWithIndex
+      .map { case (c, i) =>
+        var s = 0.0; var t = 0
+        while (t < c.length) { val d = c(t) - qVec(t); s += d * d; t += 1 }
+        (s, i)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    val lut = Array.tabulate(nSub * nCentroids) { i =>
+      val m = i / nCentroids; val j = i % nCentroids
+      val c = index.books(m)(j)
+      var s = 0.0; var t = 0
+      while (t < dsub) { s += qVec(m * dsub + t) * c(t); t += 1 }
+      s
+    }
+    val offsets = index.centroids.map { c =>
+      var s = 0.0; var t = 0
+      while (t < c.length) { s += qVec(t) * c(t); t += 1 }
+      s
+    }
+    val lutCol = typedLit(lut.toSeq)
+    val offCol = typedLit(offsets.toSeq)
+    val adc = element_at(offCol, col("cell") + 1) + aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(nSub - 1)),
+        (c, m) => element_at(lutCol, (m * nCentroids + c + 1).cast(IntegerType))),
+      lit(0.0), (acc, x) => acc + x)
+    val qv = index.frame.where(col("vec_id") === queryVecId)
+      .select(quant(col("embedding")).as("qv"))
+    index.frame
+      .where(col("cell").isin(probeCells.toSeq.map(Integer.valueOf): _*))
+      .select(col("vec_id"), col("embedding"), adc.as("adc"))
+      .orderBy(col("adc").desc, col("vec_id").asc).limit(rerank)
+      .select(col("vec_id"), quant(col("embedding")).as("v"))
+      .join(broadcast(qv))
+      .select(col("vec_id"),
+        cosine(idot(col("v"), col("qv")), inorm2(col("v")), inorm2(col("qv"))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
   }
 
   /** N9 — Maximal Marginal Relevance diversified re-ranking: greedily
@@ -3025,6 +3126,24 @@ object SimilarityQueries extends graft.QueryModule {
         withQueryClones(Tables.embeddings(s, d), queryVecId = 0L, n = 10),
         nCells = 16)
       val ranked = ivfPqTopK(index, queryVecId = 0L, k = 11)
+      val local = ranked.collectAsList()
+      index.unpersist()
+      s.createDataFrame(local, ranked.schema)
+    }),
+
+    // N37 — RESIDUAL IVF-PQ serving (the n36 audit's encoding, queried):
+    // same planted-clone brute-force oracle as n8 — the residual code
+    // path (inline residual encode, offset-plus-LUT ADC, exact rerank)
+    // must land the identical top-k. The linear-algebra identity that
+    // keeps it cheap: dot(q, centroid + residual̂) splits into an
+    // O(nCells) offset table plus the ordinary cell-independent M×K
+    // LUT, so serving cost matches n8's per probed row.
+    graft.QueryDef("n37_ann_ivfpq_residual", Some(
+      bruteForceSql(cloneCorpusSql, 11)))((s, d) => {
+      val index = buildIvfPqResidualIndex(
+        withQueryClones(Tables.embeddings(s, d), queryVecId = 0L, n = 10),
+        nCells = 16)
+      val ranked = ivfPqResidualTopK(index, queryVecId = 0L, k = 11)
       val local = ranked.collectAsList()
       index.unpersist()
       s.createDataFrame(local, ranked.schema)
