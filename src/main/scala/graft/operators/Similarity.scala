@@ -1372,6 +1372,40 @@ object Similarity {
       spark.read.parquet(s"$path/coded"))
   }
 
+  /** Persist a residual IVF-PQ index. The store layout is the n8b one
+    * (O(model) centroid/codebook tables + the coded frame partitioned
+    * by cell, so probes prune at the directory index) — but the CODES
+    * mean something different (residuals), so an `encoding` marker
+    * travels WITH the artifact: reading a raw store through the
+    * residual path (or vice versa) would silently mis-decode every
+    * ADC score, the gram-index minLen-mismatch failure class. */
+  def writeIvfPqResidualIndex(index: IvfPqResidualIndex, path: String): Unit = {
+    writeIvfPqIndex(IvfPqIndex(index.centroids, index.books, index.frame), path)
+    val s = index.frame.sparkSession
+    import s.implicits._
+    Seq("residual").toDF("encoding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def readIvfPqResidualIndex(spark: SparkSession,
+                             path: String): IvfPqResidualIndex = {
+    val metaDf =
+      try spark.read.parquet(s"$path/meta")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"index at $path carries no encoding marker — written by " +
+              "writeIvfPqIndex (raw codes), not the residual writer; " +
+              "its codes would mis-decode through the residual ADC path")
+      }
+    val enc = metaDf.select("encoding").head().getString(0)
+    require(enc == "residual",
+      s"index at $path is '$enc'-encoded, not residual — its codes " +
+        "would mis-decode through the residual ADC path")
+    val x = readIvfPqIndex(spark, path)
+    IvfPqResidualIndex(x.centroids, x.books, x.frame)
+  }
+
   /** Persist a [[PqIndex]] as a stored artifact: the codebooks flatten
     * to a tiny (m, cell, d, v) parquet — O(model) rows — and the code
     * table lands beside them. At 100 TB the code table IS the queryable
@@ -1464,6 +1498,8 @@ object SimilarityQueries extends graft.QueryModule {
   private val ivfLblWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val ivfPqWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ivfPqResWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val pqBalWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -3143,6 +3179,30 @@ object SimilarityQueries extends graft.QueryModule {
       val index = buildIvfPqResidualIndex(
         withQueryClones(Tables.embeddings(s, d), queryVecId = 0L, n = 10),
         nCells = 16)
+      val ranked = ivfPqResidualTopK(index, queryVecId = 0L, k = 11)
+      val local = ranked.collectAsList()
+      index.unpersist()
+      s.createDataFrame(local, ranked.schema)
+    }),
+
+    // N37b — residual IVF-PQ through the WRITTEN serving layout (the
+    // n8b twin): cell-partitioned residual codes + O(model) tables +
+    // the encoding marker, probe prunes at the directory index
+    // (PlanSpec asserts PartitionFilters). Same planted-clone oracle —
+    // storage round-trip, marker check, offset+LUT ADC, and rerank all
+    // on the hook.
+    graft.QueryDef("n37b_ann_ivfpq_residual_persistent", Some(
+      bruteForceSql(cloneCorpusSql, 11)))((s, d) => {
+      val path = ivfPqResWritten.computeIfAbsent(d, dd => {
+        val built = buildIvfPqResidualIndex(
+          withQueryClones(Tables.embeddings(s, dd), queryVecId = 0L, n = 10),
+          nCells = 16)
+        val p = s"$pqRoot/${dirTag(dd)}/ivfpqres"
+        writeIvfPqResidualIndex(built, p)
+        built.unpersist()
+        p
+      })
+      val index = readIvfPqResidualIndex(s, path)
       val ranked = ivfPqResidualTopK(index, queryVecId = 0L, k = 11)
       val local = ranked.collectAsList()
       index.unpersist()

@@ -52,7 +52,8 @@ class DeterminismSpec extends AnyFunSuite with SparkSuite {
     // partitioning-sensitivity bug would hide.
     "d23_record_linkage", "d24_containment", "t57_mink_prob",
     "a22_trend_regression", "d25_linkage_against_index",
-    "n36_residual_pq", "n37_ann_ivfpq_residual")
+    "n36_residual_pq", "n37_ann_ivfpq_residual",
+    "n37b_ann_ivfpq_residual_persistent")
 
   test("round-13 additions are invariant to shuffle partition count") {
     val alt = spark.newSession()

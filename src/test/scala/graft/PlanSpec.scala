@@ -97,6 +97,28 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"n8b: cell probe not pruning partitions:\n$p")
   }
 
+  test("n37b: the persistent residual IVF-PQ probe prunes cell partitions at the file index") {
+    val built = operators.Similarity.buildIvfPqResidualIndex(
+      Tables.embeddings(spark, sf), nCells = 16)
+    val path = util.TmpRoot("ivfpqresplan") + "/ivfpqres"
+    operators.Similarity.writeIvfPqResidualIndex(built, path)
+    built.unpersist()
+    val reloaded = operators.Similarity.readIvfPqResidualIndex(spark, path)
+    val p = operators.Similarity.ivfPqResidualTopK(reloaded, 0L, 10)
+      .queryExecution.executedPlan.toString
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*cell.*"),
+      s"n37b: cell probe not pruning partitions:\n$p")
+    // and the raw n8b store refuses to serve through the residual path
+    val rawBuilt = operators.Similarity.buildIvfPqIndex(
+      Tables.embeddings(spark, sf), nCells = 16)
+    val rawPath = util.TmpRoot("ivfpqrawplan") + "/ivfpqraw"
+    operators.Similarity.writeIvfPqIndex(rawBuilt, rawPath)
+    rawBuilt.unpersist()
+    intercept[IllegalArgumentException] {
+      operators.Similarity.readIvfPqResidualIndex(spark, rawPath)
+    }
+  }
+
   test("dq1: referential-integrity checks anti-join with a broadcast build side") {
     val p = plan("dq1_quality_checks")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
