@@ -1202,19 +1202,21 @@ object Similarity {
     def unpersist(): Unit = { frame.unpersist(); () }
   }
 
-  def buildIvfPqResidualIndex(embeddings: DataFrame, nCells: Int = 0,
-                              nSub: Int = 8,
-                              nCentroids: Int = 16): IvfPqResidualIndex = {
-    val ivf = buildIvfIndex(embeddings, nCells)
-    val res = residuals(ivf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val books = trainPqCodebooks(res, nSub, nCentroids) // materializes res
-    val cents = ivf.centroids
-    val src = ivf.assigned.select(col("vec_id"), col("embedding"), col("cell"))
+  /** Assign cells AND residual-encode a (vec_id, embedding) frame
+    * against FROZEN centroids + residual codebooks — the single shared
+    * path between the batch build and the streaming maintainer
+    * ([[graft.streaming.Streams.incrementalIvfPqResidualEncode]]), so
+    * the two cannot drift. One shuffle-free map pass. */
+  def residualEncode(cents: Array[Array[Double]],
+                     books: Array[Array[Array[Double]]],
+                     vecs: DataFrame): DataFrame = {
+    val nSub = books.length
+    val dsub = 64 / nSub
+    val src = assignCells(cents, vecs.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("cell"))
     val schema = src.schema.add("codes",
       ArrayType(IntegerType, containsNull = false))
-    val dsub = 64 / nSub
-    val frame = src.map { row =>
+    src.map { row =>
       val emb = row.getSeq[Float](1)
       val c = cents(row.getInt(2))
       val r = new Array[Double](emb.length)
@@ -1223,11 +1225,57 @@ object Similarity {
       org.apache.spark.sql.Row.fromSeq(row.toSeq :+
         (0 until nSub).map(m => nearestCell(books(m), r, m * dsub, dsub)))
     }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  def buildIvfPqResidualIndex(embeddings: DataFrame, nCells: Int = 0,
+                              nSub: Int = 8,
+                              nCentroids: Int = 16): IvfPqResidualIndex = {
+    val ivf = buildIvfIndex(embeddings, nCells)
+    val res = residuals(ivf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val books = trainPqCodebooks(res, nSub, nCentroids) // materializes res
+    val frame = residualEncode(ivf.centroids, books, embeddings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     frame.count() // materialize before releasing the caches it reads
     res.unpersist()
     ivf.unpersist()
-    IvfPqResidualIndex(cents, books, frame)
+    IvfPqResidualIndex(ivf.centroids, books, frame)
+  }
+
+  /** Compact the STREAMING residual append store (batch_id-scoped
+    * residual codes from
+    * [[graft.streaming.Streams.incrementalIvfPqResidualEncode]]) over
+    * the nightly base into a fresh serving store: last-writer-wins per
+    * vec_id on batch_id (re-deliveries and corrected re-embeds resolve
+    * deterministically), tombstoned ids filtered out (per-vector rows —
+    * purge is a row filter, the d25 discipline). The MODEL stays
+    * frozen through compaction by design: recoding against a retrained
+    * model would silently shift every historical ADC score, so model
+    * refresh is an explicit rebuild, never a side effect. */
+  def compactIvfPqResidualStore(spark: SparkSession, basePath: String,
+                                incrementalDir: String, servingPath: String,
+                                tombstones: Option[DataFrame] = None): Unit = {
+    val base = readIvfPqResidualIndex(spark, basePath)
+    val deltas = spark.read.option("basePath", incrementalDir)
+      .parquet(incrementalDir)
+      .select(col("vec_id"), col("embedding"), col("cell"), col("codes"),
+        col("batch_id"))
+    val all = base.frame
+      .select(col("vec_id"), col("embedding"), col("cell"), col("codes"),
+        lit(-1L).as("batch_id"))
+      .unionByName(deltas)
+    val latest = all.groupBy("vec_id").agg(
+      max_by(struct(col("batch_id"), col("embedding"), col("cell"),
+        col("codes")), col("batch_id")).as("s"))
+      .select(col("vec_id"), col("s.embedding").as("embedding"),
+        col("s.cell").as("cell"), col("s.codes").as("codes"))
+    val kept = tombstones match {
+      case Some(t) =>
+        latest.join(t.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      case None => latest
+    }
+    writeIvfPqResidualIndex(
+      IvfPqResidualIndex(base.centroids, base.books, kept), servingPath)
   }
 
   /** Residual IVF-PQ query. ADC over residual codes needs no per-cell

@@ -439,6 +439,43 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming residual-code freshness (the n37b maintainer): encode
+    * NEWLY ARRIVING vectors against the FROZEN centroids + residual
+    * codebooks of a stored residual IVF-PQ index — the read validates
+    * the encoding marker, so a raw n8b store can never silently feed
+    * this path. Each micro-batch is one shuffle-free pass through the
+    * SAME [[graft.operators.Similarity.residualEncode]] the batch
+    * build uses (the two cannot drift), landing batch_id-scoped
+    * cell-partitioned codes; a retried micro-batch replaces its own
+    * directory — idempotent. Serving happens after
+    * [[graft.operators.Similarity.compactIvfPqResidualStore]] folds
+    * the deltas (per-vector LWW on batch_id, tombstone filter) into a
+    * fresh marker-carrying store. */
+  def incrementalIvfPqResidualEncode(spark: SparkSession, sourceDir: String,
+                                     indexPath: String, outDir: String,
+                                     checkpointDir: String): Unit = {
+    import graft.operators.Similarity
+    val stored = Similarity.readIvfPqResidualIndex(spark, indexPath)
+    val cents = stored.centroids
+    val books = stored.books
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val q = spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Similarity.residualEncode(cents, books,
+            batch.select(col("vec_id"), col("embedding")))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming feed of the partitioned entries warehouse: each
     * micro-batch applies the shared corrections overlay
     * (Normalize.withCorrectedDates — the same single source the batch

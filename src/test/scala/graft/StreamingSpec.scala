@@ -1025,4 +1025,58 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       "a purged doc is still served as a link target")
     spark.catalog.clearCache()
   }
+
+  test("incremental residual IVF-PQ codes compact to the frozen-model encode (n37b twin)") {
+    import graft.operators.Similarity
+    def addChunk(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp("graft_res_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$dir/$name"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val chunk1 = emb.where(col("vec_id") % 2 === 0)
+    val chunk2 = emb.where(col("vec_id") % 2 === 1)
+    // nightly base: model TRAINED on chunk1 only — the frozen-model
+    // contract under test is that chunk2 encodes against THIS model
+    val basePath = tmp("graft_res_base") + "/store"
+    val base = Similarity.buildIvfPqResidualIndex(chunk1, nCells = 16)
+    Similarity.writeIvfPqResidualIndex(base, basePath)
+    val baseCents = base.centroids
+    val baseBooks = base.books
+    base.unpersist()
+    val src = tmp("graft_res_src")
+    val inc = tmp("graft_res_root") + "/inc"
+    val ckpt = tmp("graft_res_ckpt")
+    addChunk(src, chunk2, "c2.parquet")
+    Streams.incrementalIvfPqResidualEncode(spark, src, basePath, inc, ckpt)
+    val serving = tmp("graft_res_out") + "/serving"
+    Similarity.compactIvfPqResidualStore(spark, basePath, inc, serving)
+    // expected = EVERY vector (both chunks) encoded against chunk1's
+    // frozen model — the single shared residualEncode path
+    def codeSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("cell"), col("codes")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toList)).toSet
+    val expected = codeSet(Similarity.residualEncode(baseCents, baseBooks, emb))
+    val compacted = codeSet(spark.read.parquet(s"$serving/coded"))
+    assert(compacted == expected,
+      "compacted residual store differs from the frozen-model encode of all vectors")
+    // and it SERVES through the ordinary read path (marker validated)
+    val reloaded = Similarity.readIvfPqResidualIndex(spark, serving)
+    val served = Similarity.ivfPqResidualTopK(reloaded, queryVecId = 0L, k = 5)
+      .collect().map(_.getLong(0)).toList
+    assert(served.head == 0L, "query vector should rank itself first")
+    spark.catalog.clearCache()
+    // takedown purge is a row filter at compaction
+    import spark.implicits._
+    val purged = tmp("graft_res_out2") + "/purged"
+    Similarity.compactIvfPqResidualStore(spark, basePath, inc, purged,
+      tombstones = Some(emb.select(col("vec_id")).where(col("vec_id") % 5 === 0)))
+    val purgedIds = spark.read.parquet(s"$purged/coded")
+      .select("vec_id").as[Long].collect().toSet
+    assert(purgedIds.forall(_ % 5 != 0), "tombstoned vector survived compaction")
+    spark.catalog.clearCache()
+  }
 }
