@@ -1076,6 +1076,23 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       s"derived default should be sqrt(N)=$expected cells, got $nCells")
   }
 
+  test("d23/d25: degenerate short texts form no blocks and no links") {
+    // The length gate exists so empty/short texts can't collapse into
+    // one mega-block; a batch of such texts must link to NOTHING (and
+    // not crash), on both the in-memory and the stored-probe paths.
+    import spark.implicits._
+    val shorties = Seq((9000001L, "a b"), (9000002L, ""), (9000003L, "!!!???"))
+      .toDF("doc_id", "text")
+    assert(Dedup.recordLinkage(Dedup.linkageKeys(shorties), maxDist = 20).isEmpty,
+      "short texts produced linkage keys")
+    val path = util.TmpRoot("linkshort") + "/linkage"
+    Dedup.writeLinkageIndex(Tables.documents(spark, sf), path)
+    val stored = Dedup.readLinkageIndex(spark, path)
+    assert(Dedup.linkAgainstIndex(stored, shorties, maxDist = 20).isEmpty,
+      "short-text batch produced links against the stored index")
+    spark.catalog.clearCache()
+  }
+
   test("n36: residual PQ reconstructs strictly better than raw PQ") {
     // The point of the residual transform: same code budget, lower
     // error. If this ever flips, the residual path is mis-deriving
