@@ -40,14 +40,50 @@ object Dedup {
       .select(col("doc_id"), substring(col("sig"), 1, 12).as("bk"), col("sig"))
   }
 
+  /** Block-size cap for the linkage self-join. A blocked join's
+    * candidate volume is QUADRATIC in each block's size, and real text
+    * has hot blocks by nature (a templated opening sentence shared by
+    * 1M records is 5·10^11 pairs in one block). Standard ER practice:
+    * skip blocks past the cap and REPORT them ([[linkageBlockOverflow]])
+    * instead of joining them — an oversized block's prefix carries no
+    * linkage signal anyway (it matches everything). 256 bounds any
+    * block at ~32k pairs; gates pass explicit caps their oracles
+    * replay. */
+  val DefaultMaxBlock = 256
+
+  /** The overflow AUDIT: blocks whose size exceeds the cap, with their
+    * sizes — what [[recordLinkage]] skipped and a pipeline operator
+    * reviews (usually: add a secondary blocking key for these, or
+    * accept that a template prefix links nothing). One partial-
+    * aggregating groupBy; output is O(oversized blocks). */
+  def linkageBlockOverflow(keys: DataFrame,
+                           maxBlock: Int = DefaultMaxBlock): DataFrame =
+    keys.groupBy("bk").agg(count(lit(1)).as("block_n"))
+      .where(col("block_n") > maxBlock)
+      .select(col("bk"), col("block_n"))
+
+  /** Keep only rows of blocks at or under the cap — one partial-agg
+    * count + a left-semi join back on bk (AQE-splittable; the count
+    * collapses hot keys map-side, so the guard itself is skew-proof).
+    * Works on any frame carrying a `bk` blocking-key column. */
+  def cappedBlocks(keys: DataFrame, maxBlock: Int): DataFrame =
+    keys.join(
+      keys.groupBy("bk").agg(count(lit(1)).as("block_n"))
+        .where(col("block_n") <= maxBlock).select("bk"),
+      Seq("bk"), "left_semi")
+
   /** Blocked record linkage: equality join on the blocking key (never
     * all-pairs — candidate volume is bounded by block collision
-    * counts), levenshtein threshold over the bounded signature, then
+    * counts, and blocks past `maxBlock` are skipped + auditable via
+    * [[linkageBlockOverflow]], so one hot template prefix can never go
+    * quadratic), levenshtein threshold over the bounded signature, then
     * the BEST match per left record (min distance, id tiebreak) via a
     * per-left window bounded by the block's candidate count. */
-  def recordLinkage(keys: DataFrame, maxDist: Int): DataFrame = {
-    val pairs = keys.as("a")
-      .join(keys.as("b"),
+  def recordLinkage(keys: DataFrame, maxDist: Int,
+                    maxBlock: Int = DefaultMaxBlock): DataFrame = {
+    val capped = cappedBlocks(keys, maxBlock)
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
         col("b.bk") === col("a.bk") && col("b.doc_id") > col("a.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         levenshtein(col("a.sig"), col("b.sig")).cast(LongType).as("dist"))
@@ -252,11 +288,16 @@ object Dedup {
     val wins = toks.select(col("doc_id"),
       posexplode(col("grams")).as(Seq("p", "gram")))
       .select(col("doc_id"), col("p"), xxhash64(col("gram")).as("gh"))
-    // First-occurrence ownership as ONE window over the gram shuffle —
-    // a groupBy + join-back formulation shuffles the gram keys twice;
-    // the unordered window min shuffles them once.
-    val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gh")
-    val dup = wins.withColumn("min_doc", min("doc_id").over(byGram))
+    // First-occurrence ownership as groupBy(min) + join-back, NOT a
+    // window over the gram shuffle: a window cannot partial-aggregate,
+    // so every occurrence of a hot gram (boilerplate IS this operator's
+    // target — a license header in 10^8 docs) lands sorted on one task.
+    // The groupBy's map-side partial min collapses a hot key to ~one
+    // row per mapper before the exchange, and the join-back is an
+    // equality join AQE's skew split can divide. Costs one extra gram
+    // map pass vs the window form; skew tolerance is worth it.
+    val dup = wins.join(wins.groupBy("gh").agg(min("doc_id").as("min_doc")),
+        Seq("gh"))
       .where(col("doc_id") > col("min_doc"))
       .select(col("doc_id"), col("p"))
     val covered = dup
@@ -287,8 +328,9 @@ object Dedup {
     *
     * Formulation: a repeated substring of length >= L is exactly a run
     * of duplicated L-token windows, so (1) hash every L-gram (the d11
-    * machinery), (2) keep-first ownership per gram (window min over
-    * the gram shuffle — one shuffle, no join-back), (3) merge the
+    * machinery), (2) keep-first ownership per gram (partial-aggregating
+    * groupBy min + gh join-back — skew-safe under hot boilerplate
+    * grams, see [[dupSpanRemoval]]), (3) merge the
     * duplicated window positions per doc into maximal spans with the
     * gaps-and-islands window (two adjacent duplicated windows at gram
     * index p1 < p2 belong to one span iff p2 - p1 <= L, i.e. their
@@ -319,13 +361,13 @@ object Dedup {
       min(col("min_doc")).as("src_doc"))
 
   /** The duplicated window positions of a corpus against ITSELF
-    * (keep-first gram ownership, one window over the gram shuffle),
+    * (keep-first gram ownership via partial-aggregating groupBy min +
+    * gh join-back — the skew-safe formulation, see [[dupSpanRemoval]]),
     * with the per-window owner — shared by the plain and attributed
     * span operators. */
   private def selfDupWindows(docs: DataFrame, minLen: Int): DataFrame = {
     val wins = gramFrame(docs, minLen)
-    val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gh")
-    wins.withColumn("min_doc", min("doc_id").over(byGram))
+    wins.join(wins.groupBy("gh").agg(min("doc_id").as("min_doc")), Seq("gh"))
       .where(col("doc_id") > col("min_doc"))
       .select(col("doc_id"), col("p"), col("min_doc"))
   }
@@ -545,6 +587,27 @@ object Dedup {
       |  concat(substr(text, 1, 14), 'qzxqz', substr(text, 20)) AS text
       |FROM documents WHERE doc_id % 43 = 0""".stripMargin
 
+  /** Hot-block fixture (ids +5M — range disjoint from every other probe
+    * family): 20% of docs re-emitted with a SHARED 33-char template
+    * prefix + unique id tail, so all land in ONE block whose size
+    * scales with the corpus — the templated-form-letter case the block
+    * cap exists for. Without the cap these rows would pairwise link
+    * (sig distance = the id-digit delta, well under threshold); with it
+    * the block must be skipped and audited. */
+  def withHotBlock(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(lit("hot template block prefix shared "),
+            col("doc_id").cast("string")).as("text")))
+
+  val hotBlockSql: String =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 5000000 AS doc_id,
+      |  'hot template block prefix shared ' || CAST(doc_id AS VARCHAR) AS text
+      |FROM documents WHERE doc_id % 5 = 0""".stripMargin
+
   /** Batch-incremental record linkage: each BATCH document's best
     * stored match, computed WITHOUT rescanning the corpus — the stored
     * side prunes twice: directory pruning on the batch's bucket set
@@ -552,7 +615,7 @@ object Dedup {
     * bk-equality join. The batch key frame persists so the bucket
     * collect and the join share one normalization pass. */
   def linkAgainstIndex(stored: StoredLinkageIndex, batch: DataFrame,
-                       maxDist: Int): DataFrame = {
+                       maxDist: Int, maxBlock: Int = DefaultMaxBlock): DataFrame = {
     val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
     val bkeys = batch.select(col("doc_id"), substring(norm, 1, 40).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -561,8 +624,13 @@ object Dedup {
       .withColumn("bucket", linkBucket(col("bk"), stored.nBuckets))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val buckets = bkeys.select("bucket").distinct().collect().map(_.getInt(0))
-    val probe = stored.keys
-      .where(col("bucket").isin(buckets.toSeq.map(Integer.valueOf): _*))
+    // The block cap guards the STORED side (the corpus-scale side of
+    // this join): a bk maps entirely to one bucket, so the per-bk count
+    // over the pruned probe IS the block's true stored size.
+    val probe = cappedBlocks(
+      stored.keys
+        .where(col("bucket").isin(buckets.toSeq.map(Integer.valueOf): _*)),
+      maxBlock)
     val pairs = bkeys.as("b")
       .join(probe.as("k"), col("k.bk") === col("b.bk") &&
         col("k.bucket") === col("b.bucket"))
@@ -2102,24 +2170,76 @@ object DedupQueries extends graft.QueryModule {
     // 100 TB. `levenshtein` is a codegen'd built-in in both engines;
     // the signature is [a-z0-9 ]-only so the two implementations agree
     // codepoint-for-codepoint. Blocks need >= 12 normalized chars so
-    // short/empty texts can't form a degenerate mega-block.
+    // short/empty texts can't form a degenerate mega-block, and blocks
+    // past DefaultMaxBlock are skipped (replayed by the sz CTE) — one
+    // hot template prefix can never go quadratic (d26/d27 plant one).
     graft.QueryDef("d23_record_linkage", Some(
-      """WITH k AS (
+      s"""WITH k AS (
         |  SELECT doc_id,
         |    substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 12) AS bk,
         |    substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 40) AS sig
         |  FROM documents
         |  WHERE len(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) >= 12),
+        |sz AS (SELECT bk FROM k GROUP BY bk HAVING count(*) <= ${Dedup.DefaultMaxBlock}),
+        |ks AS (SELECT k.doc_id, k.bk, k.sig FROM k JOIN sz USING (bk)),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    CAST(levenshtein(a.sig, b.sig) AS BIGINT) AS dist
-        |  FROM k a JOIN k b ON b.bk = a.bk AND b.doc_id > a.doc_id),
+        |  FROM ks a JOIN ks b ON b.bk = a.bk AND b.doc_id > a.doc_id),
         |best AS (
         |  SELECT doc_a, doc_b, dist,
         |    row_number() OVER (PARTITION BY doc_a ORDER BY dist, doc_b) AS rn
         |  FROM pairs WHERE dist <= 20)
         |SELECT doc_a, doc_b, dist FROM best WHERE rn = 1""".stripMargin))((s, d) =>
       Dedup.recordLinkage(Dedup.linkageKeys(Tables.documents(s, d)), maxDist = 20)),
+
+    // D26 — BLOCK-OVERFLOW AUDIT: the (bk, size) rows the cap SKIPPED,
+    // over a corpus with one planted corpus-scaled hot block (a shared
+    // 33-char template prefix in 20% of docs — the form-letter case).
+    // This is the report half of the standard ER practice: skip + tell
+    // the operator, never join quadratically and never drop silently.
+    graft.QueryDef("d26_linkage_block_audit", Some(
+      s"""WITH corpus AS (${Dedup.hotBlockSql}),
+        |k AS (
+        |  SELECT doc_id,
+        |    substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 12) AS bk
+        |  FROM corpus
+        |  WHERE len(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) >= 12)
+        |SELECT bk, CAST(count(*) AS BIGINT) AS block_n
+        |FROM k GROUP BY 1 HAVING count(*) > 32""".stripMargin))((s, d) =>
+      Dedup.linkageBlockOverflow(
+        Dedup.linkageKeys(Dedup.withHotBlock(Tables.documents(s, d))),
+        maxBlock = 32)),
+
+    // D27 — CAPPED LINKAGE UNDER A HOT BLOCK: recordLinkage over the
+    // same planted corpus with the cap ACTIVE — the hot block's rows
+    // (which WOULD all pairwise link: their sig distance is the
+    // id-digit delta) must contribute zero pairs while every natural
+    // link survives. The oracle replays the cap; an engine that joined
+    // the hot block anyway fails value equality, one that over-capped
+    // loses the natural links.
+    graft.QueryDef("d27_capped_linkage", Some(
+      s"""WITH corpus AS (${Dedup.hotBlockSql}),
+        |k AS (
+        |  SELECT doc_id,
+        |    substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 12) AS bk,
+        |    substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 40) AS sig
+        |  FROM corpus
+        |  WHERE len(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) >= 12),
+        |sz AS (SELECT bk FROM k GROUP BY bk HAVING count(*) <= 32),
+        |ks AS (SELECT k.doc_id, k.bk, k.sig FROM k JOIN sz USING (bk)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(levenshtein(a.sig, b.sig) AS BIGINT) AS dist
+        |  FROM ks a JOIN ks b ON b.bk = a.bk AND b.doc_id > a.doc_id),
+        |best AS (
+        |  SELECT doc_a, doc_b, dist,
+        |    row_number() OVER (PARTITION BY doc_a ORDER BY dist, doc_b) AS rn
+        |  FROM pairs WHERE dist <= 20)
+        |SELECT doc_a, doc_b, dist FROM best WHERE rn = 1""".stripMargin))((s, d) =>
+      Dedup.recordLinkage(
+        Dedup.linkageKeys(Dedup.withHotBlock(Tables.documents(s, d))),
+        maxDist = 20, maxBlock = 32)),
 
     // D24 — ASYMMETRIC CONTAINMENT over blocked candidates: Jaccard
     // (d4) under-scores the sub-document case — A ⊂ B inflates the
@@ -2132,7 +2252,7 @@ object DedupQueries extends graft.QueryModule {
     // integer set-intersection divided by a set size — a single IEEE
     // division of exact ints, bit-identical across engines.
     graft.QueryDef("d24_containment", Some(
-      s"""WITH g AS (
+      s"""WITH g0 AS (
          |  SELECT doc_id,
          |    substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 12) AS bk,
          |    list_distinct(list_transform(
@@ -2140,6 +2260,8 @@ object DedupQueries extends graft.QueryModule {
          |      i -> array_to_string(list_slice(words, i, i + 1), ' '))) AS g
          |  FROM (SELECT doc_id, text, string_split($normTextSql, ' ') AS words FROM documents)
          |  WHERE len(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) >= 12),
+         |sz AS (SELECT bk FROM g0 GROUP BY bk HAVING count(*) <= ${Dedup.DefaultMaxBlock}),
+         |g AS (SELECT g0.doc_id, g0.bk, g0.g FROM g0 JOIN sz USING (bk)),
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    len(list_intersect(a.g, b.g)) AS inter, len(a.g) AS na, len(b.g) AS nb
@@ -2162,7 +2284,8 @@ object DedupQueries extends graft.QueryModule {
         .select(col("doc_id"), substring(norm, 1, 12).as("bk"),
           length(norm).as("nlen"), bigrams.as("g"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val g = g0.where(col("nlen") >= 12).drop("nlen")
+      val g = Dedup.cappedBlocks(g0.where(col("nlen") >= 12).drop("nlen"),
+        Dedup.DefaultMaxBlock)
       val inter = size(array_intersect(col("ga"), col("gb"))).cast(DoubleType)
       val out = g.as("a")
         .join(g.as("b"),
@@ -2188,12 +2311,14 @@ object DedupQueries extends graft.QueryModule {
     // best-match window — any drift in the written layout, bucket
     // pruning, or merge fails value equality.
     graft.QueryDef("d25_linkage_against_index", Some(
-      s"""WITH k AS (
+      s"""WITH k0 AS (
          |  SELECT doc_id,
          |    substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 12) AS bk,
          |    substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 40) AS sig
          |  FROM documents
          |  WHERE len(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) >= 12),
+         |sz AS (SELECT bk FROM k0 GROUP BY bk HAVING count(*) <= ${Dedup.DefaultMaxBlock}),
+         |k AS (SELECT k0.doc_id, k0.bk, k0.sig FROM k0 JOIN sz USING (bk)),
          |b AS (
          |  SELECT doc_id,
          |    substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 12) AS bk,

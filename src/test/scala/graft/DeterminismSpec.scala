@@ -68,4 +68,25 @@ class DeterminismSpec extends AnyFunSuite with SparkSuite {
       alt.catalog.clearCache()
     }
   }
+
+  // d26/d27's block-size cap (a partial-agg count + semi-join), d11/
+  // d20's re-formulated groupBy-min ownership — counting/min mechanisms
+  // whose partial aggregation must be partition-invariant.
+  private val r14Queries = Seq(
+    "d26_linkage_block_audit", "d27_capped_linkage",
+    "d11_dup_span_removal", "d20b_max_dup_spans_l30")
+
+  test("round-14 additions are invariant to shuffle partition count") {
+    val alt = spark.newSession()
+    alt.conf.set("spark.sql.shuffle.partitions", "13")
+    for (name <- r14Queries) {
+      val a = SparkEntry.queries(name)(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      val b = SparkEntry.queries(name)(alt, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"$name: row set depends on partitioning")
+      spark.catalog.clearCache()
+      alt.catalog.clearCache()
+    }
+  }
 }

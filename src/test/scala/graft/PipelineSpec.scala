@@ -1093,6 +1093,60 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("d25: the stored-probe path caps hot blocks too, and reports them") {
+    // A batch doc whose prefix lands in a stored block PAST the cap
+    // must link to nothing (skip + audit), not fan out quadratically;
+    // with a generous cap the same probe links. Both paths share
+    // cappedBlocks, so this pins the stored side of the guard.
+    import spark.implicits._
+    val path = util.TmpRoot("linkhot") + "/linkage"
+    Dedup.writeLinkageIndex(
+      Dedup.withHotBlock(Tables.documents(spark, sf)), path)
+    val stored = Dedup.readLinkageIndex(spark, path)
+    val batch = Seq((9500001L, "hot template block prefix shared probe row"))
+      .toDF("doc_id", "text")
+    assert(Dedup.linkAgainstIndex(stored, batch, maxDist = 20, maxBlock = 32)
+      .isEmpty, "capped probe linked into an oversized stored block")
+    spark.catalog.clearCache()
+    assert(!Dedup.linkAgainstIndex(stored, batch, maxDist = 20, maxBlock = 100000)
+      .isEmpty, "uncapped probe should link (fixture sanity)")
+    val audit = Dedup.linkageBlockOverflow(
+      Dedup.linkageKeys(Dedup.withHotBlock(Tables.documents(spark, sf))),
+      maxBlock = 32).collect()
+    assert(audit.length == 1 && audit(0).getAs[Long]("block_n") > 32,
+      s"expected exactly the planted hot block in the audit: ${audit.toSeq}")
+    spark.catalog.clearCache()
+  }
+
+  test("d20/d22: one boilerplate sentence in 20% of docs dedups to one owner") {
+    // The hot-gram fixture (round-13 verdict): duplicated boilerplate
+    // is the gram-ownership stage's own target, so the formulation must
+    // survive a key whose occurrence count scales with the corpus. 20%
+    // of docs share an identical 12-token header; keep-first ownership
+    // must cut it from every carrier except the smallest-id one, and
+    // attribution must name that owner for ALL cut spans.
+    val docs = Tables.documents(spark, sf)
+    val header = "common boilerplate header sentence repeated across many documents of this corpus"
+    // Carrier tails are UNIQUE tokens (not the base doc's text) so the
+    // header island cannot fuse with a carrier-vs-base text span.
+    val planted = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 7000000L).as("doc_id"),
+          concat(lit(header + " uq"), col("doc_id").cast("string")).as("text")))
+    val carriers = planted.where(col("doc_id") >= 7000000L)
+    val nCarriers = carriers.count()
+    val minCarrier = carriers.agg(min("doc_id")).head().getLong(0)
+    val spans = Dedup.dupSpansAttributed(planted, minLen = 10)
+      .where(col("doc_id") >= 7000000L && col("span_start") === 1L)
+      .collect()
+    assert(spans.length == nCarriers - 1,
+      s"expected ${nCarriers - 1} header spans, got ${spans.length}")
+    assert(spans.forall(_.getAs[Long]("src_doc") == minCarrier),
+      "attribution must name the smallest-id carrier as the owner")
+    assert(!spans.exists(_.getAs[Long]("doc_id") == minCarrier),
+      "the owner itself must keep its header")
+  }
+
   test("n36: residual PQ reconstructs strictly better than raw PQ") {
     // The point of the residual transform: same code budget, lower
     // error. If this ever flips, the residual path is mis-deriving

@@ -625,6 +625,29 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"d25: bucket probe not pruning partitions:\n$p")
   }
 
+  test("gram ownership never runs a Window over the gram key") {
+    // d11/d20/d20b/d22 elect the first-occurrence owner per gram. A
+    // Window.partitionBy(gh) cannot partial-aggregate: every occurrence
+    // of a hot gram (duplicated boilerplate — this operator's own
+    // target) would sort on ONE task. The skew-safe form is
+    // groupBy(gh).agg(min) + join-back (map-side partial min collapses
+    // hot keys; the join is AQE-skew-splittable). Pin it: no logical
+    // Window in these plans may partition on gh — only the bounded
+    // per-doc islands windows (partitioned on doc_id) are allowed.
+    for (name <- Seq("d11_dup_span_removal", "d20_max_dup_spans",
+        "d20b_max_dup_spans_l30", "d22_span_attribution")) {
+      val wins = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+        }
+      val overGram = wins.filter(_.partitionSpec.exists(
+        _.references.exists(_.name == "gh")))
+      assert(overGram.isEmpty,
+        s"$name: gram-key Window (skew-fragile): ${overGram.mkString(";")}")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("corpus-sized graph outputs are executor-materialized, never a driver collect") {
     // n16/n17/n19/n24/d16/d19 return one row per corpus vector/document
     // (or per dup cluster). Their frames must arrive as lineage-cut
