@@ -224,7 +224,25 @@ object OracleHash {
     * inlining planner (DuckDB's default) would otherwise re-expand the
     * whole training prefix per reference — exponential in rounds. */
   def lloydCtes(nSub: Int, nCentroids: Int, iters: Int,
-                prefix: String = "", emitVect: Boolean = true): String = {
+                prefix: String = "", emitVect: Boolean = true): String =
+    lloydCtesExpr(nSub, nCentroids.toString, iters, prefix, emitVect)
+
+  /** The engine's derived cell count (Similarity.buildIvfIndex with
+    * nCells <= 0: max(2, round(sqrt(N)))) as a DuckDB scalar subquery
+    * over the caller's `vecs` CTE. scala math.round and DuckDB round
+    * agree on every positive non-half value, and sqrt of an integer
+    * count is never exactly x.5. */
+  val derivedCellsSql: String =
+    "(SELECT GREATEST(2, CAST(round(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) FROM vecs)"
+
+  /** [[lloydCtes]] with the centroid COUNT as a SQL expression instead
+    * of a literal — the derived-nCells replay (engine rule nCells ~
+    * sqrt(N), Similarity.buildIvfIndex): pass
+    * [[derivedCellsSql]] and the oracle re-derives the same count from
+    * the same corpus the engine counted. */
+  def lloydCtesExpr(nSub: Int, nCentroidsSql: String, iters: Int,
+                    prefix: String = "", emitVect: Boolean = true): String = {
+    val nCentroids = nCentroidsSql
     val p = prefix
     val dsub = 64 / nSub
     def asgSelect(books: String): String =

@@ -639,16 +639,13 @@ object Similarity {
     * giant cluster. One [[knnGraph]] pass, one self-join on the
     * reversed (query, neighbor) key to keep mutual pairs (edge volume
     * N·k, key-balanced by construction — out-degree is capped at k, so
-    * no hub key skews the exchange), then the same O(diameter)
-    * label-propagation loop the MinHash components use
-    * ([[Dedup.connectedComponents]] — mutual-kNN components are
-    * near-cliques, so rounds stay small). Vectors with no mutual edge
-    * surface as singleton clusters (cluster = own id), never absent —
-    * a curation pass must account for every document. Components here
-    * are NOT the near-cliques of hash dedup: mutual-kNN edges chain
-    * through embedding space (measured diameter >20 at sf0.1), so the
-    * pointer-jumping O(log diameter) resolver is load-bearing, not an
-    * optimization. */
+    * no hub key skews the exchange), then GraphX Pregel connected
+    * components (min-vertex-id propagation — see the in-body rationale
+    * vs the DataFrame loop the near-clique dedup families use).
+    * Vectors with no mutual edge surface as singleton clusters
+    * (cluster = own id), never absent — a curation pass must account
+    * for every document. Returns an executor-materialized label frame
+    * (never a driver collect); callers release it via clearCache. */
   def mutualKnnClusters(index: IvfIndex, k: Int, nProbe: Int = 2): DataFrame = {
     val edges = knnGraph(index, k, nProbe)
       .select(col("query_id"), col("vec_id"))
@@ -659,16 +656,45 @@ object Similarity {
             col("f.vec_id") === col("b.query_id"))
         .where(col("f.query_id") < col("f.vec_id"))
         .select(col("f.query_id").as("doc_a"), col("f.vec_id").as("doc_b"))
-      // maxIter 24, not the default 12: the jump shortcut's effective
-      // doubling is weaker on sparse chains than on dedup near-cliques
-      // (measured 13 rounds on a 510-node fixture), and each round is
-      // one cheap bounded shuffle — headroom costs nothing unless used.
-      val labels = Dedup.connectedComponentsFast(mutual, maxIter = 24)
-        .select(col("doc_id").as("vec_id"), col("cluster"))
-      index.assigned.select(col("vec_id"))
-        .join(labels, Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          coalesce(col("cluster"), col("vec_id")).as("cluster"))
+      // Component resolution runs on GraphX Pregel, not the DataFrame
+      // label loop the dedup families use (Dedup.connectedComponents):
+      // mutual-kNN components are CHAINS through embedding space
+      // (measured diameter >20 at sf0.1 under the derived cell count),
+      // so the loop pays O(diameter) rounds — and a DataFrame round
+      // costs per-round query planning plus ~7 exchanges on
+      // lineage-cut frames, where Pregel's vertex/edge RDDs are
+      // co-partitioned once and each round is partitioner-aware local
+      // joins (measured 7.6 s -> 2.9 s on the sf0.1 graph, identical
+      // labels — PipelineSpec cross-checks the two resolvers). This is
+      // the one genuinely iterative-graph workload in the engine, the
+      // case RDD-level Pregel exists for; GraphX CC is the same
+      // min-vertex-id propagation, deterministic under any
+      // partitioning, and runs to convergence with no round cap.
+      val s = index.assigned.sparkSession
+      import s.implicits._
+      // GraphX has no AQE: an RDD keeps its input partition count
+      // through every Pregel round, so a 32-partition edge set of a few
+      // thousand rows schedules 32 tasks per stage per round — pure
+      // scheduling storm at bench scale, and the same rule (partitions
+      // ~ edges / target-rows) yields thousands of partitions at 100 TB
+      // where they belong. Derive it from the counted edge frame
+      // (persisted — the count doubles as its materialization).
+      val mp = mutual.persist(StorageLevel.MEMORY_AND_DISK)
+      val nEdges = mp.count()
+      val parts = math.max(1L, math.min(
+        s.sparkContext.defaultParallelism.toLong, nEdges / 250000L + 1L)).toInt
+      val g = org.apache.spark.graphx.Graph.fromEdgeTuples(
+        mp.as[(Long, Long)].rdd.coalesce(parts), defaultValue = 0)
+      val cc = g.connectedComponents()
+      val labels = cc.vertices.map { case (v, c) => (v, c) }
+        .toDF("vec_id", "cluster")
+      val out = graft.util.Exec.materializedCut(
+        index.assigned.select(col("vec_id"))
+          .join(labels, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("cluster"), col("vec_id")).as("cluster")))
+      cc.unpersist(); g.unpersist(); mp.unpersist()
+      out
     } finally { edges.unpersist(); () }
   }
 
@@ -1839,14 +1865,20 @@ object SimilarityQueries extends graft.QueryModule {
        |  CAST(min(hits) AS BIGINT) AS min_hits
        |FROM hits GROUP BY 1""".stripMargin
 
-  /** The kNN-graph CTE chain shared by n16/n17: per-vector probe lists
-    * from the Lloyd replay (strict-fold distances, (dist, j) window),
-    * candidates via the probe×cell join with self excluded,
-    * integer-cosine scoring, per-query window top-k — ends in a `graph`
-    * CTE holding every edge. */
+  /** The kNN-graph CTE chain shared by n16/n17/n19/n24: per-vector
+    * probe lists from the Lloyd replay (strict-fold distances, (dist,
+    * j) window), candidates via the probe×cell join with self
+    * excluded, integer-cosine scoring, per-query window top-k — ends
+    * in a `graph` CTE holding every edge. The cell count is the
+    * engine's DERIVED sqrt(N) default re-derived by the oracle
+    * ([[OracleHash.derivedCellsSql]]) — the graph gates run the
+    * configuration a deployment would actually run (the pinned-16
+    * fixture was measured ~10x slower at sf1,
+    * REHEARSAL_n16_cells.json), and the candidate stage shrinks with
+    * the corpus-scaled cell count on both engines. */
   private lazy val knnGraphCtes: String =
     s"""vecs AS (SELECT vec_id, embedding FROM embeddings),
-       |${OracleHash.lloydCtes(1, 16, 5)},
+       |${OracleHash.lloydCtesExpr(1, OracleHash.derivedCellsSql, 5)},
        |qd AS (
        |  SELECT q.vec_id AS query_id, b.j,
        |    ${OracleHash.lfold("list((q.x - b.c) * (q.x - b.c) ORDER BY b.t)")} AS dist
@@ -2807,7 +2839,7 @@ object SimilarityQueries extends graft.QueryModule {
     // probe distances, probe×cell candidates, integer cosines, per-query
     // window top-k.
     graft.QueryDef("n16_knn_graph", Some(n16OracleSql))((s, d) => {
-      val index = buildIvfIndex(Tables.embeddings(s, d), nCells = 16)
+      val index = buildIvfIndex(Tables.embeddings(s, d))
       // Executor-side materialization (N·k edges is corpus-sized —
       // never through the driver), then release the index cache.
       val out = graft.util.Exec.materializedCut(knnGraph(index, k = 5, nProbe = 2))
@@ -2821,10 +2853,10 @@ object SimilarityQueries extends graft.QueryModule {
     // SemDeDup-style grouping step. FULL oracle: graph replay shared
     // with n16 + an INDEPENDENT recursive-CTE component resolution.
     graft.QueryDef("n17_mutual_knn_clusters", Some(n17OracleSql))((s, d) => {
-      val index = buildIvfIndex(Tables.embeddings(s, d), nCells = 16)
-      // O(N) label frame — executor-side cut, not a driver collect.
-      val out = graft.util.Exec.materializedCut(
-        mutualKnnClusters(index, k = 5, nProbe = 2))
+      val index = buildIvfIndex(Tables.embeddings(s, d))
+      // mutualKnnClusters returns an executor-materialized cut already
+      // (it must, to release its GraphX structures) — no second wrap.
+      val out = mutualKnnClusters(index, k = 5, nProbe = 2)
       index.unpersist()
       out
     }),
@@ -2843,7 +2875,7 @@ object SimilarityQueries extends graft.QueryModule {
     // graph replay + vote + tie-break + truth join, value for value.
     graft.QueryDef("n19_knn_label_propagation", Some(n19OracleSql))((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val index = buildIvfIndex(emb, nCells = 16)
+      val index = buildIvfIndex(emb)
       val graph = knnGraph(index, k = 5, nProbe = 2)
       val votes = graph
         .join(emb.select(col("vec_id"), col("label").as("lbl")), Seq("vec_id"))
@@ -2871,7 +2903,7 @@ object SimilarityQueries extends graft.QueryModule {
     // + the same five iterations unrolled as integer-CTE chains — loop
     // checked against straight-line re-derivation, value for value.
     graft.QueryDef("n24_pagerank_centrality", Some(n24OracleSql))((s, d) => {
-      val index = buildIvfIndex(Tables.embeddings(s, d), nCells = 16)
+      val index = buildIvfIndex(Tables.embeddings(s, d))
       val out = pagerankCentrality(index, k = 5, nProbe = 2)
       index.unpersist()
       out

@@ -300,6 +300,32 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("n17: GraphX component resolution equals the DataFrame label loop") {
+    // mutualKnnClusters runs Pregel (round cost rationale in the
+    // operator doc); the dedup families keep the DataFrame loop. Both
+    // are min-id propagation — pin that they agree label-for-label on
+    // the REAL mutual graph, so the resolver swap can never drift.
+    val index = Similarity.buildIvfIndex(Tables.embeddings(spark, sf))
+    val edges = Similarity.knnGraph(index, k = 5, nProbe = 2)
+      .select(col("query_id"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mutual = edges.as("f").join(edges.as("b"),
+        col("f.query_id") === col("b.vec_id") &&
+          col("f.vec_id") === col("b.query_id"))
+      .where(col("f.query_id") < col("f.vec_id"))
+      .select(col("f.query_id").as("doc_a"), col("f.vec_id").as("doc_b"))
+    val viaDf = Dedup.connectedComponentsFast(mutual, maxIter = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaGx = Similarity.mutualKnnClusters(index, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    edges.unpersist(); index.unpersist()
+    // viaGx also carries singletons (cluster = own id); restrict to the
+    // nodes the DataFrame resolver saw.
+    assert(viaDf.forall { case (n, c) => viaGx(n) == c },
+      "GraphX and DataFrame component labels disagree")
+    spark.catalog.clearCache()
+  }
+
   test("d5: embedding-cosine LSH dedup finds exactly the planted vector pairs") {
     val index = Similarity.buildCosineIndex(
       Similarity.withVecProbes(Tables.embeddings(spark, sf)))

@@ -29,9 +29,6 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
@@ -40,7 +37,20 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: spark result missing ({e})"); n_bad += 1; continue
         try:
+            # Fresh connection per query: the heavy materialized-CTE
+            # replays (Lloyd chains at sf0.1) leave enough pinned in a
+            # shared buffer pool that a later query can hit the memory
+            # limit even though each runs fine alone.
+            con = duckdb.connect()
+            # Explicit cap well under the machine: the default (~80% of
+            # RAM) system-OOMs when a Spark JVM from the verify step is
+            # still releasing memory alongside (observed: 712 KB malloc
+            # failure at 120 GB free-by-then). Heaviest replay peaks ~3 GB.
+            con.execute("SET memory_limit='32GB'")
+            for t in TABLES:
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
             duck_df = con.sql(sql).df()
+            con.close()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_bad += 1; continue
         a, b = canon(spark_df), canon(duck_df)
