@@ -72,6 +72,26 @@ object Dedup {
         .where(col("block_n") <= maxBlock).select("bk"),
       Seq("bk"), "left_semi")
 
+  /** Secondary-key REFINEMENT of oversized blocks — the recall-
+    * recovering alternative to skipping them (d27): rows of blocks at
+    * or under the cap keep their key; rows of oversized blocks get the
+    * key extended with the signature TAIL (chars `subStart..`,
+    * default 29–40) — past a templated prefix, where the
+    * discriminating content lives. True duplicates inside a hot
+    * template block share the tail too, land in the same refined
+    * block, and still link; unrelated form-letter rows scatter into
+    * singleton sub-blocks. Cost: one partial-agg block count + an
+    * AQE-splittable join-back (the cappedBlocks shape); refined blocks
+    * still oversized are caught by [[recordLinkage]]'s final cap. */
+  def subBlockedKeys(keys: DataFrame, maxBlock: Int = DefaultMaxBlock,
+                     subStart: Int = 29, subLen: Int = 12): DataFrame =
+    keys.join(keys.groupBy("bk").agg(count(lit(1)).as("block_n")), Seq("bk"))
+      .select(col("doc_id"),
+        when(col("block_n") <= maxBlock, col("bk"))
+          .otherwise(concat(col("bk"),
+            substring(col("sig"), subStart, subLen))).as("bk"),
+        col("sig"))
+
   /** Blocked record linkage: equality join on the blocking key (never
     * all-pairs — candidate volume is bounded by block collision
     * counts, and blocks past `maxBlock` are skipped + auditable via
@@ -360,6 +380,29 @@ object Dedup {
     mergeWindowSpans(selfDupWindows(docs, minLen), minLen,
       min(col("min_doc")).as("src_doc"))
 
+  /** Source-level duplication FLOW matrix — [[dupSpansAttributed]]
+    * generalized from per-span provenance to the report a mixture
+    * designer actually reads: for every (src_source, dst_source) pair,
+    * how much text duplicates FROM the first INTO the second (span
+    * count, duplicated token mass, distinct receiving docs). A high
+    * off-diagonal row means one source is syndicating another's
+    * content — its token mass double-counts in a mixture plan; a high
+    * diagonal means within-source boilerplate. Cost on top of d22: two
+    * doc_id-equality joins against the (doc_id, source) projection —
+    * corpus-sized, so shuffle joins (not broadcasts), both
+    * AQE-splittable; output is O(sources²). */
+  def dupFlowMatrix(docs: DataFrame, minLen: Int): DataFrame = {
+    val spans = dupSpansAttributed(docs.select(col("doc_id"), col("text")), minLen)
+    val dst = docs.select(col("doc_id"), col("source").as("dst_source"))
+    val src = docs.select(col("doc_id").as("src_doc"),
+      col("source").as("src_source"))
+    spans.join(dst, Seq("doc_id")).join(src, Seq("src_doc"))
+      .groupBy("src_source", "dst_source")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_tokens")).as("dup_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"))
+  }
+
   /** The duplicated window positions of a corpus against ITSELF
     * (keep-first gram ownership via partial-aggregating groupBy min +
     * gh join-back — the skew-safe formulation, see [[dupSpanRemoval]]),
@@ -434,12 +477,40 @@ object Dedup {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** `withOwners = true` additionally writes an `owners` sidecar — the
+    * DISTINCT (gh, doc_id) posting, bucket-partitioned like the rollup.
+    * That sidecar is what makes a takedown purge EXACT without a
+    * corpus re-gram (Governance.purgeStoredGramIndex): remove the
+    * purged ids from the posting, re-elect min per gram, and the
+    * result is row-identical to a from-scratch build over the purged
+    * corpus — the expensive part of a rebuild is re-reading and
+    * re-gramming 100 TB of raw text, and the sidecar is precisely the
+    * already-grammed state that step recomputes. Cost: one extra
+    * distinct + write over the gram frame the build computes anyway
+    * (O(distinct gram-doc pairs), the inverted-index bound); default
+    * off so probe-only stores don't pay it. */
   def writeGramIndex(docs: DataFrame, minLen: Int, path: String,
-                     nBuckets: Int = 64): Unit = {
-    gramFrame(docs, minLen)
-      .groupBy("gh").agg(min(col("doc_id")).as("min_doc"))
-      .withColumn("bucket", gramBucket(col("gh"), nBuckets))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/grams")
+                     nBuckets: Int = 64, withOwners: Boolean = false): Unit = {
+    if (withOwners) {
+      val owners = gramFrame(docs, minLen)
+        .select(col("gh"), col("doc_id")).distinct()
+        .withColumn("bucket", gramBucket(col("gh"), nBuckets))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      owners.write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/owners")
+      // min over the distinct posting == min over all occurrences, so
+      // the rollup derives from the (much smaller) cached sidecar
+      // instead of paying a second gram pass over the raw text.
+      owners.groupBy("gh", "bucket").agg(min(col("doc_id")).as("min_doc"))
+        .select(col("gh"), col("min_doc"), col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/grams")
+      owners.unpersist()
+    } else {
+      gramFrame(docs, minLen)
+        .groupBy("gh").agg(min(col("doc_id")).as("min_doc"))
+        .withColumn("bucket", gramBucket(col("gh"), nBuckets))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/grams")
+    }
     writeGramMeta(docs.sparkSession, path, minLen, nBuckets)
   }
 
@@ -456,11 +527,12 @@ object Dedup {
     * — optionally over an existing base index — into the serving
     * layout [[dupSpansAgainstIndex]] probes. Ownership merges by
     * min-of-mins, which is associative: HOW the corpus was split into
-    * micro-batches can never change the compacted index. Purges are a
-    * REBUILD concern by design: a gram owned by a purged doc may still
-    * occur in live docs, and the (gh, min_doc) rollup cannot know —
-    * the governance path re-runs [[writeGramIndex]] over the purged
-    * corpus (G1's full-artifact sweep), it does not edit this store. */
+    * micro-batches can never change the compacted index. Purging a
+    * (gh, min_doc)-only store needs a rebuild: a gram owned by a purged
+    * doc may still occur in live docs, and the rollup cannot know.
+    * Stores built with [[writeGramIndex]](withOwners = true) escape
+    * this — their owners sidecar lets Governance.purgeStoredGramIndex
+    * re-elect owners exactly, as a compaction filter, no re-gram. */
   def compactGramIndex(spark: org.apache.spark.sql.SparkSession,
                        incrementalDir: String, servingPath: String,
                        minLen: Int, basePath: Option[String] = None,
@@ -607,6 +679,25 @@ object Dedup {
       |SELECT doc_id + 5000000 AS doc_id,
       |  'hot template block prefix shared ' || CAST(doc_id AS VARCHAR) AS text
       |FROM documents WHERE doc_id % 5 = 0""".stripMargin
+
+  /** [[withHotBlock]] plus TRUE duplicates inside the hot block: every
+    * fourth hot row re-emitted verbatim at +6M — identical signature,
+    * so the pair is a genuine dist-0 link that the cap-only guard
+    * (d27) throws away with the rest of the block, and the secondary-
+    * key refinement (d30) must recover. */
+  def withHotBlockPairs(docs: DataFrame): DataFrame =
+    withHotBlock(docs)
+      .unionByName(docs.where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          concat(lit("hot template block prefix shared "),
+            col("doc_id").cast("string")).as("text")))
+
+  val hotBlockPairsSql: String =
+    s"""$hotBlockSql
+       |UNION ALL
+       |SELECT doc_id + 6000000 AS doc_id,
+       |  'hot template block prefix shared ' || CAST(doc_id AS VARCHAR) AS text
+       |FROM documents WHERE doc_id % 20 = 0""".stripMargin
 
   /** Batch-incremental record linkage: each BATCH document's best
     * stored match, computed WITHOUT rescanning the corpus — the stored
@@ -1277,10 +1368,12 @@ object DedupQueries extends graft.QueryModule {
   /** d21's oracle: the corpus's DISTINCT gram set vs the batch's
     * windows (no ownership needed — batch ids are disjoint, so any
     * corpus match is a cross-corpus duplicate), then the shared
-    * islands tail. */
-  private def d21OracleSql(L: Int): String =
+    * islands tail. `corpusWhere` restricts the INDEXED corpus — the
+    * g6 purge gate passes the takedown complement, replaying what a
+    * from-scratch build over the purged corpus would serve. */
+  private[operators] def d21OracleSql(L: Int, corpusWhere: String = ""): String =
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split($normTextSql, ' ') AS ws FROM documents),
+       |  SELECT doc_id, string_split($normTextSql, ' ') AS ws FROM documents $corpusWhere),
        |cg AS (
        |  SELECT DISTINCT array_to_string(list_slice(ws, s, s + ${L - 1}), ' ') AS gram
        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${L - 1})) AS s
@@ -1675,6 +1768,24 @@ object DedupQueries extends graft.QueryModule {
     graft.QueryDef("d22_span_attribution",
       Some(dupSpanAttributedOracleSql(spanProbesSql, 10)))((s, d) =>
       dupSpansAttributed(withSpanProbes(Tables.documents(s, d)), minLen = 10)),
+
+    // D28 — source-level duplication flow matrix over the NATURAL
+    // corpus (the testdata documents carry real cross-source repeated
+    // 10-grams — 24 non-empty source pairs at sf0.01, no plants
+    // needed): d22's attributed spans joined to each side's source and
+    // rolled up per (src_source, dst_source). The oracle replays the
+    // whole gram-ownership + islands chain, then the same two joins
+    // and rollup.
+    graft.QueryDef("d28_dup_flow_matrix", Some(
+      s"""SELECT s.source AS src_source, d.source AS dst_source,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(sp.span_tokens) AS BIGINT) AS dup_tokens,
+         |  CAST(count(DISTINCT sp.doc_id) AS BIGINT) AS n_docs
+         |FROM (${dupSpanAttributedOracleSql("SELECT doc_id, text FROM documents", 10)}) sp
+         |JOIN documents d ON d.doc_id = sp.doc_id
+         |JOIN documents s ON s.doc_id = sp.src_doc
+         |GROUP BY 1, 2""".stripMargin))((s, d) =>
+      dupFlowMatrix(Tables.documents(s, d), minLen = 10)),
 
     graft.QueryDef("d21_spans_against_index", Some(d21OracleSql(10)))((s, d) => {
       val path = gramWritten.computeIfAbsent(d, dd => {
@@ -2259,6 +2370,50 @@ object DedupQueries extends graft.QueryModule {
         |SELECT doc_a, doc_b, dist FROM best WHERE rn = 1""".stripMargin))((s, d) =>
       Dedup.recordLinkage(
         Dedup.linkageKeys(Dedup.withHotBlock(Tables.documents(s, d))),
+        maxDist = 20, maxBlock = 32)),
+
+    // D30 — SUB-BLOCKED LINKAGE: the recall-recovering refinement of
+    // d27's skip. The corpus plants BOTH hazards: a corpus-scaled hot
+    // template block AND true dist-0 duplicate pairs hidden inside it
+    // (+6M verbatim re-emissions). The oversized block's rows get
+    // their key extended with the signature tail (chars 29-40 — past
+    // the 33-char template, where the id digits discriminate): the
+    // planted twins share the tail, co-block, and LINK; unrelated
+    // form-letter rows scatter into singleton sub-blocks and still
+    // contribute zero quadratic pairs. The oracle replays refinement +
+    // final cap + levenshtein + best-match; d27 on the same corpus
+    // would miss every +6M twin — the PipelineSpec row pins the
+    // recovered set exactly.
+    graft.QueryDef("d30_subblocked_linkage", Some(
+      s"""WITH corpus AS (${Dedup.hotBlockPairsSql}),
+        |k AS (
+        |  SELECT doc_id,
+        |    substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 12) AS bk,
+        |    substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 40) AS sig
+        |  FROM corpus
+        |  WHERE len(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) >= 12),
+        |sz AS (SELECT bk, count(*) AS n FROM k GROUP BY bk),
+        |rk AS (
+        |  SELECT k.doc_id,
+        |    CASE WHEN sz.n <= 32 THEN k.bk
+        |      ELSE k.bk || substr(k.sig, 29, 12) END AS bk,
+        |    k.sig
+        |  FROM k JOIN sz USING (bk)),
+        |sz2 AS (SELECT bk FROM rk GROUP BY bk HAVING count(*) <= 32),
+        |ks AS (SELECT rk.doc_id, rk.bk, rk.sig FROM rk JOIN sz2 USING (bk)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(levenshtein(a.sig, b.sig) AS BIGINT) AS dist
+        |  FROM ks a JOIN ks b ON b.bk = a.bk AND b.doc_id > a.doc_id),
+        |best AS (
+        |  SELECT doc_a, doc_b, dist,
+        |    row_number() OVER (PARTITION BY doc_a ORDER BY dist, doc_b) AS rn
+        |  FROM pairs WHERE dist <= 20)
+        |SELECT doc_a, doc_b, dist FROM best WHERE rn = 1""".stripMargin))((s, d) =>
+      Dedup.recordLinkage(
+        Dedup.subBlockedKeys(
+          Dedup.linkageKeys(Dedup.withHotBlockPairs(Tables.documents(s, d))),
+          maxBlock = 32),
         maxDist = 20, maxBlock = 32)),
 
     // D24 — ASYMMETRIC CONTAINMENT over blocked candidates: Jaccard

@@ -118,20 +118,43 @@ object Governance {
       .write.mode("overwrite").parquet(s"$outPath/centroids")
   }
 
-  /** Gram-index takedown (Dedup.writeGramIndex layout): ownership rows
-    * are (content-hash, owner doc_id), so rows OWNED by a purged id
-    * drop — conservative by design: a gram the purged doc shared with
-    * a SURVIVING doc stops being flagged until the next rebuild (dedup
+  /** Gram-index takedown (Dedup.writeGramIndex layout).
+    *
+    * With an `owners` sidecar (writeGramIndex(withOwners = true)) the
+    * purge is EXACT without re-reading any raw text: filter the purged
+    * ids out of the distinct (gh, doc_id) posting, re-elect min per
+    * gram, and write the rollup — row-identical to a from-scratch
+    * rebuild over the purged corpus (grams whose every occurrence was
+    * purged lose all posting rows and drop from the groupBy output
+    * automatically). The whole operation is a filter + partial-agg
+    * compaction over the stored parquet — no 100 TB re-gram.
+    *
+    * Without the sidecar, falls back to the conservative filter: rows
+    * OWNED by a purged id drop — a gram the purged doc shared with a
+    * SURVIVING doc stops being flagged until the next rebuild (dedup
     * recall loss, never a compliance leak — the purged doc's ownership
-    * row is gone either way), because re-owning it needs the corpus,
-    * not the artifact. The nightly [[graft.operators.Dedup
-    * .writeGramIndex]] rebuild is the recovery path (documented at
-    * `compactGramIndex`). Bucket partitioning preserved — probes prune
-    * as before; the O(1) meta table copies as-is. */
+    * row is gone either way), because re-owning it needs the corpus.
+    * Bucket partitioning preserved in both paths — probes prune as
+    * before; the O(1) meta table copies as-is. */
   def purgeStoredGramIndex(spark: SparkSession, inPath: String,
                            outPath: String, ids: DataFrame): Unit = {
-    purgeFrame(spark.read.parquet(s"$inPath/grams"), ids, idCol = "min_doc")
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$outPath/grams")
+    val ownersPath = new org.apache.hadoop.fs.Path(s"$inPath/owners")
+    val hasOwners = ownersPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(ownersPath)
+    if (hasOwners) {
+      val kept = purgeFrame(spark.read.parquet(s"$inPath/owners"), ids)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      kept.write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$outPath/owners")
+      kept.groupBy("gh", "bucket").agg(min(col("doc_id")).as("min_doc"))
+        .select(col("gh"), col("min_doc"), col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$outPath/grams")
+      kept.unpersist()
+    } else {
+      purgeFrame(spark.read.parquet(s"$inPath/grams"), ids, idCol = "min_doc")
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$outPath/grams")
+    }
     spark.read.parquet(s"$inPath/meta")
       .write.mode("overwrite").parquet(s"$outPath/meta")
   }
@@ -200,9 +223,39 @@ object GovernanceQueries extends graft.QueryModule {
   private lazy val g3Root: String = graft.util.TmpRoot("g3-tomb")
   private val g3Written =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val g6Root: String = graft.util.TmpRoot("g6-gram")
+  private val g6Written =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def dirTag(d: String): String = d.replaceAll("[^a-zA-Z0-9]", "_")
 
   def defs: Seq[graft.QueryDef] = Seq(
+
+    // G6 — SERVE FROM A PURGED GRAM STORE: the owners-sidecar takedown
+    // end to end. Build the substring-dedup index WITH its owners
+    // posting, purge docs 0-3 via owner re-election (a filter +
+    // partial-agg compaction — no re-gram of any raw text), then
+    // answer a probe batch THROUGH the purged artifact. The oracle
+    // replays a from-scratch build over the takedown complement
+    // (doc_id >= 4) — so a value-exact match proves the compacted
+    // purge serves byte-identically to a full rebuild: spans owned
+    // only by purged docs are gone (the re-submitted copies in the
+    // probe batch find nothing), spans shared with survivors are
+    // RE-OWNED and still flagged (the recall the conservative
+    // rollup-only purge loses).
+    graft.QueryDef("g6_gram_purge_serve",
+      Some(DedupQueries.d21OracleSql(10, corpusWhere = "WHERE doc_id >= 4")))((s, d) => {
+      val path = g6Written.computeIfAbsent(d, dd => {
+        val root = s"$g6Root/${dirTag(dd)}"
+        Dedup.writeGramIndex(Tables.documents(s, dd), minLen = 10,
+          s"$root/live", withOwners = true)
+        val ids = Tables.documents(s, dd).where(col("doc_id") < 4)
+          .select(col("doc_id").as("purge_id"))
+        Governance.purgeStoredGramIndex(s, s"$root/live", s"$root/purged", ids)
+        s"$root/purged"
+      })
+      Dedup.dupSpansAgainstIndex(Dedup.readGramIndex(s, path),
+        Dedup.spanBatchOf(Tables.documents(s, d)))
+    }),
 
     // G5 — TTL EXPIRY PLAN: the retention-policy dry run — per order
     // year, row volume, whether the year falls outside the 6-year

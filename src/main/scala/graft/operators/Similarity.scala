@@ -192,6 +192,31 @@ object Similarity {
     verifyCosine(cand, q, threshold)
   }
 
+  /** Retrieval-augmented dedup: ANN candidate generation → exact
+    * verify — the semantic twin of d2's band→verify, with the IVF
+    * index's k-means cells as the blocking structure instead of
+    * hyperplane bands. Candidates are pairs sharing a cell (equality
+    * self-join on the cell id — never all-pairs); the exact
+    * integer-quantized cosine verifies. Blocking recall is the
+    * documented tradeoff: a near-dup pair split across a cell boundary
+    * is missed, the same way a d2 pair missed by every band is — cells
+    * ~ sqrt(N) keep the expected per-cell occupancy ~ sqrt(N), so
+    * candidate mass is O(N^1.5) worst-case against d5's
+    * band-occupancy bound; use this form when an IVF index ALREADY
+    * exists for serving (the candidates ride the retrieval artifact,
+    * no second LSH build). One shuffle on `cell`; a hot cell is
+    * AQE-skew-splittable. */
+  def annBlockedDedupPairs(index: IvfIndex, threshold: Double): DataFrame = {
+    val q = index.assigned
+      .select(col("vec_id"), col("cell"), quant(col("embedding")).as("v"))
+    q.as("a").join(q.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine(idot(col("a.v"), col("b.v")),
+          inorm2(col("a.v")), inorm2(col("b.v"))).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** The IVF index artifact: driver-held centroids (broadcast-sized —
     * nCells × dim doubles) plus the persisted cell-assignment frame.
     * Built ONCE per corpus via [[buildIvfIndex]]; at scale `assigned` is
@@ -3715,9 +3740,12 @@ object SimilarityQueries extends graft.QueryModule {
         .where(col("doc_id") =!= col("cluster"))
         .select(col("doc_id").as("vec_id"))
       val kept = emb.join(drop, Seq("vec_id"), "left_anti").select("vec_id")
-      val local = kept.collectAsList()
+      // Corpus-sized result (one row per kept vector): materialize on the
+      // EXECUTORS and cut lineage so the index cache can be released —
+      // never through the driver (PlanSpec pins no LocalRelation leaf).
+      val out = graft.util.Exec.materializedCut(kept)
       index.unpersist()
-      s.createDataFrame(local, kept.schema)
+      out
     }),
 
     // D5b — the hyperplane-LSH path, oracle-HARD: restrict the pair
@@ -3753,6 +3781,49 @@ object SimilarityQueries extends graft.QueryModule {
         |WHERE cos >= 0.9""".stripMargin))((s, d) =>
       cosineDedupPairs(buildCosineIndex(withVecProbes(Tables.embeddings(s, d))),
         threshold = 0.9)
-        .where(col("vec_b") >= 1000000L))
+        .where(col("vec_b") >= 1000000L)),
+
+    // D29 — RETRIEVAL-AUGMENTED dedup: the IVF serving index doubles as
+    // the near-dup blocker (ANN candidates → exact verify — d2's
+    // band→verify at the embedding level, riding the retrieval
+    // artifact instead of a second LSH build). Cells are the engine's
+    // derived sqrt(N) default — the configuration a deployment runs —
+    // and the oracle replays the full Lloyd fit (derived cell count as
+    // a scalar subquery), re-assigns every vector, and brute-forces the
+    // exact integer cosine over same-cell pairs only: value-exact
+    // including the blocking's recall behavior. The planted +0.01f
+    // probes sit ~1e-4 from their base vectors, so base and probe
+    // co-locate and verify at 0.9; natural pairs (cosine <= ~0.51)
+    // never pass.
+    graft.QueryDef("d29_ann_blocked_dedup", Some(
+      s"""WITH vecs AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id,
+         |    list_prepend(embedding[1] + CAST(0.01 AS FLOAT), embedding[2:]) AS embedding
+         |  FROM embeddings WHERE vec_id < 10),
+         |${OracleHash.lloydCtesExpr(1, OracleHash.derivedCellsSql, 5)},
+         |cells AS (SELECT vec_id, j AS cell FROM codes),
+         |comp AS (
+         |  SELECT vec_id,
+         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS x,
+         |    generate_subscripts(embedding, 1) AS i
+         |  FROM vecs),
+         |norms AS (SELECT vec_id, SUM(x * x) AS n2 FROM comp GROUP BY vec_id),
+         |dots AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dot
+         |  FROM comp a
+         |  JOIN cells ca ON ca.vec_id = a.vec_id
+         |  JOIN comp b ON b.i = a.i AND a.vec_id < b.vec_id
+         |  JOIN cells cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell
+         |  GROUP BY 1, 2)
+         |SELECT vec_a, vec_b, cos FROM (
+         |  SELECT vec_a, vec_b, CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+         |  FROM dots JOIN norms na ON na.vec_id = dots.vec_a
+         |            JOIN norms nb ON nb.vec_id = dots.vec_b)
+         |WHERE cos >= 0.9""".stripMargin))((s, d) =>
+      annBlockedDedupPairs(
+        buildIvfIndex(withVecProbes(Tables.embeddings(s, d))), threshold = 0.9))
   )
 }

@@ -2388,6 +2388,90 @@ object TextAnalysisQueries extends graft.QueryModule {
           (col("target_tok").cast(DoubleType) / col("n_tok").cast(DoubleType))
             .as("sample_rate"))),
 
+    // T58 — QUALITY-WEIGHTED mixture: closes the t35→t28→t34 loop. The
+    // t34 plan temperatures over RAW token mass, so a language whose
+    // corpus is mostly gopher-rule rejects gets budget it cannot fill
+    // with keepable text. Here each language's samplable mass is its
+    // QUALITY tokens (tokens of docs passing the full t35 rule AND),
+    // the sqrt-temperature shares and the 50k budget split run over
+    // that q_tok — same exact-integer allocation discipline as
+    // t28/t34 (quantized sqrt share, one integer multiply-divide per
+    // target, ceil-div epochs) — and the sampling rate is relative to
+    // the quality mass a sampler can actually draw from. A language
+    // with zero quality tokens gets share 0 and a NULL rate rather
+    // than a divide-by-zero. Same scale shape as t34: one corpus scan
+    // (the t35 rules are map-side integer tests), one O(languages)
+    // agg, two 1-row broadcast totals.
+    graft.QueryDef("t58_quality_mixture", Some(
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(trim(text), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(ws) AS BIGINT) AS n_tok,
+        |    CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_distinct(list_intersect(ws,
+        |      ['the', 'a', 'and', 'of', 'to', 'in']))) AS BIGINT) AS n_stop
+        |  FROM f),
+        |k AS (
+        |  SELECT lang, n_tok,
+        |    (n_tok BETWEEN 50 AND 100000 AND 3 * n_tok <= sum_len
+        |      AND sum_len <= 10 * n_tok AND 5 * n_alpha >= 4 * n_tok
+        |      AND n_stop >= 2) AS keep
+        |  FROM m),
+        |lt AS (
+        |  SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS n_tok,
+        |    CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS q_tok
+        |  FROM k GROUP BY lang),
+        |tot AS (SELECT CAST(SUM(q_tok) AS BIGINT) AS q_total FROM lt),
+        |sq AS (
+        |  SELECT lang, n_tok, q_tok,
+        |    CAST(round(sqrt(CAST(q_tok AS DOUBLE) / CAST(q_total AS DOUBLE))
+        |      * 1000000000) AS BIGINT) AS s
+        |  FROM lt, tot),
+        |den AS (SELECT CAST(SUM(s) AS BIGINT) AS ds FROM sq)
+        |SELECT lang, n_tok, q_tok,
+        |  CAST((50000 * s) // ds AS BIGINT) AS target_tok,
+        |  CAST(least(q_tok, (50000 * s) // ds) AS BIGINT) AS planned_tok,
+        |  CAST(CASE WHEN (50000 * s) // ds > q_tok
+        |    THEN ((50000 * s) // ds + q_tok - 1) // q_tok ELSE 1 END AS BIGINT) AS epochs,
+        |  CASE WHEN q_tok > 0
+        |    THEN CAST((50000 * s) // ds AS DOUBLE) / CAST(q_tok AS DOUBLE) END AS sample_rate
+        |FROM sq, den""".stripMargin))((s, d) => {
+      val ws = filter(split(trim(col("text")), "\\s+"), w => length(w) > 0)
+      val stops = array(Seq("the", "a", "and", "of", "to", "in").map(lit): _*)
+      val m = Tables.documents(s, d).select(col("lang"),
+        size(ws).cast(LongType).as("n_tok"),
+        aggregate(ws, lit(0L), (acc, w) => acc + length(w)).as("sum_len"),
+        size(filter(ws, w => w.rlike("[a-z]"))).cast(LongType).as("n_alpha"),
+        size(array_distinct(array_intersect(ws, stops))).cast(LongType).as("n_stop"))
+      val keep = col("n_tok").between(50L, 100000L) &&
+        (lit(3L) * col("n_tok") <= col("sum_len")) &&
+        (col("sum_len") <= lit(10L) * col("n_tok")) &&
+        (lit(5L) * col("n_alpha") >= lit(4L) * col("n_tok")) &&
+        (col("n_stop") >= 2L)
+      val lt = m.groupBy("lang").agg(sum(col("n_tok")).as("n_tok"),
+        sum(when(keep, col("n_tok")).otherwise(0L)).as("q_tok"))
+      val total = lt.agg(sum(col("q_tok")).as("q_total"))
+      val withS = lt.join(broadcast(total))
+        .withColumn("s", round(sqrt(col("q_tok").cast(DoubleType) /
+          col("q_total").cast(DoubleType)) * 1000000000L).cast(LongType))
+      val denom = withS.agg(sum(col("s")).as("ds"))
+      val target = expr("(50000 * s) div ds").cast(LongType)
+      withS.join(broadcast(denom))
+        .select(col("lang"), col("n_tok"), col("q_tok"),
+          target.as("target_tok"),
+          least(col("q_tok"), target).as("planned_tok"),
+          when(target > col("q_tok"),
+            expr("((50000 * s) div ds + q_tok - 1) div q_tok"))
+            .otherwise(lit(1L)).cast(LongType).as("epochs"),
+          when(col("q_tok") > 0L,
+            target.cast(DoubleType) / col("q_tok").cast(DoubleType))
+            .as("sample_rate"))
+    }),
+
     // T35 — GOPHER-STYLE doc-level quality rules (the published rule
     // suite real pretraining pipelines run verbatim): word-count
     // bounds, mean-word-length band, alphabetic-word ratio, minimum

@@ -468,4 +468,50 @@ class GovernanceSpec extends AnyFunSuite with SparkSuite {
     assert(before.filterNot(_._1 == 3000003L) == after.filterNot(_._1 == 3000003L),
       "purge changed spans of documents unrelated to the takedown")
   }
+
+  test("owners-sidecar gram purge equals a from-scratch rebuild, with no re-gram") {
+    // The withOwners store makes takedown EXACT: purging via the
+    // distinct (gh, doc_id) posting + min re-election must produce the
+    // IDENTICAL rollup a full rebuild over the purged corpus would —
+    // including re-owning grams the purged doc shared with survivors
+    // (the recall the conservative path loses) and dropping grams whose
+    // every occurrence was purged.
+    // Plant a surviving clone of doc 3 (id 500000) so the takedown hits
+    // a gram set that provably lives on in another document.
+    val base = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val docs = base.unionByName(base.where(col("doc_id") === 3)
+      .select(lit(500000L).as("doc_id"), col("text")))
+    val root = util.TmpRoot("gov-gram-owners")
+    Dedup.writeGramIndex(docs, minLen = 10, s"$root/live", withOwners = true)
+    val ids = docs.where(col("doc_id") === 3).select(col("doc_id").as("purge_id"))
+    Governance.purgeStoredGramIndex(spark, s"$root/live", s"$root/purged", ids)
+    Dedup.writeGramIndex(docs.where(col("doc_id") =!= 3), minLen = 10,
+      s"$root/rebuilt")
+
+    val purged = Dedup.readGramIndex(spark, s"$root/purged")
+    val rebuilt = Dedup.readGramIndex(spark, s"$root/rebuilt")
+    assert(purged.minLen == 10 && purged.nBuckets == rebuilt.nBuckets)
+    // row-identical rollups (both directions of the anti-join empty)
+    val cols = Seq("gh", "min_doc", "bucket")
+    assert(purged.grams.selectExpr(cols: _*)
+      .exceptAll(rebuilt.grams.selectExpr(cols: _*)).isEmpty)
+    assert(rebuilt.grams.selectExpr(cols: _*)
+      .exceptAll(purged.grams.selectExpr(cols: _*)).isEmpty)
+    // shared boilerplate got RE-OWNED, not dropped: doc 3's 40-token
+    // prefix also lives in probe twin 3000003's text family, so at
+    // least one gram must have a new (surviving) owner rather than
+    // vanishing — the exactness the conservative path can't give.
+    val live = Dedup.readGramIndex(spark, s"$root/live")
+    val reowned = live.grams.where(col("min_doc") === 3)
+      .select("gh").join(purged.grams.select("gh"), Seq("gh"), "left_semi")
+    assert(reowned.count() > 0,
+      "expected at least one gram re-elected to a surviving owner")
+    // serving equality: probes against the purged store answer exactly
+    // as against the rebuilt store
+    def spans(ix: Dedup.StoredGramIndex) =
+      Dedup.dupSpansAgainstIndex(ix, Dedup.spanBatchOf(docs)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans(purged) == spans(rebuilt))
+    spark.catalog.clearCache()
+  }
 }

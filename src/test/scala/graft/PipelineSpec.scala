@@ -1187,4 +1187,87 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(res < raw,
       f"residual MSE $res%.4f should beat raw MSE $raw%.4f")
   }
+
+  test("d28: a planted cross-source clone shows up as exactly one flow cell") {
+    // Syndication fixture: one new doc in a FRESH source carrying doc
+    // 0's text verbatim. The flow matrix must report the planted
+    // (src-of-doc-0 -> plantsrc) cell with exactly one receiving doc,
+    // and the matrix total must tie out to the attributed span frame
+    // it rolls up (no span lost or double-counted by the two joins).
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source"))
+    val src0 = docs.where(col("doc_id") === 0).head().getString(2)
+    val planted = docs.unionByName(docs.where(col("doc_id") === 0)
+      .select(lit(8000000L).as("doc_id"), col("text"),
+        lit("plantsrc").as("source")))
+    val matrix = Dedup.dupFlowMatrix(planted, minLen = 10).collect()
+    val cell = matrix.filter(r => r.getString(0) == src0 &&
+      r.getString(1) == "plantsrc")
+    assert(cell.length == 1, s"expected one ($src0 -> plantsrc) cell")
+    assert(cell.head.getAs[Long]("n_docs") == 1L)
+    assert(cell.head.getAs[Long]("n_spans") >= 1L)
+    // tie-out: rollup conserves the span frame's mass
+    val spans = Dedup.dupSpansAttributed(
+      planted.select(col("doc_id"), col("text")), minLen = 10)
+    assert(matrix.map(_.getAs[Long]("n_spans")).sum == spans.count())
+    assert(matrix.map(_.getAs[Long]("dup_tokens")).sum ==
+      spans.agg(sum("span_tokens")).head().getLong(0))
+  }
+
+  test("t58: quality mixture budgets only samplable mass") {
+    val rows = SparkEntry.queries("t58_quality_mixture")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // quality tokens are a subset of raw tokens; floor-divided targets
+    // can never overshoot the 50k budget in aggregate
+    assert(rows.forall(r => r.getAs[Long]("q_tok") <= r.getAs[Long]("n_tok")))
+    assert(rows.map(_.getAs[Long]("target_tok")).sum <= 50000L)
+    // planned mass is drawable mass
+    assert(rows.forall(r =>
+      r.getAs[Long]("planned_tok") <= r.getAs[Long]("q_tok")))
+    // a zero-quality language gets zero budget and a NULL rate, never
+    // a division artifact
+    rows.filter(_.getAs[Long]("q_tok") == 0L).foreach { r =>
+      assert(r.getAs[Long]("target_tok") == 0L)
+      assert(r.isNullAt(r.fieldIndex("sample_rate")))
+    }
+  }
+
+  test("d30: sub-blocking recovers the true pairs the block cap alone skips") {
+    val docs = Tables.documents(spark, sf)
+    val keys = Dedup.linkageKeys(Dedup.withHotBlockPairs(docs))
+    val capped = Dedup.recordLinkage(keys, maxDist = 20, maxBlock = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sub = Dedup.recordLinkage(Dedup.subBlockedKeys(keys, maxBlock = 32),
+        maxDist = 20, maxBlock = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    val twins = docs.where(col("doc_id") % 20 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).map(i => (i + 5000000L, i + 6000000L)).toSet
+    assert(twins.nonEmpty)
+    assert((capped & twins).isEmpty,
+      "cap-only linkage must skip the hot block entirely")
+    assert(twins.subsetOf(sub),
+      s"sub-blocking must recover the planted twins, missing: ${twins -- sub}")
+    // refinement touches ONLY oversized blocks: natural links identical
+    assert(capped.filter(_._1 < 5000000L) == sub.filter(_._1 < 5000000L))
+  }
+
+  test("d29: ANN-blocked dedup finds exactly the co-located planted clones") {
+    val emb = Similarity.withVecProbes(Tables.embeddings(spark, sf))
+    val index = Similarity.buildIvfIndex(emb)
+    val cellOf = index.assigned.select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val pairs = Similarity.annBlockedDedupPairs(index, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    index.unpersist()
+    // planted probes sit ~1e-4 from their base vector; each pair must
+    // be reported IFF the blocking co-located it (the documented
+    // recall tradeoff), and nothing natural reaches 0.9
+    val planted = (0L until 10L).map(i => (i, i + 1000000L))
+    val coLocated = planted.filter(p => cellOf(p._1) == cellOf(p._2)).toSet
+    assert(coLocated.nonEmpty, "fixture broke: no probe shares its base's cell")
+    assert(pairs == coLocated,
+      s"expected exactly the co-located planted pairs; diff: ${
+        (pairs -- coLocated) ++ (coLocated -- pairs)}")
+  }
 }

@@ -513,11 +513,13 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("r13 batch: new-query plan shapes (spans, ranking eval, curation funnel)") {
-    // d20: candidate generation is ONE gram shuffle (partitioned
-    // window over gh) + per-doc islands — no join anywhere in the
-    // self-corpus span path.
+    // d20: ownership election must PARTIAL-aggregate (map-side combine
+    // collapses a hot boilerplate gram to ~one row per mapper) and
+    // join back on gh — the skew-safe formulation; the companion
+    // "never a Window over gh" pin lives in its own test below.
     val d20 = plan("d20_max_dup_spans")
-    assert(!d20.contains("Join"), s"d20: unexpected join:\n$d20")
+    assert(d20.contains("partial_min(doc_id"),
+      s"d20: gram ownership must partial-aggregate min(doc_id):\n$d20")
     // d21: the stored-index probe is a LEFT SEMI on the gram hash —
     // the batch never materializes corpus rows, only existence.
     assert(plan("d21_spans_against_index").contains("LeftSemi"),
@@ -656,7 +658,8 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     // driver, the pattern that dies first at 100x scale.
     for (name <- Seq("n16_knn_graph", "n17_mutual_knn_clusters",
         "n19_knn_label_propagation", "n24_pagerank_centrality",
-        "d16_neardup_clusters", "d19_survivorship")) {
+        "d16_neardup_clusters", "d19_survivorship",
+        "d9_semantic_dedup_apply")) {
       val df = SparkEntry.queries(name)(spark, sf)
       val leaves = df.queryExecution.analyzed.collectLeaves()
       assert(leaves.nonEmpty && !leaves.exists(
