@@ -403,6 +403,25 @@ object Dedup {
         countDistinct(col("doc_id")).as("n_docs"))
   }
 
+  /** [[dupFlowMatrix]] normalized by the RECEIVING source's token mass:
+    * `share` = what fraction of dst_source's (normalized) token
+    * positions sit inside spans duplicated from src_source — the
+    * mixture-discount number itself (maximal spans per doc are
+    * disjoint by the islands merge, so a source's incoming shares are
+    * additive and the total never exceeds 1). One extra O(sources)
+    * token rollup broadcast onto the O(sources²) matrix. */
+  def dupFlowShares(docs: DataFrame, minLen: Int): DataFrame = {
+    val totals = docs.select(col("source"),
+        size(split(normText(col("text")), " ")).cast(LongType).as("t"))
+      .groupBy("source").agg(sum(col("t")).as("dst_tokens"))
+      .withColumnRenamed("source", "dst_source")
+    dupFlowMatrix(docs, minLen)
+      .join(broadcast(totals), Seq("dst_source"))
+      .select(col("src_source"), col("dst_source"), col("dup_tokens"),
+        col("dst_tokens"),
+        (col("dup_tokens").cast(DoubleType) / col("dst_tokens")).as("share"))
+  }
+
   /** The duplicated window positions of a corpus against ITSELF
     * (keep-first gram ownership via partial-aggregating groupBy min +
     * gh join-back — the skew-safe formulation, see [[dupSpanRemoval]]),
@@ -921,17 +940,24 @@ object Dedup {
     * other nodes' labels), so the jump join is total. On a chainy
     * graph each ROUND costs fixed scheduling latency regardless of
     * data volume, so extra in-round jumps (lazy joins fused into the
-    * same action) cut wall time even though they add stages — measured
-    * on the sf0.1 mutual-kNN graph: 22 rounds at jumps=1 vs 9 at
-    * jumps=3 for the same labels. */
+    * same action) can cut wall time even though they add stages —
+    * measured on the sf0.1 mutual-kNN graph: 22 rounds at jumps=1 vs 9
+    * at jumps=3 for the same labels. The DEFAULT is 2 (neighbor-min +
+    * one doubling — the classic pointer-jumping round, O(log d)):
+    * every production caller feeds a FLAT dedup-cluster graph, where
+    * each jump join is a checkpointed stage that buys no round cut —
+    * jumps=3 measured 1.96 s → 3.22 s on the d6b gate (same machine,
+    * same session) for identical labels. Pass 3+ explicitly for long
+    * chains; the one chainy consumer (mutual-kNN) now resolves via
+    * GraphX Pregel instead. */
   def connectedComponentsFast(pairs: DataFrame, maxIter: Int = 12,
-                              jumps: Int = 3): DataFrame =
+                              jumps: Int = 2): DataFrame =
     ccFastWithRounds(pairs, maxIter, jumps)._1
 
   /** [[connectedComponentsFast]] plus the round count, so specs can pin
     * the O(log d) bound rather than trust the doc comment. */
   private[graft] def ccFastWithRounds(pairs: DataFrame, maxIter: Int,
-                                      jumps: Int = 3): (DataFrame, Int) = {
+                                      jumps: Int = 2): (DataFrame, Int) = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1786,6 +1812,29 @@ object DedupQueries extends graft.QueryModule {
          |JOIN documents s ON s.doc_id = sp.src_doc
          |GROUP BY 1, 2""".stripMargin))((s, d) =>
       dupFlowMatrix(Tables.documents(s, d), minLen = 10)),
+
+    // D28b — the flow matrix as SHARES of the receiving source's token
+    // mass: the normalized form a mixture designer thresholds on
+    // ("discount any source whose syndicated share exceeds x%").
+    // Incoming shares per dst are additive (spans are disjoint per
+    // doc), so the oracle's independent token rollup cross-checks the
+    // span mass end to end.
+    graft.QueryDef("d28b_dup_flow_share", Some(
+      s"""WITH m AS (
+         |  SELECT s.source AS src_source, d.source AS dst_source,
+         |    CAST(sum(sp.span_tokens) AS BIGINT) AS dup_tokens
+         |  FROM (${dupSpanAttributedOracleSql("SELECT doc_id, text FROM documents", 10)}) sp
+         |  JOIN documents d ON d.doc_id = sp.doc_id
+         |  JOIN documents s ON s.doc_id = sp.src_doc
+         |  GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT source AS dst_source,
+         |    CAST(SUM(len(string_split($normTextSql, ' '))) AS BIGINT) AS dst_tokens
+         |  FROM documents GROUP BY 1)
+         |SELECT src_source, dst_source, dup_tokens, dst_tokens,
+         |  CAST(dup_tokens AS DOUBLE) / dst_tokens AS share
+         |FROM m JOIN tot USING (dst_source)""".stripMargin))((s, d) =>
+      dupFlowShares(Tables.documents(s, d), minLen = 10)),
 
     graft.QueryDef("d21_spans_against_index", Some(d21OracleSql(10)))((s, d) => {
       val path = gramWritten.computeIfAbsent(d, dd => {

@@ -3824,6 +3824,93 @@ object SimilarityQueries extends graft.QueryModule {
          |            JOIN norms nb ON nb.vec_id = dots.vec_b)
          |WHERE cos >= 0.9""".stripMargin))((s, d) =>
       annBlockedDedupPairs(
-        buildIvfIndex(withVecProbes(Tables.embeddings(s, d))), threshold = 0.9))
+        buildIvfIndex(withVecProbes(Tables.embeddings(s, d))), threshold = 0.9)),
+
+    // D31 — BLOCKING-RECALL EVAL for the d29 cell blocker: d14's dial
+    // at the embedding level. Ground truth is the EXHAUSTIVE exact
+    // integer cosine over a bounded eval slice (vec_id < 300 + the
+    // planted probes — the t32/d14 discipline: an exhaustive-truth
+    // eval is a sampled audit by nature), expressed as a dimension-
+    // equality join (posexplode → join on i → pair rollup — a hash
+    // join, never a cartesian); candidates are same-cell membership in
+    // the slice's own derived-cell IVF fit. Per threshold: how many
+    // true pairs exist, how many the cell blocking retains (recall),
+    // and what fraction of the candidate mass is true (precision) —
+    // the chart that decides cell count / multi-probe before
+    // committing a 100 TB near-dup sweep. Counts are exact ints over
+    // exact long dot products; ratios fixed-shape divisions.
+    graft.QueryDef("d31_annblock_recall_eval", Some(
+      s"""WITH vecs AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id,
+         |    list_prepend(embedding[1] + CAST(0.01 AS FLOAT), embedding[2:]) AS embedding
+         |  FROM embeddings WHERE vec_id < 10),
+         |${OracleHash.lloydCtesExpr(1, OracleHash.derivedCellsSql, 5)},
+         |cells AS (SELECT vec_id, j AS cell FROM codes),
+         |comp AS (
+         |  SELECT vec_id,
+         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS x,
+         |    generate_subscripts(embedding, 1) AS i
+         |  FROM vecs),
+         |norms AS (SELECT vec_id, SUM(x * x) AS n2 FROM comp GROUP BY vec_id),
+         |truth AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dot
+         |  FROM comp a JOIN comp b ON b.i = a.i AND b.vec_id > a.vec_id
+         |  GROUP BY 1, 2),
+         |tc AS (
+         |  SELECT CAST(dot AS DOUBLE) /
+         |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos,
+         |    (ca.cell = cb.cell) AS in_cand
+         |  FROM truth JOIN norms na ON na.vec_id = truth.vec_a
+         |             JOIN norms nb ON nb.vec_id = truth.vec_b
+         |             JOIN cells ca ON ca.vec_id = truth.vec_a
+         |             JOIN cells cb ON cb.vec_id = truth.vec_b),
+         |th(threshold) AS (VALUES (0.3), (0.4), (0.5), (0.9)),
+         |tstats AS (
+         |  SELECT threshold,
+         |    CAST(SUM(CASE WHEN cos >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         |    CAST(SUM(CASE WHEN cos >= threshold AND in_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+         |  FROM tc, th GROUP BY threshold),
+         |nc AS (SELECT CAST(SUM(CASE WHEN in_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_cand FROM tc)
+         |SELECT threshold, n_cand, n_true, n_found,
+         |  CAST(n_found AS DOUBLE) / n_true AS recall,
+         |  CAST(n_found AS DOUBLE) / n_cand AS precision_at
+         |FROM tstats, nc""".stripMargin))((s, d) => {
+      val emb = withVecProbes(Tables.embeddings(s, d))
+        .where(col("vec_id") < 300 || col("vec_id") >= 1000000L)
+      val index = buildIvfIndex(emb)
+      val cells = index.assigned.select(col("vec_id"), col("cell"))
+      val comp = emb.select(col("vec_id"),
+          posexplode(quant(col("embedding"))).as(Seq("i", "x")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dots = comp.as("x").join(comp.as("y"),
+          col("y.i") === col("x.i") && col("y.vec_id") > col("x.vec_id"))
+        .groupBy(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+        .agg(sum(col("x.x") * col("y.x")).as("dot"))
+      val norms = comp.groupBy("vec_id").agg(sum(col("x") * col("x")).as("n2"))
+      val tc = dots
+        .join(norms.select(col("vec_id").as("vec_a"), col("n2").as("na")), Seq("vec_a"))
+        .join(norms.select(col("vec_id").as("vec_b"), col("n2").as("nb")), Seq("vec_b"))
+        .join(cells.select(col("vec_id").as("vec_a"), col("cell").as("ca")), Seq("vec_a"))
+        .join(cells.select(col("vec_id").as("vec_b"), col("cell").as("cb")), Seq("vec_b"))
+        .select(cosine(col("dot"), col("na"), col("nb")).as("cos"),
+          (col("ca") === col("cb")).as("in_cand"))
+      val thF = s.range(1).select(explode(
+        array(Seq(0.3, 0.4, 0.5, 0.9).map(lit): _*)).as("threshold"))
+      val tstats = tc.join(broadcast(thF)).groupBy("threshold").agg(
+        sum(when(col("cos") >= col("threshold"), 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("cos") >= col("threshold") && col("in_cand"), 1L)
+          .otherwise(0L)).as("n_found"))
+      val nc = tc.agg(sum(when(col("in_cand"), 1L).otherwise(0L)).as("n_cand"))
+      val out = tstats.join(broadcast(nc))
+        .select(col("threshold"), col("n_cand"), col("n_true"), col("n_found"),
+          (col("n_found").cast(DoubleType) / col("n_true")).as("recall"),
+          (col("n_found").cast(DoubleType) / col("n_cand")).as("precision_at"))
+      val local = out.collectAsList()
+      comp.unpersist()
+      index.unpersist()
+      s.createDataFrame(local, out.schema)
+    })
   )
 }

@@ -1232,6 +1232,40 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("d31: blocking-recall eval is internally consistent and sees the plants") {
+    val rows = SparkEntry.queries("d31_annblock_recall_eval")(spark, sf)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).sortBy(_._1)
+    spark.catalog.clearCache()
+    assert(rows.length == 4)
+    // one candidate set serves every threshold row
+    assert(rows.map(_._2).distinct.length == 1 && rows.head._2 > 0)
+    // found is truth retained by the blocking; ratios are proper
+    rows.foreach { case (_, nCand, nTrue, nFound, recall, prec) =>
+      assert(nFound <= nTrue && nFound <= nCand)
+      assert(recall >= 0.0 && recall <= 1.0 && prec >= 0.0 && prec <= 1.0)
+    }
+    // at 0.9 the truth is exactly the 10 planted probe pairs
+    assert(rows.last._3 == 10L)
+    // truth mass shrinks as the threshold rises
+    assert(rows.map(_._3).reverse.sorted.sameElements(rows.map(_._3).reverse))
+  }
+
+  test("d28b: incoming duplicated shares are proper fractions, additive per source") {
+    val rows = SparkEntry.queries("d28b_dup_flow_share")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val share = r.getAs[Double]("share")
+      assert(share > 0.0 && share <= 1.0, s"share out of range: $r")
+    }
+    // spans are disjoint per doc, so a source's TOTAL incoming share
+    // (sum over src sources) can never exceed 1
+    rows.groupBy(_.getAs[String]("dst_source")).foreach { case (dst, rs) =>
+      val tot = rs.map(_.getAs[Double]("share")).sum
+      assert(tot <= 1.0 + 1e-9, s"$dst incoming share total $tot > 1")
+    }
+  }
+
   test("d30: sub-blocking recovers the true pairs the block cap alone skips") {
     val docs = Tables.documents(spark, sf)
     val keys = Dedup.linkageKeys(Dedup.withHotBlockPairs(docs))
