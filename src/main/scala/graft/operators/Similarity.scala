@@ -217,6 +217,42 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** Multi-probe variant of [[annBlockedDedupPairs]] — the recall
+    * lever d31's eval motivates: each vector banding-assigns to its
+    * `probes` nearest cells (LSH-style multi-table membership over
+    * the SAME IVF fit — no retrain), candidates are pairs sharing ANY
+    * assigned cell, exact integer cosine verifies. A near-dup pair
+    * split by a cell boundary almost always shares its SECOND-nearest
+    * cell (both vectors sit near the same boundary), so probes=2
+    * recovers most of the single-probe misses at ≤ probes× the
+    * banded-row volume (candidate pairs grow sub-quadratically: only
+    * boundary pairs gain a bucket). Assignment is a map-side pass
+    * against the driver-held O(model) centroids; the pair join and
+    * verify are the d29 shapes. */
+  def multiProbeDedupPairs(index: IvfIndex, threshold: Double,
+                           probes: Int = 2): DataFrame = {
+    val cents = index.centroids
+    val dim = cents(0).length
+    val src = index.assigned.select(col("vec_id"), col("embedding"))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("cells", ArrayType(IntegerType, containsNull = false),
+        nullable = false)))
+    val cellsDf = src.map { row =>
+      val v = row.getSeq[Float](1).iterator.map(_.toDouble).toArray
+      org.apache.spark.sql.Row(row.getLong(0),
+        nearestCells(cents, v, 0, dim, probes))
+    }(org.apache.spark.sql.Encoders.row(schema))
+    val banded = cellsDf.select(col("vec_id"), explode(col("cells")).as("cell"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    verifyCosine(cand,
+      index.assigned.select(col("vec_id"), quant(col("embedding")).as("v")),
+      threshold)
+  }
+
   /** The IVF index artifact: driver-held centroids (broadcast-sized —
     * nCells × dim doubles) plus the persisted cell-assignment frame.
     * Built ONCE per corpus via [[buildIvfIndex]]; at scale `assigned` is
@@ -1019,6 +1055,20 @@ object Similarity {
 
   /** Nearest codebook entry for the subvector at `off` — squared-L2
     * argmin, lowest id on ties (deterministic). */
+  /** The `n` nearest centroids (squared L2, ties by centroid id) —
+    * [[nearestCell]] generalized for multi-probe assignment. Distance
+    * accumulates t-ascending like nearestCell and the oracle's strict
+    * fold, so the ranking is bit-reproducible across engines. */
+  private[operators] def nearestCells(book: Array[Array[Double]], v: Array[Double],
+                                      off: Int, dsub: Int, n: Int): Seq[Int] = {
+    val ds = Array.tabulate(book.length) { j =>
+      var s = 0.0; var t = 0
+      while (t < dsub) { val d = v(off + t) - book(j)(t); s += d * d; t += 1 }
+      (s, j)
+    }
+    ds.sortBy(identity).iterator.take(n).map(_._2).toSeq
+  }
+
   private[operators] def nearestCell(book: Array[Array[Double]], v: Array[Double],
                                      off: Int, dsub: Int): Int = {
     var best = 0; var bd = Double.MaxValue; var j = 0
@@ -3825,6 +3875,56 @@ object SimilarityQueries extends graft.QueryModule {
          |WHERE cos >= 0.9""".stripMargin))((s, d) =>
       annBlockedDedupPairs(
         buildIvfIndex(withVecProbes(Tables.embeddings(s, d))), threshold = 0.9)),
+
+    // D29b — MULTI-PROBE blocked dedup: d29 with probes=2 — every
+    // vector banding-assigns to its TWO nearest cells of the same IVF
+    // fit, so near-dup pairs split by a cell boundary co-bucket in
+    // their shared second cell. The oracle replays the full Lloyd fit,
+    // re-ranks every (vector, centroid) distance with the same strict
+    // fold, takes rn <= 2 per vector, and brute-forces the exact
+    // integer cosine over pairs sharing any assigned cell — the
+    // blocking's recall behavior is itself value-checked.
+    graft.QueryDef("d29b_multiprobe_dedup", Some {
+      val dist = OracleHash.lfold("list((ve.x - b.c) * (ve.x - b.c) ORDER BY b.t)")
+      s"""WITH vecs AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id,
+         |    list_prepend(embedding[1] + CAST(0.01 AS FLOAT), embedding[2:]) AS embedding
+         |  FROM embeddings WHERE vec_id < 10),
+         |${OracleHash.lloydCtesExpr(1, OracleHash.derivedCellsSql, 5)},
+         |probe2 AS (
+         |  SELECT vec_id, j AS cell FROM (
+         |    SELECT d.vec_id, d.j,
+         |      row_number() OVER (PARTITION BY d.vec_id ORDER BY d.dist ASC, d.j ASC) AS rn
+         |    FROM (
+         |      SELECT ve.vec_id, b.j, $dist AS dist
+         |      FROM b5 b JOIN vect ve ON ve.i = b.t + 1
+         |      GROUP BY 1, 2) d) WHERE rn <= 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM probe2 a JOIN probe2 b ON b.cell = a.cell AND b.vec_id > a.vec_id),
+         |comp AS (
+         |  SELECT vec_id,
+         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS x,
+         |    generate_subscripts(embedding, 1) AS i
+         |  FROM vecs),
+         |norms AS (SELECT vec_id, SUM(x * x) AS n2 FROM comp GROUP BY vec_id),
+         |dots AS (
+         |  SELECT c.vec_a, c.vec_b, SUM(x1.x * x2.x) AS dot
+         |  FROM cand c JOIN comp x1 ON x1.vec_id = c.vec_a
+         |              JOIN comp x2 ON x2.vec_id = c.vec_b AND x2.i = x1.i
+         |  GROUP BY 1, 2)
+         |SELECT vec_a, vec_b, cos FROM (
+         |  SELECT vec_a, vec_b, CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+         |  FROM dots JOIN norms na ON na.vec_id = dots.vec_a
+         |            JOIN norms nb ON nb.vec_id = dots.vec_b)
+         |WHERE cos >= 0.9""".stripMargin
+    })((s, d) =>
+      multiProbeDedupPairs(
+        buildIvfIndex(withVecProbes(Tables.embeddings(s, d))),
+        threshold = 0.9, probes = 2)),
 
     // D31 — BLOCKING-RECALL EVAL for the d29 cell blocker: d14's dial
     // at the embedding level. Ground truth is the EXHAUSTIVE exact

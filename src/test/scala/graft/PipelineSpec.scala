@@ -1304,4 +1304,22 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       s"expected exactly the co-located planted pairs; diff: ${
         (pairs -- coLocated) ++ (coLocated -- pairs)}")
   }
+
+  test("d29b: two probes widen single-probe candidacy and find every plant") {
+    val emb = Similarity.withVecProbes(Tables.embeddings(spark, sf))
+    val index = Similarity.buildIvfIndex(emb)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = pairSet(Similarity.annBlockedDedupPairs(index, threshold = 0.9))
+    val two = pairSet(Similarity.multiProbeDedupPairs(index, threshold = 0.9,
+      probes = 2))
+    index.unpersist()
+    // sharing the primary cell implies sharing one of the top-2 cells
+    assert(one.subsetOf(two), s"multi-probe lost pairs: ${one -- two}")
+    // with 2 probes, every planted clone pair must surface: the probe
+    // sits ~1e-4 from its base, so their top-2 cell SETS intersect
+    val planted = (0L until 10L).map(i => (i, i + 1000000L)).toSet
+    assert(planted.subsetOf(two),
+      s"missing planted pairs at 2 probes: ${planted -- two}")
+  }
 }
