@@ -3977,8 +3977,15 @@ object SimilarityQueries extends graft.QueryModule {
          |  CAST(n_found AS DOUBLE) / n_true AS recall,
          |  CAST(n_found AS DOUBLE) / n_cand AS precision_at
          |FROM tstats, nc""".stripMargin))((s, d) => {
+      // The slice bound is TWO-SIDED: probes occupy exactly
+      // [1000000, 1000010), and an open >= 1000000 would sweep every
+      // higher-id vector into the "bounded" slice on a corpus whose
+      // ids extend past 1M (the sf1 rehearsal corpus does — replica
+      // ids stride by 10M) — measured as a 94x blowup before the
+      // bound was closed.
       val emb = withVecProbes(Tables.embeddings(s, d))
-        .where(col("vec_id") < 300 || col("vec_id") >= 1000000L)
+        .where(col("vec_id") < 300 ||
+          (col("vec_id") >= 1000000L && col("vec_id") < 1000010L))
       val index = buildIvfIndex(emb)
       val cells = index.assigned.select(col("vec_id"), col("cell"))
       val comp = emb.select(col("vec_id"),
