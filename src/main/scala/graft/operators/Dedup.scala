@@ -607,6 +607,31 @@ object Dedup {
     mergeWindowSpans(dup, stored.minLen)
   }
 
+  /** [[dupSpansAgainstIndex]] with ATTRIBUTION: each batch span also
+    * carries `src_doc` — the stored corpus's first-occurrence owner of
+    * its windows (min over owners when a span mixes grams of different
+    * provenance, the d22 rule). Same double pruning as the
+    * unattributed probe; the only change is the semi-join widening to
+    * an inner join that lets the O(1)-per-row owner id ride the
+    * window rows into the islands rollup. This is the serving half of
+    * the d28 flow report for an INCREMENTAL batch: which stored
+    * document (and, joined one hop further, which source) today's
+    * crawl is copying from, without re-gramming the corpus. */
+  def dupSpansAgainstIndexAttributed(stored: StoredGramIndex,
+                                     batch: DataFrame): DataFrame = {
+    val bg = gramFrame(batch, stored.minLen)
+      .withColumn("bucket", gramBucket(col("gh"), stored.nBuckets))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val buckets = bg.select("bucket").distinct()
+      .collect().map(_.getInt(0))
+    val probe = stored.grams
+      .where(col("bucket").isin(buckets.toSeq.map(Integer.valueOf): _*))
+    val dup = bg.join(probe.select(col("gh"), col("bucket"), col("min_doc")),
+        Seq("gh", "bucket"))
+      .select(col("doc_id"), col("p"), col("min_doc"))
+    mergeWindowSpans(dup, stored.minLen, min(col("min_doc")).as("src_doc"))
+  }
+
   // --- Persistent record-linkage index -------------------------------------
 
   /** The d25 stored linkage-key artifact: the [[linkageKeys]] frame
@@ -1418,6 +1443,32 @@ object DedupQueries extends graft.QueryModule {
        |  WHERE EXISTS (SELECT 1 FROM cg WHERE cg.gram = b.gram)),
        |${spanIslandsTail(L)}""".stripMargin
 
+  /** d32's span statement: d21's against-index probe with the corpus
+    * owner carried through the islands chain (the d22 carry rule) —
+    * emitted standalone so the flow rollup can wrap it as a subquery. */
+  private def d21AttributedOracleSql(L: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split($normTextSql, ' ') AS ws FROM documents),
+       |cg AS (
+       |  SELECT gram, min(doc_id) AS min_doc FROM (
+       |    SELECT doc_id, array_to_string(list_slice(ws, s, s + ${L - 1}), ' ') AS gram
+       |    FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${L - 1})) AS s
+       |          FROM toks WHERE len(ws) >= $L)) GROUP BY gram),
+       |batch AS (
+       |  SELECT doc_id + 3000000 AS doc_id,
+       |    concat(array_to_string(list_slice(string_split($normTextSql, ' '), 1, 40), ' '), ' uq', CAST(doc_id AS VARCHAR)) AS text
+       |  FROM documents WHERE doc_id < 8),
+       |btoks AS (SELECT doc_id, string_split($normTextSql, ' ') AS ws FROM batch),
+       |bwins AS (
+       |  SELECT doc_id, s, array_to_string(list_slice(ws, s, s + ${L - 1}), ' ') AS gram
+       |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${L - 1})) AS s
+       |        FROM btoks WHERE len(ws) >= $L)),
+       |dup AS (
+       |  SELECT b.doc_id, b.s, cg.min_doc FROM bwins b
+       |  JOIN cg ON cg.gram = b.gram),
+       |${spanIslandsTail(L, carry = ", min_doc",
+           carrySel = ",\n  CAST(min(min_doc) AS BIGINT) AS src_doc")}""".stripMargin
+
   /** d13's corpus: the near-probe corpus plus a planted HOT cluster —
     * 12 verbatim clones of doc 0 at 2000000+i, whose identical
     * signatures make every one of their bands occupancy ≥ 13. */
@@ -1844,6 +1895,38 @@ object DedupQueries extends graft.QueryModule {
       })
       val stored = readGramIndex(s, path)
       dupSpansAgainstIndex(stored, spanBatchOf(Tables.documents(s, d)))
+    }),
+
+    // D32 — BATCH FLOW against the stored index: "which source is
+    // today's crawl copying from" — the incremental half of the d28
+    // report, answered through the WRITTEN gram artifact with no
+    // corpus re-gram. Attributed spans of the probe batch (owner id
+    // carried from the stored rollup) join one hop to the owner's
+    // source and roll up per src_source; the oracle replays ownership,
+    // islands, attribution, and the rollup end to end.
+    graft.QueryDef("d32_batch_flow", Some(
+      s"""SELECT src.source AS src_source,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(sp.span_tokens) AS BIGINT) AS dup_tokens,
+         |  CAST(count(DISTINCT sp.doc_id) AS BIGINT) AS n_docs
+         |FROM (${d21AttributedOracleSql(10)}) sp
+         |JOIN documents src ON src.doc_id = sp.src_doc
+         |GROUP BY 1""".stripMargin))((s, d) => {
+      val path = gramWritten.computeIfAbsent(d, dd => {
+        val p = s"$idxRoot/${dirTag(dd)}/grams"
+        writeGramIndex(Tables.documents(s, dd), minLen = 10, p)
+        p
+      })
+      val stored = readGramIndex(s, path)
+      val spans = dupSpansAgainstIndexAttributed(stored,
+        spanBatchOf(Tables.documents(s, d)))
+      spans.join(Tables.documents(s, d)
+          .select(col("doc_id").as("src_doc"), col("source").as("src_source")),
+        Seq("src_doc"))
+        .groupBy("src_source")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("span_tokens")).as("dup_tokens"),
+          countDistinct(col("doc_id")).as("n_docs"))
     }),
 
     // D13 — occupancy-capped LSH over a corpus with a PLANTED hot

@@ -1266,6 +1266,27 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("d32: batch flow ties out to the attributed against-index spans") {
+    val docs = Tables.documents(spark, sf)
+    val root = util.TmpRoot("d32-spec") + "/grams"
+    Dedup.writeGramIndex(docs, minLen = 10, root)
+    val stored = Dedup.readGramIndex(spark, root)
+    val spans = Dedup.dupSpansAgainstIndexAttributed(stored,
+      Dedup.spanBatchOf(docs)).collect()
+    spark.catalog.clearCache()
+    assert(spans.nonEmpty)
+    // attribution names a real corpus doc; every probe's span starts at
+    // its copied prefix (position 1) like the unattributed path
+    val corpusIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(spans.forall(r => corpusIds.contains(r.getAs[Long]("src_doc"))))
+    // the flow rollup conserves the span mass
+    val flow = SparkEntry.queries("d32_batch_flow")(spark, sf).collect()
+    spark.catalog.clearCache()
+    assert(flow.map(_.getAs[Long]("n_spans")).sum == spans.length)
+    assert(flow.map(_.getAs[Long]("dup_tokens")).sum ==
+      spans.map(_.getAs[Long]("span_tokens")).sum)
+  }
+
   test("d30: sub-blocking recovers the true pairs the block cap alone skips") {
     val docs = Tables.documents(spark, sf)
     val keys = Dedup.linkageKeys(Dedup.withHotBlockPairs(docs))
