@@ -555,23 +555,64 @@ object Dedup {
   def compactGramIndex(spark: org.apache.spark.sql.SparkSession,
                        incrementalDir: String, servingPath: String,
                        minLen: Int, basePath: Option[String] = None,
-                       nBuckets: Int = 64): Unit = {
-    val deltas = spark.read.parquet(incrementalDir).select("gh", "min_doc")
-    val all = basePath match {
-      case Some(p) =>
-        // Fail fast on a configuration mismatch: gram hashes of
-        // different lengths would merge into one store that answers
-        // (near-)nothing — a silent corruption, not an error.
-        val base = readGramIndex(spark, p)
-        require(base.minLen == minLen,
-          s"gram-length mismatch: base index at $p was built with " +
-            s"minLen=${base.minLen}, compaction requested $minLen")
-        base.grams.select("gh", "min_doc").unionByName(deltas)
-      case None => deltas
+                       nBuckets: Int = 64,
+                       ownersIncrementalDir: Option[String] = None): Unit = {
+    ownersIncrementalDir match {
+      case Some(od) =>
+        // Owners-bearing compaction: merge the per-batch DISTINCT
+        // (gh, doc_id) postings (set union — associative, batch split
+        // can never change it), derive the rollup FROM the merged
+        // posting (min over distinct pairs == min over occurrences),
+        // and write both — the compacted store purges exactly, like a
+        // writeGramIndex(withOwners = true) build. A base without its
+        // own owners sidecar is refused: merging it rollup-only would
+        // produce a store that LOOKS purge-exact but silently lacks
+        // the base docs' postings.
+        val deltas = spark.read.parquet(od).select("gh", "doc_id")
+        val all = basePath match {
+          case Some(p) =>
+            val base = readGramIndex(spark, p)
+            require(base.minLen == minLen,
+              s"gram-length mismatch: base index at $p was built with " +
+                s"minLen=${base.minLen}, compaction requested $minLen")
+            val ownersPath = new org.apache.hadoop.fs.Path(s"$p/owners")
+            require(ownersPath.getFileSystem(
+              spark.sparkContext.hadoopConfiguration).exists(ownersPath),
+              s"base index at $p has no owners sidecar; an owners-bearing " +
+                "compaction over it would silently lose base postings")
+            spark.read.parquet(s"$p/owners").select("gh", "doc_id")
+              .unionByName(deltas)
+          case None => deltas
+        }
+        val owners = all.distinct()
+          .withColumn("bucket", gramBucket(col("gh"), nBuckets))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        owners.write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$servingPath/owners")
+        owners.groupBy("gh", "bucket").agg(min(col("doc_id")).as("min_doc"))
+          .select(col("gh"), col("min_doc"), col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$servingPath/grams")
+        owners.unpersist()
+      case None =>
+        val deltas = spark.read.parquet(incrementalDir).select("gh", "min_doc")
+        val all = basePath match {
+          case Some(p) =>
+            // Fail fast on a configuration mismatch: gram hashes of
+            // different lengths would merge into one store that answers
+            // (near-)nothing — a silent corruption, not an error.
+            val base = readGramIndex(spark, p)
+            require(base.minLen == minLen,
+              s"gram-length mismatch: base index at $p was built with " +
+                s"minLen=${base.minLen}, compaction requested $minLen")
+            base.grams.select("gh", "min_doc").unionByName(deltas)
+          case None => deltas
+        }
+        all.groupBy("gh").agg(min(col("min_doc")).as("min_doc"))
+          .withColumn("bucket", gramBucket(col("gh"), nBuckets))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$servingPath/grams")
     }
-    all.groupBy("gh").agg(min(col("min_doc")).as("min_doc"))
-      .withColumn("bucket", gramBucket(col("gh"), nBuckets))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$servingPath/grams")
     writeGramMeta(spark, servingPath, minLen, nBuckets)
   }
 

@@ -843,7 +843,8 @@ object Streams {
     * layout [[graft.operators.Dedup.dupSpansAgainstIndex]] probes. */
   def incrementalGramIndex(spark: SparkSession, sourceDir: String,
                            indexDir: String, checkpointDir: String,
-                           minLen: Int): Unit = {
+                           minLen: Int,
+                           ownersDir: Option[String] = None): Unit = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val q = spark.readStream.schema(schema).parquet(sourceDir)
@@ -851,9 +852,19 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Dedup.gramFrame(batch, minLen)
-          .groupBy("gh").agg(min(col("doc_id")).as("min_doc"))
+        // With an owners sink, the batch's DISTINCT (gh, doc_id)
+        // posting lands next to the rollup (one shared gram pass, the
+        // writeGramIndex(withOwners) discipline) — the deltas that let
+        // compaction build a purge-exact store for a STREAMED corpus.
+        val grams = graft.operators.Dedup.gramFrame(batch, minLen)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ownersDir.foreach { od =>
+          grams.select(col("gh"), col("doc_id")).distinct()
+            .write.mode("overwrite").parquet(s"$od/batch_id=$batchId")
+        }
+        grams.groupBy("gh").agg(min(col("doc_id")).as("min_doc"))
           .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+        grams.unpersist()
         ()
       }
       .start()

@@ -975,6 +975,56 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       "compacted store serves different spans than the direct build")
   }
 
+  test("streamed owners sidecar makes the compacted gram store purge-exact") {
+    import graft.operators.{Dedup, Governance}
+    def addChunk(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp("graft_gramo_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$dir/$name"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val src = tmp("graft_gramo_src")
+    val inc = tmp("graft_gramo_root") + "/inc"
+    val own = tmp("graft_gramo_root") + "/own"
+    val ckpt = tmp("graft_gramo_ckpt")
+    // plant a surviving clone of doc 3 so the purge must RE-OWN shared
+    // grams, not just drop them (the GovernanceSpec fixture, streamed)
+    val base = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val docs = base.unionByName(base.where(col("doc_id") === 3)
+      .select(lit(500000L).as("doc_id"), col("text")))
+    addChunk(src, docs.where(col("doc_id") % 2 === 0), "c1.parquet")
+    Streams.incrementalGramIndex(spark, src, inc, ckpt, minLen = 10,
+      ownersDir = Some(own))
+    addChunk(src, docs.where(col("doc_id") % 2 === 1), "c2.parquet")
+    Streams.incrementalGramIndex(spark, src, inc, ckpt, minLen = 10,
+      ownersDir = Some(own))
+    val serving = tmp("graft_gramo_out") + "/serving"
+    Dedup.compactGramIndex(spark, inc, serving, minLen = 10,
+      ownersIncrementalDir = Some(own))
+    // compacted == a batch withOwners build, table for table
+    val direct = tmp("graft_gramo_out2") + "/direct"
+    Dedup.writeGramIndex(docs, minLen = 10, direct, withOwners = true)
+    def tableSet(path: String, table: String, cols: Seq[String]) =
+      spark.read.parquet(s"$path/$table").selectExpr(cols: _*)
+        .collect().map(_.toSeq).toSet
+    assert(tableSet(serving, "grams", Seq("gh", "min_doc", "bucket")) ==
+      tableSet(direct, "grams", Seq("gh", "min_doc", "bucket")))
+    assert(tableSet(serving, "owners", Seq("gh", "doc_id", "bucket")) ==
+      tableSet(direct, "owners", Seq("gh", "doc_id", "bucket")))
+    // purge through the COMPACTED store == a from-scratch rebuild over
+    // the purged corpus — the exactness streamed stores used to lack
+    val ids = docs.where(col("doc_id") === 3).select(col("doc_id").as("purge_id"))
+    val purged = tmp("graft_gramo_out3") + "/purged"
+    Governance.purgeStoredGramIndex(spark, serving, purged, ids)
+    val rebuilt = tmp("graft_gramo_out4") + "/rebuilt"
+    Dedup.writeGramIndex(docs.where(col("doc_id") =!= 3), minLen = 10, rebuilt)
+    assert(tableSet(purged, "grams", Seq("gh", "min_doc", "bucket")) ==
+      tableSet(rebuilt, "grams", Seq("gh", "min_doc", "bucket")))
+    spark.catalog.clearCache()
+  }
+
   test("incremental linkage index compacts to the direct store and purges tombstones (d25 twin)") {
     import graft.operators.Dedup
     def addChunk(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
