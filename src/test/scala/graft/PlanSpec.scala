@@ -614,6 +614,19 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"d21: bucket probe not pruning partitions:\n$p")
   }
 
+  test("d32: the attributed gram probe prunes bucket partitions too") {
+    import operators.Dedup
+    val path = util.TmpRoot("gramflowplan") + "/grams"
+    Dedup.writeGramIndex(Tables.documents(spark, sf), minLen = 10, path)
+    val stored = Dedup.readGramIndex(spark, path)
+    val p = Dedup.dupSpansAgainstIndexAttributed(stored,
+        Dedup.spanBatchOf(Tables.documents(spark, sf)))
+      .queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*bucket.*"),
+      s"d32: attributed bucket probe not pruning partitions:\n$p")
+  }
+
   test("d25: the linkage-index probe prunes bucket partitions at the file index") {
     import operators.Dedup
     val path = util.TmpRoot("linkplan") + "/linkage"
