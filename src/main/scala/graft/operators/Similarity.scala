@@ -3926,6 +3926,56 @@ object SimilarityQueries extends graft.QueryModule {
         buildIvfIndex(withVecProbes(Tables.embeddings(s, d))),
         threshold = 0.9, probes = 2)),
 
+    // N39 — CLUSTER-BALANCED sampling plan (the D4/SemDeDup-style
+    // diversification knob): temperature-mix the sampling budget
+    // across SEMANTIC clusters — the IVF fit's cells — instead of
+    // metadata buckets, so a head topic that dominates the crawl
+    // cannot dominate the sample. Same exact-integer allocation
+    // discipline as t28/t34/t58 (quantized sqrt share, one integer
+    // multiply-divide per target, ceil-div epochs), applied to
+    // per-cell VECTOR counts; output is O(cells), the totals are two
+    // 1-row broadcasts, and the only corpus-scaled work is the cell
+    // count the serving index already materializes.
+    graft.QueryDef("n39_cluster_mixture", Some(
+      s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+         |${OracleHash.lloydCtesExpr(1, OracleHash.derivedCellsSql, 5)},
+         |counts AS (
+         |  SELECT CAST(j AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n_vec
+         |  FROM codes GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_vec) AS BIGINT) AS n_total FROM counts),
+         |sq AS (
+         |  SELECT cell, n_vec,
+         |    CAST(round(sqrt(CAST(n_vec AS DOUBLE) / CAST(n_total AS DOUBLE))
+         |      * 1000000000) AS BIGINT) AS s
+         |  FROM counts, tot),
+         |den AS (SELECT CAST(SUM(s) AS BIGINT) AS ds FROM sq)
+         |SELECT cell, n_vec,
+         |  CAST((10000 * s) // ds AS BIGINT) AS target_vec,
+         |  CAST(least(n_vec, (10000 * s) // ds) AS BIGINT) AS planned_vec,
+         |  CAST(CASE WHEN (10000 * s) // ds > n_vec
+         |    THEN ((10000 * s) // ds + n_vec - 1) // n_vec ELSE 1 END AS BIGINT) AS epochs,
+         |  CAST((10000 * s) // ds AS DOUBLE) / n_vec AS sample_rate
+         |FROM sq, den""".stripMargin))((s, d) => {
+      val index = buildIvfIndex(Tables.embeddings(s, d))
+      val counts = index.assigned
+        .groupBy(col("cell").cast(LongType).as("cell"))
+        .agg(count(lit(1)).as("n_vec"))
+      val total = counts.agg(sum(col("n_vec")).as("n_total"))
+      val withS = counts.join(broadcast(total))
+        .withColumn("s", round(sqrt(col("n_vec").cast(DoubleType) /
+          col("n_total").cast(DoubleType)) * 1000000000L).cast(LongType))
+      val denom = withS.agg(sum(col("s")).as("ds"))
+      val target = expr("(10000 * s) div ds").cast(LongType)
+      withS.join(broadcast(denom))
+        .select(col("cell"), col("n_vec"),
+          target.as("target_vec"),
+          least(col("n_vec"), target).as("planned_vec"),
+          when(target > col("n_vec"),
+            expr("((10000 * s) div ds + n_vec - 1) div n_vec"))
+            .otherwise(lit(1L)).cast(LongType).as("epochs"),
+          (target.cast(DoubleType) / col("n_vec")).as("sample_rate"))
+    }),
+
     // D31 — BLOCKING-RECALL EVAL for the d29 cell blocker: d14's dial
     // at the embedding level. Ground truth is the EXHAUSTIVE exact
     // integer cosine over a bounded eval slice (vec_id < 300 + the

@@ -2472,6 +2472,96 @@ object TextAnalysisQueries extends graft.QueryModule {
             .as("sample_rate"))
     }),
 
+    // T59 — TWO-PHASE ANNEALED mixture: the mid-training anneal real
+    // pretraining runs ship — a 90% MAIN phase budgeted over all
+    // quality tokens (t58's allocation) plus a 10% ANNEAL phase
+    // budgeted over a STRICTER slice (here: kept docs of >= 80 tokens,
+    // the long-form-quality policy knob; any per-doc predicate slots
+    // in), each phase with its own quantized sqrt-temperature shares
+    // and integer budget split, so the anneal upweights its slice
+    // without the main phase's allocation moving. One corpus scan
+    // (both gates are map-side integer tests on the same metrics),
+    // O(languages) output, four 1-row broadcast totals; a language
+    // with an empty strict slice gets anneal share 0, never a
+    // division artifact.
+    graft.QueryDef("t59_anneal_mixture", Some(
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(trim(text), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(ws) AS BIGINT) AS n_tok,
+        |    CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_distinct(list_intersect(ws,
+        |      ['the', 'a', 'and', 'of', 'to', 'in']))) AS BIGINT) AS n_stop
+        |  FROM f),
+        |k AS (
+        |  SELECT lang, n_tok,
+        |    (n_tok BETWEEN 50 AND 100000 AND 3 * n_tok <= sum_len
+        |      AND sum_len <= 10 * n_tok AND 5 * n_alpha >= 4 * n_tok
+        |      AND n_stop >= 2) AS keep
+        |  FROM m),
+        |lt AS (
+        |  SELECT lang,
+        |    CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS q_tok,
+        |    CAST(SUM(CASE WHEN keep AND n_tok >= 80 THEN n_tok ELSE 0 END) AS BIGINT) AS strict_tok
+        |  FROM k GROUP BY lang),
+        |tq AS (SELECT CAST(SUM(q_tok) AS BIGINT) AS qt FROM lt),
+        |ta AS (SELECT CAST(SUM(strict_tok) AS BIGINT) AS st FROM lt),
+        |sq AS (
+        |  SELECT lang, q_tok, strict_tok,
+        |    CAST(round(sqrt(CAST(q_tok AS DOUBLE) / CAST(qt AS DOUBLE))
+        |      * 1000000000) AS BIGINT) AS sm,
+        |    CAST(round(sqrt(CAST(strict_tok AS DOUBLE) / CAST(st AS DOUBLE))
+        |      * 1000000000) AS BIGINT) AS sa
+        |  FROM lt, tq, ta),
+        |den AS (SELECT CAST(SUM(sm) AS BIGINT) AS dsm,
+        |               CAST(SUM(sa) AS BIGINT) AS dsa FROM sq)
+        |SELECT lang, q_tok, strict_tok,
+        |  CAST((45000 * sm) // dsm AS BIGINT) AS main_target,
+        |  CAST((5000 * sa) // dsa AS BIGINT) AS anneal_target,
+        |  CAST((45000 * sm) // dsm + (5000 * sa) // dsa AS BIGINT) AS total_target,
+        |  CASE WHEN (45000 * sm) // dsm + (5000 * sa) // dsa > 0
+        |    THEN CAST((5000 * sa) // dsa AS DOUBLE) /
+        |      CAST((45000 * sm) // dsm + (5000 * sa) // dsa AS DOUBLE) END AS anneal_share
+        |FROM sq, den""".stripMargin))((s, d) => {
+      val ws = filter(split(trim(col("text")), "\\s+"), w => length(w) > 0)
+      val stops = array(Seq("the", "a", "and", "of", "to", "in").map(lit): _*)
+      val m = Tables.documents(s, d).select(col("lang"),
+        size(ws).cast(LongType).as("n_tok"),
+        aggregate(ws, lit(0L), (acc, w) => acc + length(w)).as("sum_len"),
+        size(filter(ws, w => w.rlike("[a-z]"))).cast(LongType).as("n_alpha"),
+        size(array_distinct(array_intersect(ws, stops))).cast(LongType).as("n_stop"))
+      val keep = col("n_tok").between(50L, 100000L) &&
+        (lit(3L) * col("n_tok") <= col("sum_len")) &&
+        (col("sum_len") <= lit(10L) * col("n_tok")) &&
+        (lit(5L) * col("n_alpha") >= lit(4L) * col("n_tok")) &&
+        (col("n_stop") >= 2L)
+      val lt = m.groupBy("lang").agg(
+        sum(when(keep, col("n_tok")).otherwise(0L)).as("q_tok"),
+        sum(when(keep && col("n_tok") >= 80L, col("n_tok")).otherwise(0L))
+          .as("strict_tok"))
+      val totals = lt.agg(sum(col("q_tok")).as("qt"),
+        sum(col("strict_tok")).as("st"))
+      val withS = lt.join(broadcast(totals))
+        .withColumn("sm", round(sqrt(col("q_tok").cast(DoubleType) /
+          col("qt").cast(DoubleType)) * 1000000000L).cast(LongType))
+        .withColumn("sa", round(sqrt(col("strict_tok").cast(DoubleType) /
+          col("st").cast(DoubleType)) * 1000000000L).cast(LongType))
+      val denom = withS.agg(sum(col("sm")).as("dsm"), sum(col("sa")).as("dsa"))
+      val mainT = expr("(45000 * sm) div dsm").cast(LongType)
+      val annT = expr("(5000 * sa) div dsa").cast(LongType)
+      withS.join(broadcast(denom))
+        .select(col("lang"), col("q_tok"), col("strict_tok"),
+          mainT.as("main_target"), annT.as("anneal_target"),
+          (mainT + annT).as("total_target"),
+          when(mainT + annT > 0L,
+            annT.cast(DoubleType) / (mainT + annT).cast(DoubleType))
+            .as("anneal_share"))
+    }),
+
     // T35 — GOPHER-STYLE doc-level quality rules (the published rule
     // suite real pretraining pipelines run verbatim): word-count
     // bounds, mean-word-length band, alphabetic-word ratio, minimum

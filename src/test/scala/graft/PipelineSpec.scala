@@ -1266,6 +1266,28 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("n39/t59: mixture plans never overshoot their budgets") {
+    val n39 = SparkEntry.queries("n39_cluster_mixture")(spark, sf).collect()
+    spark.catalog.clearCache()
+    assert(n39.nonEmpty)
+    assert(n39.map(_.getAs[Long]("target_vec")).sum <= 10000L)
+    assert(n39.forall(r => r.getAs[Long]("planned_vec") <= r.getAs[Long]("n_vec")))
+    // the plan covers the whole corpus: cell counts sum to the vector count
+    assert(n39.map(_.getAs[Long]("n_vec")).sum ==
+      Tables.embeddings(spark, sf).count())
+    val t59 = SparkEntry.queries("t59_anneal_mixture")(spark, sf).collect()
+    assert(t59.nonEmpty)
+    assert(t59.map(_.getAs[Long]("main_target")).sum <= 45000L)
+    assert(t59.map(_.getAs[Long]("anneal_target")).sum <= 5000L)
+    t59.foreach { r =>
+      assert(r.getAs[Long]("strict_tok") <= r.getAs[Long]("q_tok"))
+      if (!r.isNullAt(r.fieldIndex("anneal_share"))) {
+        val sh = r.getAs[Double]("anneal_share")
+        assert(sh >= 0.0 && sh <= 1.0)
+      }
+    }
+  }
+
   test("d32: batch flow ties out to the attributed against-index spans") {
     val docs = Tables.documents(spark, sf)
     val root = util.TmpRoot("d32-spec") + "/grams"
