@@ -3976,6 +3976,59 @@ object SimilarityQueries extends graft.QueryModule {
           (target.cast(DoubleType) / col("n_vec")).as("sample_rate"))
     }),
 
+    // N40 — the n39 plan APPLIED: deterministic per-vector sampling.
+    // Each cell's target converts to an integer hash threshold over
+    // the 2^32 Knuth-hash space (thresh = target·2^32 div n_vec — one
+    // integer multiply-divide, no float rate anywhere), and a vector
+    // is kept iff its t20-style multiplicative hash falls below its
+    // cell's threshold — reproducible under any partitioning, no
+    // rand(). Cells whose target meets or exceeds their occupancy get
+    // thresh >= 2^32 and keep everything (the upsampled tail — epoch
+    // repetition is the trainer's job, per t34). Map-side hash + an
+    // O(cells) broadcast join; output is the sampled corpus slice a
+    // shard-writer consumes.
+    graft.QueryDef("n40_cluster_sample_apply", Some(
+      s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+         |${OracleHash.lloydCtesExpr(1, OracleHash.derivedCellsSql, 5)},
+         |counts AS (
+         |  SELECT CAST(j AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n_vec
+         |  FROM codes GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_vec) AS BIGINT) AS n_total FROM counts),
+         |sq AS (
+         |  SELECT cell, n_vec,
+         |    CAST(round(sqrt(CAST(n_vec AS DOUBLE) / CAST(n_total AS DOUBLE))
+         |      * 1000000000) AS BIGINT) AS s
+         |  FROM counts, tot),
+         |den AS (SELECT CAST(SUM(s) AS BIGINT) AS ds FROM sq),
+         |plan AS (
+         |  SELECT cell,
+         |    CAST(((10000 * s) // ds * 4294967296) // n_vec AS BIGINT) AS thresh
+         |  FROM sq, den)
+         |SELECT c.vec_id, p.cell
+         |FROM (SELECT vec_id, CAST(j AS BIGINT) AS cell FROM codes) c
+         |JOIN plan p USING (cell)
+         |WHERE (c.vec_id * 2654435761) % 4294967296 < p.thresh""".stripMargin))((s, d) => {
+      val index = buildIvfIndex(Tables.embeddings(s, d))
+      val counts = index.assigned
+        .groupBy(col("cell").cast(LongType).as("cell"))
+        .agg(count(lit(1)).as("n_vec"))
+      val total = counts.agg(sum(col("n_vec")).as("n_total"))
+      val withS = counts.join(broadcast(total))
+        .withColumn("s", round(sqrt(col("n_vec").cast(DoubleType) /
+          col("n_total").cast(DoubleType)) * 1000000000L).cast(LongType))
+      val denom = withS.agg(sum(col("s")).as("ds"))
+      val plan = withS.join(broadcast(denom))
+        .select(col("cell"),
+          expr("((10000 * s) div ds * 4294967296) div n_vec")
+            .cast(LongType).as("thresh"))
+      index.assigned
+        .select(col("vec_id"), col("cell").cast(LongType).as("cell"),
+          ((col("vec_id") * lit(2654435761L)) % lit(4294967296L)).as("h"))
+        .join(broadcast(plan), Seq("cell"))
+        .where(col("h") < col("thresh"))
+        .select(col("vec_id"), col("cell"))
+    }),
+
     // D31 — BLOCKING-RECALL EVAL for the d29 cell blocker: d14's dial
     // at the embedding level. Ground truth is the EXHAUSTIVE exact
     // integer cosine over a bounded eval slice (vec_id < 300 + the

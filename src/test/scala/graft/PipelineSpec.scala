@@ -1288,6 +1288,24 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("n40: applied sample is a deterministic subset honoring the plan") {
+    val kept = SparkEntry.queries("n40_cluster_sample_apply")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val plan = SparkEntry.queries("n39_cluster_mixture")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_vec"),
+        r.getAs[Long]("target_vec"))).toMap
+    spark.catalog.clearCache()
+    assert(kept.nonEmpty && kept.map(_._1).distinct.length == kept.length)
+    val byCell = kept.groupBy(_._2).map { case (c, rs) => c -> rs.length.toLong }
+    byCell.foreach { case (cell, n) =>
+      val (nVec, target) = plan(cell)
+      assert(n <= nVec, s"cell $cell kept $n of $nVec")
+      // a cell whose target covers its occupancy keeps EVERYTHING
+      if (target >= nVec) assert(n == nVec,
+        s"cell $cell: target $target >= occupancy $nVec but kept only $n")
+    }
+  }
+
   test("d32: batch flow ties out to the attributed against-index spans") {
     val docs = Tables.documents(spark, sf)
     val root = util.TmpRoot("d32-spec") + "/grams"
