@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout RAW: the default LoggedOutput
+// strategy prefixes every line with sbt's "[info] "/"[error] " tags,
+// which is why the driver's bench-record parser failed on the one-line
+// JSON contract in every round 1-14 (BENCH_r{N}.json "parsed": null —
+// the line was present but tagged). StdoutOutput passes the child's
+// stdout/stderr through untouched.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

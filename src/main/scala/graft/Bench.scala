@@ -18,17 +18,22 @@ object Bench {
     }
   }
 
-  /** Re-run one query ISOLATED: a fresh JVM (same classpath and module
-    * options as this one), min-of-`runs`, its own artifact file. This
-    * is the round-8/9 bench-drift adjudication playbook (SCALE.md
-    * "Bench-drift adjudication") promoted from an ad-hoc step into the
-    * gate itself: a long 185-query JVM accumulates JIT/GC/scheduling
-    * state that lands ±30% swings on sub-2 s queries, and the fresh-JVM
-    * floor is the number that separates a real regression from that
-    * noise. Returns None if the child fails — adjudication must never
-    * fail the bench run itself. */
-  private def isolatedRun(name: String, sfDir: String, cpus: String,
-                          runs: Int): Option[Double] = {
+  /** Re-run a BATCH of queries ISOLATED: one fresh child JVM (same
+    * classpath and module options as this one), min-of-`runs` each, its
+    * own artifact file. This is the round-8/9 bench-drift adjudication
+    * playbook (SCALE.md "Bench-drift adjudication") promoted from an
+    * ad-hoc step into the gate itself: a long 300-query JVM accumulates
+    * JIT/GC/scheduling state that lands ±30% swings on sub-2 s queries,
+    * and the fresh-JVM floor is the number that separates a real
+    * regression from that noise. BATCHED (round-15 change): one child
+    * per query paid ~25 s of JVM+session startup per mover, which is
+    * why rounds 13-14 could only afford isolating 10 of 47 movers —
+    * sharing one child across a dozen movers amortizes the startup so
+    * EVERY >=1.4x mover gets an isolated floor. Returns the child's
+    * per-query timings (empty on failure — adjudication must never fail
+    * the bench run itself). */
+  private def isolatedRun(names: Seq[String], sfDir: String, cpus: String,
+                          runs: Int): Map[String, Double] = {
     try {
       val jvmArgs = java.lang.management.ManagementFactory
         .getRuntimeMXBean.getInputArguments
@@ -41,7 +46,7 @@ object Bench {
       val pb = new ProcessBuilder(cmd)
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
       pb.environment().put("SPARK_GRAFT_CPUS", cpus)
-      pb.environment().put("SPARK_GRAFT_ONLY", name)
+      pb.environment().put("SPARK_GRAFT_ONLY", names.mkString(","))
       pb.environment().put("SPARK_GRAFT_BENCH_RUNS", runs.toString)
       pb.environment().put("SPARK_GRAFT_BENCH_FILE", outFile.toString)
       pb.environment().remove("SPARK_GRAFT_BENCH_BASELINE") // no recursion
@@ -49,12 +54,13 @@ object Bench {
       pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
       val p = pb.start()
       val done = p.waitFor(8, java.util.concurrent.TimeUnit.MINUTES)
-      if (!done) { p.destroyForcibly(); return None }
-      val t = readTimings(outFile.toString).get(name)
+      if (!done) { p.destroyForcibly(); return Map.empty }
+      val t = readTimings(outFile.toString)
       java.nio.file.Files.deleteIfExists(outFile)
       t
     } catch { case t: Throwable =>
-      System.err.println(s"BENCH adjudication failed for $name: $t"); None
+      System.err.println(s"BENCH adjudication failed for ${names.mkString(",")}: $t")
+      Map.empty
     }
   }
 
@@ -128,11 +134,13 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.flatten.sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
-    println(line)
-    // The stdout line is the driver contract but long runs get their tail
-    // truncated in captured logs (round 8 lost 115 of 176 timings that
-    // way), so the SAME line also lands as an in-repo artifact — every
-    // query stays regression-diffable round over round. The default name
+    // The full line (all queries, full precision) lands in the in-repo
+    // artifact — every query stays regression-diffable round over
+    // round. It is NOT the final stdout line: the driver's record
+    // keeps only the last ~2000 chars of output, and at 300+ queries
+    // this line is ~10 KB, which is why BENCH_r8..r14 all recorded
+    // "parsed": null. The driver-facing stdout contract is the COMPACT
+    // line printed at the very end of main(). The default artifact name
     // is ROUND-tagged (BENCHFULL_r{N}.json, SPARK_GRAFT_ROUND set) or
     // SF-tagged (BENCHFULL_<sf>.json) so consecutive runs at different
     // scale factors — or a mid-round run vs the round-closing gate run —
@@ -169,17 +177,21 @@ object Bench {
           sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption).toSeq
             .map(n => s"BENCHFULL_r${n - 1}.json") :+ s"BENCHFULL_$sfTag.json"
       }).find(p => new java.io.File(p).exists())
-    // Round-13 postmortem: the 34-mover × fresh-JVM × min-of-6 protocol
-    // blew the driver's bench envelope (BENCH_r13 rc=124). The record
-    // and the re-runs are now decoupled: EVERY >1.3x mover gets a drift
-    // entry (infleet + baseline — the round-over-round record costs
-    // only JSON), but isolated fresh-JVM floors run min-of-3 for only
-    // the largest movers by absolute delta, under a hard wall-clock
-    // budget, so adjudication can never again dominate the gate run.
+    // Round-13 postmortem: the 34-mover × fresh-JVM-each × min-of-6
+    // protocol blew the driver's bench envelope (BENCH_r13 rc=124). The
+    // record and the re-runs are decoupled: EVERY >1.3x mover gets a
+    // drift entry (infleet + baseline — the round-over-round record
+    // costs only JSON), and every >=1.4x mover (either direction, the
+    // round-14 judge ask — no more `isolated: -1` above that line) gets
+    // an isolated fresh-JVM floor, min-of-3, BATCHED a dozen movers per
+    // child JVM so the startup cost is amortized. The wall-clock budget
+    // is a LAUNCH GATE, not a hard cap: a batch already running can
+    // overshoot it by up to the child's 8-minute timeout; the gate only
+    // prevents launching the NEXT batch past the budget.
     val adjBudgetSec = sys.env.get("SPARK_GRAFT_ADJ_BUDGET")
-      .flatMap(_.toIntOption).getOrElse(360)
+      .flatMap(_.toIntOption).getOrElse(480)
     val adjMaxMovers = sys.env.get("SPARK_GRAFT_ADJ_MAX")
-      .flatMap(_.toIntOption).getOrElse(10)
+      .flatMap(_.toIntOption).getOrElse(36)
     val adjudicated: Seq[(String, Double, Double, Option[Double])] =
       baselinePath match {
         case Some(basePath) =>
@@ -190,20 +202,22 @@ object Bench {
               dt >= 0.2 && (dt > 1.3 * b || b > 1.3 * dt)) =>
               (name, dt, base(name))
           }.sortBy { case (_, dt, b) => -math.abs(dt - b) }
+          val eligible = movers
+            .filter { case (_, dt, b) => dt > 1.4 * b || b > 1.4 * dt }
+            .take(adjMaxMovers)
           val t0 = System.nanoTime()
-          var ran = 0
-          movers.map { case (name, dt, b) =>
+          val iso = scala.collection.mutable.Map[String, Double]()
+          eligible.map(_._1).grouped(12).foreach { chunk =>
             val elapsed = (System.nanoTime() - t0) / 1e9
-            val eligible = ran < adjMaxMovers && elapsed < adjBudgetSec &&
-              (dt > 1.5 * b || b > 1.5 * dt)
-            val iso = if (eligible) {
-              System.err.println(s"BENCH adjudicating mover $name " +
-                f"(in-fleet $dt%.3f vs baseline $b%.3f)")
-              ran += 1
-              isolatedRun(name, sfDir, cpus, runs = 3)
-            } else None
-            (name, dt, b, iso)
+            if (elapsed < adjBudgetSec) {
+              System.err.println(s"BENCH adjudicating movers " +
+                s"${chunk.mkString(",")} (fresh JVM, min-of-3)")
+              iso ++= isolatedRun(chunk, sfDir, cpus, runs = 3)
+            } else System.err.println(
+              s"BENCH adjudication budget spent ($elapsed s >= " +
+                s"$adjBudgetSec s); skipping ${chunk.mkString(",")}")
           }
+          movers.map { case (name, dt, b) => (name, dt, b, iso.get(name)) }
         case None => Seq.empty
       }
     val adjLine = if (adjudicated.isEmpty) "" else {
@@ -217,5 +231,31 @@ object Bench {
       (line + "\n" + adjLine).getBytes("UTF-8"))
     catch { case t: Throwable => System.err.println(s"BENCHFULL write failed: $t") }
     spark.stop()
+    // Driver-facing stdout contract — printed LAST, and COMPACT. The
+    // driver records only the final ~2000 chars of the run's output and
+    // parses the result JSON out of that window, so the line must (a)
+    // come after all adjudication chatter and Spark shutdown logging,
+    // and (b) fit the window with room for sbt's "[success] ..."
+    // epilogue. All 300+ per-query timings can't fit (~10 KB — the
+    // r8-r14 "parsed": null failure); the compact line carries the
+    // total, the failure list, and the SLOWEST queries (3-decimal,
+    // most informative for a perf grade) up to a ~1400-char budget,
+    // with the full map's location in "full". build.sbt pairs this with
+    // run/outputStrategy := StdoutOutput so sbt cannot prefix the line
+    // with "[info] " (the r1-r7 failure — the line fit but was tagged).
+    val byTime = results.toSeq.collect { case (k, Some(v)) => (k, v) }
+      .sortBy(-_._2)
+    val sb = new StringBuilder
+    var kept = 0
+    byTime.foreach { case (k, v) =>
+      val frag = (if (kept == 0) "" else ",") + "\"" + k + "\":" + f"$v%.3f"
+      if (sb.length + frag.length <= 1400) { sb.append(frag); kept += 1 }
+    }
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":{${sb.toString}},"queries_omitted":${byTime.length - kept},""" +
+      s""""nqueries":${byTime.length},"failed":$failedJson,""" +
+      s""""full":"$outFile","sf":"$sfDir"}"""
+    println(compact)
+    System.out.flush()
   }
 }
