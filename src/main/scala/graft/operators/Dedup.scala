@@ -1008,22 +1008,26 @@ object Dedup {
     * data volume, so extra in-round jumps (lazy joins fused into the
     * same action) can cut wall time even though they add stages —
     * measured on the sf0.1 mutual-kNN graph: 22 rounds at jumps=1 vs 9
-    * at jumps=3 for the same labels. The DEFAULT is 2 (neighbor-min +
-    * one doubling — the classic pointer-jumping round, O(log d)):
-    * every production caller feeds a FLAT dedup-cluster graph, where
-    * each jump join is a checkpointed stage that buys no round cut —
-    * jumps=3 measured 1.96 s → 3.22 s on the d6b gate (same machine,
-    * same session) for identical labels. Pass 3+ explicitly for long
-    * chains; the one chainy consumer (mutual-kNN) now resolves via
-    * GraphX Pregel instead. */
+    * at jumps=3 for the same labels. `jumps` counts the TOTAL
+    * label-of-label jumps per round (the convergence-check block always
+    * performs the last one; the loop adds jumps−1 more). The DEFAULT is
+    * 1 — neighbor-min + one doubling, the classic pointer-jumping
+    * round, O(log d): every production caller feeds a FLAT
+    * dedup-cluster graph, where each extra jump join is a checkpointed
+    * stage that buys no round cut. Round 14's "revert to one doubling"
+    * (e53b454) set 2 by off-by-one and cost the d16 gate 2.5→4.0 s;
+    * re-measured isolated at sf0.1: 2.95 s (jumps=1) vs 3.66 (2) vs
+    * 4.47 (3) for identical labels. Pass 2+ explicitly only for long
+    * chains; the one chainy consumer (mutual-kNN) resolves via GraphX
+    * Pregel instead. */
   def connectedComponentsFast(pairs: DataFrame, maxIter: Int = 12,
-                              jumps: Int = 2): DataFrame =
+                              jumps: Int = 1): DataFrame =
     ccFastWithRounds(pairs, maxIter, jumps)._1
 
   /** [[connectedComponentsFast]] plus the round count, so specs can pin
     * the O(log d) bound rather than trust the doc comment. */
   private[graft] def ccFastWithRounds(pairs: DataFrame, maxIter: Int,
-                                      jumps: Int = 2): (DataFrame, Int) = {
+                                      jumps: Int = 1): (DataFrame, Int) = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
