@@ -568,6 +568,26 @@ object Dedup {
         // own owners sidecar is refused: merging it rollup-only would
         // produce a store that LOOKS purge-exact but silently lacks
         // the base docs' postings.
+        //
+        // The rollup incremental dir is NOT read in this branch (the
+        // rollup re-derives from the merged posting), but it still
+        // gates the compaction: if the stream ran some batches without
+        // ownersDir (e.g. before it was enabled), the rollup dir holds
+        // batch_ids the owners dir lacks, and compacting from owners
+        // alone would silently drop those batches' documents. Fail
+        // fast on the gap instead — batch_id sets are O(batches),
+        // a bounded driver collect.
+        val rollupBatches = spark.read.parquet(incrementalDir)
+          .select(col("batch_id").cast(LongType)).distinct()
+          .collect().map(_.getLong(0)).toSet
+        val ownerBatches = spark.read.parquet(od)
+          .select(col("batch_id").cast(LongType)).distinct()
+          .collect().map(_.getLong(0)).toSet
+        require(rollupBatches.subsetOf(ownerBatches),
+          s"owners incremental dir $od is missing batches " +
+            s"${(rollupBatches -- ownerBatches).toSeq.sorted.mkString(",")} " +
+            s"present in the rollup dir $incrementalDir; compacting from " +
+            "owners alone would silently drop those batches' postings")
         val deltas = spark.read.parquet(od).select("gh", "doc_id")
         val all = basePath match {
           case Some(p) =>

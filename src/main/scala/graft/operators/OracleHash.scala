@@ -38,6 +38,28 @@ package graft.operators
 object OracleHash {
 
   val MM = "CAST('18446744073709551616' AS HUGEINT)" // 2^64
+
+  /** Overflow-safe Knuth multiplicative hash (id · 2654435761) mod 2^32
+    * — the engine's deterministic sampling hash (t7/t20/t22/n40
+    * family). The naive product overflows a 64-bit integer past id ~
+    * 3.47e9: Spark wraps silently negative (every keep-predicate
+    * passes), DuckDB raises — the engines would diverge exactly at the
+    * id scale a 100 TB corpus reaches. Reduce mod 2^32 first and split
+    * the reduced id into 16-bit halves so every partial product stays
+    * under 2^49; bit-identical to the naive form wherever that form is
+    * defined, well-defined for ANY non-negative id. `div` is the
+    * integer-division token: "div" (Spark SQL) or "//" (DuckDB). */
+  def knuth32(id: String, div: String): String =
+    s"(((($id % 4294967296) $div 65536) * 2654435761) % 4294967296 " +
+      s"* 65536 + ($id % 65536) * 2654435761) % 4294967296"
+  def knuth32Sql(id: String): String = knuth32(id, "//")
+  def knuth32Col(id: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(knuth32(id, "div"))
+  /** The mod-2^31 reduction of [[knuth32]] (2^32 is a multiple of 2^31,
+    * so reducing the 32-bit hash equals reducing the full product). */
+  def knuth31Sql(id: String): String = s"(${knuth32Sql(id)}) % 2147483648"
+  def knuth31Col(id: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(s"(${knuth32(id, "div")}) % 2147483648")
   private val B64 = BigInt(1) << 64
 
   // xxHash64 primes

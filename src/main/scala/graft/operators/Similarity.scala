@@ -233,15 +233,24 @@ object Similarity {
                            probes: Int = 2): DataFrame = {
     val cents = index.centroids
     val dim = cents(0).length
-    val src = index.assigned.select(col("vec_id"), col("embedding"))
+    val src = index.assigned.select(col("vec_id"), col("embedding"),
+      col("cell"))
     val schema = StructType(Seq(
       StructField("vec_id", LongType, nullable = false),
       StructField("cells", ArrayType(IntegerType, containsNull = false),
         nullable = false)))
+    // Probe 1 is the index's OWN assignment (index.assigned.cell), not a
+    // re-derivation: the d29b one-probe-subset invariant ("the primary
+    // cell is among the probes") must hold STRUCTURALLY, not by relying
+    // on nearestCells' tie-break forever matching assignCells'. Only the
+    // additional probes come from the ranking; the primary is prepended
+    // and deduped out of the ranked list.
     val cellsDf = src.map { row =>
       val v = row.getSeq[Float](1).iterator.map(_.toDouble).toArray
-      org.apache.spark.sql.Row(row.getLong(0),
-        nearestCells(cents, v, 0, dim, probes))
+      val primary = row.getInt(2)
+      val ranked = nearestCells(cents, v, 0, dim, probes)
+      val cells = (primary +: ranked.filter(_ != primary)).take(probes)
+      org.apache.spark.sql.Row(row.getLong(0), cells)
     }(org.apache.spark.sql.Encoders.row(schema))
     val banded = cellsDf.select(col("vec_id"), explode(col("cells")).as("cell"))
     val cand = banded.as("a").join(banded.as("b"),
@@ -4007,7 +4016,7 @@ object SimilarityQueries extends graft.QueryModule {
          |SELECT c.vec_id, p.cell
          |FROM (SELECT vec_id, CAST(j AS BIGINT) AS cell FROM codes) c
          |JOIN plan p USING (cell)
-         |WHERE (c.vec_id * 2654435761) % 4294967296 < p.thresh""".stripMargin))((s, d) => {
+         |WHERE ${OracleHash.knuth32Sql("c.vec_id")} < p.thresh""".stripMargin))((s, d) => {
       val index = buildIvfIndex(Tables.embeddings(s, d))
       val counts = index.assigned
         .groupBy(col("cell").cast(LongType).as("cell"))
@@ -4021,9 +4030,14 @@ object SimilarityQueries extends graft.QueryModule {
         .select(col("cell"),
           expr("((10000 * s) div ds * 4294967296) div n_vec")
             .cast(LongType).as("thresh"))
+      // Overflow-safe Knuth hash (OracleHash.knuth32): the naive
+      // vec_id * 2654435761 wraps Long past vec_id ~ 3.47e9 — silently
+      // negative in Spark (every keep-predicate passes), an overflow
+      // ERROR in DuckDB — diverging exactly at the id scale this
+      // sampler is for.
       index.assigned
         .select(col("vec_id"), col("cell").cast(LongType).as("cell"),
-          ((col("vec_id") * lit(2654435761L)) % lit(4294967296L)).as("h"))
+          OracleHash.knuth32Col("vec_id").as("h"))
         .join(broadcast(plan), Seq("cell"))
         .where(col("h") < col("thresh"))
         .select(col("vec_id"), col("cell"))

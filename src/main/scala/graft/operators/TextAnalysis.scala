@@ -1065,9 +1065,9 @@ object TextAnalysisQueries extends graft.QueryModule {
     // count, any retry — the property rand()-based sampleBy can't give a
     // reproducible training pipeline.
     graft.QueryDef("t7_stratified_sample", Some(
-      """WITH h AS (
+      raw"""WITH h AS (
         |  SELECT doc_id, lang,
-        |    ((doc_id * 2654435761) % 2147483648) % 100 AS bucket,
+        |    (${OracleHash.knuth31Sql("doc_id")}) % 100 AS bucket,
         |    CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 25 ELSE 50 END AS rate
         |  FROM documents)
         |SELECT lang, count(*) AS n_total,
@@ -1075,7 +1075,7 @@ object TextAnalysisQueries extends graft.QueryModule {
         |  min(CASE WHEN bucket < rate THEN doc_id END) AS first_sampled,
         |  max(CASE WHEN bucket < rate THEN doc_id END) AS last_sampled
         |FROM h GROUP BY lang""".stripMargin))((s, d) => {
-      val bucket = ((col("doc_id") * 2654435761L) % 2147483648L) % 100
+      val bucket = OracleHash.knuth31Col("doc_id") % 100
       val rate = when(col("lang") === "en", 10)
         .when(col("lang") === "de", 25).otherwise(50)
       Tables.documents(s, d)
@@ -1096,14 +1096,14 @@ object TextAnalysisQueries extends graft.QueryModule {
     // is pure integer arithmetic (bucket*500 < w*2^31 — no float
     // boundary ambiguity); map-side, pushes to the scan.
     graft.QueryDef("t22_weighted_sample", Some(
-      """WITH h AS (
+      raw"""WITH h AS (
         |  SELECT doc_id, n_chars,
-        |    (doc_id * 2654435761) % 2147483648 AS bucket,
+        |    ${OracleHash.knuth31Sql("doc_id")} AS bucket,
         |    least(n_chars, 500) AS w
         |  FROM documents)
         |SELECT doc_id, n_chars, CAST(500 AS DOUBLE) / w AS inv_prob
         |FROM h WHERE bucket * 500 < w * 2147483648""".stripMargin))((s, d) => {
-      val bucket = (col("doc_id") * 2654435761L) % 2147483648L
+      val bucket = OracleHash.knuth31Col("doc_id")
       val w = least(col("n_chars"), lit(500L))
       Tables.documents(s, d)
         .where(bucket * 500L < w * 2147483648L)
@@ -1116,8 +1116,8 @@ object TextAnalysisQueries extends graft.QueryModule {
     // leaves group sizes data-dependent. One partitioned window, no
     // global sort, no rand().
     graft.QueryDef("t23_reservoir_per_lang", Some(
-      """WITH h AS (
-        |  SELECT doc_id, lang, (doc_id * 2654435761) % 2147483648 AS rk
+      raw"""WITH h AS (
+        |  SELECT doc_id, lang, ${OracleHash.knuth31Sql("doc_id")} AS rk
         |  FROM documents)
         |SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn FROM (
         |  SELECT lang, doc_id,
@@ -1125,7 +1125,7 @@ object TextAnalysisQueries extends graft.QueryModule {
         |  FROM h)
         |WHERE rn <= 10""".stripMargin))((s, d) => {
       val w = Window.partitionBy("lang")
-        .orderBy(((col("doc_id") * 2654435761L) % 2147483648L).asc, col("doc_id").asc)
+        .orderBy((OracleHash.knuth31Col("doc_id")).asc, col("doc_id").asc)
       Tables.documents(s, d)
         .select(col("lang"), col("doc_id"), row_number().over(w).cast(LongType).as("rn"))
         .where(col("rn") <= 10)
@@ -1495,8 +1495,8 @@ object TextAnalysisQueries extends graft.QueryModule {
     // the global prefix; the oracle replays the same order with one
     // flat window cumsum.
     graft.QueryDef("t26_concat_split", Some(
-      """WITH h AS (
-        |  SELECT doc_id, (doc_id * 2654435761) % 2147483648 AS hk,
+      raw"""WITH h AS (
+        |  SELECT doc_id, ${OracleHash.knuth31Sql("doc_id")} AS hk,
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
         |  FROM documents)
         |SELECT doc_id, CAST(start AS BIGINT) AS start_offset,
@@ -1507,7 +1507,7 @@ object TextAnalysisQueries extends graft.QueryModule {
         |    ORDER BY hk % 32, hk, doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
         |  FROM h)""".stripMargin))((s, d) => {
-      val hk = (col("doc_id") * 2654435761L) % 2147483648L
+      val hk = OracleHash.knuth31Col("doc_id")
       val base = Tables.documents(s, d).select(col("doc_id"), hk.as("hk"),
         (hk % 32).as("shard"),
         size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tok"))
@@ -1874,15 +1874,15 @@ object TextAnalysisQueries extends graft.QueryModule {
     // per-shard manifest (doc count + token sum) rides the same pass
     // shape the x1/s7 exports use.
     graft.QueryDef("t20_shuffle_shard", Some(
-      """WITH hashed AS (
-        |  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h,
+      raw"""WITH hashed AS (
+        |  SELECT doc_id, ${OracleHash.knuth32Sql("doc_id")} AS h,
         |    len(string_split_regex(trim(text), '\s+')) AS n_tok
         |  FROM documents)
         |SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard,
         |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos,
         |  CAST(n_tok AS BIGINT) AS n_tok
         |FROM hashed""".stripMargin))((s, d) => {
-      val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+      val h = OracleHash.knuth32Col("doc_id")
       Tables.documents(s, d)
         .select(col("doc_id"), h.as("h"),
           size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tok"))
@@ -1901,8 +1901,8 @@ object TextAnalysisQueries extends graft.QueryModule {
     // t20b export (one agg + a 1-row reduction); mean is exact-int
     // division, the ratio one further IEEE op.
     graft.QueryDef("x8_shard_skew", Some(
-      """WITH hashed AS (
-        |  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h,
+      raw"""WITH hashed AS (
+        |  SELECT doc_id, ${OracleHash.knuth32Sql("doc_id")} AS h,
         |    len(string_split_regex(trim(text), '\s+')) AS n_tok
         |  FROM documents),
         |sh AS (SELECT CAST(h % 8 AS BIGINT) AS shard,
@@ -1915,7 +1915,7 @@ object TextAnalysisQueries extends graft.QueryModule {
         |    / SUM(tok) * 1000000) / 1000000.0 AS skew_ratio,
         |  max(tok) * count(*) * 10 <= SUM(tok) * 12 AS balanced
         |FROM sh""".stripMargin))((s, d) => {
-      val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+      val h = OracleHash.knuth32Col("doc_id")
       val sh = Tables.documents(s, d)
         .select((h % 8).as("shard"),
           size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tok"))
@@ -1966,7 +1966,7 @@ object TextAnalysisQueries extends graft.QueryModule {
          |    FROM q)
          |  WHERE rn = 1),
          |sh AS (
-         |  SELECT CAST(((doc_id * 2654435761) % 4294967296) % 8 AS BIGINT) AS shard,
+         |  SELECT CAST((${OracleHash.knuth32Sql("doc_id")}) % 8 AS BIGINT) AS shard,
          |    n_tok
          |  FROM u),
          |man AS (
@@ -1998,7 +1998,7 @@ object TextAnalysisQueries extends graft.QueryModule {
           Window.partitionBy("th").orderBy("doc_id")))
         .where(col("rn") === 1).select(col("doc_id"), col("n_tok"))
       val sharded = u.select(
-        (((col("doc_id") * lit(2654435761L)) % lit(4294967296L)) % 8).as("shard"),
+        ((OracleHash.knuth32Col("doc_id")) % 8).as("shard"),
         col("n_tok"))
       val man = sharded.groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
@@ -2013,14 +2013,14 @@ object TextAnalysisQueries extends graft.QueryModule {
     // T20b — the shard manifest: per-shard doc and token totals, the
     // export-side bookkeeping a downstream trainer reads to plan epochs.
     graft.QueryDef("t20b_shard_manifest", Some(
-      """WITH hashed AS (
-        |  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h,
+      raw"""WITH hashed AS (
+        |  SELECT doc_id, ${OracleHash.knuth32Sql("doc_id")} AS h,
         |    len(string_split_regex(trim(text), '\s+')) AS n_tok
         |  FROM documents)
         |SELECT CAST(h % 8 AS BIGINT) AS shard, count(*) AS n_docs,
         |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens
         |FROM hashed GROUP BY 1""".stripMargin))((s, d) => {
-      val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+      val h = OracleHash.knuth32Col("doc_id")
       Tables.documents(s, d)
         .select((h % 8).as("shard"),
           size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tok"))
@@ -2292,14 +2292,14 @@ object TextAnalysisQueries extends graft.QueryModule {
          |g AS (
          |  SELECT doc_id, qsum,
          |    CAST(round(-ln(-ln(
-         |      (((doc_id * 2654435761) % 2147483648) + 1) / 2147483649.0))
+         |      ((${OracleHash.knuth31Sql("doc_id")}) + 1) / 2147483649.0))
          |      * 1000000) AS BIGINT) AS gq
          |  FROM sc)
          |SELECT doc_id, CAST(qsum AS DOUBLE) / 1000000.0 AS log_weight,
          |  CAST(qsum + gq AS BIGINT) AS sample_key
          |FROM g ORDER BY sample_key DESC, doc_id ASC LIMIT 50""".stripMargin))(
       (s, d) => {
-      val u = (((col("doc_id") * 2654435761L) % 2147483648L) + 1L)
+      val u = ((OracleHash.knuth31Col("doc_id")) + 1L)
         .cast(DoubleType) / 2147483649.0
       val gq = round(-log(-log(u)) * 1000000).cast(LongType)
       dsirQuantScores(s, d)

@@ -1025,6 +1025,30 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("owners compaction fails fast when the owners dir is missing a rollup batch") {
+    import graft.operators.Dedup
+    // Simulate a stream that ran batch 0 WITHOUT ownersDir (the sidecar
+    // was enabled later): the rollup dir has batch_ids 0 and 1, the
+    // owners dir only 1. Compacting from owners alone would silently
+    // drop batch 0's postings — the guard must refuse instead.
+    val root = tmp("graft_gramgap_root")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).limit(20)
+    val grams = graft.operators.Dedup.gramFrame(docs, 10)
+    grams.groupBy("gh").agg(min(col("doc_id")).as("min_doc"))
+      .write.parquet(s"$root/inc/batch_id=0")
+    grams.groupBy("gh").agg(min(col("doc_id")).as("min_doc"))
+      .write.parquet(s"$root/inc/batch_id=1")
+    grams.select(col("gh"), col("doc_id")).distinct()
+      .write.parquet(s"$root/own/batch_id=1")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.compactGramIndex(spark, s"$root/inc", s"$root/serving",
+        minLen = 10, ownersIncrementalDir = Some(s"$root/own"))
+    }
+    assert(ex.getMessage.contains("missing batches 0"), ex.getMessage)
+    spark.catalog.clearCache()
+  }
+
   test("incremental linkage index compacts to the direct store and purges tombstones (d25 twin)") {
     import graft.operators.Dedup
     def addChunk(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
