@@ -17,6 +17,41 @@ object TextAnalysisQueries extends graft.QueryModule {
   private val jsonlWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private lazy val sessRoot: String = graft.util.TmpRoot("sess-incr")
+  private def dirTag(d: String): String = d.replaceAll("[^a-zA-Z0-9]", "_")
+
+  /** Land `df` as one parquet file at a STABLE path (`dir/name`), the
+    * s6b chunk-delivery helper: the file source checkpoints by path, so
+    * a re-invoked gate re-writes identical bytes to an
+    * already-processed path and the stream correctly no-ops. */
+  private def addChunk(df: DataFrame, dir: String, name: String): Unit = {
+    new java.io.File(dir).mkdirs()
+    val stage = java.nio.file.Files.createTempDirectory("graft_sess_chunk")
+    stage.toFile.deleteOnExit()
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = stage.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$dir/$name"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Shared by e1 (batch) and e1b (streaming twin): 30-minute-gap
+    * sessions per user, ordinal per user by start time. */
+  private val e1OracleSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+      |  CAST(min(epoch_us(ts)) AS BIGINT) AS start_us, CAST(max(epoch_us(ts)) AS BIGINT) AS end_us
+      |FROM sess GROUP BY user_id, session_id""".stripMargin
+
   /** Winnowing fingerprints: Rabin-Karp rolling k-gram hashes + sliding
     * w-window minima, one linear pass per row via the native Winnow
     * codegen expression. Output one row per (doc_id, fingerprint). */
@@ -3348,22 +3383,55 @@ object TextAnalysisQueries extends graft.QueryModule {
 
     // E1 — sessionization: 30-minute-gap sessions per user via lag +
     // running sum (the batch shape of mapGroupsWithState; the streaming
-    // twin lives in graft.streaming and is covered by StreamingSpec).
-    graft.QueryDef("e1_sessionize", Some(
-      """WITH marked AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-
-        |sess AS (
-        |  SELECT user_id, ts,
-        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
-        |  FROM marked)
-        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
-        |  CAST(min(epoch_us(ts)) AS BIGINT) AS start_us, CAST(max(epoch_us(ts)) AS BIGINT) AS end_us
-        |FROM sess GROUP BY user_id, session_id""".stripMargin))((s, d) =>
+    // twin is the e1b gate below).
+    graft.QueryDef("e1_sessionize", Some(e1OracleSql))((s, d) =>
       sessionFrame(Tables.events(s, d))),
+
+    // E1b — the SAME sessions produced by the STREAMING path
+    // (flatMapGroupsWithState over a file source, Trigger.AvailableNow)
+    // against e1's own oracle: streaming-equals-batch for stateful
+    // session state, the s6b discipline applied to GroupState. The
+    // corpus is delivered as two time-bisected chunks with a stream run
+    // after each, so real sessions must SPAN the checkpointed state
+    // between runs (a from-scratch resort could not hide a state bug);
+    // a per-user sentinel event 2 days past the corpus closes every
+    // tail session through the operator's own gap rule, and the
+    // sentinel's sessions — the only ones still open — are excluded by
+    // start time. Session ordinals are re-derived from the emitted
+    // start times (the stream emits sessions, not ordinals); re-invoked
+    // runs are no-ops on the file-source checkpoint and serve the sink.
+    graft.QueryDef("e1b_sessionize_stream", Some(e1OracleSql))((s, d) => {
+      val root = s"$sessRoot/${dirTag(d)}"
+      val src = s"$root/src"; val sink = s"$root/sink"
+      val ckpt = s"$root/ckpt"
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      // 1-row bounds collect: the time bisection point and the sentinel
+      // timestamp derive deterministically from the corpus.
+      val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head()
+      val lo = mm.getLong(0); val hi = mm.getLong(1)
+      val cut = lo + (hi - lo) / 2
+      val sentinelUs = hi + 2L * 86400L * 1000000L
+      addChunk(ev.where(unix_micros(col("ts")) < cut), src, "c1.parquet")
+      graft.streaming.Streams.incrementalSessions(s, src, sink, ckpt)
+      addChunk(ev.where(unix_micros(col("ts")) >= cut), src, "c2.parquet")
+      graft.streaming.Streams.incrementalSessions(s, src, sink, ckpt)
+      addChunk(ev.select(col("user_id")).distinct()
+        .select(lit(-1L).as("event_id"),
+          timestamp_micros(lit(sentinelUs)).as("ts"), col("user_id"),
+          lit("flush").as("event_type"), lit(0.0).as("value"),
+          lit("").as("props")), src, "c3.parquet")
+      graft.streaming.Streams.incrementalSessions(s, src, sink, ckpt)
+      val w = Window.partitionBy("user_id").orderBy("session_start_us")
+      s.read.parquet(sink)
+        .where(col("session_start_us") < sentinelUs)
+        .select(col("user_id"),
+          row_number().over(w).cast(LongType).as("session_id"),
+          col("n_events"),
+          col("session_start_us").as("start_us"),
+          col("session_end_us").as("end_us"))
+    }),
 
     // E24 — SESSION-DURATION PERCENTILES: exact p50/p90/p99 of session
     // length (integer seconds) over e1's session frame — the

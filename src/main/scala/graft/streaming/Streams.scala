@@ -281,6 +281,35 @@ object Streams {
     * (Fts.readIncrementalIndex), which is the trigger world's
     * DELETE+INSERT expressed as last-writer-wins — per-batch work is
     * O(batch), never a historical rewrite. */
+  /** File-source streaming sessionization, maintained incrementally —
+    * the e1b gate's engine. Each Trigger.AvailableNow run folds the
+    * newly arrived event chunks through [[sessionize]]'s per-user
+    * GroupState and APPENDS the sessions that run CLOSES to the parquet
+    * sink; the still-open tail session per user stays in the state
+    * store, carried across runs by the checkpoint. Callers that need
+    * end-of-corpus sessions flushed (the batch-equality gate) append a
+    * per-user sentinel event past the gap horizon — the flush rides the
+    * operator's own gap rule rather than a state-store back door, and
+    * the sentinel's own session (the only one still open afterwards) is
+    * excluded by its start time. State is O(active users); chunks must
+    * arrive per-user time-ordered across runs (within a run,
+    * [[sessionize]] sorts), the same contract as the batch twin's
+    * event-time window. */
+  def incrementalSessions(spark: SparkSession, sourceDir: String,
+                          sinkDir: String, checkpointDir: String,
+                          gapMinutes: Int = 30): Unit = {
+    import spark.implicits._
+    val q = sessionize(eventStream(spark, sourceDir).as[Event], gapMinutes)
+      .writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def incrementalFtsIndex(spark: SparkSession, sourceDir: String,
                           indexDir: String, checkpointDir: String): Unit = {
     val schema = StructType(Seq(
