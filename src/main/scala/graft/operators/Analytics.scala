@@ -793,6 +793,42 @@ object AnalyticsQueries extends graft.QueryModule {
           coalesce(col("l_linestatus"), lit("<all>")).as("lstatus"),
           col("gid"), col("sum_qty"), col("n"))),
 
+    // A23 — arbitrary GROUPING SETS: the lattice family's general form
+    // (a14 ROLLUP and a19 CUBE are its two fixed shapes). The set list
+    // here — (flag, status), (flag), (status) — is deliberately
+    // NON-lattice (two incomparable single-column subtotals, no grand
+    // total), the case only grouping_id can disambiguate: a
+    // (value, NULL) row could be a (flag) subtotal OR a (flag, status)
+    // group whose status IS NULL; gid separates them without the
+    // placeholder-collision hazard a19 documents. Plan shape is the
+    // same ONE Expand (3 replicas per input row, one per set) feeding
+    // one partial+final hash agg — a single shuffle of the expanded
+    // keys whose map-side combine collapses to O(flags × statuses)
+    // rows before the exchange; at 100 TB the Expand multiplies
+    // map-side rows only (PlanSpec pins Expand-not-Union). Both
+    // engines' GROUPING bitmask puts the first argument in the high
+    // bit; sums ride the Num.dsum DECIMAL discipline.
+    graft.QueryDef("a23_grouping_sets", Some(
+      """SELECT coalesce(l_returnflag, '<all>') AS rflag,
+        |  coalesce(l_linestatus, '<all>') AS lstatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus))""".stripMargin))((s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          graft.Num.dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("<all>")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("lstatus"),
+          col("gid"), col("sum_qty"), col("n"))),
+
     // E15 — POWER-USER CURVE (the "L28"-style engagement histogram):
     // users bucketed by how many DISTINCT days they were active, the
     // canonical shape for "how sticky is the product" (a spike at 1 =

@@ -395,6 +395,11 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     val a19 = plan("a19_cube")
     assert(a19.contains("Expand"), "a19: no Expand (CUBE not one-pass)")
     assert(!a19.contains("Union"), "a19: CUBE planned as a union of scans")
+    // a23: arbitrary GROUPING SETS compiles to the same ONE-Expand
+    // shape — never a union of per-set scans.
+    val a23 = plan("a23_grouping_sets")
+    assert(a23.contains("Expand"), "a23: no Expand (GROUPING SETS not one-pass)")
+    assert(!a23.contains("Union"), "a23: GROUPING SETS planned as a union of scans")
     // e15: two hash aggs, no window, no sort — the histogram never
     // rides a global ordering.
     val e15 = plan("e15_power_user_curve")
