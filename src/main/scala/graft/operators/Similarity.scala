@@ -643,6 +643,89 @@ object Similarity {
       .toDF("query_id", "vec_id", "cos")
   }
 
+  /** Deterministic multi-vector (per-token) corpus derived from the
+    * single-vector embeddings table — the late-interaction fixture:
+    * doc `vec_id` carries nTok = 2 + vec_id % 3 token vectors, token t
+    * being the 64-dim embedding ROTATED left by 16·t positions (pure
+    * element permutation — no arithmetic, so both engines derive
+    * bit-identical floats), token_id = vec_id·4 + t. A real pipeline
+    * lands per-token encoder output in exactly this (doc_id, t,
+    * token_id, tv) shape; everything downstream is agnostic to how tv
+    * was produced. */
+  def maxsimTokens(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id").as("doc_id"), col("embedding"),
+        explode(sequence(lit(0),
+          (col("vec_id") % 3 + 1).cast(IntegerType))).as("t"))
+      .select(col("doc_id"), col("t"),
+        (col("doc_id") * 4 + col("t")).as("token_id"),
+        when(col("t") === 0, col("embedding"))
+          .otherwise(concat(
+            slice(col("embedding"), col("t") * 16 + 1, lit(64) - col("t") * 16),
+            slice(col("embedding"), lit(1), col("t") * 16))).as("tv"))
+
+  /** Late-interaction (ColBERT-style) retrieval: score(q, d) =
+    * Σ_{query tokens} max_{doc tokens} cos(qt, dt) — the multi-vector
+    * shape modern retrieval-for-training pipelines use where one pooled
+    * vector under-ranks long documents. Two stages, both riding
+    * existing machinery: (1) CANDIDATE GENERATION through the IVF index
+    * over TOKEN vectors — each query token's assigned cell (probe 1,
+    * the index's own assignment) nominates every doc owning a token in
+    * that cell; token_id encodes its doc (div 4), so nomination is a
+    * map-side decode, no join back to the corpus. Candidate volume per
+    * query ≈ tokens-per-query × cell occupancy — √N-bounded under the
+    * derived-cells rule, never all-pairs. (2) EXACT MAXSIM RERANK on
+    * the bounded candidate set only: per (query, candidate) the full
+    * qtok × dtok cosine grid (≤ 4×4 here; ≤ token-budget² in general)
+    * collapses max-per-query-token then sums. Determinism: each cosine
+    * is the exact-integer quant/idot shape; the per-pair score is the
+    * SUM of round(1e9·cos) BIGINTs — integer addition, order-free —
+    * and the top-k window breaks ties (score DESC, doc_id ASC).
+    * nCells = 16 pinned so the oracle replays an exact constant (the
+    * gate-fixture rule); production passes 0 for derived √N cells. */
+  def maxsimRerank(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+                   nCells: Int = 16): DataFrame = {
+    val toks = maxsimTokens(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val index = buildIvfIndex(
+      toks.select(col("token_id").as("vec_id"), col("tv").as("embedding")),
+      nCells = nCells)
+    try {
+      val cells = index.assigned
+        .select(col("vec_id").as("token_id"), col("cell"))
+      val qt = toks.where(col("doc_id").isin(queryIds.map(Long.box): _*))
+      // Query-token cells: O(queries × 4) rows — broadcast-sized.
+      val qcells = qt.join(cells, Seq("token_id"))
+        .select(col("doc_id").as("query_id"), col("cell")).distinct()
+      val cand = cells.join(broadcast(qcells), Seq("cell"))
+        .select(col("query_id"), expr("token_id div 4").as("cand_id"))
+        .distinct()
+      val qtok = qt.select(col("doc_id").as("query_id"),
+        col("t").as("qt"), quant(col("tv")).as("qv"))
+      val dtok = toks.select(col("doc_id").as("cand_id"),
+        col("t").as("ct"), quant(col("tv")).as("cv"))
+      // cand is the k-bounded-ish nomination list (queries × occupancy);
+      // broadcast it so the corpus-sized token frame never shuffles.
+      val grid = dtok.join(broadcast(cand), Seq("cand_id"))
+        .join(broadcast(qtok), Seq("query_id"))
+        .select(col("query_id"), col("cand_id"), col("qt"),
+          round(cosine(idot(col("qv"), col("cv")),
+            inorm2(col("qv")), inorm2(col("cv"))) * 1e9)
+            .cast(LongType).as("iscore"))
+      val scored = grid
+        .groupBy("query_id", "cand_id", "qt")
+        .agg(max(col("iscore")).as("mx"))
+        .groupBy("query_id", "cand_id")
+        .agg(sum(col("mx")).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("score").desc, col("cand_id").asc)
+      graft.util.Exec.materializedCut(
+        scored.withColumn("rn", row_number().over(w).cast(LongType))
+          .where(col("rn") <= k))
+    } finally { toks.unpersist(); index.unpersist(); () }
+  }
+
   /** Per-vector probe lists for GRAPH construction: the nProbe nearest
     * cells of EVERY vector, computed map-side against the broadcast
     * O(model) centroid array. [[ivfBatchTopK]]'s driver collect is right
@@ -4042,6 +4125,73 @@ object SimilarityQueries extends graft.QueryModule {
         .where(col("h") < col("thresh"))
         .select(col("vec_id"), col("cell"))
     }),
+
+    // N41 — LATE-INTERACTION (multi-vector) retrieval: ColBERT-style
+    // maxsim over per-token vector sets (see Similarity.maxsimRerank).
+    // Candidates ride the IVF index over TOKEN vectors (each query
+    // token's assigned cell nominates the docs owning tokens there —
+    // bucket-local, never all-pairs); the exact maxsim rerank runs only
+    // on that bounded set, summing round(1e9·cos) BIGINTs so the score
+    // is order-free integer addition. The oracle replays EVERYTHING:
+    // the rotation-derived token corpus, the 16-cell Lloyd fit over
+    // tokens, cell nomination, the full cosine grid, max-per-query-
+    // token, the integer sum, and the tie-broken top-10 window — a
+    // candidate leak, a grid row lost to the doc's own token set, or a
+    // sum re-rounded through doubles all change the rows.
+    graft.QueryDef("n41_maxsim_rerank", Some(
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         |ts AS (SELECT unnest([0, 1, 2, 3]) AS t),
+         |toks AS MATERIALIZED (
+         |  SELECT vec_id AS doc_id, t, vec_id * 4 + t AS token_id,
+         |    CASE WHEN t = 0 THEN embedding
+         |         ELSE embedding[16*t+1:64] || embedding[1:16*t] END AS tv
+         |  FROM base, ts WHERE t < 2 + vec_id % 3),
+         |vecs AS MATERIALIZED (
+         |  SELECT token_id AS vec_id, tv AS embedding FROM toks),
+         |${OracleHash.lloydCtes(1, 16, 5)},
+         |cells AS MATERIALIZED (
+         |  SELECT vec_id AS token_id, j AS cell FROM codes),
+         |qcells AS (
+         |  SELECT DISTINCT t.doc_id AS query_id, c.cell
+         |  FROM toks t JOIN cells c USING (token_id) WHERE t.doc_id < 8),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT q.query_id, c.token_id // 4 AS cand_id
+         |  FROM qcells q JOIN cells c USING (cell)),
+         |tq AS MATERIALIZED (
+         |  SELECT doc_id, t,
+         |    CAST(round(CAST(unnest(tv) AS DOUBLE) * 10000) AS BIGINT) AS x,
+         |    generate_subscripts(tv, 1) AS i
+         |  FROM toks),
+         |norms AS MATERIALIZED (
+         |  SELECT doc_id, t, SUM(x * x) AS n2 FROM tq GROUP BY 1, 2),
+         |grid AS MATERIALIZED (
+         |  SELECT ca.query_id, ca.cand_id, q.t AS qt, c.t AS ct,
+         |    SUM(q.x * c.x) AS dot
+         |  FROM cand ca
+         |  JOIN tq q ON q.doc_id = ca.query_id
+         |  JOIN tq c ON c.doc_id = ca.cand_id AND c.i = q.i
+         |  GROUP BY 1, 2, 3, 4),
+         |iscored AS (
+         |  SELECT g.query_id, g.cand_id, g.qt,
+         |    CAST(round((CAST(g.dot AS DOUBLE)
+         |      / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))))
+         |      * 1000000000.0) AS BIGINT) AS iscore
+         |  FROM grid g
+         |  JOIN norms nq ON nq.doc_id = g.query_id AND nq.t = g.qt
+         |  JOIN norms nc ON nc.doc_id = g.cand_id AND nc.t = g.ct),
+         |mx AS (
+         |  SELECT query_id, cand_id, qt, MAX(iscore) AS mx
+         |  FROM iscored GROUP BY 1, 2, 3),
+         |sc AS (
+         |  SELECT query_id, cand_id, CAST(SUM(mx) AS BIGINT) AS score
+         |  FROM mx GROUP BY 1, 2)
+         |SELECT query_id, cand_id, score, CAST(rn AS BIGINT) AS rn FROM (
+         |  SELECT query_id, cand_id, score, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, cand_id ASC) AS rn
+         |  FROM sc)
+         |WHERE rn <= 10""".stripMargin))((s, d) =>
+      maxsimRerank(Tables.embeddings(s, d),
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L), k = 10)),
 
     // D31 — BLOCKING-RECALL EVAL for the d29 cell blocker: d14's dial
     // at the embedding level. Ground truth is the EXHAUSTIVE exact
