@@ -85,12 +85,18 @@ object Dedup {
     * still oversized are caught by [[recordLinkage]]'s final cap. */
   def subBlockedKeys(keys: DataFrame, maxBlock: Int = DefaultMaxBlock,
                      subStart: Int = 29, subLen: Int = 12): DataFrame =
+    // Persisted like linkageKeys (released by the caller's clearCache):
+    // the downstream recordLinkage references the refined frame three
+    // times (block count, semi-join back, both self-join sides), and
+    // re-executing the refinement's count+join per reference measured
+    // 6.1 s vs 4.4 s persisted on the sf1 rehearsal (PROFILE_d30).
     keys.join(keys.groupBy("bk").agg(count(lit(1)).as("block_n")), Seq("bk"))
       .select(col("doc_id"),
         when(col("block_n") <= maxBlock, col("bk"))
           .otherwise(concat(col("bk"),
             substring(col("sig"), subStart, subLen))).as("bk"),
         col("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Blocked record linkage: equality join on the blocking key (never
     * all-pairs — candidate volume is bounded by block collision
