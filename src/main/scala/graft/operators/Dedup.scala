@@ -1185,13 +1185,20 @@ object Dedup {
     * only the matching directories of a 100 TB index, not all of it.
     * Bucketing by hash rather than partitioning by raw band keeps the
     * directory count fixed (bands are high-cardinality strings). */
-  final case class StoredMinhashIndex(banded: DataFrame, sigs: DataFrame)
+  final case class StoredMinhashIndex(banded: DataFrame, sigs: DataFrame,
+                                      nBuckets: Int)
 
   /** Stable bucket of a band key — hash chosen once and shared by the
     * write and probe paths so they can never drift. */
   private def bandBucket(band: Column, nBuckets: Int): Column =
     pmod(xxhash64(band), lit(nBuckets)).cast(IntegerType)
 
+  /** The incremental-maintenance contract's config-pinning clause
+    * (ENGINE.md): the store writes its OWN bucket modulus, and probes
+    * read it back — a caller-supplied mismatch (store written at 128,
+    * probed at the default 64) would bucket the batch's bands under a
+    * different modulus and silently miss most true candidates, the
+    * same hazard the gram store's meta table already closed. */
   def writeMinhashIndex(index: MinhashIndex, path: String,
                         nBuckets: Int = 64): Unit = {
     bandedOf(index.sigs)
@@ -1199,11 +1206,24 @@ object Dedup {
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/banded")
     index.sigs.select(col("doc_id"), col("sh"))
       .write.mode("overwrite").parquet(s"$path/sigs")
+    writeBucketMeta(index.sigs.sparkSession, path, nBuckets)
   }
+
+  private def writeBucketMeta(spark: SparkSession, path: String,
+                              nBuckets: Int): Unit = {
+    import spark.implicits._
+    Seq(nBuckets.toLong).toDF("n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private[graft] def readBucketMeta(spark: SparkSession, path: String): Int =
+    spark.read.parquet(s"$path/meta").select("n_buckets")
+      .head().getLong(0).toInt
 
   def readMinhashIndex(spark: SparkSession, path: String): StoredMinhashIndex =
     StoredMinhashIndex(spark.read.parquet(s"$path/banded"),
-      spark.read.parquet(s"$path/sigs"))
+      spark.read.parquet(s"$path/sigs"),
+      readBucketMeta(spark, path))
 
   /** Batch-incremental near-dup detection: (corpus doc_a, batch doc_b)
     * pairs at jaccard >= threshold, computed WITHOUT re-banding or
@@ -1216,9 +1236,11 @@ object Dedup {
     * disjoint from corpus ids. The batch index is a caller-held handle,
     * released after the result is consumed — same lifecycle as d2. */
   def dedupAgainstIndex(stored: StoredMinhashIndex, batch: MinhashIndex,
-                        threshold: Double, nBuckets: Int = 64): DataFrame = {
+                        threshold: Double): DataFrame = {
+    // The probe buckets with the STORE'S pinned modulus (meta table),
+    // never a caller parameter — see writeMinhashIndex.
     val newBand = bandedOf(batch.sigs)
-      .withColumn("bucket", bandBucket(col("band"), nBuckets))
+      .withColumn("bucket", bandBucket(col("band"), stored.nBuckets))
     val buckets = newBand.select("bucket").distinct()
       .collect().map(_.getInt(0))
     val oldBand = stored.banded
@@ -1325,6 +1347,9 @@ object Dedup {
         pmod(xxhash64(col("band")), lit(nBuckets)).cast(IntegerType))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/banded")
     index.sims.write.mode("overwrite").parquet(s"$path/sims")
+    // Config pinning (ENGINE.md incremental contract): future probes of
+    // the banded table must bucket with the store's own modulus.
+    writeBucketMeta(index.sims.sparkSession, path, nBuckets)
   }
 
   def readSimhashIndex(spark: SparkSession, path: String): SimhashIndex =

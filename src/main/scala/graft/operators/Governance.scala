@@ -100,6 +100,9 @@ object Governance {
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$outPath/banded")
     purgeFrame(spark.read.parquet(s"$inPath/sigs"), ids)
       .write.mode("overwrite").parquet(s"$outPath/sigs")
+    // Purge never re-buckets: the config meta copies through verbatim.
+    spark.read.parquet(s"$inPath/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/meta")
   }
 
   /** Vector-side takedown: a removed document's EMBEDDING is still its
@@ -170,6 +173,8 @@ object Governance {
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$outPath/banded")
     purgeFrame(spark.read.parquet(s"$inPath/sims"), ids)
       .write.mode("overwrite").parquet(s"$outPath/sims")
+    spark.read.parquet(s"$inPath/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/meta")
   }
 
   /** Rewrite a stored FTS term index (Fts.writeTermIndex layout) minus
