@@ -700,30 +700,86 @@ object Similarity {
       val cand = cells.join(broadcast(qcells), Seq("cell"))
         .select(col("query_id"), expr("token_id div 4").as("cand_id"))
         .distinct()
-      val qtok = qt.select(col("doc_id").as("query_id"),
-        col("t").as("qt"), quant(col("tv")).as("qv"))
-      val dtok = toks.select(col("doc_id").as("cand_id"),
-        col("t").as("ct"), quant(col("tv")).as("cv"))
-      // cand is the k-bounded-ish nomination list (queries × occupancy);
-      // broadcast it so the corpus-sized token frame never shuffles.
-      val grid = dtok.join(broadcast(cand), Seq("cand_id"))
-        .join(broadcast(qtok), Seq("query_id"))
-        .select(col("query_id"), col("cand_id"), col("qt"),
-          round(cosine(idot(col("qv"), col("cv")),
-            inorm2(col("qv")), inorm2(col("cv"))) * 1e9)
-            .cast(LongType).as("iscore"))
-      val scored = grid
-        .groupBy("query_id", "cand_id", "qt")
-        .agg(max(col("iscore")).as("mx"))
-        .groupBy("query_id", "cand_id")
-        .agg(sum(col("mx")).as("score"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id")
-        .orderBy(col("score").desc, col("cand_id").asc)
-      graft.util.Exec.materializedCut(
-        scored.withColumn("rn", row_number().over(w).cast(LongType))
-          .where(col("rn") <= k))
+      maxsimExactRerank(toks, qt, cand, k)
     } finally { toks.unpersist(); index.unpersist(); () }
+  }
+
+  /** [[maxsimRerank]]'s stage 2, shared with the served variant: exact
+    * maxsim over the nominated (query, candidate) set only. `cand` is
+    * the bounded nomination list (queries × cell occupancy) — broadcast
+    * twice so the corpus-sized token frame never shuffles. */
+  private def maxsimExactRerank(toks: DataFrame, qt: DataFrame,
+                                cand: DataFrame, k: Int): DataFrame = {
+    val qtok = qt.select(col("doc_id").as("query_id"),
+      col("t").as("qt"), quant(col("tv")).as("qv"))
+    val dtok = toks.select(col("doc_id").as("cand_id"),
+      col("t").as("ct"), quant(col("tv")).as("cv"))
+    val grid = dtok.join(broadcast(cand), Seq("cand_id"))
+      .join(broadcast(qtok), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"), col("qt"),
+        round(cosine(idot(col("qv"), col("cv")),
+          inorm2(col("qv")), inorm2(col("cv"))) * 1e9)
+          .cast(LongType).as("iscore"))
+    val scored = grid
+      .groupBy("query_id", "cand_id", "qt")
+      .agg(max(col("iscore")).as("mx"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum(col("mx")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("score").desc, col("cand_id").asc)
+    graft.util.Exec.materializedCut(
+      scored.withColumn("rn", row_number().over(w).cast(LongType))
+        .where(col("rn") <= k))
+  }
+
+  /** [[maxsimRerank]] SERVED from a written token-vector IVF store
+    * (writeIvfIndex layout over the maxsimTokens frame) — the shape a
+    * long-lived retrieval deployment runs: the index is the amortized
+    * nightly artifact, and a query batch touches only its own cells.
+    * The query tokens' cells come from the store's assignment (vec_id
+    * predicate pushed to the scan), then the candidate read prunes AT
+    * THE DIRECTORY INDEX: the probe-cell set (≤ queries × 4 ints,
+    * driver-bounded by construction) becomes an isin predicate on the
+    * `cell` partition column, so a 100 TB token store reads only the
+    * nominated cells' directories — PlanSpec pins the PartitionFilters.
+    * The exact rerank stage is byte-identical to the in-memory path. */
+  def maxsimRerankServed(spark: SparkSession, path: String,
+                         embeddings: DataFrame, queryIds: Seq[Long],
+                         k: Int): DataFrame = {
+    val toks = maxsimTokens(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stored = readIvfIndex(spark, path)
+    try {
+      val qt = toks.where(col("doc_id").isin(queryIds.map(Long.box): _*))
+      maxsimExactRerank(toks, qt, maxsimServedCandidates(stored, qt), k)
+    } finally { toks.unpersist(); stored.unpersist(); () }
+  }
+
+  /** The served candidate stage, separated so PlanSpec can pin its
+    * physical plan (the materialized rerank output hides the scan):
+    * query-token cells from the store's assignment, the bounded
+    * probe-cell collect (≤ queries × 4 ints by construction), and the
+    * DIRECTORY-PRUNED candidate read — the isin on `cell` lands in
+    * PartitionFilters, so only the nominated cells' files are listed.
+    * The small qcells cache is released by the caller's clearCache
+    * (the linkageKeys discipline). */
+  private[graft] def maxsimServedCandidates(stored: IvfIndex,
+                                            qt: DataFrame): DataFrame = {
+    val qcells = stored.assigned
+      .select(col("vec_id").as("token_id"), col("cell"))
+      .join(broadcast(qt.select(col("token_id"), col("doc_id"))),
+        Seq("token_id"))
+      .select(col("doc_id").as("query_id"), col("cell")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probe = qcells.select("cell").distinct()
+      .collect().map(_.getInt(0))
+    val pruned = stored.assigned
+      .where(col("cell").isin(probe.toSeq.map(Integer.valueOf): _*))
+      .select(col("vec_id").as("token_id"), col("cell"))
+    pruned.join(broadcast(qcells), Seq("cell"))
+      .select(col("query_id"), expr("token_id div 4").as("cand_id"))
+      .distinct()
   }
 
   /** Per-vector probe lists for GRAPH construction: the nProbe nearest
@@ -1738,6 +1794,8 @@ object SimilarityQueries extends graft.QueryModule {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val ivfLblWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val maxsimWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val ivfPqWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val ivfPqResWritten =
@@ -2320,6 +2378,62 @@ object SimilarityQueries extends graft.QueryModule {
       |  UNION ALL
       |  SELECT CAST(1000000 + t.i AS BIGINT) AS vec_id, embedding
       |  FROM embeddings, generate_series(0, 9) AS t(i) WHERE vec_id = 0""".stripMargin
+
+  /** n41/n41b shared oracle: the full maxsim replay — rotation token
+    * corpus, 16-cell Lloyd fit over tokens, cell nomination, cosine
+    * grid, integer maxsim, tie-broken top-10 window. */
+  private val n41OracleSql: String =
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         |ts AS (SELECT unnest([0, 1, 2, 3]) AS t),
+         |toks AS MATERIALIZED (
+         |  SELECT vec_id AS doc_id, t, vec_id * 4 + t AS token_id,
+         |    CASE WHEN t = 0 THEN embedding
+         |         ELSE embedding[16*t+1:64] || embedding[1:16*t] END AS tv
+         |  FROM base, ts WHERE t < 2 + vec_id % 3),
+         |vecs AS MATERIALIZED (
+         |  SELECT token_id AS vec_id, tv AS embedding FROM toks),
+         |${OracleHash.lloydCtes(1, 16, 5)},
+         |cells AS MATERIALIZED (
+         |  SELECT vec_id AS token_id, j AS cell FROM codes),
+         |qcells AS (
+         |  SELECT DISTINCT t.doc_id AS query_id, c.cell
+         |  FROM toks t JOIN cells c USING (token_id) WHERE t.doc_id < 8),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT q.query_id, c.token_id // 4 AS cand_id
+         |  FROM qcells q JOIN cells c USING (cell)),
+         |tq AS MATERIALIZED (
+         |  SELECT doc_id, t,
+         |    CAST(round(CAST(unnest(tv) AS DOUBLE) * 10000) AS BIGINT) AS x,
+         |    generate_subscripts(tv, 1) AS i
+         |  FROM toks),
+         |norms AS MATERIALIZED (
+         |  SELECT doc_id, t, SUM(x * x) AS n2 FROM tq GROUP BY 1, 2),
+         |grid AS MATERIALIZED (
+         |  SELECT ca.query_id, ca.cand_id, q.t AS qt, c.t AS ct,
+         |    SUM(q.x * c.x) AS dot
+         |  FROM cand ca
+         |  JOIN tq q ON q.doc_id = ca.query_id
+         |  JOIN tq c ON c.doc_id = ca.cand_id AND c.i = q.i
+         |  GROUP BY 1, 2, 3, 4),
+         |iscored AS (
+         |  SELECT g.query_id, g.cand_id, g.qt,
+         |    CAST(round((CAST(g.dot AS DOUBLE)
+         |      / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))))
+         |      * 1000000000.0) AS BIGINT) AS iscore
+         |  FROM grid g
+         |  JOIN norms nq ON nq.doc_id = g.query_id AND nq.t = g.qt
+         |  JOIN norms nc ON nc.doc_id = g.cand_id AND nc.t = g.ct),
+         |mx AS (
+         |  SELECT query_id, cand_id, qt, MAX(iscore) AS mx
+         |  FROM iscored GROUP BY 1, 2, 3),
+         |sc AS (
+         |  SELECT query_id, cand_id, CAST(SUM(mx) AS BIGINT) AS score
+         |  FROM mx GROUP BY 1, 2)
+         |SELECT query_id, cand_id, score, CAST(rn AS BIGINT) AS rn FROM (
+         |  SELECT query_id, cand_id, score, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, cand_id ASC) AS rn
+         |  FROM sc)
+         |WHERE rn <= 10""".stripMargin
 
   def defs: Seq[graft.QueryDef] = Seq(
 
@@ -4138,60 +4252,31 @@ object SimilarityQueries extends graft.QueryModule {
     // token, the integer sum, and the tie-broken top-10 window — a
     // candidate leak, a grid row lost to the doc's own token set, or a
     // sum re-rounded through doubles all change the rows.
-    graft.QueryDef("n41_maxsim_rerank", Some(
-      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
-         |ts AS (SELECT unnest([0, 1, 2, 3]) AS t),
-         |toks AS MATERIALIZED (
-         |  SELECT vec_id AS doc_id, t, vec_id * 4 + t AS token_id,
-         |    CASE WHEN t = 0 THEN embedding
-         |         ELSE embedding[16*t+1:64] || embedding[1:16*t] END AS tv
-         |  FROM base, ts WHERE t < 2 + vec_id % 3),
-         |vecs AS MATERIALIZED (
-         |  SELECT token_id AS vec_id, tv AS embedding FROM toks),
-         |${OracleHash.lloydCtes(1, 16, 5)},
-         |cells AS MATERIALIZED (
-         |  SELECT vec_id AS token_id, j AS cell FROM codes),
-         |qcells AS (
-         |  SELECT DISTINCT t.doc_id AS query_id, c.cell
-         |  FROM toks t JOIN cells c USING (token_id) WHERE t.doc_id < 8),
-         |cand AS MATERIALIZED (
-         |  SELECT DISTINCT q.query_id, c.token_id // 4 AS cand_id
-         |  FROM qcells q JOIN cells c USING (cell)),
-         |tq AS MATERIALIZED (
-         |  SELECT doc_id, t,
-         |    CAST(round(CAST(unnest(tv) AS DOUBLE) * 10000) AS BIGINT) AS x,
-         |    generate_subscripts(tv, 1) AS i
-         |  FROM toks),
-         |norms AS MATERIALIZED (
-         |  SELECT doc_id, t, SUM(x * x) AS n2 FROM tq GROUP BY 1, 2),
-         |grid AS MATERIALIZED (
-         |  SELECT ca.query_id, ca.cand_id, q.t AS qt, c.t AS ct,
-         |    SUM(q.x * c.x) AS dot
-         |  FROM cand ca
-         |  JOIN tq q ON q.doc_id = ca.query_id
-         |  JOIN tq c ON c.doc_id = ca.cand_id AND c.i = q.i
-         |  GROUP BY 1, 2, 3, 4),
-         |iscored AS (
-         |  SELECT g.query_id, g.cand_id, g.qt,
-         |    CAST(round((CAST(g.dot AS DOUBLE)
-         |      / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))))
-         |      * 1000000000.0) AS BIGINT) AS iscore
-         |  FROM grid g
-         |  JOIN norms nq ON nq.doc_id = g.query_id AND nq.t = g.qt
-         |  JOIN norms nc ON nc.doc_id = g.cand_id AND nc.t = g.ct),
-         |mx AS (
-         |  SELECT query_id, cand_id, qt, MAX(iscore) AS mx
-         |  FROM iscored GROUP BY 1, 2, 3),
-         |sc AS (
-         |  SELECT query_id, cand_id, CAST(SUM(mx) AS BIGINT) AS score
-         |  FROM mx GROUP BY 1, 2)
-         |SELECT query_id, cand_id, score, CAST(rn AS BIGINT) AS rn FROM (
-         |  SELECT query_id, cand_id, score, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY score DESC, cand_id ASC) AS rn
-         |  FROM sc)
-         |WHERE rn <= 10""".stripMargin))((s, d) =>
+    graft.QueryDef("n41_maxsim_rerank", Some(n41OracleSql))((s, d) =>
       maxsimRerank(Tables.embeddings(s, d),
         queryIds = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L), k = 10)),
+
+    // N41b — the SAME maxsim retrieval SERVED from the written
+    // token-vector IVF store (see Similarity.maxsimRerankServed): the
+    // candidate read prunes at the directory index — the probe-cell
+    // set becomes an isin on the `cell` partition column (PlanSpec
+    // pins PartitionFilters), so a 100 TB token store reads only the
+    // nominated cells. Same oracle as n41: serving from disk must be
+    // row-identical to the in-memory path.
+    graft.QueryDef("n41b_maxsim_persistent", Some(n41OracleSql))((s, d) => {
+      val path = maxsimWritten.computeIfAbsent(d, dd => {
+        val toks = maxsimTokens(Tables.embeddings(s, dd))
+        val built = buildIvfIndex(
+          toks.select(col("token_id").as("vec_id"), col("tv").as("embedding")),
+          nCells = 16)
+        val p = s"$pqRoot/${dirTag(dd)}/maxsim"
+        writeIvfIndex(built, p)
+        built.unpersist()
+        p
+      })
+      maxsimRerankServed(s, path, Tables.embeddings(s, d),
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L), k = 10)
+    }),
 
     // D31 — BLOCKING-RECALL EVAL for the d29 cell blocker: d14's dial
     // at the embedding level. Ground truth is the EXHAUSTIVE exact

@@ -85,6 +85,23 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"n3c: cell probe not pruning partitions:\n$p")
   }
 
+  test("n41b: the served maxsim candidate read prunes cell partitions at the file index") {
+    val toks = operators.Similarity.maxsimTokens(Tables.embeddings(spark, sf))
+    val built = operators.Similarity.buildIvfIndex(
+      toks.selectExpr("token_id AS vec_id", "tv AS embedding"),
+      nCells = 16)
+    val path = util.TmpRoot("maxsimplan") + "/maxsim"
+    operators.Similarity.writeIvfIndex(built, path)
+    built.unpersist()
+    val stored = operators.Similarity.readIvfIndex(spark, path)
+    val qt = toks.where("doc_id IN (0, 1)")
+    val p = operators.Similarity.maxsimServedCandidates(stored, qt)
+      .queryExecution.executedPlan.toString
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*cell.*"),
+      s"n41b: candidate read not pruning cell partitions:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("n8b: the persistent IVF-PQ probe prunes cell partitions at the file index") {
     val built = operators.Similarity.buildIvfPqIndex(Tables.embeddings(spark, sf), nCells = 16)
     val path = util.TmpRoot("ivfpqplan") + "/ivfpq"
