@@ -26,6 +26,22 @@ import graft.Tables
   */
 object AnalyticsQueries extends graft.QueryModule {
 
+  private lazy val streamRoot: String = graft.util.TmpRoot("analytics-incr")
+  private def dirTag(d: String): String = d.replaceAll("[^a-zA-Z0-9]", "_")
+
+  /** Shared by e5 (batch) and e5b (streaming-partials twin): weekly
+    * cohort retention triangle. */
+  private val e5OracleSql: String =
+    """WITH first_seen AS (
+      |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+      |  FROM events GROUP BY 1)
+      |SELECT CAST(f.cw AS VARCHAR) AS cohort_week,
+      |  CAST(datediff('day', f.cw, CAST(date_trunc('week', e.ts) AS DATE)) // 7
+      |    AS BIGINT) AS week_offset,
+      |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+      |FROM events e JOIN first_seen f ON f.user_id = e.user_id
+      |GROUP BY 1, 2""".stripMargin
+
   /** Ordered view→click→purchase funnel over an events frame with
     * (user_id, event_type, ts). Exposed for direct testing of the
     * ordering constraint on synthetic streams. */
@@ -397,16 +413,7 @@ object AnalyticsQueries extends graft.QueryModule {
     // divisible by 7), so no calendar float can drift the bucket edges.
     // The heavy step is the one user_id join of the stream against its
     // own first-seen frame; output is O(weeks²).
-    graft.QueryDef("e5_cohort_retention", Some(
-      """WITH first_seen AS (
-        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cw
-        |  FROM events GROUP BY 1)
-        |SELECT CAST(f.cw AS VARCHAR) AS cohort_week,
-        |  CAST(datediff('day', f.cw, CAST(date_trunc('week', e.ts) AS DATE)) // 7
-        |    AS BIGINT) AS week_offset,
-        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
-        |FROM events e JOIN first_seen f ON f.user_id = e.user_id
-        |GROUP BY 1, 2""".stripMargin))((s, d) => {
+    graft.QueryDef("e5_cohort_retention", Some(e5OracleSql))((s, d) => {
       val e = Tables.events(s, d)
       val firstSeen = e.groupBy("user_id")
         .agg(to_date(date_trunc("week", min(col("ts")))).as("cw"))
@@ -417,6 +424,32 @@ object AnalyticsQueries extends graft.QueryModule {
       cohortTriangle(firstSeen,
         e.select(col("user_id"),
           to_date(date_trunc("week", col("ts"))).as("wk")))
+    }),
+
+    // E5b — the SAME retention triangle through the STREAMING cohort
+    // partials (Streams.incrementalCohortPartials) against e5's own
+    // oracle — the e1b/e3b discipline applied to a rollup whose merge
+    // is a re-MINIMIZATION, not a re-sum: the corpus splits mid
+    // event-id range, so users' first-seen weeks span the two batches
+    // and the read path's min-of-mins is genuinely exercised (a
+    // last-writer-wins merge, or a rollup keyed on the wrong grain,
+    // moves users into later cohorts and changes the triangle). The
+    // triangle stage is the batch query's own cohortTriangle, so this
+    // gate pins the MAINTENANCE, not the math.
+    graft.QueryDef("e5b_retention_stream", Some(e5OracleSql))((s, d) => {
+      val root = s"$streamRoot/${dirTag(d)}_cohort"
+      val src = s"$root/src"; val roll = s"$root/rollup"
+      val ckpt = s"$root/ckpt"
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val mid = ev.agg(expr(
+        "min(event_id) + (max(event_id) - min(event_id)) div 2").as("m"))
+        .head().getLong(0)
+      graft.util.Chunks.add(ev.where(col("event_id") < mid), src, "c1.parquet")
+      graft.streaming.Streams.incrementalCohortPartials(s, src, roll, ckpt)
+      graft.util.Chunks.add(ev.where(col("event_id") >= mid), src, "c2.parquet")
+      graft.streaming.Streams.incrementalCohortPartials(s, src, roll, ckpt)
+      graft.streaming.Streams.readCohortRetention(s, roll)
     }),
 
     // E6 — rolling active users (DAU / WAU / MAU): the product-health

@@ -20,21 +20,35 @@ object TextAnalysisQueries extends graft.QueryModule {
   private lazy val sessRoot: String = graft.util.TmpRoot("sess-incr")
   private def dirTag(d: String): String = d.replaceAll("[^a-zA-Z0-9]", "_")
 
-  /** Land `df` as one parquet file at a STABLE path (`dir/name`), the
-    * s6b chunk-delivery helper: the file source checkpoints by path, so
-    * a re-invoked gate re-writes identical bytes to an
-    * already-processed path and the stream correctly no-ops. */
-  private def addChunk(df: DataFrame, dir: String, name: String): Unit = {
-    new java.io.File(dir).mkdirs()
-    val stage = java.nio.file.Files.createTempDirectory("graft_sess_chunk")
-    stage.toFile.deleteOnExit()
-    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-    val part = stage.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
-    java.nio.file.Files.copy(part.toPath,
-      java.nio.file.Paths.get(s"$dir/$name"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    ()
-  }
+  private def addChunk(df: DataFrame, dir: String, name: String): Unit =
+    graft.util.Chunks.add(df, dir, name)
+
+  /** Shared by e3 (batch) and e3b (streaming-rollup twin): per-type
+    * daily counts z-scored against the trailing 7-day window. */
+  private val e3OracleSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |win AS (
+      |  SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+      |    count(cnt) OVER w AS wn,
+      |    CAST(SUM(cnt) OVER w AS BIGINT) AS wsum,
+      |    CAST(SUM(cnt * cnt) OVER w AS BIGINT) AS wsumsq
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |scored AS (
+      |  SELECT event_type, day, cnt, wn,
+      |    CAST(wsum AS DOUBLE) / wn AS m,
+      |    (CAST(wsumsq AS DOUBLE) - CAST(wsum AS DOUBLE) * (CAST(wsum AS DOUBLE) / wn))
+      |      / (wn - 1) AS v
+      |  FROM win WHERE wn >= 4)
+      |SELECT event_type, CAST(day AS VARCHAR) AS day, cnt,
+      |  CASE WHEN v > 0 THEN (CAST(cnt AS DOUBLE) - m) / sqrt(v)
+      |       ELSE CAST(0 AS DOUBLE) END AS z,
+      |  abs(CASE WHEN v > 0 THEN (CAST(cnt AS DOUBLE) - m) / sqrt(v)
+      |       ELSE CAST(0 AS DOUBLE) END) > 2 AS drift
+      |FROM scored""".stripMargin
 
   /** Shared by e1 (batch) and e1b (streaming twin): 30-minute-gap
     * sessions per user, ordinal per user by start time. */
@@ -3950,34 +3964,39 @@ object TextAnalysisQueries extends graft.QueryModule {
     // discipline applied to second moments. At scale this is one
     // daily-rollup shuffle plus a per-type window, both tiny next to the
     // raw stream; the rollup is the same shape AQE handles at 100 TB.
-    graft.QueryDef("e3_drift_zscore", Some(
-      """WITH daily AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |win AS (
-        |  SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
-        |    count(cnt) OVER w AS wn,
-        |    CAST(SUM(cnt) OVER w AS BIGINT) AS wsum,
-        |    CAST(SUM(cnt * cnt) OVER w AS BIGINT) AS wsumsq
-        |  FROM daily
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
-        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
-        |scored AS (
-        |  SELECT event_type, day, cnt, wn,
-        |    CAST(wsum AS DOUBLE) / wn AS m,
-        |    (CAST(wsumsq AS DOUBLE) - CAST(wsum AS DOUBLE) * (CAST(wsum AS DOUBLE) / wn))
-        |      / (wn - 1) AS v
-        |  FROM win WHERE wn >= 4)
-        |SELECT event_type, CAST(day AS VARCHAR) AS day, cnt,
-        |  CASE WHEN v > 0 THEN (CAST(cnt AS DOUBLE) - m) / sqrt(v)
-        |       ELSE CAST(0 AS DOUBLE) END AS z,
-        |  abs(CASE WHEN v > 0 THEN (CAST(cnt AS DOUBLE) - m) / sqrt(v)
-        |       ELSE CAST(0 AS DOUBLE) END) > 2 AS drift
-        |FROM scored""".stripMargin))((s, d) =>
+    graft.QueryDef("e3_drift_zscore", Some(e3OracleSql))((s, d) =>
       TextAnalysisQueries.driftZscores(
         Tables.events(s, d)
           .groupBy(col("event_type"), to_date(col("ts")).as("day"))
           .agg(count(lit(1)).as("cnt")))),
+
+    // E3b — the SAME drift scores produced through the STREAMING daily
+    // rollup (Streams.incrementalDailyCounts) against e3's own oracle:
+    // the e1b streaming-equals-batch discipline applied to a
+    // MERGE-ASSOCIATIVE rollup rather than ordered state. The corpus
+    // is delivered as two time-bisected chunks (the cut lands mid-day
+    // on this fixture), so a day's count is split across batch_id
+    // partitions and the read path's re-sum is genuinely exercised —
+    // a rollup that overwrote instead of merging, or double-counted a
+    // re-delivered batch, changes the counts and every downstream z.
+    // The scoring stage is the batch query's own driftZscores, so the
+    // two paths cannot drift by construction; this gate pins the
+    // MAINTENANCE, not the math.
+    graft.QueryDef("e3b_drift_stream", Some(e3OracleSql))((s, d) => {
+      val root = s"$sessRoot/${dirTag(d)}_drift"
+      val src = s"$root/src"; val roll = s"$root/rollup"
+      val ckpt = s"$root/ckpt"
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      addChunk(ev.where(unix_micros(col("ts")) < cut), src, "c1.parquet")
+      graft.streaming.Streams.incrementalDailyCounts(s, src, roll, ckpt)
+      addChunk(ev.where(unix_micros(col("ts")) >= cut), src, "c2.parquet")
+      graft.streaming.Streams.incrementalDailyCounts(s, src, roll, ckpt)
+      graft.streaming.Streams.readDriftScores(s, roll)
+    }),
 
     // T57 — MIN-K% PROB membership signal (Shi et al., the
     // pretraining-data-detection heuristic): under the t17 self-trained
