@@ -89,4 +89,23 @@ class DeterminismSpec extends AnyFunSuite with SparkSuite {
       alt.catalog.clearCache()
     }
   }
+
+  test("knuth32Col: the Spark expression matches BigInt truth past the overflow edge") {
+    import spark.implicits._
+    // Edge ids straddling every boundary the split-multiply cares
+    // about, including ids where the naive product wraps Long (the
+    // r15 overflow fix) — PropertySpec pins the pure formula against
+    // arbitrary ids; this pins the SPARK EXPRESSION string itself.
+    val ids = Seq(0L, 1L, 65535L, 65536L, 2147483647L, 2147483648L,
+      3400000000L, 3472328297L, 4294967295L, 4294967296L,
+      999999999999L, Long.MaxValue)
+    val got = ids.toDF("vec_id")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        operators.OracleHash.knuth32Col("vec_id").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- ids) {
+      val want = (BigInt(id) * BigInt(2654435761L)).mod(BigInt(1L) << 32)
+      assert(BigInt(got(id)) == want, s"knuth32($id): ${got(id)} != $want")
+    }
+  }
 }

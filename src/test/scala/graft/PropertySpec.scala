@@ -150,6 +150,26 @@ object PropertySpec extends Properties("graft.scalars") {
         }
     }
 
+  // Mirrors OracleHash.knuth32's integer-division/modulo formula in
+  // Scala longs (Spark's `div`/`%` and DuckDB's `//`/`%` agree with
+  // Scala's `/`/`%` on non-negative operands, which the formula keeps
+  // every intermediate at).
+  private def knuth32Scala(id: Long): Long = {
+    val x = id % 4294967296L
+    ((((x / 65536L) * 2654435761L) % 4294967296L) * 65536L +
+      (x % 65536L) * 2654435761L) % 4294967296L
+  }
+
+  property("knuth32: overflow-safe formula == (id·K) mod 2^32 for ANY id") =
+    Prop.forAll(Gen.frequency(
+      3 -> Gen.chooseNum(0L, 4294967295L),         // the old, defined range
+      2 -> Gen.chooseNum(3400000000L, 3500000000L), // the old overflow edge
+      2 -> Gen.chooseNum(0L, Long.MaxValue))) { id =>
+      val h = knuth32Scala(id)
+      h >= 0L && h < 4294967296L &&
+        BigInt(h) == (BigInt(id) * BigInt(2654435761L)).mod(BigInt(2L) << 31)
+    }
+
   property("slug re-aggregation preserves totals") =
     Prop.forAll(Gen.listOf(Gen.oneOf(
       "Department of Health", "DEPARTMINT OF HEALTH", "dept of health",
