@@ -53,8 +53,21 @@ object Bench {
       pb.redirectErrorStream(true)
       pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
       val p = pb.start()
-      val done = p.waitFor(8, java.util.concurrent.TimeUnit.MINUTES)
-      if (!done) { p.destroyForcibly(); return Map.empty }
+      // Timeout scales with the batch (round-16 advice fix): the flat
+      // 8-minute cap was sized for ONE query per child, but a child now
+      // runs up to a dozen movers at min-of-3 — one slow batch would be
+      // killed and ALL its floors silently dropped to isolated:-1,
+      // defeating the no-unmeasured-movers guarantee. 2 min per query
+      // covers ~25 s JVM startup + min-of-3 on multi-second movers.
+      val timeoutMin = math.max(8L, 2L * names.length)
+      val done = p.waitFor(timeoutMin, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) {
+        p.destroyForcibly()
+        java.nio.file.Files.deleteIfExists(outFile)
+        System.err.println(s"BENCH adjudication child timed out " +
+          s"($timeoutMin min) for ${names.mkString(",")}")
+        return Map.empty
+      }
       val t = readTimings(outFile.toString)
       java.nio.file.Files.deleteIfExists(outFile)
       t
@@ -62,6 +75,54 @@ object Bench {
       System.err.println(s"BENCH adjudication failed for ${names.mkString(",")}: $t")
       Map.empty
     }
+  }
+
+  /** Environment canary (round-16 ask #1b): three FIXED calibration
+    * workloads — a shuffle loop, a parquet scan-agg, a window — timed
+    * min-of-3 at round open and recorded in both artifact lines. Every
+    * cross-round per-query ratio can then be env-normalized: rounds
+    * 13-15 each burned adjudication wall-clock proving that 2-3×
+    * "regressions" were the HOST drifting (SCALE.md "bench drift is
+    * partly ENVIRONMENT"), which a fixed workload separates from code
+    * for free. The workloads never change — that is the entire point —
+    * and only `scan` touches sfDir (per-round records run at one sf,
+    * so it stays comparable where comparisons happen). */
+  private def canary(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    def timed(body: => Unit): Double = (1 to 3).map { _ =>
+      System.gc()
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }.min
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // Iterative join+agg over a generated frame — the pointer-jumping /
+    // PageRank shape that drifted 2-3× across rounds 13-15.
+    val shuffle = timed {
+      var df = spark.range(2000000L)
+        .select(col("id"), (col("id") % 10007).as("k"))
+      (1 to 3).foreach { _ =>
+        val agg = df.groupBy("k").agg(min("id").as("m"))
+        df = df.join(agg, "k")
+          .select(col("id"), ((col("m") + col("id")) % 10007).as("k"))
+      }
+      noop(df.groupBy("k").agg(count(lit(1)).as("n")))
+    }
+    // Full-table parquet scan + aggregate — the IO + codegen-agg shape.
+    val scan = timed {
+      noop(Tables.lineitem(spark, sfDir)
+        .groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("q"), count(lit(1)).as("n")))
+    }
+    // Partitioned window over a generated frame — the sort + state shape.
+    val window = timed {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("id").desc)
+      noop(spark.range(1000000L)
+        .select(col("id"), (col("id") % 1000).as("k"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3))
+    }
+    Seq("shuffle" -> shuffle, "scan" -> scan, "window" -> window)
   }
 
   def main(args: Array[String]): Unit = {
@@ -81,6 +142,17 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     // Optional comma-separated filter for local iteration on one query.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Canary runs for full-fleet records only: SPARK_GRAFT_ONLY marks a
+    // hand-picked subset (local iteration or an adjudication child),
+    // where the ~10 s calibration is pure overhead.
+    val canaries: Seq[(String, Double)] =
+      if (only.isDefined) Seq.empty else canary(spark, sfDir)
+    canaries.foreach { case (k, v) =>
+      System.err.println(f"BENCH canary $k=$v%.3f")
+    }
+    val canaryJson = canaries.map { case (k, v) =>
+      "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    }.mkString("{", ",", "}")
     val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(q => f(q._1)))
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(3)
     val failed = scala.collection.mutable.ArrayBuffer[String]()
@@ -133,7 +205,7 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.flatten.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary":$canaryJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // The full line (all queries, full precision) lands in the in-repo
     // artifact — every query stays regression-diffable round over
     // round. It is NOT the final stdout line: the driver's record
@@ -202,8 +274,16 @@ object Bench {
               dt >= 0.2 && (dt > 1.3 * b || b > 1.3 * dt)) =>
               (name, dt, base(name))
           }.sortBy { case (_, dt, b) => -math.abs(dt - b) }
+          // Isolation order is by RATIO, not absolute delta (round-16
+          // fix: r15 left s8_change_detect at 1.75× unmeasured because
+          // three sub-0.5 s high-ratio movers were squeezed out by
+          // larger-absolute-delta ones under the cap). The drift RECORD
+          // above stays delta-ordered; the re-run QUEUE is worst-ratio
+          // first so no high-ratio mover is ever left at isolated:-1
+          // while a milder one got a floor.
           val eligible = movers
             .filter { case (_, dt, b) => dt > 1.4 * b || b > 1.4 * dt }
+            .sortBy { case (_, dt, b) => -math.max(dt / b, b / dt) }
             .take(adjMaxMovers)
           val t0 = System.nanoTime()
           val iso = scala.collection.mutable.Map[String, Double]()
@@ -248,12 +328,19 @@ object Bench {
     val sb = new StringBuilder
     var kept = 0
     byTime.foreach { case (k, v) =>
-      val frag = (if (kept == 0) "" else ",") + "\"" + k + "\":" + f"$v%.3f"
-      if (sb.length + frag.length <= 1400) { sb.append(frag); kept += 1 }
+      // Locale.ROOT, not the f-interpolator (round-16 advice fix): f""
+      // formats with the JVM default locale, and a comma-decimal locale
+      // (de_DE) would emit invalid JSON — the exact "parsed": null
+      // failure the compact line exists to prevent.
+      val frag = (if (kept == 0) "" else ",") + "\"" + k + "\":" +
+        "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      // 1300 (was 1400): the canary block costs ~65 chars of the
+      // compact line; keep total < 1.6 KB inside the ~2000-char window.
+      if (sb.length + frag.length <= 1300) { sb.append(frag); kept += 1 }
     }
     val compact = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":{${sb.toString}},"queries_omitted":${byTime.length - kept},""" +
-      s""""nqueries":${byTime.length},"failed":$failedJson,""" +
+      s""""nqueries":${byTime.length},"canary":$canaryJson,"failed":$failedJson,""" +
       s""""full":"$outFile","sf":"$sfDir"}"""
     println(compact)
     System.out.flush()

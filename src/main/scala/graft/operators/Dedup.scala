@@ -85,18 +85,30 @@ object Dedup {
     * still oversized are caught by [[recordLinkage]]'s final cap. */
   def subBlockedKeys(keys: DataFrame, maxBlock: Int = DefaultMaxBlock,
                      subStart: Int = 29, subLen: Int = 12): DataFrame =
-    // Persisted like linkageKeys (released by the caller's clearCache):
-    // the downstream recordLinkage references the refined frame three
-    // times (block count, semi-join back, both self-join sides), and
-    // re-executing the refinement's count+join per reference measured
-    // 6.1 s vs 4.4 s persisted on the sf1 rehearsal (PROFILE_d30).
+    // Persisted like linkageKeys — and with the SAME contract: the
+    // caller releases it (unpersist(), or the gate harnesses'
+    // clearCache() between queries). The downstream recordLinkage
+    // references the refined frame three times (block count, semi-join
+    // back, both self-join sides), and re-executing the refinement's
+    // count+join per reference measured 6.1 s vs 4.4 s persisted on
+    // the sf1 rehearsal (PROFILE_d30). ProfileD30 measures the
+    // unpersisted counterfactual through [[subBlockedKeysPlan]].
+    subBlockedKeysPlan(keys, maxBlock, subStart, subLen)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** The refinement PLAN of [[subBlockedKeys]] without the persist —
+    * for callers (ProfileD30's counterfactual stage) that must measure
+    * what re-executing the refinement per downstream reference costs. */
+  private[graft] def subBlockedKeysPlan(keys: DataFrame,
+                                        maxBlock: Int = DefaultMaxBlock,
+                                        subStart: Int = 29,
+                                        subLen: Int = 12): DataFrame =
     keys.join(keys.groupBy("bk").agg(count(lit(1)).as("block_n")), Seq("bk"))
       .select(col("doc_id"),
         when(col("block_n") <= maxBlock, col("bk"))
           .otherwise(concat(col("bk"),
             substring(col("sig"), subStart, subLen))).as("bk"),
         col("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Blocked record linkage: equality join on the blocking key (never
     * all-pairs — candidate volume is bounded by block collision
@@ -1209,16 +1221,32 @@ object Dedup {
     writeBucketMeta(index.sigs.sparkSession, path, nBuckets)
   }
 
-  private def writeBucketMeta(spark: SparkSession, path: String,
-                              nBuckets: Int): Unit = {
+  private[graft] def writeBucketMeta(spark: SparkSession, path: String,
+                                     nBuckets: Int): Unit = {
     import spark.implicits._
     Seq(nBuckets.toLong).toDF("n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  private[graft] def readBucketMeta(spark: SparkSession, path: String): Int =
-    spark.read.parquet(s"$path/meta").select("n_buckets")
-      .head().getLong(0).toInt
+  /** Read the store's pinned band-bucket modulus. Stores written
+    * before the modulus was pinned on disk (round 15) have no
+    * `$path/meta`; fall back to the historical implicit default of 64
+    * with a loud warning rather than failing the read or purge — a
+    * wrong modulus degrades candidate recall, it never corrupts data,
+    * and the warning names the fix (rebuild via writeMinhashIndex). */
+  private[graft] def readBucketMeta(spark: SparkSession, path: String): Int = {
+    val metaDir = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaDir))
+      spark.read.parquet(s"$path/meta").select("n_buckets")
+        .head().getLong(0).toInt
+    else {
+      System.err.println(s"graft: $path/meta absent (store predates " +
+        "modulus pinning); assuming the historical default of 64 buckets" +
+        " — rebuild the store to pin it")
+      64
+    }
+  }
 
   def readMinhashIndex(spark: SparkSession, path: String): StoredMinhashIndex =
     StoredMinhashIndex(spark.read.parquet(s"$path/banded"),

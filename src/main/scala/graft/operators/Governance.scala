@@ -100,9 +100,12 @@ object Governance {
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$outPath/banded")
     purgeFrame(spark.read.parquet(s"$inPath/sigs"), ids)
       .write.mode("overwrite").parquet(s"$outPath/sigs")
-    // Purge never re-buckets: the config meta copies through verbatim.
-    spark.read.parquet(s"$inPath/meta")
-      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/meta")
+    // Purge never re-buckets: the modulus reads through Dedup's
+    // fallback-aware reader (pre-meta stores resolve to the historical
+    // 64) and is re-pinned on the output — so purging a pre-meta store
+    // both succeeds and UPGRADES it to the pinned-modulus layout.
+    graft.operators.Dedup.writeBucketMeta(spark, outPath,
+      graft.operators.Dedup.readBucketMeta(spark, inPath))
   }
 
   /** Vector-side takedown: a removed document's EMBEDDING is still its

@@ -1121,7 +1121,16 @@ object Similarity {
     * top-k shuffles); at corpus scale candidate generation swaps to
     * the banded-LSH path ([[bandFrame]]) with identical scoring. */
   def marginMinePairs(embeddings: DataFrame, srcPred: Column, tgtPred: Column,
-                      k: Int = 4, threshold: Double = 1.0): DataFrame = {
+                      k: Int = 4, threshold: Double = 1.0): DataFrame =
+    marginMinePairsScored(embeddings, srcPred, tgtPred, k, threshold)
+      .select("vec_a", "vec_b", "margin")
+
+  /** [[marginMinePairs]] keeping the raw pair cosine alongside the
+    * margin — the distillation export (n42) needs BOTH: the cosine is
+    * the student's (bi-encoder's) score, the margin feeds the teacher. */
+  def marginMinePairsScored(embeddings: DataFrame, srcPred: Column,
+                            tgtPred: Column, k: Int = 4,
+                            threshold: Double = 1.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = embeddings.where(srcPred)
       .select(col("vec_id").as("vec_a"), quant(col("embedding")).as("va"))
@@ -1149,10 +1158,89 @@ object Similarity {
     fwd.select(col("vec_a"), col("vec_b"), col("cos"))
       .join(avgA, Seq("vec_a"))
       .join(avgB, Seq("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
+      .select(col("vec_a"), col("vec_b"), col("cos"),
         (col("cos") / ((col("avg_vec_a") + col("avg_vec_b")) / lit(2.0))).as("margin"))
       .where(col("margin") >= threshold)
-      .select("vec_a", "vec_b", "margin")
+      .select("vec_a", "vec_b", "cos", "margin")
+  }
+
+  /** Cross-encoder DISTILLATION-PAIR export (n42) — the one training-
+    * data shape the retrieval family generates candidates for but
+    * didn't yet write out: margin-filtered (teacher, student) score
+    * pairs in Margin-MSE triplet form (Hofstätter et al., "Improving
+    * Efficient Neural Ranking Models with Cross-Architecture Knowledge
+    * Distillation", 2020). Composition of existing stages:
+    *
+    *  1. CANDIDATES — [[marginMinePairsScored]] (n13's mining, keeping
+    *     the raw cosine: the student/bi-encoder score).
+    *  2. TEACHER — a deterministic cross-signal the bi-encoder cannot
+    *     see: token-set Jaccard between the two DOCUMENTS' texts
+    *     (n18's surrogate discipline — each term quantizes to an exact
+    *     integer BEFORE the sum, so ranking is integer-exact; at scale
+    *     swap in the model UDF, every join stays identical).
+    *     teacher_q = q(3·cos) + q(2·jaccard) + q(1·margin);
+    *     student_q = q(3·cos).
+    *  3. TRIPLETS — per query, the teacher's top candidate is the
+    *     positive, the rest are negatives; keep triplets whose teacher
+    *     margin is strictly positive (the margin FILTER — ties teach
+    *     nothing and flipped pairs would teach the wrong order).
+    *  4. EXPORT — triplets sharded by Knuth hash of the query id
+    *     (t20's rule: a query's triplets co-locate for in-batch reuse),
+    *     written partitionBy(shard); the returned frame is the
+    *     per-shard MANIFEST read back from the written files (t20b's
+    *     bookkeeping: what a trainer reads to plan epochs).
+    *
+    * Scale shape: the corpus-sized token frame is probed by two
+    * broadcast gather-joins of the O(S·k) mined pair list and never
+    * shuffles; the triplet self-join and the shard manifest are
+    * O(mined pairs); mining itself carries n13's documented
+    * swap-to-LSH path at corpus scale. */
+  def distillPairsExport(documents: DataFrame, embeddings: DataFrame,
+                         outPath: String, k: Int = 4,
+                         nShards: Int = 4): DataFrame = {
+    val mined = marginMinePairsScored(embeddings,
+      srcPred = col("label") === 0, tgtPred = col("label") === 1, k = k)
+    val dtoks = documents.select(col("doc_id"),
+      array_distinct(graft.functions.Cols.ftsTokens(col("text"))).as("tk"))
+    val withA = dtoks.select(col("doc_id").as("vec_a"), col("tk").as("ta"))
+      .join(broadcast(mined), Seq("vec_a"))
+    val withB = dtoks.select(col("doc_id").as("vec_b"), col("tk").as("tb"))
+      .join(broadcast(withA), Seq("vec_b"))
+    val li = size(array_intersect(col("ta"), col("tb"))).cast(LongType)
+    val lu = size(array_union(col("ta"), col("tb"))).cast(LongType)
+    val jacc = when(lu === 0L, lit(0.0))
+      .otherwise(li.cast(DoubleType) / lu.cast(DoubleType))
+    def q(x: Column, w: Double): Column =
+      round(lit(w) * x * 1000000).cast(LongType)
+    val feat = withB.select(col("vec_a"), col("vec_b"),
+      (q(col("cos"), 3.0) + q(jacc, 2.0) + q(col("margin"), 1.0)).as("teacher_q"),
+      q(col("cos"), 3.0).as("student_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_a").orderBy(col("teacher_q").desc, col("vec_b").asc)
+    // Persisted across its two references (pos side + neg side of the
+    // triplet join); released before the manifest read below.
+    val ranked = feat.withColumn("rn", row_number().over(w))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tri = ranked.where(col("rn") === 1)
+      .select(col("vec_a").as("query_id"), col("vec_b").as("pos_id"),
+        col("teacher_q").as("tpos"), col("student_q").as("spos"))
+      .join(ranked.where(col("rn") > 1)
+        .select(col("vec_a").as("query_id"), col("vec_b").as("neg_id"),
+          col("teacher_q").as("tneg"), col("student_q").as("sneg")),
+        Seq("query_id"))
+      .select(col("query_id"), col("pos_id"), col("neg_id"),
+        (col("tpos") - col("tneg")).as("t_margin_q"),
+        (col("spos") - col("sneg")).as("s_margin_q"))
+      .where(col("t_margin_q") >= 1L)
+      .withColumn("shard", OracleHash.knuth32Col("query_id") % nShards)
+    tri.write.mode("overwrite").partitionBy("shard").parquet(outPath)
+    ranked.unpersist()
+    documents.sparkSession.read.parquet(outPath)
+      .groupBy(col("shard").cast(LongType).as("shard"))
+      .agg(count(lit(1)).as("n_triplets"),
+        count_distinct(col("query_id")).as("n_queries"),
+        sum(col("t_margin_q")).as("total_t_margin"),
+        sum(col("s_margin_q")).as("total_s_margin"))
   }
 
   /** The hyperplane-signature index artifact for [[lshTopK]]: the
@@ -2293,9 +2381,19 @@ object SimilarityQueries extends graft.QueryModule {
     * brute-force S×T integer cosines, windowed top-4 per side, the
     * neighborhood means folded in rank order, the same fixed margin
     * formula shape — bit-identical doubles. */
-  private lazy val n13OracleSql: String = {
+  private lazy val n13OracleSql: String =
+    s"""WITH $marginMineCtes
+       |SELECT f.vec_a, f.vec_b, f.cos / ((avg_a + avg_b) / 2.0) AS margin
+       |FROM fwd f JOIN avga USING (vec_a) JOIN avgb USING (vec_b)
+       |WHERE f.rn <= 4 AND f.cos / ((avg_a + avg_b) / 2.0) >= 1.0""".stripMargin
+
+  /** The margin-mining CTE block shared by n13's oracle and n42's (the
+    * distillation export re-states the same mining stage, then layers
+    * the teacher features on top). Ends after avga/avgb; the caller
+    * supplies the final SELECT. */
+  private lazy val marginMineCtes: String = {
     def lfold(l: String) = OracleHash.lfold(l)
-    s"""WITH qv AS (
+    s"""qv AS (
        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS x
        |  FROM embeddings),
@@ -2322,10 +2420,7 @@ object SimilarityQueries extends graft.QueryModule {
        |  FROM fwd WHERE rn <= 4 GROUP BY 1),
        |avgb AS (
        |  SELECT vec_b, ${lfold("list(cos ORDER BY rn)")} / count(*) AS avg_b
-       |  FROM bwd WHERE rn <= 4 GROUP BY 1)
-       |SELECT f.vec_a, f.vec_b, f.cos / ((avg_a + avg_b) / 2.0) AS margin
-       |FROM fwd f JOIN avga USING (vec_a) JOIN avgb USING (vec_b)
-       |WHERE f.rn <= 4 AND f.cos / ((avg_a + avg_b) / 2.0) >= 1.0""".stripMargin
+       |  FROM bwd WHERE rn <= 4 GROUP BY 1)""".stripMargin
   }
 
   /** n6's full-corpus oracle: replay the whole PQ path — hash-smallest
@@ -4277,6 +4372,56 @@ object SimilarityQueries extends graft.QueryModule {
       maxsimRerankServed(s, path, Tables.embeddings(s, d),
         queryIds = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L), k = 10)
     }),
+
+    // N42 — DISTILLATION-PAIR EXPORT (see Similarity.distillPairsExport):
+    // n13's margin mining composed with an n18-style deterministic
+    // cross-score into Margin-MSE training triplets, margin-filtered,
+    // sharded by query hash, WRITTEN partitionBy(shard); the gate
+    // output is the per-shard manifest read back from the written
+    // files. FULL oracle: the mining CTEs (shared with n13) + the
+    // token-Jaccard teacher + the triplet window + the shard rollup,
+    // every score an exact integer before any sum.
+    graft.QueryDef("n42_distill_pairs", Some {
+      val toks = "list_distinct(list_filter(string_split_regex(" +
+        "lower(strip_accents(text)), '[^a-z0-9]+'), x -> x <> ''))"
+      val jacc = """CASE WHEN len(list_distinct(ta.tk || tb.tk)) = 0 THEN 0.0
+        |      ELSE CAST(len(list_distinct(list_intersect(ta.tk, tb.tk))) AS DOUBLE)
+        |        / len(list_distinct(ta.tk || tb.tk)) END""".stripMargin
+      s"""WITH $marginMineCtes,
+         |mined AS (
+         |  SELECT f.vec_a, f.vec_b, f.cos,
+         |    f.cos / ((avg_a + avg_b) / 2.0) AS margin
+         |  FROM fwd f JOIN avga USING (vec_a) JOIN avgb USING (vec_b)
+         |  WHERE f.rn <= 4 AND f.cos / ((avg_a + avg_b) / 2.0) >= 1.0),
+         |dtoks AS (SELECT doc_id, $toks AS tk FROM documents),
+         |feat AS (
+         |  SELECT m.vec_a, m.vec_b,
+         |    CAST(round(3.0 * m.cos * 1000000) AS BIGINT)
+         |      + CAST(round(2.0 * ($jacc) * 1000000) AS BIGINT)
+         |      + CAST(round(1.0 * m.margin * 1000000) AS BIGINT) AS teacher_q,
+         |    CAST(round(3.0 * m.cos * 1000000) AS BIGINT) AS student_q
+         |  FROM mined m
+         |  JOIN dtoks ta ON ta.doc_id = m.vec_a
+         |  JOIN dtoks tb ON tb.doc_id = m.vec_b),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vec_a ORDER BY teacher_q DESC, vec_b ASC) AS rn
+         |  FROM feat),
+         |tri AS (
+         |  SELECT p.vec_a AS query_id,
+         |    p.teacher_q - n.teacher_q AS t_margin_q,
+         |    p.student_q - n.student_q AS s_margin_q
+         |  FROM ranked p JOIN ranked n ON n.vec_a = p.vec_a AND n.rn > 1
+         |  WHERE p.rn = 1 AND p.teacher_q - n.teacher_q >= 1)
+         |SELECT CAST((${OracleHash.knuth32Sql("query_id")}) % 4 AS BIGINT) AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_triplets,
+         |  CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+         |  CAST(SUM(t_margin_q) AS BIGINT) AS total_t_margin,
+         |  CAST(SUM(s_margin_q) AS BIGINT) AS total_s_margin
+         |FROM tri GROUP BY 1""".stripMargin
+    })((s, d) =>
+      distillPairsExport(Tables.documents(s, d), Tables.embeddings(s, d),
+        s"$pqRoot/${dirTag(d)}/distill")),
 
     // D31 — BLOCKING-RECALL EVAL for the d29 cell blocker: d14's dial
     // at the embedding level. Ground truth is the EXHAUSTIVE exact

@@ -80,31 +80,66 @@ object Streams {
   def tsMicros(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
+  /** Sessionize with EVENT-TIME TIMEOUT eviction (round-16: the r15
+    * verdict's #3 — NoTimeout left state O(all users ever seen) on an
+    * unbounded stream). The timeout IS the session gap rule expressed
+    * in time instead of in a successor event: state times out when the
+    * watermark passes `session end + gap`, at which point ANY later
+    * event for that user would have opened a new session anyway — so
+    * the timeout emits the identical session the next event (or the
+    * gate's sentinel) would have, then removes the state. State is now
+    * O(users active within one gap of the watermark), not O(users
+    * ever). Requires a watermark on `ts` (EventTimeTimeout's
+    * contract); [[incrementalSessions]] sets one at the gap itself, so
+    * cross-user skew up to the gap never drops an event. A user whose
+    * state timed out and who then sends a late-but-not-dropped event
+    * gets a NEW session — exactly what the gap rule says
+    * (StreamingSpec pins the eviction). */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          // Deterministic within-batch order regardless of shuffle arrival.
-          val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
-          val out = Seq.newBuilder[SessionOut]
-          var cur = state.getOption
-          sorted.foreach { e =>
-            val us = tsMicros(e.ts)
-            cur match {
-              case Some(st) if us - st.endUs <= gapUs =>
-                cur = Some(st.copy(endUs = us, n = st.n + 1))
-              case Some(st) =>
-                out += SessionOut(userId, st.startUs, st.endUs, st.n)
-                cur = Some(SessionState(us, us, 1))
-              case None =>
-                cur = Some(SessionState(us, us, 1))
+          if (state.hasTimedOut) {
+            // Watermark passed end+gap with no new event for this user:
+            // the gap rule closes the session by TIME. Timeouts fire
+            // only for keys with no data in the batch, so this can
+            // never race the merge branch below.
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, st.startUs, st.endUs, st.n))
+          } else {
+            // Deterministic within-batch order regardless of shuffle arrival.
+            val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+            val out = Seq.newBuilder[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val us = tsMicros(e.ts)
+              cur match {
+                case Some(st) if us - st.endUs <= gapUs =>
+                  cur = Some(st.copy(endUs = us, n = st.n + 1))
+                case Some(st) =>
+                  out += SessionOut(userId, st.startUs, st.endUs, st.n)
+                  cur = Some(SessionState(us, us, 1))
+                case None =>
+                  cur = Some(SessionState(us, us, 1))
+              }
             }
+            cur.foreach { st =>
+              state.update(st)
+              // Next eviction point: gap past the session end, clamped
+              // strictly above the current watermark (Spark rejects a
+              // timeout at or before it). The clamp only DEFERS eviction
+              // for a session already behind the watermark; events keep
+              // full authority over session contents either way.
+              state.setTimeoutTimestamp(math.max(
+                (st.endUs + gapUs) / 1000L + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            out.result().iterator
           }
-          cur.foreach(state.update)
-          out.result().iterator
       }
   }
 
@@ -299,7 +334,16 @@ object Streams {
                           sinkDir: String, checkpointDir: String,
                           gapMinutes: Int = 30): Unit = {
     import spark.implicits._
-    val q = sessionize(eventStream(spark, sourceDir).as[Event], gapMinutes)
+    // Watermark delay = the gap itself: EventTimeTimeout needs a
+    // watermark, and at gap-sized delay a user up to one gap behind the
+    // global max is never dropped, while eviction still fires once the
+    // watermark is past end+gap — under the gates' time-bisected chunk
+    // delivery the emitted sessions are provably identical to
+    // NoTimeout's (a timeout fires only for a user with no data in the
+    // batch, whose every later event is beyond the gap by then).
+    val q = sessionize(
+      eventStream(spark, sourceDir)
+        .withWatermark("ts", s"$gapMinutes minutes").as[Event], gapMinutes)
       .writeStream
       .format("parquet")
       .option("path", sinkDir)

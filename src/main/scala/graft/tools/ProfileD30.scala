@@ -10,13 +10,17 @@ import org.apache.spark.sql.types.LongType
   *
   *   corpus   — withHotBlockPairs fixture union (3 scans of documents)
   *   keys     — + linkageKeys (normalize + block, persisted inside)
-  *   sub      — + subBlockedKeys (block-count join + key refinement)
-  *   subP     — the same, but with the refined key frame PERSISTED
-  *              (the counterfactual: what re-executing the refinement
-  *              plan inside recordLinkage's three references costs)
-  *   capped   — + cappedBlocks over the persisted refinement
-  *   pairs    — + blocked self-join + levenshtein threshold
-  *   full     — the complete registered d30
+  *   sub      — + subBlockedKeysPlan (block-count join + refinement,
+  *              UNPERSISTED — the production subBlockedKeys persists
+  *              internally, which is exactly the counterfactual the
+  *              pairs stages below need to keep apart)
+  *   pairs    — blocked self-join over the UNPERSISTED refinement:
+  *              what re-executing the refinement plan per downstream
+  *              reference costs
+  *   subP     — the same pairs stage with the refinement PERSISTED
+  *              (the production path)
+  *   capped   — + cappedBlocks over the unpersisted refinement
+  *   full     — the complete registered d30 (persisted path)
   *
   * Usage: runMain graft.tools.ProfileD30 [sfDir] [outFile]
   */
@@ -50,7 +54,11 @@ object ProfileD30 {
     val tCorpus = timed { noop(corpus) }
     def keys = Dedup.linkageKeys(corpus)
     val tKeys = timed { noop(keys) }
-    def sub = Dedup.subBlockedKeys(keys, maxBlock = 32)
+    // The PLAN variant, not subBlockedKeys itself: the production entry
+    // point persists internally (round-15 change), which would make the
+    // pairs_s stage below silently measure the persisted path and erase
+    // the counterfactual this profile exists to record.
+    def sub = Dedup.subBlockedKeysPlan(keys, maxBlock = 32)
     val tSub = timed { noop(sub) }
     def pairsOf(k: org.apache.spark.sql.DataFrame) = {
       val capped = Dedup.cappedBlocks(k, 32)

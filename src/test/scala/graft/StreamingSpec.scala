@@ -79,7 +79,8 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     import spark.implicits._
     val out = "sessions_stream"
     val q = Streams.sessionize(
-      Streams.eventStream(spark, srcDir).as[Streams.Event])
+      Streams.eventStream(spark, srcDir)
+        .withWatermark("ts", "30 minutes").as[Streams.Event])
       .writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", tmp("graft_sess_ckpt"))
@@ -91,15 +92,73 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       .select("user_id", "session_start_us", "session_end_us", "n_events")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     // Expected: every batch session except each user's final one (still
-    // open in state when the single AvailableNow batch ends).
+    // open in state when the single AvailableNow data batch ends) — PLUS
+    // the final sessions whose event-time timeout fires in the
+    // post-data batch: after the data batch the watermark advances to
+    // (max event time − 30 min), and a state whose timeout stamp
+    // ((end+gap)/1000+1 ms, the exact value sessionize sets) is behind
+    // that watermark is evicted and its session emitted.
+    val gapUs = 30L * 60L * 1000000L
     val batch = SparkEntry.queries("e1_sessionize")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(2)))
     val lastPerUser = batch.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).max }
-    val expected = batch
+    val closed = batch
       .filter(r => lastPerUser(r._1) != r._2)
       .map(r => (r._1, r._3, r._4, r._5)).toSet
+    val wmMs = batch.map(_._4).max / 1000L - 30L * 60L * 1000L
+    val timedOut = batch
+      .filter(r => lastPerUser(r._1) == r._2)
+      .filter(r => (r._4 + gapUs) / 1000L + 1L < wmMs)
+      .map(r => (r._1, r._3, r._4, r._5)).toSet
+    val expected = closed ++ timedOut
     assert(emitted == expected,
       s"missing: ${expected -- emitted}; spurious: ${emitted -- expected}")
+  }
+
+  test("event-time timeout evicts session state; a later event opens a NEW session") {
+    // Two users: user 1's burst ends early; user 2's lone event 10 days
+    // later advances the watermark far past user 1's end+gap. Run 1 must
+    // therefore EMIT user 1's session via timeout — no sentinel, no
+    // successor event — proving the state was evicted, not parked. A
+    // second delivery then sends user 1 a fresh (non-late) event: it
+    // must open a NEW 1-event session, not resume the evicted one.
+    val root = tmp("graft_sess_evict")
+    val src = s"$root/src"; val sink = s"$root/sink"; val ckpt = s"$root/ckpt"
+    val t0 = 1000000000000000L // fixed epoch micros
+    val day = 86400L * 1000000L
+    def ev(id: Long, us: Long, user: Long) =
+      (id, us, user, "view", 0.0, "")
+    import spark.implicits._
+    def chunk(rows: Seq[(Long, Long, Long, String, Double, String)]) =
+      rows.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+    graft.util.Chunks.add(
+      chunk(Seq(ev(1, t0, 1), ev(2, t0 + 600L * 1000000L, 1),
+        ev(3, t0 + 10L * day, 2))), src, "c1.parquet")
+    Streams.incrementalSessions(spark, src, sink, ckpt)
+    val after1 = spark.read.parquet(sink)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(after1 == Set((1L, t0, t0 + 600L * 1000000L, 2L)),
+      s"timeout must emit user 1's session (and only it): $after1")
+    // User 1 returns 1 minute after user 2's event — ahead of the
+    // watermark (10 days − 30 min), so NOT dropped as late; far beyond
+    // the gap, so a new session either way. User 2's event then closes
+    // user 1's new session in a third delivery via the sentinel rule.
+    graft.util.Chunks.add(
+      chunk(Seq(ev(4, t0 + 10L * day + 60L * 1000000L, 1))), src, "c2.parquet")
+    Streams.incrementalSessions(spark, src, sink, ckpt)
+    graft.util.Chunks.add(
+      chunk(Seq(ev(5, t0 + 20L * day, 1), ev(6, t0 + 20L * day, 2))),
+      src, "c3.parquet")
+    Streams.incrementalSessions(spark, src, sink, ckpt)
+    val sessionsU1 = spark.read.parquet(sink)
+      .where(col("user_id") === 1L && col("session_start_us") < t0 + 15L * day)
+      .select("session_start_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sessionsU1 == Set((t0, 2L), (t0 + 10L * day + 60L * 1000000L, 1L)),
+      s"late-arriving user must get a NEW session after eviction: $sessionsU1")
   }
 
   test("streaming dedup drops watermark-horizon re-deliveries (d1 twin)") {
