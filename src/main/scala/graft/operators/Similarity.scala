@@ -1131,7 +1131,6 @@ object Similarity {
   def marginMinePairsScored(embeddings: DataFrame, srcPred: Column,
                             tgtPred: Column, k: Int = 4,
                             threshold: Double = 1.0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val s = embeddings.where(srcPred)
       .select(col("vec_id").as("vec_a"), quant(col("embedding")).as("va"))
     val t = embeddings.where(tgtPred)
@@ -1139,6 +1138,43 @@ object Similarity {
     val scored = s.join(broadcast(t))
       .select(col("vec_a"), col("vec_b"),
         cosine(idot(col("va"), col("vb")), inorm2(col("va")), inorm2(col("vb"))).as("cos"))
+    marginFromScored(scored, k, threshold)
+  }
+
+  /** [[marginMinePairs]]'s candidate-GENERATION swap for corpus scale
+    * (n43): candidates come from multi-table hyperplane band collisions
+    * between the two label sets ([[bandFrame]] — the d5/streaming
+    * banding, one shared code path) instead of the S×T broadcast grid,
+    * so candidate volume follows band occupancy, never |S|·|T|. The
+    * margin's neighborhood means are computed over each side's
+    * CANDIDATE top-k — the standard approximation when the exhaustive
+    * neighborhood is exactly what you're avoiding; scoring arithmetic
+    * and fold order are byte-identical to the brute path. */
+  def marginMineLshScored(embeddings: DataFrame, srcPred: Column,
+                          tgtPred: Column, k: Int = 4,
+                          threshold: Double = 1.0): DataFrame = {
+    val s = embeddings.where(srcPred)
+      .select(col("vec_id").as("vec_a"), quant(col("embedding")).as("va"))
+    val t = embeddings.where(tgtPred)
+      .select(col("vec_id").as("vec_b"), quant(col("embedding")).as("vb"))
+    val bs = bandFrame(s.select(col("vec_a").as("vec_id"), col("va").as("v")))
+    val bt = bandFrame(t.select(col("vec_b").as("vec_id"), col("vb").as("v")))
+    val cand = bs.as("a").join(bt.as("b"), col("a.band") === col("b.band"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val scored = cand.join(s, Seq("vec_a")).join(t, Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosine(idot(col("va"), col("vb")), inorm2(col("va")), inorm2(col("vb"))).as("cos"))
+    marginFromScored(scored, k, threshold)
+  }
+
+  /** The margin-scoring stage over an arbitrary candidate cosine frame
+    * `(vec_a, vec_b, cos)` — shared by the brute-force grid (n13/n42)
+    * and the banded-LSH candidates (n43), so the two mining paths
+    * cannot drift in scoring semantics. */
+  private def marginFromScored(scored: DataFrame, k: Int,
+                               threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wA = Window.partitionBy("vec_a").orderBy(col("cos").desc, col("vec_b").asc)
     val wB = Window.partitionBy("vec_b").orderBy(col("cos").desc, col("vec_a").asc)
     val fwd = scored.withColumn("rnA", row_number().over(wA)).where(col("rnA") <= k)
@@ -1197,9 +1233,32 @@ object Similarity {
     * swap-to-LSH path at corpus scale. */
   def distillPairsExport(documents: DataFrame, embeddings: DataFrame,
                          outPath: String, k: Int = 4,
-                         nShards: Int = 4): DataFrame = {
-    val mined = marginMinePairsScored(embeddings,
-      srcPred = col("label") === 0, tgtPred = col("label") === 1, k = k)
+                         nShards: Int = 4): DataFrame =
+    distillFromMined(documents, marginMinePairsScored(embeddings,
+      srcPred = col("label") === 0, tgtPred = col("label") === 1, k = k),
+      outPath, nShards)
+
+  /** [[distillPairsExport]] with the CANDIDATE stage swapped to the
+    * banded-LSH mining path (n43) — the corpus-scale form the n42
+    * Scaladoc promises: band-collision candidates instead of the S×T
+    * grid, every downstream stage (teacher, triplets, shards,
+    * manifest) shared byte-for-byte via [[distillFromMined]]. This is
+    * the whole point of the pair: the swap changes WHICH pairs are
+    * mined (bounded by band occupancy), never how they are scored,
+    * filtered, sharded, or manifested. */
+  def distillPairsLshExport(documents: DataFrame, embeddings: DataFrame,
+                            outPath: String, k: Int = 4,
+                            nShards: Int = 4): DataFrame =
+    distillFromMined(documents, marginMineLshScored(embeddings,
+      srcPred = col("label") === 0, tgtPred = col("label") === 1, k = k),
+      outPath, nShards)
+
+  /** Stages 2-4 of the distillation export, shared by both mining
+    * paths: teacher features over the mined pairs, margin-filtered
+    * triplets, Knuth-hash shards written partitionBy(shard), per-shard
+    * manifest read back from the written files. */
+  private def distillFromMined(documents: DataFrame, mined: DataFrame,
+                               outPath: String, nShards: Int): DataFrame = {
     val dtoks = documents.select(col("doc_id"),
       array_distinct(graft.functions.Cols.ftsTokens(col("text"))).as("tk"))
     val withA = dtoks.select(col("doc_id").as("vec_a"), col("tk").as("ta"))
@@ -2386,6 +2445,44 @@ object SimilarityQueries extends graft.QueryModule {
        |SELECT f.vec_a, f.vec_b, f.cos / ((avg_a + avg_b) / 2.0) AS margin
        |FROM fwd f JOIN avga USING (vec_a) JOIN avgb USING (vec_b)
        |WHERE f.rn <= 4 AND f.cos / ((avg_a + avg_b) / 2.0) >= 1.0""".stripMargin
+
+  /** The distillation-export TAIL SQL shared by n42 and n43 — teacher
+    * features, margin-filtered triplets, shard manifest — over a
+    * `mined(vec_a, vec_b, cos, margin)` CTE already in scope. Mirrors
+    * [[distillFromMined]] stage for stage. */
+  private lazy val distillTailSql: String = {
+    val toks = "list_distinct(list_filter(string_split_regex(" +
+      "lower(strip_accents(text)), '[^a-z0-9]+'), x -> x <> ''))"
+    val jacc = """CASE WHEN len(list_distinct(ta.tk || tb.tk)) = 0 THEN 0.0
+      |      ELSE CAST(len(list_distinct(list_intersect(ta.tk, tb.tk))) AS DOUBLE)
+      |        / len(list_distinct(ta.tk || tb.tk)) END""".stripMargin
+    s"""dtoks AS (SELECT doc_id, $toks AS tk FROM documents),
+       |feat AS (
+       |  SELECT m.vec_a, m.vec_b,
+       |    CAST(round(3.0 * m.cos * 1000000) AS BIGINT)
+       |      + CAST(round(2.0 * ($jacc) * 1000000) AS BIGINT)
+       |      + CAST(round(1.0 * m.margin * 1000000) AS BIGINT) AS teacher_q,
+       |    CAST(round(3.0 * m.cos * 1000000) AS BIGINT) AS student_q
+       |  FROM mined m
+       |  JOIN dtoks ta ON ta.doc_id = m.vec_a
+       |  JOIN dtoks tb ON tb.doc_id = m.vec_b),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY vec_a ORDER BY teacher_q DESC, vec_b ASC) AS rn
+       |  FROM feat),
+       |tri AS (
+       |  SELECT p.vec_a AS query_id,
+       |    p.teacher_q - n.teacher_q AS t_margin_q,
+       |    p.student_q - n.student_q AS s_margin_q
+       |  FROM ranked p JOIN ranked n ON n.vec_a = p.vec_a AND n.rn > 1
+       |  WHERE p.rn = 1 AND p.teacher_q - n.teacher_q >= 1)
+       |SELECT CAST((${OracleHash.knuth32Sql("query_id")}) % 4 AS BIGINT) AS shard,
+       |  CAST(count(*) AS BIGINT) AS n_triplets,
+       |  CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+       |  CAST(SUM(t_margin_q) AS BIGINT) AS total_t_margin,
+       |  CAST(SUM(s_margin_q) AS BIGINT) AS total_s_margin
+       |FROM tri GROUP BY 1""".stripMargin
+  }
 
   /** The margin-mining CTE block shared by n13's oracle and n42's (the
     * distillation export re-states the same mining stage, then layers
@@ -4381,47 +4478,74 @@ object SimilarityQueries extends graft.QueryModule {
     // files. FULL oracle: the mining CTEs (shared with n13) + the
     // token-Jaccard teacher + the triplet window + the shard rollup,
     // every score an exact integer before any sum.
-    graft.QueryDef("n42_distill_pairs", Some {
-      val toks = "list_distinct(list_filter(string_split_regex(" +
-        "lower(strip_accents(text)), '[^a-z0-9]+'), x -> x <> ''))"
-      val jacc = """CASE WHEN len(list_distinct(ta.tk || tb.tk)) = 0 THEN 0.0
-        |      ELSE CAST(len(list_distinct(list_intersect(ta.tk, tb.tk))) AS DOUBLE)
-        |        / len(list_distinct(ta.tk || tb.tk)) END""".stripMargin
+    graft.QueryDef("n42_distill_pairs", Some(
       s"""WITH $marginMineCtes,
          |mined AS (
          |  SELECT f.vec_a, f.vec_b, f.cos,
          |    f.cos / ((avg_a + avg_b) / 2.0) AS margin
          |  FROM fwd f JOIN avga USING (vec_a) JOIN avgb USING (vec_b)
          |  WHERE f.rn <= 4 AND f.cos / ((avg_a + avg_b) / 2.0) >= 1.0),
-         |dtoks AS (SELECT doc_id, $toks AS tk FROM documents),
-         |feat AS (
-         |  SELECT m.vec_a, m.vec_b,
-         |    CAST(round(3.0 * m.cos * 1000000) AS BIGINT)
-         |      + CAST(round(2.0 * ($jacc) * 1000000) AS BIGINT)
-         |      + CAST(round(1.0 * m.margin * 1000000) AS BIGINT) AS teacher_q,
-         |    CAST(round(3.0 * m.cos * 1000000) AS BIGINT) AS student_q
-         |  FROM mined m
-         |  JOIN dtoks ta ON ta.doc_id = m.vec_a
-         |  JOIN dtoks tb ON tb.doc_id = m.vec_b),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (
-         |    PARTITION BY vec_a ORDER BY teacher_q DESC, vec_b ASC) AS rn
-         |  FROM feat),
-         |tri AS (
-         |  SELECT p.vec_a AS query_id,
-         |    p.teacher_q - n.teacher_q AS t_margin_q,
-         |    p.student_q - n.student_q AS s_margin_q
-         |  FROM ranked p JOIN ranked n ON n.vec_a = p.vec_a AND n.rn > 1
-         |  WHERE p.rn = 1 AND p.teacher_q - n.teacher_q >= 1)
-         |SELECT CAST((${OracleHash.knuth32Sql("query_id")}) % 4 AS BIGINT) AS shard,
-         |  CAST(count(*) AS BIGINT) AS n_triplets,
-         |  CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
-         |  CAST(SUM(t_margin_q) AS BIGINT) AS total_t_margin,
-         |  CAST(SUM(s_margin_q) AS BIGINT) AS total_s_margin
-         |FROM tri GROUP BY 1""".stripMargin
-    })((s, d) =>
+         |$distillTailSql""".stripMargin))((s, d) =>
       distillPairsExport(Tables.documents(s, d), Tables.embeddings(s, d),
         s"$pqRoot/${dirTag(d)}/distill")),
+
+    // N43 — the SAME distillation export with the mining stage swapped
+    // to banded-LSH candidates (see Similarity.distillPairsLshExport):
+    // the corpus-scale form n42's Scaladoc promises, registered as its
+    // own gate so the swap is oracle-PROVEN, not just documented. The
+    // oracle replays the full multi-table hyperplane banding (d5's
+    // fmix32 plane-sign CTEs) to generate the cross-label candidate
+    // set, then the margin scoring over candidate neighborhoods and
+    // the shared distillation tail — value-exact.
+    graft.QueryDef("n43_distill_lsh", Some(
+      s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+         |${OracleHash.planesCte(32)},
+         |$quantVeCtes,
+         |acc AS (
+         |  SELECT vec_id, p.j, SUM(p.s * ve.x) AS a
+         |  FROM ve JOIN planes p ON p.d = ve.d GROUP BY 1, 2),
+         |sigs AS (
+         |  SELECT vec_id, j // 8 AS t,
+         |    SUM(CASE WHEN a >= 0 THEN (1 << (j % 8)) ELSE 0 END) AS sig
+         |  FROM acc GROUP BY 1, 2),
+         |bands AS (SELECT vec_id, t || '-' || sig AS band FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bands a JOIN bands b ON a.band = b.band
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id AND ea.label = 0
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id AND eb.label = 1),
+         |dots AS (
+         |  SELECT c.vec_a, c.vec_b, SUM(va.x * vb.x) AS dot
+         |  FROM cand c
+         |  JOIN ve va ON va.vec_id = c.vec_a
+         |  JOIN ve vb ON vb.vec_id = c.vec_b AND vb.d = va.d
+         |  GROUP BY 1, 2),
+         |cosm AS (
+         |  SELECT vec_a, vec_b,
+         |    CAST(dot AS DOUBLE) /
+         |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+         |  FROM dots JOIN norms na ON na.vec_id = dots.vec_a
+         |  JOIN norms nb ON nb.vec_id = dots.vec_b),
+         |fwd AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b ASC) AS rn
+         |  FROM cosm),
+         |bwd AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_b ORDER BY cos DESC, vec_a ASC) AS rn
+         |  FROM cosm),
+         |avga AS (
+         |  SELECT vec_a, ${OracleHash.lfold("list(cos ORDER BY rn)")} / count(*) AS avg_a
+         |  FROM fwd WHERE rn <= 4 GROUP BY 1),
+         |avgb AS (
+         |  SELECT vec_b, ${OracleHash.lfold("list(cos ORDER BY rn)")} / count(*) AS avg_b
+         |  FROM bwd WHERE rn <= 4 GROUP BY 1),
+         |mined AS (
+         |  SELECT f.vec_a, f.vec_b, f.cos,
+         |    f.cos / ((avg_a + avg_b) / 2.0) AS margin
+         |  FROM fwd f JOIN avga USING (vec_a) JOIN avgb USING (vec_b)
+         |  WHERE f.rn <= 4 AND f.cos / ((avg_a + avg_b) / 2.0) >= 1.0),
+         |$distillTailSql""".stripMargin))((s, d) =>
+      distillPairsLshExport(Tables.documents(s, d), Tables.embeddings(s, d),
+        s"$pqRoot/${dirTag(d)}/distill-lsh")),
 
     // D31 — BLOCKING-RECALL EVAL for the d29 cell blocker: d14's dial
     // at the embedding level. Ground truth is the EXHAUSTIVE exact

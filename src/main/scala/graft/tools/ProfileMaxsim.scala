@@ -60,11 +60,15 @@ object ProfileMaxsim {
     val tDistill = timed {
       noop(graft.SparkEntry.queries("n42_distill_pairs")(spark, dir))
     }
+    val tDistillLsh = timed {
+      noop(graft.SparkEntry.queries("n43_distill_lsh")(spark, dir))
+    }
 
     val json =
       s"""{"dir":"$dir","runs":$runs,"n_vectors":$nVecs,""" +
       s""""maxsim_pinned16_s":$tPinned,"maxsim_derived_s":$tDerived,""" +
-      s""""derived_cells":$derivedCells,"n42_distill_s":$tDistill}"""
+      s""""derived_cells":$derivedCells,"n42_distill_s":$tDistill,""" +
+      s""""n43_distill_lsh_s":$tDistillLsh}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     spark.stop()
