@@ -1257,8 +1257,14 @@ object Similarity {
     * paths: teacher features over the mined pairs, margin-filtered
     * triplets, Knuth-hash shards written partitionBy(shard), per-shard
     * manifest read back from the written files. */
-  private def distillFromMined(documents: DataFrame, mined: DataFrame,
-                               outPath: String, nShards: Int): DataFrame = {
+  /** The teacher/student FEATURE stage: the corpus-sized document token
+    * frame is probed by two broadcast gather-joins of the bounded mined
+    * pair list — it never shuffles (PlanSpec pins broadcast-only).
+    * Package-visible so the plan pin can audit this stage in isolation
+    * (the registered query's own plan only shows the manifest read —
+    * the mining and gather run inside the export write). */
+  private[graft] def distillFeatures(documents: DataFrame,
+                                     mined: DataFrame): DataFrame = {
     val dtoks = documents.select(col("doc_id"),
       array_distinct(graft.functions.Cols.ftsTokens(col("text"))).as("tk"))
     val withA = dtoks.select(col("doc_id").as("vec_a"), col("tk").as("ta"))
@@ -1271,9 +1277,14 @@ object Similarity {
       .otherwise(li.cast(DoubleType) / lu.cast(DoubleType))
     def q(x: Column, w: Double): Column =
       round(lit(w) * x * 1000000).cast(LongType)
-    val feat = withB.select(col("vec_a"), col("vec_b"),
+    withB.select(col("vec_a"), col("vec_b"),
       (q(col("cos"), 3.0) + q(jacc, 2.0) + q(col("margin"), 1.0)).as("teacher_q"),
       q(col("cos"), 3.0).as("student_q"))
+  }
+
+  private def distillFromMined(documents: DataFrame, mined: DataFrame,
+                               outPath: String, nShards: Int): DataFrame = {
+    val feat = distillFeatures(documents, mined)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_a").orderBy(col("teacher_q").desc, col("vec_b").asc)
     // Persisted across its two references (pos side + neg side of the

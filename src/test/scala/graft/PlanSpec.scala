@@ -703,4 +703,23 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("distillation gather: corpus token frame probed by broadcast, never shuffled") {
+    // n42/n43's feature stage joins the corpus-sized document token
+    // frame against the bounded mined pair list TWICE. Both must be
+    // broadcast gathers (pair list builds the hash side); a sort-merge
+    // join here would shuffle the whole corpus per export at 100 TB.
+    // The registered queries' own plans only show the manifest read
+    // (mining runs inside the export write), so pin the stage directly.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val mined = Seq((1L, 2L, 0.9, 1.1), (3L, 4L, 0.8, 1.05))
+      .toDF("vec_a", "vec_b", "cos", "margin")
+    val p = operators.Similarity
+      .distillFeatures(Tables.documents(spark, sf), mined)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "gather joins not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "distill gather shuffles the corpus token frame")
+  }
 }
