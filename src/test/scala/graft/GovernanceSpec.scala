@@ -50,6 +50,34 @@ class GovernanceSpec extends AnyFunSuite with SparkSuite {
     } finally resubmit.unpersist()
   }
 
+  test("pre-meta minhash store reads and purges via the 64-bucket fallback") {
+    // Stores written before the modulus was pinned on disk (round 15)
+    // have no $path/meta. The reader must fall back to the historical
+    // implicit default of 64 (with a warning), and a purge must both
+    // succeed and RE-PIN the modulus on its output — the on-disk
+    // upgrade path for old stores.
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).where(col("doc_id") < 200)
+    val root = util.TmpRoot("gov-premeta")
+    val ix = Dedup.buildMinhashIndex(docs)
+    Dedup.writeMinhashIndex(ix, s"$root/old")
+    ix.unpersist()
+    // simulate a pre-meta store: delete the meta table
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(s"$root/old/meta"))
+    val stored = Dedup.readMinhashIndex(spark, s"$root/old")
+    assert(stored.nBuckets == 64, "fallback modulus must be the historical 64")
+    val ids = Seq(0L, 50L).toDF("purge_id")
+    Governance.purgeStoredMinhashIndex(spark, s"$root/old", s"$root/up", ids)
+    val upgraded = Dedup.readMinhashIndex(spark, s"$root/up")
+    assert(upgraded.nBuckets == 64, "purge must re-pin the modulus on output")
+    assert(new java.io.File(s"$root/up/meta").exists(),
+      "purge output must carry a meta table (store upgraded)")
+    assert(upgraded.sigs.where(col("doc_id").isin(0L, 50L)).count() == 0)
+  }
+
   test("takedown purge removes vectors from the stored ANN index") {
     import spark.implicits._
     import graft.operators.Similarity
