@@ -2452,6 +2452,93 @@ object DedupQueries extends graft.QueryModule {
       cut
     }),
 
+    // D33 — LEAKAGE-SAFE train/eval split: assign splits by NEAR-DUP
+    // CLUSTER, never by document — a doc-level hash split leaks eval
+    // content into training through near-duplicates (the contamination
+    // t8 guards against, created at split time). Every member of a
+    // cluster hashes on the CLUSTER id (Knuth, 90/10), so cross-split
+    // near-dup pairs are zero BY CONSTRUCTION — and the output proves
+    // it: `cross_split_pairs` re-joins the real pair graph against the
+    // assignment and must read 0 (the built-in self-check, the n34
+    // discipline). Manifest rows per split carry doc/cluster/token
+    // counts — what a trainer reads to size the held-out set.
+    // Scale: rides the d2 banded pairs + pointer-jumping components
+    // (never all-pairs); split assignment is one map-side hash over the
+    // O(N) label frame; the audit join shuffles only the bounded pair
+    // frame's endpoints. Oracle: the d16 recursive-CTE resolution +
+    // the same Knuth split + an independent cross-pair audit.
+    graft.QueryDef("d33_leakage_safe_split", Some(
+      s"""WITH RECURSIVE pairs AS MATERIALIZED ($d2OracleSql),
+         |edges AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |r(node, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN r ON r.node = e.dst),
+         |lab AS (SELECT node, min(label) AS cluster FROM r GROUP BY node),
+         |docs AS (SELECT doc_id, text FROM ($nearProbesSql)),
+         |memb AS (
+         |  SELECT d.doc_id,
+         |    CAST(coalesce(l.cluster, d.doc_id) AS BIGINT) AS cluster,
+         |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+         |      AS ntok
+         |  FROM docs d LEFT JOIN lab l ON l.node = d.doc_id),
+         |sp AS (
+         |  SELECT doc_id, cluster, ntok,
+         |    CASE WHEN (${graft.operators.OracleHash.knuth32Sql("cluster")}) % 10 < 9
+         |      THEN 'train' ELSE 'eval' END AS split
+         |  FROM memb),
+         |man AS (
+         |  SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+         |    CAST(SUM(ntok) AS BIGINT) AS n_tokens
+         |  FROM sp GROUP BY 1),
+         |leak AS (
+         |  SELECT CAST(coalesce(SUM(
+         |      CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS cross_split_pairs
+         |  FROM pairs p
+         |  JOIN sp a ON a.doc_id = p.doc_a
+         |  JOIN sp b ON b.doc_id = p.doc_b)
+         |SELECT man.split, man.n_docs, man.n_clusters, man.n_tokens,
+         |  leak.cross_split_pairs
+         |FROM man, leak""".stripMargin))((s, d) => {
+      val corpus = withNearProbes(Tables.documents(s, d))
+      val index = buildMinhashIndex(corpus)
+      val pairs = minhashPairs(index, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val labels = connectedComponentsFast(pairs)
+      val memb = corpus
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast(LongType).as("ntok"))
+        .join(labels, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"), col("ntok"))
+      val sp = memb.withColumn("split",
+          when(graft.operators.OracleHash.knuth32Col("cluster") % 10 < 9,
+            lit("train")).otherwise(lit("eval")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val man = sp.groupBy("split").agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("cluster")).as("n_clusters"),
+        sum(col("ntok")).as("n_tokens"))
+      val leak = pairs
+        .join(sp.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+          Seq("doc_a"))
+        .join(sp.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+          Seq("doc_b"))
+        .agg(coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)),
+          lit(0L)).as("cross_split_pairs"))
+      val out = man.join(broadcast(leak))
+        .select(col("split"), col("n_docs"), col("n_clusters"),
+          col("n_tokens"), col("cross_split_pairs"))
+      val cut = graft.util.Exec.materializedCut(out)
+      index.unpersist(); pairs.unpersist(); sp.unpersist()
+      cut
+    }),
+
     // D15 — SOFT dedup (duplication-aware reweighting): instead of
     // dropping non-representative cluster members (d7's hard apply),
     // every document keeps weight 1/|cluster| — a cluster's total

@@ -1070,6 +1070,47 @@ object TextAnalysisQueries extends graft.QueryModule {
         |  count(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS token_sum
         |FROM packed GROUP BY lang, pack_id""".stripMargin))(packedFrame),
 
+    // T61 — PASSAGE CHUNKING: overlapping token windows (width 64,
+    // stride 48) per document — the standard passage-splitting step a
+    // retrieval/embedding training pipeline runs before encoding, where
+    // one pooled vector per long document under-represents its middle.
+    // Entirely map-side: one tokenize, a sequence() of window starts
+    // exploded per document (fan-out ≤ n_tokens/stride — bounded by
+    // document length, never corpus size), slice + hash per chunk. The
+    // chunk CONTENT crosses the gate as its md5 (value-checks the exact
+    // token window without shipping the text); a real export would
+    // write the text column instead — same plan, wider rows. At 100 TB
+    // this shape is embarrassingly parallel: no shuffle anywhere, the
+    // explode stays inside whole-stage codegen, output partitioning
+    // follows the scan.
+    graft.QueryDef("t61_passage_chunks", Some(
+      raw"""WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, len(toks) - 1, 48)) AS start
+        |  FROM t)
+        |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
+        |  CAST(start AS BIGINT) AS start_tok,
+        |  CAST(len(toks[start + 1 : start + 64]) AS BIGINT) AS n_tok,
+        |  md5(array_to_string(toks[start + 1 : start + 64], ' ')) AS chunk_md5
+        |FROM s""".stripMargin))((s, d) => {
+      val toks = split(trim(col("text")), "\\s+")
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0),
+            greatest(size(col("toks")) - 1, lit(0)), lit(48))).as("start"))
+        .select(col("doc_id"),
+          (col("start") / 48).cast(LongType).as("chunk_id"),
+          col("start").cast(LongType).as("start_tok"),
+          size(slice(col("toks"), col("start") + 1, lit(64)))
+            .cast(LongType).as("n_tok"),
+          md5(array_join(slice(col("toks"), col("start") + 1, lit(64)), " ")
+            .cast(org.apache.spark.sql.types.BinaryType)).as("chunk_md5"))
+    }),
+
     // T54 — PACKING EFFICIENCY REPORT: per language, how well t6's
     // greedy sequence packing uses its 2048-token windows — pack
     // count, token mass vs nominal capacity, fill ratio, and the
