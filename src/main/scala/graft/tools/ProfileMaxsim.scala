@@ -63,12 +63,19 @@ object ProfileMaxsim {
     val tDistillLsh = timed {
       noop(graft.SparkEntry.queries("n43_distill_lsh")(spark, dir))
     }
+    val tSplit = timed {
+      noop(graft.SparkEntry.queries("d33_leakage_safe_split")(spark, dir))
+    }
+    val tChunks = timed {
+      noop(graft.SparkEntry.queries("t61_passage_chunks")(spark, dir))
+    }
 
     val json =
       s"""{"dir":"$dir","runs":$runs,"n_vectors":$nVecs,""" +
       s""""maxsim_pinned16_s":$tPinned,"maxsim_derived_s":$tDerived,""" +
       s""""derived_cells":$derivedCells,"n42_distill_s":$tDistill,""" +
-      s""""n43_distill_lsh_s":$tDistillLsh}"""
+      s""""n43_distill_lsh_s":$tDistillLsh,"d33_split_s":$tSplit,""" +
+      s""""t61_chunks_s":$tChunks}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     spark.stop()

@@ -704,6 +704,18 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("passage chunking compiles to a shuffle-free single-pass plan") {
+    // t61 is tokenize -> explode(window starts) -> slice+hash: pure
+    // map-side work whose output partitioning must follow the scan. Any
+    // Exchange in this plan means an accidental shuffle of a frame that
+    // is embarrassingly parallel at 100 TB.
+    val p = plan("t61_passage_chunks")
+    assert(!p.contains("Exchange"), "t61 plan shuffles:\n" + p)
+    // executedPlan.toString renders whole-stage codegen spans as "*(n)"
+    // operator prefixes, not the node name.
+    assert(p.contains("*(1)"), "t61 fell out of whole-stage codegen:\n" + p)
+  }
+
   test("distillation gather: corpus token frame probed by broadcast, never shuffled") {
     // n42/n43's feature stage joins the corpus-sized document token
     // frame against the bounded mined pair list TWICE. Both must be
