@@ -74,7 +74,12 @@ class DeterminismSpec extends AnyFunSuite with SparkSuite {
   // whose partial aggregation must be partition-invariant.
   private val r14Queries = Seq(
     "d26_linkage_block_audit", "d27_capped_linkage",
-    "d11_dup_span_removal", "d20b_max_dup_spans_l30")
+    "d11_dup_span_removal", "d20b_max_dup_spans_l30",
+    // round 16: n42/n43's teacher-ranked triplet windows + shard
+    // rollup (positive election must not depend on shuffle order),
+    // d33's CC-keyed split + pair audit, t61's per-doc explode.
+    "n42_distill_pairs", "n43_distill_lsh",
+    "d33_leakage_safe_split", "t61_passage_chunks")
 
   test("round-14 additions are invariant to shuffle partition count") {
     val alt = spark.newSession()
