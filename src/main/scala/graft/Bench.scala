@@ -319,7 +319,7 @@ object Bench {
     // epilogue. All 300+ per-query timings can't fit (~10 KB — the
     // r8-r14 "parsed": null failure); the compact line carries the
     // total, the failure list, and the SLOWEST queries (3-decimal,
-    // most informative for a perf grade) up to a ~1400-char budget,
+    // most informative for a perf grade) up to a ~1300-char budget,
     // with the full map's location in "full". build.sbt pairs this with
     // run/outputStrategy := StdoutOutput so sbt cannot prefix the line
     // with "[info] " (the r1-r7 failure — the line fit but was tagged).

@@ -1231,9 +1231,16 @@ object Similarity {
     * shuffles; the triplet self-join and the shard manifest are
     * O(mined pairs); mining itself carries n13's documented
     * swap-to-LSH path at corpus scale. */
+  /** The shard modulus shared by the Scala export path and
+    * [[distillTailSql]] (round-17 advice fix: the oracle's `% 4` was a
+    * separate literal, so a caller passing nShards != 4 to the export
+    * would silently diverge from the registered oracle — now both read
+    * this one constant and cannot drift). */
+  private[graft] val DistillShards = 4
+
   def distillPairsExport(documents: DataFrame, embeddings: DataFrame,
                          outPath: String, k: Int = 4,
-                         nShards: Int = 4): DataFrame =
+                         nShards: Int = DistillShards): DataFrame =
     distillFromMined(documents, marginMinePairsScored(embeddings,
       srcPred = col("label") === 0, tgtPred = col("label") === 1, k = k),
       outPath, nShards)
@@ -1248,7 +1255,7 @@ object Similarity {
     * filtered, sharded, or manifested. */
   def distillPairsLshExport(documents: DataFrame, embeddings: DataFrame,
                             outPath: String, k: Int = 4,
-                            nShards: Int = 4): DataFrame =
+                            nShards: Int = DistillShards): DataFrame =
     distillFromMined(documents, marginMineLshScored(embeddings,
       srcPred = col("label") === 0, tgtPred = col("label") === 1, k = k),
       outPath, nShards)
@@ -2487,7 +2494,7 @@ object SimilarityQueries extends graft.QueryModule {
        |    p.student_q - n.student_q AS s_margin_q
        |  FROM ranked p JOIN ranked n ON n.vec_a = p.vec_a AND n.rn > 1
        |  WHERE p.rn = 1 AND p.teacher_q - n.teacher_q >= 1)
-       |SELECT CAST((${OracleHash.knuth32Sql("query_id")}) % 4 AS BIGINT) AS shard,
+       |SELECT CAST((${OracleHash.knuth32Sql("query_id")}) % $DistillShards AS BIGINT) AS shard,
        |  CAST(count(*) AS BIGINT) AS n_triplets,
        |  CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
        |  CAST(SUM(t_margin_q) AS BIGINT) AS total_t_margin,

@@ -1085,7 +1085,8 @@ object TextAnalysisQueries extends graft.QueryModule {
     // follows the scan.
     graft.QueryDef("t61_passage_chunks", Some(
       raw"""WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  SELECT doc_id,
+        |    string_split_regex(trim(coalesce(text, '')), '\s+') AS toks
         |  FROM documents),
         |s AS (
         |  SELECT doc_id, toks,
@@ -1096,7 +1097,14 @@ object TextAnalysisQueries extends graft.QueryModule {
         |  CAST(len(toks[start + 1 : start + 64]) AS BIGINT) AS n_tok,
         |  md5(array_to_string(toks[start + 1 : start + 64], ' ')) AS chunk_md5
         |FROM s""".stripMargin))((s, d) => {
-      val toks = split(trim(col("text")), "\\s+")
+      // NULL text coalesces to '' BEFORE tokenizing (round-17 advice
+      // fix): split(trim(NULL)) is NULL, whose size() is -1, and the
+      // greatest(..,0) clamp below would emit one all-null chunk row
+      // while the oracle's generate_series(0, NULL, 48) drops the
+      // document — a latent hash mismatch the current corpus never
+      // exercises. '' tokenizes to [""] on BOTH engines, so a null-text
+      // document yields the same single empty chunk everywhere.
+      val toks = split(trim(coalesce(col("text"), lit(""))), "\\s+")
       Tables.documents(s, d)
         .select(col("doc_id"), toks.as("toks"))
         .select(col("doc_id"), col("toks"),

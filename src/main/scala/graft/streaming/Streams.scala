@@ -98,7 +98,16 @@ object Streams {
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
-    events.groupByKey(_.user_id)
+    // The watermark is applied HERE, not by the caller (round-17 advice
+    // fix): EventTimeTimeout makes an attached watermark a hard runtime
+    // requirement, and an API whose contract is "pass a Dataset[Event]
+    // you remembered to watermark" fails at stream start for anyone who
+    // didn't. Delay = the gap itself — a user up to one gap behind the
+    // global max is never dropped, while eviction still fires once the
+    // watermark passes end+gap. On a batch Dataset withWatermark is a
+    // no-op, so the sessionizer logic stays testable both ways.
+    events.withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
@@ -334,16 +343,13 @@ object Streams {
                           sinkDir: String, checkpointDir: String,
                           gapMinutes: Int = 30): Unit = {
     import spark.implicits._
-    // Watermark delay = the gap itself: EventTimeTimeout needs a
-    // watermark, and at gap-sized delay a user up to one gap behind the
-    // global max is never dropped, while eviction still fires once the
-    // watermark is past end+gap — under the gates' time-bisected chunk
-    // delivery the emitted sessions are provably identical to
-    // NoTimeout's (a timeout fires only for a user with no data in the
-    // batch, whose every later event is beyond the gap by then).
-    val q = sessionize(
-      eventStream(spark, sourceDir)
-        .withWatermark("ts", s"$gapMinutes minutes").as[Event], gapMinutes)
+    // The gap-sized watermark now lives INSIDE sessionize (its
+    // EventTimeTimeout contract is unbreakable rather than documented);
+    // under the gates' time-bisected chunk delivery the emitted
+    // sessions are provably identical to NoTimeout's (a timeout fires
+    // only for a user with no data in the batch, whose every later
+    // event is beyond the gap by then).
+    val q = sessionize(eventStream(spark, sourceDir).as[Event], gapMinutes)
       .writeStream
       .format("parquet")
       .option("path", sinkDir)

@@ -79,8 +79,7 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     import spark.implicits._
     val out = "sessions_stream"
     val q = Streams.sessionize(
-      Streams.eventStream(spark, srcDir)
-        .withWatermark("ts", "30 minutes").as[Streams.Event])
+      Streams.eventStream(spark, srcDir).as[Streams.Event])
       .writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", tmp("graft_sess_ckpt"))
