@@ -18,6 +18,37 @@ object Bench {
     }
   }
 
+  /** Parse the canary block out of an artifact's first line (absent on
+    * pre-round-16 artifacts → empty map). */
+  private def readCanaryBlock(path: String): Map[String, Double] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    try {
+      val line = scala.io.Source.fromFile(path, "UTF-8").getLines().next()
+      (JsonMethods.parse(line) \ "canary") match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JInt(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case _: Throwable => Map.empty }
+  }
+
+  /** The single scalar by which THIS run's environment differs from the
+    * baseline artifact's: geometric mean of the three canary-component
+    * ratios (current/base). Geometric, not arithmetic — the components
+    * span different magnitudes and a ratio of ratios should compose
+    * symmetrically (a 2× slower host reads 2.0 whichever side is the
+    * baseline). None when either side lacks a canary block. */
+  private def canaryRatio(now: Map[String, Double],
+                          base: Map[String, Double]): Option[Double] = {
+    val keys = now.keySet intersect base.keySet
+    if (keys.isEmpty) None
+    else Some(math.exp(keys.toSeq.map(k =>
+      math.log(now(k) / base(k))).sum / keys.size))
+  }
+
   /** Re-run a BATCH of queries ISOLATED: one fresh child JVM (same
     * classpath and module options as this one), min-of-`runs` each, its
     * own artifact file. This is the round-8/9 bench-drift adjudication
@@ -50,6 +81,7 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_BENCH_RUNS", runs.toString)
       pb.environment().put("SPARK_GRAFT_BENCH_FILE", outFile.toString)
       pb.environment().remove("SPARK_GRAFT_BENCH_BASELINE") // no recursion
+      pb.environment().remove("SPARK_GRAFT_BASELINE_OUT")   // no recursion
       pb.redirectErrorStream(true)
       pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
       val p = pb.start()
@@ -142,11 +174,27 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     // Optional comma-separated filter for local iteration on one query.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // Canary runs for full-fleet records only: SPARK_GRAFT_ONLY marks a
+    // Baseline-recording mode (round-17, judge ask #2): every selected
+    // query re-timed in FRESH child JVMs (batched a dozen per child,
+    // min-of-3) and written with this session's canary triple as the
+    // host-local isolated baseline. This exists because cross-round
+    // per-query ratios kept paying a 1.5-2.4× "host drift tax" against
+    // baselines recorded in a faster era — rounds 13-16 each burned
+    // adjudication wall-clock proving 2-3× "regressions" were the
+    // environment. A baseline recorded on THIS host, stamped with the
+    // canary that measures this host, lets every future ratio be
+    // normalized in code: (isolated/baseline) ÷ (canary/canary_base).
+    val baselineOut = sys.env.get("SPARK_GRAFT_BASELINE_OUT")
+    // Canary runs for full-fleet records, baseline recording, and any
+    // run with an EXPLICIT adjudication baseline (the normalized
+    // verdict needs this run's canary); SPARK_GRAFT_ONLY alone marks a
     // hand-picked subset (local iteration or an adjudication child),
     // where the ~10 s calibration is pure overhead.
     val canaries: Seq[(String, Double)] =
-      if (only.isDefined) Seq.empty else canary(spark, sfDir)
+      if (only.isDefined && baselineOut.isEmpty &&
+        !sys.env.get("SPARK_GRAFT_BENCH_BASELINE").exists(p =>
+          p != "off" && p != "none")) Seq.empty
+      else canary(spark, sfDir)
     canaries.foreach { case (k, v) =>
       System.err.println(f"BENCH canary $k=$v%.3f")
     }
@@ -155,6 +203,29 @@ object Bench {
     }.mkString("{", ",", "}")
     val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(q => f(q._1)))
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(3)
+    if (baselineOut.isDefined) {
+      val outPath = baselineOut.get
+      val names = selected.keys.toSeq.sorted
+      val floors = scala.collection.mutable.Map[String, Double]()
+      names.grouped(12).zipWithIndex.foreach { case (chunk, i) =>
+        System.err.println(s"BASELINE batch ${i + 1}: ${chunk.mkString(",")}")
+        floors ++= isolatedRun(chunk, sfDir, cpus, runs = 3)
+      }
+      val missing = names.filterNot(floors.contains)
+      def jnum(v: Double) = "%.6f".formatLocal(java.util.Locale.ROOT, v)
+      val qs = names.collect { case n if floors.contains(n) =>
+        "\"" + n + "\":" + jnum(floors(n)) }.mkString("{", ",", "}")
+      val missJson = missing.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val line = s"""{"metric":"isolated_baseline","unit":"sec","queries":$qs,""" +
+        s""""canary":$canaryJson,"missing":$missJson,""" +
+        s""""nqueries":${floors.size},"sf":"$sfDir"}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes("UTF-8"))
+      println(s"""{"metric":"baseline_recorded","nqueries":${floors.size},""" +
+        s""""missing":${missing.length},"file":"$outPath"}""")
+      spark.stop()
+      return
+    }
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     var idx = 0
     val results = selected.map { case (name, fn) =>
@@ -246,8 +317,14 @@ object Bench {
         case Some(p) => Seq(p)
         case None if only.isDefined => Seq.empty
         case None =>
-          sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption).toSeq
-            .map(n => s"BENCHFULL_r${n - 1}.json") :+ s"BENCHFULL_$sfTag.json"
+          // The host-recorded isolated baseline (SPARK_GRAFT_BASELINE_OUT
+          // sweep) wins when present: it was measured on THIS host with a
+          // canary triple, so ratios against it are normalizable, unlike
+          // the previous round's in-fleet artifact recorded under
+          // whatever the host was doing that day.
+          s"BASELINE_ISOLATED_$sfTag.json" +:
+            sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption).toSeq
+              .map(n => s"BENCHFULL_r${n - 1}.json") :+ s"BENCHFULL_$sfTag.json"
       }).find(p => new java.io.File(p).exists())
     // Round-13 postmortem: the 34-mover × fresh-JVM-each × min-of-6
     // protocol blew the driver's bench envelope (BENCH_r13 rc=124). The
@@ -301,11 +378,44 @@ object Bench {
         case None => Seq.empty
       }
     val adjLine = if (adjudicated.isEmpty) "" else {
+      // Canary-normalized verdict IN CODE (round-17, judge ask #1b): the
+      // r16 round left two >2× isolated floors (t45 2.15×, x7 2.02×)
+      // undischarged because nothing fired on the ISOLATED ratio — the
+      // protocol keyed off the in-fleet one. Now every isolated floor is
+      // judged here: inside 2× of baseline → "inside2x"; outside 2× with
+      // a canary on both sides → normalized = (iso/base) ÷ (canary/
+      // canary_base), verdict "env" if that lands inside 1.5× (the
+      // measured drift envelope) else "code_suspect"; outside 2× with no
+      // baseline canary → "needs_ab" (run tools/ab_bench.sh before the
+      // round closes). "code_suspect"/"needs_ab" are the only two states
+      // that demand human wall-clock — everything else is adjudicated by
+      // the artifact itself.
+      val baseCanary = baselinePath.map(readCanaryBlock).getOrElse(Map.empty)
+      val cr = canaryRatio(canaries.toMap, baseCanary)
+      def jnum(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
       val fields = adjudicated.map { case (n, fleet, b, iso) =>
+        val extra = iso match {
+          case None => "\"verdict\":\"unmeasured\""
+          case Some(v) =>
+            val r = v / b
+            val (norm, verdict) =
+              if (r <= 2.0 && r >= 0.5) (cr.map(c => r / c), "inside2x")
+              else cr match {
+                case Some(c) =>
+                  val nm = r / c
+                  (Some(nm),
+                    if (nm <= 1.5 && nm >= 1.0 / 1.5) "env" else "code_suspect")
+                case None => (None, "needs_ab")
+              }
+            s"\"iso_ratio\":${jnum(r)}" +
+              norm.map(nm => s",\"normalized\":${jnum(nm)}").getOrElse("") +
+              s""","verdict":"$verdict""""
+        }
         s"\"$n\":{\"infleet\":$fleet,\"baseline\":$b," +
-          s"\"isolated\":${iso.getOrElse(-1)}}"
+          s"\"isolated\":${iso.getOrElse(-1)},$extra}"
       }.mkString(",")
-      s"""{"adjudicated":{$fields},"baseline":"${baselinePath.getOrElse("")}"}""" + "\n"
+      val crField = cr.map(c => s""","canary_ratio":${jnum(c)}""").getOrElse("")
+      s"""{"adjudicated":{$fields},"baseline":"${baselinePath.getOrElse("")}"$crField}""" + "\n"
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n" + adjLine).getBytes("UTF-8"))
