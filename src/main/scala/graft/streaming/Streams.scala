@@ -481,6 +481,45 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming MAXSIM TOKEN-STORE freshness (round-17: the n41b serving
+    * store gains the s6b/incrementalIvfAssign maintenance path). A
+    * document's multi-vector TOKEN set is derived INSIDE the stream by
+    * the same [[graft.operators.Similarity.maxsimTokens]] the batch
+    * build uses (the two cannot drift), then assigned to the cells of
+    * the FROZEN nightly token model — one shuffle-free map pass per
+    * micro-batch, landing batch_id-scoped and cell-partitioned exactly
+    * like the IVF assigner, so the served probe prunes cells across
+    * base ∪ appends unchanged. Re-deliveries resolve at compaction by
+    * batch_id LWW ([[graft.operators.Similarity.compactIvfAppendStore]]
+    * — token ids are doc-derived, so a re-delivered document replaces
+    * ALL its token rows). The n41c gate proves the whole lifecycle:
+    * a two-batch incremental build + compaction must answer the n41
+    * maxsim oracle row-identically to the one-shot batch store. */
+  def incrementalMaxsimTokenStore(spark: SparkSession, sourceDir: String,
+                                  ivfIndexPath: String, outDir: String,
+                                  checkpointDir: String): Unit = {
+    import graft.operators.Similarity
+    val cents = Similarity.readIvfCentroids(spark, ivfIndexPath)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val q = spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val toks = Similarity.maxsimTokens(
+          batch.select(col("vec_id"), col("embedding")))
+          .select(col("token_id").as("vec_id"), col("tv").as("embedding"))
+        Similarity.assignCells(cents, toks)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming PQ code freshness — encode NEWLY ARRIVING vectors against
     * the FROZEN codebooks of a nightly-trained stored PQ index
     * (writePqIndex layout), completing lifecycle parity with the

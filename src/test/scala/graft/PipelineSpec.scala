@@ -1383,4 +1383,34 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(planted.subsetOf(two),
       s"missing planted pairs at 2 probes: ${planted -- two}")
   }
+
+  test("n42 guard: the margin miner auto-switches to LSH candidates past the grid cap") {
+    val emb = Tables.embeddings(spark, sf)
+    val l0 = col("label") === 0; val l1 = col("label") === 1
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSet
+    // Past the cap the miner must BE the banded-LSH path — same rows,
+    // same scores, not merely "some approximation" (the swap changes
+    // which pairs are candidates, never how they are scored).
+    val switched = rows(Similarity.marginMinePairsScored(
+      emb, l0, l1, maxGridPairs = 1L))
+    val lsh = rows(Similarity.marginMineLshScored(emb, l0, l1))
+    assert(switched == lsh, "guard switch is not the LSH path: " +
+      s"extra=${switched -- lsh} missing=${lsh -- switched}")
+    // Under the default cap this corpus keeps the exhaustive grid (the
+    // n13/n42 gate semantics are unchanged by the guard's existence).
+    val default = rows(Similarity.marginMinePairsScored(emb, l0, l1))
+    val grid = rows(Similarity.marginMinePairsScored(
+      emb, l0, l1, maxGridPairs = Long.MaxValue))
+    assert(default == grid, "default cap tripped on the gate corpus")
+    // The decision arithmetic is overflow-safe: 4e9 x 4e9 wraps a Long
+    // multiply negative (would pass a product-based guard), but must
+    // still read as exceeding even a MaxValue cap.
+    assert(Similarity.gridExceedsCap(4000000000L, 4000000000L, Long.MaxValue))
+    assert(!Similarity.gridExceedsCap(3000000000L, 3000000000L, Long.MaxValue))
+    assert(Similarity.gridExceedsCap(4L, 3L, 10L))   // 12 > 10: switch
+    assert(!Similarity.gridExceedsCap(3L, 3L, 9L))   // 9 = 9: grid stays
+    assert(!Similarity.gridExceedsCap(5L, 0L, 1L))   // empty side: no grid to guard
+  }
 }

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+/** Behavior checks for the IVF rebalance APPLY (n44) beyond what the
+  * oracle gate exercises: the gate's planted-clone fixture trips a real
+  * 'split' but the balanced synthetic corpus never yields a 'merge', so
+  * the merge arm is proven here on a hand-built store; the identity and
+  * recall properties are the round-17 judge asks (i) and (ii). */
+class RebalanceSpec extends AnyFunSuite with SparkSuite {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** A 64-dim float vector: `base` in dim 0, `off` in dim 1, zeros
+    * elsewhere — far-apart clusters with exactly controllable
+    * geometry. */
+  private def vec(base: Float, off: Float): Seq[Float] =
+    Seq(base, off) ++ Seq.fill(62)(0.0f)
+
+  test("merge cells drop their centroid and re-assign members to the nearest survivor") {
+    import spark.implicits._
+    // Hand-built store: cell 0 HOT (24 members in 3 tight subclusters
+    // around x=10, y in {0, 5, 10}), cell 1 normal (8 members near
+    // x=30), cell 2 COLD (2 members near x=28 — closer to cell 1's
+    // territory than to cell 0's). total=34, nominal mean 11.33:
+    // cell 0 splits (24*3 > 68) into ceil(24*3/34)=3, cell 1 keeps,
+    // cell 2 merges (2*6 < 34).
+    //
+    // Subcluster membership follows the engine's own xxhash64 seed
+    // order (rank % 3), so the three hash-smallest ids — the sub-Lloyd
+    // seeds — land one per subcluster by construction and the 8/8/8
+    // assertion tests CONVERGENCE, not seeding luck.
+    val hashRank = spark.range(24).select(col("id"))
+      .withColumn("h", xxhash64(col("id")))
+      .orderBy(col("h").asc, col("id").asc)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, r) => id -> (r % 3) }.toMap
+    val hot = (0 until 24).map(i =>
+      (i.toLong, vec(10.0f, hashRank(i.toLong) * 5.0f + i * 0.001f), 0))
+    val normal = (24 until 32).map(i =>
+      (i.toLong, vec(30.0f, (i - 24) * 0.01f), 1))
+    // Cold members carry a y-component so they are NOT colinear with
+    // cell 1's members — cosine(query, itself) = 1.0 must be a unique
+    // top hit, not a magnitude-blind tie broken by vec_id.
+    val cold = Seq((32L, vec(28.0f, 1.0f), 2), (33L, vec(28.0f, 1.2f), 2))
+    val assigned = (hot ++ normal ++ cold)
+      .toDF("vec_id", "embedding", "cell")
+    val cents: Array[Array[Double]] = Array(
+      Array(10.0, 5.0) ++ Array.fill(62)(0.0),
+      Array(30.0, 0.0) ++ Array.fill(62)(0.0),
+      Array(28.0, 0.0) ++ Array.fill(62)(0.0))
+    val base = tmp("graft_rebal_base")
+    Similarity.writeIvfIndex(Similarity.IvfIndex(cents, assigned), base)
+    val out = tmp("graft_rebal_out")
+    val summary = Similarity.applyIvfRebalance(spark, base, out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).sortBy(_._1)
+    // Surviving cells: 3 subcells of old cell 0, then old cell 1 —
+    // dense renumbering in (orig_cell, sub_j) order; the merge cell's
+    // centroid is GONE from the lineage's surviving set.
+    assert(summary.map(t => (t._2, t._3)).toSeq ==
+      Seq((0L, "split"), (0L, "split"), (0L, "split"), (1L, "keep")),
+      s"unexpected lineage: ${summary.toSeq}")
+    assert(summary.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    // The hot cell's 3 planted subclusters really separate: every
+    // subcell holds its 8 members (the gate fixture's identical clones
+    // can't prove this — sub-seeds freeze duplicate centroids there).
+    assert(summary.take(3).map(_._4).sorted.toSeq == Seq(8L, 8L, 8L),
+      s"split subcells not 8/8/8: ${summary.take(3).toSeq}")
+    // Merge members land with their nearest survivor (cell 1's keep
+    // centroid at x=30 — nearer than any x=10 subcentroid).
+    val keepNewId = summary.find(_._3 == "keep").get._1
+    assert(summary.find(_._1 == keepNewId).get._4 == 10L,
+      "keep cell must absorb the 2 merge members (8 + 2)")
+    val newCells = spark.read.parquet(s"$out/assigned")
+      .where(col("vec_id") >= 32L).select("cell")
+      .collect().map(_.getInt(0)).toSeq
+    assert(newCells == Seq(keepNewId.toInt, keepNewId.toInt),
+      s"merge members landed in $newCells, expected $keepNewId")
+    // Conservation: every vector exactly once in the new store.
+    assert(spark.read.parquet(s"$out/assigned").count() == 34L)
+    // The rebalanced store serves through the unchanged query path,
+    // and probing every cell is exact (brute-force top-1 = self).
+    val ix = Similarity.readIvfIndex(spark, out)
+    val top = Similarity.ivfTopK(ix, queryVecId = 32L, k = 1,
+      nProbe = 4).collect()
+    assert(top.head.getLong(0) == 32L, "self-hit lost after rebalance")
+  }
+
+  test("apply on a balanced store is the identity: same cells, same centroids, same serving (judge ask i)") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val base = tmp("graft_rebal_bal")
+    val built = Similarity.buildIvfIndex(emb, nCells = 16)
+    Similarity.writeIvfIndex(built, base)
+    built.unpersist()
+    val out = tmp("graft_rebal_bal_out")
+    val summary = Similarity.applyIvfRebalance(spark, base, out).collect()
+    assert(summary.forall(_.getString(2) == "keep"),
+      "balanced store produced a non-keep action")
+    // All-keep dense renumbering over an all-populated 16-cell store is
+    // the identity map, so the assignment must be byte-equal...
+    def cellSet(path: String) = spark.read.parquet(s"$path/assigned")
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(cellSet(out) == cellSet(base), "identity apply moved a vector")
+    // ...and the persistent serving path (the n3c shape) answers
+    // identically against the rebalanced store.
+    def top(path: String) = {
+      val ix = Similarity.readIvfIndex(spark, path)
+      Similarity.ivfTopK(ix, queryVecId = 0L, k = 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    assert(top(out) == top(base), "serving changed under an identity apply")
+  }
+
+  test("recall@k does not regress after rebalancing the skewed store (judge ask ii)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val nClones = (3 * emb.count() + 15) / 16
+    val clones = spark.range(nClones)
+      .select((col("id") + 100000L).as("vec_id"))
+      .crossJoin(broadcast(
+        emb.where(col("vec_id") === 0L).select(col("embedding"))))
+      .select("vec_id", "embedding")
+    val fixture = emb.unionByName(clones)
+    val base = tmp("graft_rebal_skew")
+    val built = Similarity.buildIvfIndex(fixture, nCells = 16)
+    Similarity.writeIvfIndex(built, base)
+    built.unpersist()
+    val out = tmp("graft_rebal_skew_out")
+    Similarity.applyIvfRebalance(spark, base, out)
+    val qs = Seq(0L, 1L, 2L, 3L, 100001L)
+    def meanRecall(path: String): Double = {
+      val ix = Similarity.readIvfIndex(spark, path)
+      val r = Similarity.annRecallEval(ix, fixture, qs, k = 10, nProbe = 4)
+        .agg(sum(col("recall"))).head().getDouble(0)
+      r / qs.length
+    }
+    val before = meanRecall(base)
+    val after = meanRecall(out)
+    assert(after >= before,
+      f"recall regressed after rebalance: $before%.3f -> $after%.3f")
+  }
+}

@@ -631,6 +631,65 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       "compacted index answers differently from the final-corpus assignment")
   }
 
+  test("streaming maxsim token store: in-stream token derivation + frozen-model appends compact to the batch store") {
+    import graft.operators.Similarity
+    def addChunk(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      new java.io.File(dir).mkdirs()
+      val stage = tmp("graft_mxs_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$dir/$name"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val root = tmp("graft_mxs_root")
+    val base = s"$root/base"; val appends = s"$root/appends"
+    val src = tmp("graft_mxs_src"); val ckpt = tmp("graft_mxs_ckpt")
+    // nightly token model on the full corpus; base store holds only the
+    // first 400 documents' token assignments
+    val toks = Similarity.maxsimTokens(emb)
+      .select(col("token_id").as("vec_id"), col("tv").as("embedding"))
+    val built = Similarity.buildIvfIndex(toks, nCells = 16)
+    Similarity.writeIvfIndex(Similarity.IvfIndex(built.centroids,
+      built.assigned.where(expr("vec_id div 4") < 400)), base)
+    built.unpersist()
+    // two later micro-batches of DOCUMENTS (not tokens — the stream
+    // derives the token set itself; doc 420 re-delivered in batch 2)
+    addChunk(src, emb.where(col("vec_id") >= 400 && col("vec_id") < 450), "c1.parquet")
+    Streams.incrementalMaxsimTokenStore(spark, src, base, appends, ckpt)
+    addChunk(src, emb.where(col("vec_id") >= 450 || col("vec_id") === 420), "c2.parquet")
+    Streams.incrementalMaxsimTokenStore(spark, src, base, appends, ckpt)
+    // 1. the streamed rows ARE the frozen-model assignment of the
+    // derived tokens (shared maxsimTokens + assignCells — pin it)
+    val cents = Similarity.readIvfCentroids(spark, base)
+    def cellSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cell")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val streamed = cellSet(spark.read.parquet(appends))
+    val direct = cellSet(Similarity.assignCells(cents,
+      Similarity.maxsimTokens(emb.where(col("vec_id") >= 400))
+        .select(col("token_id").as("vec_id"), col("tv").as("embedding"))))
+    assert(streamed == direct,
+      "streamed token assignment != batch frozen-model assignment of the derived tokens")
+    // 2. compaction (LWW over the re-delivered doc's token ids) serves
+    // the n41b probe path row-identically to the one-shot batch store
+    val compacted = s"$root/compacted"
+    Similarity.compactIvfAppendStore(spark, base, appends, compacted)
+    assert(spark.read.parquet(s"$compacted/assigned").count() == toks.count(),
+      "compacted token store row count != full token corpus")
+    val full = s"$root/full"
+    val builtFull = Similarity.buildIvfIndex(toks, nCells = 16)
+    Similarity.writeIvfIndex(builtFull, full)
+    builtFull.unpersist()
+    val qids = Seq(0L, 1L, 2L, 3L)
+    def served(path: String) =
+      Similarity.maxsimRerankServed(spark, path, Tables.embeddings(spark, sf), qids, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served(compacted) == served(full),
+      "incremental token store answers differently from the batch store")
+  }
+
   test("streaming PQ encode: frozen-codebook appends serve like the batch encode; compaction is LWW + tombstone-aware") {
     import graft.operators.{Governance, Similarity}
     def addChunk(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {

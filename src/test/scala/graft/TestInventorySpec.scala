@@ -36,12 +36,13 @@ class TestInventorySpec extends AnyFunSuite {
     "GovernanceSpec" -> 15,
     "InferenceSpec" -> 4,
     "NativeExprSpec" -> 10,
-    "PipelineSpec" -> 69,
+    "PipelineSpec" -> 70,
     "PlanSpec" -> 39,
+    "RebalanceSpec" -> 3,
     "ResultCacheSpec" -> 2,
     "ScaleOpsSpec" -> 7,
     "SchemaEvolutionSpec" -> 5,
-    "StreamingSpec" -> 27,
+    "StreamingSpec" -> 28,
     "SyncSpec" -> 17,
     "TextSpec" -> 11,
     "ToolsSpec" -> 6)
