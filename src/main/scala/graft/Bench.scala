@@ -358,9 +358,17 @@ object Bench {
           // above stays delta-ordered; the re-run QUEUE is worst-ratio
           // first so no high-ratio mover is ever left at isolated:-1
           // while a milder one got a floor.
+          // Slow-side movers (possible regressions) outrank fast-side
+          // ones in the queue (round-17 fix): comparing warm in-fleet
+          // times against the fresh-JVM host-local baseline floors
+          // makes "fleet faster than floor" reads ENDEMIC, and that
+          // flood must never squeeze a real slowdown out of the
+          // adjMaxMovers cap — the isolation protocol exists to catch
+          // regressions, not to re-measure wins.
           val eligible = movers
             .filter { case (_, dt, b) => dt > 1.4 * b || b > 1.4 * dt }
-            .sortBy { case (_, dt, b) => -math.max(dt / b, b / dt) }
+            .sortBy { case (_, dt, b) =>
+              (if (dt > b) 0 else 1, -math.max(dt / b, b / dt)) }
             .take(adjMaxMovers)
           val t0 = System.nanoTime()
           val iso = scala.collection.mutable.Map[String, Double]()
@@ -398,15 +406,21 @@ object Bench {
           case None => "\"verdict\":\"unmeasured\""
           case Some(v) =>
             val r = v / b
-            val (norm, verdict) =
-              if (r <= 2.0 && r >= 0.5) (cr.map(c => r / c), "inside2x")
-              else cr match {
-                case Some(c) =>
-                  val nm = r / c
-                  (Some(nm),
-                    if (nm <= 1.5 && nm >= 1.0 / 1.5) "env" else "code_suspect")
-                case None => (None, "needs_ab")
-              }
+            // Verdicts are ASYMMETRIC (round-17 fix): a floor 2×+
+            // FASTER than its baseline row cannot be a regression —
+            // it is either a real win or a noisy baseline row (the
+            // first post-sweep run read e22 at 0.39× its own
+            // 40-minute-old floor, same code) — so the fast side
+            // reads "improved", never "code_suspect"; only the slow
+            // side can demand human follow-up.
+            val norm = cr.map(c => r / c)
+            val verdict = norm match {
+              case _ if r >= 0.5 && r <= 2.0 => "inside2x"
+              case Some(nm) if nm >= 1.0 / 1.5 && nm <= 1.5 => "env"
+              case Some(nm) if nm < 1.0 => "improved"
+              case Some(_) => "code_suspect"
+              case None => if (r < 1.0) "improved" else "needs_ab"
+            }
             s"\"iso_ratio\":${jnum(r)}" +
               norm.map(nm => s",\"normalized\":${jnum(nm)}").getOrElse("") +
               s""","verdict":"$verdict""""
