@@ -85,6 +85,24 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"n3c: cell probe not pruning partitions:\n$p")
   }
 
+  test("n44: the rebalanced store serves through the same directory-pruned probe path") {
+    // applyIvfRebalance writes the writeIvfIndex layout, so the probe
+    // must prune at the file index exactly like a fresh build — a
+    // rebalance that silently dropped the cell partitioning would
+    // re-scan the whole store on every query at 100 TB.
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val built = operators.Similarity.buildIvfIndex(emb, nCells = 16)
+    val root = util.TmpRoot("rebalplan")
+    operators.Similarity.writeIvfIndex(built, s"$root/base")
+    built.unpersist()
+    operators.Similarity.applyIvfRebalance(spark, s"$root/base", s"$root/out")
+    val reloaded = operators.Similarity.readIvfIndex(spark, s"$root/out")
+    val p = operators.Similarity.ivfTopK(reloaded, 0L, 10)
+      .queryExecution.executedPlan.toString
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*cell.*"),
+      s"n44: rebalanced-store probe not pruning partitions:\n$p")
+  }
+
   test("n41b: the served maxsim candidate read prunes cell partitions at the file index") {
     val toks = operators.Similarity.maxsimTokens(Tables.embeddings(spark, sf))
     val built = operators.Similarity.buildIvfIndex(

@@ -144,4 +144,35 @@ class RebalanceSpec extends AnyFunSuite with SparkSuite {
     assert(after >= before,
       f"recall regressed after rebalance: $before%.3f -> $after%.3f")
   }
+
+  test("apply is invariant to shuffle partition count") {
+    // The sub-Lloyd's recentring sums are integer-quantized and the
+    // plan/seed windows sit on total orders, so the whole apply —
+    // plan, sub-training, renumbering, reassignment — must produce
+    // the identical store under different parallelism.
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val nClones = (3 * emb.count() + 15) / 16
+    val clones = spark.range(nClones)
+      .select((col("id") + 100000L).as("vec_id"))
+      .crossJoin(broadcast(
+        emb.where(col("vec_id") === 0L).select(col("embedding"))))
+      .select("vec_id", "embedding")
+    val base = tmp("graft_rebal_inv")
+    val built = Similarity.buildIvfIndex(emb.unionByName(clones), nCells = 16)
+    Similarity.writeIvfIndex(built, base)
+    built.unpersist()
+    val alt = spark.newSession()
+    alt.conf.set("spark.sql.shuffle.partitions", "13")
+    val outA = tmp("graft_rebal_inv_a"); val outB = tmp("graft_rebal_inv_b")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val sumA = rows(Similarity.applyIvfRebalance(spark, base, outA))
+    val sumB = rows(Similarity.applyIvfRebalance(alt, base, outB))
+    assert(sumA == sumB, "rebalance summary depends on partitioning")
+    def asg(s: org.apache.spark.sql.SparkSession, path: String) =
+      s.read.parquet(s"$path/assigned").select("vec_id", "cell")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(asg(spark, outA) == asg(alt, outB),
+      "rebalanced assignment depends on partitioning")
+  }
 }

@@ -37,8 +37,8 @@ class TestInventorySpec extends AnyFunSuite {
     "InferenceSpec" -> 4,
     "NativeExprSpec" -> 10,
     "PipelineSpec" -> 70,
-    "PlanSpec" -> 39,
-    "RebalanceSpec" -> 3,
+    "PlanSpec" -> 40,
+    "RebalanceSpec" -> 4,
     "ResultCacheSpec" -> 2,
     "ScaleOpsSpec" -> 7,
     "SchemaEvolutionSpec" -> 5,
