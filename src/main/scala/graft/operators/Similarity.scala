@@ -534,8 +534,14 @@ object Similarity {
                         outPath: String, iters: Int = 5): DataFrame = {
     import spark.implicits._
     val cents = readCentroidTable(spark, s"$indexPath/centroids")
+    // The FULL stored schema, not a (vec_id, embedding, cell) core:
+    // buildIvfIndex deliberately rides metadata columns (label, source,
+    // …) into the store so filtered retrieval (ivfTopKFiltered) can
+    // push its predicate into the probed cells' scan — a rebalance
+    // that dropped them would silently break every filtered query
+    // against the rebalanced store. Reassignment below is by field
+    // NAME, so the metadata passes through untouched.
     val assigned = spark.read.parquet(s"$indexPath/assigned")
-      .select("vec_id", "embedding", "cell")
     val planRows = ivfRebalancePlan(assigned, cents.length)
       .collect() // O(cells)
       .map(r => (r.getInt(0), r.getLong(2).toInt, r.getString(3)))
