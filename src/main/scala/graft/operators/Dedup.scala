@@ -22,6 +22,81 @@ object Dedup {
   def normText(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
   val normTextSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
+  /** d34's threshold as an exact rational (Jaccard >= Num/Den): shared
+    * by the Scala path and the registered oracle SQL so the two cannot
+    * drift (the DistillShards lesson). 3/5 = 0.6 separates the planted
+    * near-duplicates (bigram Jaccard > 0.8) from the word-soup floor
+    * (measured < 0.5 everywhere at the gate sfs). */
+  val PrefixJaccardNum = 3
+  val PrefixJaccardDen = 5
+
+  /** D34 — EXACT thresholded set-similarity SELF-JOIN via prefix
+    * filtering (the AllPairs/PPJoin family — Bayardo, Ma & Srikant,
+    * WWW'07; Xiao et al., WWW'08): every document pair whose DISTINCT
+    * word-bigram sets have Jaccard >= tNum/tDen, with NO false
+    * negatives — the lossless exact counterpart of the MinHash-LSH
+    * path (d2). LSH bounds recall probabilistically by band math; here
+    * the pruning filters are theorems:
+    *
+    *  - GLOBAL ORDER: each document's grams sort rarest-first (corpus
+    *    frequency asc, gram asc — a total order, so the sort is
+    *    deterministic under any partitioning).
+    *  - PREFIX FILTER: a pair with J >= t shares at least one gram
+    *    inside each side's first |x| - ceil(t·|x|) + 1 grams (if all
+    *    >= ceil(t·|x|) common grams sat in the suffix of length
+    *    ceil(t·|x|) - 1, that suffix would be too short). Only prefix
+    *    grams enter the candidate join, and rarest-first ordering
+    *    makes prefix buckets the SMALLEST buckets the corpus has.
+    *  - LENGTH FILTER: J >= t forces t·|longer| <= |shorter|; applied
+    *    as exact integer cross-multiplication inside the join.
+    *
+    * Candidates then verify with the exact integer predicate
+    * li·tDen >= lu·tNum (never a float compare), so the output equals
+    * the brute-force O(n²) join row for row — which is exactly what
+    * the registered oracle restates. Scale shape: candidate volume is
+    * Σ per-prefix-gram bucket-pair counts (rare grams ⇒ tiny buckets),
+    * one bounded shuffle on the gram key; the verify stage joins the
+    * bounded candidate list back to the token frame on doc_id. The
+    * token frame is persisted across its three readers (prefix build +
+    * two verify gathers); the gate harness clearCache()s between
+    * queries, the d4 discipline. */
+  def prefixJaccardJoin(documents: DataFrame,
+                        tNum: Int = PrefixJaccardNum,
+                        tDen: Int = PrefixJaccardDen): DataFrame = {
+    val toks = documents
+      .where(length(normText(col("text"))) > 0)
+      .select(col("doc_id"),
+        graft.plans.NativeFunctions.wordKGrams(normText(col("text")), 2).as("tk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dtok = toks.select(col("doc_id"), explode(col("tk")).as("token"))
+    val freq = dtok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val ordered = dtok.join(freq, Seq("token"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("cnt"), col("token")))).as("o"))
+      .select(col("doc_id"),
+        transform(col("o"), x => x.getField("token")).as("ord"),
+        size(col("o")).as("sz"))
+    // prefix length = sz - ceil(t·sz) + 1, all-integer (>= 1 for t <= 1)
+    val pfx = ordered.select(col("doc_id"), col("sz"),
+      explode(slice(col("ord"), lit(1),
+        expr(s"sz - ((sz * $tNum + ${tDen - 1}) div $tDen) + 1"))).as("token"))
+    val cand = pfx.as("a").join(pfx.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") * tNum <= col("b.sz") * tDen &&
+          col("b.sz") * tNum <= col("a.sz") * tDen)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val li = size(array_intersect(col("ta"), col("tb"))).cast(LongType)
+    val lu = size(col("ta")).cast(LongType) + size(col("tb")).cast(LongType) - li
+    cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("tk").as("ta")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("tk").as("tb")), Seq("doc_b"))
+      .where(li * tDen >= lu * tNum)
+      .select(col("doc_a"), col("doc_b"),
+        (li.cast(DoubleType) / lu.cast(DoubleType)).as("jaccard"))
+  }
+
   /** d23 record-linkage key frame: ascii-normalized 40-char signature
     * plus the 12-char blocking prefix, length-gated (>= 12 normalized
     * chars, so short/empty texts can't form a degenerate mega-block).
@@ -2632,6 +2707,34 @@ object DedupQueries extends graft.QueryModule {
         .select(col("doc_a"), col("doc_b"),
           (inter.cast(DoubleType) / (size(col("ga")) + size(col("gb")) - inter)).as("jaccard"))
     }),
+
+    // D34 — EXACT thresholded similarity self-join via prefix filtering
+    // (see Dedup.prefixJaccardJoin): the lossless counterpart of d2's
+    // MinHash-LSH — rarest-first prefix + length filters prune the
+    // candidate space by THEOREM, so the output must equal the
+    // brute-force O(n²) join row for row, and the oracle IS that brute
+    // force (an independent restatement with no prefix logic at all —
+    // a single lost candidate fails the hash). Restricted to a
+    // deterministic id slice (the s6 discipline) to keep the oracle's
+    // quadratic restatement bounded at the bench sf.
+    graft.QueryDef("d34_prefix_jaccard_join", Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(words) - 1, 1)),
+         |    i -> array_to_string(list_slice(words, i, i + 1), ' '))) AS tk
+         |  FROM (SELECT doc_id, string_split($normTextSql, ' ') AS words
+         |        FROM documents
+         |        WHERE doc_id < 2000 AND len($normTextSql) > 0)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS li,
+         |    CAST(len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)) AS BIGINT) AS lu
+         |  FROM toks a JOIN toks b ON b.doc_id > a.doc_id)
+         |SELECT doc_a, doc_b, CAST(li AS DOUBLE) / lu AS jaccard
+         |FROM pairs
+         |WHERE li * $PrefixJaccardDen >= lu * $PrefixJaccardNum""".stripMargin))((s, d) =>
+      Dedup.prefixJaccardJoin(
+        Tables.documents(s, d).where(col("doc_id") < 2000))),
 
     // D23 — BLOCKED RECORD LINKAGE: the classic entity-resolution
     // pipeline — block on a cheap deterministic key (first 12 chars of

@@ -79,7 +79,11 @@ class DeterminismSpec extends AnyFunSuite with SparkSuite {
     // rollup (positive election must not depend on shuffle order),
     // d33's CC-keyed split + pair audit, t61's per-doc explode.
     "n42_distill_pairs", "n43_distill_lsh",
-    "d33_leakage_safe_split", "t61_passage_chunks")
+    "d33_leakage_safe_split", "t61_passage_chunks",
+    // round 17: d34's rarest-first gram sort + prefix-bucket candidate
+    // join — the distinct/verify pipeline must not depend on shuffle
+    // order (the frequency counts that define the order are exact ints).
+    "d34_prefix_jaccard_join")
 
   test("round-14 additions are invariant to shuffle partition count") {
     val alt = spark.newSession()

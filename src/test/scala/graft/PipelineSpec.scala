@@ -1384,6 +1384,44 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       s"missing planted pairs at 2 probes: ${planted -- two}")
   }
 
+  test("d34: prefix-filtered join equals brute force, keeps the exact-threshold pair, drops below") {
+    import spark.implicits._
+    // Hand-built corpus with known distinct-bigram sets:
+    //   10 vs 11: {ab,bc,cd} vs {ab,bc,cd,dq,qr} -> 3/5 = 0.6 EXACTLY
+    //             (the integer predicate is >=, so the pair must stay)
+    //   10 vs 12: {ab,bc,cd} vs {ab,bc,ce} -> 2/4 = 0.5, dropped
+    //   11 vs 13: clone -> 1.0, kept
+    val docs = Seq(
+      (10L, "a b c d"), (11L, "a b c d q r"), (12L, "a b c e"),
+      (13L, "a b c d q r"), (14L, "zz yy xx ww"), (15L, "  ")
+    ).toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardJoin(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((10L, 11L, 0.6), (10L, 13L, 0.6), (11L, 13L, 1.0)),
+      s"unexpected pair set: $got")
+    spark.catalog.clearCache()
+    // Against the real corpus: equality with an in-test brute-force
+    // O(n²) join over a slice — the prefix filter must be LOSSLESS
+    // (every theorem-pruned candidate really was below threshold).
+    val slice = Tables.documents(spark, sf).where(col("doc_id") < 120)
+    val toks = slice
+      .where(length(Dedup.normText(col("text"))) > 0)
+      .select(col("doc_id"),
+        graft.plans.NativeFunctions.wordKGrams(Dedup.normText(col("text")), 2).as("tk"))
+    val li = size(array_intersect(col("ta"), col("tb"))).cast("long")
+    val lu = size(col("ta")).cast("long") + size(col("tb")).cast("long") - li
+    val brute = toks.select(col("doc_id").as("doc_a"), col("tk").as("ta"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("tk").as("tb")),
+        col("doc_a") < col("doc_b"))
+      .where(li * Dedup.PrefixJaccardDen >= lu * Dedup.PrefixJaccardNum)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = Dedup.prefixJaccardJoin(slice).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned == brute,
+      s"prefix join != brute force: missing=${brute -- pruned} extra=${pruned -- brute}")
+  }
+
   test("n42 guard: the margin miner auto-switches to LSH candidates past the grid cap") {
     val emb = Tables.embeddings(spark, sf)
     val l0 = col("label") === 0; val l1 = col("label") === 1

@@ -36,7 +36,7 @@ class TestInventorySpec extends AnyFunSuite {
     "GovernanceSpec" -> 15,
     "InferenceSpec" -> 4,
     "NativeExprSpec" -> 10,
-    "PipelineSpec" -> 70,
+    "PipelineSpec" -> 71,
     "PlanSpec" -> 40,
     "RebalanceSpec" -> 4,
     "ResultCacheSpec" -> 2,
