@@ -22,18 +22,26 @@ object Dedup {
   def normText(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
   val normTextSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
-  /** d34's threshold as an exact rational (Jaccard >= Num/Den): shared
-    * by the Scala path and the registered oracle SQL so the two cannot
-    * drift (the DistillShards lesson). 3/5 = 0.6 separates the planted
-    * near-duplicates (bigram Jaccard > 0.8) from the word-soup floor
-    * (measured < 0.5 everywhere at the gate sfs). */
+  /** d34's threshold as an exact rational (Jaccard >= Num/Den) and its
+    * gram width: shared by the Scala path and the registered oracle
+    * SQL so the two cannot drift (the DistillShards lesson). 3/5 = 0.6
+    * separates the planted near-duplicates (gram Jaccard > 0.8) from
+    * the word-soup floor (measured < 0.5 everywhere at the gate sfs).
+    * TRIGRAMS, not bigrams, deliberately: the synthetic corpus draws
+    * from a tiny word vocabulary, so its distinct-bigram space is only
+    * ~900 grams — every prefix bucket is dense and the prefix filter
+    * kept 33% of n² as candidates (measured 650k pairs / 15-20 s at
+    * sf0.1). The trigram space is ~26k grams on the same corpus — the
+    * Zipfian-tail sparsity the algorithm's pruning power comes from —
+    * with the IDENTICAL matched pair set at every gate sf. */
   val PrefixJaccardNum = 3
   val PrefixJaccardDen = 5
+  val PrefixJaccardGram = 3
 
   /** D34 — EXACT thresholded set-similarity SELF-JOIN via prefix
     * filtering (the AllPairs/PPJoin family — Bayardo, Ma & Srikant,
     * WWW'07; Xiao et al., WWW'08): every document pair whose DISTINCT
-    * word-bigram sets have Jaccard >= tNum/tDen, with NO false
+    * word-trigram sets have Jaccard >= tNum/tDen, with NO false
     * negatives — the lossless exact counterpart of the MinHash-LSH
     * path (d2). LSH bounds recall probabilistically by band math; here
     * the pruning filters are theorems:
@@ -66,7 +74,8 @@ object Dedup {
     val toks = documents
       .where(length(normText(col("text"))) > 0)
       .select(col("doc_id"),
-        graft.plans.NativeFunctions.wordKGrams(normText(col("text")), 2).as("tk"))
+        graft.plans.NativeFunctions
+          .wordKGrams(normText(col("text")), PrefixJaccardGram).as("tk"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dtok = toks.select(col("doc_id"), explode(col("tk")).as("token"))
     val freq = dtok.groupBy("token").agg(count(lit(1)).as("cnt"))
@@ -2720,8 +2729,8 @@ object DedupQueries extends graft.QueryModule {
     graft.QueryDef("d34_prefix_jaccard_join", Some(
       s"""WITH toks AS (
          |  SELECT doc_id, list_distinct(list_transform(
-         |    generate_series(1, greatest(len(words) - 1, 1)),
-         |    i -> array_to_string(list_slice(words, i, i + 1), ' '))) AS tk
+         |    generate_series(1, greatest(len(words) - ${PrefixJaccardGram - 1}, 1)),
+         |    i -> array_to_string(list_slice(words, i, i + ${PrefixJaccardGram - 1}), ' '))) AS tk
          |  FROM (SELECT doc_id, string_split($normTextSql, ' ') AS words
          |        FROM documents
          |        WHERE doc_id < 2000 AND len($normTextSql) > 0)),

@@ -1386,14 +1386,14 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
 
   test("d34: prefix-filtered join equals brute force, keeps the exact-threshold pair, drops below") {
     import spark.implicits._
-    // Hand-built corpus with known distinct-bigram sets:
-    //   10 vs 11: {ab,bc,cd} vs {ab,bc,cd,dq,qr} -> 3/5 = 0.6 EXACTLY
-    //             (the integer predicate is >=, so the pair must stay)
-    //   10 vs 12: {ab,bc,cd} vs {ab,bc,ce} -> 2/4 = 0.5, dropped
+    // Hand-built corpus with known distinct-trigram sets:
+    //   10 vs 11: {abc,bcd,cde,def} vs {abc,bcd,cde,deg} -> 3/5 = 0.6
+    //             EXACTLY (the integer predicate is >=, so it stays)
+    //   10 vs 12: share only {abc} -> 1/7, dropped
     //   11 vs 13: clone -> 1.0, kept
     val docs = Seq(
-      (10L, "a b c d"), (11L, "a b c d q r"), (12L, "a b c e"),
-      (13L, "a b c d q r"), (14L, "zz yy xx ww"), (15L, "  ")
+      (10L, "a b c d e f"), (11L, "a b c d e g"), (12L, "a b c x y z"),
+      (13L, "a b c d e g"), (14L, "zz yy xx ww vv uu"), (15L, "  ")
     ).toDF("doc_id", "text")
     val got = Dedup.prefixJaccardJoin(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -1407,7 +1407,8 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     val toks = slice
       .where(length(Dedup.normText(col("text"))) > 0)
       .select(col("doc_id"),
-        graft.plans.NativeFunctions.wordKGrams(Dedup.normText(col("text")), 2).as("tk"))
+        graft.plans.NativeFunctions.wordKGrams(Dedup.normText(col("text")),
+          Dedup.PrefixJaccardGram).as("tk"))
     val li = size(array_intersect(col("ta"), col("tb"))).cast("long")
     val lu = size(col("ta")).cast("long") + size(col("tb")).cast("long") - li
     val brute = toks.select(col("doc_id").as("doc_a"), col("tk").as("ta"))
