@@ -71,24 +71,11 @@ object Dedup {
   def prefixJaccardJoin(documents: DataFrame,
                         tNum: Int = PrefixJaccardNum,
                         tDen: Int = PrefixJaccardDen): DataFrame = {
-    val toks = documents
-      .where(length(normText(col("text"))) > 0)
-      .select(col("doc_id"),
-        graft.plans.NativeFunctions
-          .wordKGrams(normText(col("text")), PrefixJaccardGram).as("tk"))
+    val toks = prefixTokens(documents)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val dtok = toks.select(col("doc_id"), explode(col("tk")).as("token"))
-    val freq = dtok.groupBy("token").agg(count(lit(1)).as("cnt"))
-    val ordered = dtok.join(freq, Seq("token"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("cnt"), col("token")))).as("o"))
-      .select(col("doc_id"),
-        transform(col("o"), x => x.getField("token")).as("ord"),
-        size(col("o")).as("sz"))
-    // prefix length = sz - ceil(t·sz) + 1, all-integer (>= 1 for t <= 1)
-    val pfx = ordered.select(col("doc_id"), col("sz"),
-      explode(slice(col("ord"), lit(1),
-        expr(s"sz - ((sz * $tNum + ${tDen - 1}) div $tDen) + 1"))).as("token"))
+    val freq = toks.select(explode(col("tk")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val pfx = prefixRows(toks, freq, tNum, tDen)
     val cand = pfx.as("a").join(pfx.as("b"),
         col("a.token") === col("b.token") &&
           col("a.doc_id") < col("b.doc_id") &&
@@ -96,15 +83,100 @@ object Dedup {
           col("b.sz") * tNum <= col("a.sz") * tDen)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    verifyJaccard(cand, toks, toks, tNum, tDen)
+  }
+
+  /** The (doc_id, tk) distinct word-trigram frame of d34/d34b — one
+    * shared derivation so the batch join, the stored index, and the
+    * streaming maintainer can never disagree on tokenization. */
+  private[graft] def prefixTokens(documents: DataFrame): DataFrame =
+    documents
+      .where(length(normText(col("text"))) > 0)
+      .select(col("doc_id"),
+        graft.plans.NativeFunctions
+          .wordKGrams(normText(col("text")), PrefixJaccardGram).as("tk"))
+
+  /** The (doc_id, sz, token) PREFIX rows of a token frame under the
+    * ORDER DEFINED BY `freq`: each doc's grams sort (cnt asc, gram asc)
+    * — rarest first — and only the first sz - ceil(t·sz) + 1 enter the
+    * candidate join. `freq` is a PARAMETER, not derived, because the
+    * prefix theorem needs one CONSISTENT total order across both sides
+    * of a pair — the batch join derives it from its own corpus, while
+    * the incremental path replays the FROZEN order stored at base-build
+    * time (grams unseen at freeze time read cnt 0: rarer than
+    * everything, deterministic (0, gram) position). A stale order only
+    * weakens PRUNING (denser prefix buckets); it can never lose a pair,
+    * because losslessness needs consistency, not freshness. */
+  private[graft] def prefixRows(toks: DataFrame, freq: DataFrame,
+                                tNum: Int, tDen: Int): DataFrame = {
+    val ordered = toks.select(col("doc_id"), explode(col("tk")).as("token"))
+      .join(freq, Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(
+        struct(coalesce(col("cnt"), lit(0L)).as("cnt"), col("token")))).as("o"))
+      .select(col("doc_id"),
+        transform(col("o"), x => x.getField("token")).as("ord"),
+        size(col("o")).as("sz"))
+    // prefix length = sz - ceil(t·sz) + 1, all-integer (>= 1 for t <= 1)
+    ordered.select(col("doc_id"), col("sz"),
+      explode(slice(col("ord"), lit(1),
+        expr(s"sz - ((sz * $tNum + ${tDen - 1}) div $tDen) + 1"))).as("token"))
+  }
+
+  /** The exact verification tail of d34/d34b: gather both sides' token
+    * sets, keep pairs passing the integer-exact threshold, emit the
+    * IEEE-deterministic jaccard of exact integer sizes. */
+  private[graft] def verifyJaccard(cand: DataFrame, toksA: DataFrame,
+                                   toksB: DataFrame,
+                                   tNum: Int, tDen: Int): DataFrame = {
     val li = size(array_intersect(col("ta"), col("tb"))).cast(LongType)
     val lu = size(col("ta")).cast(LongType) + size(col("tb")).cast(LongType) - li
     cand
-      .join(toks.select(col("doc_id").as("doc_a"), col("tk").as("ta")), Seq("doc_a"))
-      .join(toks.select(col("doc_id").as("doc_b"), col("tk").as("tb")), Seq("doc_b"))
+      .join(toksA.select(col("doc_id").as("doc_a"), col("tk").as("ta")), Seq("doc_a"))
+      .join(toksB.select(col("doc_id").as("doc_b"), col("tk").as("tb")), Seq("doc_b"))
       .where(li * tDen >= lu * tNum)
       .select(col("doc_a"), col("doc_b"),
         (li.cast(DoubleType) / lu.cast(DoubleType)).as("jaccard"))
   }
+
+  /** Persist the d34 PREFIX-JOIN INDEX for incremental maintenance
+    * (Streams.incrementalPrefixJoin): the FROZEN gram-frequency order
+    * (the model — staleness weakens pruning, never correctness; see
+    * [[prefixRows]]), the base corpus's prefix rows and token sets
+    * (batch_id = -1, the streaming appends' partition scheme), and the
+    * base-internal pair output — so the accumulated pairs directory
+    * always holds the COMPLETE exact join of everything ingested. */
+  def writePrefixIndex(documents: DataFrame, path: String,
+                       tNum: Int = PrefixJaccardNum,
+                       tDen: Int = PrefixJaccardDen): Unit = {
+    val toks = prefixTokens(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    val freq = toks.select(explode(col("tk")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    freq.write.mode("overwrite").parquet(s"$path/freq")
+    val frozen = toks.sparkSession.read.parquet(s"$path/freq")
+    val pfx = prefixRows(toks, frozen, tNum, tDen)
+    pfx.write.mode("overwrite").parquet(s"$path/pfx/batch_id=-1")
+    toks.write.mode("overwrite").parquet(s"$path/toks/batch_id=-1")
+    val cand = pfx.as("a").join(pfx.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") * tNum <= col("b.sz") * tDen &&
+          col("b.sz") * tNum <= col("a.sz") * tDen)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, toks, toks, tNum, tDen)
+      .write.mode("overwrite").parquet(s"$path/pairs/batch_id=-1")
+    toks.unpersist()
+    ()
+  }
+
+  /** The accumulated exact-join output of a prefix index store: base
+    * pairs plus every streamed batch's new-vs-seen pairs — for an
+    * append-only id stream this IS the full-corpus d34 join (every pair
+    * is found exactly once, when its later document arrives). */
+  def readPrefixJoinPairs(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/pairs")
+      .select("doc_a", "doc_b", "jaccard")
 
   /** d23 record-linkage key frame: ascii-normalized 40-char signature
     * plus the 12-char blocking prefix, length-gated (>= 12 normalized
@@ -1728,7 +1800,47 @@ object DedupQueries extends graft.QueryModule {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val linkWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val incrPrefixRoot: String = graft.util.TmpRoot("pfx-incr")
+  private val prefixIncrWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def dirTag(d: String): String = d.replaceAll("[^a-zA-Z0-9]", "_")
+
+  /** Land one micro-batch as a single parquet file in a streaming
+    * source dir (the Fts.addChunk pattern; REPLACE_EXISTING keeps
+    * re-invocations idempotent — the checkpoint tracks processed
+    * paths). */
+  private def addPrefixChunk(df: DataFrame, dir: String, name: String): Unit = {
+    new java.io.File(dir).mkdirs()
+    val stage = java.nio.file.Files.createTempDirectory("graft_pfx_chunk")
+    stage.toFile.deleteOnExit()
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = stage.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$dir/$name"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** d34/d34b's shared oracle: the brute-force O(n²) restatement with
+    * no prefix logic at all — one theorem-pruned-but-real candidate
+    * lost by either the batch join or the incremental maintainer fails
+    * the hash. */
+  private lazy val d34OracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(words) - ${PrefixJaccardGram - 1}, 1)),
+       |    i -> array_to_string(list_slice(words, i, i + ${PrefixJaccardGram - 1}), ' '))) AS tk
+       |  FROM (SELECT doc_id, string_split($normTextSql, ' ') AS words
+       |        FROM documents
+       |        WHERE doc_id < 2000 AND len($normTextSql) > 0)),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS li,
+       |    CAST(len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)) AS BIGINT) AS lu
+       |  FROM toks a JOIN toks b ON b.doc_id > a.doc_id)
+       |SELECT doc_a, doc_b, CAST(li AS DOUBLE) / lu AS jaccard
+       |FROM pairs
+       |WHERE li * $PrefixJaccardDen >= lu * $PrefixJaccardNum""".stripMargin
 
   /** The deterministic d6 pair graph: chains of 3 at doc_id % 50 plus
     * cross-links at % 200 merging two chains (labels must travel 3
@@ -2726,24 +2838,38 @@ object DedupQueries extends graft.QueryModule {
     // a single lost candidate fails the hash). Restricted to a
     // deterministic id slice (the s6 discipline) to keep the oracle's
     // quadratic restatement bounded at the bench sf.
-    graft.QueryDef("d34_prefix_jaccard_join", Some(
-      s"""WITH toks AS (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |    generate_series(1, greatest(len(words) - ${PrefixJaccardGram - 1}, 1)),
-         |    i -> array_to_string(list_slice(words, i, i + ${PrefixJaccardGram - 1}), ' '))) AS tk
-         |  FROM (SELECT doc_id, string_split($normTextSql, ' ') AS words
-         |        FROM documents
-         |        WHERE doc_id < 2000 AND len($normTextSql) > 0)),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS li,
-         |    CAST(len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)) AS BIGINT) AS lu
-         |  FROM toks a JOIN toks b ON b.doc_id > a.doc_id)
-         |SELECT doc_a, doc_b, CAST(li AS DOUBLE) / lu AS jaccard
-         |FROM pairs
-         |WHERE li * $PrefixJaccardDen >= lu * $PrefixJaccardNum""".stripMargin))((s, d) =>
+    graft.QueryDef("d34_prefix_jaccard_join", Some(d34OracleSql))((s, d) =>
       Dedup.prefixJaccardJoin(
         Tables.documents(s, d).where(col("doc_id") < 2000))),
+
+    // D34b — the SAME exact join MAINTAINED INCREMENTALLY through a
+    // stored prefix index (see Streams.incrementalPrefixJoin): base =
+    // documents < 250 (freezing the gram-frequency order), the rest
+    // arrive in two micro-batches joined new-vs-seen under the frozen
+    // order, pairs accumulate batch-scoped. Same oracle as d34: for an
+    // append-only id stream the accumulated pairs ARE the one-shot
+    // batch join of the final corpus — batch equals incremental,
+    // proven at the oracle. Note the frozen order DIFFERS from the
+    // order d34's one-shot build derives (later grams were unseen at
+    // freeze time), so this gate also proves the losslessness claim
+    // that any consistent order finds the identical pair set.
+    graft.QueryDef("d34b_prefix_join_incremental", Some(d34OracleSql))((s, d) => {
+      val root = prefixIncrWritten.computeIfAbsent(d, dd => {
+        val p = s"$incrPrefixRoot/${dirTag(dd)}"
+        val docs = Tables.documents(s, dd).where(col("doc_id") < 2000)
+          .select(col("doc_id"), col("text"))
+        Dedup.writePrefixIndex(docs.where(col("doc_id") < 250), s"$p/idx")
+        addPrefixChunk(docs.where(col("doc_id") >= 250 && col("doc_id") < 375),
+          s"$p/src", "c1.parquet")
+        graft.streaming.Streams.incrementalPrefixJoin(
+          s, s"$p/src", s"$p/idx", s"$p/ckpt")
+        addPrefixChunk(docs.where(col("doc_id") >= 375), s"$p/src", "c2.parquet")
+        graft.streaming.Streams.incrementalPrefixJoin(
+          s, s"$p/src", s"$p/idx", s"$p/ckpt")
+        p
+      })
+      Dedup.readPrefixJoinPairs(s, s"$root/idx")
+    }),
 
     // D23 — BLOCKED RECORD LINKAGE: the classic entity-resolution
     // pipeline — block on a cheap deterministic key (first 12 chars of

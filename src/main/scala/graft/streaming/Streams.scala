@@ -481,6 +481,69 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming EXACT prefix-join maintenance (d34b — the exact-dedup
+    * counterpart of [[incrementalVectorIndex]]'s probabilistic LSH
+    * path): NEWLY ARRIVING documents are joined against everything
+    * already ingested with the full AllPairs prefix/length/verify
+    * pipeline, under the FROZEN gram order stored at base-build time
+    * (graft.operators.Dedup.writePrefixIndex). The frozen order is the
+    * correctness keystone: the prefix theorem needs one CONSISTENT
+    * total order across both sides of a pair, so every batch replays
+    * the stored frequency model (unseen grams read cnt 0) rather than
+    * recounting — a stale order only densifies prefix buckets, it can
+    * never lose a pair. Per micro-batch: the stored prefix rows are
+    * semi-join-pruned to the batch's own gram set before the candidate
+    * join (the new-vs-old pruning of the MinHash/vector maintainers),
+    * new-new pairs canonicalize (least, greatest) and dedupe, and the
+    * verified pairs + the batch's prefix rows + token sets land
+    * batch_id-scoped (a retried micro-batch REPLACES its own directory
+    * — idempotent). ID contract: batches disjoint in doc_id (the
+    * incrementalVectorIndex contract), so the accumulated pairs
+    * directory equals the one-shot batch join of the final corpus —
+    * which is exactly what the d34b gate's oracle checks. */
+  def incrementalPrefixJoin(spark: SparkSession, sourceDir: String,
+                            indexPath: String, checkpointDir: String,
+                            tNum: Int = graft.operators.Dedup.PrefixJaccardNum,
+                            tDen: Int = graft.operators.Dedup.PrefixJaccardDen): Unit = {
+    import graft.operators.Dedup
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val newToks = Dedup.prefixTokens(batch).persist()
+        val frozen = s.read.parquet(s"$indexPath/freq")
+        val newPfx = Dedup.prefixRows(newToks, frozen, tNum, tDen).persist()
+        val oldPfx = s.read.parquet(s"$indexPath/pfx")
+          .select("doc_id", "sz", "token")
+          .join(newPfx.select("token").distinct(), Seq("token"), "left_semi")
+        val cand = newPfx.as("a")
+          .join(oldPfx.unionByName(newPfx.select("doc_id", "sz", "token")).as("b"),
+            col("a.token") === col("b.token") &&
+              col("a.doc_id") =!= col("b.doc_id") &&
+              col("a.sz") * tNum <= col("b.sz") * tDen &&
+              col("b.sz") * tNum <= col("a.sz") * tDen)
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+          .distinct()
+        val allToks = s.read.parquet(s"$indexPath/toks")
+          .select("doc_id", "tk").unionByName(newToks)
+        Dedup.verifyJaccard(cand, allToks, allToks, tNum, tDen)
+          .write.mode("overwrite").parquet(s"$indexPath/pairs/batch_id=$batchId")
+        newPfx.select("doc_id", "sz", "token")
+          .write.mode("overwrite").parquet(s"$indexPath/pfx/batch_id=$batchId")
+        newToks.write.mode("overwrite").parquet(s"$indexPath/toks/batch_id=$batchId")
+        newPfx.unpersist(); newToks.unpersist()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming MAXSIM TOKEN-STORE freshness (round-17: the n41b serving
     * store gains the s6b/incrementalIvfAssign maintenance path). A
     * document's multi-vector TOKEN set is derived INSIDE the stream by
