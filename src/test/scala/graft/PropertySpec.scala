@@ -170,6 +170,84 @@ object PropertySpec extends Properties("graft.scalars") {
         BigInt(h) == (BigInt(id) * BigInt(2654435761L)).mod(BigInt(2L) << 31)
     }
 
+  // --- d34 prefix-filter theorems (Dedup.prefixRows' exact integer
+  // arithmetic, mirrored token for token: prefix length =
+  // sz - ceil(t·sz) + 1 as `sz - ((sz*tNum + tDen-1) div tDen) + 1`,
+  // length filter as cross-multiplication, verify as li·tDen >= lu·tNum).
+  // A refactor that breaks the integer formulas breaks these mirrors'
+  // agreement with brute force long before the gate corpora notice.
+  private def d34PrefixLen(sz: Int, tNum: Int, tDen: Int): Int =
+    sz - ((sz * tNum + tDen - 1) / tDen) + 1
+
+  /** The candidate+verify pipeline under an arbitrary CONSISTENT total
+    * order (the (cnt, token) sort of prefixRows, counts supplied by the
+    * caller — unseen tokens read 0, the frozen-order fallback). */
+  private def d34Join(corpus: List[(Int, Set[String])],
+                      cnt: Map[String, Long],
+                      tNum: Int, tDen: Int): (Set[(Int, Int)], Set[(Int, Int)]) = {
+    val toks = corpus.toMap
+    val pfx = corpus.map { case (id, tk) =>
+      val sorted = tk.toList.sortBy(t => (cnt.getOrElse(t, 0L), t))
+      id -> sorted.take(d34PrefixLen(sorted.size, tNum, tDen)).toSet
+    }.toMap
+    val cands = (for {
+      (a, _) <- corpus; (b, _) <- corpus
+      if a < b && (pfx(a) & pfx(b)).nonEmpty &&
+        toks(a).size.toLong * tNum <= toks(b).size.toLong * tDen &&
+        toks(b).size.toLong * tNum <= toks(a).size.toLong * tDen
+    } yield (a, b)).toSet
+    val verified = cands.filter { case (a, b) =>
+      val li = (toks(a) & toks(b)).size.toLong
+      val lu = toks(a).size.toLong + toks(b).size.toLong - li
+      li * tDen >= lu * tNum
+    }
+    (cands, verified)
+  }
+
+  private def d34Brute(corpus: List[(Int, Set[String])],
+                       tNum: Int, tDen: Int): Set[(Int, Int)] = {
+    val toks = corpus.toMap
+    (for {
+      (a, _) <- corpus; (b, _) <- corpus
+      if a < b && {
+        val li = (toks(a) & toks(b)).size.toLong
+        val lu = toks(a).size.toLong + toks(b).size.toLong - li
+        li * tDen >= lu * tNum
+      }
+    } yield (a, b)).toSet
+  }
+
+  private val d34Vocab: Vector[String] = (0 until 10).map(i => s"w$i").toVector
+  private val d34CorpusGen: Gen[List[(Int, Set[String])]] =
+    Gen.chooseNum(2, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.someOf(d34Vocab).map(_.toSet))
+        .map(_.zipWithIndex.collect { case (tk, i) if tk.nonEmpty => (i, tk) }))
+  private val d34ThrGen: Gen[(Int, Int)] =
+    Gen.oneOf((1, 2), (3, 5), (3, 4), (1, 1))
+
+  property("d34: prefix+length filters lossless, verify == brute force (engine order)") =
+    Prop.forAll(d34CorpusGen, d34ThrGen) { case (corpus, (tNum, tDen)) =>
+      // the engine's own order: corpus frequency asc, token asc
+      val cnt = corpus.flatMap(_._2).groupBy(identity)
+        .map { case (t, xs) => t -> xs.size.toLong }
+      val (cands, verified) = d34Join(corpus, cnt, tNum, tDen)
+      val brute = d34Brute(corpus, tNum, tDen)
+      brute.subsetOf(cands) && verified == brute
+    }
+
+  property("d34b: a STALE frozen order (subset counts, unseen=0) never loses a pair") =
+    Prop.forAll(d34CorpusGen, d34ThrGen, Gen.chooseNum(0, 10)) {
+      case (corpus, (tNum, tDen), keep) =>
+        // freeze counts over an arbitrary PREFIX of the corpus — tokens
+        // unseen at freeze time read 0 (coalesce(cnt, 0)), exactly the
+        // incremental maintainer's stale-model rule
+        val frozen = corpus.take(keep % (corpus.size + 1)).flatMap(_._2)
+          .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+        val (cands, verified) = d34Join(corpus, frozen, tNum, tDen)
+        val brute = d34Brute(corpus, tNum, tDen)
+        brute.subsetOf(cands) && verified == brute
+    }
+
   property("slug re-aggregation preserves totals") =
     Prop.forAll(Gen.listOf(Gen.oneOf(
       "Department of Health", "DEPARTMINT OF HEALTH", "dept of health",

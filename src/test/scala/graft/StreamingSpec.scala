@@ -1270,4 +1270,60 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(purgedIds.forall(_ % 5 != 0), "tombstoned vector survived compaction")
     spark.catalog.clearCache()
   }
+
+  test("prefix-join re-delivery: compaction drops the stale revision's pairs (d34c twin)") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val src = tmp("graft_pfxlww_src")
+    val idx = tmp("graft_pfxlww_root") + "/idx"
+    val ckpt = tmp("graft_pfxlww_ckpt")
+    val docs = Tables.documents(spark, sf).where(col("doc_id") < 120)
+      .select(col("doc_id"), col("text"))
+    Dedup.writePrefixIndex(docs.where(col("doc_id") < 60), idx)
+    // batch 0 delivers [60,90) but doc 70 carries doc 61's text — a
+    // guaranteed stale Jaccard-1.0 pair (61,70) lands in pairs/batch_id=0
+    val stale70 = docs.where(col("doc_id") === 61)
+      .select(lit(70L).as("doc_id"), col("text"))
+    util.Chunks.add(
+      docs.where(col("doc_id") >= 60 && col("doc_id") < 90 && col("doc_id") =!= 70)
+        .unionByName(stale70), src, "c1.parquet")
+    Streams.incrementalPrefixJoin(spark, src, idx, ckpt)
+    val staleRows = Dedup.readPrefixJoinPairs(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(staleRows.contains((61L, 70L)),
+      s"stale revision's pair must be in the raw store: $staleRows")
+    // batch 1 re-delivers doc 70 with its true text + the rest
+    util.Chunks.add(
+      docs.where(col("doc_id") >= 90 || col("doc_id") === 70), src, "c2.parquet")
+    Streams.incrementalPrefixJoin(spark, src, idx, ckpt)
+    // compaction's batch_id LWW equals the one-shot join of the TRUE corpus
+    val serving = tmp("graft_pfxlww_out") + "/serving"
+    Dedup.compactPrefixIndex(spark, idx, serving)
+    def pairs(p: String) = Dedup.readPrefixJoinPairs(spark, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = pairs(serving)
+    val expected = Dedup.prefixJaccardJoin(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      s"extra=${got -- expected} missing=${expected -- got}")
+    // compacted toks hold exactly one revision per doc — doc 70's the true one
+    val tok70 = spark.read.parquet(s"$serving/toks")
+      .where(col("doc_id") === 70)
+    assert(tok70.count() == 1, "LWW must keep exactly one token set per doc")
+    // a tombstone recorded between appends holds through compaction on
+    // toks, pfx, AND pairs (either side)
+    val tombs = tmp("graft_pfxlww_tomb") + "/tombstones"
+    graft.operators.Governance.recordTombstones(spark, tombs,
+      Seq(61L).toDF("purge_id"))
+    val serving2 = tmp("graft_pfxlww_out2") + "/serving"
+    Dedup.compactPrefixIndex(spark, idx, serving2, tombstonePath = Some(tombs))
+    assert(spark.read.parquet(s"$serving2/toks")
+      .where(col("doc_id") === 61).count() == 0)
+    assert(spark.read.parquet(s"$serving2/pfx")
+      .where(col("doc_id") === 61).count() == 0)
+    assert(pairs(serving2).forall { case (a, b, _) => a != 61L && b != 61L })
+    assert(pairs(serving2) == expected.filterNot {
+      case (a, b, _) => a == 61L || b == 61L })
+    spark.catalog.clearCache()
+  }
 }

@@ -33,7 +33,7 @@ class TestInventorySpec extends AnyFunSuite {
     "DeterminismSpec" -> 4,
     "EngineSpec" -> 19,
     "FtsRewriteSpec" -> 3,
-    "GovernanceSpec" -> 15,
+    "GovernanceSpec" -> 16,
     "InferenceSpec" -> 4,
     "NativeExprSpec" -> 10,
     "PipelineSpec" -> 71,
@@ -42,12 +42,12 @@ class TestInventorySpec extends AnyFunSuite {
     "ResultCacheSpec" -> 2,
     "ScaleOpsSpec" -> 7,
     "SchemaEvolutionSpec" -> 5,
-    "StreamingSpec" -> 28,
+    "StreamingSpec" -> 29,
     "SyncSpec" -> 17,
     "TextSpec" -> 11,
     "ToolsSpec" -> 6)
 
-  private val propertyPin = 14 // PropertySpec (ScalaCheck Properties)
+  private val propertyPin = 16 // PropertySpec (ScalaCheck Properties)
 
   private def specFiles: Seq[String] = {
     val dir = new java.io.File("src/test/scala/graft")
