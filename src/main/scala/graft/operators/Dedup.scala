@@ -142,15 +142,33 @@ object Dedup {
 
   /** The exact verification tail of d34/d34b: gather both sides' token
     * sets, keep pairs passing the integer-exact threshold, emit the
-    * IEEE-deterministic jaccard of exact integer sizes. */
+    * IEEE-deterministic jaccard of exact integer sizes.
+    *
+    * PHYSICAL SHAPE (round-18, measured at the sf10 = 100× rehearsal):
+    * the token gathers carry SHUFFLE_HASH hints — the token table is
+    * the hash-join BUILD side, so the candidate stream (which after
+    * the first gather drags a KB-sized token array per pair) is hash-
+    * partitioned but never externally SORTED. Under the default
+    * sort-merge join the second gather's sort of |candidates| array-
+    * bearing rows was the ONE super-linear stage in two measured
+    * decades (93.2 s vs 79.8 s at 19.3M candidates / 500k docs;
+    * candidate volume itself measured exactly linear — 1,933,400 →
+    * 19,334,000 on 10× data — so the bend was the sort spill, not the
+    * algebra; PROFILE/REHEARSAL_sf10.json). Contract at cluster scale:
+    * a build-side PARTITION (corpus token rows / shuffle partitions)
+    * must fit executor memory — size shuffle partitions to the corpus
+    * (AQE splits skewed ones); the streamed candidate side is
+    * unbounded either way. */
   private[graft] def verifyJaccard(cand: DataFrame, toksA: DataFrame,
                                    toksB: DataFrame,
                                    tNum: Int, tDen: Int): DataFrame = {
     val li = size(array_intersect(col("ta"), col("tb"))).cast(LongType)
     val lu = size(col("ta")).cast(LongType) + size(col("tb")).cast(LongType) - li
     cand
-      .join(toksA.select(col("doc_id").as("doc_a"), col("tk").as("ta")), Seq("doc_a"))
-      .join(toksB.select(col("doc_id").as("doc_b"), col("tk").as("tb")), Seq("doc_b"))
+      .join(toksA.select(col("doc_id").as("doc_a"), col("tk").as("ta"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(toksB.select(col("doc_id").as("doc_b"), col("tk").as("tb"))
+        .hint("shuffle_hash"), Seq("doc_b"))
       .where(li * tDen >= lu * tNum)
       .select(col("doc_a"), col("doc_b"),
         (li.cast(DoubleType) / lu.cast(DoubleType)).as("jaccard"))

@@ -57,16 +57,30 @@ object MakeScale {
       .withColumn("n_chars", length(col("text")).cast("long"))
 
   /** embeddings ×R: disjoint ids, replica k rotates the vector left by
-    * k positions — same norm and coordinate multiset, cross-replica
-    * cosines ~random. */
-  def scaleEmbeddings(df: DataFrame, replicas: Int): DataFrame =
+    * k MOD dim positions — same norm and coordinate multiset,
+    * cross-replica cosines ~random. Rotation is modular (round-18 fix:
+    * a raw k-position rotate throws on negative slice lengths once
+    * replicas exceed the embedding dimension — sf10 = 100 replicas vs
+    * dim 64), and each wrap generation (k div dim odd) NEGATES the
+    * vector: without the flip, replicas k and k+dim would carry
+    * IDENTICAL embeddings (cross-replica cosine +1 — every vector gains
+    * an exact twin and the ANN linearity fixture is poisoned); negation
+    * preserves the norm and |coordinate| multiset while pushing the
+    * wrap-pair cosine to −1, the far end of the similarity scale.
+    * Replicas 0..dim-1 are bit-identical to the pre-fix fixture. */
+  def scaleEmbeddings(df: DataFrame, replicas: Int): DataFrame = {
+    val dim = size(col("embedding"))
+    val rot = pmod(col("k"), dim)
+    val rotated = concat(
+      slice(col("embedding"), rot + 1, dim - rot),
+      slice(col("embedding"), lit(1), rot))
     withReplicas(df, replicas)
       .select(
         (col("vec_id") + col("k") * ReplicaStride).as("vec_id"),
-        concat(
-          slice(col("embedding"), col("k") + 1, size(col("embedding")) - col("k")),
-          slice(col("embedding"), lit(1), col("k"))).as("embedding"),
+        when(floor(col("k") / dim) % 2 === 1, transform(rotated, x => -x))
+          .otherwise(rotated).as("embedding"),
         col("label"))
+  }
 
   /** events ×R: disjoint user_ids and event_ids, timestamps unchanged —
     * organic growth for an event stream is MORE USERS over the same

@@ -1,0 +1,190 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Two-decade scale rehearsal (round-18 judge ask #4): every sublinear-
+  * at-100-TB claim so far rests on ONE measured decade (sf0.1 → sf1 =
+  * 10× via tools/MakeScale). This tool times the heaviest family
+  * representatives at ONE scale so three invocations (sf0.1, sf1 = 10×,
+  * sf10 = 100×) give two decades and a fitted per-decade exponent each
+  * (REHEARSAL_sf10.json + the SCALE.md table merge the runs) — a
+  * super-linear bend that a single decade hides (e.g. prefix-bucket
+  * density creeping up with corpus vocabulary) shows in the second
+  * decade first.
+  *
+  * Representatives (full-corpus operator entry points, NOT the oracle-
+  * bounded gate slices — d34's registered query caps at doc_id < 2000
+  * for the O(n²) oracle's sake, which would measure a constant-size
+  * workload at every sf):
+  *
+  *   d34 — Dedup.prefixJaccardJoin over ALL documents (candidate volume
+  *         = Σ prefix-bucket pair counts; the claim under test is that
+  *         rarest-first buckets stay small as the corpus grows)
+  *   d30 — the registered sub-blocked linkage (block-capped self-join)
+  *   t30 — the registered BPE train (driver-looped rounds, bounded
+  *         pair aggs + checkpointed re-segmentation)
+  *   n24 — the registered PageRank centrality (IVF build + N·k edge
+  *         frame + fixed-point mass iterations)
+  *   n43 — Similarity.distillPairsLshExport to a fresh dir per run
+  *         (banded-LSH mining + broadcast gathers + sharded write;
+  *         called directly so per-dir gate memoization can't serve a
+  *         cached artifact to the timer)
+  *
+  * Protocol: fresh JVM per scale (run this main once per data dir),
+  * min-of-SPARK_GRAFT_BENCH_RUNS (default 3; use 2 at sf10), cache
+  * cleared between runs. Usage:
+  *   runMain graft.tools.ProfileDecades [dataDir] [outFile]
+  */
+object ProfileDecades {
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val outFile = args.lift(1).getOrElse("PROFILE_decades.json")
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Diagnosis knobs: SPARK_GRAFT_SHUFFLE re-sizes shuffle partitions
+    // (to separate partition-granularity effects from algorithmic
+    // growth when a decade reads super-linear); SPARK_GRAFT_ONLY
+    // (comma list of the labels below) narrows the panel.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val onlyF = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(label: String) = onlyF.forall(_.exists(label.startsWith))
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.{Dedup, Similarity}
+
+    def timed(label: String)(body: => Unit): Double = {
+      if (!wanted(label)) return -1.0
+      val ts = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        body
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      System.err.println(f"DECADES $label min=${ts.min}%.3f all=${ts.map(t => f"$t%.2f").mkString(",")}")
+      ts.min
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val docs = graft.Tables.documents(spark, dir)
+    val emb = graft.Tables.embeddings(spark, dir)
+    val nDocs = docs.count(); val nVecs = emb.count()
+    System.err.println(s"DECADES dir=$dir docs=$nDocs vecs=$nVecs runs=$runs")
+
+    val tD34 = timed("d34_prefix_join_full") {
+      noop(Dedup.prefixJaccardJoin(docs.select(col("doc_id"), col("text"))))
+    }
+    // d34 STAGE SPLIT (cumulative, the ProfileD30 pattern — each stage
+    // includes its predecessors so a decade's growth localizes to the
+    // first stage whose ratio bends): toks = trigram derivation only;
+    // freq = + corpus gram counts; pfx = + rarest-first ordering and
+    // prefix explode; cand = + the prefix-bucket candidate join. The
+    // full pipeline above adds the verify gathers. Enabled by
+    // SPARK_GRAFT_ONLY=d34s (off in the default panel — the split
+    // re-runs the un-persisted prefix chain per stage).
+    if (onlyF.exists(_.exists(_.startsWith("d34s")))) {
+      val dd = docs.select(col("doc_id"), col("text"))
+      def toks = Dedup.prefixTokens(dd)
+      def freq = toks.select(explode(col("tk")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      timed("d34s_toks") { noop(toks) }
+      timed("d34s_freq") { noop(freq) }
+      timed("d34s_pfx") { noop(Dedup.prefixRows(toks, freq, 3, 5)) }
+      timed("d34s_cand") {
+        val pfx = Dedup.prefixRows(toks, freq, 3, 5)
+        noop(Dedup.prefixCandidates(pfx, pfx, 3, 5))
+      }
+      // the FULL pipeline with the token-frame persist removed — if
+      // this tracks d34s_cand instead of d34_prefix_join_full, the
+      // super-linear decade lives in the MEMORY_AND_DISK cache of the
+      // token arrays (store + GC churn), not in the join algebra
+      timed("d34s_full_nopersist") {
+        val pfx = Dedup.prefixRows(toks, freq, 3, 5)
+        noop(Dedup.verifyJaccard(Dedup.prefixCandidates(pfx, pfx, 3, 5),
+          toks, toks, 3, 5))
+      }
+      // candidate-volume linearity check: the algebraic claim is that
+      // rarest-first prefix buckets are replica-local, so candidates
+      // scale linearly with the corpus
+      timed("d34s_candcount") {
+        val pfx = Dedup.prefixRows(toks, freq, 3, 5)
+        val c = Dedup.prefixCandidates(pfx, pfx, 3, 5).count()
+        System.err.println(s"DECADES cand_count=$c")
+      }
+      // narrow-row verify prototype: per-pair intersection counted over
+      // the EXPLODED (doc_id, token) posting instead of gathering and
+      // array_intersect-ing whole token arrays — every shuffled row is
+      // (ids, one token), so the external sorts never carry KB-sized
+      // arrays. Same exact-integer semantics; candidates with zero
+      // shared tokens drop out of the inner join, which the threshold
+      // filter (li·tDen >= lu·tNum, tNum >= 1) discards anyway.
+      // shuffled-hash-join verify: same gather joins, but the token
+      // table is the BUILD side of a hash join, so the candidate
+      // stream (pairs carrying one attached token array after join 1)
+      // is hash-partitioned but never externally SORTED — the SMJ sort
+      // of 19M KB-sized rows is where the second decade bent
+      timed("d34s_full_hashjoin") {
+        val pfx = Dedup.prefixRows(toks, freq, 3, 5)
+        val cand = Dedup.prefixCandidates(pfx, pfx, 3, 5)
+        val li = size(array_intersect(col("ta"), col("tb"))).cast("long")
+        val lu = size(col("ta")).cast("long") + size(col("tb")).cast("long") - li
+        noop(cand
+          .join(toks.select(col("doc_id").as("doc_a"), col("tk").as("ta"))
+            .hint("shuffle_hash"), Seq("doc_a"))
+          .join(toks.select(col("doc_id").as("doc_b"), col("tk").as("tb"))
+            .hint("shuffle_hash"), Seq("doc_b"))
+          .where(li * 5 >= lu * 3)
+          .select(col("doc_a"), col("doc_b"),
+            (li.cast("double") / lu.cast("double")).as("jaccard")))
+      }
+      timed("d34s_full_exploded") {
+        val pfx = Dedup.prefixRows(toks, freq, 3, 5)
+        val cand = Dedup.prefixCandidates(pfx, pfx, 3, 5)
+        val sizes = toks.select(col("doc_id"), size(col("tk")).as("sz"))
+        val ea = toks.select(col("doc_id").as("doc_a"), explode(col("tk")).as("token"))
+        val eb = toks.select(col("doc_id").as("doc_b"), explode(col("tk")).as("token"))
+        val li = cand.join(ea, Seq("doc_a")).join(eb, Seq("doc_b", "token"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("li"))
+        noop(li
+          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), Seq("doc_a"))
+          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), Seq("doc_b"))
+          .where(col("li") * 5 >= (col("sza") + col("szb") - col("li")) * 3)
+          .select(col("doc_a"), col("doc_b"),
+            (col("li").cast("double") /
+              (col("sza") + col("szb") - col("li")).cast("double")).as("jaccard")))
+      }
+      ()
+    }
+    val tD30 = timed("d30_subblocked_linkage") {
+      noop(graft.SparkEntry.queries("d30_subblocked_linkage")(spark, dir))
+    }
+    val tT30 = timed("t30_bpe_train") {
+      noop(graft.SparkEntry.queries("t30_bpe_train")(spark, dir))
+    }
+    val tN24 = timed("n24_pagerank_centrality") {
+      noop(graft.SparkEntry.queries("n24_pagerank_centrality")(spark, dir))
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_decades").toString
+    var i = 0
+    val tN43 = timed("n43_distill_lsh_export") {
+      i += 1
+      noop(Similarity.distillPairsLshExport(docs, emb, s"$root/n43_$i"))
+    }
+
+    def jnum(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val json = s"""{"dir":"$dir","n_docs":$nDocs,"n_vecs":$nVecs,""" +
+      s""""runs":$runs,"d34_s":${jnum(tD34)},"d30_s":${jnum(tD30)},""" +
+      s""""t30_s":${jnum(tT30)},"n24_s":${jnum(tN24)},"n43_s":${jnum(tN43)}}"""
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    spark.stop()
+  }
+}
