@@ -178,11 +178,23 @@ object ProfileDecades {
       i += 1
       noop(Similarity.distillPairsLshExport(docs, emb, s"$root/n43_$i"))
     }
+    // Widened panel (round-18 second pass): one registered full-corpus
+    // representative per remaining heavy family — banded MinHash
+    // (d2), connected components (d6), cluster-keyed split (d33),
+    // duplication-discounted token mass (t52), kNN graph (n16).
+    val extra = Seq("d2_minhash_lsh", "d6_dedup_clusters",
+      "d33_leakage_safe_split", "t52_effective_tokens", "n16_knn_graph")
+      .map { name =>
+        name -> timed(name) { noop(graft.SparkEntry.queries(name)(spark, dir)) }
+      }
 
     def jnum(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val extraJson = extra.map { case (n, t) => s""""${n}_s":${jnum(t)}""" }
+      .mkString(",")
     val json = s"""{"dir":"$dir","n_docs":$nDocs,"n_vecs":$nVecs,""" +
       s""""runs":$runs,"d34_s":${jnum(tD34)},"d30_s":${jnum(tD30)},""" +
-      s""""t30_s":${jnum(tT30)},"n24_s":${jnum(tN24)},"n43_s":${jnum(tN43)}}"""
+      s""""t30_s":${jnum(tT30)},"n24_s":${jnum(tN24)},"n43_s":${jnum(tN43)},""" +
+      extraJson + "}"
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     spark.stop()

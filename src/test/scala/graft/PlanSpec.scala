@@ -752,4 +752,20 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("SortMergeJoin"),
       "distill gather shuffles the corpus token frame")
   }
+
+  test("d34: the verify gathers are shuffled hash joins, never sort-merge") {
+    // The sf10 rehearsal's one super-linear stage was the verify
+    // gather's sort-merge join externally sorting the candidate stream
+    // with KB-sized token arrays attached (REHEARSAL_sf10.json:
+    // 93.2 s SMJ vs 79.8 s hash at 19.3M candidates). The hints in
+    // Dedup.verifyJaccard pin the token table as the hash-join BUILD
+    // side; this test pins that a Spark upgrade or refactor cannot
+    // silently fall back to the sorting plan.
+    val p = plan("d34_prefix_jaccard_join")
+    assert(p.contains("ShuffledHashJoin"),
+      s"d34 verify gathers lost the shuffle_hash shape:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"d34 verify gather degraded to a sort-merge join:\n$p")
+    spark.catalog.clearCache()
+  }
 }
