@@ -210,6 +210,34 @@ object Dedup {
     spark.read.parquet(s"$path/pairs")
       .select("doc_a", "doc_b", "jaccard")
 
+  /** The CURRENT-REVISION pairs of a prefix store WITHOUT rewriting it
+    * — [[compactPrefixIndex]]'s batch_id-LWW pair rule applied at READ
+    * time (the Fts.readIncrementalIndex convention, lifecycle contract
+    * #3: a store must serve correctly before any compaction has ever
+    * run). A pair row serves iff it was recorded at-or-after BOTH
+    * endpoints' winning deliveries; for an append-only id stream this
+    * filter is the identity, so it is safe as the default serving
+    * read. Cost: one O(docs) partial-agg winners frame + two
+    * broadcast-or-shuffle joins keyed on doc ids per read — pay it per
+    * query, or run compaction to pay it once. */
+  def readPrefixJoinPairsLww(spark: SparkSession, path: String): DataFrame =
+    lwwPairFilter(spark.read.parquet(s"$path/pairs"),
+      spark.read.parquet(s"$path/toks"))
+      .select("doc_a", "doc_b", "jaccard")
+
+  /** The batch_id-LWW pair rule shared by [[readPrefixJoinPairsLww]]
+    * and [[compactPrefixIndex]] — the serving view and the compactor
+    * cannot drift. `pairs` must carry `batch_id`; `toks` is the
+    * batch_id-scoped token store whose per-doc max batch defines each
+    * doc's winning delivery. */
+  private def lwwPairFilter(pairs: DataFrame, toks: DataFrame): DataFrame = {
+    val last = toks.groupBy("doc_id").agg(max(col("batch_id")).as("last_b"))
+    pairs
+      .join(last.select(col("doc_id").as("doc_a"), col("last_b").as("la")), Seq("doc_a"))
+      .join(last.select(col("doc_id").as("doc_b"), col("last_b").as("lb")), Seq("doc_b"))
+      .where(col("batch_id") >= col("la") && col("batch_id") >= col("lb"))
+  }
+
   /** Compact a prefix-join store to its CURRENT-REVISION view — the
     * batch_id-LWW re-delivery contract every other served index family
     * has (compactIvfAppendStore / compactPqAppendStore), applied to the
@@ -255,10 +283,7 @@ object Dedup {
         .where(col("batch_id") === col("last_b")).select("doc_id", "sz", "token"),
       tombstonePath)
       .write.mode("overwrite").parquet(s"$outPath/pfx/batch_id=-1")
-    val current = spark.read.parquet(s"$inPath/pairs")
-      .join(last.select(col("doc_id").as("doc_a"), col("last_b").as("la")), Seq("doc_a"))
-      .join(last.select(col("doc_id").as("doc_b"), col("last_b").as("lb")), Seq("doc_b"))
-      .where(col("batch_id") >= col("la") && col("batch_id") >= col("lb"))
+    val current = lwwPairFilter(spark.read.parquet(s"$inPath/pairs"), toks)
       .select("doc_a", "doc_b", "jaccard")
     tombstonePath.fold(current) { p =>
       val ts = Governance.readTombstones(spark, p)
@@ -1895,6 +1920,54 @@ object DedupQueries extends graft.QueryModule {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val prefixRedeliverWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The shared d34c/d34d RE-DELIVERY store: base < 250 (frozen
+    * order), c1 delivers [250,375) with one doc X carrying a STALE
+    * revision, c2 re-delivers X's true text alongside [375,450), c3
+    * delivers the rest AFTER the re-delivery — so c3's new-vs-seen
+    * join reads a store holding BOTH of X's revisions — then
+    * compaction. X is chosen FROM THE DATA as a c1-range doc whose
+    * true text pairs with a c3-range doc Y, and the stale revision is
+    * Y's text: that way (a) the stale revision's own Jaccard-1.0-class
+    * pairs land in the store (compaction must drop them), and (b) at
+    * c3 BOTH of X's revisions pass the threshold against Y — the one
+    * configuration where a maintainer that fails to LWW-resolve its
+    * stored read emits (X,Y) once per revision, with c3's batch id on
+    * both rows, and no later rule can repair it. Falls back to the
+    * (300, doc-260-text) scheme when a data dir has no such pair.
+    * The ORACLE is unaffected by the choice — final revisions equal
+    * the true corpus, and the oracle is its plain brute force. Built
+    * once per data dir; d34c serves the compacted copy, d34d serves
+    * the RAW directories through the LWW read. */
+  private def redeliverStore(s: org.apache.spark.sql.SparkSession,
+                             d: String): String =
+    prefixRedeliverWritten.computeIfAbsent(d, dd => {
+      val p = s"$incrPrefixRoot/${dirTag(dd)}-redeliver"
+      val docs = Tables.documents(s, dd).where(col("doc_id") < 2000)
+        .select(col("doc_id"), col("text"))
+      val xy = Dedup.prefixJaccardJoin(docs)
+        .where(col("doc_a") >= 250 && col("doc_a") < 375 && col("doc_b") >= 450)
+        .orderBy(col("doc_a"), col("doc_b")).limit(1)
+        .collect().headOption.map(r => (r.getLong(0), r.getLong(1)))
+      s.catalog.clearCache() // release the chooser join's token frame
+      val (xId, staleSrc) = xy.getOrElse((300L, 260L))
+      Dedup.writePrefixIndex(docs.where(col("doc_id") < 250), s"$p/idx")
+      val staleX = docs.where(col("doc_id") === staleSrc)
+        .select(lit(xId).as("doc_id"), col("text"))
+      def deliver(df: DataFrame, name: String): Unit = {
+        addPrefixChunk(df, s"$p/src", name)
+        graft.streaming.Streams.incrementalPrefixJoin(
+          s, s"$p/src", s"$p/idx", s"$p/ckpt")
+      }
+      deliver(docs.where(col("doc_id") >= 250 && col("doc_id") < 375 &&
+          col("doc_id") =!= xId)
+        .unionByName(staleX), "c1.parquet")
+      deliver(docs.where((col("doc_id") >= 375 && col("doc_id") < 450) ||
+        col("doc_id") === xId), "c2.parquet")
+      deliver(docs.where(col("doc_id") >= 450), "c3.parquet")
+      Dedup.compactPrefixIndex(s, s"$p/idx", s"$p/compacted")
+      p
+    })
   private def dirTag(d: String): String = d.replaceAll("[^a-zA-Z0-9]", "_")
 
   /** Land one micro-batch as a single parquet file in a streaming
@@ -2965,40 +3038,35 @@ object DedupQueries extends graft.QueryModule {
     // closing the d34 store's lifecycle — round-17 judge ask #1): doc
     // 300 first arrives in batch c1 carrying a STALE revision (doc
     // 260's text — a guaranteed Jaccard-1.0 stale pair lands in the
-    // pairs store), then re-delivers in c2 with its true text. The
-    // maintainer supersedes the stale revision inside the c2 join
-    // (stored toks/pfx of re-delivered ids anti-joined out — never two
-    // token sets for one doc_id), and compactPrefixIndex's batch_id
-    // LWW drops the stale revision's pairs (a pair survives only
+    // pairs store), re-delivers in c2 with its true text, and a THIRD
+    // batch c3 arrives AFTER the re-delivery — the round-18 hardening:
+    // c3's new-vs-seen join reads a store holding BOTH of doc 300's
+    // revisions, so it proves the maintainer's stored read resolves to
+    // each doc's winning revision (without that LWW read, every c3
+    // pair citing 300 would verify against both token sets and emit
+    // one row per revision — rows compaction's rule would KEEP, since
+    // they carry c3's batch id). compactPrefixIndex's batch_id LWW
+    // then drops the stale revision's own pairs (a pair survives only
     // at-or-after BOTH endpoints' winning deliveries). Gate: the
     // COMPACTED store must equal the one-shot brute-force join of the
     // TRUE corpus — the same d34 oracle, which contains no trace of
-    // the stale revision, so one surviving stale pair (or one pair
-    // lost to over-eager supersession) fails the hash.
+    // the stale revision, so one surviving stale pair, one duplicated
+    // post-re-delivery pair, or one pair lost to over-eager
+    // supersession fails the hash.
     graft.QueryDef("d34c_prefix_join_redelivery", Some(d34OracleSql))((s, d) => {
-      val root = prefixRedeliverWritten.computeIfAbsent(d, dd => {
-        val p = s"$incrPrefixRoot/${dirTag(dd)}-redeliver"
-        val docs = Tables.documents(s, dd).where(col("doc_id") < 2000)
-          .select(col("doc_id"), col("text"))
-        Dedup.writePrefixIndex(docs.where(col("doc_id") < 250), s"$p/idx")
-        val stale300 = docs.where(col("doc_id") === 260)
-          .select(lit(300L).as("doc_id"), col("text"))
-        addPrefixChunk(
-          docs.where(col("doc_id") >= 250 && col("doc_id") < 375 &&
-              col("doc_id") =!= 300)
-            .unionByName(stale300),
-          s"$p/src", "c1.parquet")
-        graft.streaming.Streams.incrementalPrefixJoin(
-          s, s"$p/src", s"$p/idx", s"$p/ckpt")
-        addPrefixChunk(
-          docs.where(col("doc_id") >= 375 || col("doc_id") === 300),
-          s"$p/src", "c2.parquet")
-        graft.streaming.Streams.incrementalPrefixJoin(
-          s, s"$p/src", s"$p/idx", s"$p/ckpt")
-        Dedup.compactPrefixIndex(s, s"$p/idx", s"$p/compacted")
-        p
-      })
-      Dedup.readPrefixJoinPairs(s, s"$root/compacted")
+      Dedup.readPrefixJoinPairs(s, s"${redeliverStore(s, d)}/compacted")
+    }),
+
+    // D34d — the SAME re-delivery store served WITHOUT compaction
+    // through Dedup.readPrefixJoinPairsLww: the batch_id-LWW pair rule
+    // applied at read time (lifecycle contract #3 — the store must
+    // serve correctly before any compaction has ever run, the
+    // Fts.readIncrementalIndex convention). Same oracle as d34c: the
+    // raw accumulated directories still CONTAIN the stale revision's
+    // pairs (the audit trail), and the serving view must filter every
+    // one of them while keeping the current join intact.
+    graft.QueryDef("d34d_prefix_join_lww_read", Some(d34OracleSql))((s, d) => {
+      Dedup.readPrefixJoinPairsLww(s, s"${redeliverStore(s, d)}/idx")
     }),
 
     // D23 — BLOCKED RECORD LINKAGE: the classic entity-resolution

@@ -529,22 +529,37 @@ object Streams {
         val newIds = newToks.select("doc_id")
         val frozen = s.read.parquet(s"$indexPath/freq")
         val newPfx = Dedup.prefixRows(newToks, frozen, tNum, tDen).persist()
-        // LWW within the join: stored rows of RE-DELIVERED ids are
-        // superseded by this batch's revision — drop them from both
-        // the candidate side (stale sz would only mis-prune) and the
-        // verify token sets (two token sets for one doc_id would emit
-        // one pair row per revision). The count is one semi-join over
-        // the stored toks this batch reads for verification anyway.
-        val redelivered = s.read.parquet(s"$indexPath/toks")
-          .select("doc_id").join(newIds, Seq("doc_id"), "left_semi").count()
+        // LWW within the join, in TWO layers: (a) the stored read
+        // itself resolves to each doc's LATEST stored revision (a doc
+        // re-delivered in an EARLIER batch left both revisions' rows
+        // in the batch_id dirs — without this, a pair found in a LATER
+        // batch would verify against both token sets and emit one row
+        // per revision, and compaction would keep both because both
+        // carry the later batch's id); (b) stored rows of ids
+        // RE-DELIVERED IN THIS BATCH are superseded by the batch's own
+        // revision — dropped from the candidate side (stale sz would
+        // only mis-prune) and the verify token sets. The re-delivery
+        // count is one semi-join over the stored-winners frame this
+        // batch reads for verification anyway.
+        val storedLast = s.read.parquet(s"$indexPath/toks")
+          .groupBy("doc_id").agg(max(col("batch_id")).as("last_b"))
+        val storedToks = s.read.parquet(s"$indexPath/toks")
+          .join(storedLast, Seq("doc_id"))
+          .where(col("batch_id") === col("last_b"))
+          .select("doc_id", "tk")
+        val redelivered = storedLast
+          .join(newIds, Seq("doc_id"), "left_semi").count()
         if (redelivered > 0)
           // scalastyle:off println
           System.err.println(s"[incrementalPrefixJoin] batch $batchId " +
             s"re-delivers $redelivered doc_id(s): stored revisions are " +
-            "superseded in this join; run Dedup.compactPrefixIndex to " +
-            "drop their stale pairs before serving")
+            "superseded in this join; run Dedup.compactPrefixIndex (or " +
+            "serve via Dedup.readPrefixJoinPairsLww) so their stale " +
+            "pairs do not serve")
           // scalastyle:on println
         val oldPfx = s.read.parquet(s"$indexPath/pfx")
+          .join(storedLast, Seq("doc_id"))
+          .where(col("batch_id") === col("last_b"))
           .select("doc_id", "sz", "token")
           .join(newIds, Seq("doc_id"), "left_anti")
           .join(newPfx.select("token").distinct(), Seq("token"), "left_semi")
@@ -557,8 +572,7 @@ object Streams {
           .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
             greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
           .distinct()
-        val allToks = s.read.parquet(s"$indexPath/toks")
-          .select("doc_id", "tk")
+        val allToks = storedToks
           .join(newIds, Seq("doc_id"), "left_anti")
           .unionByName(newToks)
         Dedup.verifyJaccard(cand, allToks, allToks, tNum, tDen)

@@ -1271,7 +1271,7 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     spark.catalog.clearCache()
   }
 
-  test("prefix-join re-delivery: compaction drops the stale revision's pairs (d34c twin)") {
+  test("prefix-join re-delivery: LWW holds through later batches, compaction, and the serving read (d34c/d34d twin)") {
     import graft.operators.Dedup
     import spark.implicits._
     val src = tmp("graft_pfxlww_src")
@@ -1280,50 +1280,84 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     val docs = Tables.documents(spark, sf).where(col("doc_id") < 120)
       .select(col("doc_id"), col("text"))
     Dedup.writePrefixIndex(docs.where(col("doc_id") < 60), idx)
-    // batch 0 delivers [60,90) but doc 70 carries doc 61's text — a
-    // guaranteed stale Jaccard-1.0 pair (61,70) lands in pairs/batch_id=0
-    val stale70 = docs.where(col("doc_id") === 61)
-      .select(lit(70L).as("doc_id"), col("text"))
+    // doc 70's STALE revision is its true text plus a disjoint-token
+    // tail — a near-dup of its own final revision, so any doc that
+    // passes the threshold against the true text also passes against
+    // the stale one (the configuration where a maintainer that fails
+    // to LWW-resolve its stored read emits one pair row PER REVISION)
+    val text70 = docs.where(col("doc_id") === 70).select("text")
+    val stale70 = text70.select(lit(70L).as("doc_id"),
+      concat(col("text"), lit(" qq0 qq1 qq2 qq3")).as("text"))
+    // doc 3000 carries the SAME stale text as its one and only
+    // revision — a guaranteed Jaccard-1.0 stale pair (70,3000) in c1
+    // that must DOWNGRADE (not vanish) after 70's re-delivery
+    val d3000 = stale70.select(lit(3000L).as("doc_id"), col("text"))
+    // doc 3001 (c3, post-re-delivery) carries 70's TRUE text — the
+    // probe for the two-revision stored read
+    val d3001 = text70.select(lit(3001L).as("doc_id"), col("text"))
     util.Chunks.add(
       docs.where(col("doc_id") >= 60 && col("doc_id") < 90 && col("doc_id") =!= 70)
-        .unionByName(stale70), src, "c1.parquet")
+        .unionByName(stale70).unionByName(d3000), src, "c1.parquet")
     Streams.incrementalPrefixJoin(spark, src, idx, ckpt)
     val staleRows = Dedup.readPrefixJoinPairs(spark, idx).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(staleRows.contains((61L, 70L)),
-      s"stale revision's pair must be in the raw store: $staleRows")
-    // batch 1 re-delivers doc 70 with its true text + the rest
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(staleRows.contains((70L, 3000L, 1.0)),
+      s"stale revision's J=1.0 pair must be in the raw store: $staleRows")
+    // c2 re-delivers doc 70 with its true text + [90,105)
     util.Chunks.add(
-      docs.where(col("doc_id") >= 90 || col("doc_id") === 70), src, "c2.parquet")
+      docs.where(col("doc_id") >= 90 && col("doc_id") < 105 || col("doc_id") === 70),
+      src, "c2.parquet")
     Streams.incrementalPrefixJoin(spark, src, idx, ckpt)
-    // compaction's batch_id LWW equals the one-shot join of the TRUE corpus
+    // c3 arrives AFTER the re-delivery: its join reads a store holding
+    // BOTH of 70's revisions
+    util.Chunks.add(
+      docs.where(col("doc_id") >= 105).unionByName(d3001), src, "c3.parquet")
+    Streams.incrementalPrefixJoin(spark, src, idx, ckpt)
+    // the two-revision probe: (70,3001) must appear EXACTLY ONCE in
+    // the raw store — a non-LWW stored read would have verified 3001
+    // against both revisions (J=1.0 true, J<1 stale — both pass) and
+    // written one row per revision, both carrying c3's batch id, which
+    // no later compaction rule could repair
+    val raw = Dedup.readPrefixJoinPairs(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val probe = raw.filter(t => t._1 == 70L && t._2 == 3001L)
+    assert(probe.length == 1 && probe.head._3 == 1.0,
+      s"(70,3001) must be one J=1.0 row, got: ${probe.toList}")
+    // compaction / LWW serving read both equal the one-shot join of
+    // the FINAL corpus (true docs + 3000's only revision + 3001)
     val serving = tmp("graft_pfxlww_out") + "/serving"
     Dedup.compactPrefixIndex(spark, idx, serving)
-    def pairs(p: String) = Dedup.readPrefixJoinPairs(spark, p).collect()
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val got = pairs(serving)
-    val expected = Dedup.prefixJaccardJoin(docs).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = pairSet(Dedup.readPrefixJoinPairs(spark, serving))
+    val finalCorpus = docs.unionByName(d3000).unionByName(d3001)
+    val expected = pairSet(Dedup.prefixJaccardJoin(finalCorpus))
     assert(got == expected,
       s"extra=${got -- expected} missing=${expected -- got}")
+    assert(pairSet(Dedup.readPrefixJoinPairsLww(spark, idx)) == expected,
+      "LWW serving read over the RAW store must equal the compacted store")
+    // the stale J=1.0 pair DOWNGRADED to the true-text jaccard (<1)
+    val p3000 = got.filter(t => t._1 == 70L && t._2 == 3000L)
+    assert(p3000.size == 1 && p3000.head._3 < 1.0,
+      s"(70,3000) must survive at the true-text jaccard: $p3000")
     // compacted toks hold exactly one revision per doc — doc 70's the true one
-    val tok70 = spark.read.parquet(s"$serving/toks")
-      .where(col("doc_id") === 70)
-    assert(tok70.count() == 1, "LWW must keep exactly one token set per doc")
+    assert(spark.read.parquet(s"$serving/toks")
+      .where(col("doc_id") === 70).count() == 1,
+      "LWW must keep exactly one token set per doc")
     // a tombstone recorded between appends holds through compaction on
     // toks, pfx, AND pairs (either side)
     val tombs = tmp("graft_pfxlww_tomb") + "/tombstones"
     graft.operators.Governance.recordTombstones(spark, tombs,
-      Seq(61L).toDF("purge_id"))
+      Seq(3000L).toDF("purge_id"))
     val serving2 = tmp("graft_pfxlww_out2") + "/serving"
     Dedup.compactPrefixIndex(spark, idx, serving2, tombstonePath = Some(tombs))
     assert(spark.read.parquet(s"$serving2/toks")
-      .where(col("doc_id") === 61).count() == 0)
+      .where(col("doc_id") === 3000).count() == 0)
     assert(spark.read.parquet(s"$serving2/pfx")
-      .where(col("doc_id") === 61).count() == 0)
-    assert(pairs(serving2).forall { case (a, b, _) => a != 61L && b != 61L })
-    assert(pairs(serving2) == expected.filterNot {
-      case (a, b, _) => a == 61L || b == 61L })
+      .where(col("doc_id") === 3000).count() == 0)
+    val purged = pairSet(Dedup.readPrefixJoinPairs(spark, serving2))
+    assert(purged == expected.filterNot {
+      case (a, b, _) => a == 3000L || b == 3000L })
     spark.catalog.clearCache()
   }
 }
