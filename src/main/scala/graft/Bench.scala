@@ -154,7 +154,34 @@ object Bench {
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 3))
     }
-    Seq("shuffle" -> shuffle, "scan" -> scan, "window" -> window)
+    // Partitioned parquet store WRITE + partition-pruned read-back —
+    // the index-artifact shape (write*Index / read*Index): fs metadata,
+    // commit protocol, directory listing, cold page cache. Added
+    // round-18: BOTH same-day code_suspect flags (n3b persistent-IVF
+    // probes, d12) were env drift THIS component's resource profile
+    // tracks and the compute canaries don't — the r18 canary_ratio
+    // read 1.06 while store-shaped floors moved 1.7-3×
+    // (ABTEST_r18_n3b_d12.json; same class as r17's t45/x7).
+    val store = timed {
+      val dir = java.nio.file.Files.createTempDirectory("graft_canary_store")
+      try {
+        spark.range(200000L)
+          .select(col("id"), (col("id") % 16).cast("int").as("cell"),
+            (col("id") * 2654435761L % 10007).as("v"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(dir.toString)
+        noop(spark.read.parquet(dir.toString)
+          .where(col("cell").isin(1, 5, 9))
+          .groupBy("cell").agg(sum("v").as("s"), count(lit(1)).as("n")))
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(dir.toFile)
+      }
+    }
+    Seq("shuffle" -> shuffle, "scan" -> scan, "window" -> window,
+      "store" -> store)
   }
 
   def main(args: Array[String]): Unit = {
