@@ -66,24 +66,48 @@ object Dedup {
     * one bounded shuffle on the gram key; the verify stage joins the
     * bounded candidate list back to the token frame on doc_id. The
     * token frame is persisted across its three readers (prefix build +
-    * two verify gathers). CALLER CONTRACT (the d2 index-handle
-    * discipline): the returned frame is LAZY and reads the cached
-    * token frame on every action — materialize it, then release the
-    * cache (`spark.catalog.clearCache()`, which the gate harness runs
-    * between queries, or unpersist the handle from
-    * `spark.sparkContext.getPersistentRDDs`). A long-lived library
-    * caller that never releases holds one (doc_id, tk) frame in
-    * MEMORY_AND_DISK per invocation. */
-  def prefixJaccardJoin(documents: DataFrame,
-                        tNum: Int = PrefixJaccardNum,
-                        tDen: Int = PrefixJaccardDen): DataFrame = {
-    val toks = prefixTokens(documents)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    * two verify gathers) and OWNED by the returned [[PrefixIndex]]
+    * handle — release with [[PrefixIndex.unpersist]] when the pair
+    * frame has been consumed (the MinhashIndex/IvfIndex discipline). */
+  def buildPrefixJaccardIndex(documents: DataFrame): PrefixIndex =
+    PrefixIndex(prefixTokens(documents).persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** The d34 index artifact: the persisted (doc_id, tk) distinct
+    * word-trigram frame. The prefix build and both verify gathers of
+    * [[prefixJaccardPairs]] read it; built as a HANDLE so the caller
+    * controls the executor-storage lifecycle — a function that
+    * persisted internally and returned a lazy frame would leak the
+    * cache with no call site able to release it. */
+  final case class PrefixIndex(toks: DataFrame) {
+    def unpersist(): Unit = { toks.unpersist(); () }
+  }
+
+  /** The exact prefix-filtered self-join over a prebuilt
+    * [[PrefixIndex]] (see [[buildPrefixJaccardIndex]] for the
+    * algorithm and scale shape). The result is lazy and reads the
+    * index's cache: materialize it, then release via
+    * [[PrefixIndex.unpersist]]. */
+  def prefixJaccardPairs(index: PrefixIndex,
+                         tNum: Int = PrefixJaccardNum,
+                         tDen: Int = PrefixJaccardDen): DataFrame = {
+    val toks = index.toks
     val freq = toks.select(explode(col("tk")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
     val pfx = prefixRows(toks, freq, tNum, tDen)
     verifyJaccard(prefixCandidates(pfx, pfx, tNum, tDen), toks, toks, tNum, tDen)
   }
+
+  /** One-call convenience over build-index + pairs, for callers whose
+    * harness releases executor storage itself (the registered d34 gate
+    * runs under `spark.catalog.clearCache()` between queries). A
+    * long-lived library caller should prefer the
+    * [[buildPrefixJaccardIndex]]/[[prefixJaccardPairs]] handle pair,
+    * which owns the one MEMORY_AND_DISK token frame this leaves
+    * cached. */
+  def prefixJaccardJoin(documents: DataFrame,
+                        tNum: Int = PrefixJaccardNum,
+                        tDen: Int = PrefixJaccardDen): DataFrame =
+    prefixJaccardPairs(buildPrefixJaccardIndex(documents), tNum, tDen)
 
   /** The prefix-filtered CANDIDATE JOIN of d34/d34b/writePrefixIndex —
     * one shared shape so the batch join, the stored-index build, and
@@ -178,7 +202,11 @@ object Dedup {
     * (Streams.incrementalPrefixJoin): the FROZEN gram-frequency order
     * (the model — staleness weakens pruning, never correctness; see
     * [[prefixRows]]), the base corpus's prefix rows and token sets
-    * (batch_id = -1, the streaming appends' partition scheme), and the
+    * (batch_id = -1, the streaming appends' partition scheme), the
+    * `ids` DELIVERY SIDECAR (one (doc_id) row per document per
+    * delivery, batch_id-partitioned — the O(deliveries) frame the LWW
+    * winners derivation reads so no consumer ever has to aggregate the
+    * full token directory; see [[prefixWinners]]), and the
     * base-internal pair output — so the accumulated pairs directory
     * always holds the COMPLETE exact join of everything ingested. */
   def writePrefixIndex(documents: DataFrame, path: String,
@@ -192,10 +220,30 @@ object Dedup {
     val pfx = prefixRows(toks, frozen, tNum, tDen)
     pfx.write.mode("overwrite").parquet(s"$path/pfx/batch_id=-1")
     toks.write.mode("overwrite").parquet(s"$path/toks/batch_id=-1")
+    toks.select("doc_id").write.mode("overwrite").parquet(s"$path/ids/batch_id=-1")
     verifyJaccard(prefixCandidates(pfx, pfx, tNum, tDen), toks, toks, tNum, tDen)
       .write.mode("overwrite").parquet(s"$path/pairs/batch_id=-1")
     toks.unpersist()
     ()
+  }
+
+  /** The (doc_id, last_b) WINNERS frame of a prefix store: each stored
+    * document's winning (max-batch_id) delivery. Reads the `ids`
+    * delivery sidecar — O(total deliveries) two-column rows, a
+    * tokens-per-doc factor smaller than the token directory the
+    * round-18 code aggregated for the same answer (the per-batch
+    * stored-scan the round-18 verdict flagged). Falls back to deriving
+    * winners from the token rows for stores written before the sidecar
+    * existed; [[graft.streaming.Streams.incrementalPrefixJoin]]
+    * backfills such stores on first touch, so the fallback never pays
+    * per micro-batch. */
+  private[graft] def prefixWinners(spark: SparkSession, path: String): DataFrame = {
+    val ids = new org.apache.hadoop.fs.Path(s"$path/ids")
+    val fs = ids.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src =
+      if (fs.exists(ids)) spark.read.parquet(s"$path/ids")
+      else spark.read.parquet(s"$path/toks").select("doc_id", "batch_id")
+    src.groupBy("doc_id").agg(max(col("batch_id")).as("last_b"))
   }
 
   /** The accumulated exact-join output of a prefix index store: base
@@ -217,21 +265,23 @@ object Dedup {
     * run). A pair row serves iff it was recorded at-or-after BOTH
     * endpoints' winning deliveries; for an append-only id stream this
     * filter is the identity, so it is safe as the default serving
-    * read. Cost: one O(docs) partial-agg winners frame + two
+    * read. Cost: one O(deliveries) partial-agg winners frame (the
+    * `ids` sidecar, NOT the token directory — [[prefixWinners]]) + two
     * broadcast-or-shuffle joins keyed on doc ids per read — pay it per
     * query, or run compaction to pay it once. */
   def readPrefixJoinPairsLww(spark: SparkSession, path: String): DataFrame =
     lwwPairFilter(spark.read.parquet(s"$path/pairs"),
-      spark.read.parquet(s"$path/toks"))
+      prefixWinners(spark, path))
       .select("doc_a", "doc_b", "jaccard")
 
   /** The batch_id-LWW pair rule shared by [[readPrefixJoinPairsLww]]
     * and [[compactPrefixIndex]] — the serving view and the compactor
-    * cannot drift. `pairs` must carry `batch_id`; `toks` is the
-    * batch_id-scoped token store whose per-doc max batch defines each
-    * doc's winning delivery. */
-  private def lwwPairFilter(pairs: DataFrame, toks: DataFrame): DataFrame = {
-    val last = toks.groupBy("doc_id").agg(max(col("batch_id")).as("last_b"))
+    * cannot drift. `pairs` must carry `batch_id`; `last` is the
+    * (doc_id, last_b) winners frame ([[prefixWinners]]) whose per-doc
+    * max batch defines each doc's winning delivery. Package-visible so
+    * PropertySpec can pin the rule over generated re-delivery
+    * schedules. */
+  private[graft] def lwwPairFilter(pairs: DataFrame, last: DataFrame): DataFrame = {
     pairs
       .join(last.select(col("doc_id").as("doc_a"), col("last_b").as("la")), Seq("doc_a"))
       .join(last.select(col("doc_id").as("doc_b"), col("last_b").as("lb")), Seq("doc_b"))
@@ -262,16 +312,18 @@ object Dedup {
     * The frozen `freq` order model copies as-is — it is aggregate gram
     * statistics (like IVF centroids under purge), and re-freezing it
     * would change prefix pruning, never the pair set ([[prefixRows]]).
-    * Writes batch_id=-1 layout, so the compacted store is itself a
-    * valid base for further incremental maintenance. Scale shape: one
-    * O(docs) partial-agg for the winners frame, broadcast-or-shuffle
-    * joins keyed on doc ids, partition layout preserved. */
+    * Writes batch_id=-1 layout — including a fresh `ids` delivery
+    * sidecar — so the compacted store is itself a valid base for
+    * further incremental maintenance. Scale shape: one O(deliveries)
+    * partial-agg for the winners frame (the `ids` sidecar, never the
+    * token directory), broadcast-or-shuffle joins keyed on doc ids,
+    * partition layout preserved. */
   def compactPrefixIndex(spark: SparkSession, inPath: String, outPath: String,
                          tombstonePath: Option[String] = None): Unit = {
     spark.read.parquet(s"$inPath/freq")
       .write.mode("overwrite").parquet(s"$outPath/freq")
     val toks = spark.read.parquet(s"$inPath/toks")
-    val last = toks.groupBy("doc_id").agg(max(col("batch_id")).as("last_b"))
+    val last = prefixWinners(spark, inPath)
     Governance.tombstoneFiltered(spark,
       toks.join(last, Seq("doc_id"))
         .where(col("batch_id") === col("last_b")).select("doc_id", "tk"),
@@ -283,7 +335,9 @@ object Dedup {
         .where(col("batch_id") === col("last_b")).select("doc_id", "sz", "token"),
       tombstonePath)
       .write.mode("overwrite").parquet(s"$outPath/pfx/batch_id=-1")
-    val current = lwwPairFilter(spark.read.parquet(s"$inPath/pairs"), toks)
+    Governance.tombstoneFiltered(spark, last.select("doc_id"), tombstonePath)
+      .write.mode("overwrite").parquet(s"$outPath/ids/batch_id=-1")
+    val current = lwwPairFilter(spark.read.parquet(s"$inPath/pairs"), last)
       .select("doc_a", "doc_b", "jaccard")
     tombstonePath.fold(current) { p =>
       val ts = Governance.readTombstones(spark, p)
@@ -1928,17 +1982,24 @@ object DedupQueries extends graft.QueryModule {
     * join reads a store holding BOTH of X's revisions — then
     * compaction. X is chosen FROM THE DATA as a c1-range doc whose
     * true text pairs with a c3-range doc Y, and the stale revision is
-    * Y's text: that way (a) the stale revision's own Jaccard-1.0-class
-    * pairs land in the store (compaction must drop them), and (b) at
-    * c3 BOTH of X's revisions pass the threshold against Y — the one
-    * configuration where a maintainer that fails to LWW-resolve its
-    * stored read emits (X,Y) once per revision, with c3's batch id on
-    * both rows, and no later rule can repair it. Falls back to the
-    * (300, doc-260-text) scheme when a data dir has no such pair.
-    * The ORACLE is unaffected by the choice — final revisions equal
-    * the true corpus, and the oracle is its plain brute force. Built
-    * once per data dir; d34c serves the compacted copy, d34d serves
-    * the RAW directories through the LWW read. */
+    * Y's text: that way at c3 BOTH of X's revisions pass the threshold
+    * against Y — the one configuration where a maintainer that fails
+    * to LWW-resolve its stored read emits (X,Y) once per revision,
+    * with c3's batch id on both rows, and no later rule can repair it.
+    * Because Y itself only arrives in c3 (AFTER the re-delivery), the
+    * stale revision alone guarantees no PRE-re-delivery stale pair in
+    * the data-chosen branch — so c1 also plants doc 3000 carrying the
+    * SAME stale text (the StreamingSpec twin's trick): (stale X, 3000)
+    * is a guaranteed Jaccard-1.0 pair in c1's pairs directory that
+    * compaction and the LWW read must DROP, in both the data-chosen
+    * and the fallback branch. Doc 3000 then re-delivers in c2 with a
+    * unique pairless text (disjoint gram set — it can match nothing),
+    * so the final corpus gains one pairless document and the ORACLE —
+    * the plain brute force over documents < 2000 — is unaffected by
+    * the whole plant. Falls back to the (300, doc-260-text) stale
+    * scheme when a data dir has no data-chosen pair. Built once per
+    * data dir; d34c serves the compacted copy, d34d serves the RAW
+    * directories through the LWW read. */
   private def redeliverStore(s: org.apache.spark.sql.SparkSession,
                              d: String): String =
     prefixRedeliverWritten.computeIfAbsent(d, dd => {
@@ -1954,6 +2015,15 @@ object DedupQueries extends graft.QueryModule {
       Dedup.writePrefixIndex(docs.where(col("doc_id") < 250), s"$p/idx")
       val staleX = docs.where(col("doc_id") === staleSrc)
         .select(lit(xId).as("doc_id"), col("text"))
+      // The planted stale-pair partner: doc 3000 carries the stale text
+      // in c1 (guaranteed (stale X, 3000) J=1.0 pair recorded pre-
+      // re-delivery), then re-delivers in c2 with a gram-disjoint text
+      // that pairs with nothing — the final corpus's brute force over
+      // documents < 2000 never sees it.
+      val stale3000 = docs.where(col("doc_id") === staleSrc)
+        .select(lit(3000L).as("doc_id"), col("text"))
+      val fresh3000 = s.range(1).select(lit(3000L).as("doc_id"),
+        lit("qz0 qz1 qz2 qz3 qz4 qz5 qz6 qz7 qz8 qz9").as("text"))
       def deliver(df: DataFrame, name: String): Unit = {
         addPrefixChunk(df, s"$p/src", name)
         graft.streaming.Streams.incrementalPrefixJoin(
@@ -1961,9 +2031,16 @@ object DedupQueries extends graft.QueryModule {
       }
       deliver(docs.where(col("doc_id") >= 250 && col("doc_id") < 375 &&
           col("doc_id") =!= xId)
-        .unionByName(staleX), "c1.parquet")
+        .unionByName(staleX).unionByName(stale3000), "c1.parquet")
+      // Self-enforcing fixture: the planted pre-re-delivery stale pair
+      // must exist in c1's pairs directory on EVERY corpus, or the
+      // compaction-drops-stale-pairs half of the d34c gate would run
+      // unexercised without anyone noticing.
+      require(s.read.parquet(s"$p/idx/pairs")
+        .where(col("doc_a") === xId && col("doc_b") === 3000L).count() >= 1,
+        s"redeliverStore: planted stale pair ($xId, 3000) missing from c1 pairs")
       deliver(docs.where((col("doc_id") >= 375 && col("doc_id") < 450) ||
-        col("doc_id") === xId), "c2.parquet")
+        col("doc_id") === xId).unionByName(fresh3000), "c2.parquet")
       deliver(docs.where(col("doc_id") >= 450), "c3.parquet")
       Dedup.compactPrefixIndex(s, s"$p/idx", s"$p/compacted")
       p

@@ -225,8 +225,9 @@ object Governance {
     * Streams.incrementalPrefixJoin layout) minus the takedown set —
     * the store holds the documents' own trigram sets and prefix rows
     * (the content, reconstructible verbatim up to word order), plus a
-    * PAIRS table citing doc ids on EITHER side, so all three purge:
-    * toks/pfx by doc_id (batch_id partitioning preserved — the purged
+    * PAIRS table citing doc ids on EITHER side, so all of them purge:
+    * toks/pfx — and the `ids` delivery sidecar the LWW winners frame
+    * reads — by doc_id (batch_id partitioning preserved — the purged
     * copy keeps accepting incremental batches), pairs by doc_a AND
     * doc_b (a retracted document must stop appearing as anyone's
     * duplicate — the re-submitted-copy trap of this module's header).
@@ -240,6 +241,12 @@ object Governance {
       .write.mode("overwrite").parquet(s"$outPath/freq")
     purgeIncrementalDir(spark, s"$inPath/toks", s"$outPath/toks", ids)
     purgeIncrementalDir(spark, s"$inPath/pfx", s"$outPath/pfx", ids)
+    // Delivery sidecar (round-19): a purged id left here would keep a
+    // winners-frame row alive for a document with no token rows.
+    // Existence-guarded only for stores written before the sidecar.
+    val idsDir = new org.apache.hadoop.fs.Path(s"$inPath/ids")
+    if (idsDir.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(idsDir))
+      purgeIncrementalDir(spark, s"$inPath/ids", s"$outPath/ids", ids)
     val ts = ids.select(col("purge_id"))
     spark.read.parquet(s"$inPath/pairs")
       .join(broadcast(ts), col("doc_a") === col("purge_id"), "left_anti")

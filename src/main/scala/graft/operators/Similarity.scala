@@ -100,13 +100,26 @@ object Similarity {
   def signatureCol(v: Column, nBits: Int, dim: Int = 64, planeOffset: Int = 0): Column =
     graft.plans.NativeFunctions.hyperplaneSig(v, planeOffset, nBits)
 
-  /** Near-duplicate probes: vec_id < 10 re-emitted at +1000000 with the
-    * first component nudged by +0.01 — cosine vs the original stays
+  /** Planted-fixture id base: max(vec_id) + 1 over the RAW embeddings
+    * frame, mirrored in oracle SQL as [[probeBaseSql]] — the n44 rule
+    * applied to every probe planter (round-19): a hard-coded base (the
+    * old 1000000) would collide with real ids once a corpus reaches it
+    * and silently corrupt the planted fixture. One tiny max-agg action
+    * per planter invocation, on frames the query scans anyway. */
+  def probeBase(embeddings: DataFrame): Long =
+    embeddings.agg(max(col("vec_id"))).head().getLong(0) + 1L
+
+  /** [[probeBase]]'s DuckDB twin — interpolate into oracle SQL wherever
+    * the Scala side plants ids at probeBase + i. */
+  val probeBaseSql = "(SELECT max(vec_id) + 1 FROM embeddings)"
+
+  /** Near-duplicate probes: vec_id < 10 re-emitted at probeBase+id with
+    * the first component nudged by +0.01 — cosine vs the original stays
     * >0.999 while no natural pair in the corpus exceeds ~0.51. */
   def withVecProbes(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"), col("embedding"))
       .unionByName(embeddings.where(col("vec_id") < 10)
-        .select((col("vec_id") + 1000000).as("vec_id"),
+        .select((col("vec_id") + lit(probeBase(embeddings))).as("vec_id"),
           transform(col("embedding"),
             (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding")))
 
@@ -719,8 +732,8 @@ object Similarity {
   }
 
   /** Batch-clone probes for the n4b oracle: 2 verbatim clones of EACH
-    * query vector q planted at 1000000 + q·100 + j — each query's true
-    * top-3 is {q, its 2 clones} (cosine 1.0 ≫ the ~0.51 natural
+    * query vector q planted at probeBase + q·100 + j — each query's
+    * true top-3 is {q, its 2 clones} (cosine 1.0 ≫ the ~0.51 natural
     * ceiling), all inside q's own k-means cell, hence provably
     * IVF-reachable for every query in the batch. */
   def withBatchClones(embeddings: DataFrame, maxQueryId: Long): DataFrame =
@@ -728,8 +741,8 @@ object Similarity {
       .unionByName(embeddings.where(col("vec_id") <= maxQueryId)
         .select(explode(sequence(lit(0), lit(1))).as("i"),
           col("vec_id"), col("embedding"))
-        .select((lit(1000000L) + col("vec_id") * 100 + col("i")).as("vec_id"),
-          col("embedding")))
+        .select((lit(probeBase(embeddings)) + col("vec_id") * 100 + col("i"))
+          .as("vec_id"), col("embedding")))
 
   /** N4 — BATCHED exact top-k: many query vectors against the corpus in
     * ONE pass (the realistic retrieval shape — per-query jobs would scan
@@ -2184,7 +2197,7 @@ object Similarity {
   }
 
   /** Exact-clone probes for the ANN oracles (n2b/n3b): `n` verbatim
-    * copies of the query vector planted at vec_id 1000000+i. Identical
+    * copies of the query vector planted at vec_id probeBase+i. Identical
     * integer vectors ⇒ identical hyperplane signature in EVERY plane
     * family and identical IVF cell assignment, and a cosine equal to the
     * query's self-cosine — the corpus maximum (no natural pair exceeds
@@ -2197,7 +2210,8 @@ object Similarity {
     embeddings.select(col("vec_id"), col("embedding"))
       .unionByName(embeddings.where(col("vec_id") === queryVecId)
         .select(explode(sequence(lit(0), lit(n - 1))).as("i"), col("embedding"))
-        .select((col("i") + lit(1000000L)).as("vec_id"), col("embedding")))
+        .select((col("i") + lit(probeBase(embeddings))).as("vec_id"),
+          col("embedding")))
 }
 
 /** Registered similarity queries (N-family). */
@@ -2250,7 +2264,7 @@ object SimilarityQueries extends graft.QueryModule {
     s"""WITH vecs AS (
        |  SELECT vec_id, embedding FROM embeddings
        |  UNION ALL
-       |  SELECT vec_id + 1000000 AS vec_id,
+       |  SELECT vec_id + $probeBaseSql AS vec_id,
        |    list_prepend(embedding[1] + CAST(0.01 AS FLOAT), embedding[2:]) AS embedding
        |  FROM embeddings WHERE vec_id < 10),
        |${OracleHash.planesCte(32)},
@@ -2965,9 +2979,9 @@ object SimilarityQueries extends graft.QueryModule {
 
   /** DuckDB twin of [[Similarity.withQueryClones]](_, 0, 10). */
   private val cloneCorpusSql: String =
-    """SELECT vec_id, embedding FROM embeddings
+    s"""SELECT vec_id, embedding FROM embeddings
       |  UNION ALL
-      |  SELECT CAST(1000000 + t.i AS BIGINT) AS vec_id, embedding
+      |  SELECT CAST($probeBaseSql + t.i AS BIGINT) AS vec_id, embedding
       |  FROM embeddings, generate_series(0, 9) AS t(i) WHERE vec_id = 0""".stripMargin
 
   /** n41/n41b shared oracle: the full maxsim replay — rotation token
@@ -3049,7 +3063,7 @@ object SimilarityQueries extends graft.QueryModule {
     }),
 
     // N2b — the LSH path, oracle-HARD: 10 exact clones of query vector 0
-    // planted at vec_id 1000000+ share its signature bit for bit, so all
+    // planted at vec_id probeBase+ share its signature bit for bit, so all
     // sit in the query's own probe bucket and the true top-11 ({query} ∪
     // clones, cosine = the self-cosine, far above the ~0.51 natural
     // ceiling) is provably LSH-reachable. The DuckDB oracle brute-forces
@@ -4503,10 +4517,10 @@ object SimilarityQueries extends graft.QueryModule {
     // construction, the double broadcast fan-out, per-cell scoring, and
     // the TopKAggregator all have to be right for all m queries at once.
     graft.QueryDef("n4b_ann_ivf_batch", Some(
-      """WITH vecs AS (
+      s"""WITH vecs AS (
         |  SELECT vec_id, embedding FROM embeddings
         |  UNION ALL
-        |  SELECT CAST(1000000 + vec_id * 100 + s.i AS BIGINT) AS vec_id, embedding
+        |  SELECT CAST($probeBaseSql + vec_id * 100 + s.i AS BIGINT) AS vec_id, embedding
         |  FROM embeddings, generate_series(0, 1) AS s(i) WHERE vec_id <= 4),
         |qe AS (
         |  SELECT vec_id AS query_id,
@@ -4586,10 +4600,10 @@ object SimilarityQueries extends graft.QueryModule {
     // (natural cosine ceiling ~0.51 < 0.9), so the full LSH→CC→anti-join
     // composition is checked against an independent formulation.
     graft.QueryDef("d9_semantic_dedup_apply", Some(
-      """WITH vecs AS (
+      s"""WITH vecs AS (
         |  SELECT vec_id, embedding FROM embeddings
         |  UNION ALL
-        |  SELECT vec_id + 1000000 AS vec_id,
+        |  SELECT vec_id + $probeBaseSql AS vec_id,
         |    list_prepend(embedding[1] + CAST(0.01 AS FLOAT), embedding[2:]) AS embedding
         |  FROM embeddings WHERE vec_id < 10),
         |comp AS (
@@ -4628,16 +4642,16 @@ object SimilarityQueries extends graft.QueryModule {
 
     // D5b — the hyperplane-LSH path, oracle-HARD: restrict the pair
     // output to the planted-probe slice (probes carry the largest ids,
-    // so vec_b >= 1000000 captures exactly pairs-involving-probes) and
+    // so vec_b >= probeBase captures exactly pairs-involving-probes) and
     // brute-force the exact integer cosine over every (vec, probe) pair
     // in DuckDB — no banding. Row sets agree iff multi-table LSH recall
     // on the slice is total; probe construction replays the float nudge
     // (+0.01f on component 1) in FLOAT arithmetic before quantizing.
     graft.QueryDef("d5b_cosine_probes", Some(
-      """WITH vecs AS (
+      s"""WITH vecs AS (
         |  SELECT vec_id, embedding FROM embeddings
         |  UNION ALL
-        |  SELECT vec_id + 1000000 AS vec_id,
+        |  SELECT vec_id + $probeBaseSql AS vec_id,
         |    list_prepend(embedding[1] + CAST(0.01 AS FLOAT), embedding[2:]) AS embedding
         |  FROM embeddings WHERE vec_id < 10),
         |comp AS (
@@ -4649,17 +4663,18 @@ object SimilarityQueries extends graft.QueryModule {
         |dots AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dot
         |  FROM comp a JOIN comp b ON a.i = b.i
-        |    AND a.vec_id < b.vec_id AND b.vec_id >= 1000000
+        |    AND a.vec_id < b.vec_id AND b.vec_id >= $probeBaseSql
         |  GROUP BY 1, 2)
         |SELECT vec_a, vec_b, cos FROM (
         |  SELECT vec_a, vec_b, CAST(dot AS DOUBLE) /
         |    (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
         |  FROM dots JOIN norms na ON na.vec_id = dots.vec_a
         |            JOIN norms nb ON nb.vec_id = dots.vec_b)
-        |WHERE cos >= 0.9""".stripMargin))((s, d) =>
-      cosineDedupPairs(buildCosineIndex(withVecProbes(Tables.embeddings(s, d))),
-        threshold = 0.9)
-        .where(col("vec_b") >= 1000000L)),
+        |WHERE cos >= 0.9""".stripMargin))((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      cosineDedupPairs(buildCosineIndex(withVecProbes(emb)), threshold = 0.9)
+        .where(col("vec_b") >= lit(probeBase(emb)))
+    }),
 
     // D29 — RETRIEVAL-AUGMENTED dedup: the IVF serving index doubles as
     // the near-dup blocker (ANN candidates → exact verify — d2's
@@ -4677,7 +4692,7 @@ object SimilarityQueries extends graft.QueryModule {
       s"""WITH vecs AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL
-         |  SELECT vec_id + 1000000 AS vec_id,
+         |  SELECT vec_id + $probeBaseSql AS vec_id,
          |    list_prepend(embedding[1] + CAST(0.01 AS FLOAT), embedding[2:]) AS embedding
          |  FROM embeddings WHERE vec_id < 10),
          |${OracleHash.lloydCtesExpr(1, OracleHash.derivedCellsSql, 5)},
@@ -4717,7 +4732,7 @@ object SimilarityQueries extends graft.QueryModule {
       s"""WITH vecs AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL
-         |  SELECT vec_id + 1000000 AS vec_id,
+         |  SELECT vec_id + $probeBaseSql AS vec_id,
          |    list_prepend(embedding[1] + CAST(0.01 AS FLOAT), embedding[2:]) AS embedding
          |  FROM embeddings WHERE vec_id < 10),
          |${OracleHash.lloydCtesExpr(1, OracleHash.derivedCellsSql, 5)},
@@ -5039,7 +5054,7 @@ object SimilarityQueries extends graft.QueryModule {
       s"""WITH vecs AS (
          |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
          |  UNION ALL
-         |  SELECT vec_id + 1000000 AS vec_id,
+         |  SELECT vec_id + $probeBaseSql AS vec_id,
          |    list_prepend(embedding[1] + CAST(0.01 AS FLOAT), embedding[2:]) AS embedding
          |  FROM embeddings WHERE vec_id < 10),
          |${OracleHash.lloydCtesExpr(1, OracleHash.derivedCellsSql, 5)},
@@ -5074,14 +5089,17 @@ object SimilarityQueries extends graft.QueryModule {
          |  CAST(n_found AS DOUBLE) / n_cand AS precision_at
          |FROM tstats, nc""".stripMargin))((s, d) => {
       // The slice bound is TWO-SIDED: probes occupy exactly
-      // [1000000, 1000010), and an open >= 1000000 would sweep every
-      // higher-id vector into the "bounded" slice on a corpus whose
-      // ids extend past 1M (the sf1 rehearsal corpus does — replica
-      // ids stride by 10M) — measured as a 94x blowup before the
-      // bound was closed.
-      val emb = withVecProbes(Tables.embeddings(s, d))
+      // [probeBase, probeBase+10) — probeBase = max(vec_id)+1, so an
+      // open >= bound can no longer sweep real vectors into the
+      // "bounded" slice the way the old literal-1000000 bound did on
+      // the sf1 rehearsal corpus (94x blowup) — but the upper bound
+      // stays, pinning the slice to the 10 planted probes by
+      // construction.
+      val raw = Tables.embeddings(s, d)
+      val base = probeBase(raw)
+      val emb = withVecProbes(raw)
         .where(col("vec_id") < 300 ||
-          (col("vec_id") >= 1000000L && col("vec_id") < 1000010L))
+          (col("vec_id") >= lit(base) && col("vec_id") < lit(base + 10L)))
       val index = buildIvfIndex(emb)
       val cells = index.assigned.select(col("vec_id"), col("cell"))
       val comp = emb.select(col("vec_id"),

@@ -516,6 +516,16 @@ object Streams {
                             tNum: Int = graft.operators.Dedup.PrefixJaccardNum,
                             tDen: Int = graft.operators.Dedup.PrefixJaccardDen): Unit = {
     import graft.operators.Dedup
+    // Backfill the `ids` delivery sidecar for stores written before it
+    // existed (one winners pass over the token directory, paid ONCE per
+    // legacy store — never per micro-batch): each stored doc lands one
+    // (doc_id) row in its winning batch's partition, which preserves
+    // every later winners derivation exactly.
+    val idsDir = new org.apache.hadoop.fs.Path(s"$indexPath/ids")
+    if (!idsDir.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(idsDir))
+      spark.read.parquet(s"$indexPath/toks")
+        .groupBy("doc_id").agg(max(col("batch_id")).as("batch_id"))
+        .write.partitionBy("batch_id").mode("overwrite").parquet(s"$indexPath/ids")
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType)))
@@ -538,11 +548,13 @@ object Streams {
         // carry the later batch's id); (b) stored rows of ids
         // RE-DELIVERED IN THIS BATCH are superseded by the batch's own
         // revision — dropped from the candidate side (stale sz would
-        // only mis-prune) and the verify token sets. The re-delivery
-        // count is one semi-join over the stored-winners frame this
-        // batch reads for verification anyway.
-        val storedLast = s.read.parquet(s"$indexPath/toks")
-          .groupBy("doc_id").agg(max(col("batch_id")).as("last_b"))
+        // only mis-prune) and the verify token sets. The winners frame
+        // backing both layers reads the O(deliveries) `ids` sidecar
+        // (Dedup.prefixWinners), NOT the token directory — the round-18
+        // per-batch full-store aggregation this round removed; it is
+        // doc-id-keyed two-column rows, persisted across its three
+        // consumers within the batch.
+        val storedLast = Dedup.prefixWinners(s, indexPath).persist()
         val storedToks = s.read.parquet(s"$indexPath/toks")
           .join(storedLast, Seq("doc_id"))
           .where(col("batch_id") === col("last_b"))
@@ -572,15 +584,27 @@ object Streams {
           .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
             greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
           .distinct()
+          .persist()
+        // Verify gathers touch only candidate PARTICIPANTS: the stored
+        // token read is semi-join-pruned to ids the batch's candidates
+        // actually cite before it becomes the hash-join build side —
+        // an inner-join no-op semantically (verifyJaccard drops
+        // non-candidates anyway), but it bounds the per-batch hash
+        // build at O(candidate docs) instead of O(corpus token rows).
+        val candIds = cand.select(col("doc_a").as("doc_id"))
+          .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
         val allToks = storedToks
           .join(newIds, Seq("doc_id"), "left_anti")
+          .join(candIds, Seq("doc_id"), "left_semi")
           .unionByName(newToks)
         Dedup.verifyJaccard(cand, allToks, allToks, tNum, tDen)
           .write.mode("overwrite").parquet(s"$indexPath/pairs/batch_id=$batchId")
         newPfx.select("doc_id", "sz", "token")
           .write.mode("overwrite").parquet(s"$indexPath/pfx/batch_id=$batchId")
         newToks.write.mode("overwrite").parquet(s"$indexPath/toks/batch_id=$batchId")
-        newPfx.unpersist(); newToks.unpersist()
+        newIds.write.mode("overwrite").parquet(s"$indexPath/ids/batch_id=$batchId")
+        newPfx.unpersist(); newToks.unpersist(); cand.unpersist()
+        storedLast.unpersist()
         ()
       }
       .start()

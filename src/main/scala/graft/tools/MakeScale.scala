@@ -37,7 +37,8 @@ import org.apache.spark.sql.functions._
 object MakeScale {
 
   /** Id offset between replicas; must exceed any source id (driver data
-    * tops out well below 10M; planted probe ids use the 1-2M range). */
+    * tops out well below 10M; planted probe ids derive from
+    * max(vec_id)+1 at query time, so they stay clear of any stride). */
   val ReplicaStride = 10000000L
 
   private def withReplicas(df: DataFrame, replicas: Int): DataFrame =
@@ -61,24 +62,39 @@ object MakeScale {
     * cross-replica cosines ~random. Rotation is modular (round-18 fix:
     * a raw k-position rotate throws on negative slice lengths once
     * replicas exceed the embedding dimension — sf10 = 100 replicas vs
-    * dim 64), and each wrap generation (k div dim odd) NEGATES the
-    * vector: without the flip, replicas k and k+dim would carry
-    * IDENTICAL embeddings (cross-replica cosine +1 — every vector gains
-    * an exact twin and the ANN linearity fixture is poisoned); negation
-    * preserves the norm and |coordinate| multiset while pushing the
-    * wrap-pair cosine to −1, the far end of the similarity scale.
-    * Replicas 0..dim-1 are bit-identical to the pre-fix fixture. */
+    * dim 64), and each wrap GENERATION g = k div dim applies the
+    * Walsh sign pattern sign(p) = (−1)^popcount(p AND g) to the
+    * coordinates (round-19 fix: the round-18 whole-vector parity flip
+    * only disambiguated ADJACENT generations — replicas k and k+2·dim
+    * carried bit-identical embeddings, silently re-poisoning the ANN
+    * linearity fixture past 2·dim replicas). Walsh patterns are
+    * pairwise DISTINCT for g < dim (g1 ≠ g2 < dim ⇒ g1 XOR g2 has a
+    * set bit below dim, so some coordinate flips in one and not the
+    * other) and differ in half the coordinates, so same-rotation
+    * cross-generation cosines are signed sums near 0 — not the exact
+    * ±1 twins of clones/flips. Norm and |coordinate| multiset are
+    * preserved; replicas 0..dim-1 (generation 0: all-positive signs)
+    * are bit-identical to the previous fixtures. Beyond dim
+    * generations (replicas > dim², far past any rehearsal) patterns
+    * WOULD repeat — so that case fails loudly via raise_error instead
+    * of silently returning exact twins. */
   def scaleEmbeddings(df: DataFrame, replicas: Int): DataFrame = {
     val dim = size(col("embedding"))
     val rot = pmod(col("k"), dim)
     val rotated = concat(
       slice(col("embedding"), rot + 1, dim - rot),
       slice(col("embedding"), lit(1), rot))
+    val gen = floor(col("k") / dim).cast("int")
+    val signed = transform(rotated, (x, p) =>
+      when(bit_count(p.bitwiseAND(gen)) % 2 === 1, -x).otherwise(x))
     withReplicas(df, replicas)
       .select(
         (col("vec_id") + col("k") * ReplicaStride).as("vec_id"),
-        when(floor(col("k") / dim) % 2 === 1, transform(rotated, x => -x))
-          .otherwise(rotated).as("embedding"),
+        when(gen >= dim, raise_error(concat(
+          lit("scaleEmbeddings: replica "), col("k").cast("string"),
+          lit(" exceeds dim^2 at dim "), dim.cast("string"),
+          lit(" - Walsh sign generations would repeat and recreate exact twins"))))
+          .otherwise(signed).as("embedding"),
         col("label"))
   }
 

@@ -280,17 +280,19 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("n17: mutual-kNN clustering covers every vector and co-clusters planted twins") {
-    // plant near-identical twins: each (i, i+1000000) pair is mutually
+    // plant near-identical twins: each (i, base+i) pair is mutually
     // top-1, shares a cell, and MUST land in one cluster
-    val emb = Similarity.withVecProbes(Tables.embeddings(spark, sf))
+    val raw = Tables.embeddings(spark, sf)
+    val base = Similarity.probeBase(raw)
+    val emb = Similarity.withVecProbes(raw)
     val index = Similarity.buildIvfIndex(emb, nCells = 16)
     val labels = Similarity.mutualKnnClusters(index, k = 5, nProbe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     index.unpersist()
     assert(labels.size == emb.count(), "every vector surfaces exactly once")
     (0L until 10L).foreach { i =>
-      assert(labels(i) == labels(i + 1000000L),
-        s"planted twin $i split: ${labels(i)} vs ${labels(i + 1000000L)}")
+      assert(labels(i) == labels(base + i),
+        s"planted twin $i split: ${labels(i)} vs ${labels(base + i)}")
     }
     // labels are canonical min-ids: every cluster label is a member of
     // its own cluster and no label exceeds its members
@@ -327,12 +329,13 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("d5: embedding-cosine LSH dedup finds exactly the planted vector pairs") {
-    val index = Similarity.buildCosineIndex(
-      Similarity.withVecProbes(Tables.embeddings(spark, sf)))
+    val raw = Tables.embeddings(spark, sf)
+    val vBase = Similarity.probeBase(raw)
+    val index = Similarity.buildCosineIndex(Similarity.withVecProbes(raw))
     val pairs = Similarity.cosineDedupPairs(index, threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     index.unpersist()
-    val planted = (0L until 10L).map(i => (i, i + 1000000L)).toSet
+    val planted = (0L until 10L).map(i => (i, i + vBase)).toSet
     assert(pairs == planted,
       s"missing: ${planted -- pairs}; spurious: ${pairs -- planted}")
   }
@@ -460,18 +463,19 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
 
   test("n6: PQ encodes clones identically, ranks by ADC, and self-hits") {
     val emb = Tables.embeddings(spark, sf)
+    val base = Similarity.probeBase(emb)
     val index = Similarity.buildPqIndex(
       Similarity.withQueryClones(emb, queryVecId = 0L, n = 3))
     // Identical vectors must encode to identical code arrays — the
     // property n6b's reachability argument rests on.
     val codes = index.coded
-      .where(col("vec_id") === 0L || col("vec_id") >= 1000000L)
+      .where(col("vec_id") === 0L || col("vec_id") >= lit(base))
       .select(col("codes")).collect().map(_.getSeq[Int](0)).toSeq
     assert(codes.size == 4 && codes.distinct.size == 1,
       s"clones encoded differently: $codes")
     val pq = Similarity.pqTopK(index, 0L, 10).collect().map(_.getLong(0)).toSeq
     assert(pq.head == 0L) // exact rerank puts the self-hit first
-    assert((1000000L until 1000003L).forall(pq.contains), s"clones missing: $pq")
+    assert((base until base + 3L).forall(pq.contains), s"clones missing: $pq")
     // One index, many queries — no training in the query path.
     val pq2 = Similarity.pqTopK(index, 1L, 10).collect().map(_.getLong(0)).toSeq
     assert(pq2.head == 1L)
@@ -1358,7 +1362,8 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     // planted probes sit ~1e-4 from their base vector; each pair must
     // be reported IFF the blocking co-located it (the documented
     // recall tradeoff), and nothing natural reaches 0.9
-    val planted = (0L until 10L).map(i => (i, i + 1000000L))
+    val planted = (0L until 10L).map(i =>
+      (i, i + Similarity.probeBase(Tables.embeddings(spark, sf))))
     val coLocated = planted.filter(p => cellOf(p._1) == cellOf(p._2)).toSet
     assert(coLocated.nonEmpty, "fixture broke: no probe shares its base's cell")
     assert(pairs == coLocated,
@@ -1379,7 +1384,8 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(one.subsetOf(two), s"multi-probe lost pairs: ${one -- two}")
     // with 2 probes, every planted clone pair must surface: the probe
     // sits ~1e-4 from its base, so their top-2 cell SETS intersect
-    val planted = (0L until 10L).map(i => (i, i + 1000000L)).toSet
+    val planted = (0L until 10L).map(i =>
+      (i, i + Similarity.probeBase(Tables.embeddings(spark, sf)))).toSet
     assert(planted.subsetOf(two),
       s"missing planted pairs at 2 probes: ${planted -- two}")
   }

@@ -547,8 +547,9 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     // incremental index finds without rescanning the corpus.
     addChunk(src, vecs, "chunk1.parquet")
     Streams.incrementalVectorIndex(spark, src, index, pairsDir, ckpt)
+    val vBase = Similarity.probeBase(vecs)
     addChunk(src, Similarity.withVecProbes(vecs)
-      .where(col("vec_id") >= 1000000L), "chunk2.parquet")
+      .where(col("vec_id") >= lit(vBase)), "chunk2.parquet")
     Streams.incrementalVectorIndex(spark, src, index, pairsDir, ckpt)
     val incremental = spark.read.parquet(pairsDir)
       .select("vec_a", "vec_b").collect()
@@ -557,7 +558,7 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     val batch = Similarity.cosineDedupPairs(batchIndex, threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     batchIndex.unpersist()
-    val planted = (0L until 10L).map(i => (i, i + 1000000L)).toSet
+    val planted = (0L until 10L).map(i => (i, i + vBase)).toSet
     assert(planted.subsetOf(incremental),
       s"missing planted cross-batch pairs: ${planted -- incremental}")
     assert(incremental == batch,

@@ -45,9 +45,9 @@ class TestInventorySpec extends AnyFunSuite {
     "StreamingSpec" -> 29,
     "SyncSpec" -> 17,
     "TextSpec" -> 11,
-    "ToolsSpec" -> 6)
+    "ToolsSpec" -> 8)
 
-  private val propertyPin = 16 // PropertySpec (ScalaCheck Properties)
+  private val propertyPin = 18 // PropertySpec (ScalaCheck Properties)
 
   private def specFiles: Seq[String] = {
     val dir = new java.io.File("src/test/scala/graft")

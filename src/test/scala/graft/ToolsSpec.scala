@@ -132,4 +132,54 @@ class ToolsSpec extends AnyFunSuite with SparkSuite {
       (0 until d).foreach(i => assert(v(i) === s((i + k) % d)))
     }
   }
+
+  test("scaleEmbeddings: wrap generations stay distinct past 2*dim replicas") {
+    // dim = 4, 12 replicas = 3 wrap generations. The round-18 parity
+    // flip made replicas k and k+2*dim bit-identical (exact cosine-+1
+    // twins); the Walsh sign patterns are pairwise distinct per
+    // generation g < dim, so EVERY replica of a source vector must be
+    // distinct, while |coordinate| multiset and norm are preserved.
+    val out = MakeScale.scaleEmbeddings(embs, 12).cache()
+    assert(out.count() === 24)
+    val byOrig = out.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toVector))
+      .groupBy(_._1 % MakeScale.ReplicaStride)
+    val srcMap = embs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
+    byOrig.foreach { case (orig, reps) =>
+      assert(reps.length === 12)
+      // the round-18 failure mode: k and k+2*dim carried identical
+      // embeddings — now all 12 replicas are pairwise distinct
+      assert(reps.map(_._2).distinct.length === 12,
+        s"vec $orig has duplicate replica embeddings")
+      val srcAbs = srcMap(orig).map(math.abs).sorted
+      reps.foreach { case (_, v) =>
+        assert(v.map(math.abs).sorted === srcAbs,
+          s"vec $orig replica breaks the |coordinate| multiset")
+      }
+    }
+    // generation 0 (replicas 0..dim-1) is still sign-free: exact
+    // left-rotations of the source, bit-identical to the old fixture
+    byOrig.foreach { case (orig, reps) =>
+      val s = srcMap(orig)
+      reps.filter(_._1 / MakeScale.ReplicaStride < 4).foreach { case (id, v) =>
+        val k = (id / MakeScale.ReplicaStride).toInt
+        (0 until 4).foreach(i => assert(v(i) === s((i + k) % 4)))
+      }
+    }
+  }
+
+  test("scaleEmbeddings: replicas past dim^2 fail loudly, not as silent twins") {
+    // dim = 4 -> at most dim^2 = 16 replicas carry distinct sign
+    // generations; replica 16 (generation 4) must raise, where the
+    // pre-round-19 code silently reused generation-0 signs.
+    val ex = intercept[Exception] {
+      MakeScale.scaleEmbeddings(embs, 17).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("Walsh sign generations"))),
+      s"expected the scaleEmbeddings raise_error, got: $ex")
+  }
 }
