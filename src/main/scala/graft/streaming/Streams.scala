@@ -537,7 +537,15 @@ object Streams {
         val s = batch.sparkSession
         val newToks = Dedup.prefixTokens(batch).persist()
         val newIds = newToks.select("doc_id")
+        // The frozen order model is corpus-vocabulary-sized; the batch
+        // only consults the rows its own grams hit, so semi-join-prune
+        // it to the batch's token set BEFORE the prefix derivation's
+        // left join (semantically identity: grams absent from `freq`
+        // read cnt 0 whether the row was never frozen or pruned here) —
+        // otherwise every micro-batch shuffles the full vocabulary.
         val frozen = s.read.parquet(s"$indexPath/freq")
+          .join(newToks.select(explode(col("tk")).as("token")).distinct(),
+            Seq("token"), "left_semi")
         val newPfx = Dedup.prefixRows(newToks, frozen, tNum, tDen).persist()
         // LWW within the join, in TWO layers: (a) the stored read
         // itself resolves to each doc's LATEST stored revision (a doc

@@ -311,12 +311,20 @@ object PropertySpec extends Properties("graft.scalars") {
   // The same rule evaluated by the ENGINE's Column logic: random pair
   // rows and winners frames through Dedup.lwwPairFilter itself, so the
   // Scala mirror above cannot drift from the Spark implementation.
+  // Config MUST mirror SparkSuite's builder exactly: suites share one
+  // JVM and getOrCreate returns whichever session was built first, so
+  // a drifting config here (e.g. the default ./spark-warehouse instead
+  // of the tmp dir) would silently reconfigure every catalog-using
+  // suite that runs after this object.
   private lazy val lwwSpark: org.apache.spark.sql.SparkSession =
     org.apache.spark.sql.SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
 
   private val lwwStoreGen: Gen[(List[(Int, Int)], List[(Int, Int, Int)])] =
