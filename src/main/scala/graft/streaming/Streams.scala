@@ -242,11 +242,19 @@ object Streams {
           .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
             greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
           .distinct()
+          .persist()
+        // Verify gathers touch only candidate PARTICIPANTS (the round-19
+        // incrementalPrefixJoin rule): an inner-join no-op semantically,
+        // but the signature gather's join side is bounded at candidate
+        // occupancy instead of the whole accumulated index.
+        val candIds = cand.select(col("doc_a").as("doc_id"))
+          .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
         val allSh = oldSh.unionByName(newSh)
+          .join(candIds, Seq("doc_id"), "left_semi")
         Dedup.verifyJaccard(cand, allSh, threshold)
           .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
         newSh.write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
-        newSh.unpersist()
+        newSh.unpersist(); cand.unpersist()
         ()
       }
       .start()
@@ -302,10 +310,16 @@ object Streams {
           .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
             greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
           .distinct()
-        Dedup.verifyHamming(cand, oldSims.unionByName(newSims), maxHamming)
+          .persist()
+        // Candidate-participant prune (see incrementalMinhashIndex).
+        val candIds = cand.select(col("doc_a").as("doc_id"))
+          .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+        Dedup.verifyHamming(cand,
+          oldSims.unionByName(newSims).join(candIds, Seq("doc_id"), "left_semi"),
+          maxHamming)
           .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
         newSims.write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
-        newSims.unpersist()
+        newSims.unpersist(); cand.unpersist()
         ()
       }
       .start()
@@ -432,10 +446,16 @@ object Streams {
           .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
             greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"))
           .distinct()
-        Similarity.verifyCosine(cand, oldQ.unionByName(newQ), threshold)
+          .persist()
+        // Candidate-participant prune (see incrementalMinhashIndex).
+        val candIds = cand.select(col("vec_a").as("vec_id"))
+          .unionByName(cand.select(col("vec_b").as("vec_id"))).distinct()
+        Similarity.verifyCosine(cand,
+          oldQ.unionByName(newQ).join(candIds, Seq("vec_id"), "left_semi"),
+          threshold)
           .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
         newQ.write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
-        newQ.unpersist()
+        newQ.unpersist(); cand.unpersist()
         ()
       }
       .start()
