@@ -2006,11 +2006,12 @@ object DedupQueries extends graft.QueryModule {
       val p = s"$incrPrefixRoot/${dirTag(dd)}-redeliver"
       val docs = Tables.documents(s, dd).where(col("doc_id") < 2000)
         .select(col("doc_id"), col("text"))
-      val xy = Dedup.prefixJaccardJoin(docs)
+      val chooser = Dedup.buildPrefixJaccardIndex(docs)
+      val xy = Dedup.prefixJaccardPairs(chooser)
         .where(col("doc_a") >= 250 && col("doc_a") < 375 && col("doc_b") >= 450)
         .orderBy(col("doc_a"), col("doc_b")).limit(1)
         .collect().headOption.map(r => (r.getLong(0), r.getLong(1)))
-      s.catalog.clearCache() // release the chooser join's token frame
+      chooser.unpersist() // the handle releases exactly the chooser's frame
       val (xId, staleSrc) = xy.getOrElse((300L, 260L))
       Dedup.writePrefixIndex(docs.where(col("doc_id") < 250), s"$p/idx")
       val staleX = docs.where(col("doc_id") === staleSrc)
