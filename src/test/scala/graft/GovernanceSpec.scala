@@ -561,11 +561,16 @@ class GovernanceSpec extends AnyFunSuite with SparkSuite {
 
     val ids = Seq(7L, 1000007L).toDF("purge_id")
     Governance.purgeStoredPrefixIndex(spark, s"$root/live", s"$root/purged", ids)
-    // 1. the content tables hold no trace of the purged ids
+    // 1. the content tables hold no trace of the purged ids — including
+    // the ids delivery sidecar, whose survivors would keep a winners-
+    // frame row alive for a document with no token rows (r19)
     val purgedToks = spark.read.parquet(s"$root/purged/toks")
     val purgedPfx = spark.read.parquet(s"$root/purged/pfx")
+    val purgedIdsDir = spark.read.parquet(s"$root/purged/ids")
     assert(purgedToks.where(col("doc_id").isin(7L, 1000007L)).count() == 0)
     assert(purgedPfx.where(col("doc_id").isin(7L, 1000007L)).count() == 0)
+    assert(purgedIdsDir.where(col("doc_id").isin(7L, 1000007L)).count() == 0,
+      "purge missed the ids delivery sidecar")
     // 2. no pair cites a purged id on EITHER side
     val purgedPairs = Dedup.readPrefixJoinPairs(spark, s"$root/purged").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -1361,4 +1361,44 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       case (a, b, _) => a == 3000L || b == 3000L })
     spark.catalog.clearCache()
   }
+
+  test("prefix store WITHOUT the ids sidecar: LWW read falls back, the maintainer backfills once (pre-r19 store compat)") {
+    import graft.operators.Dedup
+    val src = tmp("graft_pfxleg_src")
+    val idx = tmp("graft_pfxleg_root") + "/idx"
+    val ckpt = tmp("graft_pfxleg_ckpt")
+    val docs = Tables.documents(spark, sf).where(col("doc_id") < 120)
+      .select(col("doc_id"), col("text"))
+    Dedup.writePrefixIndex(docs.where(col("doc_id") < 60), idx)
+    // simulate a store written before the sidecar existed
+    val idsPath = new org.apache.hadoop.fs.Path(s"$idx/ids")
+    val fs = idsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(idsPath), "writePrefixIndex should write the sidecar")
+    fs.delete(idsPath, true)
+    // the read-time LWW view serves through the token-directory
+    // fallback — the identity on an append-only store
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairSet(Dedup.readPrefixJoinPairsLww(spark, idx)) ==
+      pairSet(Dedup.readPrefixJoinPairs(spark, idx)),
+      "fallback LWW read must be the identity on an append-only legacy store")
+    // first maintainer touch BACKFILLS the sidecar (one winners pass,
+    // paid once), then the batch joins exactly as on a new store
+    util.Chunks.add(docs.where(col("doc_id") >= 60), src, "c1.parquet")
+    Streams.incrementalPrefixJoin(spark, src, idx, ckpt)
+    assert(fs.exists(idsPath), "maintainer must backfill the ids sidecar")
+    // winners cover base docs (backfilled at batch_id=-1) AND the batch
+    val winners = spark.read.parquet(s"$idx/ids")
+    assert(winners.where(col("batch_id") === -1).count() ==
+      Dedup.prefixTokens(docs.where(col("doc_id") < 60)).count(),
+      "backfill must cover every base doc at its winning batch")
+    assert(winners.select("doc_id").distinct().count() ==
+      Dedup.prefixTokens(docs).count(),
+      "winners must cover base and batch docs exactly once each")
+    // accumulated pairs equal the one-shot batch join of the corpus
+    assert(pairSet(Dedup.readPrefixJoinPairs(spark, idx)) ==
+      pairSet(Dedup.prefixJaccardJoin(docs)),
+      "legacy-store increment must equal the one-shot batch join")
+    spark.catalog.clearCache()
+  }
 }

@@ -42,7 +42,7 @@ class TestInventorySpec extends AnyFunSuite {
     "ResultCacheSpec" -> 2,
     "ScaleOpsSpec" -> 7,
     "SchemaEvolutionSpec" -> 5,
-    "StreamingSpec" -> 29,
+    "StreamingSpec" -> 30,
     "SyncSpec" -> 17,
     "TextSpec" -> 11,
     "ToolsSpec" -> 8)
