@@ -768,4 +768,21 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"d34 verify gather degraded to a sort-merge join:\n$p")
     spark.catalog.clearCache()
   }
+
+  test("d34 winners frame reads the ids sidecar, never the token directory") {
+    // The O(deliveries) contract of Dedup.prefixWinners (round 19): a
+    // revert to aggregating the token directory would hold the bound
+    // only by the grace of parquet column pruning — this pins the
+    // sidecar as the scanned source whenever it exists.
+    import org.apache.spark.sql.functions.col
+    val idx = util.TmpRoot("pfxwinplan") + "/idx"
+    operators.Dedup.writePrefixIndex(
+      Tables.documents(spark, sf).where(col("doc_id") < 40)
+        .select(col("doc_id"), col("text")), idx)
+    val p = operators.Dedup.prefixWinners(spark, idx)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("/ids"), s"winners not reading the ids sidecar:\n$p")
+    assert(!p.contains("/toks"), s"winners reading the token directory:\n$p")
+    spark.catalog.clearCache()
+  }
 }

@@ -37,7 +37,7 @@ class TestInventorySpec extends AnyFunSuite {
     "InferenceSpec" -> 4,
     "NativeExprSpec" -> 10,
     "PipelineSpec" -> 71,
-    "PlanSpec" -> 41,
+    "PlanSpec" -> 42,
     "RebalanceSpec" -> 4,
     "ResultCacheSpec" -> 2,
     "ScaleOpsSpec" -> 7,
