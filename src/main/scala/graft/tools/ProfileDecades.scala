@@ -208,9 +208,16 @@ object ProfileDecades {
     // so the batch content AND its candidate volume are constant
     // across corpus scales; what varies with the corpus is exactly the
     // per-batch overhead under test (winners frame, stored-side scans,
-    // verify gather build). Each run delivers fresh ids so no run is a
-    // re-delivery of the last.
-    var d34iRun = 0
+    // verify gather build). The id shift is DERIVED FROM THE STORE
+    // (max stored doc_id + 1, re-read per run so run k clears run
+    // k-1's deliveries) — the round-19 advice: a constant 50M stride
+    // collides with MakeScale's 10M ReplicaStride, so at sf1+ the
+    // "fresh" batches were silent RE-DELIVERIES of replica ids
+    // (supersede-path work, store mutation, cross-run J=1.0 pairs) and
+    // the timed numbers measured contaminated batches. The freshness
+    // premise is ASSERTED per run, not assumed; the two probe aggs
+    // read the O(deliveries) two-column ids sidecar — milliseconds
+    // against a multi-second batch.
     val tD34i = if (!wanted("d34i_batch")) -1.0 else {
       val store = s"$root/d34i"
       graft.operators.Dedup.writePrefixIndex(
@@ -219,12 +226,18 @@ object ProfileDecades {
         .orderBy("doc_id").limit(500).cache()
       val n = batch500.count()
       System.err.println(s"DECADES d34i_batch batch_docs=$n")
+      var d34iRun = 0
       timed("d34i_batch") {
         d34iRun += 1
-        graft.util.Chunks.add(
-          batch500.select((col("doc_id") + 50000000L * d34iRun).as("doc_id"),
-            col("text")),
-          s"$store/src$d34iRun", "b.parquet")
+        val shift = spark.read.parquet(s"$store/idx/ids")
+          .agg(max(col("doc_id"))).head().getLong(0) + 1L
+        val b = batch500.select((col("doc_id") + shift).as("doc_id"), col("text"))
+        val redelivered = spark.read.parquet(s"$store/idx/ids")
+          .join(b.select("doc_id"), Seq("doc_id"), "left_semi").count()
+        require(redelivered == 0L,
+          s"d34i_batch run $d34iRun: $redelivered batch ids already stored — " +
+            "the fresh-ids premise is broken, timing would measure re-deliveries")
+        graft.util.Chunks.add(b, s"$store/src$d34iRun", "b.parquet")
         graft.streaming.Streams.incrementalPrefixJoin(
           spark, s"$store/src$d34iRun", s"$store/idx", s"$store/ckpt$d34iRun")
       }
