@@ -281,12 +281,100 @@ object Dedup {
     * max batch defines each doc's winning delivery. Package-visible so
     * PropertySpec can pin the rule over generated re-delivery
     * schedules. */
-  private[graft] def lwwPairFilter(pairs: DataFrame, last: DataFrame): DataFrame = {
+  private[graft] def lwwPairFilter(pairs: DataFrame, last: DataFrame): DataFrame =
+    lwwPairFilterOn(pairs, last, "doc_a", "doc_b")
+
+  /** The SAME batch_id-LWW pair rule, generic over the pair-key column
+    * names — one implementation serves the prefix store (doc_a/doc_b),
+    * the MinHash/SimHash pair stores (doc_a/doc_b), and the vector pair
+    * store (vec_a/vec_b), so the rule cannot drift between families.
+    * `last` is an (id, last_b) winners frame keyed by the SAME id space
+    * as the pair columns. Output keeps the la/lb helper columns (the
+    * [[lwwPairFilter]] contract PropertySpec pins); callers project
+    * them away. */
+  private[graft] def lwwPairFilterOn(pairs: DataFrame, last: DataFrame,
+                                     aCol: String, bCol: String): DataFrame = {
+    val idCol = last.columns.head // "doc_id" (prefix store) or "id" (generic)
     pairs
-      .join(last.select(col("doc_id").as("doc_a"), col("last_b").as("la")), Seq("doc_a"))
-      .join(last.select(col("doc_id").as("doc_b"), col("last_b").as("lb")), Seq("doc_b"))
+      .join(last.select(col(idCol).as(aCol), col("last_b").as("la")), Seq(aCol))
+      .join(last.select(col(idCol).as(bCol), col("last_b").as("lb")), Seq(bCol))
       .where(col("batch_id") >= col("la") && col("batch_id") >= col("lb"))
   }
+
+  /** The (id, last_b) WINNERS frame of a batchId-scoped incremental
+    * SIGNATURE index (the MinHash/SimHash/vector maintainers' `indexDir`
+    * layout): each id's winning (max-batch_id) delivery. These indexes
+    * hold exactly ONE row per id per delivery — the index IS its own
+    * delivery sidecar, so this partial agg is O(deliveries) two-column
+    * rows by construction, the same contract [[prefixWinners]] gets from
+    * the d34 store's `ids` sidecar with no extra artifact needed. */
+  private[graft] def incrementalWinners(spark: SparkSession, indexDir: String,
+                                        idCol: String = "doc_id"): DataFrame =
+    spark.read.parquet(indexDir)
+      .groupBy(col(idCol).as("id")).agg(max(col("batch_id")).as("last_b"))
+
+  /** Compact a batchId-scoped incremental PAIRS directory to its
+    * CURRENT-REVISION view — [[compactPrefixIndex]]'s pair rule applied
+    * to the MinHash/SimHash/vector pair stores: a pair row is current
+    * iff it was recorded at-or-after BOTH endpoints' winning deliveries
+    * (the maintainers re-join a re-delivered id's new revision against
+    * everything seen, so the surviving set equals the one-shot batch
+    * join of the final corpus, at most one row per pair). Tombstoned
+    * ids drop pairs citing them on EITHER side (the g7 rule). Writes
+    * the batch_id=-1 layout so the compacted directory remains a valid
+    * base for further incremental batches. Scale shape: one
+    * O(deliveries) winners partial-agg + id-keyed joins — never a
+    * corpus-content scan (signatures/pairs only, no text). */
+  private[graft] def compactIncrementalPairs(spark: SparkSession,
+                                             indexDir: String, pairsDir: String,
+                                             outPath: String,
+                                             aCol: String, bCol: String,
+                                             idCol: String,
+                                             tombstonePath: Option[String]): Unit = {
+    val last = incrementalWinners(spark, indexDir, idCol)
+    val kept = lwwPairFilterOn(spark.read.parquet(pairsDir), last, aCol, bCol)
+      .drop("la", "lb", "batch_id")
+    Governance.tombstoneFiltered(spark,
+      Governance.tombstoneFiltered(spark, kept, tombstonePath, idCol = aCol),
+      tombstonePath, idCol = bCol)
+      .write.mode("overwrite").parquet(s"$outPath/batch_id=-1")
+  }
+
+  /** Serve the CURRENT-REVISION pairs of an incremental MinHash store
+    * WITHOUT rewriting it — the [[readPrefixJoinPairsLww]] convention
+    * (lifecycle contract #3: a store must serve correctly before any
+    * compaction has ever run) applied to the
+    * [[graft.streaming.Streams.incrementalMinhashIndex]] layout. For an
+    * append-only id stream the filter is the identity. */
+  def readIncrementalMinhashPairsLww(spark: SparkSession, indexDir: String,
+                                     pairsDir: String): DataFrame =
+    lwwPairFilterOn(spark.read.parquet(pairsDir),
+      incrementalWinners(spark, indexDir), "doc_a", "doc_b")
+      .select("doc_a", "doc_b", "jaccard")
+
+  /** [[readIncrementalMinhashPairsLww]]'s SimHash twin (hamming pairs). */
+  def readIncrementalSimhashPairsLww(spark: SparkSession, indexDir: String,
+                                     pairsDir: String): DataFrame =
+    lwwPairFilterOn(spark.read.parquet(pairsDir),
+      incrementalWinners(spark, indexDir), "doc_a", "doc_b")
+      .select("doc_a", "doc_b", "hamming")
+
+  /** Compact an incremental MinHash PAIR store (tombstone-aware). The
+    * signature side compacts separately via [[compactMinhashIndex]];
+    * together they are the full "maintain → compact → serve → purge"
+    * lifecycle the d34 store has (compactPrefixIndex). */
+  def compactMinhashPairs(spark: SparkSession, indexDir: String,
+                          pairsDir: String, outPath: String,
+                          tombstonePath: Option[String] = None): Unit =
+    compactIncrementalPairs(spark, indexDir, pairsDir, outPath,
+      "doc_a", "doc_b", "doc_id", tombstonePath)
+
+  /** [[compactMinhashPairs]]'s SimHash twin. */
+  def compactSimhashPairs(spark: SparkSession, indexDir: String,
+                          pairsDir: String, outPath: String,
+                          tombstonePath: Option[String] = None): Unit =
+    compactIncrementalPairs(spark, indexDir, pairsDir, outPath,
+      "doc_a", "doc_b", "doc_id", tombstonePath)
 
   /** Compact a prefix-join store to its CURRENT-REVISION view — the
     * batch_id-LWW re-delivery contract every other served index family
@@ -1624,6 +1712,86 @@ object Dedup {
     * the resolved frame — so a purged doc RE-DELIVERED by a later
     * micro-batch (where LWW would otherwise crown the re-delivery as
     * the winning revision) stays suppressed through every compaction. */
+  /** ONE micro-batch of incremental MinHash maintenance — the pure
+    * plan [[graft.streaming.Streams.incrementalMinhashIndex]] executes
+    * per batch, factored out so PlanSpec can pin its shape and so the
+    * streaming body cannot drift from the spec'd logic. `storedRaw` is
+    * the accumulated (doc_id, sh, sig, batch_id) index read (batch_id
+    * from partition discovery; empty-with-schema before the first
+    * batch).
+    *
+    * Two-layer LWW stored read (the round-19 incrementalPrefixJoin
+    * rule, extended to this family this round): (a) the stored side
+    * resolves to each doc's LATEST revision — without it, a pair found
+    * AFTER a re-delivery would verify against both of the re-delivered
+    * doc's signature rows and emit one row per revision, both carrying
+    * the later batch's id, which no downstream LWW rule can repair;
+    * (b) stored rows of ids re-delivered IN THIS BATCH are superseded
+    * by the batch's own revision (anti-join), so verification sees at
+    * most one signature per doc. The winners resolution is an
+    * O(deliveries) partial agg — the index holds one row per doc per
+    * delivery, so it is its own delivery sidecar ([[incrementalWinners]]).
+    *
+    * Then the standing shape: historical band scan semi-join-pruned to
+    * the bands the batch touches; candidates = new-vs-(current ∪ new)
+    * band collisions; verify gathers semi-join-pruned to candidate
+    * PARTICIPANTS so the hash build side is bounded at candidate
+    * occupancy, never the accumulated index. */
+  private[graft] def minhashIncrementalBatch(newSh: DataFrame,
+                                             storedRaw: DataFrame,
+                                             threshold: Double): DataFrame = {
+    val newIds = newSh.select("doc_id")
+    val winners = storedRaw.groupBy("doc_id").agg(max(col("batch_id")).as("last_b"))
+    val oldSh = storedRaw
+      .join(winners, Seq("doc_id"))
+      .where(col("batch_id") === col("last_b"))
+      .select("doc_id", "sh", "sig")
+      .join(newIds, Seq("doc_id"), "left_anti")
+    val newBand = bandedOf(newSh)
+    val oldBandPruned = bandedOf(oldSh)
+      .join(newBand.select("band").distinct(), Seq("band"), "left_semi")
+    val cand = newBand.as("a")
+      .join(oldBandPruned.unionByName(newBand).as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+    verifyJaccard(cand,
+      oldSh.unionByName(newSh).join(candIds, Seq("doc_id"), "left_semi"),
+      threshold)
+  }
+
+  /** [[minhashIncrementalBatch]]'s SimHash twin: same two-layer LWW
+    * stored read, band prune, and candidate-participant verify prune
+    * over the (doc_id, sim, batch_id) fingerprint store. */
+  private[graft] def simhashIncrementalBatch(newSims: DataFrame,
+                                             storedRaw: DataFrame,
+                                             maxHamming: Int): DataFrame = {
+    val newIds = newSims.select("doc_id")
+    val winners = storedRaw.groupBy("doc_id").agg(max(col("batch_id")).as("last_b"))
+    val oldSims = storedRaw
+      .join(winners, Seq("doc_id"))
+      .where(col("batch_id") === col("last_b"))
+      .select("doc_id", "sim")
+      .join(newIds, Seq("doc_id"), "left_anti")
+    val newBand = simhashBanded(newSims)
+    val oldBandPruned = simhashBanded(oldSims)
+      .join(newBand.select("band").distinct(), Seq("band"), "left_semi")
+    val cand = newBand.as("a")
+      .join(oldBandPruned.unionByName(newBand).as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+    verifyHamming(cand,
+      oldSims.unionByName(newSims).join(candIds, Seq("doc_id"), "left_semi"),
+      maxHamming)
+  }
+
   def compactMinhashIndex(spark: SparkSession, incrementalDir: String,
                           outPath: String, nBuckets: Int = 64,
                           tombstonePath: Option[String] = None): Unit = {
@@ -1929,10 +2097,13 @@ object DedupQueries extends graft.QueryModule {
 
   /** d3's full-corpus oracle: recompute every SimHash fingerprint —
     * FNV-1a token hashes, occurrence-weighted votes, 4×16-bit bands,
-    * Hamming ≤ 3 over band collisions. */
-  private lazy val d3OracleSql: String = {
+    * Hamming ≤ 3 over band collisions. Parameterized by the corpus SQL
+    * so d3 (near-probe corpus) and the d3c/d3d/g9 lifecycle gates (the
+    * re-delivery corpus and its takedown complement) replay the ONE
+    * chain. */
+  private def simhashPairsOracleSql(corpusSql: String): String = {
     val one = "CAST(1 AS HUGEINT)"
-    s"""WITH docs AS ($nearProbesSql),
+    s"""WITH docs AS ($corpusSql),
        |toks AS (
        |  SELECT doc_id, tok, count(*) AS cnt FROM (
        |    SELECT doc_id, unnest(string_split($normTextSql, ' ')) AS tok
@@ -1962,6 +2133,8 @@ object DedupQueries extends graft.QueryModule {
        |WHERE bit_count(xor(CAST(ua AS UBIGINT), CAST(ub AS UBIGINT))) <= 3""".stripMargin
   }
 
+  private lazy val d3OracleSql: String = simhashPairsOracleSql(nearProbesSql)
+
   private lazy val idxRoot: String = graft.util.TmpRoot("mh-idx")
   private val mhWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1974,6 +2147,157 @@ object DedupQueries extends graft.QueryModule {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val prefixRedeliverWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val incrRedeliverRoot: String = graft.util.TmpRoot("incr-redeliver")
+  private val mhRedeliverWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val shRedeliverWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  // --- MinHash / SimHash re-delivery lifecycle fixtures (d2c/d2d/g8,
+  // --- d3c/d3d/g9 — round-20: the d34c/d34d/g7 trio extended to the
+  // --- remaining incremental-maintainer families) ---------------------
+  //
+  // Shared delivery plan over the corpus `documents WHERE doc_id < 400`
+  // (sf0.01's 500 docs and up — the d34 range discipline): c1 delivers
+  // [0,150) with one doc X carrying a STALE revision, c2 RE-DELIVERS
+  // X's true text alongside [150,275), c3 delivers [275,400) AFTER the
+  // re-delivery — so c3's new-vs-seen join reads a store holding BOTH
+  // of X's revisions (the round-18 d34 hardening, now pinned for these
+  // families too). X is chosen FROM THE DATA as a c1-range doc whose
+  // true text pairs with a c3-range doc P, and the stale revision is
+  // P's text: at c3 BOTH of X's revisions pass the threshold against P
+  // (stale ≡ text(P) at J=1.0 / Hamming 0; true at the natural value),
+  // the one configuration where a maintainer that fails to LWW-resolve
+  // its stored read emits (X, P) once per revision, both rows carrying
+  // c3's batch id — unrepairable downstream. Fallback when no natural
+  // pair exists (common for SimHash's Hamming ≤ 3 on random text): the
+  // first non-degenerate ids of the two ranges — the stale revision
+  // then makes a maintainer without the LWW read emit a SPURIOUS
+  // J=1.0 / Hamming-0 (X, P) row at c3 that the oracle does not have.
+  //
+  // A planted partner at doc id max(doc_id)+1 (the n44 derived-id
+  // rule) guarantees a PRE-re-delivery stale pair on every corpus: it
+  // delivers in c1 with the SAME stale text (so (X, plant) lands in
+  // c1's pairs at J=1.0 / Hamming 0 — self-checked by a require), then
+  // re-delivers in c2 as a verbatim clone of doc 0 — statically
+  // replayable in the oracle corpus, unlike anything keyed on the
+  // data-chosen X/P. Layer (b) of the LWW read is value-exercised at
+  // c2: X's true revision collides with the plant's stored stale copy
+  // of text(P) whenever (X, P) is a real pair, so without the
+  // supersession the verify would emit (X, plant) once per revision.
+  // Final corpus = documents < 400 (true texts) ∪ {plant ≡ text(0)};
+  // the oracles replay exactly that, so one surviving stale pair, one
+  // duplicated post-re-delivery pair, or one pair lost to over-eager
+  // supersession fails the hash. g8/g9 additionally tombstone the
+  // plant and serve the PURGED compaction — their oracle is the chain
+  // over documents < 400 alone, non-vacuous because the (0, plant)
+  // clone pair would otherwise serve.
+  private[operators] lazy val mhRedeliverCorpusSql: String =
+    """SELECT doc_id, text FROM documents WHERE doc_id < 400
+      |UNION ALL
+      |SELECT (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
+      |FROM documents WHERE doc_id = 0""".stripMargin
+  private[operators] lazy val mhRedeliverOracleSql: String =
+    minhashPairsOracleSql(mhRedeliverCorpusSql, maxOcc = None)
+  private[operators] lazy val g8MinhashPurgeOracleSql: String =
+    minhashPairsOracleSql(
+      "SELECT doc_id, text FROM documents WHERE doc_id < 400", maxOcc = None)
+  private[operators] lazy val shRedeliverOracleSql: String =
+    simhashPairsOracleSql(mhRedeliverCorpusSql)
+  private[operators] lazy val g9SimhashPurgeOracleSql: String =
+    simhashPairsOracleSql(
+      "SELECT doc_id, text FROM documents WHERE doc_id < 400")
+
+  /** Build-once (per JVM × data dir) re-delivery store + compacted +
+    * purged copies for one family; `deliver` runs the family's
+    * streaming maintainer over the staged chunk. Returns the root. */
+  private def redeliverFamilyStore(s: org.apache.spark.sql.SparkSession,
+                                   d: String, tag: String,
+                                   chooseXp: DataFrame => Option[(Long, Long)],
+                                   deliver: String => Unit,
+                                   compact: (String, String, Option[String]) => Unit,
+                                   requireStalePair: (String, Long, Long) => Unit): String = {
+    val p = s"$incrRedeliverRoot/${dirTag(d)}-$tag"
+    val docs = Tables.documents(s, d).where(col("doc_id") < 400)
+      .select(col("doc_id"), col("text"))
+    val (xId, pId) = chooseXp(docs).getOrElse {
+      def firstId(cond: Column) = docs
+        .where(cond && length(normText(col("text"))) > 0)
+        .agg(min(col("doc_id"))).head().getLong(0)
+      (firstId(col("doc_id") < 150), firstId(col("doc_id") >= 275))
+    }
+    val plantId = Tables.documents(s, d)
+      .agg(max(col("doc_id"))).head().getLong(0) + 1L
+    def asId(srcId: Long, newId: Long): DataFrame =
+      docs.where(col("doc_id") === srcId)
+        .select(lit(newId).as("doc_id"), col("text"))
+    def addAndRun(df: DataFrame, name: String): Unit = {
+      graft.util.Chunks.add(df, s"$p/src", name)
+      deliver(p)
+    }
+    addAndRun(docs.where(col("doc_id") < 150 && col("doc_id") =!= xId)
+      .unionByName(asId(pId, xId))       // X's STALE revision = P's text
+      .unionByName(asId(pId, plantId)),  // plant: guaranteed c1 stale pair
+      "c1.parquet")
+    requireStalePair(p, math.min(xId, plantId), math.max(xId, plantId))
+    addAndRun(docs.where(col("doc_id") >= 150 && col("doc_id") < 275)
+      .unionByName(docs.where(col("doc_id") === xId)) // X re-delivered TRUE
+      .unionByName(asId(0L, plantId)),   // plant re-delivered ≡ text(0)
+      "c2.parquet")
+    addAndRun(docs.where(col("doc_id") >= 275), "c3.parquet")
+    Governance.recordTombstones(s, s"$p/tomb",
+      s.range(1).select(lit(plantId).as("purge_id")))
+    compact(p, s"$p/compacted", None)
+    compact(p, s"$p/purged", Some(s"$p/tomb"))
+    p
+  }
+
+  private[operators] def minhashRedeliverStore(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    mhRedeliverWritten.computeIfAbsent(d, dd =>
+      redeliverFamilyStore(s, dd, "mh",
+        chooseXp = docs => {
+          val ix = Dedup.buildMinhashIndex(docs)
+          val xp = Dedup.minhashPairs(ix, threshold = 0.5)
+            .where(col("doc_a") < 150 && col("doc_b") >= 275)
+            .orderBy(col("doc_a"), col("doc_b")).limit(1)
+            .collect().headOption.map(r => (r.getLong(0), r.getLong(1)))
+          ix.unpersist()
+          xp
+        },
+        deliver = p => graft.streaming.Streams.incrementalMinhashIndex(
+          s, s"$p/src", s"$p/idx", s"$p/pairs", s"$p/ckpt", threshold = 0.5),
+        compact = (p, out, tomb) =>
+          Dedup.compactMinhashPairs(s, s"$p/idx", s"$p/pairs",
+            out, tombstonePath = tomb),
+        requireStalePair = (p, a, b) =>
+          require(s.read.parquet(s"$p/pairs")
+            .where(col("doc_a") === a && col("doc_b") === b).count() >= 1,
+            s"minhashRedeliverStore: planted stale pair ($a, $b) missing from c1 pairs")))
+
+  private[operators] def simhashRedeliverStore(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    shRedeliverWritten.computeIfAbsent(d, dd =>
+      redeliverFamilyStore(s, dd, "sh",
+        chooseXp = docs => {
+          val ix = Dedup.buildSimhashIndex(docs)
+          val xp = Dedup.simhashPairs(ix, maxHamming = 3)
+            .where(col("doc_a") < 150 && col("doc_b") >= 275)
+            .orderBy(col("doc_a"), col("doc_b")).limit(1)
+            .collect().headOption.map(r => (r.getLong(0), r.getLong(1)))
+          ix.unpersist()
+          xp
+        },
+        deliver = p => graft.streaming.Streams.incrementalSimhashIndex(
+          s, s"$p/src", s"$p/idx", s"$p/pairs", s"$p/ckpt", maxHamming = 3),
+        compact = (p, out, tomb) =>
+          Dedup.compactSimhashPairs(s, s"$p/idx", s"$p/pairs",
+            out, tombstonePath = tomb),
+        requireStalePair = (p, a, b) =>
+          require(s.read.parquet(s"$p/pairs")
+            .where(col("doc_a") === a && col("doc_b") === b
+              && col("hamming") === 0).count() >= 1,
+            s"simhashRedeliverStore: planted stale pair ($a, $b) missing from c1 pairs")))
 
   /** The shared d34c/d34d RE-DELIVERY store: base < 250 (frozen
     * order), c1 delivers [250,375) with one doc X carrying a STALE
@@ -3146,6 +3470,47 @@ object DedupQueries extends graft.QueryModule {
     // one of them while keeping the current join intact.
     graft.QueryDef("d34d_prefix_join_lww_read", Some(d34OracleSql))((s, d) => {
       Dedup.readPrefixJoinPairsLww(s, s"${redeliverStore(s, d)}/idx")
+    }),
+
+    // D2c — the incremental MINHASH store under RE-DELIVERY, served
+    // through compaction (round-20: the d34c gate's pattern extended to
+    // the MinHash maintainer — see the fixture comment above
+    // minhashRedeliverStore for the delivery plan, the data-chosen
+    // stale revision, and the planted pre-re-delivery stale pair). The
+    // compacted pairs must equal the FULL MinHash replay (shingles →
+    // xxhash64 → 32-slot signatures → 8-band collisions → exact
+    // Jaccard ≥ 0.5) over the TRUE final corpus — which contains no
+    // trace of the stale revision, so one surviving stale pair, one
+    // duplicated post-re-delivery pair, or one pair lost to over-eager
+    // supersession fails the hash.
+    graft.QueryDef("d2c_minhash_redelivery", Some(mhRedeliverOracleSql))((s, d) =>
+      s.read.parquet(s"${minhashRedeliverStore(s, d)}/compacted")
+        .select("doc_a", "doc_b", "jaccard")),
+
+    // D2d — the SAME re-delivery store served WITHOUT compaction
+    // through Dedup.readIncrementalMinhashPairsLww: the batch_id-LWW
+    // pair rule applied at read time (lifecycle contract #3 — the
+    // store must serve correctly before any compaction has ever run).
+    // The raw directories still CONTAIN the stale revision's pairs
+    // (the audit trail); the serving view must filter every one while
+    // keeping the current join intact.
+    graft.QueryDef("d2d_minhash_lww_read", Some(mhRedeliverOracleSql))((s, d) => {
+      val p = minhashRedeliverStore(s, d)
+      Dedup.readIncrementalMinhashPairsLww(s, s"$p/idx", s"$p/pairs")
+    }),
+
+    // D3c — the incremental SIMHASH store under RE-DELIVERY through
+    // compaction: same fixture plan, Hamming ≤ 3 semantics, full
+    // FNV-1a/vote/band replay oracle over the true final corpus.
+    graft.QueryDef("d3c_simhash_redelivery", Some(shRedeliverOracleSql))((s, d) =>
+      s.read.parquet(s"${simhashRedeliverStore(s, d)}/compacted")
+        .select("doc_a", "doc_b", "hamming")),
+
+    // D3d — the SimHash re-delivery store served raw through the
+    // read-time LWW view (Dedup.readIncrementalSimhashPairsLww).
+    graft.QueryDef("d3d_simhash_lww_read", Some(shRedeliverOracleSql))((s, d) => {
+      val p = simhashRedeliverStore(s, d)
+      Dedup.readIncrementalSimhashPairsLww(s, s"$p/idx", s"$p/pairs")
     }),
 
     // D23 — BLOCKED RECORD LINKAGE: the classic entity-resolution

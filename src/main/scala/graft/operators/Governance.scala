@@ -304,6 +304,33 @@ object GovernanceQueries extends graft.QueryModule {
       Dedup.readPrefixJoinPairs(s, path)
     }),
 
+    // G8/G9/G10 — TAKEDOWN REACH INTO THE INCREMENTAL MINHASH / SIMHASH
+    // / VECTOR STORES (round-20: g7's purge half extended to the three
+    // maintainer families that only had base-store purge gates). Each
+    // serves the re-delivery fixture's PURGED compaction — the planted
+    // partner doc (max id + 1, a verbatim clone of doc/vec 0 by its
+    // winning revision) is tombstoned, and the pair compactor must drop
+    // every pair citing it on EITHER side while keeping the natural
+    // join intact. The oracle is the family's full hash-replay chain
+    // over the takedown COMPLEMENT (the plain < 400 / < 200 corpus):
+    // one surviving purged pair (the guaranteed (0, plant) clone pair
+    // would serve if the tombstone filter missed) adds a row and fails
+    // the hash; one over-purged survivor pair loses a row.
+    graft.QueryDef("g8_minhash_incr_purge",
+      Some(DedupQueries.g8MinhashPurgeOracleSql))((s, d) =>
+      s.read.parquet(s"${DedupQueries.minhashRedeliverStore(s, d)}/purged")
+        .select("doc_a", "doc_b", "jaccard")),
+
+    graft.QueryDef("g9_simhash_incr_purge",
+      Some(DedupQueries.g9SimhashPurgeOracleSql))((s, d) =>
+      s.read.parquet(s"${DedupQueries.simhashRedeliverStore(s, d)}/purged")
+        .select("doc_a", "doc_b", "hamming")),
+
+    graft.QueryDef("g10_vector_incr_purge",
+      Some(SimilarityQueries.g10VectorPurgeOracleSql))((s, d) =>
+      s.read.parquet(s"${SimilarityQueries.vectorRedeliverStore(s, d)}/purged")
+        .select("vec_a", "vec_b", "cos")),
+
     // G6 — SERVE FROM A PURGED GRAM STORE: the owners-sidecar takedown
     // end to end. Build the substring-dedup index WITH its owners
     // posting, purge docs 0-3 via owner re-election (a filter +

@@ -106,8 +106,15 @@ object Similarity {
     * old 1000000) would collide with real ids once a corpus reaches it
     * and silently corrupt the planted fixture. One tiny max-agg action
     * per planter invocation, on frames the query scans anyway. */
-  def probeBase(embeddings: DataFrame): Long =
-    embeddings.agg(max(col("vec_id"))).head().getLong(0) + 1L
+  def probeBase(embeddings: DataFrame): Long = {
+    // max() over an EMPTY frame is a null cell, and head().getLong(0)
+    // on it NPEs opaquely deep in the planter — fail with the actual
+    // contract instead (round-19 advice).
+    val row = embeddings.agg(max(col("vec_id"))).head()
+    require(!row.isNullAt(0),
+      "probeBase: embeddings frame is empty — planted-fixture ids need at least one real vec_id")
+    row.getLong(0) + 1L
+  }
 
   /** [[probeBase]]'s DuckDB twin — interpolate into oracle SQL wherever
     * the Scala side plants ids at probeBase + i. */
@@ -115,11 +122,17 @@ object Similarity {
 
   /** Near-duplicate probes: vec_id < 10 re-emitted at probeBase+id with
     * the first component nudged by +0.01 — cosine vs the original stays
-    * >0.999 while no natural pair in the corpus exceeds ~0.51. */
+    * >0.999 while no natural pair in the corpus exceeds ~0.51. Callers
+    * that ALSO need the base (e.g. to slice the probe ids back out)
+    * should compute it once via [[probeBase]] and pass it in — one
+    * max-agg action per planter invocation, not one per use site. */
   def withVecProbes(embeddings: DataFrame): DataFrame =
+    withVecProbes(embeddings, probeBase(embeddings))
+
+  def withVecProbes(embeddings: DataFrame, base: Long): DataFrame =
     embeddings.select(col("vec_id"), col("embedding"))
       .unionByName(embeddings.where(col("vec_id") < 10)
-        .select((col("vec_id") + lit(probeBase(embeddings))).as("vec_id"),
+        .select((col("vec_id") + lit(base)).as("vec_id"),
           transform(col("embedding"),
             (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding")))
 
@@ -150,6 +163,63 @@ object Similarity {
     * layout, so batch dedup serves from it directly. Cost: one window
     * shuffle over the index (vectors are never re-quantized from
     * embeddings), O(index rows). */
+  /** ONE micro-batch of incremental vector-LSH maintenance — the pure
+    * plan [[graft.streaming.Streams.incrementalVectorIndex]] executes
+    * per batch, factored out so PlanSpec can pin its shape (the
+    * Dedup.minhashIncrementalBatch pattern). `storedRaw` is the
+    * accumulated (vec_id, v, batch_id) quantized index read. Two-layer
+    * LWW stored read (latest revision per vec_id, ids re-delivered in
+    * THIS batch superseded), band prune to the batch's touched bands,
+    * candidate-participant prune on the exact-cosine verify gathers —
+    * see the MinHash twin's scaladoc for the failure mode each layer
+    * closes. */
+  private[graft] def vectorIncrementalBatch(newQ: DataFrame,
+                                            storedRaw: DataFrame,
+                                            threshold: Double): DataFrame = {
+    val newIds = newQ.select("vec_id")
+    val winners = storedRaw.groupBy("vec_id").agg(max(col("batch_id")).as("last_b"))
+    val oldQ = storedRaw
+      .join(winners, Seq("vec_id"))
+      .where(col("batch_id") === col("last_b"))
+      .select("vec_id", "v")
+      .join(newIds, Seq("vec_id"), "left_anti")
+    val newBand = bandFrame(newQ)
+    val oldBandPruned = bandFrame(oldQ)
+      .join(newBand.select("band").distinct(), Seq("band"), "left_semi")
+    val cand = newBand.as("a")
+      .join(oldBandPruned.unionByName(newBand).as("b"),
+        col("a.band") === col("b.band") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"))
+      .distinct()
+    val candIds = cand.select(col("vec_a").as("vec_id"))
+      .unionByName(cand.select(col("vec_b").as("vec_id"))).distinct()
+    verifyCosine(cand,
+      oldQ.unionByName(newQ).join(candIds, Seq("vec_id"), "left_semi"),
+      threshold)
+  }
+
+  /** Serve the CURRENT-REVISION pairs of an incremental vector store
+    * WITHOUT rewriting it — Dedup.readIncrementalMinhashPairsLww's
+    * vector twin (lifecycle contract #3: correct serving before any
+    * compaction). Identity for an append-only id stream. */
+  def readIncrementalVectorPairsLww(spark: SparkSession, indexDir: String,
+                                    pairsDir: String): DataFrame =
+    Dedup.lwwPairFilterOn(spark.read.parquet(pairsDir),
+      Dedup.incrementalWinners(spark, indexDir, idCol = "vec_id"),
+      "vec_a", "vec_b")
+      .select("vec_a", "vec_b", "cos")
+
+  /** Compact an incremental vector PAIR store (tombstone-aware) — the
+    * Dedup.compactMinhashPairs rule on vec ids; with
+    * [[compactVectorIndex]] it completes the maintain → compact →
+    * serve → purge lifecycle for the vector family. */
+  def compactVectorPairs(spark: SparkSession, indexDir: String,
+                         pairsDir: String, outPath: String,
+                         tombstonePath: Option[String] = None): Unit =
+    Dedup.compactIncrementalPairs(spark, indexDir, pairsDir, outPath,
+      "vec_a", "vec_b", "vec_id", tombstonePath)
+
   def compactVectorIndex(spark: SparkSession, incrementalDir: String,
                          outPath: String,
                          tombstonePath: Option[String] = None): Unit = {
@@ -2244,6 +2314,84 @@ object SimilarityQueries extends graft.QueryModule {
   private def addChunk(df: DataFrame, dir: String, name: String): Unit =
     graft.util.Chunks.add(df, dir, name)
 
+  private lazy val vecRedeliverRoot: String = graft.util.TmpRoot("vec-redeliver")
+  private val vecRedeliverWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The d5c/d5d/g10 RE-DELIVERY store — the DedupQueries
+    * minhashRedeliverStore plan on the VECTOR maintainer, over
+    * `embeddings WHERE vec_id < 200` (sf0.01's 500 vecs and up):
+    * c1 = [0,80) with X carrying a STALE embedding, c2 re-delivers X's
+    * true embedding alongside [80,140), c3 = [140,200) arrives AFTER
+    * the re-delivery. X/P are data-chosen from the banded cosine pairs
+    * when the corpus has a natural ≥ 0.9 pair across the c1/c3 ranges;
+    * on the driver-generated corpora (natural cosine ceiling ~0.51)
+    * the fallback picks the ranges' first ids, and the stale revision
+    * (≡ embedding(P)) then makes a maintainer without the LWW stored
+    * read emit SPURIOUS cos-1.0 rows at c3 — (X, P) and (plant, P) —
+    * that the oracle does not have. The plant at max(vec_id)+1
+    * delivers c1 with the same stale embedding (guaranteed c1 stale
+    * pair (X, plant) at cos 1.0, self-checked), then re-delivers in c2
+    * as a verbatim copy of embedding(0) — statically replayable.
+    * Final corpus = embeddings < 200 (true vectors) ∪ {plant ≡
+    * embedding(0)}; the oracles replay the full multi-table LSH over
+    * exactly that. g10 tombstones the plant and serves the PURGED
+    * compaction — non-vacuous because the (0, plant) pair would
+    * otherwise serve. */
+  private[operators] def vectorRedeliverStore(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    vecRedeliverWritten.computeIfAbsent(d, dd => {
+      val p = s"$vecRedeliverRoot/${dirTag(dd)}"
+      val vecs = Tables.embeddings(s, dd).where(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding"))
+      val chooser = Similarity.buildCosineIndex(vecs)
+      val xp = Similarity.cosineDedupPairs(chooser, threshold = 0.9)
+        .where(col("vec_a") < 80 && col("vec_b") >= 140)
+        .orderBy(col("vec_a"), col("vec_b")).limit(1)
+        .collect().headOption.map(r => (r.getLong(0), r.getLong(1)))
+      chooser.unpersist()
+      val (xId, pId) = xp.getOrElse((0L, 140L))
+      val plantId = Similarity.probeBase(Tables.embeddings(s, dd))
+      def asId(srcId: Long, newId: Long): DataFrame =
+        vecs.where(col("vec_id") === srcId)
+          .select(lit(newId).as("vec_id"), col("embedding"))
+      def deliver(df: DataFrame, name: String): Unit = {
+        addChunk(df, s"$p/src", name)
+        graft.streaming.Streams.incrementalVectorIndex(
+          s, s"$p/src", s"$p/idx", s"$p/pairs", s"$p/ckpt", threshold = 0.9)
+      }
+      deliver(vecs.where(col("vec_id") < 80 && col("vec_id") =!= xId)
+        .unionByName(asId(pId, xId))       // X's STALE revision = P's vector
+        .unionByName(asId(pId, plantId)),  // plant: guaranteed c1 stale pair
+        "c1.parquet")
+      require(s.read.parquet(s"$p/pairs")
+        .where(col("vec_a") === math.min(xId, plantId)
+          && col("vec_b") === math.max(xId, plantId)).count() >= 1,
+        s"vectorRedeliverStore: planted stale pair ($xId, $plantId) missing from c1 pairs")
+      deliver(vecs.where(col("vec_id") >= 80 && col("vec_id") < 140)
+        .unionByName(vecs.where(col("vec_id") === xId)) // X re-delivered TRUE
+        .unionByName(asId(0L, plantId)),   // plant re-delivered ≡ embedding(0)
+        "c2.parquet")
+      deliver(vecs.where(col("vec_id") >= 140), "c3.parquet")
+      Governance.recordTombstones(s, s"$p/tomb",
+        s.range(1).select(lit(plantId).as("purge_id")))
+      Similarity.compactVectorPairs(s, s"$p/idx", s"$p/pairs", s"$p/compacted")
+      Similarity.compactVectorPairs(s, s"$p/idx", s"$p/pairs", s"$p/purged",
+        tombstonePath = Some(s"$p/tomb"))
+      p
+    })
+
+  private[operators] lazy val vecRedeliverCorpusSql: String =
+    """SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+      |UNION ALL
+      |SELECT (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id, embedding
+      |FROM embeddings WHERE vec_id = 0""".stripMargin
+  private[operators] lazy val vecRedeliverOracleSql: String =
+    cosinePairsOracleSqlOver(vecRedeliverCorpusSql)
+  private[operators] lazy val g10VectorPurgeOracleSql: String =
+    cosinePairsOracleSqlOver(
+      "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200")
+
   /** Exploded quantized view + norms shared by the hash-replay oracles:
     * `ve(vec_id, d, x)` with x = round(emb·10⁴) and `norms(vec_id, n2)`
     * — the exact integer arithmetic of [[Similarity.quant]]. Expects a
@@ -2259,14 +2407,12 @@ object SimilarityQueries extends graft.QueryModule {
     * DuckDB — fmix32 plane signs (OracleHash.planesCte), 4 8-bit table
     * signatures per vector, band-collision candidates, exact integer
     * cosine ≥ 0.9 — value-checking the banding output itself (d5b's
-    * probe slice remains as the independent no-hash formulation). */
-  private lazy val d5OracleSql: String =
-    s"""WITH vecs AS (
-       |  SELECT vec_id, embedding FROM embeddings
-       |  UNION ALL
-       |  SELECT vec_id + $probeBaseSql AS vec_id,
-       |    list_prepend(embedding[1] + CAST(0.01 AS FLOAT), embedding[2:]) AS embedding
-       |  FROM embeddings WHERE vec_id < 10),
+    * probe slice remains as the independent no-hash formulation).
+    * Parameterized by the vecs CTE so d5 (probe corpus) and the
+    * d5c/d5d/g10 lifecycle gates (the re-delivery corpus and its
+    * takedown complement) replay the ONE chain. */
+  private def cosinePairsOracleSqlOver(vecsSql: String): String =
+    s"""WITH vecs AS ($vecsSql),
        |${OracleHash.planesCte(32)},
        |$quantVeCtes,
        |acc AS (
@@ -2291,6 +2437,13 @@ object SimilarityQueries extends graft.QueryModule {
        |FROM dots JOIN norms na ON na.vec_id = dots.vec_a
        |JOIN norms nb ON nb.vec_id = dots.vec_b
        |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.9""".stripMargin
+
+  private lazy val d5OracleSql: String = cosinePairsOracleSqlOver(
+    s"""SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + $probeBaseSql AS vec_id,
+       |    list_prepend(embedding[1] + CAST(0.01 AS FLOAT), embedding[2:]) AS embedding
+       |  FROM embeddings WHERE vec_id < 10""".stripMargin)
 
   /** Shared exact-cosine top-k tail over a `cand(vec_id)` CTE: the
     * integer-cosine rerank against query vec 0, ordered (cos desc,
@@ -4672,8 +4825,32 @@ object SimilarityQueries extends graft.QueryModule {
         |            JOIN norms nb ON nb.vec_id = dots.vec_b)
         |WHERE cos >= 0.9""".stripMargin))((s, d) => {
       val emb = Tables.embeddings(s, d)
-      cosineDedupPairs(buildCosineIndex(withVecProbes(emb)), threshold = 0.9)
-        .where(col("vec_b") >= lit(probeBase(emb)))
+      // One probeBase action per invocation, threaded into both the
+      // probe planting and the slice filter (round-19 advice: the
+      // two-call form ran the max-agg twice).
+      val base = probeBase(emb)
+      cosineDedupPairs(buildCosineIndex(withVecProbes(emb, base)), threshold = 0.9)
+        .where(col("vec_b") >= lit(base))
+    }),
+
+    // D5c — the incremental VECTOR-LSH store under RE-DELIVERY, served
+    // through compaction (round-20: the d34c pattern extended to the
+    // vector maintainer — see vectorRedeliverStore for the delivery
+    // plan and the planted stale pair). The compacted pairs must equal
+    // the full multi-table LSH replay over the TRUE final corpus —
+    // which contains no trace of the stale revision.
+    graft.QueryDef("d5c_vector_redelivery", Some(vecRedeliverOracleSql))((s, d) =>
+      s.read.parquet(s"${vectorRedeliverStore(s, d)}/compacted")
+        .select("vec_a", "vec_b", "cos")),
+
+    // D5d — the SAME re-delivery store served WITHOUT compaction
+    // through Similarity.readIncrementalVectorPairsLww (lifecycle
+    // contract #3: correct serving before any compaction has run). The
+    // raw directories still contain the stale revision's cos-1.0 pairs;
+    // the serving view must filter every one.
+    graft.QueryDef("d5d_vector_lww_read", Some(vecRedeliverOracleSql))((s, d) => {
+      val p = vectorRedeliverStore(s, d)
+      readIncrementalVectorPairsLww(s, s"$p/idx", s"$p/pairs")
     }),
 
     // D29 — RETRIEVAL-AUGMENTED dedup: the IVF serving index doubles as

@@ -204,6 +204,20 @@ object Streams {
     * writeBucketed) to make those joins shuffle-free. Pairs found by
     * earlier batches cannot re-emit: a candidate requires one side from
     * the current batch.
+    *
+    * A doc_id RE-DELIVERED in a later batch is handled LWW like the
+    * prefix-join maintainer (round-20, lifecycle parity): the stored
+    * read resolves to each doc's latest revision and rows of ids
+    * re-delivered in THIS batch are superseded
+    * ([[graft.operators.Dedup.minhashIncrementalBatch]]'s two layers),
+    * so post-re-delivery batches verify against current signatures
+    * only; the stale pairs earlier batches recorded die at compaction
+    * ([[graft.operators.Dedup.compactMinhashIndex]] /
+    * [[graft.operators.Dedup.compactMinhashPairs]], batch_id LWW) or
+    * at the LWW serving read
+    * ([[graft.operators.Dedup.readIncrementalMinhashPairsLww]]). The
+    * d2c/d2d gates pin the whole lifecycle against the full MinHash
+    * replay oracle.
     */
   def incrementalMinhashIndex(spark: SparkSession, sourceDir: String,
                               indexDir: String, pairsDir: String,
@@ -226,35 +240,34 @@ object Streams {
         val idxPath = new org.apache.hadoop.fs.Path(indexDir)
         val idxExists = idxPath
           .getFileSystem(s.sparkContext.hadoopConfiguration).exists(idxPath)
-        val oldSh =
-          if (idxExists) s.read.parquet(indexDir).select("doc_id", "sh", "sig")
+        val storedRaw =
+          if (idxExists) s.read.parquet(indexDir)
+            .select("doc_id", "sh", "sig", "batch_id")
           else s.createDataFrame(
-            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], newSh.schema)
-        val newBand = Dedup.bandedOf(newSh)
-        // Prune the historical scan to bands the new batch touches — the
-        // per-batch cost driver is touched-band occupancy, not history.
-        val oldBandPruned = Dedup.bandedOf(oldSh)
-          .join(newBand.select("band").distinct(), Seq("band"), "left_semi")
-        val allBand = oldBandPruned.unionByName(newBand)
-        val cand = newBand.as("a")
-          .join(allBand.as("b"),
-            col("a.band") === col("b.band") && col("a.doc_id") =!= col("b.doc_id"))
-          .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-            greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-          .distinct()
-          .persist()
-        // Verify gathers touch only candidate PARTICIPANTS (the round-19
-        // incrementalPrefixJoin rule): an inner-join no-op semantically,
-        // but the signature gather's join side is bounded at candidate
-        // occupancy instead of the whole accumulated index.
-        val candIds = cand.select(col("doc_a").as("doc_id"))
-          .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
-        val allSh = oldSh.unionByName(newSh)
-          .join(candIds, Seq("doc_id"), "left_semi")
-        Dedup.verifyJaccard(cand, allSh, threshold)
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            newSh.schema.add("batch_id", LongType))
+        // Re-deliveries are legal (round-20): the batch plan's two-layer
+        // LWW stored read supersedes stored revisions of re-delivered
+        // ids inside the join; their stale rows in earlier batch dirs
+        // die at compaction (Dedup.compactMinhashIndex/Pairs) or at the
+        // LWW serving read (Dedup.readIncrementalMinhashPairsLww).
+        // Count + log loudly, like incrementalPrefixJoin.
+        if (idxExists) {
+          val redelivered = storedRaw.select("doc_id").distinct()
+            .join(newSh.select("doc_id"), Seq("doc_id"), "left_semi").count()
+          if (redelivered > 0)
+            // scalastyle:off println
+            System.err.println(s"[incrementalMinhashIndex] batch $batchId " +
+              s"re-delivers $redelivered doc_id(s): stored revisions are " +
+              "superseded in this join; compact (or serve via " +
+              "Dedup.readIncrementalMinhashPairsLww) so their stale pairs " +
+              "do not serve")
+            // scalastyle:on println
+        }
+        Dedup.minhashIncrementalBatch(newSh, storedRaw, threshold)
           .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
         newSh.write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
-        newSh.unpersist(); cand.unpersist()
+        newSh.unpersist()
         ()
       }
       .start()
@@ -273,10 +286,19 @@ object Streams {
     * Hamming <= 3), and both sinks land batchId-scoped with overwrite,
     * so a retried micro-batch REPLACES its own output — idempotent
     * under failure/retry. Per-batch cost follows touched-band
-    * occupancy, never history size. ID contract: batches disjoint in
-    * doc_id (the incrementalMinhashIndex contract); re-deliveries
-    * resolve at compaction ([[graft.operators.Dedup.compactSimhashIndex]])
-    * by batch_id LWW — or are suppressed outright when tombstoned. */
+    * occupancy, never history size. A doc_id RE-DELIVERED in a later
+    * batch is handled LWW like the prefix-join maintainer (round-20,
+    * lifecycle parity): the stored read resolves to each doc's latest
+    * revision and rows of ids re-delivered in THIS batch are
+    * superseded ([[graft.operators.Dedup.simhashIncrementalBatch]]'s
+    * two layers), so post-re-delivery batches verify against current
+    * fingerprints only; the stale pairs earlier batches recorded die
+    * at compaction ([[graft.operators.Dedup.compactSimhashIndex]] /
+    * [[graft.operators.Dedup.compactSimhashPairs]], batch_id LWW —
+    * tombstoned ids suppressed outright) or at the LWW serving read
+    * ([[graft.operators.Dedup.readIncrementalSimhashPairsLww]]). The
+    * d3c/d3d gates pin the whole lifecycle against the brute-force
+    * oracle. */
   def incrementalSimhashIndex(spark: SparkSession, sourceDir: String,
                               indexDir: String, pairsDir: String,
                               checkpointDir: String,
@@ -297,29 +319,31 @@ object Streams {
         val idxPath = new org.apache.hadoop.fs.Path(indexDir)
         val idxExists = idxPath
           .getFileSystem(s.sparkContext.hadoopConfiguration).exists(idxPath)
-        val oldSims =
-          if (idxExists) s.read.parquet(indexDir).select("doc_id", "sim")
+        val storedRaw =
+          if (idxExists) s.read.parquet(indexDir)
+            .select("doc_id", "sim", "batch_id")
           else s.createDataFrame(
-            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], newSims.schema)
-        val newBand = Dedup.simhashBanded(newSims)
-        val oldBandPruned = Dedup.simhashBanded(oldSims)
-          .join(newBand.select("band").distinct(), Seq("band"), "left_semi")
-        val cand = newBand.as("a")
-          .join(oldBandPruned.unionByName(newBand).as("b"),
-            col("a.band") === col("b.band") && col("a.doc_id") =!= col("b.doc_id"))
-          .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-            greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-          .distinct()
-          .persist()
-        // Candidate-participant prune (see incrementalMinhashIndex).
-        val candIds = cand.select(col("doc_a").as("doc_id"))
-          .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
-        Dedup.verifyHamming(cand,
-          oldSims.unionByName(newSims).join(candIds, Seq("doc_id"), "left_semi"),
-          maxHamming)
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            newSims.schema.add("batch_id", LongType))
+        // Re-deliveries: two-layer LWW stored read inside the batch plan
+        // (Dedup.simhashIncrementalBatch); stale rows die at compaction
+        // or the LWW serving read. Count + log loudly.
+        if (idxExists) {
+          val redelivered = storedRaw.select("doc_id").distinct()
+            .join(newSims.select("doc_id"), Seq("doc_id"), "left_semi").count()
+          if (redelivered > 0)
+            // scalastyle:off println
+            System.err.println(s"[incrementalSimhashIndex] batch $batchId " +
+              s"re-delivers $redelivered doc_id(s): stored revisions are " +
+              "superseded in this join; compact (or serve via " +
+              "Dedup.readIncrementalSimhashPairsLww) so their stale pairs " +
+              "do not serve")
+            // scalastyle:on println
+        }
+        Dedup.simhashIncrementalBatch(newSims, storedRaw, maxHamming)
           .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
         newSims.write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
-        newSims.unpersist(); cand.unpersist()
+        newSims.unpersist()
         ()
       }
       .start()
@@ -404,12 +428,20 @@ object Streams {
     * its own output, so both sinks are idempotent under failure/retry.
     * Per-batch cost follows touched-band occupancy, never history size.
     *
-    * ID contract: batches are assumed DISJOINT in vec_id (same as
-    * [[incrementalMinhashIndex]]). A vec_id re-delivered in a later
-    * micro-batch leaves the stale vector in the historical partitions
-    * (and duplicates verifyCosine rows for pairs involving it) until
-    * `Similarity.compactVectorIndex` resolves last-writer-wins by
-    * batch_id — run it on the same cadence as `compactMinhashIndex`. */
+    * A vec_id RE-DELIVERED in a later micro-batch is handled LWW like
+    * the prefix-join maintainer (round-20, lifecycle parity): the
+    * stored read resolves to each vec's latest revision and rows of
+    * ids re-delivered in THIS batch are superseded
+    * ([[graft.operators.Similarity.vectorIncrementalBatch]]'s two
+    * layers) — without that, a pair found AFTER the re-delivery would
+    * verify against both revisions and emit one row per revision, both
+    * carrying the later batch's id, which no downstream LWW rule can
+    * repair. The stale rows earlier batches left behind die at
+    * compaction (`Similarity.compactVectorIndex` /
+    * `Similarity.compactVectorPairs`, batch_id LWW) or at the LWW
+    * serving read (`Similarity.readIncrementalVectorPairsLww`). The
+    * d5c/d5d gates pin the whole lifecycle against the LSH-replay
+    * oracle. */
   def incrementalVectorIndex(spark: SparkSession, sourceDir: String,
                              indexDir: String, pairsDir: String,
                              checkpointDir: String,
@@ -433,29 +465,31 @@ object Streams {
         val idxPath = new org.apache.hadoop.fs.Path(indexDir)
         val idxExists = idxPath
           .getFileSystem(s.sparkContext.hadoopConfiguration).exists(idxPath)
-        val oldQ =
-          if (idxExists) s.read.parquet(indexDir).select("vec_id", "v")
+        val storedRaw =
+          if (idxExists) s.read.parquet(indexDir)
+            .select("vec_id", "v", "batch_id")
           else s.createDataFrame(
-            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], newQ.schema)
-        val newBand = Similarity.bandFrame(newQ)
-        val oldBandPruned = Similarity.bandFrame(oldQ)
-          .join(newBand.select("band").distinct(), Seq("band"), "left_semi")
-        val cand = newBand.as("a")
-          .join(oldBandPruned.unionByName(newBand).as("b"),
-            col("a.band") === col("b.band") && col("a.vec_id") =!= col("b.vec_id"))
-          .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
-            greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"))
-          .distinct()
-          .persist()
-        // Candidate-participant prune (see incrementalMinhashIndex).
-        val candIds = cand.select(col("vec_a").as("vec_id"))
-          .unionByName(cand.select(col("vec_b").as("vec_id"))).distinct()
-        Similarity.verifyCosine(cand,
-          oldQ.unionByName(newQ).join(candIds, Seq("vec_id"), "left_semi"),
-          threshold)
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            newQ.schema.add("batch_id", LongType))
+        // Re-deliveries: two-layer LWW stored read inside the batch plan
+        // (Similarity.vectorIncrementalBatch); stale rows die at
+        // compaction or the LWW serving read. Count + log loudly.
+        if (idxExists) {
+          val redelivered = storedRaw.select("vec_id").distinct()
+            .join(newQ.select("vec_id"), Seq("vec_id"), "left_semi").count()
+          if (redelivered > 0)
+            // scalastyle:off println
+            System.err.println(s"[incrementalVectorIndex] batch $batchId " +
+              s"re-delivers $redelivered vec_id(s): stored revisions are " +
+              "superseded in this join; compact (or serve via " +
+              "Similarity.readIncrementalVectorPairsLww) so their stale " +
+              "pairs do not serve")
+            // scalastyle:on println
+        }
+        Similarity.vectorIncrementalBatch(newQ, storedRaw, threshold)
           .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
         newQ.write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
-        newQ.unpersist(); cand.unpersist()
+        newQ.unpersist()
         ()
       }
       .start()
@@ -540,12 +574,23 @@ object Streams {
     // existed (one winners pass over the token directory, paid ONCE per
     // legacy store — never per micro-batch): each stored doc lands one
     // (doc_id) row in its winning batch's partition, which preserves
-    // every later winners derivation exactly.
+    // every later winners derivation exactly. The backfill is COMMITTED
+    // by an atomic directory rename (round-19 advice): a write job that
+    // crashes after creating `ids` but before landing every file would
+    // otherwise pass the existence probe on the next run and silently
+    // serve a PARTIAL winners frame — dropping stored docs from the
+    // stored side, the LWW read, and compaction.
     val idsDir = new org.apache.hadoop.fs.Path(s"$indexPath/ids")
-    if (!idsDir.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(idsDir))
+    val idsFs = idsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!idsFs.exists(idsDir)) {
+      val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/ids.backfill.tmp")
+      idsFs.delete(tmp, true) // a crashed earlier attempt is garbage
       spark.read.parquet(s"$indexPath/toks")
         .groupBy("doc_id").agg(max(col("batch_id")).as("batch_id"))
-        .write.partitionBy("batch_id").mode("overwrite").parquet(s"$indexPath/ids")
+        .write.partitionBy("batch_id").mode("overwrite").parquet(tmp.toString)
+      require(idsFs.rename(tmp, idsDir),
+        s"incrementalPrefixJoin: ids sidecar backfill rename $tmp -> $idsDir failed")
+    }
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType)))

@@ -199,6 +199,45 @@ object ProfileDecades {
     val extra2 = Seq("t24_bigram_logprob", "d23_record_linkage").map { name =>
       name -> timed(name) { noop(graft.SparkEntry.queries(name)(spark, dir)) }
     }
+    // Round-20 panel extension (r19 judge ask #4): the FTS family had
+    // no decade row — time the full-corpus inverted-index BUILD
+    // (scan + explode + distinct-agg, the s6 shape at corpus scale)
+    // and the PERSISTENT PRUNED PROBE (p6f's term_pfx
+    // directory-pruned prefix read) against a store over the whole
+    // corpus (store build untimed — it is the build row's workload).
+    val tS6 = timed("s6_fts_index_build") {
+      noop(graft.operators.Fts.termIndex(
+        docs.select(col("doc_id"), col("text")), "doc_id", Seq("text")))
+    }
+    val tP6f = if (!wanted("p6f_fts_probe")) -1.0 else {
+      val ftsPath = s"$root/fts_store"
+      graft.operators.Fts.writeTermIndex(
+        graft.operators.Fts.termIndex(
+          docs.select(col("doc_id"), col("text")), "doc_id", Seq("text")),
+        ftsPath)
+      timed("p6f_fts_probe") {
+        noop(graft.operators.Fts.matchingIdsPersistent(
+          graft.operators.Fts.readTermIndex(spark, ftsPath),
+          Seq("spar", "wind")))
+      }
+    }
+    // n16 candidate-volume counter (r19 judge ask #5): n16's dec-2
+    // exponent read 1.04 — the only family measurably above linear.
+    // The algebraic claim is candidates = Σ_cell |cell| × |probes into
+    // cell|, linear under the √N-cells rule; counting it directly at
+    // each scale separates data growth from engine overhead without an
+    // sf100 run.
+    val tN16c = if (!wanted("n16_candcount")) -1.0 else timed("n16_candcount") {
+      val ix = Similarity.buildIvfIndex(emb)
+      val queries = Similarity.probeCells(ix.centroids,
+          ix.assigned.select(col("vec_id"), col("embedding")), nProbe = 2)
+        .select(col("vec_id").as("query_id"), col("pcell").as("cell"))
+      val c = ix.assigned.select(col("vec_id"), col("cell"))
+        .join(queries, Seq("cell"))
+        .where(col("vec_id") =!= col("query_id")).count()
+      System.err.println(s"DECADES n16_cand_count=$c")
+      ix.unpersist()
+    }
     // d34 streaming maintainer PER-BATCH cost (judge ask #1's proof
     // row): build the prefix store over the WHOLE corpus once
     // (untimed), then time delivering one fixed 500-doc batch through
@@ -243,12 +282,57 @@ object ProfileDecades {
       }
     }
 
+    // d34 per-batch ATTRIBUTION probe (r19 judge ask #2): the sidecar
+    // code measured 9.34 s/batch at sf1 vs the pre-sidecar 7.93 s on an
+    // identical 500-doc batch (+18%, unattributed). Replay the per-batch
+    // TERMS the sidecar diff added or changed, in isolation and through
+    // the same library functions the maintainer calls: the winners agg
+    // from the ids sidecar vs the old toks-directory fallback (same
+    // answer, different scan source), and the marginal cost of one
+    // extra tiny parquet write job (the per-batch ids partition — the
+    // FOURTH write job the sidecar added) vs the toks write it rides
+    // beside. Enabled by SPARK_GRAFT_ONLY=d34x (off in the default
+    // panel). Results go to stderr DECADES lines; the attribution row
+    // is assembled into REHEARSAL_r20.json by hand like the d34s split.
+    if (onlyF.exists(_.exists(_.startsWith("d34x")))) {
+      val store = s"$root/d34x"
+      graft.operators.Dedup.writePrefixIndex(
+        docs.select(col("doc_id"), col("text")), s"$store/idx")
+      val shift = spark.read.parquet(s"$store/idx/ids")
+        .agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val batch = docs.select((col("doc_id") + shift).as("doc_id"), col("text"))
+        .orderBy("doc_id").limit(500).cache()
+      batch.count()
+      val newToks = graft.operators.Dedup.prefixTokens(batch).cache()
+      newToks.count()
+      timed("d34x_winners_ids") {
+        noop(graft.operators.Dedup.prefixWinners(spark, s"$store/idx"))
+      }
+      timed("d34x_winners_toks_fallback") {
+        noop(spark.read.parquet(s"$store/idx/toks")
+          .select("doc_id", "batch_id")
+          .groupBy("doc_id").agg(max(col("batch_id")).as("last_b")))
+      }
+      var wi = 0
+      timed("d34x_write_ids") {
+        wi += 1
+        newToks.select("doc_id").write.mode("overwrite")
+          .parquet(s"$store/w$wi/ids/batch_id=0")
+      }
+      timed("d34x_write_toks") {
+        newToks.write.mode("overwrite").parquet(s"$store/w$wi/toks/batch_id=0")
+      }
+      batch.unpersist(); newToks.unpersist()
+      ()
+    }
+
     def jnum(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val fields: Seq[(String, Double)] =
       Seq("d34_s" -> tD34, "d30_s" -> tD30, "t30_s" -> tT30,
         "n24_s" -> tN24, "n43_s" -> tN43) ++
-        (extra ++ extra2).map { case (n, t) => s"${n}_s" -> t } :+
-        ("d34i_batch_s" -> tD34i)
+        (extra ++ extra2).map { case (n, t) => s"${n}_s" -> t } ++
+        Seq("s6_fts_index_build_s" -> tS6, "p6f_fts_probe_s" -> tP6f,
+          "n16_candcount_s" -> tN16c, "d34i_batch_s" -> tD34i)
     val json = s"""{"dir":"$dir","n_docs":$nDocs,"n_vecs":$nVecs,""" +
       s""""runs":$runs,""" +
       fields.filter(_._2 >= 0.0)

@@ -785,4 +785,52 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("/toks"), s"winners reading the token directory:\n$p")
     spark.catalog.clearCache()
   }
+
+  test("incremental maintainers: LWW layers + candidate-participant prune below the verify gathers (minhash/simhash/vector)") {
+    // The round-19 candidate-participant prunes (and this round's LWW
+    // stored-read layers) were pinned only by StreamingSpec output
+    // equivalence — which stays green if a prune silently stops
+    // pruning. Pin the PLAN: each maintainer's per-batch body (the
+    // factored *IncrementalBatch functions the foreachBatch closures
+    // call) must show (a) the layer-(b) supersession LeftAnti on the
+    // stored read, and (b) a LeftSemi under the verify gather's BUILD
+    // side — the prune that bounds the per-batch hash build at
+    // candidate occupancy instead of the accumulated index.
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).where(col("doc_id") < 30)
+      .select(col("doc_id"), col("text"))
+    val vecs = Tables.embeddings(spark, sf).where(col("vec_id") < 30)
+      .select(col("vec_id"), col("embedding"))
+    def storedOf(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("batch_id", lit(0L))
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame, String)] = Seq(
+      ("minhash", {
+        val sh = operators.Dedup.signatureFrame(docs)
+        operators.Dedup.minhashIncrementalBatch(sh, storedOf(sh), 0.5)
+      }, "sha"),
+      ("simhash", {
+        val sims = operators.Dedup.simhashFrame(docs)
+        operators.Dedup.simhashIncrementalBatch(sims, storedOf(sims), 3)
+      }, "sim_a"),
+      ("vector", {
+        val q = vecs.select(col("vec_id"),
+          operators.Similarity.quant(col("embedding")).as("v"))
+        operators.Similarity.vectorIncrementalBatch(q, storedOf(q), 0.9)
+      }, "va"))
+    for ((name, df, gatherCol) <- cases) {
+      val lp = df.queryExecution.optimizedPlan
+      assert(lp.collect { case j: Join if j.joinType == LeftAnti => j }.nonEmpty,
+        s"$name: layer-(b) supersession anti-join missing from the batch plan")
+      val gathers = lp.collect {
+        case j: Join if j.joinType == Inner && j.output.exists(_.name == gatherCol) => j
+      }
+      assert(gathers.nonEmpty, s"$name: no verify gather join producing $gatherCol")
+      assert(gathers.exists(_.right.collect {
+          case j: Join if j.joinType == LeftSemi => j }.nonEmpty),
+        s"$name: verify gather build side lost the candidate-participant semi-join prune")
+      spark.catalog.clearCache()
+    }
+  }
 }

@@ -1362,6 +1362,227 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("minhash re-delivery: LWW holds through later batches, compaction, and the serving read (d2c/d2d twin)") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val src = tmp("graft_mhlww_src")
+    val idx = tmp("graft_mhlww_root") + "/idx"
+    val pairsDir = tmp("graft_mhlww_root2") + "/pairs"
+    val ckpt = tmp("graft_mhlww_ckpt")
+    val docs = Tables.documents(spark, sf).where(col("doc_id") < 120)
+      .select(col("doc_id"), col("text"))
+    // doc 70's STALE revision = its true text + a disjoint-token tail
+    // (the d34c trick): any doc passing the Jaccard threshold against
+    // the true text also passes against the stale one, so a maintainer
+    // that fails to LWW-resolve its stored read emits one pair row PER
+    // REVISION for the post-re-delivery probe.
+    val text70 = docs.where(col("doc_id") === 70).select("text")
+    val stale70 = text70.select(lit(70L).as("doc_id"),
+      concat(col("text"), lit(" qq0 qq1 qq2 qq3")).as("text"))
+    // doc 3000: the stale text as its one and only revision — a
+    // guaranteed J=1.0 stale pair (70,3000) in c1 that must DOWNGRADE
+    // (not vanish) after 70's re-delivery
+    val d3000 = stale70.select(lit(3000L).as("doc_id"), col("text"))
+    // doc 3001 (c3, post-re-delivery): 70's TRUE text — the
+    // two-revision stored-read probe
+    val d3001 = text70.select(lit(3001L).as("doc_id"), col("text"))
+    util.Chunks.add(
+      docs.where(col("doc_id") < 90 && col("doc_id") =!= 70)
+        .unionByName(stale70).unionByName(d3000), src, "c1.parquet")
+    Streams.incrementalMinhashIndex(spark, src, idx, pairsDir, ckpt)
+    val staleRows = spark.read.parquet(pairsDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(staleRows.contains((70L, 3000L, 1.0)),
+      s"stale revision's J=1.0 pair must be in the raw store: $staleRows")
+    util.Chunks.add(
+      docs.where(col("doc_id") >= 90 && col("doc_id") < 105 || col("doc_id") === 70),
+      src, "c2.parquet")
+    Streams.incrementalMinhashIndex(spark, src, idx, pairsDir, ckpt)
+    util.Chunks.add(
+      docs.where(col("doc_id") >= 105).unionByName(d3001), src, "c3.parquet")
+    Streams.incrementalMinhashIndex(spark, src, idx, pairsDir, ckpt)
+    // the two-revision probe: (70,3001) exactly once, at the TRUE J=1.0
+    val raw = spark.read.parquet(pairsDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val probe = raw.filter(t => t._1 == 70L && t._2 == 3001L)
+    assert(probe.length == 1 && probe.head._3 == 1.0,
+      s"(70,3001) must be one J=1.0 row, got: ${probe.toList}")
+    // the raw directories keep the stale audit trail the serving views
+    // must filter — if nothing is filterable the gates prove nothing
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val finalCorpus = docs.unionByName(d3000).unionByName(d3001)
+    val batchIx = Dedup.buildMinhashIndex(finalCorpus)
+    val expected = pairSet(Dedup.minhashPairs(batchIx, threshold = 0.5))
+    batchIx.unpersist()
+    assert(raw.length > expected.size,
+      "raw pair dirs must still carry the superseded revision's rows")
+    // LWW serving read == compaction == the one-shot batch join
+    assert(pairSet(Dedup.readIncrementalMinhashPairsLww(spark, idx, pairsDir))
+      == expected, "LWW serving read must equal the one-shot batch join")
+    val out = tmp("graft_mhlww_out") + "/pairs"
+    Dedup.compactMinhashPairs(spark, idx, pairsDir, out)
+    assert(pairSet(spark.read.parquet(out)
+      .select("doc_a", "doc_b", "jaccard")) == expected,
+      "compacted pairs must equal the one-shot batch join")
+    // the stale J=1.0 pair downgraded to the true-text jaccard (<1) —
+    // presence rides the band collision of two near-identical
+    // signatures (one-shot and incremental agree by construction), so
+    // pin only the VALUE rule: no J=1.0 row may survive for (70,3000)
+    val p3000 = expected.filter(t => t._1 == 70L && t._2 == 3000L)
+    assert(p3000.forall(_._3 < 1.0),
+      s"(70,3000) must not survive at the stale J=1.0: $p3000")
+    // tombstones hold through pair compaction on EITHER side
+    val tombs = tmp("graft_mhlww_tomb") + "/t"
+    graft.operators.Governance.recordTombstones(spark, tombs,
+      Seq(3000L).toDF("purge_id"))
+    val out2 = tmp("graft_mhlww_out2") + "/pairs"
+    Dedup.compactMinhashPairs(spark, idx, pairsDir, out2,
+      tombstonePath = Some(tombs))
+    assert(pairSet(spark.read.parquet(out2)
+      .select("doc_a", "doc_b", "jaccard")) ==
+      expected.filterNot { case (a, b, _) => a == 3000L || b == 3000L })
+    spark.catalog.clearCache()
+  }
+
+  test("simhash re-delivery: a stale fingerprint cannot serve spurious pairs after the re-delivery (d3c/d3d twin)") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val src = tmp("graft_shlww_src")
+    val idx = tmp("graft_shlww_root") + "/idx"
+    val pairsDir = tmp("graft_shlww_root2") + "/pairs"
+    val ckpt = tmp("graft_shlww_ckpt")
+    val docs = Tables.documents(spark, sf).where(col("doc_id") < 120)
+      .select(col("doc_id"), col("text"))
+    // doc 70's STALE revision = doc 3's text (Hamming 0 against any
+    // later clone of doc 3); its TRUE revision is its own text.
+    val stale70 = docs.where(col("doc_id") === 3)
+      .select(lit(70L).as("doc_id"), col("text"))
+    val d3000 = docs.where(col("doc_id") === 3)
+      .select(lit(3000L).as("doc_id"), col("text"))  // guaranteed c1 stale pair
+    val d3001 = docs.where(col("doc_id") === 3)
+      .select(lit(3001L).as("doc_id"), col("text"))  // c3 probe ≡ the stale text
+    util.Chunks.add(
+      docs.where(col("doc_id") < 90 && col("doc_id") =!= 70)
+        .unionByName(stale70).unionByName(d3000), src, "c1.parquet")
+    Streams.incrementalSimhashIndex(spark, src, idx, pairsDir, ckpt)
+    val c1Rows = spark.read.parquet(pairsDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(c1Rows.contains((70L, 3000L, 0)),
+      s"stale revision's Hamming-0 pair must be in the raw store: $c1Rows")
+    util.Chunks.add(
+      docs.where(col("doc_id") >= 90 && col("doc_id") < 105 || col("doc_id") === 70),
+      src, "c2.parquet")
+    Streams.incrementalSimhashIndex(spark, src, idx, pairsDir, ckpt)
+    util.Chunks.add(
+      docs.where(col("doc_id") >= 105).unionByName(d3001), src, "c3.parquet")
+    Streams.incrementalSimhashIndex(spark, src, idx, pairsDir, ckpt)
+    // the stale-fingerprint probe: 3001 ≡ 70's SUPERSEDED text arrives
+    // after the re-delivery — a non-LWW stored read would emit a
+    // spurious Hamming-0 (70,3001) row with c3's batch id, which no
+    // downstream rule could repair
+    val raw = spark.read.parquet(pairsDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(!raw.exists(t => t._1 == 70L && t._2 == 3001L && t._3 == 0),
+      "the superseded fingerprint served a spurious Hamming-0 pair")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val finalCorpus = docs.unionByName(d3000).unionByName(d3001)
+    val batchIx = Dedup.buildSimhashIndex(finalCorpus)
+    val expected = pairSet(Dedup.simhashPairs(batchIx))
+    batchIx.unpersist()
+    assert(raw.length > expected.size,
+      "raw pair dirs must still carry the superseded revision's rows")
+    assert(pairSet(Dedup.readIncrementalSimhashPairsLww(spark, idx, pairsDir))
+      == expected, "LWW serving read must equal the one-shot batch join")
+    val out = tmp("graft_shlww_out") + "/pairs"
+    Dedup.compactSimhashPairs(spark, idx, pairsDir, out)
+    assert(pairSet(spark.read.parquet(out)
+      .select("doc_a", "doc_b", "hamming")) == expected,
+      "compacted pairs must equal the one-shot batch join")
+    // (3000,3001) — both ≡ doc 3's text — is a TRUE Hamming-0 pair and
+    // must survive; tombstoning 3000 removes exactly its pairs
+    assert(expected.contains((3000L, 3001L, 0)))
+    val tombs = tmp("graft_shlww_tomb") + "/t"
+    graft.operators.Governance.recordTombstones(spark, tombs,
+      Seq(3000L).toDF("purge_id"))
+    val out2 = tmp("graft_shlww_out2") + "/pairs"
+    Dedup.compactSimhashPairs(spark, idx, pairsDir, out2,
+      tombstonePath = Some(tombs))
+    assert(pairSet(spark.read.parquet(out2)
+      .select("doc_a", "doc_b", "hamming")) ==
+      expected.filterNot { case (a, b, _) => a == 3000L || b == 3000L })
+    spark.catalog.clearCache()
+  }
+
+  test("vector re-delivery: a stale embedding cannot serve spurious pairs after the re-delivery (d5c/d5d twin)") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val src = tmp("graft_veclww_src")
+    val idx = tmp("graft_veclww_root") + "/idx"
+    val pairsDir = tmp("graft_veclww_root2") + "/pairs"
+    val ckpt = tmp("graft_veclww_ckpt")
+    val vecs = Tables.embeddings(spark, sf).where(col("vec_id") < 120)
+      .select(col("vec_id"), col("embedding"))
+    // vec 70's STALE revision = vec 3's embedding; TRUE = its own.
+    def asId(srcId: Long, newId: Long) = vecs.where(col("vec_id") === srcId)
+      .select(lit(newId).as("vec_id"), col("embedding"))
+    util.Chunks.add(
+      vecs.where(col("vec_id") < 90 && col("vec_id") =!= 70)
+        .unionByName(asId(3L, 70L)).unionByName(asId(3L, 3000L)),
+      src, "c1.parquet")
+    Streams.incrementalVectorIndex(spark, src, idx, pairsDir, ckpt)
+    val c1Rows = spark.read.parquet(pairsDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // identical int vectors: cos = n2/(sqrt(n2)·sqrt(n2)) ≈ 1.0 up to
+    // IEEE sqrt round-trip — assert by pair key + near-1 value
+    assert(c1Rows.exists(t => t._1 == 70L && t._2 == 3000L && t._3 > 0.999),
+      s"stale revision's cos~1.0 pair must be in the raw store: $c1Rows")
+    util.Chunks.add(
+      vecs.where(col("vec_id") >= 90 && col("vec_id") < 105 || col("vec_id") === 70),
+      src, "c2.parquet")
+    Streams.incrementalVectorIndex(spark, src, idx, pairsDir, ckpt)
+    util.Chunks.add(
+      vecs.where(col("vec_id") >= 105).unionByName(asId(3L, 3001L)),
+      src, "c3.parquet")
+    Streams.incrementalVectorIndex(spark, src, idx, pairsDir, ckpt)
+    // stale-embedding probe: 3001 ≡ 70's SUPERSEDED vector arrives
+    // after the re-delivery — a non-LWW stored read would emit a
+    // spurious cos-1.0 (70,3001) row with c3's batch id
+    val raw = spark.read.parquet(pairsDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(!raw.exists(t => t._1 == 70L && t._2 == 3001L),
+      "the superseded embedding served a spurious pair")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val finalCorpus = vecs.unionByName(asId(3L, 3000L)).unionByName(asId(3L, 3001L))
+    val batchIx = Similarity.buildCosineIndex(finalCorpus)
+    val expected = pairSet(Similarity.cosineDedupPairs(batchIx, threshold = 0.9))
+    batchIx.unpersist()
+    assert(raw.length > expected.size,
+      "raw pair dirs must still carry the superseded revision's rows")
+    assert(pairSet(Similarity.readIncrementalVectorPairsLww(spark, idx, pairsDir))
+      == expected, "LWW serving read must equal the one-shot batch join")
+    val out = tmp("graft_veclww_out") + "/pairs"
+    Similarity.compactVectorPairs(spark, idx, pairsDir, out)
+    assert(pairSet(spark.read.parquet(out)
+      .select("vec_a", "vec_b", "cos")) == expected,
+      "compacted pairs must equal the one-shot batch join")
+    // (3000,3001) — both ≡ vec 3 — is a TRUE cos~1.0 pair and must
+    // survive; tombstoning 3000 removes exactly its pairs
+    assert(expected.exists(t => t._1 == 3000L && t._2 == 3001L && t._3 > 0.999))
+    val tombs = tmp("graft_veclww_tomb") + "/t"
+    graft.operators.Governance.recordTombstones(spark, tombs,
+      Seq(3000L).toDF("purge_id"))
+    val out2 = tmp("graft_veclww_out2") + "/pairs"
+    Similarity.compactVectorPairs(spark, idx, pairsDir, out2,
+      tombstonePath = Some(tombs))
+    assert(pairSet(spark.read.parquet(out2)
+      .select("vec_a", "vec_b", "cos")) ==
+      expected.filterNot { case (a, b, _) => a == 3000L || b == 3000L })
+    spark.catalog.clearCache()
+  }
+
   test("prefix store WITHOUT the ids sidecar: LWW read falls back, the maintainer backfills once (pre-r19 store compat)") {
     import graft.operators.Dedup
     val src = tmp("graft_pfxleg_src")

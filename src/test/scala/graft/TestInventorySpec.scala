@@ -37,12 +37,12 @@ class TestInventorySpec extends AnyFunSuite {
     "InferenceSpec" -> 4,
     "NativeExprSpec" -> 10,
     "PipelineSpec" -> 71,
-    "PlanSpec" -> 42,
+    "PlanSpec" -> 43,
     "RebalanceSpec" -> 4,
     "ResultCacheSpec" -> 2,
     "ScaleOpsSpec" -> 7,
     "SchemaEvolutionSpec" -> 5,
-    "StreamingSpec" -> 30,
+    "StreamingSpec" -> 33,
     "SyncSpec" -> 17,
     "TextSpec" -> 11,
     "ToolsSpec" -> 8)
