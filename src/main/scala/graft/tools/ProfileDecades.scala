@@ -240,37 +240,40 @@ object ProfileDecades {
     }
     // d34 streaming maintainer PER-BATCH cost (judge ask #1's proof
     // row): build the prefix store over the WHOLE corpus once
-    // (untimed), then time delivering one fixed 500-doc batch through
-    // Streams.incrementalPrefixJoin. The batch is the 500 lowest
-    // doc_ids id-shifted to fresh ids — replica 0 is bit-identical
-    // across MakeScale fixtures and its vocabulary is replica-local,
-    // so the batch content AND its candidate volume are constant
-    // across corpus scales; what varies with the corpus is exactly the
-    // per-batch overhead under test (winners frame, stored-side scans,
-    // verify gather build). The id shift is DERIVED FROM THE STORE
-    // (max stored doc_id + 1, re-read per run so run k clears run
-    // k-1's deliveries) — the round-19 advice: a constant 50M stride
-    // collides with MakeScale's 10M ReplicaStride, so at sf1+ the
-    // "fresh" batches were silent RE-DELIVERIES of replica ids
-    // (supersede-path work, store mutation, cross-run J=1.0 pairs) and
-    // the timed numbers measured contaminated batches. The freshness
-    // premise is ASSERTED per run, not assumed; the two probe aggs
+    // (untimed), then time delivering one 500-doc batch through
+    // Streams.incrementalPrefixJoin. Run k's batch clones replica-0
+    // docs [500(k-1), 500k) — replica 0 is bit-identical across
+    // MakeScale fixtures and its vocabulary is replica-local, so each
+    // batch's content is statistically identical at every scale and
+    // its candidate volume is ~500 guaranteed J=1.0 pairs against the
+    // stored originals. BOTH round-19 advice defects are closed here:
+    // (a) ids shift derives from the store (max stored doc_id + 1,
+    // re-read per run) and freshness is ASSERTED, so a run can never
+    // silently re-deliver replica ids; (b) the per-run SOURCE SLICES
+    // are disjoint, so run k's clones cannot pair J=1.0 with runs
+    // 1..k-1's delivered clones — without that, the min-of-N measured
+    // a candidate set growing by 500 cross-run clone pairs per run
+    // (the old same-500-docs protocol; both r19 legs suffered it, plus
+    // the replica-id re-deliveries at sf1/sf10). The two probe aggs
     // read the O(deliveries) two-column ids sidecar — milliseconds
     // against a multi-second batch.
     val tD34i = if (!wanted("d34i_batch")) -1.0 else {
       val store = s"$root/d34i"
       graft.operators.Dedup.writePrefixIndex(
         docs.select(col("doc_id"), col("text")), s"$store/idx")
-      val batch500 = docs.select(col("doc_id"), col("text"))
-        .orderBy("doc_id").limit(500).cache()
-      val n = batch500.count()
-      System.err.println(s"DECADES d34i_batch batch_docs=$n")
       var d34iRun = 0
       timed("d34i_batch") {
         d34iRun += 1
+        val lo = 500L * (d34iRun - 1); val hi = 500L * d34iRun
+        val slice = docs.select(col("doc_id"), col("text"))
+          .where(col("doc_id") >= lo && col("doc_id") < hi).cache()
+        val n = slice.count()
+        require(n == 500,
+          s"d34i_batch run $d34iRun: slice [$lo,$hi) has $n docs, not 500 — " +
+            "replica-0 ids are expected contiguous at every MakeScale sf")
         val shift = spark.read.parquet(s"$store/idx/ids")
-          .agg(max(col("doc_id"))).head().getLong(0) + 1L
-        val b = batch500.select((col("doc_id") + shift).as("doc_id"), col("text"))
+          .agg(max(col("doc_id"))).head().getLong(0) + 1L - lo
+        val b = slice.select((col("doc_id") + shift).as("doc_id"), col("text"))
         val redelivered = spark.read.parquet(s"$store/idx/ids")
           .join(b.select("doc_id"), Seq("doc_id"), "left_semi").count()
         require(redelivered == 0L,
@@ -279,6 +282,8 @@ object ProfileDecades {
         graft.util.Chunks.add(b, s"$store/src$d34iRun", "b.parquet")
         graft.streaming.Streams.incrementalPrefixJoin(
           spark, s"$store/src$d34iRun", s"$store/idx", s"$store/ckpt$d34iRun")
+        slice.unpersist()
+        ()
       }
     }
 
