@@ -357,9 +357,10 @@ object Bench {
     // protocol blew the driver's bench envelope (BENCH_r13 rc=124). The
     // record and the re-runs are decoupled: EVERY >1.3x mover gets a
     // drift entry (infleet + baseline — the round-over-round record
-    // costs only JSON), and every >=1.4x mover (either direction, the
-    // round-14 judge ask — no more `isolated: -1` above that line) gets
-    // an isolated fresh-JVM floor, min-of-3, BATCHED a dozen movers per
+    // costs only JSON), and every SLOW-SIDE mover (round-20; fast-side
+    // movers adjudicate themselves as "under_floor" — an in-fleet time
+    // at-or-under the fresh-JVM floor cannot be a regression) gets an
+    // isolated fresh-JVM floor, min-of-3, BATCHED a dozen movers per
     // child JVM so the startup cost is amortized. The wall-clock budget
     // is a LAUNCH GATE, not a hard cap: a batch already running can
     // overshoot it by up to the child's 8-minute timeout; the gate only
@@ -385,17 +386,22 @@ object Bench {
           // above stays delta-ordered; the re-run QUEUE is worst-ratio
           // first so no high-ratio mover is ever left at isolated:-1
           // while a milder one got a floor.
-          // Slow-side movers (possible regressions) outrank fast-side
-          // ones in the queue (round-17 fix): comparing warm in-fleet
-          // times against the fresh-JVM host-local baseline floors
-          // makes "fleet faster than floor" reads ENDEMIC, and that
-          // flood must never squeeze a real slowdown out of the
-          // adjMaxMovers cap — the isolation protocol exists to catch
-          // regressions, not to re-measure wins.
+          // The queue is SLOW-SIDE ONLY since round-20: comparing warm
+          // in-fleet times against fresh-JVM host-local floors makes
+          // "fleet faster than floor" reads ENDEMIC, and a mover whose
+          // in-fleet time already beats its fresh-JVM floor cannot be a
+          // regression — isolating it can only re-measure a win, while
+          // its chunk's wall-clock squeezes real slowdowns out of the
+          // launch-gate budget (the r20 gate spent all 36 cap slots and
+          // still left 55 movers unmeasured, none of them slow-side
+          // eligible). Fast-side movers are adjudicated directly from
+          // the fleet reading ("under_floor", below); EVERY slow-side
+          // mover — at the mover threshold itself, not the old 1.4×
+          // eligibility band — enters the isolation queue, worst ratio
+          // first.
           val eligible = movers
-            .filter { case (_, dt, b) => dt > 1.4 * b || b > 1.4 * dt }
-            .sortBy { case (_, dt, b) =>
-              (if (dt > b) 0 else 1, -math.max(dt / b, b / dt)) }
+            .filter { case (_, dt, b) => dt > b }
+            .sortBy { case (_, dt, b) => -(dt / b) }
             .take(adjMaxMovers)
           val t0 = System.nanoTime()
           val iso = scala.collection.mutable.Map[String, Double]()
@@ -455,6 +461,15 @@ object Bench {
       def jnum(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
       val fields = adjudicated.map { case (n, fleet, b, iso) =>
         val extra = iso match {
+          // A fast-side mover needs no isolated floor: its warm
+          // in-fleet time is ALREADY at-or-under the fresh-JVM floor,
+          // which no regression can produce — "under_floor" is the
+          // fleet reading adjudicating itself (round-20; this is what
+          // emptied the endemic `unmeasured` class). A slow-side mover
+          // can only read "unmeasured" if the launch-gate budget was
+          // spent before its chunk — every slow mover is
+          // isolation-eligible since round-20.
+          case None if b > fleet => "\"verdict\":\"under_floor\""
           case None => "\"verdict\":\"unmeasured\""
           case Some(v) =>
             val r = v / b
