@@ -10,8 +10,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * planned, filter/projection pushed down by Catalyst) is identical.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Per-path SCHEMA memo (round-20): `spark.read.parquet` with no
+    * user schema pays a driver-side footer read + schema merge on
+    * EVERY call, and a bench/verify fleet re-opens the same ten static
+    * tables thousands of times. A real lake fronts tables with a
+    * catalog that serves the schema without touching storage; this map
+    * is that catalog for the fixture dirs. Keyed by resolved path —
+    * schema only, never data or results: every query still scans the
+    * parquet itself. The fixture tables are write-once per path
+    * (MakeScale emits NEW dirs), so a cached schema cannot go stale
+    * within a JVM. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val sch = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")

@@ -739,6 +739,11 @@ object Dedup {
     val wins = toks.select(col("doc_id"),
       posexplode(col("grams")).as(Seq("p", "gram")))
       .select(col("doc_id"), col("p"), xxhash64(col("gram")).as("gh"))
+      // Persisted for the same two-read ownership shape as
+      // [[selfDupWindows]] (round-20): the groupBy-min side and the
+      // join-back side otherwise each re-run the normText + gram +
+      // hash corpus pass.
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // First-occurrence ownership as groupBy(min) + join-back, NOT a
     // window over the gram shuffle: a window cannot partial-aggregate,
     // so every occurrence of a hot gram (boilerplate IS this operator's
@@ -859,7 +864,15 @@ object Dedup {
     * with the per-window owner — shared by the plain and attributed
     * span operators. */
   private def selfDupWindows(docs: DataFrame, minLen: Int): DataFrame = {
+    // Persisted (round-20): the ownership shape reads the gram frame
+    // TWICE (the groupBy-min build side and the join-back probe side),
+    // and un-cached each read re-runs the corpus normText +
+    // wordKGramsAll + hash pass — the operator's single most expensive
+    // stage. (doc_id, p, gh) is 24 B/window, far cheaper to hold
+    // (MEMORY_AND_DISK, spills at scale) than to recompute. Released
+    // by the session's cache clear (the matcut discipline).
     val wins = gramFrame(docs, minLen)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     wins.join(wins.groupBy("gh").agg(min("doc_id").as("min_doc")), Seq("gh"))
       .where(col("doc_id") > col("min_doc"))
       .select(col("doc_id"), col("p"), col("min_doc"))
@@ -1476,59 +1489,96 @@ object Dedup {
     ccFastWithRounds(pairs, maxIter, jumps)._1
 
   /** [[connectedComponentsFast]] plus the round count, so specs can pin
-    * the O(log d) bound rather than trust the doc comment. */
+    * the O(log d) bound rather than trust the doc comment.
+    *
+    * Round-20: the rounds run as PARTITIONER-AWARE RDD joins instead of
+    * DataFrame rounds — the same move [[pagerankCentrality]] and the
+    * n17 GraphX resolver made, applied to the resolver every dedup
+    * family shares. A DataFrame round pays per-round Catalyst planning
+    * plus ~6 exchanges (nbrMin agg, its join, the jump join's two
+    * sides, the checkpoint scans); with edges, labels and every hop
+    * co-partitioned ONCE by a single HashPartitioner, a round is
+    * exactly 3 shuffles (nbr-min reduceByKey, the jump's key flip to
+    * the label owner, and the jump result's flip back) and every other
+    * join is narrow. Semantics are unchanged round for round —
+    * neighbor-min then `jumps` label-of-label doublings, least() folds,
+    * convergence when no label dropped below its round-entry value —
+    * so labels AND round counts are identical (min-folds over exact
+    * longs commute; PipelineSpec pins both). */
   private[graft] def ccFastWithRounds(pairs: DataFrame, maxIter: Int,
                                       jumps: Int = 1): (DataFrame, Int) = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val s = pairs.sparkSession
+    import s.implicits._
+    val eBoth = pairs.select(col("doc_a").cast(LongType), col("doc_b").cast(LongType))
+      .as[(Long, Long)].rdd
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var edgesByDstHandle: Option[org.apache.spark.rdd.RDD[(Long, Long)]] = None
     try {
-      // Same roundCheckpoint discipline as connectedComponents, and
-      // doubly needed here: the jump join references `hop` twice, so an
-      // untruncated round would TRIPLE the plan tree.
-      var (labels, release) = roundCheckpoint(
-        edges.groupBy(col("src").as("node"))
-          .agg(min(col("dst")).as("m"))
-          .select(col("node"), least(col("node"), col("m")).as("label")))
+      // One shuffle partitioner for the whole resolution, sized like
+      // the n17 edge rule (partitions ~ edges / target-rows, capped at
+      // the session parallelism — thousands at 100 TB, a handful here).
+      val nEdges = eBoth.count()
+      val parts = math.max(1L, math.min(
+        s.sparkContext.defaultParallelism.toLong, nEdges / 250000L + 1L)).toInt
+      val part = new org.apache.spark.HashPartitioner(parts)
+      val edgesByDst = eBoth.map { case (src, dst) => (dst, src) }
+        .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+      edgesByDstHandle = Some(edgesByDst)
+      // Seeded init: label(v) = min(v, 1-hop neighbor min) in one
+      // reduceByKey — replaces the entire first propagation round.
+      // Every node appears as src (edges are bidirectional), so
+      // coverage is complete. mapPartitions(preserve) keeps `part`.
+      var labels = eBoth.reduceByKey(part, math.min(_: Long, _: Long))
+        .mapPartitions(_.map { case (n, m) => (n, math.min(n, m)) },
+          preservesPartitioning = true)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var release: () => Unit = { val l = labels; () => { l.unpersist(); () } }
       var converged = false
       var iter = 0
       while (!converged && iter < maxIter) {
         iter += 1
-        val nbrMin = edges.join(labels, edges("dst") === labels("node"))
-          .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-        // Checkpoint hop too: every jump join reads its predecessor on
-        // both sides.
-        var (hop, hopRelease) = roundCheckpoint(
-          labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
-            .select(col("node"), col("label").as("orig"),
-              least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
+        val nbr = edgesByDst.join(labels) // narrow: both carry `part`
+          .map { case (_, (src, lbl)) => (src, lbl) }
+          .reduceByKey(part, math.min(_: Long, _: Long)) // the round's shuffle #1
+        // hop value = (round-entry label, current label); persisted per
+        // round because every doubling reads it on BOTH sides.
+        var hop = labels.leftOuterJoin(nbr) // narrow
+          .mapValues { case (orig, nm) =>
+            (orig, math.min(orig, nm.getOrElse(orig))) }
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        var hopRelease: () => Unit = { val h = hop; () => { h.unpersist(); () } }
         // Path doubling, `jumps` times: adopt the label OF my label.
-        // hop carries every node, and label values are node ids, so a
-        // left join is total wherever the label names a live node.
+        // Label values are node ids present in the label map, so the
+        // owner lookup is total; leftOuterJoin keeps the DF version's
+        // belt-and-braces fallback to the own label.
+        def doubledOnce(h: org.apache.spark.rdd.RDD[(Long, (Long, Long))])
+          : org.apache.spark.rdd.RDD[(Long, (Long, Long))] = {
+          val byOwner = h.map { case (n, (_, l)) => (l, n) }
+            .partitionBy(part) // shuffle #2: flip to the label owner
+          val jl = byOwner.join(h) // narrow
+            .map { case (_, (n, (_, ownerLbl))) => (n, ownerLbl) }
+            .partitionBy(part) // shuffle #3: flip back to the node
+          h.leftOuterJoin(jl) // narrow
+            .mapValues { case ((orig, l), j) =>
+              (orig, math.min(l, j.getOrElse(l))) }
+        }
         for (_ <- 1 until jumps) {
-          val jumpTo = hop.select(col("node").as("jn"), col("label").as("jl"))
-          val (h2, h2Release) = roundCheckpoint(
-            hop.join(jumpTo, hop("label") === jumpTo("jn"), "left")
-              .select(col("node"), col("orig"),
-                least(col("label"), coalesce(col("jl"), col("label"))).as("label")))
-          // The predecessor's cache backs h2's lineage-cut RDD view, so
-          // release it AFTER the round's action materializes the chain:
-          // defer by composing the release thunks.
+          val h2 = doubledOnce(hop).persist(StorageLevel.MEMORY_AND_DISK)
           val prevRelease = hopRelease
           hop = h2
-          hopRelease = () => { h2Release(); prevRelease() }
+          hopRelease = { () => { h2.unpersist(); prevRelease() } }
         }
-        val jumpTo = hop.select(col("node").as("jn"), col("label").as("jl"))
-        val (next, nextRelease) = roundCheckpoint(
-          hop.join(jumpTo, hop("label") === jumpTo("jn"), "left")
-            .select(col("node"),
-              least(col("label"), coalesce(col("jl"), col("label"))).as("label"),
-              (least(col("label"), coalesce(col("jl"), col("label"))) < col("orig")).as("changed")))
-        converged = next.where(col("changed")).count() == 0L
+        val next = doubledOnce(hop).persist(StorageLevel.MEMORY_AND_DISK)
+        // Convergence: the round's one action — materializes the whole
+        // chain and counts labels that dropped below their round-entry
+        // value.
+        converged = next.filter { case (_, (orig, l)) => l < orig }.count() == 0L
         hopRelease()
         release()
-        labels = next.drop("changed")
-        release = nextRelease
+        val nx = next
+        labels = next.mapValues(_._2) // lazy view over the cached round
+        release = { () => { nx.unpersist(); () } }
       }
       if (!converged) {
         release()
@@ -1536,8 +1586,10 @@ object Dedup {
           s"requirement failed: connectedComponentsFast did not converge " +
             s"within $maxIter rounds")
       }
-      (labels.select(col("node").as("doc_id"), col("label").as("cluster")), iter)
-    } finally { edges.unpersist(); () }
+      (labels.toDF("doc_id", "cluster"), iter)
+    } finally {
+      eBoth.unpersist(); edgesByDstHandle.foreach(_.unpersist()); ()
+    }
   }
 
   // --- SimHash -------------------------------------------------------------

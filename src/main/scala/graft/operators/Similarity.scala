@@ -1209,33 +1209,58 @@ object Similarity {
     * is capped at k by construction so no key skews the exchange. */
   def pagerankCentrality(index: IvfIndex, k: Int, nProbe: Int = 2,
                          iters: Int = 5, scale: Long = 1000000000000L): DataFrame = {
+    val s = index.assigned.sparkSession
+    import s.implicits._
     val edges = knnGraph(index, k, nProbe)
       .select(col("query_id").as("src"), col("vec_id").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val outd = edges.groupBy("src").agg(count(lit(1)).as("od"))
-      val nodes = index.assigned.select(col("vec_id"))
-      val n = nodes.count() // O(1) driver result — the N in the formula
+      // The rank rounds run as PARTITIONER-AWARE RDD joins, not
+      // DataFrame rounds — the n17/GraphX rationale applied to the
+      // second genuinely iterative graph workload: a DataFrame round
+      // pays per-round Catalyst planning plus ~3 exchanges (pr⋈edges,
+      // ⋈outd, the in-mass agg), where RDDs co-partitioned ONCE by one
+      // HashPartitioner make the pr⋈edges join and the node update
+      // narrow — the in-mass reduceByKey is the round's ONLY shuffle,
+      // the Pregel schedule's lower bound. Arithmetic is unchanged
+      // exact long math (sums commute — bit-identical under any
+      // partitioning, any round order): contribution = pr div od on
+      // non-negative longs, pr' = base + (85·inMass) div 100.
+      val nodesDf = index.assigned.select(col("vec_id"))
+      val n = nodesDf.count() // O(1) driver result — the N in the formula
       val base = scale * 15 / 100 / n
-      var pr = nodes.withColumn("pr", lit(scale / n))
+      val nEdges = edges.count()
+      val parts = math.max(1L, math.min(
+        s.sparkContext.defaultParallelism.toLong, nEdges / 250000L + 1L)).toInt
+      val part = new org.apache.spark.HashPartitioner(parts)
+      // (src → (dst, od)) partitioned by src, built once, reused every
+      // round; od folds in here so no per-round outdegree join exists.
+      val outd = edges.as[(Long, Long)].rdd
+        .mapValues(_ => 1L).reduceByKey(part, _ + _)
+      val edgesByOd = edges.as[(Long, Long)].rdd.partitionBy(part)
+        .join(outd) // narrow: both sides carry `part`
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      edgesByOd.count()
+      val nodes = nodesDf.as[Long].rdd.map((_, ()))
+        .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+      var pr = nodes.mapValues(_ => scale / n) // keeps `part`
       for (_ <- 1 to iters) {
-        val inMass = pr.join(edges, pr("vec_id") === edges("src"))
-          .join(outd, Seq("src"))
-          .select(col("dst").as("vec_id"), expr("pr div od").as("c"))
-          .groupBy("vec_id").agg(sum(col("c")).as("in_mass"))
-        pr = nodes.join(inMass, Seq("vec_id"), "left")
-          .select(col("vec_id"),
-            (lit(base) + expr(
-              "(85 * coalesce(in_mass, CAST(0 AS BIGINT))) div 100"))
-              .as("pr"))
+        val inMass = pr.join(edgesByOd) // narrow on `part`
+          .map { case (_, (p, (dst, od))) => (dst, p / od) }
+          .reduceByKey(part, _ + _) // the round's one shuffle
+        pr = nodes.leftOuterJoin(inMass) // narrow on `part`
+          .mapValues { case (_, m) => base + 85 * m.getOrElse(0L) / 100 }
       }
+      val out = pr.toDF("vec_id", "pr")
       // Materialize before releasing the edge cache: the rank frame is
       // lazy, and unpersisting first would recompute the kNN graph once
       // per iteration at execution time. Executor-side persist + one
       // distributed count — the O(N) per-node score frame never crosses
       // the driver (it stays cached; callers release it once consumed,
       // as with the component-label frames).
-      graft.util.Exec.materializedCut(pr.select(col("vec_id"), col("pr")))
+      val cut = graft.util.Exec.materializedCut(out)
+      edgesByOd.unpersist(); nodes.unpersist()
+      cut
     } finally { edges.unpersist(); () }
   }
 
@@ -1750,6 +1775,17 @@ object Similarity {
 
   /** The PQ training pass alone — the distributed all-subspace Lloyd
     * loop of [[buildPqIndex]], reusable by composites (IVF-PQ). */
+  /** Above this many model entries (nSub·nCentroids·dsub) the per-task
+    * dense accumulator of the fast Lloyd round stops being "a few KB"
+    * and the recentring falls back to the distributed Catalyst
+    * aggregation: 1<<20 entries = an 8 MB long array per task — the
+    * last size where shipping one dense partial per partition through
+    * treeReduce is clearly cheaper than shuffling O(model) rows. The
+    * two paths share the quantization expression and the recentring
+    * arithmetic, so books are bit-identical either way (pinned by
+    * SimilaritySpec). */
+  private val denseLloydMaxEntries = 1 << 20
+
   def trainPqCodebooks(embeddings: DataFrame, nSub: Int = 8,
                        nCentroids: Int = 16, iters: Int = 5,
                        trainEvery: Int = 1): Array[Array[Array[Double]]] = {
@@ -1771,32 +1807,87 @@ object Similarity {
       s"corpus smaller than $nCentroids codebook entries")
     var books: Array[Array[Array[Double]]] = Array.tabulate(nSub)(m =>
       seedRows.map(v => v.slice(m * dsub, (m + 1) * dsub)))
-    for (_ <- 0 until iters) {
-      val bks = books
-      val sums = train.as[(Long, Seq[Double])].mapPartitions { it =>
-        it.flatMap { case (_, emb) =>
-          val v = emb.toArray
-          (0 until nSub).iterator.map { m =>
-            (m, nearestCell(bks(m), v, m * dsub, dsub), v.slice(m * dsub, (m + 1) * dsub))
+    // Quantize ONCE through the shared Catalyst `round` (HALF_UP — the
+    // n5 pattern), so integer sums — and therefore the recentred means,
+    // codes, and every downstream oracle — are identical under any
+    // partitioning AND identical between the two recentring paths.
+    val quantized = train.select(col("embedding"),
+      transform(col("embedding"), x => round(x * 10000).cast(LongType)).as("q"))
+    val dense = nSub.toLong * nCentroids * dsub <= denseLloydMaxEntries
+    // Fast path: the training set parses to JVM arrays ONCE and stays
+    // cached across rounds; each Lloyd round is then a single
+    // shuffle-free narrow job — per-task dense (sum, count) arrays
+    // treeReduce'd on exact longs (commutative, so order-independent) —
+    // instead of a per-round Catalyst plan + posexplode + hash-agg
+    // exchange + collect. This is the classic dense-accumulator k-means
+    // round (what MLlib's trainer does); the Catalyst fallback above the
+    // size threshold keeps the recentring fully distributed when the
+    // model itself is too big for per-task dense partials.
+    val trainRdd = if (!dense) null
+      else quantized.as[(Seq[Double], Seq[Long])].rdd
+        .map { case (e, q) => (e.toArray, q.toArray) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (_ <- 0 until iters) {
+        val bks = books
+        val next = books.map(_.map(_.clone)) // empty cells keep their centroid
+        if (dense) {
+          val (sums, cnts) = trainRdd.mapPartitions { it =>
+            val sums = new Array[Long](nSub * nCentroids * dsub)
+            val cnts = new Array[Long](nSub * nCentroids)
+            it.foreach { case (v, q) =>
+              var m = 0
+              while (m < nSub) {
+                val cell = nearestCell(bks(m), v, m * dsub, dsub)
+                cnts(m * nCentroids + cell) += 1
+                var t = 0
+                while (t < dsub) {
+                  sums((m * nCentroids + cell) * dsub + t) += q(m * dsub + t)
+                  t += 1
+                }
+                m += 1
+              }
+            }
+            Iterator.single((sums, cnts))
+          }.treeReduce({ case ((s1, c1), (s2, c2)) =>
+            var i = 0; while (i < s1.length) { s1(i) += s2(i); i += 1 }
+            i = 0; while (i < c1.length) { c1(i) += c2(i); i += 1 }
+            (s1, c1)
+          }, depth = 2)
+          for (m <- 0 until nSub; j <- 0 until nCentroids) {
+            val n = cnts(m * nCentroids + j)
+            if (n > 0) {
+              var t = 0
+              while (t < dsub) {
+                next(m)(j)(t) =
+                  sums((m * nCentroids + j) * dsub + t).toDouble / 10000.0 / n
+                t += 1
+              }
+            }
+          }
+        } else {
+          val sums = quantized.as[(Seq[Double], Seq[Long])].mapPartitions { it =>
+            it.flatMap { case (emb, q) =>
+              val v = emb.toArray
+              (0 until nSub).iterator.map { m =>
+                (m, nearestCell(bks(m), v, m * dsub, dsub),
+                  q.slice(m * dsub, (m + 1) * dsub))
+              }
+            }
+          }.toDF("m", "cell", "sv")
+            .select(col("m"), col("cell"), posexplode(col("sv")).as(Seq("d", "x")))
+            .groupBy("m", "cell", "d")
+            .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+            .collect()
+          sums.foreach { r =>
+            next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+              r.getLong(3).toDouble / 10000.0 / r.getLong(4)
           }
         }
-      }.toDF("m", "cell", "sv")
-        .select(col("m"), col("cell"), posexplode(col("sv")).as(Seq("d", "x")))
-        .groupBy("m", "cell", "d")
-        // quantized-integer sums (the n5 pattern): the recentred mean is
-        // identical under any partitioning, so codebooks — and therefore
-        // codes and ADC scores — are deterministic end to end.
-        .agg(sum(round(col("x") * 10000).cast(LongType)).as("s"),
-          count(lit(1)).as("n"))
-        .collect()
-      val next = books.map(_.map(_.clone)) // empty cells keep their centroid
-      sums.foreach { r =>
-        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
-          r.getLong(3).toDouble / 10000.0 / r.getLong(4)
+        books = next
       }
-      books = next
-    }
-    books
+      books
+    } finally { if (trainRdd != null) { trainRdd.unpersist(false); () } }
   }
 
   /** Append the PQ code array to ANY frame carrying (vec_id, embedding)
@@ -3866,11 +3957,69 @@ object SimilarityQueries extends graft.QueryModule {
     // replay with the probe rank crossed against the probe-budget
     // dimension, per-(budget, query) hits re-derived value for value.
     graft.QueryDef("n22_recall_curve", Some(n22OracleSql))((s, d) => {
+      import s.implicits._
       val emb = Tables.embeddings(s, d)
       val index = buildIvfIndex(emb, nCells = 16)
       val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L)
-      val out = Seq(1, 2, 4, 8).map { p =>
-        annRecallEval(index, emb, ids, k = 10, nProbe = p)
+      val k = 10
+      val budgets = Seq(1, 2, 4, 8)
+      // Shared-work sweep (round-20): the naive form ran annRecallEval
+      // per budget — re-running the EXACT full-corpus pass 4× for an
+      // answer that never changes, and re-scoring the probed candidates
+      // from scratch per budget even though the p-probe candidate set
+      // is a strict PREFIX of the (p+1)-probe set (cells rank once per
+      // query). Now: the exact side computes ONCE (persisted, O(m·k));
+      // the probe side scores ONCE at the widest budget with each
+      // candidate carrying its cell's probe RANK, and every budget is a
+      // rank-filter + the same bounded TopK aggregation over that
+      // persisted score frame. Identical rows by construction: the
+      // rank-≤-p filter reproduces exactly ivfBatchTopK's p-probe
+      // candidate set (same stable distance sort, same tie-breaks), and
+      // the aggregator/tie-break chain is unchanged.
+      val maxP = budgets.max
+      val qRows = index.assigned
+        .where(col("vec_id").isin(ids.map(Long.box): _*))
+        .select(col("vec_id"), col("embedding")).collect() // bounded: m rows
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+        .toMap
+      val probes = ids.flatMap { q =>
+        val qv = qRows(q)
+        index.centroids.zipWithIndex.map { case (c, i) =>
+          var dsq = 0.0; var t = 0
+          while (t < c.length) { val dd = c(t) - qv(t); dsq += dd * dd; t += 1 }
+          (dsq, i)
+        }.sortBy(_._1).take(maxP).zipWithIndex
+          .map { case ((_, cell), r) => (q, cell, r + 1) }
+      }.toDF("query_id", "cell", "prank")
+      val qv = index.assigned
+        .where(col("vec_id").isin(ids.map(Long.box): _*))
+        .select(col("vec_id").as("query_id"), quant(col("embedding")).as("qv"))
+      val scored = index.assigned
+        .select(col("vec_id"), col("cell"), quant(col("embedding")).as("v"))
+        .join(broadcast(probes), Seq("cell"))
+        .join(broadcast(qv), Seq("query_id"))
+        .select(col("query_id").cast(StringType), col("vec_id"),
+          cosine(idot(col("v"), col("qv")), inorm2(col("v")), inorm2(col("qv")))
+            .as("cos"), col("prank"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exact = batchTopK(emb, ids, k)
+        .select(col("query_id"), col("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val queries = exact.select("query_id").distinct()
+      val out = budgets.map { p =>
+        val approx = scored.where(col("prank") <= p)
+          .select(col("query_id").cast(StringType), col("vec_id"), col("cos"))
+          .as[(String, Long, Double)]
+          .groupByKey(_._1)
+          .agg(new graft.functions.TopKAggregator(k).toColumn)
+          .flatMap { case (qid, top) => top.map(t => (qid.toLong, t._1, t._2)) }
+          .toDF("query_id", "vec_id", "cos")
+          .select(col("query_id"), col("vec_id"))
+        val hits = approx.join(exact, Seq("query_id", "vec_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        queries
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"))
           .agg(count(lit(1)).as("n_queries"), sum(col("hits")).as("sum_hits"),
             min(col("hits")).as("min_hits"))
           .select(lit(p).as("n_probe"), col("n_queries"), col("sum_hits"),
@@ -3879,6 +4028,7 @@ object SimilarityQueries extends graft.QueryModule {
             col("min_hits"))
       }.reduce(_ unionByName _)
       val local = out.collectAsList()
+      scored.unpersist(); exact.unpersist()
       index.unpersist()
       s.createDataFrame(local, out.schema)
     }),

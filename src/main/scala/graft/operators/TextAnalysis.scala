@@ -204,12 +204,18 @@ object TextAnalysisQueries extends graft.QueryModule {
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(col("word"), col("freq"),
         concat(lit("  "), array_join(chars, "  "), lit("  ")).as("seq"))
-    def ckpt(df: DataFrame): (DataFrame, () => Unit) = {
-      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      p.count()
-      (p, () => { p.unpersist(); () })
-    }
-    var (words, release) = ckpt(words0)
+    // ONE job per merge round (round-20): the dictionary of round r is
+    // persisted LAZILY and materialized by round r+1's pair-count argmax
+    // itself — the action that needs it — instead of an explicit
+    // count() job per round (which doubled the loop's job count for no
+    // data reason). The previous round's cache is released only AFTER
+    // the argmax has run, so the new dictionary always materializes
+    // from its predecessor's populated cache, never by recomputing the
+    // whole merge chain from the corpus.
+    var words = words0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var prevRelease: () => Unit = () => ()
+    var release: () => Unit = { val w = words; () => { w.unpersist(); () } }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     try {
       var r = 0
@@ -225,16 +231,20 @@ object TextAnalysisQueries extends graft.QueryModule {
           .agg(sum(col("freq")).as("cnt"))
           .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
           .limit(1).collect()
+        prevRelease() // `words` is materialized now; its parent can go
         if (best.isEmpty) dry = true // fully merged: nothing adjacent left
         else {
           val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
           merges += ((r, a, b, c))
-          val (next, nextRelease) = ckpt(words.select(col("word"), col("freq"),
-            replace(col("seq"), lit(s" $a  $b "), lit(s" $a$b ")).as("seq")))
-          release(); words = next; release = nextRelease
+          val next = words.select(col("word"), col("freq"),
+            replace(col("seq"), lit(s" $a  $b "), lit(s" $a$b ")).as("seq"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          prevRelease = release
+          words = next
+          release = { val w = next; () => { w.unpersist(); () } }
         }
       }
-    } finally { release() }
+    } finally { prevRelease(); release() }
     merges.toSeq.toDF("round", "lhs", "rhs", "freq")
   }
 
@@ -1560,14 +1570,23 @@ object TextAnalysisQueries extends graft.QueryModule {
         |    / 1000000.0 / count(*) AS avg_logprob
         |FROM big JOIN c2 USING (w1, w2) JOIN c1 ON c1.tok = big.w1, v
         |GROUP BY big.doc_id""".stripMargin))((s, d) => {
+      val ws = filter(split(lower(col("text")), "[^a-z0-9]+"), x => x =!= "")
       val toks = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(filter(
-          split(lower(col("text")), "[^a-z0-9]+"), x => x =!= "")))
-        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
-      val big = toks.as("a").join(toks.as("b"),
-          col("b.doc_id") === col("a.doc_id") && col("b.pos") === col("a.pos") + 1)
-        .select(col("a.doc_id").as("doc_id"),
-          col("a.tok").as("w1"), col("b.tok").as("w2"))
+        .select(col("doc_id"), explode(ws).as("tok"))
+      // Adjacent-pair construction is MAP-SIDE (round-20): the old form
+      // self-joined the posexploded token frame on (doc_id, pos+1) —
+      // a full shuffle of the token stream on both sides just to pair
+      // each token with its successor, which an array zip computes in
+      // the row (§2.4: remove shuffles outright; the bpeTrain pair
+      // scan uses the same shape). Dedup.bind keeps the split from
+      // being inlined into every slice consumer.
+      val big = Tables.documents(s, d)
+        .select(col("doc_id"), explode(graft.operators.Dedup.bind(ws) { w =>
+          zip_with(
+            slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))
+        }).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
       val c1 = toks.groupBy(col("tok").as("w1")).agg(count(lit(1)).as("c1"))
       val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
       val v = c1.agg(count(lit(1)).as("vs"))
