@@ -34,6 +34,16 @@ object Exec {
   def materializedCut(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     p.count()
-    p.sparkSession.createDataFrame(p.rdd, p.schema)
+    // Internal-row cut (round-20): `p.rdd` + createDataFrame would
+    // deserialize every cached InternalRow to an external Row and
+    // re-encode it on the next action — a decode/encode pass over the
+    // whole cut frame for nothing. queryExecution.toRdd reads the
+    // populated cache as InternalRows and the shim wraps it directly;
+    // rows, schema and lineage-cut semantics are unchanged. The rows
+    // coming off toRdd are REUSED mutable buffers, so each must be
+    // copied before it escapes the iterator — same contract (and same
+    // map(_.copy()) idiom) as Spark's own Dataset.checkpoint.
+    org.apache.spark.sql.GraftInternal.internalCreateDataFrame(
+      p.sparkSession, p.queryExecution.toRdd.map(_.copy()), p.schema)
   }
 }

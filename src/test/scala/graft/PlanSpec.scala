@@ -722,6 +722,33 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("materializedCut: internal-row cut preserves rows through buffering operators") {
+    // Round-20 internals change: the cut wraps queryExecution.toRdd
+    // (internal rows, copied per row — toRdd iterators REUSE mutable
+    // row buffers) instead of the external-Row decode/encode round
+    // trip. The copy contract is what this pins: feed the cut a
+    // multi-partition frame with non-primitive columns, then run it
+    // through operators that BUFFER rows (sort + aggregation). A
+    // missing copy() surfaces as the last row of each batch repeated.
+    import org.apache.spark.sql.functions._
+    val src = spark.range(0, 1000, 1, 7)
+      .select(col("id"), concat(lit("doc-"), col("id")).as("s"),
+        (col("id") % 13).as("k"))
+    val expect = src.orderBy("id").collect().toSeq
+    val cut = graft.util.Exec.materializedCut(src)
+    // leaf must be a distributed scan, not a LocalRelation (no driver pass)
+    val leaves = cut.queryExecution.analyzed.collectLeaves()
+    assert(!leaves.exists(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      "cut frame passed through the driver")
+    assert(cut.schema == src.schema, "cut changed the schema")
+    val got = cut.orderBy("id").collect().toSeq
+    assert(got == expect, "cut rows differ after a buffering sort")
+    val dist = cut.select(countDistinct("s")).head().getLong(0)
+    assert(dist == 1000L, s"cut collapsed distinct values: $dist")
+    spark.catalog.clearCache()
+  }
+
   test("passage chunking compiles to a shuffle-free single-pass plan") {
     // t61 is tokenize -> explode(window starts) -> slice+hash: pure
     // map-side work whose output partitioning must follow the scan. Any

@@ -37,7 +37,7 @@ class TestInventorySpec extends AnyFunSuite {
     "InferenceSpec" -> 4,
     "NativeExprSpec" -> 10,
     "PipelineSpec" -> 71,
-    "PlanSpec" -> 43,
+    "PlanSpec" -> 44,
     "RebalanceSpec" -> 4,
     "ResultCacheSpec" -> 2,
     "ScaleOpsSpec" -> 7,
