@@ -1592,6 +1592,117 @@ object Dedup {
     }
   }
 
+  /** Star-contraction connected components — the ALTERNATING algorithm
+    * (large-star / small-star, Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"): provably convergent in O(log² n) rounds
+    * (O(log n) observed), where every min-label propagation pays
+    * O(diameter) rounds. This is the CHAIN-GRAPH resolver (round-20):
+    * mutual-kNN components are chains through embedding space, and
+    * measured on them both Pregel HashMin (one message round per hop,
+    * 20+ rounds at sf0.1) and the pointer-jumping loop (label-of-label
+    * over an arbitrary id placement does not compound on chains — 15
+    * rounds at jumps=1 vs 14 at jumps=3, measured) degrade to
+    * diameter-bound round counts; star contraction halves the graph
+    * structurally every round instead.
+    *
+    * Round = smallStar(largeStar(E)), each star op two narrow steps on
+    * one exchange: key the canonical (a<b) edge set by one endpoint
+    * (both endpoints for large-star, the larger for small-star),
+    * reduceByKey the per-node neighbor-min (map-side combined, narrow
+    * on the shared partitioner), JOIN it back (narrow) and re-point
+    * each neighbor at the min — never a grouped neighbor LIST, so a
+    * giant component cannot OOM a task (the published formulation
+    * gathers N(u) per task; the min+join restatement is
+    * emission-identical). Convergence = the canonical edge set is a
+    * fixpoint (size equal and no new edge — checked exactly via
+    * subtract on the shrinking set); at the fixpoint every edge is
+    * (component-min, member) — a star — so labels read off the edges
+    * directly. Deterministic under any partitioning: the fixpoint is
+    * unique (component-min stars), min-folds commute.
+    *
+    * At 100 TB the same shape holds: per-round cost is O(E) through
+    * exchanges sized by the edge partitioner, rounds stay logarithmic,
+    * per-task state is O(1) per edge. */
+  private[graft] def starCcWithRounds(pairs: DataFrame, maxIter: Int = 50)
+    : (DataFrame, Int) = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val sc = s.sparkContext
+    var edges = pairs
+      .select(col("doc_a").cast(LongType), col("doc_b").cast(LongType))
+      .as[(Long, Long)].rdd
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .filter { case (a, b) => a != b }
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var nE = edges.count()
+    // One partitioner for the whole resolution — the n17 edge rule
+    // (partitions ~ edges / target-rows, capped at session parallelism).
+    val parts = math.max(1L, math.min(
+      sc.defaultParallelism.toLong, nE / 250000L + 1L)).toInt
+    val part = new org.apache.spark.HashPartitioner(parts)
+    // Convergence accumulator: counts emissions that DIFFER from their
+    // source edge. At the star fixpoint every large-star emission is
+    // its own source edge (roots re-point members at themselves) and
+    // every small-star emission is its source edge or its duplicate,
+    // so round-delta 0 ⇔ edge-set fixpoint — no subtract pass needed.
+    // Task retries can only over-count (a spurious extra round, never a
+    // premature exit), the safe direction.
+    val delta = sc.longAccumulator("starCcDelta")
+    // large-star: every node u re-points its STRICTLY LARGER neighbors
+    // at m = min(N(u) ∪ {u}); m ≤ u < v keeps (m, v) canonical.
+    def largeStar(e: org.apache.spark.rdd.RDD[(Long, Long)]) = {
+      val byNode = e.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+        .partitionBy(part)
+      val mins = byNode.reduceByKey(part, math.min(_: Long, _: Long))
+      byNode.join(mins) // narrow: both carry `part`
+        .flatMap { case (u, (v, mn)) =>
+          val m = math.min(mn, u)
+          if (v > u) {
+            if (m != u) delta.add(1L) // source edge was (u, v)
+            Iterator((m, v))
+          } else Iterator.empty
+        }
+    }
+    // small-star: every node u re-points its SMALLER-OR-EQUAL
+    // neighborhood (and itself) at m = min(N(u)); emissions (m, v) and
+    // (m, u) are canonical since every neighbor < u and m = min.
+    def smallStar(e: org.apache.spark.rdd.RDD[(Long, Long)]) = {
+      val byLarger = e.map { case (a, b) => (b, a) }.partitionBy(part)
+      val mins = byLarger.reduceByKey(part, math.min(_: Long, _: Long))
+      byLarger.join(mins) // narrow
+        .flatMap { case (u, (v, m)) =>
+          (if (v != m) {
+            delta.add(1L) // source edge (v, u) re-pointed to (m, v)
+            Iterator((m, v))
+          } else Iterator.empty) ++
+            Iterator((m, u)) // ≡ source edge when v == m; else new
+        }
+    }
+    var rounds = 0
+    var converged = nE == 0L
+    while (!converged && rounds < maxIter) {
+      rounds += 1
+      delta.reset()
+      val next = smallStar(largeStar(edges)).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nNext = next.count() // materializes the round; settles `delta`
+      converged = delta.value == 0L
+      edges.unpersist()
+      edges = next
+      nE = nNext
+    }
+    if (!converged) {
+      edges.unpersist()
+      throw new IllegalArgumentException(
+        s"requirement failed: starCcWithRounds did not converge within " +
+          s"$maxIter rounds")
+    }
+    // Fixpoint edges are (component-min, member) stars.
+    (edges.toDF("cluster", "doc_id").select(col("doc_id"), col("cluster")),
+      rounds)
+  }
+
   // --- SimHash -------------------------------------------------------------
 
   /** FNV-1a 64-bit — deterministic token hash with no library deps. */

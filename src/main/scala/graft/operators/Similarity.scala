@@ -1129,9 +1129,12 @@ object Similarity {
     * giant cluster. One [[knnGraph]] pass, one self-join on the
     * reversed (query, neighbor) key to keep mutual pairs (edge volume
     * N·k, key-balanced by construction — out-degree is capped at k, so
-    * no hub key skews the exchange), then GraphX Pregel connected
-    * components (min-vertex-id propagation — see the in-body rationale
-    * vs the DataFrame loop the near-clique dedup families use).
+    * no hub key skews the exchange; round-20 also measured the
+    * one-aggregation alternative — canonical (min,max) key + direction
+    * flags — at 1.0-1.1x of the self-join on the CACHED edge frame, so
+    * the join stays), then star-contraction connected components
+    * (min-vertex-id labels — see the in-body rationale vs the
+    * pointer-jumping loop the near-clique dedup families use).
     * Vectors with no mutual edge surface as singleton clusters
     * (cluster = own id), never absent — a curation pass must account
     * for every document. Returns an executor-materialized label frame
@@ -1146,45 +1149,27 @@ object Similarity {
             col("f.vec_id") === col("b.query_id"))
         .where(col("f.query_id") < col("f.vec_id"))
         .select(col("f.query_id").as("doc_a"), col("f.vec_id").as("doc_b"))
-      // Component resolution runs on GraphX Pregel, not the DataFrame
-      // label loop the dedup families use (Dedup.connectedComponents):
-      // mutual-kNN components are CHAINS through embedding space
-      // (measured diameter >20 at sf0.1 under the derived cell count),
-      // so the loop pays O(diameter) rounds — and a DataFrame round
-      // costs per-round query planning plus ~7 exchanges on
-      // lineage-cut frames, where Pregel's vertex/edge RDDs are
-      // co-partitioned once and each round is partitioner-aware local
-      // joins (measured 7.6 s -> 2.9 s on the sf0.1 graph, identical
-      // labels — PipelineSpec cross-checks the two resolvers). This is
-      // the one genuinely iterative-graph workload in the engine, the
-      // case RDD-level Pregel exists for; GraphX CC is the same
-      // min-vertex-id propagation, deterministic under any
-      // partitioning, and runs to convergence with no round cap.
-      val s = index.assigned.sparkSession
-      import s.implicits._
-      // GraphX has no AQE: an RDD keeps its input partition count
-      // through every Pregel round, so a 32-partition edge set of a few
-      // thousand rows schedules 32 tasks per stage per round — pure
-      // scheduling storm at bench scale, and the same rule (partitions
-      // ~ edges / target-rows) yields thousands of partitions at 100 TB
-      // where they belong. Derive it from the counted edge frame
-      // (persisted — the count doubles as its materialization).
-      val mp = mutual.persist(StorageLevel.MEMORY_AND_DISK)
-      val nEdges = mp.count()
-      val parts = math.max(1L, math.min(
-        s.sparkContext.defaultParallelism.toLong, nEdges / 250000L + 1L)).toInt
-      val g = org.apache.spark.graphx.Graph.fromEdgeTuples(
-        mp.as[(Long, Long)].rdd.coalesce(parts), defaultValue = 0)
-      val cc = g.connectedComponents()
-      val labels = cc.vertices.map { case (v, c) => (v, c) }
-        .toDF("vec_id", "cluster")
-      val out = graft.util.Exec.materializedCut(
+      // Component resolution (round-20): STAR CONTRACTION
+      // (Dedup.starCcWithRounds — alternating large-star/small-star),
+      // replacing GraphX Pregel. Mutual-kNN components are CHAINS
+      // through embedding space, where every min-label propagation is
+      // diameter-bound: Pregel HashMin paid one message round per hop
+      // (20+ rounds, 2.6 s of the query's 3.7 at sf0.1 — the measured
+      // dominant term), and the dedup families' pointer-jumping loop
+      // does no better here (label-of-label over an arbitrary id
+      // placement does not compound on chains: 15 rounds at jumps=1 vs
+      // 14 at jumps=3, measured round-20). Star contraction halves the
+      // graph structurally per round — provably O(log² n), observed
+      // O(log n) — and its fixpoint is the same canonical
+      // component-min labeling (PipelineSpec cross-checks resolver
+      // families label-for-label on the real mutual graph).
+      val labels = Dedup.starCcWithRounds(mutual)._1
+        .select(col("doc_id").as("vec_id"), col("cluster"))
+      graft.util.Exec.materializedCut(
         index.assigned.select(col("vec_id"))
           .join(labels, Seq("vec_id"), "left")
           .select(col("vec_id"),
             coalesce(col("cluster"), col("vec_id")).as("cluster")))
-      cc.unpersist(); g.unpersist(); mp.unpersist()
-      out
     } finally { edges.unpersist(); () }
   }
 
@@ -1286,32 +1271,59 @@ object Similarity {
     * than dividing by zero. */
   def topPrincipalComponent(embeddings: DataFrame, iters: Int = 3): DataFrame = {
     val s = embeddings.sparkSession
-    val ve = embeddings
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
-      .select(col("vec_id"), (col("p") + 1).cast(LongType).as("d"),
-        round(col("x") * 10000).cast(LongType).as("xq"))
+    import s.implicits._
+    // Dense power iteration (round-20) — the dense-Lloyd pattern
+    // applied to the second iterative trainer: the corpus parses to JVM
+    // long arrays ONCE (quantized by the same Catalyst `round`
+    // expression as the posexplode formulation it replaces, so every
+    // integer sum is bit-identical) and each round is one shuffle-free
+    // narrow pass — per-task dense O(dims) accumulators treeReduce'd on
+    // exact longs — where the DataFrame rounds paid two joins + two
+    // hash-agg exchanges over the N·D exploded frame per iteration.
+    // The weight update runs on the DRIVER over O(dims)=64 longs (the
+    // model, not data): sign(y) · (|y|·10000 div max|y|) through BigInt,
+    // matching the DECIMAL(38,0) div arithmetic of the old expression.
+    val vq = embeddings
+      .select(transform(col("embedding"),
+        x => round(x * 10000).cast(LongType)).as("q"))
+      .as[Seq[Long]].rdd.map(_.toArray)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      import s.implicits._
-      val dims = ve.agg(max(col("d")).as("mx")).head().getLong(0)
-      var w = s.range(1, dims + 1).toDF("d").withColumn("w", lit(10000L))
+      val dims = embeddings.agg(max(size(col("embedding")))).head().getInt(0)
+      var w = Array.fill(dims)(10000L)
       for (_ <- 1 to iters) {
-        val dots = ve.join(broadcast(w), Seq("d"))
-          .groupBy("vec_id").agg(sum(col("xq") * col("w")).as("dot"))
-        val y = ve.join(dots, Seq("vec_id"))
-          .groupBy("d").agg(sum(col("dot") * col("xq")).as("y"))
-        val m = y.agg(max(abs(col("y"))).as("m"))
-        w = y.join(broadcast(m))
-          .select(col("d"), expr(
-            """CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
-              |ELSE (CASE WHEN y < 0 THEN -1L ELSE 1L END) *
-              |  CAST((CAST(abs(y) AS DECIMAL(38,0)) * 10000) div m AS BIGINT)
-              |END""".stripMargin).as("w"))
+        val wB = w
+        val y = vq.mapPartitions { it =>
+          val acc = new Array[Long](dims)
+          it.foreach { q =>
+            var dot = 0L
+            var d = 0
+            while (d < q.length) { dot += q(d) * wB(d); d += 1 }
+            d = 0
+            while (d < q.length) { acc(d) += dot * q(d); d += 1 }
+          }
+          Iterator.single(acc)
+        }.treeReduce({ (a, b) =>
+          var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+        }, depth = 2)
+        val m = y.map(math.abs).max
+        w = y.map { yd =>
+          if (m == 0L) 0L
+          else (if (yd < 0) -1L else 1L) *
+            ((BigInt(math.abs(yd)) * 10000) / m).toLong
+        }
       }
-      val out = w.select(col("d"), col("w"))
-      val local = out.collectAsList() // O(dims) rows
-      s.createDataFrame(local, out.schema)
-    } finally { ve.unpersist(); () }
+      // Same output shape (and nullability) as the expression pipeline
+      // this replaces: d non-null from range, w nullable.
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("d", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("w", LongType, nullable = true)))
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(
+          (1 to dims).map(d =>
+            org.apache.spark.sql.Row(d.toLong, w(d - 1))): _*)
+      s.createDataFrame(rows, schema)
+    } finally { vq.unpersist(); () }
   }
 
   /** ANN quality evaluation — MEASURED recall@k of the IVF probe path

@@ -147,6 +147,61 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("star-contraction CC: adversarial graphs match the label loop, rounds stay logarithmic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // (a) 512-node chain with SHUFFLED ids — the diameter-511 case the
+    // resolver exists for (min-propagation pays one round per hop;
+    // star contraction must stay ~log2);
+    val perm = rnd.shuffle((0L until 512L).toVector)
+    val chain = perm.sliding(2).map(p => (p(0), p(1))).toSeq
+    // (b) disjoint cliques (flat dedup shape); (c) random sparse graph
+    // with duplicate and reversed edges and self-loops.
+    val cliques = for (c <- 0 until 8; i <- 1 until 16)
+      yield (1000L + c * 16L + i, 1000L + c * 16L)
+    val random = Seq.fill(300)((2000L + rnd.nextInt(200), 2000L + rnd.nextInt(200)))
+    // Independent oracle: a plain sequential union-find over the same
+    // pairs (NOT a distributed resolver — a diameter-511 chain costs a
+    // min-propagation loop hundreds of rounds, which is exactly why
+    // star contraction exists).
+    def ufLabels(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      nodes.map(n => n -> find(n)).toMap
+    }
+    for ((name, pairs) <- Seq("chain" -> chain, "cliques" -> cliques,
+        "random" -> random)) {
+      val df = pairs.toDF("doc_a", "doc_b")
+      val (starDf, rounds) = Dedup.starCcWithRounds(df)
+      val star = starDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = ufLabels(pairs)
+      // star carries only non-roots; a node the star frame omits must
+      // be its own component min.
+      assert(want.forall { case (n, c) => star.getOrElse(n, n) == c },
+        s"$name: star labels disagree with sequential union-find")
+      assert(star.forall { case (n, c) => n != c },
+        s"$name: star frame contains a self-labeled row")
+      assert(rounds <= 15, s"$name: $rounds rounds — not logarithmic")
+      spark.catalog.clearCache()
+    }
+    // empty edge set: zero rounds, empty label frame
+    val (emptyDf, r0) = Dedup.starCcWithRounds(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+    assert(emptyDf.count() == 0L && r0 == 0)
+    spark.catalog.clearCache()
+  }
+
   test("n1/n2: LSH ANN prunes candidates and keeps the exact match") {
     val emb = Tables.embeddings(spark, sf)
     val brute = Similarity.bruteForceTopK(emb, 0L, 10)
@@ -302,11 +357,13 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
-  test("n17: GraphX component resolution equals the DataFrame label loop") {
-    // mutualKnnClusters runs Pregel (round cost rationale in the
-    // operator doc); the dedup families keep the DataFrame loop. Both
-    // are min-id propagation — pin that they agree label-for-label on
-    // the REAL mutual graph, so the resolver swap can never drift.
+  test("n17: production mutual-pair + resolver path equals an independent formulation") {
+    // mutualKnnClusters resolves components by star contraction
+    // (round cost rationale in the operator doc); this check resolves
+    // the SAME mutual set with the pointer-jumping label loop — a
+    // different resolver family whose labels must agree
+    // label-for-label on the REAL mutual graph, so a resolver swap or
+    // a star-contraction fixpoint bug can never drift silently.
     val index = Similarity.buildIvfIndex(Tables.embeddings(spark, sf))
     val edges = Similarity.knnGraph(index, k = 5, nProbe = 2)
       .select(col("query_id"), col("vec_id"))
