@@ -375,13 +375,13 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       .select(col("f.query_id").as("doc_a"), col("f.vec_id").as("doc_b"))
     val viaDf = Dedup.connectedComponentsFast(mutual, maxIter = 48)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    val viaGx = Similarity.mutualKnnClusters(index, k = 5, nProbe = 2)
+    val viaStar = Similarity.mutualKnnClusters(index, k = 5, nProbe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     edges.unpersist(); index.unpersist()
-    // viaGx also carries singletons (cluster = own id); restrict to the
-    // nodes the DataFrame resolver saw.
-    assert(viaDf.forall { case (n, c) => viaGx(n) == c },
-      "GraphX and DataFrame component labels disagree")
+    // viaStar also carries singletons (cluster = own id); restrict to
+    // the nodes the loop resolver saw.
+    assert(viaDf.forall { case (n, c) => viaStar(n) == c },
+      "star-contraction and pointer-jumping component labels disagree")
     spark.catalog.clearCache()
   }
 
