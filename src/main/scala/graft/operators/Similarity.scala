@@ -1104,16 +1104,25 @@ object Similarity {
   def knnGraph(index: IvfIndex, k: Int, nProbe: Int = 2): DataFrame = {
     val s = index.assigned.sparkSession
     import s.implicits._
+    // Norms are computed ONCE PER SIDE ROW before the cell join
+    // (round-20): referencing inorm2(v)/inorm2(qv) in the post-join
+    // select evaluated two O(dims) loops per CANDIDATE PAIR — the
+    // candidate mass is O(N^1.5) (n16 counter), so that constant is
+    // pair-proportional; precomputed, each vector's norm is one long
+    // carried through the exchange. Values identical (same expression,
+    // same rows), so cos — and the oracle — are unchanged.
     val queries = probeCells(index.centroids,
         index.assigned.select(col("vec_id"), col("embedding")), nProbe)
       .select(col("vec_id").as("query_id"), quant(col("embedding")).as("qv"),
         col("pcell").as("cell"))
+      .withColumn("nq", inorm2(col("qv")))
     index.assigned
       .select(col("vec_id"), col("cell"), quant(col("embedding")).as("v"))
+      .withColumn("nv", inorm2(col("v")))
       .join(queries, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id").cast(StringType), col("vec_id"),
-        cosine(idot(col("v"), col("qv")), inorm2(col("v")), inorm2(col("qv"))).as("cos"))
+        cosine(idot(col("v"), col("qv")), col("nv"), col("nq")).as("cos"))
       .as[(String, Long, Double)]
       .groupByKey(_._1)
       .agg(new graft.functions.TopKAggregator(k).toColumn)

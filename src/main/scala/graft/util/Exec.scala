@@ -32,18 +32,34 @@ object Exec {
     * for anything whose row count grows with the corpus.
     */
   def materializedCut(df: DataFrame): DataFrame = {
-    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    // Internal-row cut (round-20): `df.rdd` + createDataFrame would
+    // deserialize every InternalRow to an external Row and re-encode
+    // it on the next action — a decode/encode pass over the whole cut
+    // frame for nothing. queryExecution.toRdd executes the plan as
+    // InternalRows and the shim wraps it directly; rows, schema and
+    // lineage-cut semantics are unchanged. The rows coming off toRdd
+    // are REUSED mutable buffers, so each must be copied before it
+    // escapes the iterator — same contract (and same map(_.copy())
+    // idiom) as Spark's own Dataset.checkpoint.
+    //
+    // The PERSIST registers on the CUT frame (the LogicalRDD view),
+    // not on the input plan (round-20 flake fix): a cache entry whose
+    // logical plan CONTAINS another cached subtree is marked for lazy
+    // rebuild when that upstream is unpersisted — exactly what every
+    // cut caller does next ("release the index, keep the labels") —
+    // and Spark's tryRebuildCacheEntry path re-plans the entry on
+    // whatever thread touches it first, which intermittently dies in
+    // CachedRDDBuilder with a null-session plan (SparkException
+    // INTERNAL_ERROR, observed ~1/8 full-suite runs). The LogicalRDD
+    // plan is opaque — it contains no cached subtree — so the rebuild
+    // marking can never reach a cut entry, and the race class is
+    // structurally gone. Same single execution of `df`, same one
+    // cache, same recompute-under-eviction story (the cut RDD's
+    // retained lineage).
+    val cut = org.apache.spark.sql.GraftInternal.internalCreateDataFrame(
+      df.sparkSession, df.queryExecution.toRdd.map(_.copy()), df.schema)
+    val p = cut.persist(StorageLevel.MEMORY_AND_DISK)
     p.count()
-    // Internal-row cut (round-20): `p.rdd` + createDataFrame would
-    // deserialize every cached InternalRow to an external Row and
-    // re-encode it on the next action — a decode/encode pass over the
-    // whole cut frame for nothing. queryExecution.toRdd reads the
-    // populated cache as InternalRows and the shim wraps it directly;
-    // rows, schema and lineage-cut semantics are unchanged. The rows
-    // coming off toRdd are REUSED mutable buffers, so each must be
-    // copied before it escapes the iterator — same contract (and same
-    // map(_.copy()) idiom) as Spark's own Dataset.checkpoint.
-    org.apache.spark.sql.GraftInternal.internalCreateDataFrame(
-      p.sparkSession, p.queryExecution.toRdd.map(_.copy()), p.schema)
+    p
   }
 }
