@@ -234,22 +234,56 @@ object Bench {
       val outPath = baselineOut.get
       val names = selected.keys.toSeq.sorted
       val floors = scala.collection.mutable.Map[String, Double]()
-      names.grouped(12).zipWithIndex.foreach { case (chunk, i) =>
+      // Round-21 (verdict ask #2): the RDD-iterative queries pay a
+      // fresh-JVM JIT floor ~2× their warm cost that min-of-3 does not
+      // absorb (the r20 sweep recorded n24 at 5.24 s against a
+      // reproducible ~2.0 s HEAD reading, which made the `under_floor`
+      // verdict nearly automatic for every fast-side mover). Those
+      // queries sweep at min-of-5 in their own batches; everything
+      // else stays min-of-3.
+      val jitHeavy = Set("n24_pagerank_centrality", "n22_recall_curve",
+        "n17_mutual_knn_clusters", "n31_ranking_eval", "t37_ngram_dup_report")
+      val (heavy, regular) = names.partition(jitHeavy.contains)
+      regular.grouped(12).zipWithIndex.foreach { case (chunk, i) =>
         System.err.println(s"BASELINE batch ${i + 1}: ${chunk.mkString(",")}")
         floors ++= isolatedRun(chunk, sfDir, cpus, runs = 3)
       }
+      heavy.grouped(12).foreach { chunk =>
+        System.err.println(s"BASELINE jit-heavy batch (min-of-5): " +
+          chunk.mkString(","))
+        floors ++= isolatedRun(chunk, sfDir, cpus, runs = 5)
+      }
+      // Round-21 (verdict ask #2): the sweep self-checks its own host
+      // window — the canary re-runs AFTER the sweep, and a start→end
+      // drift outside [0.8, 1.25] marks the whole artifact unstable
+      // (LOUD stderr + an "unstable" field adjudication can read).
+      // The r20 floors were recorded in a window whose store canary
+      // later proved 2.5× off the gate run's; a drifting sweep should
+      // say so in-band instead of being trusted for a round.
+      val canEnd = canary(spark, sfDir)
+      val sweepDrift = canaryRatio(canEnd.toMap, canaries.toMap)
+      val unstable = sweepDrift.exists(c => c > 1.25 || c < 0.8)
+      if (unstable) System.err.println(
+        "BASELINE sweep UNSTABLE: start->end canary_ratio " +
+          "%.3f".formatLocal(java.util.Locale.ROOT, sweepDrift.get) +
+          " outside [0.8,1.25] — the host moved during the sweep; " +
+          "re-record in a quieter window before trusting these floors")
+      val canEndJson = canEnd.map { case (k, v) =>
+        "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      }.mkString("{", ",", "}")
       val missing = names.filterNot(floors.contains)
       def jnum(v: Double) = "%.6f".formatLocal(java.util.Locale.ROOT, v)
       val qs = names.collect { case n if floors.contains(n) =>
         "\"" + n + "\":" + jnum(floors(n)) }.mkString("{", ",", "}")
       val missJson = missing.map("\"" + _ + "\"").mkString("[", ",", "]")
       val line = s"""{"metric":"isolated_baseline","unit":"sec","queries":$qs,""" +
-        s""""canary":$canaryJson,"missing":$missJson,""" +
+        s""""canary":$canaryJson,"canary_end":$canEndJson,""" +
+        s""""unstable":$unstable,"missing":$missJson,""" +
         s""""nqueries":${floors.size},"sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (line + "\n").getBytes("UTF-8"))
       println(s"""{"metric":"baseline_recorded","nqueries":${floors.size},""" +
-        s""""missing":${missing.length},"file":"$outPath"}""")
+        s""""missing":${missing.length},"unstable":$unstable,"file":"$outPath"}""")
       spark.stop()
       return
     }
@@ -503,11 +537,31 @@ object Bench {
           s"\"isolated\":${iso.getOrElse(-1)},$extra}"
       }.mkString(",")
       val crField = cr.map(c => s""","canary_ratio":${jnum(c)}""").getOrElse("")
-      s"""{"adjudicated":{$fields},"baseline":"${baselinePath.getOrElse("")}"$crField}""" + "\n"
+      s"""{"run":"$outFile","adjudicated":{$fields},""" +
+        s""""baseline":"${baselinePath.getOrElse("")}"$crField}""" + "\n"
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n" + adjLine).getBytes("UTF-8"))
     catch { case t: Throwable => System.err.println(s"BENCHFULL write failed: $t") }
+    // Round-21 (verdict ask #7): adjudication discharge records are
+    // APPEND-ONLY — the r20 round-close snapshot overwrote the
+    // BENCHFULL line that discharged its code_suspect flags, leaving
+    // the optimization report citing a record that survived only in
+    // git history. Every adjudication line is ALSO appended (never
+    // truncated) to a round-/sf-tagged sidecar, so round-close reruns
+    // can no longer clobber the audit trail; the "run" field says
+    // which BENCHFULL artifact each record came from.
+    if (adjLine.nonEmpty) {
+      val adjFile = sys.env.get("SPARK_GRAFT_ROUND")
+        .map(r => s"ADJUDICATION_r$r.jsonl")
+        .getOrElse(s"ADJUDICATION_$sfTag.jsonl")
+      try java.nio.file.Files.write(java.nio.file.Paths.get(adjFile),
+        adjLine.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case t: Throwable =>
+        System.err.println(s"ADJUDICATION append failed: $t") }
+    }
     spark.stop()
     // Driver-facing stdout contract — printed LAST, and COMPACT. The
     // driver records only the final ~2000 chars of the run's output and

@@ -1586,7 +1586,15 @@ object Dedup {
           s"requirement failed: connectedComponentsFast did not converge " +
             s"within $maxIter rounds")
       }
-      (labels.toDF("doc_id", "cluster"), iter)
+      // Materialize the label frame and release the last round's RDD
+      // persist (round-21, the same leak class the advice flagged on
+      // starCcWithRounds): the returned frame used to wrap the live
+      // persisted round RDD, which no caller could reach and
+      // spark.catalog.clearCache() does not free — every resolution
+      // leaked one O(N) label cache until ContextCleaner GC.
+      val out = graft.util.Exec.materializedCut(labels.toDF("doc_id", "cluster"))
+      release()
+      (out, iter)
     } finally {
       eBoth.unpersist(); edgesByDstHandle.foreach(_.unpersist()); ()
     }
@@ -1698,9 +1706,17 @@ object Dedup {
         s"requirement failed: starCcWithRounds did not converge within " +
           s"$maxIter rounds")
     }
-    // Fixpoint edges are (component-min, member) stars.
-    (edges.toDF("cluster", "doc_id").select(col("doc_id"), col("cluster")),
-      rounds)
+    // Fixpoint edges are (component-min, member) stars. The label frame
+    // is MATERIALIZED (executor-side cut) so the fixpoint RDD's
+    // MEMORY_AND_DISK persist can be released HERE (round-21 advice
+    // fix): the returned frame previously wrapped the live persisted
+    // RDD, which no caller could reach to unpersist — RDD-level
+    // persists survive spark.catalog.clearCache(), so every resolution
+    // leaked one edge-set cache until ContextCleaner GC.
+    val labels = graft.util.Exec.materializedCut(
+      edges.toDF("cluster", "doc_id").select(col("doc_id"), col("cluster")))
+    edges.unpersist()
+    (labels, rounds)
   }
 
   // --- SimHash -------------------------------------------------------------

@@ -1292,7 +1292,14 @@ object Similarity {
     // The weight update runs on the DRIVER over O(dims)=64 longs (the
     // model, not data): sign(y) · (|y|·10000 div max|y|) through BigInt,
     // matching the DECIMAL(38,0) div arithmetic of the old expression.
+    // NON-NULL CONTRACT (round-21 advice note): the .as[Seq[Long]]
+    // decode fails with a deserialization NPE on a null embedding or a
+    // null element, where the old posexplode+sum formulation silently
+    // dropped them. The fixtures guarantee non-null embeddings
+    // (TESTDATA.md); the where(isNotNull) below makes malformed input
+    // follow the old drop-semantics instead of crashing the round.
     val vq = embeddings
+      .where(col("embedding").isNotNull)
       .select(transform(col("embedding"),
         x => round(x * 10000).cast(LongType)).as("q"))
       .as[Seq[Long]].rdd.map(_.toArray)
@@ -1500,13 +1507,21 @@ object Similarity {
         s"candidates (marginMineLshScored)")
       return marginMineLshScored(embeddings, srcPred, tgtPred, k, threshold)
     }
+    // Norms once per SIDE ROW, not per candidate pair (round-21, the
+    // knnGraph round-20 hoist): referencing inorm2(va)/inorm2(vb) in
+    // the post-join select evaluated two O(dims) integer loops per
+    // GRID PAIR — |S|·|T| of them by design. Hoisted, each side pays
+    // O(rows) loops and carries one extra long through the broadcast.
+    // Values identical (same expression, same rows).
     val s = embeddings.where(srcPred)
       .select(col("vec_id").as("vec_a"), quant(col("embedding")).as("va"))
+      .withColumn("na", inorm2(col("va")))
     val t = embeddings.where(tgtPred)
       .select(col("vec_id").as("vec_b"), quant(col("embedding")).as("vb"))
+      .withColumn("nb", inorm2(col("vb")))
     val scored = s.join(broadcast(t))
       .select(col("vec_a"), col("vec_b"),
-        cosine(idot(col("va"), col("vb")), inorm2(col("va")), inorm2(col("vb"))).as("cos"))
+        cosine(idot(col("va"), col("vb")), col("na"), col("nb")).as("cos"))
     marginFromScored(scored, k, threshold, path = "grid")
   }
 
@@ -1531,10 +1546,15 @@ object Similarity {
   def marginMineLshScored(embeddings: DataFrame, srcPred: Column,
                           tgtPred: Column, k: Int = 4,
                           threshold: Double = 1.0): DataFrame = {
+    // Same per-side-row norm hoist as the grid path (round-21): the
+    // banded candidate volume follows band occupancy, but each
+    // candidate pair still paid two O(dims) norm loops post-join.
     val s = embeddings.where(srcPred)
       .select(col("vec_id").as("vec_a"), quant(col("embedding")).as("va"))
+      .withColumn("na", inorm2(col("va")))
     val t = embeddings.where(tgtPred)
       .select(col("vec_id").as("vec_b"), quant(col("embedding")).as("vb"))
+      .withColumn("nb", inorm2(col("vb")))
     val bs = bandFrame(s.select(col("vec_a").as("vec_id"), col("va").as("v")))
     val bt = bandFrame(t.select(col("vec_b").as("vec_id"), col("vb").as("v")))
     val cand = bs.as("a").join(bt.as("b"), col("a.band") === col("b.band"))
@@ -1542,7 +1562,7 @@ object Similarity {
       .distinct()
     val scored = cand.join(s, Seq("vec_a")).join(t, Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        cosine(idot(col("va"), col("vb")), inorm2(col("va")), inorm2(col("vb"))).as("cos"))
+        cosine(idot(col("va"), col("vb")), col("na"), col("nb")).as("cos"))
     marginFromScored(scored, k, threshold, path = "lsh")
   }
 
@@ -1552,6 +1572,28 @@ object Similarity {
     * cannot drift in scoring semantics. */
   private def marginFromScored(scored: DataFrame, k: Int,
                                threshold: Double, path: String): DataFrame = {
+    // Round-21 shape audit (§1.1 measure-first): TWO rewrites of this
+    // stage were implemented, measured, and REVERTED —
+    //  (a) the knnGraph-style typed TopKAggregator replacing both
+    //      windows (one tagged-union scan, bounded partial buffers):
+    //      1.1–1.3× SLOWER (mine_lsh 0.78→0.86 s, mine_grid
+    //      0.58→0.69 s, n13 0.52→0.62 s; sf0.1 warm min-of-3,
+    //      alternating JVMs). Spark 4 plans rank()<=k filters as
+    //      WindowGroupLimit (partial before the exchange, final
+    //      after), so the window shuffle is ALREADY bounded at
+    //      O(partitions·keys·k) — and the typed path's per-row
+    //      DeserializeToObject + string group keys over the full
+    //      candidate stream cost more than they save, at every scale
+    //      (both shapes shuffle O(keys·k); only the map-side constant
+    //      differs, and codegen wins it).
+    //  (b) persisting `scored` across its two window consumers (the
+    //      d11 gram-frame move — fwd partitions by vec_a, bwd by
+    //      vec_b, so candidate generation runs twice): 1.3–1.5×
+    //      SLOWER on the mining stage — the cache build breaks the
+    //      scan→WindowGroupLimit map-side pipeline and costs more
+    //      than the broadcast-join candidate pass it saves.
+    // What this round KEPT is the per-side-row norm hoist in the two
+    // candidate generators (callers above).
     import org.apache.spark.sql.expressions.Window
     val wA = Window.partitionBy("vec_a").orderBy(col("cos").desc, col("vec_b").asc)
     val wB = Window.partitionBy("vec_b").orderBy(col("cos").desc, col("vec_a").asc)

@@ -27,7 +27,11 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sb = new StringBuilder
-    sb.append("query\tshape\texchanges\tsmj\tbhj\tshj\tbnlj\tcartesian\tscans\tscans_nofilter_pushdown\terr\n")
+    // `exchanges` counts SHUFFLE exchanges only (round-21 advice fix:
+    // the old bare-"Exchange" count also matched BroadcastExchange and
+    // ReusedExchange, so every broadcast join inflated the shuffle
+    // red-flag column); broadcasts get their own column.
+    sb.append("query\tshape\texchanges\tbcast_exchanges\tsmj\tbhj\tshj\tbnlj\tcartesian\tscans\tscans_nofilter_pushdown\terr\n")
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       try {
@@ -40,12 +44,16 @@ object PlanAudit {
           else "lazy"
         val scans = c("FileScan parquet")
         val noPush = "PushedFilters: \\[\\]".r.findAllIn(p).length
-        sb.append(s"$name\t$shape\t${c("Exchange")}\t${c("SortMergeJoin")}\t" +
+        val shuffleEx = c("Exchange hashpartitioning") +
+          c("Exchange rangepartitioning") + c("Exchange SinglePartition") +
+          c("Exchange RoundRobinPartitioning")
+        sb.append(s"$name\t$shape\t$shuffleEx\t${c("BroadcastExchange")}\t" +
+          s"${c("SortMergeJoin")}\t" +
           s"${c("BroadcastHashJoin")}\t${c("ShuffledHashJoin")}\t" +
           s"${c("BroadcastNestedLoopJoin")}\t${c("CartesianProduct")}\t" +
           s"$scans\t$noPush\t\n")
       } catch { case t: Throwable =>
-        sb.append(s"$name\terr\t-\t-\t-\t-\t-\t-\t-\t-\t${t.getClass.getSimpleName}\n")
+        sb.append(s"$name\terr\t-\t-\t-\t-\t-\t-\t-\t-\t-\t${t.getClass.getSimpleName}\n")
       }
       spark.catalog.clearCache()
     }
