@@ -262,7 +262,14 @@ object Bench {
       // say so in-band instead of being trusted for a round.
       val canEnd = canary(spark, sfDir)
       val sweepDrift = canaryRatio(canEnd.toMap, canaries.toMap)
-      val unstable = sweepDrift.exists(c => c > 1.25 || c < 0.8)
+      // Two triggers: geomean drift, AND any SINGLE component outside
+      // 1.5× — the motivating incident was store-only 2.5× drift,
+      // which a 4-component geomean dilutes to 1.26 (2.4× would pass).
+      val startMap = canaries.toMap
+      val componentDrift = canEnd.exists { case (k, v) =>
+        startMap.get(k).exists(s => v / s > 1.5 || v / s < 1.0 / 1.5) }
+      val unstable = sweepDrift.exists(c => c > 1.25 || c < 0.8) ||
+        componentDrift
       if (unstable) System.err.println(
         "BASELINE sweep UNSTABLE: start->end canary_ratio " +
           "%.3f".formatLocal(java.util.Locale.ROOT, sweepDrift.get) +
@@ -551,7 +558,7 @@ object Bench {
     // truncated) to a round-/sf-tagged sidecar, so round-close reruns
     // can no longer clobber the audit trail; the "run" field says
     // which BENCHFULL artifact each record came from.
-    if (adjLine.nonEmpty) {
+    if (adjLine.nonEmpty && outFile != "/dev/null") {
       val adjFile = sys.env.get("SPARK_GRAFT_ROUND")
         .map(r => s"ADJUDICATION_r$r.jsonl")
         .getOrElse(s"ADJUDICATION_$sfTag.jsonl")

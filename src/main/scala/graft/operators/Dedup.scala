@@ -1601,19 +1601,28 @@ object Dedup {
         System.err.println(s"connectedComponentsFast: no convergence in " +
           s"$maxIter pointer-jumping rounds (chain-shaped graph); " +
           s"switching to star contraction")
-        val (starLabels, starRounds) = starCcWithRounds(pairs)
+        // Both star inputs derive from the still-persisted eBoth RDD,
+        // not from `pairs`: re-planning the pairs frame would re-run
+        // the caller's whole candidate-generation pipeline (LSH
+        // banding + verify for the d6 family) up to three more times
+        // on exactly the path added to avoid failure. eBoth carries
+        // both edge directions; starCcWithRounds canonicalizes and
+        // distincts, so the label fixpoint is unchanged.
+        val (starLabels, starRounds) = starCcWithRounds(
+          eBoth.toDF("doc_a", "doc_b"))
         // The star frame carries only NON-ROOTS (a component min labels
         // itself implicitly — pinned by PipelineSpec); the loop's
         // contract is a row for EVERY edge endpoint. Complete it so the
         // two resolvers are drop-in identical to callers.
-        val nodes = pairs
-          .select(col("doc_a").cast(LongType).as("doc_id"))
-          .union(pairs.select(col("doc_b").cast(LongType).as("doc_id")))
-          .distinct()
+        val nodes = eBoth.keys.distinct().toDF("doc_id")
         val completed = graft.util.Exec.materializedCut(
           nodes.join(starLabels, Seq("doc_id"), "left_outer")
             .select(col("doc_id"),
               coalesce(col("cluster"), col("doc_id")).as("cluster")))
+        // Release the intermediate star cut — `completed` is already
+        // materialized, and a frame the caller never sees must not
+        // stay cached (the leak class this round fixes).
+        starLabels.unpersist()
         return (completed, iter + starRounds)
       }
       // Materialize the label frame and release the last round's RDD

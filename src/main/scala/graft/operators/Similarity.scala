@@ -1293,11 +1293,13 @@ object Similarity {
     // model, not data): sign(y) · (|y|·10000 div max|y|) through BigInt,
     // matching the DECIMAL(38,0) div arithmetic of the old expression.
     // NON-NULL CONTRACT (round-21 advice note): the .as[Seq[Long]]
-    // decode fails with a deserialization NPE on a null embedding or a
-    // null element, where the old posexplode+sum formulation silently
-    // dropped them. The fixtures guarantee non-null embeddings
-    // (TESTDATA.md); the where(isNotNull) below makes malformed input
-    // follow the old drop-semantics instead of crashing the round.
+    // decode fails with a deserialization NPE on a null embedding,
+    // where the old posexplode+sum formulation silently dropped it.
+    // The where(isNotNull) below restores the drop semantics for NULL
+    // ARRAYS; a null ELEMENT inside an array remains outside the
+    // contract (the old sum skipped it per-dimension, this path would
+    // still NPE) — the fixtures guarantee fully non-null embeddings
+    // (TESTDATA.md).
     val vq = embeddings
       .where(col("embedding").isNotNull)
       .select(transform(col("embedding"),

@@ -44,10 +44,18 @@ object PlanAudit {
           else "lazy"
         val scans = c("FileScan parquet")
         val noPush = "PushedFilters: \\[\\]".r.findAllIn(p).length
-        val shuffleEx = c("Exchange hashpartitioning") +
-          c("Exchange rangepartitioning") + c("Exchange SinglePartition") +
-          c("Exchange RoundRobinPartitioning")
-        sb.append(s"$name\t$shape\t$shuffleEx\t${c("BroadcastExchange")}\t" +
+        // Count per line, skipping ReusedExchange lines: a
+        // ReusedExchange leaf EMBEDS the referenced exchange's
+        // simpleString ("ReusedExchange [...], Exchange
+        // hashpartitioning(...)"), so a whole-plan regex would count
+        // the reused (not re-executed) exchange again.
+        def cNew(tok: String) = p.linesIterator
+          .filterNot(_.contains("ReusedExchange"))
+          .map(l => tok.r.findAllIn(l).length).sum
+        val shuffleEx = cNew("Exchange hashpartitioning") +
+          cNew("Exchange rangepartitioning") + cNew("Exchange SinglePartition") +
+          cNew("Exchange RoundRobinPartitioning")
+        sb.append(s"$name\t$shape\t$shuffleEx\t${cNew("BroadcastExchange")}\t" +
           s"${c("SortMergeJoin")}\t" +
           s"${c("BroadcastHashJoin")}\t${c("ShuffledHashJoin")}\t" +
           s"${c("BroadcastNestedLoopJoin")}\t${c("CartesianProduct")}\t" +

@@ -30,12 +30,16 @@ def main():
         for q, v in r["queries"].items():
             cur = by_cpu[r["cpus"]].get(q)
             by_cpu[r["cpus"]][q] = v if cur is None else min(cur, v)
-    names = sorted(by_cpu[8], key=lambda q: -by_cpu[8][q])
+    # Union of both sides: a query that crashed at one core count must
+    # surface as a partial row, not crash the formatter or vanish.
+    names = sorted(set(by_cpu[8]) | set(by_cpu[32]),
+                   key=lambda q: -by_cpu[8].get(q, by_cpu[32].get(q, 0.0)))
     per = {}
     for q in names:
-        c8, c32 = by_cpu[8][q], by_cpu[32].get(q)
+        c8, c32 = by_cpu[8].get(q), by_cpu[32].get(q)
         per[q] = {"c8_min": c8, "c32_min": c32,
-                  "speedup_c32_over_c8": round(c8 / c32, 3) if c32 else None}
+                  "speedup_c32_over_c8":
+                      round(c8 / c32, 3) if c8 and c32 else None}
     cans = [r["canary"] for r in runs]
     drifts = []
     for i in range(1, len(cans)):
@@ -50,9 +54,11 @@ def main():
            "per_query": per}
     open(out_path, "w").write(json.dumps(doc, indent=1) + "\n")
     print(f"{out_path}: {len(per)} queries, canary drift vs run1: {drifts}")
+    def fmt(v):
+        return f"{v:7.3f}" if v is not None else "   ----"
     for q in names:
         p = per[q]
-        print(f"{q:32s} c8={p['c8_min']:7.3f} c32={p['c32_min']:7.3f} "
+        print(f"{q:32s} c8={fmt(p['c8_min'])} c32={fmt(p['c32_min'])} "
               f"speedup={p['speedup_c32_over_c8']}")
 
 
